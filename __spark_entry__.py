@@ -1,38 +1,482 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` smoke-runs the flagship decomposition on sf0.001.
+`queries()` exposes one callable per implemented operator (SURVEY.md §2);
+`oracle_sql()` gives the DuckDB-equivalent SQL the driver compares against at
+sf0.01 (row count + schema + order-insensitive value hash).
+
+Conventions shared by BOTH sides so hashes match:
+- every derived float is round()ed (6 dp for unit-scale, 4 dp for 1e4+-scale
+  decomposition estimates, 12 dp for densities);
+- whitespace tokenization = regexp split on \\s+ after trim;
+- content hashes = md5 (identical in Spark and DuckDB);
+- rankings order by the ROUNDED metric with explicit id tie-breaks.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
 
+from oaxaca_blinder_rs_spark import OaxacaBuilder
+from oaxaca_blinder_rs_spark.functions.linalg import collect_group_stats, ols_from_stats
+from oaxaca_blinder_rs_spark.operators import dedup, kde, similarity, textops
+from oaxaca_blinder_rs_spark.operators.budget import allocate_budget
+
+INTERCEPT = "__ob_intercept__"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _components_df(spark: SparkSession, res, digits: int = 4) -> DataFrame:
+    tf = {c.name: c.estimate for c in res.three_fold.aggregate}
+    rows = [
+        Row(component="total_gap", estimate=round(res.total_gap, digits)),
+        Row(component="explained", estimate=round(res.two_fold.explained.estimate, digits)),
+        Row(component="unexplained", estimate=round(res.two_fold.unexplained.estimate, digits)),
+        Row(component="endowments", estimate=round(tf["endowments"], digits)),
+        Row(component="coefficients", estimate=round(tf["coefficients"], digits)),
+        Row(component="interaction", estimate=round(tf["interaction"], digits)),
+    ]
+    return spark.createDataFrame(rows, "component string, estimate double")
+
+
+# --------------------------------------------------------------------------
+# entry: flagship smoke query
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Oaxaca-Blinder mean decomposition of the l_extendedprice gap between
+    return-flag groups A and R on sf0.001, beta* = GroupB."""
+    li = _t(spark, "/root/testdata/sf0.001", "lineitem")
+    res = (
+        OaxacaBuilder(li, "l_extendedprice", "l_returnflag", "R")
+        .predictors(["l_quantity", "l_discount"])
+        .reference_coefficients("group_b")
+        .bootstrap_reps(0)
+        .run()
+    )
+    return _components_df(spark, res)
+
+
+# --------------------------------------------------------------------------
+# queries (Spark side)
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+A2-A4: scan -> groupBy aggregate (TPC-H Q1 shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2).alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+def q_group_outcome_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A3/A4/A6: per-group count, mean, weighted mean, stddev."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = F.col("l_tax") + F.lit(1.0)
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("l_extendedprice"), 6).alias("mean_price"),
+        F.round(F.sum(F.col("l_extendedprice") * w) / F.sum(w), 6).alias("wmean_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 6).alias("sd_price"),
+    )
+
+
+def q_quantiles_type7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: exact type-7 quantiles per group (rif.rs:22-35 convention)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 6).alias("q25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("q50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 6).alias("q75"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias("q90"),
+    )
+
+
+def q_oaxaca_mean_groupb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1+M6+M7: mean decomposition, beta* = GroupB, on lineitem A vs R."""
+    li = _t(spark, sf_dir, "lineitem")
+    res = (
+        OaxacaBuilder(li, "l_extendedprice", "l_returnflag", "R")
+        .predictors(["l_quantity"])
+        .reference_coefficients("group_b")
+        .bootstrap_reps(0)
+        .run()
+    )
+    return _components_df(spark, res)
+
+
+def q_oaxaca_mean_pooled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M9: pooled (Neumark) beta* with group indicator."""
+    li = _t(spark, sf_dir, "lineitem")
+    res = (
+        OaxacaBuilder(li, "l_extendedprice", "l_returnflag", "R")
+        .predictors(["l_quantity"])
+        .reference_coefficients("pooled")
+        .bootstrap_reps(0)
+        .run()
+    )
+    tf = {c.name: c.estimate for c in res.three_fold.aggregate}
+    rows = [
+        Row(component="total_gap", estimate=round(res.total_gap, 4)),
+        Row(component="explained", estimate=round(res.two_fold.explained.estimate, 4)),
+        Row(component="unexplained", estimate=round(res.two_fold.unexplained.estimate, 4)),
+    ]
+    return spark.createDataFrame(rows, "component string, estimate double")
+
+
+def q_rif_q90_groupb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5: RIF(q90) transform then decomposition, beta* = GroupB."""
+    li = _t(spark, sf_dir, "lineitem")
+    res = (
+        OaxacaBuilder(li, "l_extendedprice", "l_returnflag", "R")
+        .predictors(["l_quantity"])
+        .reference_coefficients("group_b")
+        .bootstrap_reps(0)
+        .decompose_quantile(0.9)
+    )
+    rows = [
+        Row(component="total_gap", estimate=round(res.total_gap, 4)),
+        Row(component="explained", estimate=round(res.two_fold.explained.estimate, 4)),
+        Row(component="unexplained", estimate=round(res.two_fold.unexplained.estimate, 4)),
+    ]
+    return spark.createDataFrame(rows, "component string, estimate double")
+
+
+def q_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M18/O2/O3: greedy cheapest-fix as a window cumulative sum."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    design = li.withColumn(INTERCEPT, F.lit(1.0))
+    stats = collect_group_stats(design, [INTERCEPT, "l_quantity"], "l_extendedprice")
+    fit = ols_from_stats(stats)
+    with_resid = design.withColumn("residual", fit.residual_expr("l_extendedprice", [INTERCEPT, "l_quantity"]))
+    alloc = allocate_budget(with_resid, "residual", budget=1_000_000.0, order_cols=["l_orderkey", "l_linenumber"])
+    return alloc.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("residual", 6).alias("residual"),
+        F.round("adjustment", 6).alias("adjustment"),
+    )
+
+
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup machinery on a 5-token-prefix fingerprint (hash-groupBy)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    fp = F.md5(F.concat_ws(" ", F.slice(toks, 1, 5)))
+    return (
+        docs.select(fp.alias("prefix_hash"), "doc_id")
+        .groupBy("prefix_hash")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.concat_ws(",", F.sort_array(F.collect_list("doc_id"))).alias("doc_ids"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash: first/last signature slots + band key for the LSH pipeline."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    sig = dedup.minhash_signature(F.col("text"), num_perm=8, k=3)
+    with_sig = docs.select("doc_id", sig.alias("sig"))
+    band0 = F.md5(F.concat_ws("|", F.col("sig")[0], F.col("sig")[1]))
+    return with_sig.select(
+        "doc_id",
+        F.col("sig")[0].alias("mh_0"),
+        F.col("sig")[7].alias("mh_7"),
+        band0.alias("band0_key"),
+    )
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + punctuation/stopword quality signals per document."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.length(t).alias("n_chars_c"),
+        textops.token_count(t).alias("n_tokens"),
+        F.round(textops.punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(textops.stopword_ratio(t), 6).alias("en_stopword_ratio"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID over {de,en,es,fr}; 'und' when no votes."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", textops.lang_id(F.col("text")).alias("lang_guess"))
+
+
+def q_knn_cosine_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 neighbors for vec_id < 50."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 50)
+    return similarity.brute_force_topk(q, emb, k=3).select(
+        "query_id", "neighbor_id", "cosine", "rank"
+    )
+
+
+def q_weighted_kde_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: weighted Gaussian KDE on a 20-point grid (fixed bandwidth)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    b = li.select(F.col("l_extendedprice").alias("y"), (F.col("l_tax") + 1.0).alias("w"))
+    mm = b.agg(F.min("y").alias("gmin"), F.max("y").alias("gmax")).collect()[0]
+    gmin, gmax = float(mm["gmin"]), float(mm["gmax"])
+    grid = [gmin + i * (gmax - gmin) / 20.0 for i in range(20)]
+    dens = kde.kde_on_grid(b, "y", grid, bandwidth=5000.0, wcol="w")
+    rows = [
+        Row(grid_idx=i, grid_point=round(grid[i], 6), density=round(dens[i], 12))
+        for i in range(20)
+    ]
+    return spark.createDataFrame(rows, "grid_idx long, grid_point double, density double")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pricing_summary": q_pricing_summary,
+        "group_outcome_stats": q_group_outcome_stats,
+        "quantiles_type7": q_quantiles_type7,
+        "oaxaca_mean_groupb": q_oaxaca_mean_groupb,
+        "oaxaca_mean_pooled": q_oaxaca_mean_pooled,
+        "rif_q90_groupb": q_rif_q90_groupb,
+        "budget_allocation": q_budget_allocation,
+        "dedup_fingerprint": q_dedup_fingerprint,
+        "minhash_signature": q_minhash_signature,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "knn_cosine_top3": q_knn_cosine_top3,
+        "weighted_kde_grid": q_weighted_kde_grid,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# oracle SQL (DuckDB side)
+# --------------------------------------------------------------------------
+
+_OAXACA_CTE = """
+WITH li AS (
+  SELECT l_returnflag g, l_extendedprice y, l_quantity x
+  FROM lineitem WHERE l_returnflag IN ('A','R')
+), s AS (
+  SELECT g, regr_slope(y, x) b1, regr_intercept(y, x) b0, avg(y) ybar, avg(x) xbar
+  FROM li GROUP BY g
+), a AS (SELECT * FROM s WHERE g = 'A'), b AS (SELECT * FROM s WHERE g = 'R')
+"""
+
+_RIF_CTE = """
+WITH li AS (
+  SELECT l_returnflag g, l_extendedprice y, l_quantity x
+  FROM lineitem WHERE l_returnflag IN ('A','R')
+), st AS (
+  SELECT g, count(*) n, stddev_samp(y) sd, quantile_cont(y, 0.9) q FROM li GROUP BY g
+), rk AS (
+  SELECT g, y, row_number() OVER (PARTITION BY g ORDER BY y) - 1 rn FROM li
+), iqr AS (
+  SELECT rk.g,
+         max(CASE WHEN rn = CAST(ceil(0.75*st.n) AS BIGINT) - 1 THEN y END)
+       - max(CASE WHEN rn = CAST(ceil(0.25*st.n) AS BIGINT) - 1 THEN y END) AS iqr
+  FROM rk JOIN st ON rk.g = st.g GROUP BY rk.g
+), bw AS (
+  SELECT st.g, st.n, st.q,
+         0.9 * least(st.sd, iqr.iqr/1.34) * pow(st.n, -0.2) h
+  FROM st JOIN iqr ON st.g = iqr.g
+), dens AS (
+  SELECT li.g, any_value(bw.q) q,
+         greatest(avg(exp(-0.5*pow((bw.q - li.y)/bw.h, 2))/sqrt(2*pi())) / any_value(bw.h), 1e-8) f
+  FROM li JOIN bw ON li.g = bw.g GROUP BY li.g
+), rif AS (
+  SELECT li.g, li.x,
+         dens.q + (0.9 - CASE WHEN li.y <= dens.q THEN 1.0 ELSE 0.0 END)/dens.f ry
+  FROM li JOIN dens ON li.g = dens.g
+), s AS (
+  SELECT g, regr_slope(ry, x) b1, avg(ry) ybar, avg(x) xbar FROM rif GROUP BY g
+), a AS (SELECT * FROM s WHERE g = 'A'), b AS (SELECT * FROM s WHERE g = 'R')
+"""
+
+_STOP_EN = ",".join(f"'{w}'" for w in textops.EN_STOPWORDS)
+
+
+def _stop_count(lang: str) -> str:
+    words = ",".join(f"'{w}'" for w in textops.STOPSETS[lang])
+    return (
+        "len(list_filter(list_transform(regexp_split_to_array(trim(text), '\\s+'), t -> lower(t)),"
+        f" t -> t IN ({words})))"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) sum_qty,
+                   round(sum(l_extendedprice), 2) sum_base_price,
+                   round(sum(l_extendedprice * (1.0 - l_discount)), 2) sum_disc_price,
+                   round(avg(l_quantity), 6) avg_qty,
+                   round(avg(l_discount), 6) avg_disc,
+                   count(*) count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "group_outcome_stats": """
+            SELECT l_returnflag, count(*) n,
+                   round(avg(l_extendedprice), 6) mean_price,
+                   round(sum(l_extendedprice*(l_tax+1.0))/sum(l_tax+1.0), 6) wmean_price,
+                   round(stddev_samp(l_extendedprice), 6) sd_price
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "quantiles_type7": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.25), 6) q25,
+                   round(quantile_cont(l_extendedprice, 0.50), 6) q50,
+                   round(quantile_cont(l_extendedprice, 0.75), 6) q75,
+                   round(quantile_cont(l_extendedprice, 0.90), 6) q90
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "oaxaca_mean_groupb": _OAXACA_CTE + """
+            SELECT 'total_gap' component, round(a.ybar - b.ybar, 4) estimate FROM a, b
+            UNION ALL SELECT 'explained', round((a.xbar - b.xbar)*b.b1, 4) FROM a, b
+            UNION ALL SELECT 'unexplained', round((a.ybar - b.ybar) - (a.xbar - b.xbar)*b.b1, 4) FROM a, b
+            UNION ALL SELECT 'endowments', round((a.xbar - b.xbar)*b.b1, 4) FROM a, b
+            UNION ALL SELECT 'coefficients', round((a.b0 - b.b0) + b.xbar*(a.b1 - b.b1), 4) FROM a, b
+            UNION ALL SELECT 'interaction', round((a.xbar - b.xbar)*(a.b1 - b.b1), 4) FROM a, b
+        """,
+        "oaxaca_mean_pooled": """
+            WITH li AS (
+              SELECT l_extendedprice y, l_quantity x,
+                     CASE WHEN l_returnflag = 'A' THEN 1.0 ELSE 0.0 END d,
+                     l_returnflag g
+              FROM lineitem WHERE l_returnflag IN ('A','R')
+            ), c AS (
+              SELECT var_samp(x) vxx, var_samp(d) vdd, covar_samp(x, d) vxd,
+                     covar_samp(x, y) vxy, covar_samp(d, y) vdy
+              FROM li
+            ), beta AS (
+              SELECT (vxy*vdd - vdy*vxd)/(vxx*vdd - vxd*vxd) b1 FROM c
+            ), m AS (
+              SELECT avg(CASE WHEN g='A' THEN y END) ya, avg(CASE WHEN g='R' THEN y END) yb,
+                     avg(CASE WHEN g='A' THEN x END) xa, avg(CASE WHEN g='R' THEN x END) xb
+              FROM li
+            )
+            SELECT 'total_gap' component, round(m.ya - m.yb, 4) estimate FROM m
+            UNION ALL SELECT 'explained', round((m.xa - m.xb)*beta.b1, 4) FROM m, beta
+            UNION ALL SELECT 'unexplained', round((m.ya - m.yb) - (m.xa - m.xb)*beta.b1, 4) FROM m, beta
+        """,
+        "rif_q90_groupb": _RIF_CTE + """
+            SELECT 'total_gap' component, round(a.ybar - b.ybar, 4) estimate FROM a, b
+            UNION ALL SELECT 'explained', round((a.xbar - b.xbar)*b.b1, 4) FROM a, b
+            UNION ALL SELECT 'unexplained', round((a.ybar - b.ybar) - (a.xbar - b.xbar)*b.b1, 4) FROM a, b
+        """,
+        "budget_allocation": """
+            WITH b AS (
+              SELECT l_orderkey, l_linenumber, l_extendedprice y, l_quantity x
+              FROM lineitem WHERE l_returnflag = 'R'
+            ), fit AS (
+              SELECT regr_slope(y, x) b1, regr_intercept(y, x) b0 FROM b
+            ), r AS (
+              SELECT l_orderkey, l_linenumber, y - (fit.b0 + fit.b1*x) resid
+              FROM b, fit WHERE y - (fit.b0 + fit.b1*x) < 0
+            ), c AS (
+              SELECT *, coalesce(sum(-resid) OVER (
+                          ORDER BY resid, l_orderkey, l_linenumber
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) cum_prev
+              FROM r
+            )
+            SELECT l_orderkey, l_linenumber, round(resid, 6) residual,
+                   round(least(-resid, greatest(1000000.0 - cum_prev, 0)), 6) adjustment
+            FROM c
+            WHERE least(-resid, greatest(1000000.0 - cum_prev, 0)) > 1e-9
+        """,
+        "dedup_fingerprint": """
+            WITH f AS (
+              SELECT doc_id,
+                     md5(array_to_string(list_slice(regexp_split_to_array(trim(lower(text)), '\\s+'), 1, 5), ' ')) prefix_hash
+              FROM documents
+            )
+            SELECT prefix_hash, count(*) dup_count,
+                   string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) doc_ids
+            FROM f GROUP BY prefix_hash HAVING count(*) > 1
+        """,
+        "minhash_signature": f"""
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(list_slice(toks, i, i+2), ' ')
+                                    for i in range(1, len(toks) - 1)]) shingles
+              FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') toks
+                    FROM documents WHERE doc_id < 100)
+            ), sig AS (
+              SELECT doc_id,
+                     list_min([md5('p0:' || s) for s in shingles]) mh_0,
+                     list_min([md5('p1:' || s) for s in shingles]) mh_1,
+                     list_min([md5('p7:' || s) for s in shingles]) mh_7
+              FROM sh
+            )
+            SELECT doc_id, mh_0, mh_7, md5(mh_0 || '|' || mh_1) band0_key FROM sig
+        """,
+        "text_stats": f"""
+            SELECT doc_id,
+                   length(text) n_chars_c,
+                   len(regexp_split_to_array(trim(text), '\\s+')) n_tokens,
+                   round(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                         / length(text), 6) punct_ratio,
+                   round(CAST(len(list_filter(list_transform(regexp_split_to_array(trim(text), '\\s+'), t -> lower(t)),
+                                              t -> t IN ({_STOP_EN}))) AS DOUBLE)
+                         / len(regexp_split_to_array(trim(text), '\\s+')), 6) en_stopword_ratio
+            FROM documents
+        """,
+        "lang_id": f"""
+            WITH c AS (
+              SELECT doc_id,
+                     {_stop_count('de')} cde,
+                     {_stop_count('en')} cen,
+                     {_stop_count('es')} ces,
+                     {_stop_count('fr')} cfr
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(cde, cen, ces, cfr) = 0 THEN 'und'
+                        WHEN cfr > greatest(cde, cen, ces) THEN 'fr'
+                        WHEN ces > greatest(cde, cen) THEN 'es'
+                        WHEN cen > cde THEN 'en'
+                        ELSE 'de' END lang_guess
+            FROM c
+        """,
+        "knn_cosine_top3": """
+            SELECT * FROM (
+              SELECT a.vec_id query_id, b.vec_id neighbor_id,
+                     round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                  CAST(b.embedding AS DOUBLE[])), 6) cosine,
+                     row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                             CAST(b.embedding AS DOUBLE[])), 6) DESC,
+                                b.vec_id
+                     ) rank
+              FROM embeddings a, embeddings b
+              WHERE a.vec_id < 50 AND b.vec_id != a.vec_id
+            ) WHERE rank <= 3
+        """,
+        "weighted_kde_grid": """
+            WITH b AS (
+              SELECT l_extendedprice y, l_tax + 1.0 w FROM lineitem WHERE l_returnflag = 'R'
+            ), mm AS (
+              SELECT min(y) gmin, max(y) gmax FROM b
+            ), g AS (
+              SELECT i grid_idx, gmin + i*(gmax - gmin)/20.0 gp FROM range(20) t(i), mm
+            )
+            SELECT g.grid_idx, round(g.gp, 6) grid_point,
+                   round(sum(b.w * exp(-0.5*pow((g.gp - b.y)/5000.0, 2))/sqrt(2*pi()))
+                         / sum(b.w) / 5000.0, 12) density
+            FROM g, b GROUP BY g.grid_idx, g.gp
+        """,
+    }

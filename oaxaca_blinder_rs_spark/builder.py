@@ -44,7 +44,11 @@ from .functions.linalg import (
     pooled_stats,
 )
 from .operators import decomposition as dec
-from .operators.bootstrap import bootstrap_group_stats, bootstrap_stats
+from .operators.bootstrap import (
+    bootstrap_group_stats,
+    bootstrap_group_stats_fast,
+    bootstrap_stats,
+)
 from .results import ComponentResult, DecompositionDetail, OaxacaResults, TwoFoldResults
 
 INTERCEPT = "__ob_intercept__"
@@ -91,8 +95,9 @@ class OaxacaBuilder:
         self._selection_outcome: str | None = None
         self._selection_predictors: list[str] = []
         self._seed = 42
-        self._bootstrap_method = "poisson"
+        self._bootstrap_method = "auto"
         self._id_col: str | None = None
+        self._engine = "expr"
 
     # -- fluent config (builder.rs:162-246) -----------------------------------
     def predictors(self, cols) -> "OaxacaBuilder":
@@ -129,14 +134,25 @@ class OaxacaBuilder:
         return self
 
     def bootstrap_method(self, method: str) -> "OaxacaBuilder":
-        if method not in ("poisson", "exact"):
-            raise ValueError("bootstrap method must be 'poisson' or 'exact'")
+        """'poisson' (Catalyst expressions), 'poisson_fast' (vectorized
+        mapInPandas GEMM — the 100 TB path), 'exact' (reference-parity
+        exact-n multinomial), or 'auto' (fast when reps*n is large)."""
+        if method not in ("poisson", "poisson_fast", "exact", "auto"):
+            raise ValueError("bootstrap method must be 'poisson', 'poisson_fast', 'exact' or 'auto'")
         self._bootstrap_method = method
         return self
 
     def id_col(self, col: str) -> "OaxacaBuilder":
         """Stable row identity column (SURVEY §7.5 risk 1)."""
         self._id_col = col
+        return self
+
+    def compute_engine(self, engine: str) -> "OaxacaBuilder":
+        """'expr' (JVM codegen aggregation — cluster-scale default) or
+        'pandas' (Arrow+BLAS — lower latency on local/small data)."""
+        if engine not in ("expr", "pandas"):
+            raise ValueError("compute engine must be 'expr' or 'pandas'")
+        self._engine = engine
         return self
 
     @classmethod
@@ -346,13 +362,51 @@ class OaxacaBuilder:
         df = self._clean(self._df)
         df = self._ensure_row_id(df)
         dummy_names, category_counts, base_categories = self._dummy_levels(df)
-        group_a, group_b = self._group_names(df)
 
         design, xcols = self._design(df, dummy_names)
-        design = design.filter(F.col(self._group).isin([group_a, group_b]))
-        design = design.cache()
+        # NOTE: deliberately NOT cached. The design is consumed at most twice
+        # (point pass + bootstrap pass) and both are column-pruned aggregations;
+        # at cluster scale caching a 100 TB design frame is impossible and the
+        # second parquet scan is cheaper than a memory-store materialization.
+        # Callers that loop (JMP, frontier) should cache their input upstream.
         try:
-            stats = collect_group_stats(design, xcols, self._outcome, group=self._group, wcol=self._weights_col)
+            # Fused single pass: with the pandas engine + fast bootstrap, ONE
+            # mapInPandas pass yields the point-estimate stats (rep = -1) AND
+            # every bootstrap replicate's stats for every group — the whole
+            # analysis is one data scan. (Replicate work for group levels
+            # outside {A, B} is wasted; pre-filter the input when the group
+            # column has many levels.)
+            fused = (
+                self._engine == "pandas"
+                and self._bootstrap_method in ("poisson_fast", "auto")
+            )
+            rep_stats: dict = {}
+            if fused:
+                all_stats = bootstrap_group_stats_fast(
+                    design,
+                    xcols,
+                    self._outcome,
+                    self._group,
+                    reps=self._bootstrap_reps,
+                    seed=self._seed,
+                    wcol=self._weights_col,
+                    id_col=ROW_ID,
+                    include_identity=True,
+                )
+                stats = all_stats.pop(-1, {})
+                rep_stats = all_stats
+            else:
+                # ONE aggregation pass computes every group's sufficient
+                # stats; group names fall out of its keys (no distinct job).
+                stats = collect_group_stats(
+                    design, xcols, self._outcome, group=self._group,
+                    wcol=self._weights_col, engine=self._engine,
+                )
+            levels = sorted(g for g in stats if g is not None)
+            if len(levels) < 2:
+                raise InvalidGroupVariable("Not enough groups for comparison")
+            group_b = self._reference_group
+            group_a = levels[0] if levels[0] != group_b else levels[1]
             if group_a not in stats or group_b not in stats:
                 raise InvalidGroupVariable("One group has no data")
             stats_a, stats_b = stats[group_a], stats[group_b]
@@ -362,19 +416,37 @@ class OaxacaBuilder:
             )
 
             reps_results: list[_SinglePass] = []
+            if self._bootstrap_reps > 0 and not fused:
+                boot_design = design.filter(F.col(self._group).isin([group_a, group_b]))
+                method = self._bootstrap_method
+                if method == "auto":
+                    n_total = stats_a.n + stats_b.n
+                    method = "poisson_fast" if self._bootstrap_reps * n_total > 2_000_000 else "poisson"
+                if method == "poisson_fast":
+                    rep_stats = bootstrap_group_stats_fast(
+                        boot_design,
+                        xcols,
+                        self._outcome,
+                        self._group,
+                        reps=self._bootstrap_reps,
+                        seed=self._seed,
+                        wcol=self._weights_col,
+                        id_col=ROW_ID,
+                    )
+                else:
+                    rep_stats = bootstrap_group_stats(
+                        boot_design,
+                        xcols,
+                        self._outcome,
+                        self._group,
+                        reps=self._bootstrap_reps,
+                        seed=self._seed,
+                        wcol=self._weights_col,
+                        id_col=ROW_ID,
+                        method=method,
+                        group_sizes={group_a: stats_a.n, group_b: stats_b.n},
+                    )
             if self._bootstrap_reps > 0:
-                rep_stats = bootstrap_group_stats(
-                    design,
-                    xcols,
-                    self._outcome,
-                    self._group,
-                    reps=self._bootstrap_reps,
-                    seed=self._seed,
-                    wcol=self._weights_col,
-                    id_col=ROW_ID,
-                    method=self._bootstrap_method,
-                    group_sizes={group_a: stats_a.n, group_b: stats_b.n},
-                )
                 for rep in sorted(rep_stats):
                     per_group = rep_stats[rep]
                     if group_a not in per_group or group_b not in per_group:
@@ -400,10 +472,9 @@ class OaxacaBuilder:
                         file=sys.stderr,
                     )
 
-            results = self._assemble_results(point, reps_results, stats_a, stats_b, design, xcols, group_b)
-            return results
+            return self._assemble_results(point, reps_results, stats_a, stats_b, design, xcols, group_b)
         finally:
-            design.unpersist()
+            pass
 
     # -- results assembly (builder.rs:849-951) ----------------------------------
     def _assemble_results(
@@ -445,28 +516,31 @@ class OaxacaBuilder:
         detailed_unexplained = detailed(point.detailed_unexplained, lambda r: r.detailed_unexplained)
         detailed_selection = detailed(point.detailed_selection, lambda r: r.detailed_selection)
 
-        residuals: list[float] = []
-        residual_row_ids: list[int] = []
-        if stats_b.n <= RESIDUAL_COLLECT_LIMIT:
-            fit_b_beta = None
-            # residual uses the *unnormalized* group-B fit (builder.rs:938 uses
-            # estimator residuals, which predate normalization shifts — but the
-            # normalization shift is fitted-value-invariant, so X beta is the
-            # same either way; see normalization.rs tests 53-111).
-            fit_b_beta = point.beta_b
-            pred = F.lit(0.0)
-            for b, c in zip(fit_b_beta, xcols):
-                pred = pred + F.col(c) * F.lit(float(b))
-            res_rows = (
-                design.filter(F.col(self._group) == F.lit(group_b))
-                .select(F.col(ROW_ID), (F.col(self._outcome) - pred).alias("__resid"))
-                .orderBy(ROW_ID)
-                .collect()
-            )
-            residual_row_ids = [int(r[0]) for r in res_rows]
-            residuals = [float(r[1]) for r in res_rows]
+        # Residuals stay DISTRIBUTED: build the group-B residual frame lazily
+        # (y - X beta_B as a Catalyst expression — builder.rs:938 keeps a
+        # Vec<f64>; at 100 TB that must not hit the driver). collect happens
+        # only on demand, guarded by RESIDUAL_COLLECT_LIMIT.
+        # The normalization shift is fitted-value-invariant, so using the
+        # normalized beta_b gives identical residuals (normalization.rs:53-111).
+        pred = F.lit(0.0)
+        for b, c in zip(point.beta_b, xcols):
+            pred = pred + F.col(c) * F.lit(float(b))
+        residuals_df = design.filter(F.col(self._group) == F.lit(group_b)).select(
+            F.col(ROW_ID).alias("row_id"), (F.col(self._outcome) - pred).alias("residual")
+        )
+        n_b = stats_b.n
 
-        return OaxacaResults(
+        def residual_supplier():
+            if n_b > RESIDUAL_COLLECT_LIMIT:
+                raise OaxacaError(
+                    f"Refusing to collect {n_b} residuals to the driver; use "
+                    "results.residuals_df (distributed) or the budget operator "
+                    "oaxaca_blinder_rs_spark.operators.budget.allocate_budget."
+                )
+            rows = residuals_df.orderBy("row_id").collect()
+            return [int(r[0]) for r in rows], [float(r[1]) for r in rows]
+
+        results = OaxacaResults(
             total_gap=point.total_gap,
             two_fold=TwoFoldResults(
                 aggregate=two_fold_agg,
@@ -477,13 +551,15 @@ class OaxacaBuilder:
             three_fold=DecompositionDetail(aggregate=three_fold_agg),
             n_a=stats_a.n,
             n_b=stats_b.n,
-            residuals=residuals,
+            residuals=[],
             xa_mean=[float(v) for v in point.xa_mean],
             xb_mean=[float(v) for v in point.xb_mean],
             beta_star=[float(v) for v in point.beta_star],
             predictor_names=list(point.names),
-            residual_row_ids=residual_row_ids,
+            residual_row_ids=[],
         )
+        results.attach_residuals(residuals_df, residual_supplier)
+        return results
 
     # -- RIF quantile decomposition (builder.rs:711-757) -------------------------
     def decompose_quantile(self, quantile: float) -> OaxacaResults:
@@ -492,7 +568,7 @@ class OaxacaBuilder:
         df = self._clean(self._df)
         group_a, group_b = self._group_names(df)
         df = df.filter(F.col(self._group).isin([group_a, group_b]))
-        df_mod = rif_transform(df, self._outcome, self._group, quantile)
+        df_mod = rif_transform(df, self._outcome, self._group, quantile, engine=self._engine)
 
         builder = OaxacaBuilder(df_mod, self._outcome, self._group, self._reference_group)
         builder._predictors = list(self._predictors)
@@ -504,6 +580,7 @@ class OaxacaBuilder:
         builder._seed = self._seed
         builder._bootstrap_method = self._bootstrap_method
         builder._id_col = self._id_col
+        builder._engine = self._engine
         return builder.run()
 
     # -- get_data_matrices (builder.rs:248-291) — test/debug helper --------------

@@ -35,7 +35,13 @@ from pyspark.sql import functions as F
 
 from ..functions.linalg import GroupStats, gram_agg_exprs, stats_from_row
 
-__all__ = ["bootstrap_stats", "bootstrap_group_stats", "poisson_count_expr", "hash_uniform"]
+__all__ = [
+    "bootstrap_stats",
+    "bootstrap_group_stats",
+    "bootstrap_group_stats_fast",
+    "poisson_count_expr",
+    "hash_uniform",
+]
 
 _U_DENOM = float(1 << 40)
 
@@ -139,4 +145,149 @@ def bootstrap_group_stats(
     out: dict[int, dict[str, GroupStats]] = {}
     for r in rows:
         out.setdefault(int(r["__rep"]), {})[r[group]] = stats_from_row(r, xcols, has_y=True)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Fast path: vectorized per-partition GEMM via mapInPandas
+# ---------------------------------------------------------------------------
+
+_SM_C1 = 0x9E3779B97F4A7C15
+_SM_C2 = 0xBF58476D1CE4E5B9
+_SM_C3 = 0x94D049BB133111EB
+
+
+def _splitmix64(x):
+    """Vectorized splitmix64 over a uint64 ndarray (wrapping arithmetic)."""
+    import numpy as np
+
+    z = (x + np.uint64(_SM_C1)).astype(np.uint64)
+    z = ((z ^ (z >> np.uint64(30))) * np.uint64(_SM_C2)).astype(np.uint64)
+    z = ((z ^ (z >> np.uint64(27))) * np.uint64(_SM_C3)).astype(np.uint64)
+    return z ^ (z >> np.uint64(31))
+
+
+def _poisson_cdf12():
+    import numpy as np
+
+    pmf = [math.exp(-1.0)]
+    for kk in range(1, 12):
+        pmf.append(pmf[-1] / kk)
+    return np.cumsum(np.array(pmf))
+
+
+def bootstrap_group_stats_fast(
+    df: DataFrame,
+    xcols: list[str],
+    ycol: str,
+    group: str,
+    reps: int,
+    seed: int,
+    wcol: str | None = None,
+    id_col: str = "__ob_row_id__",
+    rep_block: int = 128,
+    include_identity: bool = False,
+) -> dict[int, dict[str, GroupStats]]:
+    """Poisson bootstrap via one mapInPandas pass + driver reduce.
+
+    Scale design: each partition builds the per-row product features
+    P (n_p x L) ONCE, generates the (n_p x B) deterministic count matrix from
+    splitmix64(row_id, rep, seed), and reduces with a single BLAS GEMM
+    P'·(C*w) — O(n·B·L) flops but in BLAS, not per-row codegen. Only
+    (partitions x B x groups) stat vectors leave the executors; nothing scales
+    with n on the driver. Counts are a pure function of (row_id, rep, seed),
+    so results are independent of partitioning — reruns reproduce exactly.
+
+    ``include_identity=True`` additionally emits rep = -1 with unit counts —
+    the POINT-estimate sufficient statistics — so a full decomposition with
+    bootstrap needs exactly ONE pass over the data.
+    """
+    import numpy as np
+    import pandas as pd
+
+    k = len(xcols)
+    tri = [(i, j) for i in range(k) for j in range(i, k)]
+    L = len(tri) + 2 * k + 3  # xx, xsum, xy, yty, ysum, wsum
+    cdf = _poisson_cdf12()
+    B = reps
+
+    cols = [group, id_col, ycol] + xcols + ([wcol] if wcol else [])
+    proj = df.select(*cols)
+    out_schema = "rep long, grp string, stats array<double>"
+
+    seed_arr_const = np.uint64(seed)
+
+    def compute(iterator):
+        by_group: dict[str, list] = {}
+        for pdf in iterator:
+            for gval, sub in pdf.groupby(group, sort=False):
+                by_group.setdefault(gval, []).append(sub)
+        rows_out = []
+        for gval, parts in by_group.items():
+            sub = pd.concat(parts, ignore_index=True)
+            n_g = len(sub)
+            X = sub[xcols].to_numpy(dtype=np.float64)
+            y = sub[ycol].to_numpy(dtype=np.float64)
+            w = sub[wcol].to_numpy(dtype=np.float64) if wcol else np.ones(n_g)
+            rid = sub[id_col].to_numpy(dtype=np.int64).astype(np.uint64)
+            # per-row product features, weighted later by count*w
+            P = np.empty((n_g, L), dtype=np.float64)
+            c0 = 0
+            for (i, j) in tri:
+                P[:, c0] = X[:, i] * X[:, j]
+                c0 += 1
+            P[:, c0: c0 + k] = X
+            c0 += k
+            P[:, c0: c0 + k] = X * y[:, None]
+            c0 += k
+            P[:, c0] = y * y
+            P[:, c0 + 1] = y
+            P[:, c0 + 2] = 1.0
+            G = np.empty((L, B), dtype=np.float64)
+            ncnt = np.empty(B, dtype=np.float64)
+            if include_identity:
+                g_id = P.T @ w
+                rows_out.append((-1, gval, np.append(g_id, float(n_g)).tolist()))
+            for b0 in range(0, B, rep_block):
+                b1 = min(b0 + rep_block, B)
+                nb = b1 - b0
+                rep_ids = np.arange(b0, b1, dtype=np.uint64)
+                # u[i, b] = splitmix64(rid_i ^ splitmix64(rep ^ seed)) / 2^64
+                rep_keys = _splitmix64(rep_ids ^ seed_arr_const)
+                h = _splitmix64(rid[:, None] ^ rep_keys[None, :])
+                u = h.astype(np.float64) / 18446744073709551616.0
+                C = np.searchsorted(cdf, u.ravel(), side="right").reshape(n_g, nb).astype(np.float64)
+                ncnt[b0:b1] = C.sum(axis=0)
+                G[:, b0:b1] = P.T @ (C * w[:, None])
+            for b in range(B):
+                rows_out.append((b, gval, np.append(G[:, b], ncnt[b]).tolist()))
+        yield pd.DataFrame(rows_out, columns=["rep", "grp", "stats"])
+
+    pdf_all = proj.mapInPandas(compute, schema=out_schema).toPandas()
+
+    # driver reduce: element-wise sum of partial stat vectors per (rep, group)
+    acc: dict[tuple[int, str], np.ndarray] = {}
+    for rep, gval, stats in zip(pdf_all["rep"], pdf_all["grp"], pdf_all["stats"]):
+        key = (int(rep), gval)
+        arr = np.asarray(stats, dtype=np.float64)
+        if key in acc:
+            acc[key] += arr
+        else:
+            acc[key] = arr.copy()
+
+    out: dict[int, dict[str, GroupStats]] = {}
+    ntri = len(tri)
+    for (rep, gval), v in acc.items():
+        xtx = np.zeros((k, k))
+        for idx, (i, j) in enumerate(tri):
+            xtx[i, j] = xtx[j, i] = v[idx]
+        xsum = v[ntri: ntri + k]
+        xy = v[ntri + k: ntri + 2 * k]
+        yty = v[ntri + 2 * k]
+        ysum = v[ntri + 2 * k + 1]
+        wsum = v[ntri + 2 * k + 2]
+        n = int(round(v[ntri + 2 * k + 3]))
+        out.setdefault(rep, {})[gval] = GroupStats(
+            names=list(xcols), n=n, wsum=wsum, xtx=xtx, xty=xy, xsum=xsum, yty=yty, ysum=ysum
+        )
     return out

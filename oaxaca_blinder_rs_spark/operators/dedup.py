@@ -1,0 +1,184 @@
+"""Deduplication operators (net-new scale surface; BASELINE.json north star).
+
+- exact_duplicates: hash-groupBy on a canonical fingerprint. One shuffle on
+  the hash; at 100 TB this is the cheapest possible formulation (the md5 is
+  computed map-side, only (hash, id) pairs shuffle).
+- minhash_lsh_candidates: shingle -> minhash signature -> LSH band buckets ->
+  bucket self-join. All hashing is md5-based so results are reproducible and
+  oracle-checkable. Bands shuffle on (band_idx, band_key): near-duplicates
+  collide, everything else distributes uniformly — no skew beyond true dup
+  clusters.
+- simhash64: 64-bit SimHash from token md5s, Hamming-bucketed.
+- ngram_jaccard: exact Jaccard over token n-grams for candidate pairs
+  (explode + join + group count — the standard verify step after LSH).
+- embedding_cosine_dups: near-dup detection on an embedding column.
+
+All operators avoid Python UDFs; the hot path is higher-order array functions
+and hash built-ins inside codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "exact_duplicates",
+    "shingles",
+    "minhash_signature",
+    "minhash_lsh_candidates",
+    "simhash64",
+    "ngram_jaccard",
+    "embedding_cosine_dups",
+]
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical documents: (content_hash, dup_count, doc_ids)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("dup_count"), F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Word k-shingles as an array of strings (lowercased, whitespace tokens)."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
+    return F.when(
+        n >= k,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def _min_hash(sh: Column, perm: int) -> Column:
+    """One minhash value: lexicographic min of md5(perm || shingle).
+
+    md5-string min is deterministic and identical in DuckDB — the whole
+    signature is oracle-checkable SQL.
+    """
+    return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"p{perm}:"), s))))
+
+
+def minhash_signature(text: Column, num_perm: int = 16, k: int = 3) -> Column:
+    sh = shingles(text, k)
+    return F.array(*[_min_hash(sh, p) for p in range(num_perm)])
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) colliding in >=1 LSH band."""
+    rows_per_band = num_perm // bands
+    sig = minhash_signature(F.col(text_col), num_perm=num_perm, k=k)
+    with_sig = df.select(F.col(id_col), sig.alias("__sig"))
+    band_cols = []
+    for b in range(bands):
+        band = F.concat_ws("|", *[F.col("__sig")[b * rows_per_band + r] for r in range(rows_per_band)])
+        band_cols.append(F.struct(F.lit(b).alias("band_idx"), F.md5(band).alias("band_key")))
+    banded = with_sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("__band")
+    ).select(id_col, F.col("__band.band_idx").alias("band_idx"), F.col("__band.band_key").alias("band_key"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            on=[
+                F.col("l.band_idx") == F.col("r.band_idx"),
+                F.col("l.band_key") == F.col("r.band_key"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def simhash64(text: Column, k: int = 2) -> Column:
+    """64-bit SimHash over word k-shingles.
+
+    Per bit b: sum of +-1 votes from each shingle's xxhash64 bit b; bit set
+    when the vote is positive. Expressed with aggregate() over the shingle
+    array — stays in codegen.
+    """
+    sh = shingles(text, k)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    bits = []
+    for b in range(64):
+        vote = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
+        )
+        bits.append(F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) * F.lit(2 ** b).cast("long") if b < 63 else F.when(vote > 0, F.lit(-(2 ** 63)).cast("long")).otherwise(F.lit(0).cast("long")))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs.
+
+    Join the shingle sets onto (id_a, id_b) and compute |A∩B|/|A∪B| with
+    array intersections — two broadcast-able joins when pairs are few, or
+    shuffle joins on id at scale.
+    """
+    sh = df.select(F.col(id_col), shingles(F.col(text_col), k).alias("__sh"))
+    out = (
+        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("__sh", "__sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("__sh", "__sh_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
+                / F.size(F.array_union("__sh_a", "__sh_b")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return out
+
+
+def embedding_cosine_dups(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine similarity >= threshold.
+
+    Brute-force O(n^2) self-join — correct baseline; swap in the LSH-bucketed
+    variant from similarity.py for the 100 TB path.
+    """
+    from .similarity import cosine_sim_expr, with_norm
+
+    a = with_norm(df, vec_col, id_col).select(
+        F.col(id_col).alias("id_a"), F.col("__vec").alias("__va"), F.col("__norm").alias("__na")
+    )
+    b = with_norm(df, vec_col, id_col).select(
+        F.col(id_col).alias("id_b"), F.col("__vec").alias("__vb"), F.col("__norm").alias("__nb")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine_sim_expr("__va", "__vb", "__na", "__nb").alias("cosine"))
+        .filter(F.col("cosine") >= F.lit(threshold))
+    )

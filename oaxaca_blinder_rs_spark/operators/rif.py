@@ -28,8 +28,18 @@ from .kde import order_stats
 __all__ = ["rif_transform", "rif_group_params"]
 
 
-def rif_group_params(df: DataFrame, ycol: str, group: str, quantile: float) -> dict[str, dict[str, float]]:
-    """Per-group (q_tau, density, n) needed for the RIF expression."""
+def rif_group_params(
+    df: DataFrame, ycol: str, group: str, quantile: float, engine: str = "expr"
+) -> dict[str, dict[str, float]]:
+    """Per-group (q_tau, density, n) needed for the RIF expression.
+
+    engine='expr': three distributed jobs (percentile agg, ranked IQR filter,
+    density agg) — nothing but per-group scalars reach the driver; the 100 TB
+    path. engine='pandas': pull the (group, y) column once and compute the
+    same numbers in NumPy — one job, exact, for latency-sensitive small data.
+    """
+    if engine == "pandas":
+        return _rif_group_params_pandas(df, ycol, group, quantile)
     base = df.select(group, F.col(ycol).cast("double").alias(ycol))
     agg_rows = base.groupBy(group).agg(
         F.count(ycol).alias("n"),
@@ -76,9 +86,40 @@ def rif_group_params(df: DataFrame, ycol: str, group: str, quantile: float) -> d
     return out
 
 
-def rif_transform(df: DataFrame, ycol: str, group: str, quantile: float) -> DataFrame:
+def _rif_group_params_pandas(df: DataFrame, ycol: str, group: str, quantile: float) -> dict:
+    """Driver-side exact mirror of rif.rs:14-77 (np.quantile 'linear' IS the
+    type-7 rule). Only for data small enough to pull one column."""
+    import numpy as np
+
+    pdf = df.select(group, F.col(ycol).cast("double").alias("y")).toPandas()
+    out: dict[str, dict[str, float]] = {}
+    for gval, sub in pdf.groupby(group, sort=False):
+        y = sub["y"].to_numpy()
+        n = len(y)
+        if n < 2:
+            out[gval] = {"q": float(y[0]) if n else math.nan, "density": None, "n": n}
+            continue
+        ys = np.sort(y)
+        q = float(np.quantile(ys, quantile, method="linear"))
+        sd = float(np.std(y, ddof=1))
+        q75 = ys[min(max(int(math.ceil(0.75 * n)) - 1, 0), n - 1)]
+        q25 = ys[min(max(int(math.ceil(0.25 * n)) - 1, 0), n - 1)]
+        iqr = float(q75 - q25)
+        min_spread = min(sd, iqr / 1.34) if iqr > 1e-8 else sd
+        if min_spread < 1e-8:
+            min_spread = 1.0
+        h = 0.9 * min_spread * n ** (-0.2)
+        u = (q - y) / h
+        density = float(np.mean(np.exp(-0.5 * u * u) / math.sqrt(2 * math.pi)) / h)
+        out[gval] = {"q": q, "h": h, "n": n, "density": max(density, 1e-8)}
+    return out
+
+
+def rif_transform(
+    df: DataFrame, ycol: str, group: str, quantile: float, engine: str = "expr"
+) -> DataFrame:
     """Replace ``ycol`` with its per-group RIF (builder.rs:711-745)."""
-    params = rif_group_params(df, ycol, group, quantile)
+    params = rif_group_params(df, ycol, group, quantile, engine=engine)
     expr = None
     for g, p in params.items():
         if p.get("density") is None:

@@ -1,0 +1,133 @@
+"""Similarity search over embedding columns (net-new scale surface).
+
+- brute_force_topk: exact cosine top-k via self-join + window rank. The dot
+  product is a JVM higher-order `aggregate` over zipped arrays — no Python in
+  the loop. Correct baseline; O(n*m) comparisons.
+- lsh_topk: random-hyperplane (sign-LSH) bucketed variant — the 100 TB path.
+  Buckets shrink the candidate set by ~2^bits; recall is tunable via
+  num_tables. Hyperplanes are deterministic from a seed so results reproduce.
+
+Design note (scale): for a true 100 TB corpus the right physical plan is
+(1) bucket both sides by LSH key (shuffle on key, uniform by construction),
+(2) per-bucket exact rerank, (3) union over tables + global top-k window.
+That is exactly what lsh_topk builds, with Catalyst-only expressions.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["with_norm", "cosine_sim_expr", "brute_force_topk", "lsh_topk"]
+
+
+def with_norm(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """Project to (id, vec double[], norm) once; reused by joins."""
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x))
+    return df.select(F.col(id_col), vec.alias("__vec"), norm.alias("__norm"))
+
+
+def cosine_sim_expr(va: str, vb: str, na: str, nb: str) -> Column:
+    dot = F.aggregate(
+        F.zip_with(F.col(va), F.col(vb), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return dot / (F.col(na) * F.col(nb))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cosine, rank).
+
+    Ties broken by neighbor id ascending (after 6-decimal rounding) so the
+    result is deterministic and oracle-comparable.
+    """
+    q = with_norm(queries, vec_col, id_col).select(
+        F.col(id_col).alias("query_id"), F.col("__vec").alias("__vq"), F.col("__norm").alias("__nq")
+    )
+    c = with_norm(corpus, vec_col, id_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("__vec").alias("__vc"), F.col("__norm").alias("__nc")
+    )
+    cond = F.col("query_id") != F.col("neighbor_id") if exclude_self else F.lit(True)
+    sims = q.join(c, cond).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_sim_expr("__vq", "__vc", "__nq", "__nc"), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _hyperplanes(dim: int, bits: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((bits, dim))
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 8,
+    num_tables: int = 4,
+    seed: int = 42,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate cosine top-k via sign-LSH bucketing.
+
+    Each table hashes vectors to a `bits`-bit bucket (sign of dot with fixed
+    random hyperplanes); candidates are same-bucket pairs in any table, then
+    exact cosine reranks. Shuffle key = (table, bucket) — cardinality
+    num_tables * 2^bits, uniform by construction.
+    """
+
+    def bucket_expr(table: int) -> Column:
+        planes = _hyperplanes(dim, bits, seed + table)
+        acc = F.lit(0).cast("long")
+        for b in range(bits):
+            row = planes[b]
+            dot = F.lit(0.0)
+            for j in range(dim):
+                if abs(row[j]) > 0:
+                    dot = dot + F.col("__vec")[j] * F.lit(float(row[j]))
+            acc = acc + F.when(dot >= 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        return acc
+
+    def banded(df: DataFrame, label: str) -> DataFrame:
+        base = with_norm(df, vec_col, id_col)
+        tables = F.array(*[F.struct(F.lit(t).alias("t"), bucket_expr(t).alias("b")) for t in range(num_tables)])
+        return base.select(
+            F.col(id_col).alias(label),
+            F.col("__vec").alias(f"__v_{label}"),
+            F.col("__norm").alias(f"__n_{label}"),
+            F.explode(tables).alias("__tb"),
+        ).select(label, f"__v_{label}", f"__n_{label}", F.col("__tb.t").alias("t"), F.col("__tb.b").alias("b"))
+
+    qb = banded(queries, "query_id")
+    cb = banded(corpus, "neighbor_id")
+    cond = [qb["t"] == cb["t"], qb["b"] == cb["b"]]
+    pairs = qb.join(cb, cond)
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    sims = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_sim_expr("__v_query_id", "__v_neighbor_id", "__n_query_id", "__n_neighbor_id"), 6).alias(
+            "cosine"
+        ),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

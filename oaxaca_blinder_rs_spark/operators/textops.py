@@ -1,0 +1,122 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+These are net-new, Spark-first additions beyond the reference's surface
+(BASELINE.json north star): language-ID, quality scoring, token counting and
+document fingerprinting over a `documents(doc_id, text, ...)` table.
+
+Everything here is pure Catalyst expressions (no Python UDFs): at 100 TB these
+run inside whole-stage codegen with full predicate pushdown, and the only
+shuffle is whatever aggregation the caller adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "token_count",
+    "punct_ratio",
+    "stopword_ratio",
+    "quality_score",
+    "lang_id",
+    "fingerprint",
+    "text_stats",
+    "EN_STOPWORDS",
+    "STOPSETS",
+]
+
+EN_STOPWORDS = [
+    "the", "and", "of", "to", "in", "a", "is", "that", "it", "for",
+    "on", "with", "as", "was", "at", "by", "an", "be", "this", "are",
+]
+
+STOPSETS: dict[str, list[str]] = {
+    "en": EN_STOPWORDS,
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "eine", "zu", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "des", "dans", "que"],
+    "es": ["el", "la", "los", "las", "y", "es", "un", "una", "de", "que"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (the convention shared with the DuckDB oracle)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are sentence punctuation."""
+    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    return n_punct.cast("double") / F.length(text).cast("double")
+
+
+def _in_set_count(toks: Column, words: list[str]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+    toks = F.transform(tokens(text), lambda t: F.lower(t))
+    n = F.size(toks)
+    hits = _in_set_count(toks, stopwords or EN_STOPWORDS)
+    return F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic [0,1] quality score: length, punctuation presence, stopword
+    density, mean token length in a sane band. Mirrors common LLM-data
+    pipeline filters (Gopher/C4-style rules), expressed as one Catalyst
+    expression."""
+    n_chars = F.length(text).cast("double")
+    n_toks = token_count(text).cast("double")
+    mean_tok_len = F.when(n_toks > 0, n_chars / n_toks).otherwise(F.lit(0.0))
+    sw = stopword_ratio(text)
+    len_ok = F.when((n_chars >= 200) & (n_chars <= 100000), F.lit(1.0)).otherwise(F.lit(0.0))
+    tok_ok = F.when((mean_tok_len >= 3.0) & (mean_tok_len <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    sw_ok = F.when(sw >= 0.05, F.lit(1.0)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio(text) > 0.0, F.lit(1.0)).otherwise(F.lit(0.0))
+    return (len_ok + tok_ok + sw_ok + punct_ok) / F.lit(4.0)
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-vote language ID over {en, de, fr, es}; 'und' if no votes.
+
+    n-gram-free heuristic (container has no langid libs); deterministic and
+    whole-stage-codegen friendly.
+    """
+    toks = F.transform(tokens(text), lambda t: F.lower(t))
+    scores = {lang: _in_set_count(toks, words) for lang, words in STOPSETS.items()}
+    # argmax with deterministic tie-break on language code order
+    best = None
+    for lang in sorted(STOPSETS):
+        s = scores[lang]
+        if best is None:
+            best = F.struct(s.alias("score"), F.lit(lang).alias("lang"))
+        else:
+            best = F.when(s > best["score"], F.struct(s.alias("score"), F.lit(lang).alias("lang"))).otherwise(best)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column, width: int = 16) -> Column:
+    """Deterministic document fingerprint: md5 prefix (shared with oracle)."""
+    return F.substring(F.md5(text), 1, width)
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document stats frame: the 'document quality table' of the pipeline."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars_computed"),
+        token_count(t).alias("n_tokens"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(t), 6).alias("en_stopword_ratio"),
+        F.round(quality_score(t), 6).alias("quality_score"),
+        lang_id(t).alias("lang_guess"),
+        fingerprint(t).alias("fingerprint"),
+    )

@@ -82,11 +82,28 @@ class OaxacaResults:
     # adjustments address durable ids rather than positions (SURVEY §7.5 r1).
     residual_row_ids: list[int] = field(default_factory=list)
 
+    # -- lazy distributed residuals (Spark-specific scale design) -------------
+    def attach_residuals(self, residuals_df, supplier) -> None:
+        """Wire the distributed residual frame + a guarded collect thunk.
+
+        ``residuals_df`` is a DataFrame(row_id, residual) that never touches
+        the driver unless `ensure_residuals()` is called (and n_b is small).
+        """
+        object.__setattr__(self, "residuals_df", residuals_df)
+        object.__setattr__(self, "_residual_supplier", supplier)
+
+    def ensure_residuals(self) -> None:
+        if not self.residuals and getattr(self, "_residual_supplier", None) is not None:
+            ids, vals = self._residual_supplier()
+            self.residual_row_ids[:] = ids
+            self.residuals[:] = vals
+
     # -- M18: budget optimizer (types.rs:98-156) ------------------------------
     def optimize_budget(self, budget: float, target_gap: float) -> list[BudgetAdjustment]:
         current_gap = self.total_gap
         if current_gap <= target_gap:
             return []
+        self.ensure_residuals()
         required_reduction = current_gap - target_gap
         total_needed = required_reduction * float(self.n_b)
         effective_budget = min(budget, total_needed)

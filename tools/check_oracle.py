@@ -1,0 +1,114 @@
+"""Replicate the driver's oracle comparison locally.
+
+Runs each __spark_entry__.queries() entry at sf0.01 (or $SPARK_GRAFT_SF_DIR)
+AND its oracle_sql() through DuckDB, then compares row count, column names and
+an order-insensitive value multiset.
+
+Usage: python tools/check_oracle.py [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as entry_mod
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm_val(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == 0.0:
+            return 0.0
+        return v
+    if isinstance(v, (list, tuple)):
+        return tuple(norm_val(x) for x in v)
+    return v
+
+
+def norm_rows(rows):
+    return sorted([tuple(norm_val(v) for v in r) for r in rows], key=repr)
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    only = set(sys.argv[1:])
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "6g")
+        .getOrCreate()
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"[FAIL] {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"[rows-only] {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            ores = con.sql(oracles[name])
+            ocols = [c.lower() for c in ores.columns]
+            orows = ores.fetchall()
+        except Exception as e:
+            print(f"[FAIL] {name}: duckdb error: {e}")
+            failures.append(name)
+            continue
+        ok = True
+        if len(srows) != len(orows):
+            print(f"[FAIL] {name}: row count {len(srows)} vs {len(orows)}")
+            ok = False
+        if sorted(c.lower() for c in scols) != sorted(ocols):
+            print(f"[FAIL] {name}: columns {sorted(scols)} vs {sorted(ocols)}")
+            ok = False
+        if ok:
+            # align column order by sorted name
+            sidx = [scols.index(c) for c in sorted(scols, key=str.lower)]
+            oidx = [ores.columns.index(c) for c in sorted(ores.columns, key=str.lower)]
+            s_norm = norm_rows([[r[i] for i in sidx] for r in srows])
+            o_norm = norm_rows([[r[i] for i in oidx] for r in orows])
+            if s_norm != o_norm:
+                diffs = [(a, b) for a, b in zip(s_norm, o_norm) if a != b][:5]
+                print(f"[FAIL] {name}: value mismatch; first diffs: {diffs}")
+                ok = False
+        if ok:
+            print(f"[OK]   {name}: {len(srows)} rows match ({time.time()-t0:.1f}s)")
+        else:
+            failures.append(name)
+    spark.stop()
+    if failures:
+        print(f"\nFAILED: {failures}")
+        sys.exit(1)
+    print("\nAll queries match.")
+
+
+if __name__ == "__main__":
+    main()
