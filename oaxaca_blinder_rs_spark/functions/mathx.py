@@ -20,8 +20,16 @@ def norm_pdf(x: Column) -> Column:
 
 
 def norm_cdf(x: Column) -> Column:
-    """Standard normal CDF Phi(x) via erf (engine/src/analysis.rs:512-513)."""
-    return (F.lit(1.0) + F.erf(x / F.lit(SQRT_2))) / F.lit(2.0)
+    """Standard normal CDF Phi(x) to machine precision.
+
+    Spark SQL has no erf builtin; commons-math3 ships on Spark's classpath, so
+    we call Erf.erf through `java_method` (JVM-side, no Python round-trip —
+    reflection overhead only; matches the reference's statrs Normal::cdf to
+    ~1e-15, which the 1e-4 statsmodels anchors require).
+    """
+    u = x / F.lit(SQRT_2)
+    erf = F.java_method(F.lit("org.apache.commons.math3.special.Erf"), F.lit("erf"), u)
+    return (F.lit(1.0) + erf) / F.lit(2.0)
 
 
 def sigmoid(x: Column) -> Column:

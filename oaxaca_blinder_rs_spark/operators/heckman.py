@@ -1,8 +1,270 @@
-"""Heckman two-step selection correction (SURVEY M12) — implemented in a
-later milestone; see heckman.rs:38-108 and estimation.rs:114-269."""
+"""Heckman two-step selection correction wired into the Oaxaca pipeline
+(SURVEY M12).
+
+Reference: /root/reference/oaxaca_blinder/src/heckman.rs:38-108 (probit ->
+IMR -> augmented OLS) and estimation.rs:114-269 (HeckmanEstimator).
+
+Spark plan (point estimate AND bootstrap in the same machinery):
+  1. explode a replicate dimension (rep = -1 is the point estimate with unit
+     counts; rep >= 0 are Poisson-bootstrap resamples) — SURVEY M11 pattern;
+  2. probit of selection per (rep, group) via glm.fit_many — each Fisher
+     iteration is ONE aggregation for every replicate simultaneously;
+  3. IMR as a column expression (gamma arrives via a broadcast beta table);
+  4. ONE aggregation per frame: augmented-OLS Gram stats + means + IMR delta
+     on selected rows, selection-predictor means on all rows;
+  5. driver: k+1-dim solves + decomposition per replicate.
+
+Deliberate divergence from the reference: the reference's null-drop includes
+the outcome column, which silently removes all unselected rows before the
+probit (builder.rs:786-791 + heckman_test.rs's None outcomes), making the
+selection equation degenerate. We KEEP unselected rows (outcome excluded from
+the null-drop) so the two-step is the textbook estimator. The reference's own
+test assertions (IMR component present, summary renders) hold either way.
+
+Pooled beta* is rejected: the pooled fit has no IMR regressor, so its beta*
+is dimension-incompatible with the IMR-augmented means (the reference would
+panic on the same path).
+"""
 
 from __future__ import annotations
 
+import sys
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from ..errors import InvalidGroupVariable, OaxacaError
+from ..functions.linalg import GroupStats, ols_from_stats
+from ..functions.mathx import norm_cdf, norm_pdf
+from .bootstrap import bootstrap_stats, hash_uniform, poisson_count_expr
+from . import decomposition as dec
+
+IMR_NAME = "IMR"
+
 
 def run_heckman_oaxaca(builder):
-    raise NotImplementedError("Heckman estimator lands in milestone 4 (SURVEY §7.3)")
+    from ..builder import INTERCEPT, ROW_ID
+    from ..results import ComponentResult, DecompositionDetail, OaxacaResults, TwoFoldResults
+    from .glm import fit_many
+
+    group = builder._group
+    outcome = builder._outcome
+    sel_outcome = builder._selection_outcome
+    sel_preds = builder._selection_predictors
+    reps = builder._bootstrap_reps
+
+    df = builder._clean(builder._df)
+    df = builder._ensure_row_id(df)
+    dummy_names, category_counts, base_categories = builder._dummy_levels(df)
+    group_a, group_b = builder._group_names(df)
+
+    design, xcols = builder._design(df, dummy_names)
+    sel_cols = [INTERCEPT] + list(sel_preds)
+    for c in sel_preds:
+        design = design.withColumn(c, F.col(c).cast("double"))
+    design = design.withColumn(sel_outcome, F.col(sel_outcome).cast("double"))
+    design = design.filter(F.col(group).isin([group_a, group_b])).cache()
+
+    try:
+        full_counts = {
+            r[0]: r[1] for r in design.groupBy(group).count().collect()
+        }
+        if group_a not in full_counts or group_b not in full_counts:
+            raise InvalidGroupVariable("One group has no data")
+
+        # replicate dimension: rep -1 = point estimate (count 1)
+        frame = design.withColumn("__rep", F.explode(F.sequence(F.lit(-1), F.lit(reps - 1))))
+        cnt = F.when(
+            F.col("__rep") < 0, F.lit(1.0)
+        ).otherwise(
+            poisson_count_expr(hash_uniform(F.col(ROW_ID), F.col("__rep"), F.lit(builder._seed))).cast("double")
+        )
+        frame = frame.withColumn("__cnt", cnt).filter(F.col("__cnt") > 0)
+        frame = frame.cache()
+
+        # 1. probit of selection per (rep, group) — heckman.rs:46-47
+        gammas = fit_many(
+            frame,
+            sel_cols,
+            sel_outcome,
+            family="probit",
+            key_cols=["__rep", group],
+            max_iter=100,
+            tol=1e-6,
+            wcol="__cnt",
+        )
+
+        # 2. IMR expression; gamma via broadcast table (rep, group) -> array
+        spark = design.sparkSession
+        grows = [
+            (int(rep), gval, [float(x) for x in fit.beta])
+            for (rep, gval), fit in gammas.items()
+        ]
+        gamma_df = spark.createDataFrame(grows, f"__rep long, {group} string, __gamma array<double>")
+        joined = frame.join(F.broadcast(gamma_df), on=["__rep", group])
+        zg = F.lit(0.0)
+        for j, c in enumerate(sel_cols):
+            zg = zg + F.col(c) * F.element_at("__gamma", j + 1)
+        big_phi = norm_cdf(zg)
+        imr = F.when(big_phi < 1e-10, F.lit(0.0)).otherwise(norm_pdf(zg) / big_phi)
+        joined = joined.withColumn("__imr", imr).withColumn("__zg", zg)
+
+        # 3. z-means on ALL rows (estimation.rs:165-166: x_sel row_mean)
+        zmean_aggs = [
+            (F.sum(F.col("__cnt") * F.col(c)) / F.sum("__cnt")).alias(f"__zm_{j}")
+            for j, c in enumerate(sel_cols)
+        ]
+        zrows = joined.groupBy("__rep", group).agg(*zmean_aggs).collect()
+        zmeans = {
+            (int(r["__rep"]), r[group]): np.array([float(r[f"__zm_{j}"]) for j in range(len(sel_cols))])
+            for r in zrows
+        }
+
+        # 4. augmented OLS stats + IMR delta over SELECTED rows with outcome
+        sel_frame = joined.filter(F.col(sel_outcome) == 1.0).dropna(subset=[outcome])
+        xaug = xcols + ["__imr"]
+        from ..functions.linalg import gram_agg_exprs
+
+        aggs = gram_agg_exprs(xaug, outcome, wcol="__cnt", count_expr=F.col("__cnt"))
+        aggs.append(
+            (
+                F.sum(F.col("__cnt") * (-F.col("__imr") * (F.col("__imr") + F.col("__zg"))))
+                / F.sum("__cnt")
+            ).alias("__delta")
+        )
+        srows = sel_frame.groupBy("__rep", group).agg(*aggs).collect()
+        from ..functions.linalg import stats_from_row
+
+        per_key: dict[tuple[int, str], tuple[GroupStats, float]] = {}
+        for r in srows:
+            key = (int(r["__rep"]), r[group])
+            per_key[key] = (stats_from_row(r, xaug, has_y=True), float(r["__delta"]))
+
+        names = list(xcols) + [IMR_NAME]
+        sel_names = [INTERCEPT] + list(sel_preds)
+
+        def single_pass(rep: int):
+            ka, kb = (rep, group_a), (rep, group_b)
+            if ka not in per_key or kb not in per_key:
+                raise OaxacaError("missing group in replicate")
+            stats_a, delta_a = per_key[ka]
+            stats_b, delta_b = per_key[kb]
+            fit_a = ols_from_stats(stats_a)
+            fit_b = ols_from_stats(stats_b)
+            beta_a, beta_b = fit_a.beta, fit_b.beta
+            xa_mean, xb_mean = stats_a.x_mean, stats_b.x_mean
+
+            rc = builder._reference_coeffs
+            if rc == dec.ReferenceCoefficients.GROUP_A:
+                beta_star = beta_a
+            elif rc == dec.ReferenceCoefficients.GROUP_B:
+                beta_star = beta_b
+            elif rc == dec.ReferenceCoefficients.WEIGHTED:
+                n_a, n_b = float(full_counts[group_a]), float(full_counts[group_b])
+                w_a = n_a / (n_a + n_b)
+                beta_star = beta_a * w_a + beta_b * (1.0 - w_a)
+            else:
+                raise OaxacaError(
+                    "Pooled reference coefficients are not supported with "
+                    "Heckman selection (the pooled fit lacks the IMR regressor)"
+                )
+
+            three_fold = dec.three_fold_decomposition(xa_mean, xb_mean, beta_a, beta_b)
+            two_fold = dec.two_fold_decomposition(xa_mean, xb_mean, beta_a, beta_b, beta_star)
+            d_exp, d_unexp = dec.detailed_decomposition(xa_mean, xb_mean, beta_a, beta_b, beta_star, names)
+
+            # detailed selection (builder.rs:478-534): theta_ref * delta_ref *
+            # gamma_ref_i * (zbar_A_i - zbar_B_i)
+            if rc == dec.ReferenceCoefficients.GROUP_A:
+                theta_ref, delta_ref, gamma_ref = beta_a[-1], delta_a, gammas[ka].beta
+            else:
+                theta_ref, delta_ref, gamma_ref = beta_b[-1], delta_b, gammas[kb].beta
+            zm_a, zm_b = zmeans[ka], zmeans[kb]
+            d_sel = {
+                nm: float(theta_ref * delta_ref * gamma_ref[i] * (zm_a[i] - zm_b[i]))
+                for i, nm in enumerate(sel_names)
+            }
+            total_gap = stats_a.y_mean - stats_b.y_mean
+            return {
+                "two_fold": two_fold,
+                "three_fold": three_fold,
+                "d_exp": d_exp,
+                "d_unexp": d_unexp,
+                "d_sel": d_sel,
+                "total_gap": total_gap,
+                "beta_star": beta_star,
+                "xa_mean": xa_mean,
+                "xb_mean": xb_mean,
+            }
+
+        point = single_pass(-1)
+        reps_results = []
+        for rep in range(reps):
+            try:
+                reps_results.append(single_pass(rep))
+            except OaxacaError:
+                continue
+        if reps and len(reps_results) < reps:
+            print(
+                f"Warning: {reps - len(reps_results)} out of {reps} bootstrap "
+                "replications failed and were discarded. The analysis is based "
+                f"on {len(reps_results)} successful replications.",
+                file=sys.stderr,
+            )
+
+        def component(name, est, estimates):
+            se, p, (lo, hi) = bootstrap_stats(estimates, est)
+            t = est / se if (se == se and abs(se) > 1e-9) else 0.0
+            return ComponentResult(name=name, estimate=est, std_err=se, t_stat=t, p_value=p, ci_lower=lo, ci_upper=hi)
+
+        def detailed(point_d, key):
+            out = []
+            for nm, est in point_d.items():
+                ests = [r[key][nm] for r in reps_results if nm in r[key]]
+                disp = "intercept" if nm == INTERCEPT else nm
+                out.append(component(disp, est, ests))
+            return out
+
+        two_fold_agg = [
+            component("explained", point["two_fold"].explained, [r["two_fold"].explained for r in reps_results]),
+            component("unexplained", point["two_fold"].unexplained, [r["two_fold"].unexplained for r in reps_results]),
+        ]
+        three_fold_agg = [
+            component("endowments", point["three_fold"].endowments, [r["three_fold"].endowments for r in reps_results]),
+            component("coefficients", point["three_fold"].coefficients, [r["three_fold"].coefficients for r in reps_results]),
+            component("interaction", point["three_fold"].interaction, [r["three_fold"].interaction for r in reps_results]),
+        ]
+
+        results = OaxacaResults(
+            total_gap=point["total_gap"],
+            two_fold=TwoFoldResults(
+                aggregate=two_fold_agg,
+                detailed_explained=detailed(point["d_exp"], "d_exp"),
+                detailed_unexplained=detailed(point["d_unexp"], "d_unexp"),
+                detailed_selection=detailed(point["d_sel"], "d_sel"),
+            ),
+            three_fold=DecompositionDetail(aggregate=three_fold_agg),
+            n_a=int(full_counts[group_a]),
+            n_b=int(full_counts[group_b]),
+            residuals=[],
+            xa_mean=[float(v) for v in point["xa_mean"]],
+            xb_mean=[float(v) for v in point["xb_mean"]],
+            beta_star=[float(v) for v in point["beta_star"]],
+            predictor_names=names,
+        )
+        # residuals are zeroed under Heckman (estimation.rs:150-151)
+        zero_df = (
+            design.filter((F.col(group) == group_b) & (F.col(sel_outcome) == 1.0))
+            .dropna(subset=[outcome])
+            .select(F.col(ROW_ID).alias("row_id"), F.lit(0.0).alias("residual"))
+        )
+
+        def supplier():
+            rows = zero_df.orderBy("row_id").collect()
+            return [int(r[0]) for r in rows], [float(r[1]) for r in rows]
+
+        results.attach_residuals(zero_df, supplier)
+        frame.unpersist()
+        return results
+    finally:
+        design.unpersist()
