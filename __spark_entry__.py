@@ -243,6 +243,143 @@ def q_weighted_kde_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "grid_idx long, grid_point double, density double")
 
 
+def q_oaxaca_mean_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M9 Cotton/Weighted beta*: n-weighted average of group betas."""
+    li = _t(spark, sf_dir, "lineitem")
+    res = (
+        OaxacaBuilder(li, "l_extendedprice", "l_returnflag", "R")
+        .predictors(["l_quantity"])
+        .reference_coefficients("weighted")
+        .bootstrap_reps(0)
+        .run()
+    )
+    rows = [
+        Row(component="total_gap", estimate=round(res.total_gap, 4)),
+        Row(component="explained", estimate=round(res.two_fold.explained.estimate, 4)),
+        Row(component="unexplained", estimate=round(res.two_fold.unexplained.estimate, 4)),
+    ]
+    return spark.createDataFrame(rows, "component string, estimate double")
+
+
+def q_vif_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M17: VIF of three lineitem numerics (one Gram pass, driver solves)."""
+    from oaxaca_blinder_rs_spark.operators.diagnostics import calculate_vif
+
+    li = _t(spark, sf_dir, "lineitem")
+    res = calculate_vif(li, ["l_quantity", "l_discount", "l_tax"])
+    rows = [Row(variable=r.variable_name, vif=round(r.vif_score, 6)) for r in res]
+    return spark.createDataFrame(rows, "variable string, vif double")
+
+
+def q_matching_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: exact 1-NN matching weights (treated=BUILDING customers on
+    c_acctbal); control weight = matches / k."""
+    from oaxaca_blinder_rs_spark.operators.matching import MatchingEngine
+
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "treated", (F.col("c_mktsegment") == "BUILDING").cast("double")
+    )
+    eng = MatchingEngine(cust, "treated", "c_acctbal", ["c_acctbal"], id_col="c_custkey")
+    w = eng.run_matching(1, False)
+    controls = cust.filter("treated = 0").select(F.col("c_custkey").alias("row_id"))
+    return (
+        w.join(controls, on="row_id")
+        .filter(F.col("weight") > 0)
+        .select("row_id", F.round("weight", 6).alias("weight"))
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup verify step: exact 3-gram Jaccard for all doc pairs < 20."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    ids = docs.select(F.col("doc_id").alias("id_a"))
+    pairs = ids.crossJoin(docs.select(F.col("doc_id").alias("id_b"))).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    out = dedup.ngram_jaccard(docs, pairs, k=3)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_akm_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M16: AKM two-way FE on the orders x lineitem panel (worker=custkey,
+    firm=suppkey). Iterative zig-zag — no SQL oracle (rows-only check)."""
+    from oaxaca_blinder_rs_spark.operators.akm import AkmBuilder
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    panel = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        F.col("o_custkey").cast("string").alias("worker"),
+        F.col("l_suppkey").cast("string").alias("firm"),
+        F.col("l_extendedprice").alias("y"),
+        F.col("l_quantity").alias("x"),
+    )
+    res = AkmBuilder(panel, "y", "worker", "firm").controls(["x"]).run()
+    return res.firm_effects.select(
+        "firm", F.round("effect", 4).alias("effect")
+    ).orderBy("firm")
+
+
+def q_machado_mata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M13: MM quantile decomposition (simulation-based — rows-only check)."""
+    from oaxaca_blinder_rs_spark.quantile_builder import QuantileDecompositionBuilder
+
+    li = _t(spark, sf_dir, "lineitem")
+    res = (
+        QuantileDecompositionBuilder(li, "l_extendedprice", "l_returnflag", "R")
+        .predictors(["l_quantity"])
+        .quantiles([0.25, 0.5, 0.75])
+        .simulations(100)
+        .bootstrap_reps(0)
+        .seed(42)
+        .run()
+    )
+    rows = []
+    for key in sorted(res.results_by_quantile):
+        d = res.results_by_quantile[key]
+        rows.append(Row(quantile=key, gap=round(d.total_gap.estimate, 4),
+                        characteristics=round(d.characteristics_effect.estimate, 4),
+                        coefficients=round(d.coefficients_effect.estimate, 4)))
+    return spark.createDataFrame(rows, "quantile string, gap double, characteristics double, coefficients double")
+
+
+def q_dfl_densities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M14: DFL reweighting (iterative logit — rows-only check)."""
+    from oaxaca_blinder_rs_spark.operators.dfl import run_dfl
+
+    li = _t(spark, sf_dir, "lineitem")
+    res = run_dfl(li, "l_extendedprice", "l_returnflag", "R", ["l_quantity", "l_linestatus"])
+    rows = [
+        Row(grid_idx=i, grid=round(res.grid[i], 4),
+            density_a=round(res.density_a[i], 10),
+            density_b=round(res.density_b[i], 10),
+            density_b_cf=round(res.density_b_counterfactual[i], 10))
+        for i in range(len(res.grid))
+    ]
+    return spark.createDataFrame(
+        rows, "grid_idx long, grid double, density_a double, density_b double, density_b_cf double"
+    )
+
+
+def q_heckman_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M12: Heckman-corrected decomposition; selection = (l_discount > 0.01)
+    as a synthetic selection rule (iterative probit — rows-only check)."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "sel", (F.col("l_discount") > 0.01).cast("double")
+    )
+    res = (
+        OaxacaBuilder(li, "l_extendedprice", "l_returnflag", "R")
+        .predictors(["l_quantity"])
+        .heckman_selection("sel", ["l_tax"])
+        .reference_coefficients("group_b")
+        .bootstrap_reps(0)
+        .run()
+    )
+    rows = [Row(component=c.name, estimate=round(c.estimate, 4))
+            for c in res.two_fold.detailed_explained]
+    rows.append(Row(component="total_gap", estimate=round(res.total_gap, 4)))
+    return spark.createDataFrame(rows, "component string, estimate double")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -258,6 +395,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "knn_cosine_top3": q_knn_cosine_top3,
         "weighted_kde_grid": q_weighted_kde_grid,
+        "oaxaca_mean_weighted": q_oaxaca_mean_weighted,
+        "vif_lineitem": q_vif_lineitem,
+        "matching_weights": q_matching_weights,
+        "ngram_jaccard": q_ngram_jaccard,
+        "akm_effects": q_akm_effects,
+        "machado_mata": q_machado_mata,
+        "dfl_densities": q_dfl_densities,
+        "heckman_decomposition": q_heckman_decomposition,
     }
 
 
@@ -465,6 +610,67 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings a, embeddings b
               WHERE a.vec_id < 50 AND b.vec_id != a.vec_id
             ) WHERE rank <= 3
+        """,
+        "oaxaca_mean_weighted": _OAXACA_CTE + """
+            , w AS (
+              SELECT CAST(count(*) FILTER (g = 'A') AS DOUBLE) / count(*) wa FROM li
+            )
+            SELECT 'total_gap' component, round(a.ybar - b.ybar, 4) estimate FROM a, b
+            UNION ALL
+            SELECT 'explained', round((a.xbar - b.xbar)*(w.wa*a.b1 + (1.0 - w.wa)*b.b1), 4) FROM a, b, w
+            UNION ALL
+            SELECT 'unexplained',
+                   round((a.ybar - b.ybar) - (a.xbar - b.xbar)*(w.wa*a.b1 + (1.0 - w.wa)*b.b1), 4)
+            FROM a, b, w
+        """,
+        "vif_lineitem": """
+            WITH c AS (
+              SELECT var_samp(l_quantity) vqq, var_samp(l_discount) vdd, var_samp(l_tax) vtt,
+                     covar_samp(l_quantity, l_discount) vqd,
+                     covar_samp(l_quantity, l_tax) vqt,
+                     covar_samp(l_discount, l_tax) vdt
+              FROM lineitem
+            ), r AS (
+              SELECT 'l_quantity' variable,
+                     ((vqd*vtt - vqt*vdt)*vqd + (vqt*vdd - vqd*vdt)*vqt)
+                       / ((vdd*vtt - vdt*vdt) * vqq) r2 FROM c
+              UNION ALL
+              SELECT 'l_discount',
+                     ((vqd*vtt - vdt*vqt)*vqd + (vdt*vqq - vqd*vqt)*vdt)
+                       / ((vqq*vtt - vqt*vqt) * vdd) FROM c
+              UNION ALL
+              SELECT 'l_tax',
+                     ((vqt*vdd - vdt*vqd)*vqt + (vdt*vqq - vqt*vqd)*vdt)
+                       / ((vqq*vdd - vqd*vqd) * vtt) FROM c
+            )
+            SELECT variable, round(1.0/(1.0 - r2), 6) vif FROM r
+        """,
+        "matching_weights": """
+            WITH t AS (
+              SELECT c_custkey id, c_acctbal x FROM customer WHERE c_mktsegment = 'BUILDING'
+            ), c AS (
+              SELECT c_custkey id, c_acctbal x FROM customer WHERE c_mktsegment <> 'BUILDING'
+            ), m AS (
+              SELECT t.id tid, c.id cid,
+                     row_number() OVER (PARTITION BY t.id
+                                        ORDER BY (t.x - c.x)*(t.x - c.x), c.id) rn
+              FROM t, c
+            )
+            SELECT cid row_id, round(count(*)/1.0, 6) weight
+            FROM m WHERE rn <= 1 GROUP BY cid
+        """,
+        "ngram_jaccard": """
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(list_slice(toks, i, i+2), ' ')
+                                    for i in range(1, len(toks) - 1)]) s
+              FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') toks
+                    FROM documents WHERE doc_id < 20)
+            )
+            SELECT a.doc_id id_a, b.doc_id id_b,
+                   round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.s, b.s))), 6) jaccard
+            FROM sh a, sh b WHERE a.doc_id < b.doc_id
         """,
         "weighted_kde_grid": """
             WITH b AS (

