@@ -380,6 +380,48 @@ def q_heckman_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "component string, estimate double")
 
 
+def q_optimizer_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M19: remediation optimizer, greedy allocation under a fixed budget.
+
+    Fair wage = reference-group least squares; eligibility diff > 1e-6;
+    greedy = window cumsum over (diff desc, id).
+    """
+    from oaxaca_blinder_rs_spark.operators import engine_ops as eo
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag").isin(["A", "R"]))
+        .withColumn("rid", F.col("l_orderkey") * 8 + F.col("l_linenumber"))
+    )
+    res = eo.optimize(
+        li, "l_extendedprice", "l_returnflag", "R", ["l_quantity"],
+        budget=2_000_000.0, strategy="greedy", id_col="rid", gap_bootstrap_reps=0,
+    )
+    return (
+        res.adjustments_df.filter(F.col("adjustment") > 1e-9)
+        .select(
+            "index",
+            F.round("adjustment", 4).alias("adjustment"),
+            F.round("fair_wage", 4).alias("fair_wage"),
+        )
+    )
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series aggregation over the events table (hourly rollup)."""
+    from oaxaca_blinder_rs_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -403,6 +445,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "machado_mata": q_machado_mata,
         "dfl_densities": q_dfl_densities,
         "heckman_decomposition": q_heckman_decomposition,
+        "optimizer_greedy": q_optimizer_greedy,
+        "events_hourly": q_events_hourly,
     }
 
 
@@ -671,6 +715,36 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                          / len(list_distinct(list_concat(a.s, b.s))), 6) jaccard
             FROM sh a, sh b WHERE a.doc_id < b.doc_id
+        """,
+        "optimizer_greedy": """
+            WITH d AS (
+              SELECT l_orderkey*8 + l_linenumber idx, l_extendedprice y, l_quantity x, l_returnflag g
+              FROM lineitem WHERE l_returnflag IN ('A','R')
+            ), ref AS (
+              SELECT * FROM d WHERE g = 'R'
+            ), fit AS (
+              SELECT regr_slope(y, x) b1, regr_intercept(y, x) b0 FROM ref
+            ), tgt AS (
+              SELECT d.idx, d.y, (fit.b0 + fit.b1*d.x) fair FROM d, fit WHERE d.g = 'A'
+            ), el AS (
+              SELECT idx, fair, fair - y diff FROM tgt WHERE fair - y > 1e-6
+            ), c AS (
+              SELECT *, coalesce(sum(diff) OVER (ORDER BY diff DESC, idx
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) cum
+              FROM el
+            )
+            SELECT idx "index",
+                   round(least(diff, greatest(2000000.0 - cum, 0)), 4) adjustment,
+                   round(fair, 4) fair_wage
+            FROM c WHERE least(diff, greatest(2000000.0 - cum, 0)) > 1e-9
+        """,
+        "events_hourly": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') hour_start,
+                   event_type,
+                   count(*) n_events,
+                   round(sum(value), 6) sum_value,
+                   count(DISTINCT user_id) n_users
+            FROM events GROUP BY 1, 2
         """,
         "weighted_kde_grid": """
             WITH b AS (

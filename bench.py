@@ -82,6 +82,24 @@ def bench_rif(df, reps: int) -> float:
     return time.time() - t0
 
 
+def bench_akm(spark) -> float:
+    """BASELINE.md query 5: AKM on the orders x lineitem panel."""
+    from oaxaca_blinder_rs_spark.operators.akm import AkmBuilder
+
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    panel = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        F.col("o_custkey").cast("string").alias("worker"),
+        F.col("l_suppkey").cast("string").alias("firm"),
+        F.col("l_extendedprice").alias("y"),
+        F.col("l_quantity").alias("x"),
+    )
+    t0 = time.time()
+    res = AkmBuilder(panel, "y", "worker", "firm").controls(["x"]).run()
+    assert res.r2 == res.r2
+    return time.time() - t0
+
+
 def main():
     spark = (
         SparkSession.builder.appName("oaxaca-bench")
@@ -104,6 +122,7 @@ def main():
     queries["mean_reps100"] = bench_mean(df, 100)
     queries["mean_reps500"] = bench_mean(df, 500)
     queries["rif_q90_reps100"] = bench_rif(df, 100)
+    queries["akm_panel"] = bench_akm(spark)
 
     total = sum(queries.values())
     out = {

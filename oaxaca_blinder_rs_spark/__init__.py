@@ -15,7 +15,9 @@ from .errors import (
     PerfectSeparation,
     SingularMatrix,
 )
+from .api import OaxacaBlinder, estimate_akm, match_units, run_dfl_from_csv
 from .formula import Formula
+from .quantile_builder import QuantileDecompositionBuilder, QuantileDecompositionResults
 from .operators.decomposition import ReferenceCoefficients
 from .results import BudgetAdjustment, ComponentResult, OaxacaResults
 from .session import get_spark, load_table
@@ -24,6 +26,12 @@ __version__ = "0.1.0"
 
 __all__ = [
     "OaxacaBuilder",
+    "OaxacaBlinder",
+    "QuantileDecompositionBuilder",
+    "QuantileDecompositionResults",
+    "estimate_akm",
+    "match_units",
+    "run_dfl_from_csv",
     "ReferenceCoefficients",
     "OaxacaResults",
     "ComponentResult",

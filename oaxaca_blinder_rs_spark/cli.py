@@ -1,0 +1,143 @@
+"""CLI mirroring `oaxaca-cli` (reference main.rs:27-128, 372-385).
+
+    python -m oaxaca_blinder_rs_spark.cli run --data wage.csv --outcome wage \
+        --group gender --reference F --predictors education
+    python -m oaxaca_blinder_rs_spark.cli report --data wage.csv ... --output report.html
+
+Defaults match the reference CLI: analysis-type mean, ref-coeffs group-b,
+bootstrap-reps 50, simulations 200, k-neighbors 1, matching-method euclidean.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="oaxaca-cli", description="Oaxaca-Blinder decomposition on Spark")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp):
+        sp.add_argument("--data", required=True, help="Path to the input CSV data file")
+        sp.add_argument("--outcome", required=True)
+        sp.add_argument("--group", required=True)
+        sp.add_argument("--reference", required=True)
+        sp.add_argument("--predictors", default="", help="comma-separated numeric predictors")
+        sp.add_argument("--categorical", default=None, help="comma-separated categorical predictors")
+        sp.add_argument("--analysis-type", choices=["mean", "quantile", "akm", "match"], default="mean")
+        sp.add_argument("--ref-coeffs", choices=["group-a", "group-b", "pooled", "weighted"], default="group-b")
+        sp.add_argument("--quantiles", default=None, help="comma-separated quantiles (quantile analysis)")
+        sp.add_argument("--bootstrap-reps", type=int, default=50)
+        sp.add_argument("--simulations", type=int, default=200)
+        sp.add_argument("--formula", default=None)
+        sp.add_argument("--weights", default=None)
+        sp.add_argument("--selection-outcome", default=None)
+        sp.add_argument("--selection-predictors", default=None)
+        sp.add_argument("--output-json", default=None)
+        sp.add_argument("--output-markdown", default=None)
+        sp.add_argument("--worker-id", default=None)
+        sp.add_argument("--firm-id", default=None)
+        sp.add_argument("--k-neighbors", type=int, default=1)
+        sp.add_argument("--matching-method", choices=["euclidean", "mahalanobis", "psm"], default="euclidean")
+
+    run = sub.add_parser("run", help="Run an analysis and print a summary")
+    common(run)
+    report = sub.add_parser("report", help="Run a mean decomposition and write an HTML report")
+    common(report)
+    report.add_argument("--output", required=True, help="Output HTML path")
+    return p
+
+
+def _csv_list(s):
+    return [x.strip() for x in s.split(",") if x.strip()] if s else []
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from pyspark.sql import SparkSession
+
+    from .session import get_spark
+    from .sources.csv import read_csv
+
+    owns_session = SparkSession.getActiveSession() is None
+    spark = get_spark("oaxaca-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = read_csv(spark, args.data)
+    predictors = _csv_list(args.predictors)
+    categorical = _csv_list(args.categorical)
+
+    if args.analysis_type == "mean" or args.command == "report":
+        from .builder import OaxacaBuilder
+
+        if args.formula:
+            b = OaxacaBuilder.from_formula(df, args.formula, args.group, args.reference)
+        else:
+            b = OaxacaBuilder(df, args.outcome, args.group, args.reference)
+            b.predictors(predictors).categorical_predictors(categorical)
+        b.reference_coefficients(args.ref_coeffs.replace("-", "_"))
+        b.bootstrap_reps(args.bootstrap_reps).id_col("__ob_row_id__")
+        if args.weights:
+            b.weights(args.weights)
+        if args.selection_outcome:
+            b.heckman_selection(args.selection_outcome, _csv_list(args.selection_predictors))
+        results = b.run()
+        if args.command == "report":
+            from .sinks.report import write_html
+
+            write_html(results, args.output)
+            print(f"Report written to {args.output}")
+        else:
+            results.summary()
+        if args.output_json:
+            with open(args.output_json, "w") as f:
+                f.write(results.to_json())
+        if args.output_markdown:
+            with open(args.output_markdown, "w") as f:
+                f.write(results.to_markdown())
+    elif args.analysis_type == "quantile":
+        from .quantile_builder import QuantileDecompositionBuilder
+
+        b = QuantileDecompositionBuilder(df, args.outcome, args.group, args.reference)
+        b.predictors(predictors).categorical_predictors(categorical)
+        b.simulations(args.simulations).bootstrap_reps(args.bootstrap_reps)
+        if args.quantiles:
+            b.quantiles([float(q) for q in _csv_list(args.quantiles)])
+        b.run().summary()
+    elif args.analysis_type == "akm":
+        from .operators.akm import AkmBuilder
+
+        if not args.worker_id or not args.firm_id:
+            print("error: --worker-id and --firm-id are required for AKM", file=sys.stderr)
+            return 2
+        res = (
+            AkmBuilder(df, args.outcome, args.worker_id, args.firm_id)
+            .controls(predictors)
+            .run()
+        )
+        print("AKM Estimation Results")
+        print("======================")
+        for name, b_ in zip(predictors, res.beta):
+            print(f"beta[{name}] = {b_:.6f}")
+        print(f"R^2 = {res.r2:.6f}")
+        print("Top firm effects:")
+        for r in res.firm_effects.orderBy("effect", ascending=False).limit(5).collect():
+            print(f"  {r[0]}: {r[1]:.4f}")
+    elif args.analysis_type == "match":
+        from .operators.matching import MatchingEngine
+
+        eng = MatchingEngine(df, args.group, args.outcome, predictors, id_col="__ob_row_id__")
+        if args.matching_method == "psm":
+            w = eng.match_psm(args.k_neighbors)
+        else:
+            w = eng.run_matching(args.k_neighbors, args.matching_method == "mahalanobis")
+        stats = w.agg({"weight": "sum"}).collect()[0][0]
+        print(json.dumps({"rows": w.count(), "total_weight": stats}))
+    if owns_session:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

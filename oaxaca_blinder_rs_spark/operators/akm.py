@@ -89,14 +89,15 @@ class AkmBuilder:
             *[F.coalesce(F.col(c).cast("double"), F.lit(0.0)).alias(c) for c in self._controls],
         ).dropna(subset=[self._worker, self._firm, self._outcome])
 
-        connected = self._largest_connected_set(df)
         engine = self._engine
         if engine == "auto":
-            n = connected.count()
+            n = df.count()
             engine = "pandas" if n <= PANDAS_ROW_LIMIT else "dist"
         if engine == "pandas":
-            return self._solve_pandas(connected)
-        return self._solve_dist(connected)
+            # single data pull: connected-set filtering happens in NumPy on
+            # the already-collected frame (no extra distinct job)
+            return self._solve_pandas(df)
+        return self._solve_dist(self._largest_connected_set(df))
 
     # -- connected set ---------------------------------------------------
     def _largest_connected_set(self, df: DataFrame) -> DataFrame:
@@ -107,7 +108,8 @@ class AkmBuilder:
         do not fit, run alternating-min label propagation instead — the
         filter/join below is unchanged.)
         """
-        edges = df.select(self._worker, self._firm).distinct().collect()
+        epdf = df.select(self._worker, self._firm).distinct().toPandas()
+        edges = list(zip(epdf[self._worker], epdf[self._firm]))
         if not edges:
             raise InsufficientData("No connected set found")
         workers = sorted({e[0] for e in edges})
@@ -147,11 +149,48 @@ class AkmBuilder:
         valid_df = spark.createDataFrame([(w,) for w in valid_workers], f"{self._worker} string")
         return df.join(F.broadcast(valid_df), on=self._worker, how="inner")
 
+    def _filter_largest_component_pandas(self, pdf):
+        """Union-find on the collected frame's integer codes (akm.rs:151-234
+        semantics, zero extra Spark jobs)."""
+        if len(pdf) == 0:
+            raise InsufficientData("No connected set found")
+        wcodes, wuniq = pdf[self._worker].factorize(sort=True)
+        fcodes, funiq = pdf[self._firm].factorize(sort=True)
+        nW = len(wuniq)
+        parent = list(range(nW + len(funiq)))
+        size = [1] * len(parent)
+
+        def find(i):
+            root = i
+            while parent[root] != root:
+                root = parent[root]
+            while parent[i] != root:
+                parent[i], i = root, parent[i]
+            return root
+
+        pairs = {(int(w), int(f)) for w, f in zip(wcodes, fcodes)}
+        for w, f in pairs:
+            ri, rj = find(w), find(nW + f)
+            if ri != rj:
+                if size[ri] < size[rj]:
+                    ri, rj = rj, ri
+                parent[rj] = ri
+                size[ri] += size[rj]
+        comp_sizes: dict[int, int] = {}
+        for i in range(len(parent)):
+            r = find(i)
+            comp_sizes[r] = comp_sizes.get(r, 0) + 1
+        largest = max(comp_sizes, key=comp_sizes.get)
+        wroot = np.array([find(i) for i in range(nW)])
+        keep = wroot[wcodes] == largest
+        return pdf[keep]
+
     # -- pandas engine: exact reference algorithm -------------------------
     def _solve_pandas(self, df: DataFrame) -> AkmResult:
         pdf = df.toPandas()
         if len(pdf) > PANDAS_ROW_LIMIT:
             raise OaxacaError("AKM pandas engine row guard exceeded; use engine('dist')")
+        pdf = self._filter_largest_component_pandas(pdf)
         workers = np.sort(pdf[self._worker].unique())
         firms = np.sort(pdf[self._firm].unique())
         wmap = {w: i for i, w in enumerate(workers)}

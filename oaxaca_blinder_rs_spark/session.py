@@ -35,5 +35,19 @@ def get_spark(app_name: str = "oaxaca-blinder-spark", shuffle_partitions: int | 
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str):
-    """Load one of the driver-provided parquet tables (TESTDATA.md)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Load one of the driver-provided parquet tables (TESTDATA.md).
+
+    The `events` table carries TIMESTAMP(NANOS) which Spark's parquet reader
+    rejects ([PARQUET_TYPE_ILLEGAL]); fall back to pyarrow -> pandas (ns
+    timestamps downcast to us) -> createDataFrame for such files.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        df = spark.read.parquet(path)
+        df.schema  # force analysis so the parquet footer is actually checked
+        return df
+    except Exception:
+        import pyarrow.parquet as pq
+
+        pdf = pq.read_table(path).to_pandas()
+        return spark.createDataFrame(pdf)

@@ -1,0 +1,155 @@
+"""Decision-layer tests mirroring engine/src/analysis.rs:1155-1443 behaviors:
+mock-data decomposition, optimizer allocation, auto-budget, equitable
+pro-rata, verify, frontier monotonicity, strict-cast errors."""
+
+import math
+
+import numpy as np
+import pytest
+
+from oaxaca_blinder_rs_spark.errors import NonNumericData
+from oaxaca_blinder_rs_spark.operators import engine_ops as eo
+
+
+def mock_df(spark):
+    """analysis.rs:1159-1172-style: 20 copies of an 8-row block."""
+    block = [
+        (50000.0, 16.0, 10.0, "M", "Eng"),
+        (52000.0, 16.0, 12.0, "M", "Eng"),
+        (48000.0, 16.0, 8.0, "M", "Sales"),
+        (51000.0, 18.0, 10.0, "M", "Eng"),
+        (45000.0, 16.0, 10.0, "F", "Eng"),
+        (46000.0, 16.0, 12.0, "F", "Eng"),
+        (43000.0, 16.0, 8.0, "F", "Sales"),
+        (45500.0, 18.0, 10.0, "F", "Eng"),
+    ]
+    rows = []
+    for rep in range(20):
+        for j, r in enumerate(block):
+            rows.append((rep * 8 + j,) + r)
+    return spark.createDataFrame(
+        rows, "rid long, wage double, education double, experience double, gender string, department string"
+    )
+
+
+def test_run_decomposition_summary(spark):
+    df = mock_df(spark)
+    res = eo.run_decomposition(
+        df, "wage", "gender", "M", ["education", "experience"], bootstrap_reps=10
+    )
+    s = res.data_summary
+    assert s.total_count == 160
+    assert s.group_a_count == 80 and s.group_b_count == 80  # A = reference (M)
+    assert s.group_a_mean > s.group_b_mean
+    # library gap convention: mean(non-ref F) - mean(ref M) < 0
+    assert res.total_gap < 0
+    assert abs(res.explained_gap + res.unexplained_gap - res.total_gap) < 1e-9
+
+
+def test_optimize_auto_budget_closes_gaps(spark):
+    """budget=0 => auto budget = total_need * 1.00001; every underpaid
+    target-group row raised to its fair wage (analysis.rs:697-703)."""
+    df = mock_df(spark)
+    res = eo.optimize(df, "wage", "gender", "M", ["education", "experience"], id_col="rid")
+    assert res.required_budget > 0
+    assert abs(res.total_cost - res.required_budget) < 1e-6
+    # every adjustment covers the full diff
+    for a in res.adjustments:
+        assert a.adjustment >= 0
+        assert a.new_wage <= a.fair_wage_upper_bound + 1e-6
+    # unexplained gap closes (convention: -net/n)
+    assert abs(res.new_unexplained_gap) < abs(res.original_unexplained_gap) + 1e-9
+    # new_gap moves toward zero from below
+    assert res.new_gap > res.original_gap
+
+
+def test_optimize_budget_limited_greedy(spark):
+    df = mock_df(spark)
+    full = eo.optimize(df, "wage", "gender", "M", ["education", "experience"], id_col="rid")
+    half_budget = full.required_budget / 2.0
+    res = eo.optimize(
+        df, "wage", "gender", "M", ["education", "experience"], budget=half_budget, id_col="rid"
+    )
+    assert abs(res.total_cost - half_budget) < 1e-6
+    # greedy: largest diffs paid first - the paid set's diffs dominate unpaid
+    paid = [a for a in res.adjustments if a.adjustment > 1e-9]
+    assert paid, "should pay someone"
+
+
+def test_optimize_equitable_pro_rata(spark):
+    df = mock_df(spark)
+    full = eo.optimize(df, "wage", "gender", "M", ["education", "experience"], id_col="rid")
+    res = eo.optimize(
+        df, "wage", "gender", "M", ["education", "experience"],
+        budget=full.required_budget / 2.0, strategy="equitable", id_col="rid",
+    )
+    # each eligible row gets ~coverage * diff; cost == budget * (1/1.0)
+    assert abs(res.total_cost - full.required_budget / 2.0) < 1.0
+    ratios = [
+        a.adjustment / (a.fair_wage - a.current_wage)
+        for a in res.adjustments
+        if a.fair_wage - a.current_wage > 1e-6 and a.adjustment > 0
+    ]
+    assert ratios and max(ratios) - min(ratios) < 1e-6  # same coverage ratio
+
+
+def test_optimize_forensic_includes_ineligible(spark):
+    df = mock_df(spark)
+    res = eo.optimize(
+        df, "wage", "gender", "M", ["education", "experience"],
+        forensic_mode=True, adjust_both_groups=False, id_col="rid",
+    )
+    zero_pay = [a for a in res.adjustments if a.adjustment == 0.0]
+    assert zero_pay, "forensic mode includes ineligible rows with pay 0"
+
+
+def test_verify_adjustments_shrinks_gap(spark):
+    df = mock_df(spark)
+    opt = eo.optimize(df, "wage", "gender", "M", ["education", "experience"], id_col="rid")
+    before = eo.run_decomposition(df, "wage", "gender", "M", ["education", "experience"], bootstrap_reps=0)
+    after = eo.verify_adjustments(
+        df, [(a.index, a.adjustment) for a in opt.adjustments],
+        "wage", "gender", "M", ["education", "experience"], bootstrap_reps=0, id_col="rid",
+    )
+    assert abs(after.total_gap) < abs(before.total_gap)
+
+
+def test_frontier_monotone_t(spark):
+    """engine tests: |t| of the group dummy shrinks as budget grows."""
+    df = mock_df(spark)
+    pts = eo.efficient_frontier(
+        df, "wage", "gender", "M", ["education", "experience"], steps=10, id_col="rid"
+    )
+    assert len(pts) == 11
+    assert pts[0].budget == 0.0
+    abs_t = [abs(p.t_statistic) for p in pts]
+    assert abs_t[0] > abs_t[-1]
+    assert pts[0].is_significant  # big gap at zero budget
+    # budgets strictly increasing
+    budgets = [p.budget for p in pts]
+    assert budgets == sorted(budgets)
+
+
+def test_strict_cast_error(spark):
+    rows = [(1, "50000", "16", "M"), (2, "oops", "16", "F"), (3, "52000", "18", "M"), (4, "41000", "12", "F")]
+    df = spark.createDataFrame(rows, "rid long, wage string, education string, gender string")
+    with pytest.raises(NonNumericData, match="wage"):
+        eo.run_decomposition(df, "wage", "gender", "M", ["education"], bootstrap_reps=0)
+
+
+def test_defensibility(spark):
+    df = mock_df(spark)
+    opt = eo.optimize(df, "wage", "gender", "M", ["education", "experience"], id_col="rid")
+    adj = [(a.index, a.adjustment) for a in opt.adjustments][:10]
+    out = eo.check_defensibility(
+        df, adj, "wage", "gender", "M", ["education", "experience"], id_col="rid"
+    ).collect()
+    assert len(out) == 10
+    # raising toward the fair wage is defensible
+    assert all(r["is_defensible"] for r in out)
+    # a massive negative adjustment is not
+    out2 = eo.check_defensibility(
+        df, [(adj[0][0], -40000.0)], "wage", "gender", "M", ["education", "experience"], id_col="rid"
+    ).collect()[0]
+    assert not out2["is_defensible"]
+    assert "below the fair-wage lower bound" in out2["defensibility_message"]

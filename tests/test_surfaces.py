@@ -1,0 +1,149 @@
+"""CLI, CSV sources, HTML sink, facade API, streaming, multimodal tests."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+import oaxaca_blinder_rs_spark as ob
+from oaxaca_blinder_rs_spark.operators import multimodal
+from oaxaca_blinder_rs_spark.sinks.report import to_html
+from oaxaca_blinder_rs_spark.sources.csv import read_csv, read_csv_bytes
+from oaxaca_blinder_rs_spark.streaming import events as streaming_events
+
+WAGE_CSV = """wage,education,gender,sector
+10.0,12.0,F,tech
+12.0,16.0,F,admin
+11.0,14.0,F,tech
+13.0,16.0,F,admin
+15.0,18.0,F,tech
+20.0,12.0,M,tech
+22.0,16.0,M,admin
+21.0,14.0,M,tech
+23.0,16.0,M,admin
+25.0,18.0,M,tech
+"""
+
+
+@pytest.fixture(scope="module")
+def wage_csv_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("data") / "wage.csv"
+    p.write_text(WAGE_CSV)
+    return str(p)
+
+
+def test_read_csv_row_id(spark, wage_csv_path):
+    df = read_csv(spark, wage_csv_path)
+    rows = df.orderBy("__ob_row_id__").collect()
+    assert [r["__ob_row_id__"] for r in rows] == list(range(10))
+    assert rows[0]["wage"] == 10.0
+
+
+def test_read_csv_bytes(spark):
+    df = read_csv_bytes(spark, WAGE_CSV.encode())
+    assert df.count() == 10
+    assert "wage" in df.columns
+
+
+def test_cli_run_and_report(spark, wage_csv_path, tmp_path, capsys):
+    """cli_test.rs:1-101 analogue: end-to-end CLI invocation, table headings
+    appear; report writes HTML."""
+    from oaxaca_blinder_rs_spark.cli import main
+
+    rc = main([
+        "run", "--data", wage_csv_path, "--outcome", "wage", "--group", "gender",
+        "--reference", "F", "--predictors", "education", "--bootstrap-reps", "5",
+        "--output-json", str(tmp_path / "res.json"),
+        "--output-markdown", str(tmp_path / "res.md"),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Oaxaca-Blinder Decomposition Results" in out
+    assert "Two-Fold Decomposition" in out
+    assert (tmp_path / "res.json").exists()
+    assert (tmp_path / "res.md").read_text().startswith("### Oaxaca")
+
+    html_path = tmp_path / "report.html"
+    rc = main([
+        "report", "--data", wage_csv_path, "--outcome", "wage", "--group", "gender",
+        "--reference", "F", "--predictors", "education", "--bootstrap-reps", "5",
+        "--output", str(html_path),
+    ])
+    assert rc == 0
+    html = html_path.read_text()
+    assert "<h1>Oaxaca-Blinder Decomposition Report</h1>" in html
+    assert "Two-Fold" in html
+
+
+def test_facade_api(spark, wage_csv_path):
+    df = read_csv(spark, wage_csv_path)
+    model = ob.OaxacaBlinder(df, "wage", "gender", "F", predictors=["education"], bootstrap_reps=5)
+    res = model.fit()
+    assert abs(res.total_gap - 10.0) < 1e-9
+    assert "<h1>" in to_html(res)
+    rif = model.fit_quantile(0.5)
+    assert rif.n_a == 5
+
+
+def test_streaming_windowed_aggregates(spark, sf_dir, tmp_path):
+    """Structured Streaming over the events table with availableNow trigger.
+
+    The raw driver parquet has nanos timestamps Spark can't scan, so the test
+    first rewrites it via load_table (pyarrow fallback) to a us-timestamp
+    copy, then streams that — the realistic ingest path.
+    """
+    import tempfile
+
+    static = ob.load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "events_us")
+    static.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(static.schema).format("parquet").load(src)
+    agg = streaming_events.windowed_event_aggregates(stream, "1 hour", "2 hours")
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("evt_agg")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM evt_agg")
+    # append mode emits only watermark-closed windows; verify shape + sanity
+    rows = out.collect()
+    assert len(rows) > 0
+    assert {"window_start", "event_type", "n_events"}.issubset(set(out.columns))
+    total_closed = sum(r["n_events"] for r in rows)
+    assert total_closed <= static.count()
+
+
+def test_streaming_sessionize_plan(spark, sf_dir, tmp_path):
+    static = ob.load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "events_us2")
+    static.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(static.schema).format("parquet").load(src)
+    sess = streaming_events.sessionize(stream)
+    assert sess.isStreaming
+
+
+def test_multimodal_features(spark):
+    rows = [(i, bytes([i]) * 64, "image/png", 8, 8, None) for i in range(20)]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    with_meta = multimodal.attach_media_metadata(df)
+    metas = {r["media_id"]: r for r in with_meta.collect()}
+    assert metas[1]["payload_bytes"] == 64
+    feats = multimodal.extract_features(df).collect()
+    assert len(feats) == 20
+    f1 = next(r for r in feats if r["media_id"] == 1)["features"]
+    assert len(f1) == 16
+    # deterministic: rerun matches
+    feats2 = multimodal.extract_features(df).collect()
+    f1b = next(r for r in feats2 if r["media_id"] == 1)["features"]
+    assert f1 == f1b
+
+
+def test_multimodal_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_stub(b"x", "image/png")
