@@ -380,6 +380,30 @@ def q_heckman_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "component string, estimate double")
 
 
+def q_embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate detection by embedding cosine >= 0.4."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_cosine_dups(emb, threshold=0.0)
+    return pairs.select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    ).filter(F.round("cosine", 6) >= 0.4)
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style document quality scoring (4 rules, [0,1])."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(textops.quality_score(F.col("text")), 6).alias("quality")
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints (xxhash64-based — Spark-only, rows-only
+    check; cross-engine hash portability is covered by the md5 MinHash)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return docs.select("doc_id", dedup.simhash64(F.col("text"), k=2).alias("simhash"))
+
+
 def q_optimizer_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M19: remediation optimizer, greedy allocation under a fixed budget.
 
@@ -447,6 +471,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heckman_decomposition": q_heckman_decomposition,
         "optimizer_greedy": q_optimizer_greedy,
         "events_hourly": q_events_hourly,
+        "embedding_cosine_dups": q_embedding_cosine_dups,
+        "quality_score": q_quality_score,
+        "simhash": q_simhash,
     }
 
 
@@ -745,6 +772,34 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) sum_value,
                    count(DISTINCT user_id) n_users
             FROM events GROUP BY 1, 2
+        """,
+
+        "embedding_cosine_dups": """
+            SELECT a.vec_id id_a, b.vec_id id_b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 6) cosine
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                               CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+        """,
+        "quality_score": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(length(text) AS DOUBLE) n_chars,
+                     CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) n_toks,
+                     CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) n_punct,
+                     CAST(len(list_filter(list_transform(regexp_split_to_array(trim(text), '\\s+'), x -> lower(x)),
+                                          x -> x IN ({_STOP_EN}))) AS DOUBLE) n_stop
+              FROM documents
+            )
+            SELECT doc_id, round((
+              (CASE WHEN n_chars >= 200 AND n_chars <= 100000 THEN 1.0 ELSE 0.0 END) +
+              (CASE WHEN n_toks > 0 AND n_chars/n_toks >= 3.0 AND n_chars/n_toks <= 12.0 THEN 1.0 ELSE 0.0 END) +
+              (CASE WHEN n_toks > 0 AND n_stop/n_toks >= 0.05 THEN 1.0 ELSE 0.0 END) +
+              (CASE WHEN n_punct/n_chars > 0.0 THEN 1.0 ELSE 0.0 END)
+            ) / 4.0, 6) quality
+            FROM t
         """,
         "weighted_kde_grid": """
             WITH b AS (
