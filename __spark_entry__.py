@@ -380,6 +380,63 @@ def q_heckman_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "component string, estimate double")
 
 
+def q_oaxaca_mean_2pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 with k=3 (intercept + 2 predictors): multi-predictor Gram solve vs
+    a closed-form 3x3 Cramer oracle."""
+    li = _t(spark, sf_dir, "lineitem")
+    res = (
+        OaxacaBuilder(li, "l_extendedprice", "l_returnflag", "R")
+        .predictors(["l_quantity", "l_discount"])
+        .reference_coefficients("group_b")
+        .bootstrap_reps(0)
+        .run()
+    )
+    rows = [
+        Row(component="total_gap", estimate=round(res.total_gap, 4)),
+        Row(component="explained", estimate=round(res.two_fold.explained.estimate, 4)),
+        Row(component="unexplained", estimate=round(res.two_fold.unexplained.estimate, 4)),
+    ]
+    return spark.createDataFrame(rows, "component string, estimate double")
+
+
+def q_oaxaca_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7/M1: skip-first dummy encoding inside the decomposition (numeric +
+    one categorical predictor) vs a SQL oracle with an explicit CASE dummy."""
+    li = _t(spark, sf_dir, "lineitem")
+    res = (
+        OaxacaBuilder(li, "l_extendedprice", "l_returnflag", "R")
+        .predictors(["l_quantity"])
+        .categorical_predictors(["l_linestatus"])
+        .reference_coefficients("group_b")
+        .bootstrap_reps(0)
+        .run()
+    )
+    rows = [Row(component=("intercept" if c.name == "__ob_intercept__" else c.name),
+                estimate=round(c.estimate, 4))
+            for c in res.two_fold.detailed_explained]
+    rows.append(Row(component="total_gap", estimate=round(res.total_gap, 4)))
+    return spark.createDataFrame(rows, "component string, estimate double")
+
+
+def q_oaxaca_wls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/M1 WLS: sample-weighted decomposition (weights = l_tax + 1)."""
+    li = _t(spark, sf_dir, "lineitem").withColumn("w", F.col("l_tax") + 1.0)
+    res = (
+        OaxacaBuilder(li, "l_extendedprice", "l_returnflag", "R")
+        .predictors(["l_quantity"])
+        .weights("w")
+        .reference_coefficients("group_b")
+        .bootstrap_reps(0)
+        .run()
+    )
+    rows = [
+        Row(component="total_gap", estimate=round(res.total_gap, 4)),
+        Row(component="explained", estimate=round(res.two_fold.explained.estimate, 4)),
+        Row(component="unexplained", estimate=round(res.two_fold.unexplained.estimate, 4)),
+    ]
+    return spark.createDataFrame(rows, "component string, estimate double")
+
+
 def q_embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate detection by embedding cosine >= 0.4."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -471,6 +528,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heckman_decomposition": q_heckman_decomposition,
         "optimizer_greedy": q_optimizer_greedy,
         "events_hourly": q_events_hourly,
+        "oaxaca_mean_2pred": q_oaxaca_mean_2pred,
+        "oaxaca_categorical": q_oaxaca_categorical,
+        "oaxaca_wls": q_oaxaca_wls,
         "embedding_cosine_dups": q_embedding_cosine_dups,
         "quality_score": q_quality_score,
         "simhash": q_simhash,
@@ -774,6 +834,65 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
 
+        "oaxaca_mean_2pred": """
+            WITH li AS (
+              SELECT l_returnflag g, l_extendedprice y, l_quantity x1, l_discount x2
+              FROM lineitem WHERE l_returnflag IN ('A','R')
+            ), s AS (
+              SELECT g, avg(y) ybar, avg(x1) m1, avg(x2) m2,
+                     var_samp(x1) v11, var_samp(x2) v22, covar_samp(x1, x2) v12,
+                     covar_samp(x1, y) c1, covar_samp(x2, y) c2
+              FROM li GROUP BY g
+            ), beta AS (
+              SELECT g, ybar, m1, m2,
+                     (c1*v22 - c2*v12)/(v11*v22 - v12*v12) b1,
+                     (c2*v11 - c1*v12)/(v11*v22 - v12*v12) b2
+              FROM s
+            ), a AS (SELECT * FROM beta WHERE g='A'), b AS (SELECT * FROM beta WHERE g='R')
+            SELECT 'total_gap' component, round(a.ybar - b.ybar, 4) estimate FROM a, b
+            UNION ALL
+            SELECT 'explained', round((a.m1 - b.m1)*b.b1 + (a.m2 - b.m2)*b.b2, 4) FROM a, b
+            UNION ALL
+            SELECT 'unexplained',
+                   round((a.ybar - b.ybar) - ((a.m1 - b.m1)*b.b1 + (a.m2 - b.m2)*b.b2), 4) FROM a, b
+        """,
+        "oaxaca_categorical": """
+            WITH li AS (
+              SELECT l_returnflag g, l_extendedprice y, l_quantity x1,
+                     CASE WHEN l_linestatus = 'O' THEN 1.0 ELSE 0.0 END x2
+              FROM lineitem WHERE l_returnflag IN ('A','R')
+            ), s AS (
+              SELECT g, avg(y) ybar, avg(x1) m1, avg(x2) m2,
+                     var_samp(x1) v11, var_samp(x2) v22, covar_samp(x1, x2) v12,
+                     covar_samp(x1, y) c1, covar_samp(x2, y) c2
+              FROM li GROUP BY g
+            ), beta AS (
+              SELECT g, ybar, m1, m2,
+                     (c1*v22 - c2*v12)/(v11*v22 - v12*v12) b1,
+                     (c2*v11 - c1*v12)/(v11*v22 - v12*v12) b2
+              FROM s
+            ), a AS (SELECT * FROM beta WHERE g='A'), b AS (SELECT * FROM beta WHERE g='R')
+            SELECT 'intercept' component, 0.0 estimate FROM a
+            UNION ALL SELECT 'l_quantity', round((a.m1 - b.m1)*b.b1, 4) FROM a, b
+            UNION ALL SELECT 'l_linestatus_O', round((a.m2 - b.m2)*b.b2, 4) FROM a, b
+            UNION ALL SELECT 'total_gap', round(a.ybar - b.ybar, 4) FROM a, b
+        """,
+        "oaxaca_wls": """
+            WITH li AS (
+              SELECT l_returnflag g, l_extendedprice y, l_quantity x, l_tax + 1.0 w
+              FROM lineitem WHERE l_returnflag IN ('A','R')
+            ), s AS (
+              SELECT g,
+                     sum(w*y)/sum(w) ybar, sum(w*x)/sum(w) xbar,
+                     (sum(w)*sum(w*x*y) - sum(w*x)*sum(w*y))
+                       / (sum(w)*sum(w*x*x) - sum(w*x)*sum(w*x)) b1
+              FROM li GROUP BY g
+            ), a AS (SELECT * FROM s WHERE g='A'), b AS (SELECT * FROM s WHERE g='R')
+            SELECT 'total_gap' component, round(a.ybar - b.ybar, 4) estimate FROM a, b
+            UNION ALL SELECT 'explained', round((a.xbar - b.xbar)*b.b1, 4) FROM a, b
+            UNION ALL SELECT 'unexplained',
+                   round((a.ybar - b.ybar) - (a.xbar - b.xbar)*b.b1, 4) FROM a, b
+        """,
         "embedding_cosine_dups": """
             SELECT a.vec_id id_a, b.vec_id id_b,
                    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

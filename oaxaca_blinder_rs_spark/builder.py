@@ -218,16 +218,22 @@ class OaxacaBuilder:
         return group_a, group_b
 
     def _design(self, df: DataFrame, dummy_names: list[str]) -> tuple[DataFrame, list[str]]:
-        """Append intercept + dummy columns as Catalyst expressions."""
-        out = df.withColumn(INTERCEPT, F.lit(1.0))
+        """Append intercept + dummy columns as Catalyst expressions.
+
+        One `withColumns` projection (not k chained withColumn nodes) — plan
+        construction/analysis time is part of the latency budget for small
+        interactive queries.
+        """
+        new_cols = {INTERCEPT: F.lit(1.0)}
         for name in dummy_names:
             var, _, level = self._split_dummy(name)
-            out = out.withColumn(name, (F.col(var) == F.lit(level)).cast("double"))
+            new_cols[name] = (F.col(var) == F.lit(level)).cast("double")
         for p in self._predictors:
-            out = out.withColumn(p, F.col(p).cast("double"))
-        out = out.withColumn(self._outcome, F.col(self._outcome).cast("double"))
+            new_cols[p] = F.col(p).cast("double")
+        new_cols[self._outcome] = F.col(self._outcome).cast("double")
         if self._weights_col:
-            out = out.withColumn(self._weights_col, F.col(self._weights_col).cast("double"))
+            new_cols[self._weights_col] = F.col(self._weights_col).cast("double")
+        out = df.withColumns(new_cols)
         xcols = [INTERCEPT] + list(self._predictors) + dummy_names
         return out, xcols
 
@@ -563,12 +569,33 @@ class OaxacaBuilder:
 
     # -- RIF quantile decomposition (builder.rs:711-757) -------------------------
     def decompose_quantile(self, quantile: float) -> OaxacaResults:
-        from .operators.rif import rif_transform
+        from .operators.rif import rif_expr_from_params, rif_group_params
 
         df = self._clean(self._df)
-        group_a, group_b = self._group_names(df)
-        df = df.filter(F.col(self._group).isin([group_a, group_b]))
-        df_mod = rif_transform(df, self._outcome, self._group, quantile, engine=self._engine)
+        if self._engine == "pandas":
+            # single pull: the (group, y) frame yields BOTH the group levels
+            # (no distinct job) and the per-group RIF parameters
+            from .operators.rif import rif_params_from_pandas
+
+            pdf = df.select(self._group, F.col(self._outcome).cast("double").alias("__y")).toPandas()
+            levels = sorted(x for x in pdf[self._group].dropna().unique())
+            if len(levels) < 2:
+                raise InvalidGroupVariable("Not enough groups for comparison")
+            group_b = self._reference_group
+            group_a = levels[0] if levels[0] != group_b else levels[1]
+            sub = pdf[pdf[self._group].isin([group_a, group_b])]
+            params = rif_params_from_pandas(sub, self._group, "__y", quantile)
+            df = df.filter(F.col(self._group).isin([group_a, group_b]))
+            df_mod = df.withColumn(
+                self._outcome, rif_expr_from_params(params, self._outcome, self._group, quantile)
+            )
+        else:
+            group_a, group_b = self._group_names(df)
+            df = df.filter(F.col(self._group).isin([group_a, group_b]))
+            params = rif_group_params(df, self._outcome, self._group, quantile, engine="expr")
+            df_mod = df.withColumn(
+                self._outcome, rif_expr_from_params(params, self._outcome, self._group, quantile)
+            )
 
         builder = OaxacaBuilder(df_mod, self._outcome, self._group, self._reference_group)
         builder._predictors = list(self._predictors)

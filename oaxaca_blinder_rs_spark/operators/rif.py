@@ -89,12 +89,17 @@ def rif_group_params(
 def _rif_group_params_pandas(df: DataFrame, ycol: str, group: str, quantile: float) -> dict:
     """Driver-side exact mirror of rif.rs:14-77 (np.quantile 'linear' IS the
     type-7 rule). Only for data small enough to pull one column."""
+    pdf = df.select(group, F.col(ycol).cast("double").alias("y")).toPandas()
+    return rif_params_from_pandas(pdf, group, "y", quantile)
+
+
+def rif_params_from_pandas(pdf, group: str, ycol: str, quantile: float) -> dict:
+    """Per-group RIF parameters from an already-collected (group, y) frame."""
     import numpy as np
 
-    pdf = df.select(group, F.col(ycol).cast("double").alias("y")).toPandas()
     out: dict[str, dict[str, float]] = {}
     for gval, sub in pdf.groupby(group, sort=False):
-        y = sub["y"].to_numpy()
+        y = sub[ycol].to_numpy()
         n = len(y)
         if n < 2:
             out[gval] = {"q": float(y[0]) if n else math.nan, "density": None, "n": n}
@@ -115,11 +120,8 @@ def _rif_group_params_pandas(df: DataFrame, ycol: str, group: str, quantile: flo
     return out
 
 
-def rif_transform(
-    df: DataFrame, ycol: str, group: str, quantile: float, engine: str = "expr"
-) -> DataFrame:
-    """Replace ``ycol`` with its per-group RIF (builder.rs:711-745)."""
-    params = rif_group_params(df, ycol, group, quantile, engine=engine)
+def rif_expr_from_params(params: dict, ycol: str, group: str, quantile: float):
+    """RIF column expression from per-group parameters (rif.rs:79-88)."""
     expr = None
     for g, p in params.items():
         if p.get("density") is None:
@@ -130,4 +132,12 @@ def rif_transform(
             val = F.lit(p["q"]) + (F.lit(float(quantile)) - indicator) / F.lit(p["density"])
         cond = F.col(group) == F.lit(g)
         expr = F.when(cond, val) if expr is None else expr.when(cond, val)
-    return df.withColumn(ycol, expr)
+    return expr
+
+
+def rif_transform(
+    df: DataFrame, ycol: str, group: str, quantile: float, engine: str = "expr"
+) -> DataFrame:
+    """Replace ``ycol`` with its per-group RIF (builder.rs:711-745)."""
+    params = rif_group_params(df, ycol, group, quantile, engine=engine)
+    return df.withColumn(ycol, rif_expr_from_params(params, ycol, group, quantile))

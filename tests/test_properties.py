@@ -1,0 +1,122 @@
+"""Property-based tests (hypothesis) for the algebraic identities the
+reference's test suite relies on (SURVEY §5: decomposition sums, Yun
+invariance, allocation feasibility) — on random inputs, not fixtures.
+
+Driver-side NumPy mirrors of the k-vector arithmetic are exercised directly
+(no Spark in the loop: hypothesis generates hundreds of cases; identities are
+pure driver math by design)."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from oaxaca_blinder_rs_spark.operators import decomposition as dec
+from oaxaca_blinder_rs_spark.operators.bootstrap import bootstrap_stats
+from oaxaca_blinder_rs_spark.operators.quantile_regression import solve_qr
+
+
+def vec(k):
+    return st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False), min_size=k, max_size=k
+    ).map(np.array)
+
+
+@given(xa=vec(4), xb=vec(4), ba=vec(4), bb=vec(4))
+@settings(max_examples=200, deadline=None)
+def test_two_fold_sums_to_total(xa, xb, ba, bb):
+    """explained + unexplained == xa'ba - xb'bb for ANY beta* (here beta_b)."""
+    tf = dec.two_fold_decomposition(xa, xb, ba, bb, bb)
+    total = float(xa @ ba - xb @ bb)
+    assert abs(tf.explained + tf.unexplained - total) < 1e-7
+
+
+@given(xa=vec(4), xb=vec(4), ba=vec(4), bb=vec(4))
+@settings(max_examples=200, deadline=None)
+def test_three_fold_sums_to_total(xa, xb, ba, bb):
+    th = dec.three_fold_decomposition(xa, xb, ba, bb)
+    total = float(xa @ ba - xb @ bb)
+    assert abs(th.endowments + th.coefficients + th.interaction - total) < 1e-7
+
+
+@given(xa=vec(5), xb=vec(5), ba=vec(5), bb=vec(5), bs=vec(5))
+@settings(max_examples=200, deadline=None)
+def test_detailed_sums_to_aggregate(xa, xb, ba, bb, bs):
+    tf = dec.two_fold_decomposition(xa, xb, ba, bb, bs)
+    d_exp, d_unexp = dec.detailed_decomposition(xa, xb, ba, bb, bs, [f"v{i}" for i in range(5)])
+    assert abs(sum(d_exp.values()) - tf.explained) < 1e-7
+    assert abs(sum(d_unexp.values()) - tf.unexplained) < 1e-7
+
+
+@given(
+    beta=vec(4),
+    means=st.lists(st.floats(min_value=0.0, max_value=1.0, allow_nan=False), min_size=4, max_size=4),
+    m=st.integers(min_value=2, max_value=6),
+)
+@settings(max_examples=200, deadline=None)
+def test_yun_normalization_preserves_fitted_values(beta, means, m):
+    """normalization.rs:53-111 invariance: intercept shift cancels the dummy
+    shifts at any dummy-mean vector that sums appropriately."""
+    names = ["__ob_intercept__", "sector_b", "sector_c", "other"]
+    b = beta.copy()
+    base = dec.normalize_categorical_coefficients(b, names, ["sector"], {"sector": m})
+    # fitted value at a point: intercept*1 + sector dummies + other stays equal
+    x = np.array([1.0, means[1], means[2], means[3]])
+    orig = float(beta @ x)
+    shifted = float(b @ x)
+    mean_shift = (beta[1] + beta[2]) / m
+    # fitted values move by mean_shift * (1 - sum(dummy values)) = base-cat part
+    expected_delta = mean_shift * (1.0 - means[1] - means[2])
+    assert abs((shifted - orig) - expected_delta) < 1e-7
+    assert abs(base["sector"] + mean_shift) < 1e-12
+
+
+@given(
+    estimates=st.lists(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=2, max_size=200)
+)
+@settings(max_examples=200, deadline=None)
+def test_bootstrap_stats_properties(estimates):
+    se, p, (lo, hi) = bootstrap_stats(estimates, 0.0)
+    assert se >= 0.0
+    assert 0.0 <= p <= 1.0
+    assert lo <= hi
+    assert min(estimates) <= lo and hi <= max(estimates)
+
+
+@given(
+    n=st.integers(min_value=30, max_value=200),
+    a=st.floats(min_value=-10, max_value=10, allow_nan=False),
+    b=st.floats(min_value=-10, max_value=10, allow_nan=False),
+    tau=st.floats(min_value=0.1, max_value=0.9),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=30, deadline=None)
+def test_qr_exact_on_noiseless_line(n, a, b, tau, seed):
+    """QR at any tau recovers the exact line on noiseless data (the
+    reference's quantile_regression.rs:131-171 property, generalized)."""
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(-5, 5, n)
+    X = np.column_stack([np.ones(n), x])
+    y = a + b * x
+    beta = solve_qr(X, y, tau)
+    assert abs(beta[0] - a) < 1e-3
+    assert abs(beta[1] - b) < 1e-3
+
+
+@given(
+    resids=st.lists(st.floats(min_value=-1000, max_value=1000, allow_nan=False), min_size=1, max_size=50),
+    budget=st.floats(min_value=0.0, max_value=5000.0, allow_nan=False),
+)
+@settings(max_examples=200, deadline=None)
+def test_greedy_allocation_feasibility(resids, budget):
+    """The prefix-sum greedy never overspends and never overpays a row
+    (types.rs:98-156 invariants) — driver mirror of the window formula."""
+    cands = sorted([r for r in resids if r < 0])
+    cum = 0.0
+    total = 0.0
+    for r in cands:
+        need = -r
+        pay = min(need, max(budget - cum, 0.0))
+        if pay > 1e-9:
+            assert pay <= need + 1e-12
+            total += pay
+        cum += need
+    assert total <= budget + 1e-9 or abs(total - budget) < 1e-6
