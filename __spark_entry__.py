@@ -380,6 +380,28 @@ def q_heckman_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "component string, estimate double")
 
 
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join across the full schema (TPC-H Q5 shape): lineitem ⋈ orders ⋈
+    customer ⋈ nation ⋈ region with broadcast dimension tables — exercises
+    join planning (dims broadcast; the fact table never shuffles)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+    )
+    return joined.groupBy("r_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+        F.countDistinct("c_custkey").alias("n_customers"),
+    )
+
+
 def q_oaxaca_mean_2pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1 with k=3 (intercept + 2 predictors): multi-predictor Gram solve vs
     a closed-form 3x3 Cramer oracle."""
@@ -528,6 +550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heckman_decomposition": q_heckman_decomposition,
         "optimizer_greedy": q_optimizer_greedy,
         "events_hourly": q_events_hourly,
+        "regional_revenue": q_regional_revenue,
         "oaxaca_mean_2pred": q_oaxaca_mean_2pred,
         "oaxaca_categorical": q_oaxaca_categorical,
         "oaxaca_wls": q_oaxaca_wls,
@@ -834,6 +857,18 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
 
+        "regional_revenue": """
+            SELECT r.r_name,
+                   round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) revenue,
+                   count(*) n_items,
+                   count(DISTINCT c.c_custkey) n_customers
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name
+        """,
         "oaxaca_mean_2pred": """
             WITH li AS (
               SELECT l_returnflag g, l_extendedprice y, l_quantity x1, l_discount x2

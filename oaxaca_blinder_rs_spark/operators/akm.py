@@ -97,9 +97,56 @@ class AkmBuilder:
             # single data pull: connected-set filtering happens in NumPy on
             # the already-collected frame (no extra distinct job)
             return self._solve_pandas(df)
-        return self._solve_dist(self._largest_connected_set(df))
+        return self._solve_dist(self._largest_connected_set_dist(df))
 
-    # -- connected set ---------------------------------------------------
+    # -- connected set (distributed label propagation) --------------------
+    def _largest_connected_set_dist(self, df: DataFrame) -> DataFrame:
+        """Pure-DataFrame alternating-min label propagation on the bipartite
+        graph — the cluster-scale path (no driver edge collection):
+
+          firm_label   = min(worker labels over its edges, own)
+          worker_label = min(firm labels over its edges, own)
+
+        repeated until no label changes. Each sweep = two groupBy+join
+        shuffles on the natural keys; edges (distinct pairs) are
+        localCheckpoint'ed once. Converges in O(diameter) sweeps.
+        """
+        w, f = self._worker, self._firm
+        edges = df.select(w, f).distinct().localCheckpoint()
+        # initial labels: worker id hash-min space via dense labels from ids
+        wlab = edges.select(w).distinct().withColumn("__lab", F.xxhash64(F.col(w)))
+        for _ in range(10_000):
+            fl = (
+                edges.join(wlab, on=w)
+                .groupBy(f)
+                .agg(F.min("__lab").alias("__flab"))
+            )
+            new_wlab = (
+                edges.join(fl, on=f)
+                .groupBy(w)
+                .agg(F.min("__flab").alias("__lab_new"))
+            )
+            cmp = wlab.join(new_wlab, on=w)
+            changed = cmp.filter(F.col("__lab_new") < F.col("__lab")).count()
+            wlab = cmp.select(
+                w, F.least("__lab", "__lab_new").alias("__lab")
+            ).localCheckpoint()
+            if changed == 0:
+                break
+        # component sizes counted in NODES (workers + firms), akm.rs:200-212
+        fl = edges.join(wlab, on=w).groupBy(f).agg(F.min("__lab").alias("__lab"))
+        sizes = (
+            wlab.select("__lab").unionAll(fl.select("__lab"))
+            .groupBy("__lab").count().orderBy(F.col("count").desc(), F.col("__lab"))
+        )
+        top = sizes.limit(1).collect()
+        if not top:
+            raise InsufficientData("No connected set found")
+        largest = top[0]["__lab"]
+        keep = wlab.filter(F.col("__lab") == largest).select(w)
+        return df.join(keep, on=w, how="inner")
+
+    # -- connected set (driver union-find over distinct edges) -------------
     def _largest_connected_set(self, df: DataFrame) -> DataFrame:
         """akm.rs:151-234: union-find over distinct (worker, firm) edges.
 

@@ -42,6 +42,61 @@ from . import decomposition as dec
 IMR_NAME = "IMR"
 
 
+def heckman_two_step(
+    df,
+    selection_outcome: str,
+    selection_predictors: list[str],
+    outcome: str,
+    outcome_predictors: list[str],
+):
+    """Standalone Heckman two-step (heckman.rs:38-108 free function).
+
+    Probit of selection on [1, Z] over all rows; IMR = phi/Phi of the linear
+    predictor on selected rows (0 where Phi < 1e-10); OLS of y on
+    [1, X, IMR] over selected rows. Returns a dict mirroring HeckmanResult:
+    selection_coeffs, outcome_coeffs, imr_coeff, imr_mean, imr_delta.
+    """
+    from pyspark.sql import functions as FF
+
+    from ..functions.linalg import gram_agg_exprs, ols_from_stats, stats_from_row
+    from ..functions.mathx import norm_cdf, norm_pdf
+    from .glm import fit_many, xb_expr
+
+    d = df
+    for c in [selection_outcome, outcome] + list(selection_predictors) + list(outcome_predictors):
+        d = d.withColumn(c, FF.col(c).cast("double"))
+    d = d.withColumn("__hk_i", FF.lit(1.0))
+    sel_cols = ["__hk_i"] + list(selection_predictors)
+    gamma = fit_many(
+        d.dropna(subset=[selection_outcome] + list(selection_predictors)),
+        sel_cols, selection_outcome, family="probit", max_iter=100, tol=1e-6,
+    )[()].beta
+
+    zg = xb_expr(gamma, sel_cols)
+    big_phi = norm_cdf(zg)
+    imr = FF.when(big_phi < 1e-10, FF.lit(0.0)).otherwise(norm_pdf(zg) / big_phi)
+    selected = (
+        d.filter(FF.col(selection_outcome) == 1.0)
+        .dropna(subset=[outcome] + list(outcome_predictors))
+        .withColumn("__imr", imr)
+        .withColumn("__zg", zg)
+    )
+    xaug = ["__hk_i"] + list(outcome_predictors) + ["__imr"]
+    aggs = gram_agg_exprs(xaug, outcome)
+    aggs.append(FF.avg(-FF.col("__imr") * (FF.col("__imr") + FF.col("__zg"))).alias("__delta"))
+    aggs.append(FF.avg("__imr").alias("__imr_mean"))
+    row = selected.agg(*aggs).collect()[0]
+    stats = stats_from_row(row, xaug, has_y=True)
+    fit = ols_from_stats(stats)
+    return {
+        "selection_coeffs": gamma,
+        "outcome_coeffs": fit.beta[:-1],
+        "imr_coeff": float(fit.beta[-1]),
+        "imr_mean": float(row["__imr_mean"]),
+        "imr_delta": float(row["__delta"]),
+    }
+
+
 def run_heckman_oaxaca(builder):
     from ..builder import INTERCEPT, ROW_ID
     from ..results import ComponentResult, DecompositionDetail, OaxacaResults, TwoFoldResults

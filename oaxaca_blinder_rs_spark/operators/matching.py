@@ -146,6 +146,41 @@ class MatchingEngine:
     def match_nearest_neighbor(self, k: int, use_mahalanobis: bool = False) -> DataFrame:
         return self.run_matching(k, use_mahalanobis)
 
+    def run_matching_lsh(self, k: int, bits: int = 8, num_tables: int = 4, seed: int = 42) -> DataFrame:
+        """Approximate k-NN matching via sign-LSH bucketing — the path for
+        control sides too large to broadcast. Same weight bookkeeping;
+        neighbors come from similarity.lsh_topk (recall tunable via
+        bits/num_tables). Euclidean-on-whitened != cosine in general, so this
+        is the scale-approximation documented in the module header.
+        """
+        from pyspark.sql import functions as FF
+
+        from .similarity import lsh_topk
+
+        df = self._with_id()
+        vec = FF.array(*[FF.col(c).cast("double") for c in self._covariates])
+        base = df.withColumn("__vec_arr", vec)
+        treated = base.filter(FF.col(self._treatment) == 1).select(
+            FF.col(ROW_ID).alias("vec_id"), FF.col("__vec_arr").alias("embedding")
+        )
+        control = base.filter(FF.col(self._treatment) == 0).select(
+            FF.col(ROW_ID).alias("vec_id"), FF.col("__vec_arr").alias("embedding")
+        )
+        nn = lsh_topk(
+            treated, control, dim=len(self._covariates), k=k,
+            bits=bits, num_tables=num_tables, seed=seed, exclude_self=False,
+        )
+        ctl_w = (
+            nn.groupBy("neighbor_id")
+            .agg((FF.count(FF.lit(1)) / FF.lit(float(k))).alias("weight"))
+            .select(FF.col("neighbor_id").alias("row_id"), "weight")
+        )
+        ctl_all = control.select(FF.col("vec_id").alias("row_id")).join(ctl_w, "row_id", "left").fillna(
+            {"weight": 0.0}
+        )
+        treated_w = treated.select(FF.col("vec_id").alias("row_id"), FF.lit(1.0).alias("weight"))
+        return treated_w.unionByName(ctl_all)
+
     def match_psm(self, k: int) -> DataFrame:
         """Propensity-score matching (engine.rs:232-283): ridge-1e-6 logit of
         treatment on covariates, then 1-D NN matching on the score."""

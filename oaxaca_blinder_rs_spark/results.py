@@ -193,6 +193,51 @@ class OaxacaResults:
         ]
         return "\n".join(out) + "\n"
 
+    # -- python.rs:126-158 plot(kind) ------------------------------------------
+    def plot_data(self, kind: str = "two_fold") -> dict:
+        """Chart-ready data for the python binding's plot(kind) surface.
+
+        The container ships no matplotlib, so this returns the exact series a
+        plotting frontend needs; `plot()` renders if matplotlib is available.
+        """
+        if kind == "two_fold":
+            comps = self.two_fold.aggregate
+        elif kind == "detailed_explained":
+            comps = self.two_fold.detailed_explained
+        elif kind == "detailed_unexplained":
+            comps = self.two_fold.detailed_unexplained
+        elif kind == "three_fold":
+            comps = self.three_fold.aggregate
+        else:
+            raise ValueError(f"unknown plot kind: {kind}")
+        return {
+            "labels": [c.name for c in comps],
+            "estimates": [c.estimate for c in comps],
+            "ci_lower": [c.ci_lower for c in comps],
+            "ci_upper": [c.ci_upper for c in comps],
+        }
+
+    def plot(self, kind: str = "two_fold"):
+        data = self.plot_data(kind)
+        try:
+            import matplotlib.pyplot as plt  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "matplotlib is not installed in this environment; use "
+                "plot_data(kind) to retrieve the chart series"
+            ) from e
+        fig, ax = plt.subplots()
+        x = range(len(data["labels"]))
+        err = [
+            [e - lo for e, lo in zip(data["estimates"], data["ci_lower"])],
+            [hi - e for e, hi in zip(data["estimates"], data["ci_upper"])],
+        ]
+        ax.bar(x, data["estimates"], yerr=err, capsize=4)
+        ax.set_xticks(list(x))
+        ax.set_xticklabels(data["labels"], rotation=30, ha="right")
+        ax.set_title(f"Oaxaca-Blinder decomposition ({kind})")
+        return fig
+
     # -- python.rs:159-186 interpret() ---------------------------------------
     def interpret(self) -> str:
         exp = self.two_fold.explained

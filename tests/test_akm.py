@@ -66,3 +66,16 @@ def test_akm_dist_engine_matches_pandas(spark):
     wd = {r[0]: r[1] for r in rd.worker_effects.collect()}
     diffs = [abs(wp[k] - wd[k]) for k in wp]
     assert max(diffs) < 1e-6
+
+
+def test_akm_dist_label_propagation_drops_island(spark):
+    """Distributed label propagation finds the same largest component."""
+    rows = [
+        ("w1", "f1", 10.0),
+        ("w2", "f1", 11.0),
+        ("w3", "f2", 12.0),
+    ]
+    df = spark.createDataFrame(rows, "worker string, firm string, y double")
+    res = AkmBuilder(df, "y", "worker", "firm").engine("dist").run()
+    workers = {r[0] for r in res.worker_effects.collect()}
+    assert workers == {"w1", "w2"}

@@ -224,3 +224,16 @@ def test_heckman_pooled_rejected(spark):
             .bootstrap_reps(0)
             .run()
         )
+
+
+def test_heckman_two_step_free_function(spark):
+    """heckman.rs:38-108 standalone: slope on x recovered near 2.0 and the
+    IMR coefficient is positive (rho = 0.8 > 0) on the F3 fixture."""
+    from oaxaca_blinder_rs_spark.operators.heckman import heckman_two_step
+
+    df = heckman_df(spark)
+    res = heckman_two_step(df, "selection", ["z"], "outcome", ["x"])
+    assert abs(res["outcome_coeffs"][1] - 2.0) < 0.15
+    assert res["imr_coeff"] > 0
+    assert res["selection_coeffs"][1] > 0.3  # gamma_z near 0.5/sqrt(2)
+    assert res["imr_delta"] < 0

@@ -134,3 +134,15 @@ def test_machado_mata_deterministic(spark):
 
     r1, r2 = run(), run()
     assert r1.results_by_quantile["q50"].total_gap.estimate == r2.results_by_quantile["q50"].total_gap.estimate
+
+
+def test_matching_lsh_approximate(spark):
+    """LSH matching: treated weights 1; approximate control mass close to
+    exact on separable data."""
+    df = matching_df(spark)
+    eng = MatchingEngine(df, "treated", "income", ["education", "income"], id_col="rid")
+    w = eng.weights_list(eng.run_matching_lsh(1, bits=6, num_tables=6))
+    assert len(w) == 100
+    assert all(x == 1.0 for x in w[:50])
+    # approximate: most treated rows found a bucket-mate
+    assert sum(w[50:]) >= 40.0

@@ -1,0 +1,57 @@
+"""Physical-plan assertions: lock in the scale properties the architecture
+relies on (filter pushdown to parquet, column pruning, broadcast joins).
+These are the '.explain and iterate' checks SURVEY §4 calls for."""
+
+import io
+import contextlib
+
+from pyspark.sql import functions as F
+
+from oaxaca_blinder_rs_spark.functions.linalg import gram_agg_exprs
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_gram_agg_pushdown_and_pruning(spark, sf_dir):
+    """The flagship decomposition aggregation must (a) push the group filter
+    into the parquet scan and (b) read only the 3 referenced columns."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    design = (
+        li.dropna(subset=["l_extendedprice", "l_returnflag", "l_quantity"])
+        .withColumn("__ob_intercept__", F.lit(1.0))
+        .filter(F.col("l_returnflag").isin(["A", "R"]))
+    )
+    agg = design.groupBy("l_returnflag").agg(
+        *gram_agg_exprs(["__ob_intercept__", "l_quantity"], "l_extendedprice")
+    )
+    plan = _plan(agg)
+    assert "PushedFilters: [In(l_returnflag, [A,R])" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_quantity" in read_schema and "l_extendedprice" in read_schema
+    # pruning: unreferenced wide columns never reach the scan
+    assert "l_shipdate" not in read_schema and "l_partkey" not in read_schema
+
+
+def test_star_join_broadcasts_dimensions(spark, sf_dir):
+    """regional_revenue: all dimension tables broadcast; the fact table must
+    not be exchanged for the joins."""
+    import __spark_entry__ as e
+
+    df = e.queries()["regional_revenue"](spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "BroadcastExchange" in plan
+
+
+def test_budget_window_is_single_sort(spark, sf_dir):
+    """Greedy allocation = one global sort window, no extra shuffles."""
+    import __spark_entry__ as e
+
+    df = e.queries()["budget_allocation"](spark, sf_dir)
+    plan = _plan(df)
+    assert "Window" in plan

@@ -147,3 +147,20 @@ def test_multimodal_features(spark):
 def test_multimodal_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         multimodal.decode_stub(b"x", "image/png")
+
+
+def test_plot_data_and_plot_guard(spark, wage_csv_path):
+    df = read_csv(spark, wage_csv_path)
+    res = ob.OaxacaBlinder(df, "wage", "gender", "F", predictors=["education"], bootstrap_reps=5).fit()
+    d = res.plot_data("two_fold")
+    assert d["labels"] == ["explained", "unexplained"]
+    assert len(d["estimates"]) == 2
+    try:
+        import matplotlib  # noqa: F401
+        has_mpl = True
+    except ImportError:
+        has_mpl = False
+    if not has_mpl:
+        import pytest as _pytest
+        with _pytest.raises(NotImplementedError):
+            res.plot("two_fold")
