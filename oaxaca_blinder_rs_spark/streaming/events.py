@@ -18,7 +18,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["windowed_event_aggregates", "streaming_group_stats", "sessionize"]
+__all__ = [
+    "windowed_event_aggregates",
+    "streaming_group_stats",
+    "sessionize",
+    "streaming_decomposition_stats",
+]
 
 
 def windowed_event_aggregates(
@@ -66,6 +71,97 @@ def streaming_group_stats(
             F.count(F.lit(1)).alias("n"),
             F.sum(ycol).alias("s1"),
             F.sum(F.col(ycol) * F.col(ycol)).alias("s2"),
+        )
+    )
+
+
+def streaming_decomposition_stats(
+    stream: DataFrame,
+    group_col: str,
+    ycol: str,
+    xcols: list[str],
+    timeout_ms: int = 0,
+) -> DataFrame:
+    """Custom STATEFUL operator (applyInPandasWithState): maintains each
+    group's running Gram statistics (X'X upper triangle, X'y, sums, n) across
+    micro-batches and emits the updated sufficient statistics + the current
+    one-predictor-at-a-time solvable state every batch.
+
+    This is the streaming face of the engine's core design: a downstream
+    consumer can solve betas / decompose gaps continuously without ever
+    reprocessing history. State per group is O(k^2) floats — bounded forever.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    k = len(xcols)
+    tri = [(i, j) for i in range(k) for j in range(i, k)]
+    state_len = len(tri) + 2 * k + 3  # xx, xsum, xy, yty, ysum, n
+
+    out_schema = StructType(
+        [
+            StructField("group", StringType()),
+            StructField("n", LongType()),
+            StructField("beta", ArrayType(DoubleType())),
+            StructField("stats", ArrayType(DoubleType())),
+        ]
+    )
+    state_schema = StructType([StructField("acc", ArrayType(DoubleType()))])
+
+    def update(key, pdfs, state: GroupState):
+        acc = np.zeros(state_len)
+        if state.exists:
+            (prev,) = state.get
+            acc += np.asarray(prev, dtype=np.float64)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            X = pdf[list(xcols)].to_numpy(dtype=np.float64)
+            y = pdf[ycol].to_numpy(dtype=np.float64)
+            c = 0
+            for (i, j) in tri:
+                acc[c] += float((X[:, i] * X[:, j]).sum())
+                c += 1
+            acc[c: c + k] += X.sum(axis=0)
+            c += k
+            acc[c: c + k] += (X * y[:, None]).sum(axis=0)
+            c += k
+            acc[c] += float((y * y).sum())
+            acc[c + 1] += float(y.sum())
+            acc[c + 2] += float(len(pdf))
+        state.update((acc.tolist(),))
+        n = int(acc[-1])
+        beta = []
+        if n > k:
+            xtx = np.zeros((k, k))
+            for idx, (i, j) in enumerate(tri):
+                xtx[i, j] = xtx[j, i] = acc[idx]
+            xty = acc[len(tri) + k: len(tri) + 2 * k]
+            try:
+                beta = [float(b) for b in np.linalg.solve(xtx + 1e-12 * np.eye(k), xty)]
+            except np.linalg.LinAlgError:
+                beta = []
+        yield pd.DataFrame(
+            {"group": [key[0]], "n": [n], "beta": [beta], "stats": [acc.tolist()]}
+        )
+
+    return (
+        stream.groupBy(group_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
 

@@ -164,3 +164,42 @@ def test_plot_data_and_plot_guard(spark, wage_csv_path):
         import pytest as _pytest
         with _pytest.raises(NotImplementedError):
             res.plot("two_fold")
+
+
+def test_streaming_stateful_decomposition(spark, sf_dir, tmp_path):
+    """applyInPandasWithState: running Gram state per group across
+    micro-batches; the converged beta matches the batch OLS."""
+    import tempfile
+
+    from oaxaca_blinder_rs_spark.functions.linalg import collect_group_stats, ols_from_stats
+
+    li = ob.load_table(spark, sf_dir, "lineitem").limit(2000).select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("y"),
+        F.lit(1.0).alias("i"),
+        F.col("l_quantity").alias("x"),
+    )
+    src = str(tmp_path / "li_stream")
+    li.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(li.schema).format("parquet").load(src)
+    out = streaming_events.streaming_decomposition_stats(stream, "l_returnflag", "y", ["i", "x"])
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            out.writeStream.format("memory").queryName("dec_state")
+            .outputMode("update").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+    rows = {r["group"]: r for r in spark.sql(
+        "SELECT * FROM dec_state").collect()}
+    assert rows, "stateful op emitted nothing"
+    # compare the streamed beta for one group against batch OLS
+    gval = sorted(rows)[0]
+    batch = li.filter(F.col("l_returnflag") == gval)
+    stats = collect_group_stats(batch, ["i", "x"], "y")
+    fit = ols_from_stats(stats)
+    streamed = rows[gval]["beta"]
+    assert len(streamed) == 2
+    assert abs(streamed[0] - fit.beta[0]) < 1e-4
+    assert abs(streamed[1] - fit.beta[1]) < 1e-4
+    assert rows[gval]["n"] == stats.n
