@@ -331,6 +331,7 @@ def q_machado_mata(spark: SparkSession, sf_dir: str) -> DataFrame:
         .simulations(100)
         .bootstrap_reps(0)
         .seed(42)
+        .fit_engine("distributed")
         .run()
     )
     rows = []

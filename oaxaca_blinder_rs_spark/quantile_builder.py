@@ -92,6 +92,7 @@ class QuantileDecompositionBuilder:
         self._bootstrap_reps = 20
         self._seed = 42
         self._threads = 8
+        self._fit_engine = "driver"
 
     def predictors(self, cols) -> "QuantileDecompositionBuilder":
         self._predictors = list(cols)
@@ -117,8 +118,20 @@ class QuantileDecompositionBuilder:
         self._seed = int(seed)
         return self
 
+    def fit_engine(self, engine: str) -> "QuantileDecompositionBuilder":
+        """'driver': collect group matrices once, thread-pooled NumPy fits
+        (reference's rayon shape; COLLECT_LIMIT-guarded). 'distributed':
+        tau-batch fan-out via applyInPandas — each executor task holds ONE
+        group's rows and fits its batch of taus; only the S x k beta table
+        returns to the driver. Executor-memory bound instead of driver-bound.
+        """
+        if engine not in ("driver", "distributed"):
+            raise ValueError("fit engine must be 'driver' or 'distributed'")
+        self._fit_engine = engine
+        return self
+
     # -- Spark side: prep + matrix extraction ---------------------------------
-    def _prepare(self):
+    def _prepare_design(self):
         cols = [self._outcome, self._group] + self._predictors + self._categorical_predictors
         existing = set(self._df.columns)
         for c in cols:
@@ -144,7 +157,10 @@ class QuantileDecompositionBuilder:
         df = df.withColumn(INTERCEPT, F.lit(1.0))
         for p in self._predictors:
             df = df.withColumn(p, F.col(p).cast("double"))
+        return df, xcols, group_a, group_b
 
+    def _prepare(self):
+        df, xcols, group_a, group_b = self._prepare_design()
         out = {}
         for g in (group_a, group_b):
             sub = df.filter(F.col(self._group) == F.lit(g)).select(*xcols, self._outcome)
@@ -199,7 +215,110 @@ class QuantileDecompositionBuilder:
             )
         return effects
 
+    # -- distributed tau-batch fan-out ---------------------------------------
+    def _run_distributed(self) -> QuantileDecompositionResults:
+        """Each executor task holds ONE group's rows and fits a batch of taus
+        (applyInPandas over group x tau-batch); only the S x k beta table and
+        2m sampled covariate rows return to the driver. Executor-memory
+        bound, not driver-bound. Bootstrap in this engine is a round-2 item
+        (the driver engine covers it)."""
+        import pandas as pd
+
+        if self._bootstrap_reps > 0:
+            raise OaxacaError(
+                "fit_engine('distributed') currently supports bootstrap_reps=0; "
+                "use the driver engine for bootstrapped standard errors"
+            )
+        design, xcols, group_a, group_b = self._prepare_design()
+        design = design.filter(F.col(self._group).isin([group_a, group_b]))
+        spark = design.sparkSession
+        rng = np.random.default_rng(self._seed)
+        S = self._simulations
+        taus = rng.uniform(0.01, 0.99, size=S)
+
+        n_batches = min(16, S)
+        batch_rows = [(b, [(int(i), float(taus[i])) for i in range(S) if i % n_batches == b])
+                      for b in range(n_batches)]
+        batch_taus = {b: t for b, t in batch_rows}
+        batches_df = spark.createDataFrame([(b,) for b in batch_taus], "__mm_batch int")
+        replicated = design.crossJoin(F.broadcast(batches_df))
+
+        outcome = self._outcome
+        xcols_local = list(xcols)
+
+        def fit_batch(key, pdf):
+            gval, batch = key
+            X = pdf[xcols_local].to_numpy(dtype=np.float64)
+            y = pdf[outcome].to_numpy(dtype=np.float64)
+            out = []
+            for ti, tau in batch_taus[batch]:
+                try:
+                    beta = solve_qr(X, y, tau)
+                    out.append((gval, int(ti), [float(v) for v in beta], True))
+                except Exception:
+                    out.append((gval, int(ti), [], False))
+            return pd.DataFrame(out, columns=["grp", "tau_idx", "beta", "ok"])
+
+        beta_rows = (
+            replicated.groupBy(self._group, "__mm_batch")
+            .applyInPandas(fit_batch, "grp string, tau_idx int, beta array<double>, ok boolean")
+            .collect()
+        )
+        betas = {"a": [], "b": []}
+        for side, gval in (("a", group_a), ("b", group_b)):
+            by_idx = {int(r["tau_idx"]): r for r in beta_rows if r["grp"] == gval}
+            betas[side] = [
+                np.array(by_idx[i]["beta"]) for i in range(S)
+                if i in by_idx and by_idx[i]["ok"]
+            ]
+        if len(betas["a"]) < S / 2 or len(betas["b"]) < S / 2:
+            raise OaxacaError("Failed to estimate a sufficient number of quantile regressions.")
+        m = min(len(betas["a"]), len(betas["b"]))
+
+        # m random covariate rows per group via deterministic ranked picks
+        from pyspark.sql import Window
+
+        design = design.withColumn("__mm_mid", F.monotonically_increasing_id())
+        w = Window.partitionBy(self._group).orderBy("__mm_mid")
+        ranked = design.withColumn("__mm_rn", F.row_number().over(w) - 1)
+        counts = {r[0]: r[1] for r in design.groupBy(self._group).count().collect()}
+        picks = {
+            group_a: rng.integers(0, counts[group_a], size=m),
+            group_b: rng.integers(0, counts[group_b], size=m),
+        }
+        want = ranked.filter(
+            ((F.col(self._group) == group_a) & F.col("__mm_rn").isin([int(i) for i in set(picks[group_a])]))
+            | ((F.col(self._group) == group_b) & F.col("__mm_rn").isin([int(i) for i in set(picks[group_b])]))
+        ).select(self._group, "__mm_rn", *xcols).collect()
+        rows_by = {}
+        for r in want:
+            rows_by[(r[self._group], int(r["__mm_rn"]))] = np.array([float(r[c]) for c in xcols])
+
+        y_aa = np.array([rows_by[(group_a, int(picks[group_a][i]))] @ betas["a"][i] for i in range(m)])
+        y_bb = np.array([rows_by[(group_b, int(picks[group_b][i]))] @ betas["b"][i] for i in range(m)])
+        y_ab = np.array([rows_by[(group_a, int(picks[group_a][i]))] @ betas["b"][i] for i in range(m)])
+
+        results = {}
+        for tau in self._quantiles:
+            q_aa = _empirical_quantile(y_aa, tau)
+            q_bb = _empirical_quantile(y_bb, tau)
+            q_ab = _empirical_quantile(y_ab, tau)
+
+            def comp(name, est):
+                return ComponentResult(name=name, estimate=est)
+
+            results[f"q{int(tau * 100)}"] = QuantileDecompositionDetail(
+                total_gap=comp("Total Gap", q_aa - q_bb),
+                characteristics_effect=comp("Characteristics", q_ab - q_bb),
+                coefficients_effect=comp("Coefficients", q_aa - q_ab),
+            )
+        return QuantileDecompositionResults(
+            results_by_quantile=results, n_a=int(counts[group_a]), n_b=int(counts[group_b])
+        )
+
     def run(self) -> QuantileDecompositionResults:
+        if self._fit_engine == "distributed":
+            return self._run_distributed()
         (Xa, ya), (Xb, yb), group_a, group_b = self._prepare()
         rng = np.random.default_rng(self._seed)
         point = self._single_pass(Xa, ya, Xb, yb, rng)

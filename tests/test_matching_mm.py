@@ -146,3 +146,47 @@ def test_matching_lsh_approximate(spark):
     assert all(x == 1.0 for x in w[:50])
     # approximate: most treated rows found a bucket-mate
     assert sum(w[50:]) >= 40.0
+
+
+def test_machado_mata_distributed_engine(spark):
+    """Distributed tau-batch fan-out: same identities, comparable estimates
+    to the driver engine on the same data."""
+    wage = [10.0, 12.0, 11.0, 13.0, 15.0, 20.0, 22.0, 21.0, 23.0, 25.0] * 4
+    edu = [12.0, 16.0, 14.0, 16.0, 18.0] * 8
+    gender = (["F"] * 5 + ["M"] * 5) * 4
+    df = spark.createDataFrame(list(zip(wage, edu, gender)), ["wage", "education", "gender"])
+
+    def build(engine):
+        return (
+            QuantileDecompositionBuilder(df, "wage", "gender", "F")
+            .predictors(["education"])
+            .quantiles([0.5])
+            .simulations(60)
+            .bootstrap_reps(0)
+            .seed(42)
+            .fit_engine(engine)
+        )
+
+    rd = build("distributed").run()
+    rv = build("driver").run()
+    d = rd.results_by_quantile["q50"]
+    assert abs(d.characteristics_effect.estimate + d.coefficients_effect.estimate
+               - d.total_gap.estimate) < 1e-9
+    assert rd.n_a == 20 and rd.n_b == 20
+    # estimates are simulation-based; engines agree within simulation noise
+    assert abs(d.total_gap.estimate - rv.results_by_quantile["q50"].total_gap.estimate) < 4.0
+
+
+def test_machado_mata_distributed_rejects_bootstrap(spark):
+    import pytest
+
+    from oaxaca_blinder_rs_spark.errors import OaxacaError
+
+    df = spark.createDataFrame([(1.0, 1.0, "A"), (2.0, 2.0, "B")], ["wage", "education", "gender"])
+    with pytest.raises(OaxacaError, match="distributed"):
+        (
+            QuantileDecompositionBuilder(df, "wage", "gender", "B")
+            .fit_engine("distributed")
+            .bootstrap_reps(5)
+            .run()
+        )
