@@ -1,0 +1,148 @@
+"""NumPy-reference oracle checks for the iterative operators (see
+tools/numpy_oracle.py). These close the gap left by the DuckDB SQL oracle,
+which cannot express Newton/Fisher iterations, zig-zag demeaning, or
+reweighted KDE: each test recomputes the full result independently in dense
+NumPy on the pandas-loaded sf0.001 parquet and compares the engine's output.
+
+AKM is the strongest check: the oracle solves the two-way FE model with one
+dense numpy.linalg.lstsq over the dummy design — a completely different
+algorithm than the engine's FWL zig-zag + alternating projections — so
+agreement pins down the *solution*, not the iteration.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+
+from numpy_oracle import (  # noqa: E402
+    load_table,
+    logit_np,
+    oracle_akm,
+    oracle_dfl,
+    oracle_heckman,
+    probit_np,
+)
+
+
+@pytest.fixture(scope="module")
+def li_pdf(sf_dir):
+    return load_table(sf_dir, "lineitem")
+
+
+def _spark_lineitem(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+
+
+def test_logit_matches_numpy_oracle(spark, sf_dir, li_pdf):
+    """Distributed multi-model Newton == dense NumPy Newton on real data."""
+    from pyspark.sql import functions as F
+
+    from oaxaca_blinder_rs_spark.operators.glm import logit
+
+    li = _spark_lineitem(spark, sf_dir).withColumn("__i", F.lit(1.0)).withColumn(
+        "__t", (F.col("l_returnflag") == "A").cast("double")
+    )
+    fit = logit(li, ["__i", "l_quantity", "l_discount"], "__t")
+
+    X = np.column_stack(
+        [
+            np.ones(len(li_pdf)),
+            li_pdf["l_quantity"].to_numpy(dtype=np.float64),
+            li_pdf["l_discount"].to_numpy(dtype=np.float64),
+        ]
+    )
+    t = (li_pdf["l_returnflag"] == "A").to_numpy(dtype=np.float64)
+    beta_np, conv, _ = logit_np(X, t)
+    assert conv and fit.converged
+    np.testing.assert_allclose(fit.beta, beta_np, rtol=1e-7, atol=1e-10)
+
+
+def test_probit_matches_numpy_oracle(spark, sf_dir, li_pdf):
+    from pyspark.sql import functions as F
+
+    from oaxaca_blinder_rs_spark.operators.glm import probit
+
+    li = _spark_lineitem(spark, sf_dir).withColumn("__i", F.lit(1.0)).withColumn(
+        "__s", (F.col("l_discount") > 0.01).cast("double")
+    )
+    fit = probit(li, ["__i", "l_tax"], "__s")
+
+    Z = np.column_stack([np.ones(len(li_pdf)), li_pdf["l_tax"].to_numpy(dtype=np.float64)])
+    s = (li_pdf["l_discount"] > 0.01).to_numpy(dtype=np.float64)
+    beta_np, conv, _ = probit_np(Z, s)
+    assert conv and fit.converged
+    np.testing.assert_allclose(fit.beta, beta_np, rtol=1e-7, atol=1e-10)
+
+
+def test_heckman_decomposition_matches_numpy_oracle(spark, sf_dir):
+    """Mirrors the q_heckman_decomposition driver-contract query."""
+    from pyspark.sql import functions as F
+
+    from oaxaca_blinder_rs_spark import OaxacaBuilder
+
+    li = _spark_lineitem(spark, sf_dir).withColumn(
+        "sel", (F.col("l_discount") > 0.01).cast("double")
+    )
+    res = (
+        OaxacaBuilder(li, "l_extendedprice", "l_returnflag", "R")
+        .predictors(["l_quantity"])
+        .heckman_selection("sel", ["l_tax"])
+        .reference_coefficients("group_b")
+        .bootstrap_reps(0)
+        .run()
+    )
+    got = {c.name: c.estimate for c in res.two_fold.detailed_explained}
+    got["total_gap"] = res.total_gap
+
+    want = oracle_heckman(sf_dir)
+    # engine reports the intercept under a display name
+    want["intercept"] = want.pop("__ob_intercept__")
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-6, abs=1e-8), k
+
+
+def test_dfl_matches_numpy_oracle(spark, sf_dir):
+    """Mirrors the q_dfl_densities driver-contract query."""
+    from oaxaca_blinder_rs_spark.operators.dfl import run_dfl
+
+    li = _spark_lineitem(spark, sf_dir)
+    res = run_dfl(li, "l_extendedprice", "l_returnflag", "R", ["l_quantity", "l_linestatus"])
+    want = oracle_dfl(sf_dir)
+
+    np.testing.assert_allclose(res.grid, want["grid"], rtol=1e-12)
+    np.testing.assert_allclose(res.density_a, want["density_a"], rtol=1e-9, atol=1e-15)
+    np.testing.assert_allclose(res.density_b, want["density_b"], rtol=1e-9, atol=1e-15)
+    np.testing.assert_allclose(
+        res.density_b_counterfactual, want["density_b_cf"], rtol=1e-8, atol=1e-15
+    )
+
+
+def test_akm_matches_dense_lstsq_oracle(spark, sf_dir):
+    """Mirrors q_akm_effects: zig-zag projections == one dense lstsq."""
+    from pyspark.sql import functions as F
+
+    from oaxaca_blinder_rs_spark.operators.akm import AkmBuilder
+
+    li = _spark_lineitem(spark, sf_dir)
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    panel = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        F.col("o_custkey").cast("string").alias("worker"),
+        F.col("l_suppkey").cast("string").alias("firm"),
+        F.col("l_extendedprice").alias("y"),
+        F.col("l_quantity").alias("x"),
+    )
+    res = AkmBuilder(panel, "y", "worker", "firm").controls(["x"]).run()
+    want = oracle_akm(sf_dir)
+
+    assert float(res.beta[0]) == pytest.approx(want["beta"], rel=1e-6)
+    assert res.r2 == pytest.approx(want["r2"], rel=1e-6)
+
+    got_fe = {r["firm"]: r["effect"] for r in res.firm_effects.collect()}
+    assert set(got_fe) == set(want["firm_effects"])
+    for f, psi in want["firm_effects"].items():
+        assert got_fe[f] == pytest.approx(psi, abs=2e-4), f"firm {f}"
