@@ -531,34 +531,62 @@ def efficient_frontier(
     n_pooled = stats.n
     dof = n_pooled - len(xcols)
 
-    # schedule: features + current wage for every paid row (driver, guarded)
-    sched_rows = (
-        design.join(
-            F.broadcast(
-                opt.adjustments_df.filter(F.col("adjustment") > 0).select(
-                    F.col("index").alias(ROW_ID), F.col("adjustment").alias("__gap")
-                )
-            ),
-            on=ROW_ID,
+    # Distributed budget sweep. Under greedy allocation the amount paid to a
+    # row at budget b is closed-form: paid_i(b) = clip(b - cum_prev_i, 0,
+    # gap_i) with cum_prev the prefix sum of gaps in desc-gap order (the same
+    # window trick as allocate_budget). Payments at budget b are totals from
+    # the baseline, so each step's sufficient-stat deltas against the
+    # baseline Gram state are plain sums:
+    #   X'y(b) = X'y + sum_i x_i paid_i(b)
+    #   y'y(b) = y'y + sum_i (2 y_i paid_i(b) + paid_i(b)^2)
+    # One crossJoin with the (steps)-row budget table + one groupBy therefore
+    # yields every step's deltas in a single job — nothing scaling with the
+    # schedule ever reaches the driver (vs analysis.rs:1107-1150's per-step
+    # sequential payment loop).
+    sched = design.join(
+        F.broadcast(
+            opt.adjustments_df.filter(F.col("adjustment") > 0).select(
+                F.col("index").alias(ROW_ID), F.col("adjustment").alias("__gap")
+            )
+        ),
+        on=ROW_ID,
+    ).select(ROW_ID, "__gap", F.col(outcome).alias("__y"), *xcols)
+    w = Window.orderBy(F.col("__gap").desc(), F.col(ROW_ID).asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    sched = sched.withColumn("__cum_prev", F.coalesce(F.sum("__gap").over(w), F.lit(0.0)))
+
+    spark = design.sparkSession
+    steps_df = F.broadcast(
+        spark.createDataFrame(
+            [(t, t * step_size) for t in range(1, steps + 1)], "__step long, __budget double"
         )
-        .select(ROW_ID, "__gap", F.col(outcome).alias("__y"), *xcols)
+    )
+    paid = F.greatest(F.lit(0.0), F.least(F.col("__gap"), F.col("__budget") - F.col("__cum_prev")))
+    per_step = (
+        sched.crossJoin(steps_df)
+        .withColumn("__paid", paid)
+        .filter(F.col("__paid") > 0)
+        .groupBy("__step")
+        .agg(
+            *[F.sum(F.col(c) * F.col("__paid")).alias(f"__dxy_{j}") for j, c in enumerate(xcols)],
+            F.sum(
+                F.lit(2.0) * F.col("__y") * F.col("__paid") + F.col("__paid") * F.col("__paid")
+            ).alias("__dyty"),
+        )
         .collect()
     )
-    schedule = sorted(
-        (
-            {
-                "gap": float(r["__gap"]),
-                "y": float(r["__y"]),
-                "x": np.array([float(r[c]) for c in xcols]),
-            }
-            for r in sched_rows
-        ),
-        key=lambda d: -d["gap"],
-    )
+    deltas = {
+        int(r["__step"]): (
+            np.array([float(r[f"__dxy_{j}"] or 0.0) for j in range(len(xcols))]),
+            float(r["__dyty"] or 0.0),
+        )
+        for r in per_step
+    }
 
-    def t_stat() -> FrontierPoint:
-        beta = xtx_inv @ xty
-        rss = max(yty - 2 * beta @ xty + beta @ stats.xtx @ beta, 0.0)
+    def t_stat(xty_t: np.ndarray, yty_t: float) -> FrontierPoint:
+        beta = xtx_inv @ xty_t
+        rss = max(yty_t - 2 * beta @ xty_t + beta @ stats.xtx @ beta, 0.0)
         if dof <= 0:
             return (0.0, 1.0, False)
         sigma2 = rss / dof
@@ -568,27 +596,13 @@ def efficient_frontier(
         return t, p, p < 0.05
 
     points = []
-    t, p, s = t_stat()
+    t, p, s = t_stat(xty, yty)
     points.append(FrontierPoint(0.0, t, p, s))
-    pay_idx = 0
-    budget_cursor = 0.0
+    zero_k = np.zeros(len(xcols))
     for step in range(1, steps + 1):
-        target_budget = step * step_size
-        remaining = target_budget - budget_cursor
-        while remaining > 0 and pay_idx < len(schedule):
-            item = schedule[pay_idx]
-            dy = min(item["gap"], remaining)
-            # incremental update of the sufficient statistics
-            xty += item["x"] * dy
-            yty += 2 * item["y"] * dy + dy * dy
-            item["y"] += dy
-            item["gap"] -= dy
-            remaining -= dy
-            if item["gap"] <= 0:
-                pay_idx += 1
-        budget_cursor = target_budget
-        t, p, s = t_stat()
-        points.append(FrontierPoint(target_budget, t, p, s))
+        dxy, dyty = deltas.get(step, (zero_k, 0.0))
+        t, p, s = t_stat(xty + dxy, yty + dyty)
+        points.append(FrontierPoint(step * step_size, t, p, s))
     return points
 
 
