@@ -218,102 +218,186 @@ class QuantileDecompositionBuilder:
     # -- distributed tau-batch fan-out ---------------------------------------
     def _run_distributed(self) -> QuantileDecompositionResults:
         """Each executor task holds ONE group's rows and fits a batch of taus
-        (applyInPandas over group x tau-batch); only the S x k beta table and
-        2m sampled covariate rows return to the driver. Executor-memory
-        bound, not driver-bound. Bootstrap in this engine is a round-2 item
-        (the driver engine covers it)."""
-        import pandas as pd
+        (applyInPandas over (rep, group, tau-batch)); only the (B+1) x S x k
+        beta table and the sampled covariate rows return to the driver.
+        Executor-memory bound, not driver-bound.
 
-        if self._bootstrap_reps > 0:
-            raise OaxacaError(
-                "fit_engine('distributed') currently supports bootstrap_reps=0; "
-                "use the driver engine for bootstrapped standard errors"
-            )
+        Bootstrap: the fan-out key carries the replicate. Exact-n resampling
+        happens INSIDE each task from a deterministic per-(rep, side) stream
+        (numpy SeedSequence of [seed, 11, rep, side]); the driver regenerates
+        the identical index array to translate simulation picks back to
+        original row ranks, so no resampled data is ever shuffled twice and
+        reruns reproduce exactly. RNG stream layout differs from the driver
+        engine (independent per-rep streams instead of one sequential rng);
+        statistically equivalent, documented divergence.
+        """
+        import pandas as pd
+        from pyspark.sql import Window
+
         design, xcols, group_a, group_b = self._prepare_design()
         design = design.filter(F.col(self._group).isin([group_a, group_b]))
         spark = design.sparkSession
-        rng = np.random.default_rng(self._seed)
+        B = self._bootstrap_reps
         S = self._simulations
-        taus = rng.uniform(0.01, 0.99, size=S)
+        seed = self._seed
 
-        n_batches = min(16, S)
-        batch_rows = [(b, [(int(i), float(taus[i])) for i in range(S) if i % n_batches == b])
-                      for b in range(n_batches)]
-        batch_taus = {b: t for b, t in batch_rows}
-        batches_df = spark.createDataFrame([(b,) for b in batch_taus], "__mm_batch int")
-        replicated = design.crossJoin(F.broadcast(batches_df))
+        # tau draws: rep -1 (point pass) consumes default_rng(seed) exactly as
+        # before; bootstrap reps use independent spawned streams
+        rng0 = np.random.default_rng(seed)
+        taus_by_rep = {-1: rng0.uniform(0.01, 0.99, size=S)}
+        for r in range(B):
+            taus_by_rep[r] = np.random.default_rng([seed, 7, r]).uniform(0.01, 0.99, size=S)
+
+        # stable per-group row rank: fixes row order inside executor tasks
+        # (and the driver's pick translation); checkpoint pins the ids
+        design = design.withColumn("__mm_mid", F.monotonically_increasing_id())
+        w = Window.partitionBy(self._group).orderBy("__mm_mid")
+        ranked = design.withColumn("__mm_rn", F.row_number().over(w) - 1).localCheckpoint()
+        counts = {r[0]: r[1] for r in ranked.groupBy(self._group).count().collect()}
+        n_a, n_b = int(counts[group_a]), int(counts[group_b])
+
+        # sizing: (B+1) x 2 groups x n_batches tasks; shrink batches as the
+        # replicate dimension supplies parallelism (data shipped scales with
+        # reps x batches)
+        par = spark.sparkContext.defaultParallelism
+        total_keys = (B + 1) * 2
+        n_batches = max(1, min(16, math.ceil(par / total_keys)))
+        batch_assign = {b: [i for i in range(S) if i % n_batches == b] for b in range(n_batches)}
+        taus_payload = {
+            (r, b): [(i, float(taus_by_rep[r][i])) for i in batch_assign[b]]
+            for r in range(-1, B)
+            for b in range(n_batches)
+        }
+        rb_df = spark.createDataFrame(
+            [(r, b) for r in range(-1, B) for b in range(n_batches)],
+            "__mm_rep int, __mm_batch int",
+        )
+        replicated = ranked.crossJoin(F.broadcast(rb_df))
 
         outcome = self._outcome
         xcols_local = list(xcols)
+        ga = group_a
 
         def fit_batch(key, pdf):
-            gval, batch = key
+            rep, gval, batch = int(key[0]), key[1], int(key[2])
+            pdf = pdf.sort_values("__mm_rn")
             X = pdf[xcols_local].to_numpy(dtype=np.float64)
             y = pdf[outcome].to_numpy(dtype=np.float64)
+            if rep >= 0:  # exact-n resample with replacement, deterministic
+                side = 0 if gval == ga else 1
+                idx = np.random.default_rng([seed, 11, rep, side]).integers(0, len(y), size=len(y))
+                X, y = X[idx], y[idx]
             out = []
-            for ti, tau in batch_taus[batch]:
+            for ti, tau in taus_payload[(rep, batch)]:
                 try:
                     beta = solve_qr(X, y, tau)
-                    out.append((gval, int(ti), [float(v) for v in beta], True))
+                    out.append((rep, gval, int(ti), [float(v) for v in beta], True))
                 except Exception:
-                    out.append((gval, int(ti), [], False))
-            return pd.DataFrame(out, columns=["grp", "tau_idx", "beta", "ok"])
+                    out.append((rep, gval, int(ti), [], False))
+            return pd.DataFrame(out, columns=["rep", "grp", "tau_idx", "beta", "ok"])
 
         beta_rows = (
-            replicated.groupBy(self._group, "__mm_batch")
-            .applyInPandas(fit_batch, "grp string, tau_idx int, beta array<double>, ok boolean")
+            replicated.groupBy("__mm_rep", self._group, "__mm_batch")
+            .applyInPandas(fit_batch, "rep int, grp string, tau_idx int, beta array<double>, ok boolean")
             .collect()
         )
-        betas = {"a": [], "b": []}
-        for side, gval in (("a", group_a), ("b", group_b)):
-            by_idx = {int(r["tau_idx"]): r for r in beta_rows if r["grp"] == gval}
-            betas[side] = [
-                np.array(by_idx[i]["beta"]) for i in range(S)
-                if i in by_idx and by_idx[i]["ok"]
-            ]
-        if len(betas["a"]) < S / 2 or len(betas["b"]) < S / 2:
-            raise OaxacaError("Failed to estimate a sufficient number of quantile regressions.")
-        m = min(len(betas["a"]), len(betas["b"]))
+        betas: dict[tuple[int, int], list[np.ndarray]] = {}
+        for row in sorted(
+            (r for r in beta_rows if r["ok"]), key=lambda r: (int(r["rep"]), int(r["tau_idx"]))
+        ):
+            side = 0 if row["grp"] == group_a else 1
+            betas.setdefault((int(row["rep"]), side), []).append(np.array(row["beta"]))
 
-        # m random covariate rows per group via deterministic ranked picks
-        from pyspark.sql import Window
+        # per-rep simulation plan: translate picks into original row ranks
+        plans: dict[int, dict] = {}
+        needed: dict[str, set[int]] = {group_a: set(), group_b: set()}
+        failed = 0
+        for r in range(-1, B):
+            ba = betas.get((r, 0), [])
+            bb = betas.get((r, 1), [])
+            if len(ba) < S / 2 or len(bb) < S / 2:
+                if r == -1:
+                    raise OaxacaError(
+                        "Failed to estimate a sufficient number of quantile regressions."
+                    )
+                failed += 1
+                continue
+            m = min(len(ba), len(bb))
+            if r == -1:
+                idx_a = rng0.integers(0, n_a, size=m)
+                idx_b = rng0.integers(0, n_b, size=m)
+                rank_a, rank_b = idx_a, idx_b
+            else:
+                rs = np.random.default_rng([seed, 13, r])
+                idx_a = rs.integers(0, n_a, size=m)
+                idx_b = rs.integers(0, n_b, size=m)
+                ia = np.random.default_rng([seed, 11, r, 0]).integers(0, n_a, size=n_a)
+                ib = np.random.default_rng([seed, 11, r, 1]).integers(0, n_b, size=n_b)
+                rank_a, rank_b = ia[idx_a], ib[idx_b]
+            plans[r] = {"ba": ba, "bb": bb, "rank_a": rank_a, "rank_b": rank_b, "m": m}
+            needed[group_a].update(int(i) for i in rank_a)
+            needed[group_b].update(int(i) for i in rank_b)
+        if failed:
+            import sys as _sys
 
-        design = design.withColumn("__mm_mid", F.monotonically_increasing_id())
-        w = Window.partitionBy(self._group).orderBy("__mm_mid")
-        ranked = design.withColumn("__mm_rn", F.row_number().over(w) - 1)
-        counts = {r[0]: r[1] for r in design.groupBy(self._group).count().collect()}
-        picks = {
-            group_a: rng.integers(0, counts[group_a], size=m),
-            group_b: rng.integers(0, counts[group_b], size=m),
-        }
+            print(
+                f"Warning: {failed} out of {B} bootstrap replications failed and "
+                f"were discarded. The analysis is based on {B - failed} successful "
+                "replications.",
+                file=_sys.stderr,
+            )
+
         want = ranked.filter(
-            ((F.col(self._group) == group_a) & F.col("__mm_rn").isin([int(i) for i in set(picks[group_a])]))
-            | ((F.col(self._group) == group_b) & F.col("__mm_rn").isin([int(i) for i in set(picks[group_b])]))
+            ((F.col(self._group) == group_a) & F.col("__mm_rn").isin(sorted(needed[group_a])))
+            | ((F.col(self._group) == group_b) & F.col("__mm_rn").isin(sorted(needed[group_b])))
         ).select(self._group, "__mm_rn", *xcols).collect()
         rows_by = {}
-        for r in want:
-            rows_by[(r[self._group], int(r["__mm_rn"]))] = np.array([float(r[c]) for c in xcols])
+        for r_ in want:
+            rows_by[(r_[self._group], int(r_["__mm_rn"]))] = np.array(
+                [float(r_[c]) for c in xcols]
+            )
 
-        y_aa = np.array([rows_by[(group_a, int(picks[group_a][i]))] @ betas["a"][i] for i in range(m)])
-        y_bb = np.array([rows_by[(group_b, int(picks[group_b][i]))] @ betas["b"][i] for i in range(m)])
-        y_ab = np.array([rows_by[(group_a, int(picks[group_a][i]))] @ betas["b"][i] for i in range(m)])
+        def effects_for(plan) -> dict[str, tuple[float, float, float]]:
+            m = plan["m"]
+            y_aa = np.array(
+                [rows_by[(group_a, int(plan["rank_a"][i]))] @ plan["ba"][i] for i in range(m)]
+            )
+            y_bb = np.array(
+                [rows_by[(group_b, int(plan["rank_b"][i]))] @ plan["bb"][i] for i in range(m)]
+            )
+            y_ab = np.array(
+                [rows_by[(group_a, int(plan["rank_a"][i]))] @ plan["bb"][i] for i in range(m)]
+            )
+            out = {}
+            for tau in self._quantiles:
+                q_aa = _empirical_quantile(y_aa, tau)
+                q_bb = _empirical_quantile(y_bb, tau)
+                q_ab = _empirical_quantile(y_ab, tau)
+                out[f"q{int(tau * 100)}"] = (q_aa - q_bb, q_ab - q_bb, q_aa - q_ab)
+            return out
+
+        point = effects_for(plans[-1])
+        boot = [effects_for(plans[r]) for r in range(B) if r in plans]
+
+        def comp(name, est, dist):
+            se, p, (lo, hi) = bootstrap_stats(dist, est)
+            t = est / se if (se == se and abs(se) > 1e-9) else 0.0
+            return ComponentResult(name=name, estimate=est, std_err=se, t_stat=t,
+                                   p_value=p, ci_lower=lo, ci_upper=hi)
 
         results = {}
-        for tau in self._quantiles:
-            q_aa = _empirical_quantile(y_aa, tau)
-            q_bb = _empirical_quantile(y_bb, tau)
-            q_ab = _empirical_quantile(y_ab, tau)
-
-            def comp(name, est):
-                return ComponentResult(name=name, estimate=est)
-
-            results[f"q{int(tau * 100)}"] = QuantileDecompositionDetail(
-                total_gap=comp("Total Gap", q_aa - q_bb),
-                characteristics_effect=comp("Characteristics", q_ab - q_bb),
-                coefficients_effect=comp("Coefficients", q_aa - q_ab),
+        for key, (gap, char, coeff) in point.items():
+            results[key] = QuantileDecompositionDetail(
+                total_gap=comp("Total Gap", gap, [b[key][0] for b in boot if key in b]),
+                characteristics_effect=comp(
+                    "Characteristics", char, [b[key][1] for b in boot if key in b]
+                ),
+                coefficients_effect=comp(
+                    "Coefficients", coeff, [b[key][2] for b in boot if key in b]
+                ),
             )
         return QuantileDecompositionResults(
-            results_by_quantile=results, n_a=int(counts[group_a]), n_b=int(counts[group_b])
+            results_by_quantile=results, n_a=n_a, n_b=n_b
         )
 
     def run(self) -> QuantileDecompositionResults:

@@ -31,7 +31,41 @@ def get_spark(app_name: str = "oaxaca-blinder-spark", shuffle_partitions: int | 
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _ship_package(spark)
+    return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    Pandas-UDF closures (fused bootstrap GEMM, Machado-Mata tau-batch fits)
+    reference package modules by name, so workers must be able to import
+    ``oaxaca_blinder_rs_spark`` — guaranteed only when the driver runs from
+    the repo root or the package is pip-installed. Shipping a zip via
+    ``addPyFile`` covers every other launch directory and is exactly what a
+    real cluster deployment would do (spark-submit --py-files).
+    """
+    try:
+        import oaxaca_blinder_rs_spark  # noqa: PLW0406
+
+        pkg_dir = os.path.dirname(os.path.abspath(oaxaca_blinder_rs_spark.__file__))
+        zip_path = os.path.join(
+            os.environ.get("SPARK_GRAFT_TMP", "/tmp"), "oaxaca_blinder_rs_spark_pkg.zip"
+        )
+        if not os.path.exists(zip_path):
+            import zipfile
+
+            with zipfile.ZipFile(zip_path, "w") as zf:
+                for root, _dirs, files in os.walk(pkg_dir):
+                    for f in files:
+                        if f.endswith(".py"):
+                            full = os.path.join(root, f)
+                            rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                            zf.write(full, rel)
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # best effort: repo-root / installed launches never need it
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str):

@@ -177,16 +177,37 @@ def test_machado_mata_distributed_engine(spark):
     assert abs(d.total_gap.estimate - rv.results_by_quantile["q50"].total_gap.estimate) < 4.0
 
 
-def test_machado_mata_distributed_rejects_bootstrap(spark):
-    import pytest
+def test_machado_mata_distributed_bootstrap(spark):
+    """Bootstrap rides the fan-out key: finite SEs, identities per replicate
+    aggregate, and exact reproducibility across runs."""
+    wage = [10.0, 12.0, 11.0, 13.0, 15.0, 20.0, 22.0, 21.0, 23.0, 25.0] * 4
+    edu = [12.0, 16.0, 14.0, 16.0, 18.0] * 8
+    gender = (["F"] * 5 + ["M"] * 5) * 4
+    df = spark.createDataFrame(list(zip(wage, edu, gender)), ["wage", "education", "gender"])
 
-    from oaxaca_blinder_rs_spark.errors import OaxacaError
-
-    df = spark.createDataFrame([(1.0, 1.0, "A"), (2.0, 2.0, "B")], ["wage", "education", "gender"])
-    with pytest.raises(OaxacaError, match="distributed"):
-        (
-            QuantileDecompositionBuilder(df, "wage", "gender", "B")
+    def run():
+        return (
+            QuantileDecompositionBuilder(df, "wage", "gender", "F")
+            .predictors(["education"])
+            .quantiles([0.5])
+            .simulations(40)
+            .bootstrap_reps(6)
+            .seed(7)
             .fit_engine("distributed")
-            .bootstrap_reps(5)
             .run()
         )
+
+    r1, r2 = run(), run()
+    d = r1.results_by_quantile["q50"]
+    assert d.total_gap.std_err == d.total_gap.std_err  # finite, not NaN
+    assert d.total_gap.std_err > 0.0
+    assert d.total_gap.ci_lower <= d.total_gap.ci_upper
+    assert abs(
+        d.characteristics_effect.estimate + d.coefficients_effect.estimate
+        - d.total_gap.estimate
+    ) < 1e-9
+    # determinism: identical estimates AND identical bootstrap stats
+    d2 = r2.results_by_quantile["q50"]
+    assert d.total_gap.estimate == d2.total_gap.estimate
+    assert d.total_gap.std_err == d2.total_gap.std_err
+    assert d.coefficients_effect.ci_upper == d2.coefficients_effect.ci_upper
