@@ -136,9 +136,14 @@ class OaxacaBuilder:
     def bootstrap_method(self, method: str) -> "OaxacaBuilder":
         """'poisson' (Catalyst expressions), 'poisson_fast' (vectorized
         mapInPandas GEMM — the 100 TB path), 'exact' (reference-parity
-        exact-n multinomial), or 'auto' (fast when reps*n is large)."""
-        if method not in ("poisson", "poisson_fast", "exact", "auto"):
-            raise ValueError("bootstrap method must be 'poisson', 'poisson_fast', 'exact' or 'auto'")
+        exact-n multinomial, Catalyst expressions), 'exact_fast' (same
+        pick stream, GEMM reduction), or 'auto' (fast when reps*n is
+        large)."""
+        if method not in ("poisson", "poisson_fast", "exact", "exact_fast", "auto"):
+            raise ValueError(
+                "bootstrap method must be 'poisson', 'poisson_fast', 'exact', "
+                "'exact_fast' or 'auto'"
+            )
         self._bootstrap_method = method
         return self
 
@@ -384,7 +389,7 @@ class OaxacaBuilder:
             # column has many levels.)
             fused = (
                 self._engine == "pandas"
-                and self._bootstrap_method in ("poisson_fast", "auto")
+                and self._bootstrap_method in ("poisson_fast", "exact_fast", "auto")
             )
             rep_stats: dict = {}
             if fused:
@@ -398,6 +403,7 @@ class OaxacaBuilder:
                     wcol=self._weights_col,
                     id_col=ROW_ID,
                     include_identity=True,
+                    method="exact" if self._bootstrap_method == "exact_fast" else "poisson",
                 )
                 stats = all_stats.pop(-1, {})
                 rep_stats = all_stats
@@ -428,7 +434,7 @@ class OaxacaBuilder:
                 if method == "auto":
                     n_total = stats_a.n + stats_b.n
                     method = "poisson_fast" if self._bootstrap_reps * n_total > 2_000_000 else "poisson"
-                if method == "poisson_fast":
+                if method in ("poisson_fast", "exact_fast"):
                     rep_stats = bootstrap_group_stats_fast(
                         boot_design,
                         xcols,
@@ -438,6 +444,8 @@ class OaxacaBuilder:
                         seed=self._seed,
                         wcol=self._weights_col,
                         id_col=ROW_ID,
+                        method="exact" if method == "exact_fast" else "poisson",
+                        group_sizes={group_a: stats_a.n, group_b: stats_b.n},
                     )
                 else:
                     rep_stats = bootstrap_group_stats(

@@ -187,20 +187,36 @@ def bootstrap_group_stats_fast(
     id_col: str = "__ob_row_id__",
     rep_block: int = 128,
     include_identity: bool = False,
+    method: str = "poisson",
+    group_sizes: dict[str, int] | None = None,
 ) -> dict[int, dict[str, GroupStats]]:
-    """Poisson bootstrap via one mapInPandas pass + driver reduce.
+    """Bootstrap via one mapInPandas GEMM pass + driver reduce.
 
     Scale design: each partition builds the per-row product features
-    P (n_p x L) ONCE, generates the (n_p x B) deterministic count matrix from
-    splitmix64(row_id, rep, seed), and reduces with a single BLAS GEMM
-    P'·(C*w) — O(n·B·L) flops but in BLAS, not per-row codegen. Only
-    (partitions x B x groups) stat vectors leave the executors; nothing scales
-    with n on the driver. Counts are a pure function of (row_id, rep, seed),
-    so results are independent of partitioning — reruns reproduce exactly.
+    P (n_p x L) ONCE, forms the (n_p x B) deterministic count matrix, and
+    reduces with a single BLAS GEMM P'·(C*w) — O(n·B·L) flops but in BLAS,
+    not per-row codegen. Only (partitions x B x groups) stat vectors leave
+    the executors; nothing scales with n on the driver. Counts are a pure
+    function of (seed, row identity, rep), so results are independent of
+    partitioning — reruns reproduce exactly.
+
+    ``method`` selects how C is generated:
+
+    - ``poisson``: counts from splitmix64(row_id, rep, seed) via inverse-CDF,
+      entirely partition-local (no extra shuffle). The 100 TB default.
+    - ``exact``: exact-n-with-replacement per group, reference-parity
+      semantics (builder.rs:822-828). The SAME xxhash64 pick stream as
+      ``bootstrap_group_stats(method='exact')`` is aggregated to per-row
+      ``(rep, count)`` arrays and left-joined onto the data by within-group
+      row index, then scattered into C inside the GEMM task. Costs one
+      range(B·n) aggregation + one shuffle join — exactly the price of
+      global exact-n semantics — but the Gram reduction stays BLAS instead
+      of ~L Catalyst expressions over B·n exploded rows.
 
     ``include_identity=True`` additionally emits rep = -1 with unit counts —
     the POINT-estimate sufficient statistics — so a full decomposition with
-    bootstrap needs exactly ONE pass over the data.
+    bootstrap needs exactly ONE pass over the data (plus, for ``exact``, a
+    per-group count job to size the pick streams).
     """
     import numpy as np
     import pandas as pd
@@ -210,9 +226,51 @@ def bootstrap_group_stats_fast(
     L = len(tri) + 2 * k + 3  # xx, xsum, xy, yty, ysum, wsum
     cdf = _poisson_cdf12()
     B = reps
+    use_exact = method == "exact"
+    if method not in ("poisson", "exact"):
+        raise ValueError(f"unknown fast bootstrap method: {method}")
 
     cols = [group, id_col, ycol] + xcols + ([wcol] if wcol else [])
     proj = df.select(*cols)
+    if use_exact:
+        if not group_sizes:
+            group_sizes = {r[0]: r[1] for r in proj.groupBy(group).count().collect()}
+        spark = df.sparkSession
+        picks = None
+        for gval, n_g in group_sizes.items():
+            p = (
+                spark.range(reps * int(n_g))
+                .select(
+                    F.lit(gval).alias("__g"),
+                    (F.col("id") / int(n_g)).cast("long").alias("__rep"),
+                    F.pmod(
+                        F.xxhash64(F.col("id"), F.lit(seed), F.lit(str(gval))), F.lit(int(n_g))
+                    ).alias("__pick"),
+                )
+            )
+            picks = p if picks is None else picks.unionByName(p)
+        pick_counts = (
+            picks.groupBy("__g", "__pick", "__rep")
+            .agg(F.count(F.lit(1)).cast("double").alias("__c"))
+            .groupBy("__g", "__pick")
+            .agg(F.sort_array(F.collect_list(F.struct("__rep", "__c"))).alias("__rc"))
+            .select(
+                "__g",
+                "__pick",
+                F.col("__rc.__rep").alias("__rl"),
+                F.col("__rc.__c").alias("__cl"),
+            )
+        )
+        w_idx = Window.partitionBy(group).orderBy(id_col)
+        base = proj.withColumn("__gidx", (F.row_number().over(w_idx) - 1).cast("long"))
+        proj = (
+            base.join(
+                pick_counts,
+                on=[base[group] == pick_counts["__g"], base["__gidx"] == pick_counts["__pick"]],
+                how="left",
+            )
+            .drop("__g", "__pick", "__gidx")
+        )
     out_schema = "rep long, grp string, stats array<double>"
 
     seed_arr_const = np.uint64(seed)
@@ -248,15 +306,30 @@ def bootstrap_group_stats_fast(
             if include_identity:
                 g_id = P.T @ w
                 rows_out.append((-1, gval, np.append(g_id, float(n_g)).tolist()))
+            if use_exact:
+                # flatten this partition's per-row (rep, count) arrays once
+                lens = np.array(
+                    [0 if a is None else len(a) for a in sub["__rl"]], dtype=np.int64
+                )
+                row_flat = np.repeat(np.arange(n_g), lens)
+                nz = [np.asarray(a, dtype=np.int64) for a in sub["__rl"] if a is not None and len(a)]
+                rep_flat = np.concatenate(nz) if nz else np.empty(0, dtype=np.int64)
+                cz = [np.asarray(a, dtype=np.float64) for a in sub["__cl"] if a is not None and len(a)]
+                cnt_flat = np.concatenate(cz) if cz else np.empty(0, dtype=np.float64)
             for b0 in range(0, B, rep_block):
                 b1 = min(b0 + rep_block, B)
                 nb = b1 - b0
-                rep_ids = np.arange(b0, b1, dtype=np.uint64)
-                # u[i, b] = splitmix64(rid_i ^ splitmix64(rep ^ seed)) / 2^64
-                rep_keys = _splitmix64(rep_ids ^ seed_arr_const)
-                h = _splitmix64(rid[:, None] ^ rep_keys[None, :])
-                u = h.astype(np.float64) / 18446744073709551616.0
-                C = np.searchsorted(cdf, u.ravel(), side="right").reshape(n_g, nb).astype(np.float64)
+                if use_exact:
+                    C = np.zeros((n_g, nb), dtype=np.float64)
+                    m = (rep_flat >= b0) & (rep_flat < b1)
+                    C[row_flat[m], rep_flat[m] - b0] = cnt_flat[m]
+                else:
+                    rep_ids = np.arange(b0, b1, dtype=np.uint64)
+                    # u[i, b] = splitmix64(rid_i ^ splitmix64(rep ^ seed)) / 2^64
+                    rep_keys = _splitmix64(rep_ids ^ seed_arr_const)
+                    h = _splitmix64(rid[:, None] ^ rep_keys[None, :])
+                    u = h.astype(np.float64) / 18446744073709551616.0
+                    C = np.searchsorted(cdf, u.ravel(), side="right").reshape(n_g, nb).astype(np.float64)
                 ncnt[b0:b1] = C.sum(axis=0)
                 G[:, b0:b1] = P.T @ (C * w[:, None])
             for b in range(B):

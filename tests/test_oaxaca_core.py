@@ -191,6 +191,31 @@ def test_bootstrap_exact_method(spark):
     assert math.isfinite(res.two_fold.explained.std_err)
 
 
+def test_bootstrap_exact_fast_matches_exact(spark):
+    """exact_fast (GEMM reduction) consumes the SAME xxhash64 pick stream as
+    the Catalyst exact path — replicate stats differ only by float summation
+    order, so SE/CI agree to ~1e-9."""
+
+    def run(method):
+        return (
+            OaxacaBuilder(sample_df(spark), "wage", "gender", "F")
+            .predictors(["education", "experience"])
+            .bootstrap_reps(12)
+            .bootstrap_method(method)
+            .seed(11)
+            .run()
+        )
+
+    r_expr, r_fast = run("exact"), run("exact_fast")
+    assert abs(r_expr.two_fold.explained.estimate - r_fast.two_fold.explained.estimate) < 1e-9
+    assert abs(r_expr.two_fold.explained.std_err - r_fast.two_fold.explained.std_err) < 1e-6
+    assert abs(r_expr.two_fold.unexplained.ci_lower - r_fast.two_fold.unexplained.ci_lower) < 1e-6
+    assert abs(r_expr.two_fold.unexplained.ci_upper - r_fast.two_fold.unexplained.ci_upper) < 1e-6
+    # determinism of the fast path itself
+    r_fast2 = run("exact_fast")
+    assert r_fast.two_fold.explained.std_err == r_fast2.two_fold.explained.std_err
+
+
 def test_bootstrap_determinism(spark):
     b1 = (
         OaxacaBuilder(sample_df(spark), "wage", "gender", "F")
