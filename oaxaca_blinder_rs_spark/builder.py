@@ -35,7 +35,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .errors import ColumnNotFound, InvalidGroupVariable, OaxacaError
+from .errors import ColumnNotFound, InsufficientData, InvalidGroupVariable, OaxacaError
 from .formula import Formula
 from .functions.linalg import (
     GroupStats,
@@ -206,6 +206,10 @@ class OaxacaBuilder:
         for var in self._categorical_predictors:
             levels = [r[0] for r in df.select(var).distinct().orderBy(var).collect()]
             levels = [lv for lv in levels if lv is not None]
+            if not levels:
+                raise InsufficientData(
+                    f"Categorical predictor '{var}' has no non-null levels"
+                )
             category_counts[var] = len(levels)
             base_categories[var] = f"{var}_{levels[0]}"
             for lv in levels[1:]:
@@ -380,21 +384,62 @@ class OaxacaBuilder:
         # at cluster scale caching a 100 TB design frame is impossible and the
         # second parquet scan is cheaper than a memory-store materialization.
         # Callers that loop (JMP, frontier) should cache their input upstream.
-        try:
-            # Fused single pass: with the pandas engine + fast bootstrap, ONE
-            # mapInPandas pass yields the point-estimate stats (rep = -1) AND
-            # every bootstrap replicate's stats for every group — the whole
-            # analysis is one data scan. (Replicate work for group levels
-            # outside {A, B} is wasted; pre-filter the input when the group
-            # column has many levels.)
-            fused = (
-                self._engine == "pandas"
-                and self._bootstrap_method in ("poisson_fast", "exact_fast", "auto")
+        # Fused single pass: with the pandas engine + fast bootstrap, ONE
+        # mapInPandas pass yields the point-estimate stats (rep = -1) AND
+        # every bootstrap replicate's stats for every group — the whole
+        # analysis is one data scan. (Replicate work for group levels
+        # outside {A, B} is wasted; pre-filter the input when the group
+        # column has many levels.)
+        fused = (
+            self._engine == "pandas"
+            and self._bootstrap_method in ("poisson_fast", "exact_fast", "auto")
+        )
+        rep_stats: dict = {}
+        if fused:
+            all_stats = bootstrap_group_stats_fast(
+                design,
+                xcols,
+                self._outcome,
+                self._group,
+                reps=self._bootstrap_reps,
+                seed=self._seed,
+                wcol=self._weights_col,
+                id_col=ROW_ID,
+                include_identity=True,
+                method="exact" if self._bootstrap_method == "exact_fast" else "poisson",
             )
-            rep_stats: dict = {}
-            if fused:
-                all_stats = bootstrap_group_stats_fast(
-                    design,
+            stats = all_stats.pop(-1, {})
+            rep_stats = all_stats
+        else:
+            # ONE aggregation pass computes every group's sufficient
+            # stats; group names fall out of its keys (no distinct job).
+            stats = collect_group_stats(
+                design, xcols, self._outcome, group=self._group,
+                wcol=self._weights_col, engine=self._engine,
+            )
+        levels = sorted(g for g in stats if g is not None)
+        if len(levels) < 2:
+            raise InvalidGroupVariable("Not enough groups for comparison")
+        group_b = self._reference_group
+        group_a = levels[0] if levels[0] != group_b else levels[1]
+        if group_a not in stats or group_b not in stats:
+            raise InvalidGroupVariable("One group has no data")
+        stats_a, stats_b = stats[group_a], stats[group_b]
+
+        point = self._decompose_from_stats(
+            stats_a, stats_b, category_counts, base_categories, len(self._predictors)
+        )
+
+        reps_results: list[_SinglePass] = []
+        if self._bootstrap_reps > 0 and not fused:
+            boot_design = design.filter(F.col(self._group).isin([group_a, group_b]))
+            method = self._bootstrap_method
+            if method == "auto":
+                n_total = stats_a.n + stats_b.n
+                method = "poisson_fast" if self._bootstrap_reps * n_total > 2_000_000 else "poisson"
+            if method in ("poisson_fast", "exact_fast"):
+                rep_stats = bootstrap_group_stats_fast(
+                    boot_design,
                     xcols,
                     self._outcome,
                     self._group,
@@ -402,93 +447,49 @@ class OaxacaBuilder:
                     seed=self._seed,
                     wcol=self._weights_col,
                     id_col=ROW_ID,
-                    include_identity=True,
-                    method="exact" if self._bootstrap_method == "exact_fast" else "poisson",
+                    method="exact" if method == "exact_fast" else "poisson",
+                    group_sizes={group_a: stats_a.n, group_b: stats_b.n},
                 )
-                stats = all_stats.pop(-1, {})
-                rep_stats = all_stats
             else:
-                # ONE aggregation pass computes every group's sufficient
-                # stats; group names fall out of its keys (no distinct job).
-                stats = collect_group_stats(
-                    design, xcols, self._outcome, group=self._group,
-                    wcol=self._weights_col, engine=self._engine,
+                rep_stats = bootstrap_group_stats(
+                    boot_design,
+                    xcols,
+                    self._outcome,
+                    self._group,
+                    reps=self._bootstrap_reps,
+                    seed=self._seed,
+                    wcol=self._weights_col,
+                    id_col=ROW_ID,
+                    method=method,
+                    group_sizes={group_a: stats_a.n, group_b: stats_b.n},
                 )
-            levels = sorted(g for g in stats if g is not None)
-            if len(levels) < 2:
-                raise InvalidGroupVariable("Not enough groups for comparison")
-            group_b = self._reference_group
-            group_a = levels[0] if levels[0] != group_b else levels[1]
-            if group_a not in stats or group_b not in stats:
-                raise InvalidGroupVariable("One group has no data")
-            stats_a, stats_b = stats[group_a], stats[group_b]
-
-            point = self._decompose_from_stats(
-                stats_a, stats_b, category_counts, base_categories, len(self._predictors)
-            )
-
-            reps_results: list[_SinglePass] = []
-            if self._bootstrap_reps > 0 and not fused:
-                boot_design = design.filter(F.col(self._group).isin([group_a, group_b]))
-                method = self._bootstrap_method
-                if method == "auto":
-                    n_total = stats_a.n + stats_b.n
-                    method = "poisson_fast" if self._bootstrap_reps * n_total > 2_000_000 else "poisson"
-                if method in ("poisson_fast", "exact_fast"):
-                    rep_stats = bootstrap_group_stats_fast(
-                        boot_design,
-                        xcols,
-                        self._outcome,
-                        self._group,
-                        reps=self._bootstrap_reps,
-                        seed=self._seed,
-                        wcol=self._weights_col,
-                        id_col=ROW_ID,
-                        method="exact" if method == "exact_fast" else "poisson",
-                        group_sizes={group_a: stats_a.n, group_b: stats_b.n},
-                    )
-                else:
-                    rep_stats = bootstrap_group_stats(
-                        boot_design,
-                        xcols,
-                        self._outcome,
-                        self._group,
-                        reps=self._bootstrap_reps,
-                        seed=self._seed,
-                        wcol=self._weights_col,
-                        id_col=ROW_ID,
-                        method=method,
-                        group_sizes={group_a: stats_a.n, group_b: stats_b.n},
-                    )
-            if self._bootstrap_reps > 0:
-                for rep in sorted(rep_stats):
-                    per_group = rep_stats[rep]
-                    if group_a not in per_group or group_b not in per_group:
-                        continue
-                    try:
-                        reps_results.append(
-                            self._decompose_from_stats(
-                                per_group[group_a],
-                                per_group[group_b],
-                                category_counts,
-                                base_categories,
-                                len(self._predictors),
-                            )
+        if self._bootstrap_reps > 0:
+            for rep in sorted(rep_stats):
+                per_group = rep_stats[rep]
+                if group_a not in per_group or group_b not in per_group:
+                    continue
+                try:
+                    reps_results.append(
+                        self._decompose_from_stats(
+                            per_group[group_a],
+                            per_group[group_b],
+                            category_counts,
+                            base_categories,
+                            len(self._predictors),
                         )
-                    except OaxacaError:
-                        continue
-                if len(reps_results) < self._bootstrap_reps:
-                    print(
-                        f"Warning: {self._bootstrap_reps - len(reps_results)} out of "
-                        f"{self._bootstrap_reps} bootstrap replications failed and were "
-                        f"discarded. The analysis is based on {len(reps_results)} "
-                        "successful replications.",
-                        file=sys.stderr,
                     )
+                except OaxacaError:
+                    continue
+            if len(reps_results) < self._bootstrap_reps:
+                print(
+                    f"Warning: {self._bootstrap_reps - len(reps_results)} out of "
+                    f"{self._bootstrap_reps} bootstrap replications failed and were "
+                    f"discarded. The analysis is based on {len(reps_results)} "
+                    "successful replications.",
+                    file=sys.stderr,
+                )
 
-            return self._assemble_results(point, reps_results, stats_a, stats_b, design, xcols, group_b)
-        finally:
-            pass
+        return self._assemble_results(point, reps_results, stats_a, stats_b, design, xcols, group_b)
 
     # -- results assembly (builder.rs:849-951) ----------------------------------
     def _assemble_results(

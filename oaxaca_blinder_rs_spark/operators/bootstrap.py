@@ -23,7 +23,13 @@ Two resampling methods:
   reference-parity semantics matter.
 
 All randomness is a pure function of (seed, rep, row_id): reruns hash-match
-(SURVEY §7.1 determinism-first).
+(SURVEY §7.1 determinism-first). The guarantee is conditional on a stable
+row id: pass ``id_col`` (a durable key column) for cross-run / cross-cluster
+determinism. Without it the row id falls back to
+``monotonically_increasing_id``, which depends on input partitioning — a
+rerun in the SAME session on the SAME cached plan hash-matches, but a rerun
+under a different partitioning (different cluster size, different file
+splits) may draw a different-but-equally-valid resample.
 """
 
 from __future__ import annotations

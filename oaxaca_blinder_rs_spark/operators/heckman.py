@@ -120,6 +120,7 @@ def run_heckman_oaxaca(builder):
     design = design.withColumn(sel_outcome, F.col(sel_outcome).cast("double"))
     design = design.filter(F.col(group).isin([group_a, group_b])).cache()
 
+    frame = None
     try:
         full_counts = {
             r[0]: r[1] for r in design.groupBy(group).count().collect()
@@ -319,7 +320,8 @@ def run_heckman_oaxaca(builder):
             return [int(r[0]) for r in rows], [float(r[1]) for r in rows]
 
         results.attach_residuals(zero_df, supplier)
-        frame.unpersist()
         return results
     finally:
         design.unpersist()
+        if frame is not None:
+            frame.unpersist()

@@ -12,12 +12,15 @@ from oaxaca_blinder_rs_spark import OaxacaBuilder, InsufficientData, SingularMat
 
 WAGE = [10.0, 12.0, 11.0, 13.0, 15.0, 20.0, 22.0, 21.0, 23.0, 25.0] * 2
 EDU = [12.0, 16.0, 14.0, 16.0, 18.0] * 4
+# No 3 distinct (education, experience) points are collinear, so any bootstrap
+# replicate drawing >=3 distinct rows keeps the 3-column design full-rank.
+EXP = [1.0, 4.0, 2.0, 7.0, 3.0] * 4
 GENDER = ["F"] * 5 + ["M"] * 5 + ["F"] * 5 + ["M"] * 5
 
 
 def sample_df(spark):
-    rows = list(zip(WAGE, EDU, GENDER))
-    return spark.createDataFrame(rows, ["wage", "education", "gender"])
+    rows = list(zip(WAGE, EDU, EXP, GENDER))
+    return spark.createDataFrame(rows, ["wage", "education", "experience", "gender"])
 
 
 def run_and_check(builder, expected_gap):
