@@ -228,6 +228,19 @@ def q_knn_cosine_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_lsh_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed (sign-LSH) cosine top-3 — the 100 TB ANN path, driver-verified.
+
+    Integer hyperplanes + floor-quantized vectors make the bucket stage exact
+    int64 arithmetic, so the oracle replicates the WHOLE pipeline (bucketing,
+    candidate join, rerank) bit-for-bit rather than just bounding recall."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 50)
+    return similarity.lsh_topk_int(q, emb, dim=64, k=3, bits=6, num_tables=6).select(
+        "query_id", "neighbor_id", "cosine", "rank"
+    )
+
+
 def q_weighted_kde_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9: weighted Gaussian KDE on a 20-point grid (fixed bandwidth)."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
@@ -540,6 +553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "knn_cosine_top3": q_knn_cosine_top3,
+        "ann_lsh_top3": q_ann_lsh_top3,
         "weighted_kde_grid": q_weighted_kde_grid,
         "oaxaca_mean_weighted": q_oaxaca_mean_weighted,
         "vif_lineitem": q_vif_lineitem,
@@ -764,6 +778,37 @@ def oracle_sql() -> dict[str, str]:
                      ) rank
               FROM embeddings a, embeddings b
               WHERE a.vec_id < 50 AND b.vec_id != a.vec_id
+            ) WHERE rank <= 3
+        """,
+        "ann_lsh_top3": """
+            WITH v AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) e,
+                     list_transform(range(0,64),
+                       j -> CAST(floor(CAST(embedding[j+1] AS DOUBLE)*1000) AS BIGINT)) qv
+              FROM embeddings
+            ), bk AS (
+              SELECT vec_id, tt.t,
+                     list_sum(list_transform(range(0,6), b ->
+                       CASE WHEN list_sum(list_transform(range(0,64), j ->
+                                    qv[j+1] * (((((tt.t*6 + b)*64 + j + 1) * 2654435761) % 1000003 % 7) - 3))) >= 0
+                            THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) b
+              FROM v, range(6) tt(t)
+            ), pairs AS (
+              SELECT DISTINCT q.vec_id query_id, c.vec_id neighbor_id
+              FROM bk q JOIN bk c ON q.t = c.t AND q.b = c.b
+              WHERE q.vec_id < 50 AND q.vec_id != c.vec_id
+            ), sims AS (
+              SELECT p.query_id, p.neighbor_id,
+                     round(list_cosine_similarity(a.e, c.e), 6) cosine
+              FROM pairs p
+              JOIN v a ON a.vec_id = p.query_id
+              JOIN v c ON c.vec_id = p.neighbor_id
+            )
+            SELECT * FROM (
+              SELECT query_id, neighbor_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, neighbor_id) rank
+              FROM sims
             ) WHERE rank <= 3
         """,
         "oaxaca_mean_weighted": _OAXACA_CTE + """

@@ -21,7 +21,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["with_norm", "cosine_sim_expr", "brute_force_topk", "lsh_topk"]
+__all__ = ["with_norm", "cosine_sim_expr", "brute_force_topk", "lsh_topk", "lsh_topk_int"]
 
 
 def with_norm(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
@@ -118,6 +118,12 @@ def lsh_topk(
 
     qb = banded(queries, "query_id")
     cb = banded(corpus, "neighbor_id")
+    return _rerank_pairs(qb, cb, k, exclude_self)
+
+
+def _rerank_pairs(qb: DataFrame, cb: DataFrame, k: int, exclude_self: bool) -> DataFrame:
+    """Shared tail of the LSH pipelines: same-bucket join -> distinct pair ->
+    exact cosine rerank -> per-query top-k window."""
     cond = [qb["t"] == cb["t"], qb["b"] == cb["b"]]
     pairs = qb.join(cb, cond)
     if exclude_self:
@@ -131,3 +137,70 @@ def lsh_topk(
     ).dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def int_hyperplane(table: int, bit: int, j: int, bits: int = 6, dim: int = 64) -> int:
+    """Deterministic integer hyperplane entry in [-3, 3].
+
+    Pure int64 arithmetic (Knuth-multiplier LCG over a unique (table, bit, j)
+    index, mod a large prime, then mod 7), so ANY engine — Spark, DuckDB,
+    NumPy — reproduces it exactly. The unique linear index makes planes
+    independent ACROSS tables and bits; a purely additive table term would
+    make every table a residue-rotation of the same plane (zero extra recall
+    per table). Used by `lsh_topk_int`, whose whole bucketing stage is
+    therefore cross-engine hash-matchable.
+    """
+    idx = (table * bits + bit) * dim + j + 1
+    return ((idx * 2654435761) % 1000003 % 7) - 3
+
+
+def lsh_topk_int(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 6,
+    num_tables: int = 6,
+    quantize_scale: int = 1000,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Sign-LSH top-k with *integer* hyperplanes and quantized vectors.
+
+    Same physical plan as `lsh_topk` — bucket both sides on (table, bucket),
+    per-bucket exact cosine rerank, global top-k window — but the bucket
+    computation is exact int64 arithmetic: vectors are quantized with
+    floor(v*scale) and hyperplane entries come from `int_hyperplane`. No
+    float summation order can flip a sign, so an independent engine (the
+    DuckDB oracle) reproduces the candidate set bit-for-bit. This is the
+    driver-verifiable face of the 100 TB ANN path.
+    """
+
+    def bucket_sql(table: int) -> str:
+        # one SQL string per side instead of thousands of Column objects:
+        # py4j round-trips dominate build time otherwise (~15 s -> <1 s)
+        parts = []
+        for b in range(bits):
+            planes = ",".join(f"{int_hyperplane(table, b, j, bits, dim)}L" for j in range(dim))
+            dot = f"aggregate(zip_with(__qv, array({planes}), (x,h) -> x*h), 0L, (a,x) -> a+x)"
+            parts.append(f"(case when {dot} >= 0 then {1 << b}L else 0L end)")
+        return "(" + "+".join(parts) + ")"
+
+    def banded(df: DataFrame, label: str) -> DataFrame:
+        base = with_norm(df, vec_col, id_col).withColumn(
+            "__qv", F.transform(F.col("__vec"), lambda x: F.floor(x * quantize_scale).cast("long"))
+        )
+        tables = F.expr(
+            "array(" + ",".join(f"struct({t} as t, {bucket_sql(t)} as b)" for t in range(num_tables)) + ")"
+        )
+        return base.select(
+            F.col(id_col).alias(label),
+            F.col("__vec").alias(f"__v_{label}"),
+            F.col("__norm").alias(f"__n_{label}"),
+            F.explode(tables).alias("__tb"),
+        ).select(label, f"__v_{label}", f"__n_{label}", F.col("__tb.t").alias("t"), F.col("__tb.b").alias("b"))
+
+    qb = banded(queries, "query_id")
+    cb = banded(corpus, "neighbor_id")
+    return _rerank_pairs(qb, cb, k, exclude_self)

@@ -1,0 +1,77 @@
+"""ANN similarity search: brute-force baseline vs the bucketed LSH paths.
+
+Covers the scale path the driver's ann_lsh_top3 contract query exercises:
+- lsh_topk_int is rerun-deterministic (integer hyperplanes, no RNG state),
+- every pair it returns carries the exact brute-force cosine (the rerank is
+  exact; only the candidate set is approximate),
+- recall against the exact top-k is high at test scale,
+- int_hyperplane matches its documented closed form (the DuckDB oracle
+  re-derives it independently).
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from oaxaca_blinder_rs_spark.operators import similarity
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(path):
+        pytest.skip("no embeddings table")
+    return spark.read.parquet(path).cache()
+
+
+def test_int_hyperplane_formula():
+    for t, b, j in [(0, 0, 0), (3, 5, 63), (7, 2, 10)]:
+        idx = (t * 6 + b) * 64 + j + 1
+        assert similarity.int_hyperplane(t, b, j) == (idx * 2654435761) % 1000003 % 7 - 3
+        assert -3 <= similarity.int_hyperplane(t, b, j) <= 3
+    # planes must differ across tables (a purely additive table term degenerates
+    # to identical tables and LSH recall stops improving with num_tables)
+    p0 = [similarity.int_hyperplane(0, 0, j) for j in range(64)]
+    p1 = [similarity.int_hyperplane(1, 0, j) for j in range(64)]
+    assert p0 != p1
+
+
+def test_lsh_int_deterministic(emb):
+    q = emb.filter(F.col("vec_id") < 20)
+    a = similarity.lsh_topk_int(q, emb, dim=64, k=3).collect()
+    b = similarity.lsh_topk_int(q, emb, dim=64, k=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) > 0
+
+
+def test_lsh_int_cosines_are_exact(emb):
+    """The rerank stage is exact: every (query, neighbor) pair LSH returns
+    must carry the same cosine brute force computes for that pair."""
+    q = emb.filter(F.col("vec_id") < 20)
+    lsh = similarity.lsh_topk_int(q, emb, dim=64, k=3)
+    bf = similarity.brute_force_topk(q, emb, k=10**6)  # all pairs, exact
+    joined = lsh.alias("l").join(
+        bf.alias("b"),
+        [F.col("l.query_id") == F.col("b.query_id"), F.col("l.neighbor_id") == F.col("b.neighbor_id")],
+    )
+    mism = joined.filter(F.col("l.cosine") != F.col("b.cosine")).count()
+    assert mism == 0
+    assert joined.count() == lsh.count()  # every LSH pair exists in the full ranking
+
+
+def test_lsh_int_recall(emb):
+    """Candidate generation is approximate but should recover most of the
+    exact top-3. NOTE: these are random embeddings, so true neighbors sit at
+    cosine ~0.3-0.4 where sign-LSH collision probability is lowest — low bits
+    + many tables is the right operating point here (real near-dup workloads
+    at cosine >= 0.9 recall far better at higher bits). Measured 0.80 at
+    12x3 on sf0.001; assert with margin."""
+    q = emb.filter(F.col("vec_id") < 50)
+    bf = {(r.query_id, r.neighbor_id) for r in similarity.brute_force_topk(q, emb, k=3).collect()}
+    lsh = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.lsh_topk_int(q, emb, dim=64, k=3, bits=3, num_tables=12).collect()
+    }
+    recall = len(bf & lsh) / len(bf)
+    assert recall >= 0.6, f"recall {recall:.2f} too low"
