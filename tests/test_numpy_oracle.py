@@ -146,3 +146,44 @@ def test_akm_matches_dense_lstsq_oracle(spark, sf_dir):
     assert set(got_fe) == set(want["firm_effects"])
     for f, psi in want["firm_effects"].items():
         assert got_fe[f] == pytest.approx(psi, abs=2e-4), f"firm {f}"
+
+
+def test_xxh64_matches_spec_and_spark(spark):
+    """Pure-Python XXH64 (tools/xxh64.py) against (a) the published spec test
+    vectors and (b) Spark's xxhash64 across tail lengths and unicode."""
+    from xxh64 import xxh64, xxh64_signed
+
+    assert xxh64(b"", 0) == 0xEF46DB3751D8E999
+    assert xxh64(b"a", 0) == 0xD24EC4F1A98C6E5B
+    assert xxh64(b"abc", 0) == 0x44BC2CF5AD770999
+
+    from pyspark.sql import functions as F
+
+    strs = ["", "a", "ab", "abcd", "abcde", "12345678", "123456789",
+            "x" * 16, "x" * 31, "y" * 32, "z" * 100, "naïve café ☕"]
+    df = spark.createDataFrame([(s,) for s in strs], "s string")
+    for r in df.select("s", F.xxhash64("s").alias("h")).collect():
+        assert xxh64_signed(r.s.encode("utf-8")) == r.h, repr(r.s)
+
+
+def test_simhash_matches_python_oracle(spark, sf_dir):
+    """Mirrors q_simhash: the 64-bit SimHash column (shingle -> xxhash64 ->
+    per-bit vote) recomputed driver-side from raw text. Closes the rows-only
+    gap — DuckDB has no xxhash64, so the SQL gate can't check this operator."""
+    from pyspark.sql import functions as F
+
+    from oaxaca_blinder_rs_spark.operators import dedup
+    from xxh64 import simhash64_py
+
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .filter(F.col("doc_id") < 50)
+    )
+    got = {
+        r.doc_id: r.sh
+        for r in docs.select("doc_id", dedup.simhash64(F.col("text"), k=2).alias("sh")).collect()
+    }
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    assert len(got) > 0
+    for doc_id, sh in got.items():
+        assert simhash64_py(texts[doc_id], k=2) == sh, f"doc {doc_id}"
