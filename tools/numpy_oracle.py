@@ -297,6 +297,136 @@ def oracle_akm(sf_dir: str) -> dict:
     }
 
 
+def check_loss(X: np.ndarray, y: np.ndarray, beta: np.ndarray, tau: float) -> float:
+    """Quantile-regression objective sum rho_tau(y - X beta)."""
+    r = y - X @ beta
+    return float(np.sum(np.where(r >= 0, tau * r, (tau - 1.0) * r)))
+
+
+def qr_exact_2d(X: np.ndarray, y: np.ndarray, tau: float, n_active: int = 50) -> np.ndarray:
+    """Independent quantile-regression solver for k=2 ([intercept, x]).
+
+    A completely different algorithm than the engine's IRLS/MM
+    (operators/quantile_regression.py): (1) bisection on the slope
+    subgradient of g(b1) = min_b0 obj(b0, b1) — for fixed slope the optimal
+    intercept is the tau-th inverted-CDF quantile of y - b1*x, and g is
+    convex piecewise-linear in b1; (2) exact vertex polish — the LP optimum
+    passes through 2 data points with distinct x, so enumerate the lines
+    through every pair of the `n_active` smallest-|residual| points and take
+    the objective argmin. Returns the exact LP-vertex optimum for
+    non-degenerate problems (the reference solves the same LP with an
+    interior-point method, quantile_regression.rs:22-129).
+    """
+    assert X.shape[1] == 2, "qr_exact_2d handles [intercept, x] designs"
+    x = X[:, 1]
+
+    def c_of(b1: float) -> float:
+        # minimizer of sum rho_tau(z - c) over c = inf{c: F_n(c) >= tau}
+        return float(np.quantile(y - b1 * x, tau, method="inverted_cdf"))
+
+    def grad(b1: float) -> float:
+        r = y - b1 * x - c_of(b1)
+        return float(-np.sum(x * (tau - (r < 0).astype(float))))
+
+    # expanding bracket around the OLS slope, then bisection on the
+    # monotone subgradient
+    b_ols, *_ = np.linalg.lstsq(X, y, rcond=None)
+    lo = hi = float(b_ols[1])
+    step = max(1.0, abs(lo))
+    while grad(lo) > 0:
+        lo -= step
+        step *= 2
+    step = max(1.0, abs(hi))
+    while grad(hi) < 0:
+        hi += step
+        step *= 2
+    for _ in range(100):
+        mid = 0.5 * (lo + hi)
+        if grad(mid) < 0:
+            lo = mid
+        else:
+            hi = mid
+    b1 = 0.5 * (lo + hi)
+    best = np.array([c_of(b1), b1])
+    best_obj = check_loss(X, y, best, tau)
+
+    # vertex polish: candidate lines through pairs of near-active points
+    r = np.abs(y - X @ best)
+    cand = np.argsort(r)[:n_active]
+    xi, yi = x[cand], y[cand]
+    ii, jj = np.triu_indices(len(cand), k=1)
+    dx = xi[ii] - xi[jj]
+    keep = np.abs(dx) > 1e-12
+    ii, jj, dx = ii[keep], jj[keep], dx[keep]
+    if len(ii):
+        b1s = (yi[ii] - yi[jj]) / dx
+        b0s = yi[ii] - b1s * xi[ii]
+        R = y[:, None] - (b0s[None, :] + np.outer(x, b1s))
+        objs = np.sum(np.where(R >= 0, tau * R, (tau - 1.0) * R), axis=0)
+        k = int(np.argmin(objs))
+        if objs[k] < best_obj:
+            best = np.array([b0s[k], b1s[k]])
+            best_obj = float(objs[k])
+    return best
+
+
+def oracle_machado_mata(
+    sf_dir: str,
+    quantiles=(0.25, 0.5, 0.75),
+    simulations: int = 100,
+    seed: int = 42,
+) -> dict:
+    """Independent Machado-Mata single pass (quantile_decomposition.rs:173-279).
+
+    Replays the engine's exact seeded RNG stream (default_rng(seed): S
+    uniform taus, then n-sized integer picks per side) but solves every
+    quantile regression with `qr_exact_2d` — a different optimizer than the
+    engine's IRLS — so agreement pins the QR *solutions* and the simulation
+    semantics, not the iteration. Mirrors q_machado_mata: lineitem,
+    y=l_extendedprice, x=l_quantity, groups A vs R, reps=0.
+    """
+    li = load_table(sf_dir, "lineitem")[["l_extendedprice", "l_returnflag", "l_quantity"]].dropna()
+    groups = sorted(g for g in li["l_returnflag"].unique())
+    group_b = "R"
+    group_a = groups[0] if groups[0] != group_b else groups[1]
+
+    def mats(g):
+        sub = li[li["l_returnflag"] == g]
+        X = np.column_stack([np.ones(len(sub)), sub["l_quantity"].to_numpy(dtype=np.float64)])
+        return X, sub["l_extendedprice"].to_numpy(dtype=np.float64)
+
+    Xa, ya = mats(group_a)
+    Xb, yb = mats(group_b)
+
+    S = simulations
+    rng = np.random.default_rng(seed)
+    taus = rng.uniform(0.01, 0.99, size=S)
+    betas_a = [qr_exact_2d(Xa, ya, t) for t in taus]
+    betas_b = [qr_exact_2d(Xb, yb, t) for t in taus]
+
+    idx_a = rng.integers(0, Xa.shape[0], size=S)
+    idx_b = rng.integers(0, Xb.shape[0], size=S)
+    y_aa = np.array([Xa[idx_a[i]] @ betas_a[i] for i in range(S)])
+    y_bb = np.array([Xb[idx_b[i]] @ betas_b[i] for i in range(S)])
+    y_ab = np.array([Xa[idx_a[i]] @ betas_b[i] for i in range(S)])
+
+    def eq(data, q):
+        s = np.sort(data)
+        return float(s[min(int(len(s) * q), len(s) - 1)])
+
+    effects = {}
+    for tau in quantiles:
+        q_aa, q_bb, q_ab = eq(y_aa, tau), eq(y_bb, tau), eq(y_ab, tau)
+        effects[f"q{int(tau * 100)}"] = (q_aa - q_bb, q_ab - q_bb, q_aa - q_ab)
+    return {
+        "effects": effects,
+        "taus": taus,
+        "Xa": Xa, "ya": ya, "Xb": Xb, "yb": yb,
+        "betas_a": betas_a, "betas_b": betas_b,
+        "group_a": group_a,
+    }
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     np.set_printoptions(precision=6, suppress=True)
