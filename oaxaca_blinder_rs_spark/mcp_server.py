@@ -1,12 +1,18 @@
-"""MCP server exposing the engine as JSON tools over stdio (SURVEY K6).
+"""MCP server exposing the engine as JSON tools over stdio AND HTTP/SSE
+(SURVEY K6).
 
-Mirrors meridian-mcp (reference meridian-mcp/src/main.rs:516-791): the same
-five tools with the same input schemas, JSON-RPC 2.0 over stdin/stdout, and a
-per-minute rate limit. Dependency-free (stdlib json only); each tool call
-parses the request's CSV bytes into a Spark frame and delegates to
-operators/engine_ops.
+Mirrors meridian-mcp (reference meridian-mcp/src/main.rs): the same five
+tools with the same input schemas, JSON-RPC 2.0 over stdin/stdout
+(main.rs:193-239) or over HTTP with an SSE endpoint-announcement stream
+(main.rs:254-520) — session handshake via Mcp-Session-Id header or
+sessionId query param, x-api-key / Bearer auth, per-minute rate limit,
+2 MiB body cap, CORS for 127.0.0.1. Dependency-free (stdlib json +
+http.server); each tool call parses the request's CSV bytes into a Spark
+frame and delegates to operators/engine_ops.
 
-    python -m oaxaca_blinder_rs_spark.mcp_server
+    python -m oaxaca_blinder_rs_spark.mcp_server                 # stdio
+    python -m oaxaca_blinder_rs_spark.mcp_server --transport sse \
+        --port 8084 --api-key KEY                                # HTTP/SSE
 """
 
 from __future__ import annotations
@@ -15,7 +21,11 @@ import json
 import math
 import sys
 import time
+import uuid
 from dataclasses import asdict
+
+MAX_BODY_BYTES = 2 * 1024 * 1024
+SSE_RATE_LIMIT_PER_MIN = 60
 
 RATE_LIMIT_PER_MIN = 30
 
@@ -265,7 +275,203 @@ class McpServer:
         return {"jsonrpc": "2.0", "id": rid, "result": result}
 
 
+# -- HTTP/SSE transport (main.rs:254-520) -----------------------------------
+
+
+def make_sse_server(port: int, api_key: str, server: McpServer | None = None):
+    """Build (not start) the HTTP/SSE transport. Returns a ThreadingHTTPServer
+    whose handler mirrors the reference's axum routes:
+
+    - POST /sse or /messages: JSON-RPC. `initialize` mints a session
+      (Mcp-Session-Id response header); other calls must present a live
+      session via the Mcp-Session-Id header or sessionId/session_id query
+      param. Auth via x-api-key or Authorization (raw key or "Bearer key").
+      Notifications (no id) return 202.
+    - GET /sse: opens an SSE stream announcing the session endpoint
+      (`event: endpoint`, data = http://{host}/sse?sessionId={uuid}), then
+      keep-alives.
+    - DELETE /sse: tears down the session named by Mcp-Session-Id.
+    Rate limit: 60 req/min sliding window -> 429. Body cap 2 MiB -> 413.
+    """
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    mcp = server or McpServer()
+    sessions: dict[str, float] = {}
+    hits: list[float] = []
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+        daemon_threads = True
+
+        def log_message(self, *a):  # quiet
+            pass
+
+        # -- shared gates ---------------------------------------------------
+        def _rate_ok(self) -> bool:
+            now = time.time()
+            hits[:] = [t for t in hits if now - t < 60.0]
+            if len(hits) >= SSE_RATE_LIMIT_PER_MIN:
+                self._plain(429, "Rate limit exceeded")
+                return False
+            hits.append(now)
+            return True
+
+        def _auth_ok(self) -> bool:
+            h = self.headers.get("x-api-key") or self.headers.get("authorization")
+            if h == api_key or h == f"Bearer {api_key}":
+                return True
+            self._plain(401, "Invalid API Key")
+            return False
+
+        def _plain(self, code: int, msg: str):
+            body = msg.encode()
+            self.send_response(code)
+            self._cors()
+            self.send_header("Content-Type", "text/plain")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _cors(self):
+            self.send_header("Access-Control-Allow-Origin", "http://127.0.0.1")
+            self.send_header("Access-Control-Allow-Methods", "GET, POST, DELETE")
+            self.send_header(
+                "Access-Control-Allow-Headers",
+                "content-type, authorization, x-api-key, mcp-session-id",
+            )
+            self.send_header("Access-Control-Expose-Headers", "mcp-session-id")
+
+        def _session_from_request(self) -> str | None:
+            sid = self.headers.get("mcp-session-id")
+            if not sid:
+                q = parse_qs(urlparse(self.path).query)
+                sid = (q.get("sessionId") or q.get("session_id") or [None])[0]
+            return sid if sid and sid in sessions else None
+
+        # -- routes ---------------------------------------------------------
+        def do_OPTIONS(self):  # CORS preflight
+            self.send_response(200)
+            self._cors()
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+        def do_POST(self):
+            if urlparse(self.path).path not in ("/sse", "/messages"):
+                return self._plain(404, "Not found")
+            if not self._rate_ok():
+                return
+            try:
+                length = int(self.headers.get("content-length", "0"))
+            except ValueError:
+                return self._plain(400, "Bad Content-Length")
+            if length > MAX_BODY_BYTES:
+                return self._plain(413, "Payload too large")
+            try:
+                req = json.loads(self.rfile.read(length))
+            except json.JSONDecodeError:
+                return self._plain(400, "Parse error")
+
+            is_initialize = req.get("method") == "initialize"
+            if is_initialize:
+                sid = str(uuid.uuid4())
+                sessions[sid] = time.time()
+            else:
+                sid = self._session_from_request()
+                if sid is None:
+                    return self._plain(401, "Missing or invalid Mcp-Session-Id header")
+            if not self._auth_ok():
+                return
+
+            resp = mcp.handle(req)
+            if req.get("id") is None:  # notification
+                self.send_response(202)
+                self._cors()
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            body = json.dumps(resp).encode()
+            self.send_response(200)
+            self._cors()
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Mcp-Session-Id", sid)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if urlparse(self.path).path != "/sse":
+                return self._plain(404, "Not found")
+            if not self._rate_ok():
+                return
+            if not self._auth_ok():
+                return
+            if self.headers.get("mcp-session-id"):
+                return self._plain(405, "Method not allowed")
+            host = self.headers.get("host", "localhost")
+            sid = str(uuid.uuid4())
+            sessions[sid] = time.time()
+            self.send_response(200)
+            self._cors()
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.end_headers()
+            self.wfile.write(
+                f"event: endpoint\ndata: http://{host}/sse?sessionId={sid}\n\n".encode()
+            )
+            self.wfile.flush()
+            try:  # keep-alive comments until the client hangs up
+                while not self.server._shutting_down:
+                    time.sleep(1.0)
+                    self.wfile.write(b": keep-alive\n\n")
+                    self.wfile.flush()
+            except (BrokenPipeError, ConnectionResetError):
+                pass
+
+        def do_DELETE(self):
+            if urlparse(self.path).path != "/sse":
+                return self._plain(404, "Not found")
+            if not self._rate_ok():
+                return
+            if not self._auth_ok():
+                return
+            sid = self.headers.get("mcp-session-id")
+            if sid and sessions.pop(sid, None) is not None:
+                return self._plain(200, "OK")
+            return self._plain(404, "Not found")
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+    httpd.daemon_threads = True
+    httpd._shutting_down = False
+    httpd._sessions = sessions  # exposed for tests
+    return httpd
+
+
+def run_sse_server(port: int, api_key: str, server: McpServer | None = None):  # pragma: no cover
+    httpd = make_sse_server(port, api_key, server)
+    try:
+        httpd.serve_forever()
+    finally:
+        httpd._shutting_down = True
+        httpd.server_close()
+
+
 def main():  # pragma: no cover - interactive loop; logic covered via handle()
+    import argparse
+
+    ap = argparse.ArgumentParser(description="Meridian MCP server (Spark)")
+    ap.add_argument("--transport", choices=["stdio", "sse"], default=None)
+    ap.add_argument("--port", type=int, default=None)
+    ap.add_argument("--api-key", default=None)
+    args = ap.parse_args()
+
+    # reference semantics (main.rs:172-188): --port implies SSE; SSE needs a key
+    if args.transport == "sse" or args.port is not None:
+        if not args.api_key:
+            ap.error("--api-key is required for the SSE transport")
+        run_sse_server(args.port or 8084, args.api_key)
+        return
+
     server = McpServer()
     for line in sys.stdin:
         line = line.strip()

@@ -102,3 +102,154 @@ def test_tool_error_is_not_protocol_error(spark):
     resp = server.handle(req)
     assert resp["result"]["isError"] is True
     assert "missing_col" in resp["result"]["content"][0]["text"]
+
+
+# ---------------------------------------------------------------------------
+# HTTP/SSE transport (meridian-mcp/src/main.rs:254-520 semantics)
+# ---------------------------------------------------------------------------
+
+import threading
+import urllib.error
+import urllib.request
+
+import pytest
+
+from oaxaca_blinder_rs_spark.mcp_server import McpServer, make_sse_server
+
+API_KEY = "test-key-123"
+
+
+@pytest.fixture(scope="module")
+def sse_server(spark):
+    httpd = make_sse_server(0, API_KEY, McpServer(spark))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}"
+    httpd._shutting_down = True
+    httpd.shutdown()
+    httpd.server_close()
+
+
+def _post(base, payload, headers=None, path="/sse"):
+    req = urllib.request.Request(
+        base + path,
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json", **(headers or {})},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=30) as r:
+            return r.status, dict(r.headers), r.read()
+    except urllib.error.HTTPError as e:
+        return e.code, dict(e.headers), e.read()
+
+
+def _initialize(base):
+    code, headers, body = _post(
+        base,
+        {"jsonrpc": "2.0", "id": 1, "method": "initialize"},
+        {"x-api-key": API_KEY},
+    )
+    assert code == 200
+    sid = headers.get("Mcp-Session-Id")
+    assert sid
+    assert json.loads(body)["result"]["serverInfo"]["name"] == "meridian-mcp-spark"
+    return sid
+
+
+def test_sse_initialize_and_tools_list(sse_server):
+    sid = _initialize(sse_server)
+    code, headers, body = _post(
+        sse_server,
+        {"jsonrpc": "2.0", "id": 2, "method": "tools/list"},
+        {"x-api-key": API_KEY, "Mcp-Session-Id": sid},
+    )
+    assert code == 200
+    assert headers.get("Content-Type") == "application/json"
+    names = {t["name"] for t in json.loads(body)["result"]["tools"]}
+    assert len(names) == 5 and "forensic_decomposition" in names
+
+
+def test_sse_tools_call_end_to_end(sse_server):
+    sid = _initialize(sse_server)
+    code, _, body = _post(
+        sse_server,
+        {
+            "jsonrpc": "2.0", "id": 3, "method": "tools/call",
+            "params": {"name": "forensic_decomposition",
+                       "arguments": {**BASE_ARGS, "bootstrap_reps": 0}},
+        },
+        {"authorization": f"Bearer {API_KEY}", "Mcp-Session-Id": sid},
+        path="/messages",  # the alternate POST route
+    )
+    assert code == 200
+    result = json.loads(body)["result"]
+    assert result["isError"] is False
+    payload = json.loads(result["content"][0]["text"])
+    assert payload["total_gap"] == pytest.approx(10.0, abs=1e-6)
+
+
+def test_sse_auth_and_session_gates(sse_server):
+    # no session on a non-initialize call -> 401 (session gate fires first)
+    code, _, body = _post(sse_server, {"jsonrpc": "2.0", "id": 1, "method": "tools/list"})
+    assert code == 401 and b"Mcp-Session-Id" in body
+    # live session but bad key -> 401 invalid key
+    sid = _initialize(sse_server)
+    code, _, body = _post(
+        sse_server,
+        {"jsonrpc": "2.0", "id": 1, "method": "tools/list"},
+        {"x-api-key": "wrong", "Mcp-Session-Id": sid},
+    )
+    assert code == 401 and b"Invalid API Key" in body
+    # notification (no id) -> 202 accepted, no body expected
+    code, _, _ = _post(
+        sse_server,
+        {"jsonrpc": "2.0", "method": "notifications/initialized"},
+        {"x-api-key": API_KEY, "Mcp-Session-Id": sid},
+    )
+    assert code == 202
+
+
+def test_sse_get_stream_announces_endpoint_and_query_session_works(sse_server):
+    req = urllib.request.Request(
+        sse_server + "/sse", headers={"x-api-key": API_KEY}, method="GET"
+    )
+    with urllib.request.urlopen(req, timeout=30) as r:
+        assert r.status == 200
+        assert r.headers.get("Content-Type") == "text/event-stream"
+        assert r.readline() == b"event: endpoint\n"
+        data = r.readline().decode()
+    assert data.startswith("data: http://") and "sessionId=" in data
+    sid = data.rsplit("sessionId=", 1)[1].strip()
+    # the announced session is live: use it via query param, no header
+    code, _, body = _post(
+        sse_server,
+        {"jsonrpc": "2.0", "id": 9, "method": "ping"},
+        {"x-api-key": API_KEY},
+        path=f"/sse?sessionId={sid}",
+    )
+    assert code == 200 and json.loads(body)["result"] == {}
+
+
+def test_sse_delete_session(sse_server):
+    sid = _initialize(sse_server)
+    req = urllib.request.Request(
+        sse_server + "/sse",
+        headers={"x-api-key": API_KEY, "Mcp-Session-Id": sid},
+        method="DELETE",
+    )
+    with urllib.request.urlopen(req, timeout=30) as r:
+        assert r.status == 200
+    # session is gone: a second delete 404s and the session no longer posts
+    try:
+        urllib.request.urlopen(req, timeout=30)
+        raise AssertionError("expected 404")
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+    code, _, _ = _post(
+        sse_server,
+        {"jsonrpc": "2.0", "id": 1, "method": "tools/list"},
+        {"x-api-key": API_KEY, "Mcp-Session-Id": sid},
+    )
+    assert code == 401
