@@ -19,17 +19,98 @@ def norm_pdf(x: Column) -> Column:
     return F.exp(-(x * x) / F.lit(2.0)) / F.lit(SQRT_2PI)
 
 
+# Cody/CALERF rational-approximation coefficients (W. J. Cody 1969, the
+# algorithm behind netlib specfun ERF and most libm implementations;
+# max relative error ~1.2e-16 — double-precision exact for our purposes).
+_ERF_A = [3.16112374387056560e00, 1.13864154151050156e02,
+          3.77485237685302021e02, 3.20937758913846947e03,
+          1.85777706184603153e-1]
+_ERF_B = [2.36012909523441209e01, 2.44024637934444173e02,
+          1.28261652607737228e03, 2.84423683343917062e03]
+_ERF_C = [5.64188496988670089e-1, 8.88314979438837594e00,
+          6.61191906371416295e01, 2.98635138197400131e02,
+          8.81952221241769090e02, 1.71204761263407058e03,
+          2.05107837782607147e03, 1.23033935479799725e03,
+          2.15311535474403846e-8]
+_ERF_D = [1.57449261107098347e01, 1.17693950891312499e02,
+          5.37181101862009858e02, 1.62138957456669019e03,
+          3.29079923573345963e03, 4.36261909014324716e03,
+          3.43936767414372164e03, 1.23033935480374942e03]
+_ERF_P = [3.05326634961232344e-1, 3.60344899949804439e-1,
+          1.25781726111229246e-1, 1.60837851487422766e-2,
+          6.58749161529837803e-4, 1.63153871373020978e-2]
+_ERF_Q = [2.56852019228982242e00, 1.87295284992346047e00,
+          5.27905102951428412e-1, 6.05183413124413191e-2,
+          2.33520497626869185e-3]
+_ERF_SQRPI = 5.6418958354775628695e-1  # 1/sqrt(pi)
+
+
+def _erfc_mid(y: Column) -> Column:
+    """erfc(y) for 0.46875 < y <= 4 (CALERF region 2)."""
+    xnum = F.lit(_ERF_C[8]) * y
+    xden = y
+    for i in range(7):
+        xnum = (xnum + F.lit(_ERF_C[i])) * y
+        xden = (xden + F.lit(_ERF_D[i])) * y
+    r = (xnum + F.lit(_ERF_C[7])) / (xden + F.lit(_ERF_D[7]))
+    # split exp(-y^2) as exp(-ysq^2)*exp(-del) with ysq = trunc(16y)/16 for
+    # full precision in the tail (CALERF's AINT trick)
+    ysq = F.floor(y * F.lit(16.0)) / F.lit(16.0)
+    dl = (y - ysq) * (y + ysq)
+    return F.exp(-ysq * ysq) * F.exp(-dl) * r
+
+
+def _erfc_far(y: Column) -> Column:
+    """erfc(y) for y > 4 (CALERF region 3)."""
+    ysq = F.lit(1.0) / (y * y)
+    xnum = F.lit(_ERF_P[5]) * ysq
+    xden = ysq
+    for i in range(4):
+        xnum = (xnum + F.lit(_ERF_P[i])) * ysq
+        xden = (xden + F.lit(_ERF_Q[i])) * ysq
+    r = ysq * (xnum + F.lit(_ERF_P[4])) / (xden + F.lit(_ERF_Q[4]))
+    r = (F.lit(_ERF_SQRPI) - r) / y
+    ysq2 = F.floor(y * F.lit(16.0)) / F.lit(16.0)
+    dl = (y - ysq2) * (y + ysq2)
+    # underflows to 0.0 for y >~ 26.5, matching libm erfc
+    return F.exp(-ysq2 * ysq2) * F.exp(-dl) * r
+
+
+def erf_expr(x: Column) -> Column:
+    """erf(x) as a pure Catalyst expression (whole-stage-codegen friendly).
+
+    Cody's CALERF rational approximations; agrees with java.lang.Math/libm
+    erf to <1e-15 absolute (validated against Python math.erf in
+    tests/test_mathx_erf.py). Unlike a `java_method` reflection call this is
+    deterministic, so it may sit inside aggregate expressions, and it compiles
+    into whole-stage codegen (~2x faster scans than reflective erf).
+    """
+    y = F.abs(x)
+    # region 1: |x| <= 0.46875 -> erf directly
+    ysq = y * y
+    xnum = F.lit(_ERF_A[4]) * ysq
+    xden = ysq
+    for i in range(3):
+        xnum = (xnum + F.lit(_ERF_A[i])) * ysq
+        xden = (xden + F.lit(_ERF_B[i])) * ysq
+    erf_near = x * (xnum + F.lit(_ERF_A[3])) / (xden + F.lit(_ERF_B[3]))
+
+    erfc_tail = F.when(y <= F.lit(4.0), _erfc_mid(y)).otherwise(_erfc_far(y))
+    erf_tail = F.when(x > F.lit(0.0), F.lit(1.0) - erfc_tail).otherwise(erfc_tail - F.lit(1.0))
+    return F.when(y <= F.lit(0.46875), erf_near).otherwise(erf_tail)
+
+
 def norm_cdf(x: Column) -> Column:
     """Standard normal CDF Phi(x) to machine precision.
 
-    Spark SQL has no erf builtin; commons-math3 ships on Spark's classpath, so
-    we call Erf.erf through `java_method` (JVM-side, no Python round-trip —
-    reflection overhead only; matches the reference's statrs Normal::cdf to
-    ~1e-15, which the 1e-4 statsmodels anchors require).
+    Phi(x) = (1 + erf(x/sqrt2))/2 with a codegen-native erf (erf_expr above);
+    matches the reference's statrs Normal::cdf to ~1e-15, which the 1e-4
+    statsmodels anchors require. (Earlier builds called commons-math3 Erf via
+    `java_method`; the reflective call was ~2x slower per scan and its
+    non-deterministic flag forbade use inside aggregates.)
     """
     u = x / F.lit(SQRT_2)
-    erf = F.java_method(F.lit("org.apache.commons.math3.special.Erf"), F.lit("erf"), u)
-    return (F.lit(1.0) + erf) / F.lit(2.0)
+    return (F.lit(1.0) + erf_expr(u)) / F.lit(2.0)
 
 
 def sigmoid(x: Column) -> Column:

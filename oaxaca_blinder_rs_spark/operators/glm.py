@@ -59,24 +59,10 @@ def xb_expr(beta, xcols: list[str]) -> Column:
     return e
 
 
-def _family_exprs(family: str, xb: Column, ycol: str):
-    """Per-row (irls_weight, score) for the given family at linear pred xb.
-
-    logit:  w = p(1-p),                 score = y - p         (logit.rs:46-66)
-    probit: w = phi^2/(Phi(1-Phi)),     score = lambda        (probit.rs:60-81)
-            lambda = phi/Phi if y=1 else -phi/(1-Phi)
-    """
-    y = F.col(ycol)
-    if family == "logit":
-        p = clamp(sigmoid(xb), 1e-10, 1.0 - 1e-10)
-        return p * (F.lit(1.0) - p), y - p
-    if family == "probit":
-        phi = norm_pdf(xb)
-        big_phi = clamp(norm_cdf(xb), 1e-10, 1.0 - 1e-10)
-        lam = F.when(y > 0.5, phi / big_phi).otherwise(-phi / (F.lit(1.0) - big_phi))
-        w = (phi * phi) / (big_phi * (F.lit(1.0) - big_phi))
-        return w, lam
-    raise ValueError(f"unknown family: {family}")
+# Per-row IRLS (weight, score) per family, staged inside fit_many:
+#   logit:  w = p(1-p),                 score = y - p         (logit.rs:46-66)
+#   probit: w = phi^2/(Phi(1-Phi)),     score = lambda        (probit.rs:60-81)
+#           lambda = phi/Phi if y=1 else -phi/(1-Phi)
 
 
 def _beta_column(df: DataFrame, betas: dict, key_cols: list[str], k: int) -> tuple[DataFrame, Column]:
@@ -162,15 +148,38 @@ def fit_many(
         else:
             xb = xb_expr(betas[()], xcols)
 
-        w_expr, score_expr = _family_exprs(family, xb, ycol)
-        # project weight/score into columns first: keeps the aggregate exprs
-        # small AND allows non-deterministic-flagged builtins (java_method in
-        # norm_cdf) which Spark forbids inside aggregate functions
+        # stage the link-function pipeline as chained narrow projections
+        # (xb -> phi/Phi -> w/score). Catalyst fuses them into one codegen
+        # stage, but keeping each erf/sigmoid tree a single occurrence over a
+        # leaf column keeps the analyzed plan small — inlining xb into the
+        # 4 probit sub-expressions made driver-side analysis the bottleneck.
+        work = work.select(
+            *key_cols, *xcols,
+            F.col(ycol).alias("__y"), freq.alias("__fq"), xb.alias("__xb"),
+        )
+        if family == "probit":
+            work = work.withColumn("__phi", norm_pdf(F.col("__xb"))).withColumn(
+                "__bigphi", clamp(norm_cdf(F.col("__xb")), 1e-10, 1.0 - 1e-10)
+            )
+            phi, big_phi, y = F.col("__phi"), F.col("__bigphi"), F.col("__y")
+            w_expr = (phi * phi) / (big_phi * (F.lit(1.0) - big_phi))
+            score_expr = F.when(y > 0.5, phi / big_phi).otherwise(
+                -phi / (F.lit(1.0) - big_phi)
+            )
+        elif family == "logit":
+            work = work.withColumn(
+                "__p", clamp(sigmoid(F.col("__xb")), 1e-10, 1.0 - 1e-10)
+            )
+            p = F.col("__p")
+            w_expr = p * (F.lit(1.0) - p)
+            score_expr = F.col("__y") - p
+        else:
+            raise ValueError(f"unknown family: {family}")
         work = work.select(
             *key_cols,
             *xcols,
-            (freq * w_expr).alias("__fw"),
-            (freq * score_expr).alias("__fs"),
+            (F.col("__fq") * w_expr).alias("__fw"),
+            (F.col("__fq") * score_expr).alias("__fs"),
         )
         aggs = []
         for (i, j) in tri:

@@ -72,14 +72,19 @@ def heckman_two_step(
         sel_cols, selection_outcome, family="probit", max_iter=100, tol=1e-6,
     )[()].beta
 
-    zg = xb_expr(gamma, sel_cols)
-    big_phi = norm_cdf(zg)
-    imr = FF.when(big_phi < 1e-10, FF.lit(0.0)).otherwise(norm_pdf(zg) / big_phi)
+    # stage zg -> Phi -> IMR as chained projections (one erf tree per plan;
+    # codegen fuses the selects, see glm.fit_many for rationale)
     selected = (
         d.filter(FF.col(selection_outcome) == 1.0)
         .dropna(subset=[outcome] + list(outcome_predictors))
-        .withColumn("__imr", imr)
-        .withColumn("__zg", zg)
+        .withColumn("__zg", xb_expr(gamma, sel_cols))
+        .withColumn("__bigphi", norm_cdf(FF.col("__zg")))
+        .withColumn(
+            "__imr",
+            FF.when(FF.col("__bigphi") < 1e-10, FF.lit(0.0)).otherwise(
+                norm_pdf(FF.col("__zg")) / FF.col("__bigphi")
+            ),
+        )
     )
     xaug = ["__hk_i"] + list(outcome_predictors) + ["__imr"]
     aggs = gram_agg_exprs(xaug, outcome)
@@ -161,9 +166,14 @@ def run_heckman_oaxaca(builder):
         zg = F.lit(0.0)
         for j, c in enumerate(sel_cols):
             zg = zg + F.col(c) * F.element_at("__gamma", j + 1)
-        big_phi = norm_cdf(zg)
-        imr = F.when(big_phi < 1e-10, F.lit(0.0)).otherwise(norm_pdf(zg) / big_phi)
-        joined = joined.withColumn("__imr", imr).withColumn("__zg", zg)
+        # stage zg -> Phi -> IMR (one erf tree per plan, see glm.fit_many)
+        joined = joined.withColumn("__zg", zg).withColumn(
+            "__bigphi", norm_cdf(F.col("__zg"))
+        )
+        imr = F.when(F.col("__bigphi") < 1e-10, F.lit(0.0)).otherwise(
+            norm_pdf(F.col("__zg")) / F.col("__bigphi")
+        )
+        joined = joined.withColumn("__imr", imr)
 
         # 3. z-means on ALL rows (estimation.rs:165-166: x_sel row_mean)
         zmean_aggs = [
