@@ -2,10 +2,20 @@
 
 Headline queries mirror BASELINE.md's shape: mean decomposition at reps
 {1, 100, 500} on ~10 numeric predictors over lineitem at $SPARK_GRAFT_SF_DIR
-(default sf0.1, ~600k rows), plus RIF(q90) reps=100.
+(default sf0.1, ~400k A/R rows), plus RIF(q90) reps=100, AKM, Heckman
+bootstrap, and 1-NN matching for regression tracking.
 
 Reference analogues (100k rows x 10 predictors, BASELINE.md): 0.14 s (1 rep),
-0.76 s (100 reps), 3.11 s (500 reps).
+0.76 s (100 reps), 3.11 s (500 reps). The sf0.1 frame is ~4x the reference's
+rows, so the output also reports a matched-scale 100k-row mean_reps1 run and
+explicit baseline ratios (raw + per-row) — see "baseline" in the JSON.
+
+Honest scale note (profiled in NOTES_r1.md / round 2): at the matched 100k
+scale a single Spark job's fixed costs (plan analysis + job launch + Arrow
+round-trip) are ~0.4-0.5 s by themselves, above the reference's entire 0.14 s
+in-process time. The per-row and reps>=100 comparisons are the meaningful
+ones for an engine designed for cluster scale; the bootstrap fan-out beats
+the reference's rayon loop outright at reps 100/500.
 """
 
 from __future__ import annotations
@@ -25,6 +35,11 @@ from oaxaca_blinder_rs_spark import OaxacaBuilder
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+# BASELINE.md: reference timings at 100k rows x 10 predictors (criterion)
+BASELINE_SEC = {"mean_reps1": 0.14, "mean_reps100": 0.76, "mean_reps500": 3.11}
+BASELINE_ROWS = 100_000
+MATCHED_ROWS = 100_000
+
 
 def prepared_lineitem(spark):
     li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
@@ -40,6 +55,7 @@ def prepared_lineitem(spark):
             "l_tax",
             F.col("l_linenumber").cast("double").alias("l_linenumber_d"),
             (F.col("l_orderkey") * 4 + F.col("l_linenumber")).alias("row_key"),
+            (F.col("l_discount") > 0.01).cast("double").alias("sel"),
         )
         .withColumn("q2", F.col("l_quantity") * F.col("l_quantity"))
         .withColumn("d2", F.col("l_discount") * F.col("l_discount"))
@@ -100,6 +116,38 @@ def bench_akm(spark) -> float:
     return time.time() - t0
 
 
+def bench_heckman(df, reps: int) -> float:
+    """Heckman two-step with replicate-dimension bootstrap (NOTES_r1.md:24-27
+    flagged the per-Fisher-iteration job count — tracked here per round)."""
+    t0 = time.time()
+    res = (
+        OaxacaBuilder(df, "l_extendedprice", "l_returnflag", "R")
+        .predictors(["l_quantity"])
+        .heckman_selection("sel", ["l_tax"])
+        .reference_coefficients("group_b")
+        .bootstrap_reps(reps)
+        .seed(42)
+        .id_col("row_key")
+        .run()
+    )
+    assert res.total_gap == res.total_gap
+    return time.time() - t0
+
+
+def bench_matching(spark) -> float:
+    """1-NN Euclidean matching weights on customer (J1), sf-scaled."""
+    from oaxaca_blinder_rs_spark.operators.matching import MatchingEngine
+
+    cust = spark.read.parquet(os.path.join(SF_DIR, "customer.parquet")).withColumn(
+        "treated", (F.col("c_mktsegment") == "BUILDING").cast("double")
+    )
+    t0 = time.time()
+    eng = MatchingEngine(cust, "treated", "c_acctbal", ["c_acctbal"], id_col="c_custkey")
+    w = eng.run_matching(1, False)
+    w.filter(F.col("weight") > 0).count()
+    return time.time() - t0
+
+
 def main():
     spark = (
         SparkSession.builder.appName("oaxaca-bench")
@@ -107,6 +155,9 @@ def main():
         .config("spark.sql.shuffle.partitions", CPUS)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # grouped Gram aggregates carry ~60-80 buffers; default maxFields=100
+        # kicks them out of whole-stage codegen once keys+buffers exceed it
+        .config("spark.sql.codegen.maxFields", "200")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .getOrCreate()
@@ -116,6 +167,12 @@ def main():
     n = df.count()  # materialize cache outside the timed region
     bench_mean(df, 2)  # untimed warmup: JIT + codegen + Python-worker spin-up,
     # like the reference's criterion warmup (BASELINE.md timings exclude startup)
+
+    # matched-scale frame: the reference's 100k rows, few partitions (job
+    # fixed costs dominate at this size; 8 partitions profiled fastest)
+    matched = df.limit(min(MATCHED_ROWS, n)).repartition(8).cache()
+    n_matched = matched.count()
+    bench_mean(matched, 1)  # warm the small-frame path too
 
     # best-of-2 per query: the reference's numbers come from criterion, which
     # reports a robust estimate over many iterations; a single local[32] JVM
@@ -127,8 +184,21 @@ def main():
     queries["mean_reps1"] = best(bench_mean, df, 1)
     queries["mean_reps100"] = best(bench_mean, df, 100)
     queries["mean_reps500"] = best(bench_mean, df, 500)
+    queries["mean_reps1_100k"] = best(bench_mean, matched, 1)
     queries["rif_q90_reps100"] = best(bench_rif, df, 100)
     queries["akm_panel"] = best(bench_akm, spark)
+    queries["heckman_reps20"] = best(bench_heckman, df, 20)
+    queries["matching_1nn"] = best(bench_matching, spark)
+
+    # explicit baseline comparison: raw ratio at matched scale, and per-row
+    # ratio for the sf-scaled entries (ours runs n rows vs the ref's 100k)
+    vs_baseline = {}
+    for q, ref_sec in BASELINE_SEC.items():
+        vs_baseline[q + "_raw"] = round(queries[q] / ref_sec, 3)
+        vs_baseline[q + "_per_row"] = round((queries[q] / n) / (ref_sec / BASELINE_ROWS), 3)
+    vs_baseline["mean_reps1_100k_raw"] = round(
+        queries["mean_reps1_100k"] / BASELINE_SEC["mean_reps1"], 3
+    )
 
     total = sum(queries.values())
     out = {
@@ -138,6 +208,9 @@ def main():
         "queries": {k: round(v, 3) for k, v in queries.items()},
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "rows": n,
+        "rows_matched": n_matched,
+        "baseline": {"rows": BASELINE_ROWS, "sec": BASELINE_SEC},
+        "vs_baseline": vs_baseline,
     }
     print(json.dumps(out))
     spark.stop()
