@@ -133,6 +133,77 @@ def indicator_le(y: Column, q: float) -> Column:
     return (y <= F.lit(q)).cast("double")
 
 
+# -- vectorized NumPy versions (executor-side Arrow/BLAS engines; no scipy) --
+
+def erf_np(x):
+    """Vectorized erf over an ndarray — same CALERF coefficients as erf_expr.
+
+    numpy has no erf without scipy (absent from this container); per-element
+    math.erf would be a Python loop in the Pandas-UDF hot path. This is pure
+    ndarray arithmetic, <1e-15 vs libm (tests/test_mathx_erf.py).
+    """
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.float64)
+    y = np.abs(x)
+    out = np.empty_like(y)
+
+    near = y <= 0.46875
+    yn = y[near]
+    ysq = yn * yn
+    xnum = _ERF_A[4] * ysq
+    xden = ysq.copy()
+    for i in range(3):
+        xnum = (xnum + _ERF_A[i]) * ysq
+        xden = (xden + _ERF_B[i]) * ysq
+    out[near] = x[near] * (xnum + _ERF_A[3]) / (xden + _ERF_B[3])
+
+    mid = (~near) & (y <= 4.0)
+    ym = y[mid]
+    xnum = _ERF_C[8] * ym
+    xden = ym.copy()
+    for i in range(7):
+        xnum = (xnum + _ERF_C[i]) * ym
+        xden = (xden + _ERF_D[i]) * ym
+    r = (xnum + _ERF_C[7]) / (xden + _ERF_D[7])
+    ysq = np.floor(ym * 16.0) / 16.0
+    dl = (ym - ysq) * (ym + ysq)
+    erfc_mid = np.exp(-ysq * ysq) * np.exp(-dl) * r
+
+    far = y > 4.0
+    yf = y[far]
+    with np.errstate(under="ignore", divide="ignore"):
+        ysq = 1.0 / (yf * yf)
+        xnum = _ERF_P[5] * ysq
+        xden = ysq.copy()
+        for i in range(4):
+            xnum = (xnum + _ERF_P[i]) * ysq
+            xden = (xden + _ERF_Q[i]) * ysq
+        r = ysq * (xnum + _ERF_P[4]) / (xden + _ERF_Q[4])
+        r = (_ERF_SQRPI - r) / yf
+        ysq2 = np.floor(yf * 16.0) / 16.0
+        dl = (yf - ysq2) * (yf + ysq2)
+        erfc_far = np.exp(-ysq2 * ysq2) * np.exp(-dl) * r
+
+    for mask, erfc in ((mid, erfc_mid), (far, erfc_far)):
+        sgn = np.sign(x[mask])
+        out[mask] = np.where(sgn > 0, 1.0 - erfc, erfc - 1.0)
+    return out
+
+
+def norm_cdf_np(x):
+    import numpy as np
+
+    return 0.5 * (1.0 + erf_np(np.asarray(x, dtype=np.float64) / SQRT_2))
+
+
+def norm_pdf_np(x):
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.float64)
+    return np.exp(-x * x / 2.0) / SQRT_2PI
+
+
 # -- driver-side scalar versions (for k-sized vectors; no scipy dependency) --
 
 def norm_pdf_scalar(x: float) -> float:

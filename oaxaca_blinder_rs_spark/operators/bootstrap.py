@@ -46,6 +46,7 @@ __all__ = [
     "bootstrap_group_stats",
     "bootstrap_group_stats_fast",
     "poisson_count_expr",
+    "poisson_counts_np",
     "hash_uniform",
 ]
 
@@ -182,6 +183,31 @@ def _poisson_cdf12():
     return np.cumsum(np.array(pmf))
 
 
+def poisson_counts_np(rid, rep_ids, seed: int):
+    """Deterministic (n x R) Poisson(1) count matrix — the splitmix64 stream.
+
+    u[i, b] = splitmix64(rid_i ^ splitmix64(rep_b ^ seed)) / 2^64, inverted
+    through the Poisson(1) CDF. Exactly the stream of
+    ``bootstrap_group_stats_fast(method='poisson')``, so any engine built on
+    this helper resamples identically regardless of partitioning. Negative
+    rep ids (the rep = -1 point-estimate convention) get unit counts.
+    """
+    import numpy as np
+
+    rep_ids = np.asarray(rep_ids, dtype=np.int64)
+    rid = np.asarray(rid).astype(np.uint64)
+    rep_keys = _splitmix64(rep_ids.astype(np.uint64) ^ np.uint64(seed))
+    h = _splitmix64(rid[:, None] ^ rep_keys[None, :])
+    u = h.astype(np.float64) / 18446744073709551616.0
+    C = (
+        np.searchsorted(_poisson_cdf12(), u.ravel(), side="right")
+        .reshape(len(rid), len(rep_ids))
+        .astype(np.float64)
+    )
+    C[:, rep_ids < 0] = 1.0
+    return C
+
+
 def bootstrap_group_stats_fast(
     df: DataFrame,
     xcols: list[str],
@@ -230,7 +256,6 @@ def bootstrap_group_stats_fast(
     k = len(xcols)
     tri = [(i, j) for i in range(k) for j in range(i, k)]
     L = len(tri) + 2 * k + 3  # xx, xsum, xy, yty, ysum, wsum
-    cdf = _poisson_cdf12()
     B = reps
     use_exact = method == "exact"
     if method not in ("poisson", "exact"):
@@ -278,8 +303,6 @@ def bootstrap_group_stats_fast(
             .drop("__g", "__pick", "__gidx")
         )
     out_schema = "rep long, grp string, stats array<double>"
-
-    seed_arr_const = np.uint64(seed)
 
     def compute(iterator):
         by_group: dict[str, list] = {}
@@ -330,12 +353,7 @@ def bootstrap_group_stats_fast(
                     m = (rep_flat >= b0) & (rep_flat < b1)
                     C[row_flat[m], rep_flat[m] - b0] = cnt_flat[m]
                 else:
-                    rep_ids = np.arange(b0, b1, dtype=np.uint64)
-                    # u[i, b] = splitmix64(rid_i ^ splitmix64(rep ^ seed)) / 2^64
-                    rep_keys = _splitmix64(rep_ids ^ seed_arr_const)
-                    h = _splitmix64(rid[:, None] ^ rep_keys[None, :])
-                    u = h.astype(np.float64) / 18446744073709551616.0
-                    C = np.searchsorted(cdf, u.ravel(), side="right").reshape(n_g, nb).astype(np.float64)
+                    C = poisson_counts_np(rid, np.arange(b0, b1), seed)
                 ncnt[b0:b1] = C.sum(axis=0)
                 G[:, b0:b1] = P.T @ (C * w[:, None])
             for b in range(B):

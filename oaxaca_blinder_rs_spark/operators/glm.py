@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from ..errors import ConvergenceError, SingularMatrix
 from ..functions.mathx import clamp, norm_cdf, norm_pdf, sigmoid
 
-__all__ = ["GlmFit", "logit", "probit", "fit_many", "xb_expr"]
+__all__ = ["GlmFit", "logit", "probit", "fit_many", "fit_many_resampled", "xb_expr"]
 
 _CASE_LITERAL_LIMIT = 8
 
@@ -199,22 +199,7 @@ def fit_many(
                 v = float(row[f"__h_{i}_{j}"] or 0.0)
                 info[i, j] = info[j, i] = v
             grad = np.array([float(row[f"__g_{i}"] or 0.0) for i in range(k)])
-            info += (ridge + diag_reg) * np.eye(k)
-            try:
-                L = np.linalg.cholesky(info)
-                z = np.linalg.solve(L, grad)
-                step = np.linalg.solve(L.T, z)
-            except np.linalg.LinAlgError:
-                if family == "probit":
-                    # probit.rs:131-141 LU fallback on the (negative) Hessian
-                    try:
-                        step = np.linalg.solve(info, grad)
-                    except np.linalg.LinAlgError as e:
-                        raise SingularMatrix("Failed to solve Hessian system in Probit") from e
-                else:
-                    raise SingularMatrix(
-                        "Failed to solve Information Matrix in Logit. Perfect separation?"
-                    ) from None
+            step, info = _newton_step(info, grad, k, ridge, diag_reg, family)
             betas[key] = betas[key] + step
             infos[key] = info
             if float(np.linalg.norm(step)) < tol:
@@ -225,6 +210,167 @@ def fit_many(
             done[key] = GlmFit(names=list(xcols), beta=betas[key], converged=False, iterations=max_iter)
         if family == "probit" and key in infos:
             # vcov = (X'WX + reg I)^{-1} (probit.rs:147-165: -H^{-1})
+            try:
+                done[key].vcov = np.linalg.inv(infos[key])
+            except np.linalg.LinAlgError as e:
+                raise SingularMatrix("Failed to invert Hessian for VCOV") from e
+    return done
+
+
+def _newton_step(info, grad, k, ridge, diag_reg, family):
+    """Shared Newton/Fisher solve: Cholesky with the reference's fallbacks
+    (probit.rs:131-141 LU on singular; logit.rs raises SingularMatrix)."""
+    info = info + (ridge + diag_reg) * np.eye(k)
+    try:
+        L = np.linalg.cholesky(info)
+        z = np.linalg.solve(L, grad)
+        return np.linalg.solve(L.T, z), info
+    except np.linalg.LinAlgError:
+        if family == "probit":
+            try:
+                return np.linalg.solve(info, grad), info
+            except np.linalg.LinAlgError as e:
+                raise SingularMatrix("Failed to solve Hessian system in Probit") from e
+        raise SingularMatrix(
+            "Failed to solve Information Matrix in Logit. Perfect separation?"
+        ) from None
+
+
+def fit_many_resampled(
+    df: DataFrame,
+    xcols: list[str],
+    ycol: str,
+    group: str,
+    reps: int,
+    seed: int,
+    family: str = "probit",
+    id_col: str = "__ob_row_id__",
+    max_iter: int = 100,
+    tol: float = 1e-6,
+    ridge: float = 0.0,
+    diag_reg: float | None = None,
+    include_identity: bool = True,
+) -> dict[tuple, GlmFit]:
+    """One GLM per (bootstrap replicate, group) — the Arrow/BLAS engine.
+
+    ``fit_many`` over a replicate-exploded frame evaluates the Catalyst link
+    pipeline on (B+1) x n rows per Fisher iteration. This engine never
+    explodes: each iteration is ONE ``mapInPandas`` pass over the unexploded
+    projection. Every partition regenerates the deterministic Poisson count
+    matrix C (n_p x R) via ``bootstrap.poisson_counts_np`` (splitmix64,
+    partition-independent — the same stream as the ``poisson_fast`` OLS
+    bootstrap) and reduces ALL replicates' information and score partials
+    with two BLAS GEMMs:
+
+        info[:, r] = Ptri' (C_r * w_irls_r)    grad[:, r] = X' (C_r * s_r)
+
+    so per-iteration cost is one Arrow transfer of the n x (k+3) projection
+    plus O(n R k^2 / cores) BLAS flops; driver work is R k x k solves.
+    Converged (rep, group) models drop out of the broadcast beta table, so
+    late iterations only compute the stragglers.
+
+    rep = -1 (``include_identity``) carries unit counts — the point
+    estimate. NOTE: the replicate draws are the splitmix64 stream, not the
+    exploded path's xxhash64 stream; the two engines produce
+    different-but-equally-valid bootstrap resamples, while the rep = -1
+    point estimates agree to solver tolerance.
+
+    Mirrors math/probit.rs:25-172 / math/logit.rs:31-118 semantics exactly
+    (beta0 = 0, clamp [1e-10, 1-1e-10], ||step|| < tol, probit -1e-9 diag
+    regularization, vcov = info^{-1}).
+    """
+    import pandas as pd
+
+    from ..functions.mathx import norm_cdf_np, norm_pdf_np
+    from .bootstrap import poisson_counts_np
+
+    k = len(xcols)
+    if diag_reg is None:
+        diag_reg = 1e-9 if family == "probit" else 0.0
+    if family not in ("probit", "logit"):
+        raise ValueError(f"unknown family: {family}")
+    tri = [(i, j) for i in range(k) for j in range(i, k)]
+    L = len(tri)
+
+    proj = df.select(group, id_col, ycol, *xcols)
+    groups = [r[0] for r in df.select(group).distinct().collect()]
+    rep_list = ([-1] if include_identity else []) + list(range(reps))
+    keys = [(r, g) for g in groups for r in rep_list]
+    betas = {key: np.zeros(k) for key in keys}
+    done: dict[tuple, GlmFit] = {}
+    infos: dict[tuple, np.ndarray] = {}
+    out_schema = "rep long, grp string, stats array<double>"
+
+    it = 0
+    while it < max_iter and len(done) < len(keys):
+        it += 1
+        active: dict = {}
+        for g in groups:
+            rs = [r for r in rep_list if (r, g) not in done]
+            if rs:
+                active[g] = (
+                    np.array(rs, dtype=np.int64),
+                    np.array([betas[(r, g)] for r in rs], dtype=np.float64),
+                )
+
+        def compute(iterator, active=active):
+            by_group: dict = {}
+            for pdf in iterator:
+                for gval, sub in pdf.groupby(group, sort=False):
+                    if gval in active:
+                        by_group.setdefault(gval, []).append(sub)
+            rows_out = []
+            for gval, parts in by_group.items():
+                rep_ids, bmat = active[gval]
+                sub = pd.concat(parts, ignore_index=True)
+                n_g = len(sub)
+                X = sub[xcols].to_numpy(dtype=np.float64)
+                y = sub[ycol].to_numpy(dtype=np.float64)
+                rid = sub[id_col].to_numpy(dtype=np.int64)
+                C = poisson_counts_np(rid, rep_ids, seed)
+                xb = X @ bmat.T  # (n_g x R_active)
+                if family == "probit":
+                    phi = norm_pdf_np(xb)
+                    big = np.clip(norm_cdf_np(xb), 1e-10, 1.0 - 1e-10)
+                    W = phi * phi / (big * (1.0 - big))
+                    S = np.where(y[:, None] > 0.5, phi / big, -phi / (1.0 - big))
+                else:
+                    with np.errstate(over="ignore"):
+                        p = np.clip(1.0 / (1.0 + np.exp(-xb)), 1e-10, 1.0 - 1e-10)
+                    W = p * (1.0 - p)
+                    S = y[:, None] - p
+                P = np.empty((n_g, L), dtype=np.float64)
+                for c0, (i, j) in enumerate(tri):
+                    P[:, c0] = X[:, i] * X[:, j]
+                stat = np.concatenate([P.T @ (C * W), X.T @ (C * S)], axis=0)
+                for idx, r in enumerate(rep_ids):
+                    rows_out.append((int(r), gval, stat[:, idx].tolist()))
+            yield pd.DataFrame(rows_out, columns=["rep", "grp", "stats"])
+
+        pdf_all = proj.mapInPandas(compute, schema=out_schema).toPandas()
+        acc: dict[tuple, np.ndarray] = {}
+        for rep, gval, stats in zip(pdf_all["rep"], pdf_all["grp"], pdf_all["stats"]):
+            key = (int(rep), gval)
+            arr = np.asarray(stats, dtype=np.float64)
+            if key in acc:
+                acc[key] += arr
+            else:
+                acc[key] = arr.copy()
+
+        for key, v in acc.items():
+            info = np.zeros((k, k))
+            for idx, (i, j) in enumerate(tri):
+                info[i, j] = info[j, i] = v[idx]
+            step, info = _newton_step(info, v[L:], k, ridge, diag_reg, family)
+            betas[key] = betas[key] + step
+            infos[key] = info
+            if float(np.linalg.norm(step)) < tol:
+                done[key] = GlmFit(names=list(xcols), beta=betas[key], converged=True, iterations=it)
+
+    for key in keys:
+        if key not in done:
+            done[key] = GlmFit(names=list(xcols), beta=betas[key], converged=False, iterations=max_iter)
+        if family == "probit" and key in infos:
             try:
                 done[key].vcov = np.linalg.inv(infos[key])
             except np.linalg.LinAlgError as e:

@@ -102,6 +102,162 @@ def heckman_two_step(
     }
 
 
+def _resampled_heckman_stats(
+    design,
+    xcols: list[str],
+    sel_cols: list[str],
+    outcome: str,
+    sel_outcome: str,
+    group: str,
+    gammas: dict,
+    rep_list: list[int],
+    seed: int,
+    id_col: str,
+):
+    """Stages 3+4 of the Heckman pipeline for ALL replicates in ONE
+    mapInPandas pass over the unexploded design (the Arrow/BLAS engine).
+
+    Only the IMR column of the augmented design varies across replicates
+    (gamma_rep differs), so the Gram matrix splits into a rep-independent
+    X'CX block (one GEMM against the count matrix) plus IMR cross-terms
+    that are elementwise products folded into GEMMs:
+
+        X'CX      = Ptri' C            (Lx x R, products built once)
+        X'(C imr) = X' (C * IMR)       (k x R)
+        imr'C imr = sum(C * IMR^2)     (R)
+
+    with IMR (n_sel x R) = phi/Phi of ZG = X_sel @ Gamma', vectorized via
+    mathx.erf_np. Z-means over ALL rows ride the same pass as X_sel' C.
+    Returns (per_key, zmeans) in the exact shapes the driver code consumes.
+    """
+    import pandas as pd
+
+    from ..functions.mathx import norm_cdf_np, norm_pdf_np
+    from .bootstrap import poisson_counts_np
+
+    k = len(xcols)
+    k_sel = len(sel_cols)
+    tri = [(i, j) for i in range(k) for j in range(i, k)]
+    Lx = len(tri)
+    rep_arr = np.array(rep_list, dtype=np.int64)
+    gmats = {}
+    for g in {g for (_, g) in gammas}:
+        gmats[g] = np.array([gammas[(r, g)].beta for r in rep_list], dtype=np.float64)
+
+    need = list(dict.fromkeys([group, id_col, outcome, sel_outcome] + xcols + sel_cols))
+    proj = design.select(*need)
+    out_schema = "rep long, grp string, stats array<double>"
+    # stat vector layout (offsets consumed in the driver reduce below):
+    # [xtx_tri Lx | x_imr k | imr2 1 | xy k | imr_y 1 | xsum k | imrsum 1 |
+    #  yty 1 | ysum 1 | wsum 1 | zsum k_sel | csum_all 1 | delta_sum 1]
+
+    def compute(iterator):
+        by_group: dict = {}
+        for pdf in iterator:
+            for gval, sub in pdf.groupby(group, sort=False):
+                if gval in gmats:
+                    by_group.setdefault(gval, []).append(sub)
+        rows_out = []
+        for gval, parts in by_group.items():
+            sub = pd.concat(parts, ignore_index=True)
+            rid = sub[id_col].to_numpy(dtype=np.int64)
+            C = poisson_counts_np(rid, rep_arr, seed)
+            Z_all = sub[sel_cols].to_numpy(dtype=np.float64)
+            zsum = Z_all.T @ C  # (k_sel x R)
+            csum_all = C.sum(axis=0)  # (R)
+
+            y_raw = sub[outcome].to_numpy(dtype=np.float64)
+            mask = (sub[sel_outcome].to_numpy(dtype=np.float64) == 1.0) & ~np.isnan(y_raw)
+            Xs = sub[xcols].to_numpy(dtype=np.float64)[mask]
+            Zs = Z_all[mask]
+            ys = y_raw[mask]
+            Cs = C[mask]
+            n_s = len(ys)
+
+            ZG = Zs @ gmats[gval].T  # (n_s x R)
+            big = norm_cdf_np(ZG)
+            small = big < 1e-10
+            IMR = np.where(small, 0.0, norm_pdf_np(ZG) / np.where(small, 1.0, big))
+            CI = Cs * IMR
+
+            P = np.empty((n_s, Lx), dtype=np.float64)
+            for c0, (i, j) in enumerate(tri):
+                P[:, c0] = Xs[:, i] * Xs[:, j]
+            stat = np.concatenate(
+                [
+                    P.T @ Cs,  # xtx_tri
+                    Xs.T @ CI,  # x_imr
+                    (CI * IMR).sum(axis=0)[None, :],  # imr2
+                    (Xs * ys[:, None]).T @ Cs,  # xy
+                    (CI * ys[:, None]).sum(axis=0)[None, :],  # imr_y
+                    Xs.T @ Cs,  # xsum
+                    CI.sum(axis=0)[None, :],  # imrsum
+                    (Cs * (ys * ys)[:, None]).sum(axis=0)[None, :],  # yty
+                    (Cs * ys[:, None]).sum(axis=0)[None, :],  # ysum
+                    Cs.sum(axis=0)[None, :],  # wsum
+                    zsum,
+                    csum_all[None, :],
+                    -(CI * (IMR + ZG)).sum(axis=0)[None, :],  # delta_sum
+                ],
+                axis=0,
+            )
+            for idx, r in enumerate(rep_arr):
+                rows_out.append((int(r), gval, stat[:, idx].tolist()))
+        yield pd.DataFrame(rows_out, columns=["rep", "grp", "stats"])
+
+    pdf_all = proj.mapInPandas(compute, schema=out_schema).toPandas()
+    acc: dict[tuple, np.ndarray] = {}
+    for rep, gval, stats in zip(pdf_all["rep"], pdf_all["grp"], pdf_all["stats"]):
+        key = (int(rep), gval)
+        arr = np.asarray(stats, dtype=np.float64)
+        if key in acc:
+            acc[key] += arr
+        else:
+            acc[key] = arr.copy()
+
+    names_aug = list(xcols) + ["__imr"]
+    per_key: dict[tuple, tuple[GroupStats, float]] = {}
+    zmeans: dict[tuple, np.ndarray] = {}
+    o_ximr = Lx
+    o_imr2 = o_ximr + k
+    o_xy = o_imr2 + 1
+    o_imry = o_xy + k
+    o_xsum = o_imry + 1
+    o_imrsum = o_xsum + k
+    o_yty = o_imrsum + 1
+    o_ysum = o_yty + 1
+    o_wsum = o_ysum + 1
+    o_zsum = o_wsum + 1
+    o_csum = o_zsum + k_sel
+    o_delta = o_csum + 1
+    for key, v in acc.items():
+        csum_all = v[o_csum]
+        if csum_all > 0:
+            zmeans[key] = v[o_zsum:o_csum] / csum_all
+        wsum = v[o_wsum]
+        if wsum <= 0:
+            continue  # no selected rows in this replicate -> discarded later
+        xtx = np.zeros((k + 1, k + 1))
+        for idx, (i, j) in enumerate(tri):
+            xtx[i, j] = xtx[j, i] = v[idx]
+        xtx[:k, k] = xtx[k, :k] = v[o_ximr:o_imr2]
+        xtx[k, k] = v[o_imr2]
+        xty = np.append(v[o_xy:o_imry], v[o_imry])
+        xsum = np.append(v[o_xsum:o_imrsum], v[o_imrsum])
+        stats = GroupStats(
+            names=names_aug,
+            n=int(round(wsum)),
+            wsum=float(wsum),
+            xtx=xtx,
+            xty=xty,
+            xsum=xsum,
+            yty=float(v[o_yty]),
+            ysum=float(v[o_ysum]),
+        )
+        per_key[key] = (stats, float(v[o_delta] / wsum))
+    return per_key, zmeans
+
+
 def run_heckman_oaxaca(builder):
     from ..builder import INTERCEPT, ROW_ID
     from ..results import ComponentResult, DecompositionDetail, OaxacaResults, TwoFoldResults
@@ -133,78 +289,111 @@ def run_heckman_oaxaca(builder):
         if group_a not in full_counts or group_b not in full_counts:
             raise InvalidGroupVariable("One group has no data")
 
-        # replicate dimension: rep -1 = point estimate (count 1)
-        frame = design.withColumn("__rep", F.explode(F.sequence(F.lit(-1), F.lit(reps - 1))))
-        cnt = F.when(
-            F.col("__rep") < 0, F.lit(1.0)
-        ).otherwise(
-            poisson_count_expr(hash_uniform(F.col(ROW_ID), F.col("__rep"), F.lit(builder._seed))).cast("double")
-        )
-        frame = frame.withColumn("__cnt", cnt).filter(F.col("__cnt") > 0)
-        frame = frame.cache()
+        if builder._engine == "pandas":
+            # Arrow/BLAS engine: probit over all replicates with NO replicate
+            # explosion (fit_many_resampled), then stages 3+4 fused into one
+            # mapInPandas pass. NOTE: splitmix64 resample stream (the
+            # poisson_fast convention) vs the expr path's xxhash64 stream —
+            # point estimates agree; bootstrap draws are independent-but-valid.
+            from .glm import fit_many_resampled
 
-        # 1. probit of selection per (rep, group) — heckman.rs:46-47
-        gammas = fit_many(
-            frame,
-            sel_cols,
-            sel_outcome,
-            family="probit",
-            key_cols=["__rep", group],
-            max_iter=100,
-            tol=1e-6,
-            wcol="__cnt",
-        )
+            gammas = fit_many_resampled(
+                design,
+                sel_cols,
+                sel_outcome,
+                group,
+                reps,
+                builder._seed,
+                family="probit",
+                id_col=ROW_ID,
+                max_iter=100,
+                tol=1e-6,
+            )
+            per_key, zmeans = _resampled_heckman_stats(
+                design,
+                xcols,
+                sel_cols,
+                outcome,
+                sel_outcome,
+                group,
+                gammas,
+                [-1] + list(range(reps)),
+                builder._seed,
+                ROW_ID,
+            )
+        else:
+            # replicate dimension: rep -1 = point estimate (count 1)
+            frame = design.withColumn("__rep", F.explode(F.sequence(F.lit(-1), F.lit(reps - 1))))
+            cnt = F.when(
+                F.col("__rep") < 0, F.lit(1.0)
+            ).otherwise(
+                poisson_count_expr(hash_uniform(F.col(ROW_ID), F.col("__rep"), F.lit(builder._seed))).cast("double")
+            )
+            frame = frame.withColumn("__cnt", cnt).filter(F.col("__cnt") > 0)
+            frame = frame.cache()
 
-        # 2. IMR expression; gamma via broadcast table (rep, group) -> array
-        spark = design.sparkSession
-        grows = [
-            (int(rep), gval, [float(x) for x in fit.beta])
-            for (rep, gval), fit in gammas.items()
-        ]
-        gamma_df = spark.createDataFrame(grows, f"__rep long, {group} string, __gamma array<double>")
-        joined = frame.join(F.broadcast(gamma_df), on=["__rep", group])
-        zg = F.lit(0.0)
-        for j, c in enumerate(sel_cols):
-            zg = zg + F.col(c) * F.element_at("__gamma", j + 1)
-        # stage zg -> Phi -> IMR (one erf tree per plan, see glm.fit_many)
-        joined = joined.withColumn("__zg", zg).withColumn(
-            "__bigphi", norm_cdf(F.col("__zg"))
-        )
-        imr = F.when(F.col("__bigphi") < 1e-10, F.lit(0.0)).otherwise(
-            norm_pdf(F.col("__zg")) / F.col("__bigphi")
-        )
-        joined = joined.withColumn("__imr", imr)
+            # 1. probit of selection per (rep, group) — heckman.rs:46-47
+            gammas = fit_many(
+                frame,
+                sel_cols,
+                sel_outcome,
+                family="probit",
+                key_cols=["__rep", group],
+                max_iter=100,
+                tol=1e-6,
+                wcol="__cnt",
+            )
 
-        # 3. z-means on ALL rows (estimation.rs:165-166: x_sel row_mean)
-        zmean_aggs = [
-            (F.sum(F.col("__cnt") * F.col(c)) / F.sum("__cnt")).alias(f"__zm_{j}")
-            for j, c in enumerate(sel_cols)
-        ]
-        zrows = joined.groupBy("__rep", group).agg(*zmean_aggs).collect()
-        zmeans = {
-            (int(r["__rep"]), r[group]): np.array([float(r[f"__zm_{j}"]) for j in range(len(sel_cols))])
-            for r in zrows
-        }
+            # 2. IMR expression; gamma via broadcast table (rep, group) -> array
+            spark = design.sparkSession
+            grows = [
+                (int(rep), gval, [float(x) for x in fit.beta])
+                for (rep, gval), fit in gammas.items()
+            ]
+            gamma_df = spark.createDataFrame(grows, f"__rep long, {group} string, __gamma array<double>")
+            joined = frame.join(F.broadcast(gamma_df), on=["__rep", group])
+            zg = F.lit(0.0)
+            for j, c in enumerate(sel_cols):
+                zg = zg + F.col(c) * F.element_at("__gamma", j + 1)
+            # stage zg -> Phi -> IMR (one erf tree per plan, see glm.fit_many)
+            joined = joined.withColumn("__zg", zg).withColumn(
+                "__bigphi", norm_cdf(F.col("__zg"))
+            )
+            imr = F.when(F.col("__bigphi") < 1e-10, F.lit(0.0)).otherwise(
+                norm_pdf(F.col("__zg")) / F.col("__bigphi")
+            )
+            joined = joined.withColumn("__imr", imr)
 
-        # 4. augmented OLS stats + IMR delta over SELECTED rows with outcome
-        sel_frame = joined.filter(F.col(sel_outcome) == 1.0).dropna(subset=[outcome])
-        xaug = xcols + ["__imr"]
-        from ..functions.linalg import gram_agg_exprs
+            # 3. z-means on ALL rows (estimation.rs:165-166: x_sel row_mean)
+            zmean_aggs = [
+                (F.sum(F.col("__cnt") * F.col(c)) / F.sum("__cnt")).alias(f"__zm_{j}")
+                for j, c in enumerate(sel_cols)
+            ]
+            zrows = joined.groupBy("__rep", group).agg(*zmean_aggs).collect()
+            zmeans = {
+                (int(r["__rep"]), r[group]): np.array([float(r[f"__zm_{j}"]) for j in range(len(sel_cols))])
+                for r in zrows
+            }
 
-        aggs = gram_agg_exprs(xaug, outcome, wcol="__cnt", count_expr=F.col("__cnt"))
-        aggs.append(
-            (
-                F.sum(F.col("__cnt") * (-F.col("__imr") * (F.col("__imr") + F.col("__zg"))))
-                / F.sum("__cnt")
-            ).alias("__delta")
-        )
-        srows = sel_frame.groupBy("__rep", group).agg(*aggs).collect()
-        from ..functions.linalg import stats_from_row
+            # 4. augmented OLS stats + IMR delta over SELECTED rows with outcome
+            sel_frame = joined.filter(F.col(sel_outcome) == 1.0).dropna(subset=[outcome])
+            xaug = xcols + ["__imr"]
+            from ..functions.linalg import gram_agg_exprs
 
-        per_key: dict[tuple[int, str], tuple[GroupStats, float]] = {}
-        for r in srows:
-            key = (int(r["__rep"]), r[group])
-            per_key[key] = (stats_from_row(r, xaug, has_y=True), float(r["__delta"]))
+            aggs = gram_agg_exprs(xaug, outcome, wcol="__cnt", count_expr=F.col("__cnt"))
+            aggs.append(
+                (
+                    F.sum(F.col("__cnt") * (-F.col("__imr") * (F.col("__imr") + F.col("__zg"))))
+                    / F.sum("__cnt")
+                ).alias("__delta")
+            )
+            srows = sel_frame.groupBy("__rep", group).agg(*aggs).collect()
+            from ..functions.linalg import stats_from_row
+
+            per_key = {}
+            for r in srows:
+                key = (int(r["__rep"]), r[group])
+                per_key[key] = (stats_from_row(r, xaug, has_y=True), float(r["__delta"]))
 
         names = list(xcols) + [IMR_NAME]
         sel_names = [INTERCEPT] + list(sel_preds)

@@ -1,0 +1,108 @@
+"""Heckman Arrow/BLAS engine: parity with the expression path.
+
+The pandas engine (glm.fit_many_resampled + heckman._resampled_heckman_stats)
+must reproduce the exploded expression path's POINT estimates exactly (same
+data, same rep = -1 unit counts, same Fisher iteration) while its bootstrap
+draws come from the splitmix64 stream (the poisson_fast convention) rather
+than the expr path's xxhash64 stream — so SEs are compared statistically,
+not bitwise. Reference semantics: heckman.rs:38-108, estimation.rs:114-269.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import oaxaca_blinder_rs_spark as ob
+from oaxaca_blinder_rs_spark.operators.glm import fit_many, fit_many_resampled
+
+
+@pytest.fixture(scope="module")
+def heckman_df(spark):
+    rng = np.random.default_rng(7)
+    n = 3000
+    g = np.where(rng.random(n) < 0.5, "A", "B")
+    z = rng.normal(size=n)
+    x = rng.normal(size=n) + (g == "A") * 0.5
+    sel = (0.3 + 0.8 * z + rng.normal(size=n) > 0).astype(float)
+    y = 1.0 + 2.0 * x + (g == "A") * 0.7 + 0.5 * rng.normal(size=n)
+    y = np.where(sel > 0, y, np.nan)
+    pdf = pd.DataFrame({"grp": g, "z": z, "x": x, "sel": sel, "y": y, "rid": np.arange(n)})
+    return spark.createDataFrame(pdf).cache()
+
+
+def _run(df, engine: str, reps: int):
+    b = (
+        ob.OaxacaBuilder(df, "y", "grp", "A")
+        .predictors(["x"])
+        .heckman_selection("sel", ["z"])
+        .bootstrap_reps(reps)
+        .seed(42)
+        .id_col("rid")
+        .compute_engine(engine)
+    )
+    return b.run()
+
+
+def test_point_estimates_match_expr_engine(heckman_df):
+    r_expr = _run(heckman_df, "expr", 5)
+    r_fast = _run(heckman_df, "pandas", 5)
+    assert abs(r_expr.total_gap - r_fast.total_gap) < 1e-10
+    for a, b in zip(r_expr.two_fold.aggregate, r_fast.two_fold.aggregate):
+        assert abs(a.estimate - b.estimate) < 1e-9, a.name
+    for key in ("detailed_explained", "detailed_unexplained", "detailed_selection"):
+        for a, b in zip(getattr(r_expr.two_fold, key), getattr(r_fast.two_fold, key)):
+            assert abs(a.estimate - b.estimate) < 1e-9, (key, a.name)
+    for a, b in zip(r_expr.three_fold.aggregate, r_fast.three_fold.aggregate):
+        assert abs(a.estimate - b.estimate) < 1e-9, a.name
+
+
+def test_fast_engine_bootstrap_se_sane_and_deterministic(heckman_df):
+    r1 = _run(heckman_df, "pandas", 25)
+    r2 = _run(heckman_df, "pandas", 25)
+    r_expr = _run(heckman_df, "expr", 25)
+    for a, b in zip(r1.two_fold.aggregate, r2.two_fold.aggregate):
+        assert a.std_err == b.std_err  # rerun bit-identical
+        assert a.ci_lower == b.ci_lower and a.ci_upper == b.ci_upper
+    # different resample streams -> statistically consistent, not equal
+    for a, e in zip(r1.two_fold.aggregate, r_expr.two_fold.aggregate):
+        assert a.std_err > 0 and e.std_err > 0
+        assert 0.4 < a.std_err / e.std_err < 2.5, a.name
+
+
+def test_fit_many_resampled_identity_matches_fit_many(heckman_df):
+    """rep = -1 (unit counts) must reproduce the plain keyless probit."""
+    from pyspark.sql import functions as F
+
+    d = heckman_df.withColumn("one", F.lit(1.0))
+    ref = fit_many(d, ["one", "z"], "sel", family="probit")[()]
+    per_group = fit_many_resampled(
+        d, ["one", "z"], "sel", "grp", reps=0, seed=1, family="probit", id_col="rid"
+    )
+    # identity fit is per-group here; pooled check: refit on one group only
+    da = d.filter(F.col("grp") == "A")
+    ref_a = fit_many(da, ["one", "z"], "sel", family="probit")[()]
+    fast_a = per_group[(-1, "A")]
+    assert np.allclose(fast_a.beta, ref_a.beta, atol=1e-8)
+    assert fast_a.converged
+    assert fast_a.vcov is not None
+    assert np.allclose(fast_a.vcov, ref_a.vcov, atol=1e-8)
+    assert ref.converged  # pooled sanity
+
+
+def test_fit_many_resampled_logit_family(heckman_df):
+    from pyspark.sql import functions as F
+
+    d = heckman_df.withColumn("one", F.lit(1.0))
+    da = d.filter(F.col("grp") == "B")
+    ref = fit_many(da, ["one", "z"], "sel", family="logit")[()]
+    fast = fit_many_resampled(
+        d, ["one", "z"], "sel", "grp", reps=3, seed=9, family="logit", id_col="rid"
+    )
+    assert np.allclose(fast[(-1, "B")].beta, ref.beta, atol=1e-8)
+    # bootstrap replicates converge and differ from the point estimate
+    assert all(fast[(r, "B")].converged for r in range(3))
+    assert any(
+        not np.allclose(fast[(r, "B")].beta, fast[(-1, "B")].beta) for r in range(3)
+    )

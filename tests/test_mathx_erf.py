@@ -49,6 +49,20 @@ def test_norm_cdf_matches_libm(erf_rows):
     assert worst < 1e-15, f"max |norm_cdf - libm| = {worst}"
 
 
+def test_erf_np_matches_libm():
+    import numpy as np
+
+    from oaxaca_blinder_rs_spark.functions.mathx import erf_np, norm_cdf_np
+
+    xs = np.array(GRID, dtype=np.float64)
+    got = erf_np(xs)
+    want = np.array([math.erf(v) for v in GRID])
+    assert np.max(np.abs(got - want)) < 1e-15
+    phi = norm_cdf_np(xs)
+    want_phi = np.array([0.5 * (1 + math.erf(v / math.sqrt(2))) for v in GRID])
+    assert np.max(np.abs(phi - want_phi)) < 1e-15
+
+
 def test_erf_inside_aggregate(spark):
     """Determinism: unlike the old java_method erf, erf_expr is legal inside
     an aggregate function (no extra projection step required)."""
