@@ -43,6 +43,7 @@ _ERF_Q = [2.56852019228982242e00, 1.87295284992346047e00,
           5.27905102951428412e-1, 6.05183413124413191e-2,
           2.33520497626869185e-3]
 _ERF_SQRPI = 5.6418958354775628695e-1  # 1/sqrt(pi)
+_ERF_XBIG = 26.543  # CALERF XBIG: erfc underflows to 0 beyond this
 
 
 def _erfc_mid(y: Column) -> Column:
@@ -97,7 +98,12 @@ def erf_expr(x: Column) -> Column:
 
     erfc_tail = F.when(y <= F.lit(4.0), _erfc_mid(y)).otherwise(_erfc_far(y))
     erf_tail = F.when(x > F.lit(0.0), F.lit(1.0) - erfc_tail).otherwise(erfc_tail - F.lit(1.0))
-    return F.when(y <= F.lit(0.46875), erf_near).otherwise(erf_tail)
+    out = F.when(y <= F.lit(0.46875), erf_near).otherwise(erf_tail)
+    # CALERF XBIG cap: erfc underflows to 0 above ~26.543, so erf(x) = sign(x)
+    # exactly; also makes erf(+-inf) = +-1 instead of (inf-inf) = NaN. Spark
+    # SQL orders NaN above every double, so NaN takes this branch too and
+    # signum propagates it.
+    return F.when(y >= F.lit(_ERF_XBIG), F.signum(x)).otherwise(out)
 
 
 def norm_cdf(x: Column) -> Column:
@@ -146,7 +152,9 @@ def erf_np(x):
 
     x = np.asarray(x, dtype=np.float64)
     y = np.abs(x)
-    out = np.empty_like(y)
+    # NaN-init so elements no region covers (NaN inputs fail every mask
+    # comparison) propagate NaN instead of returning uninitialized memory.
+    out = np.full_like(y, np.nan)
 
     near = y <= 0.46875
     yn = y[near]
@@ -170,7 +178,12 @@ def erf_np(x):
     dl = (ym - ysq) * (ym + ysq)
     erfc_mid = np.exp(-ysq * ysq) * np.exp(-dl) * r
 
-    far = y > 4.0
+    # CALERF XBIG cap: beyond ~26.543 erfc underflows to 0, so erf = sign(x)
+    # exactly; this also turns +-inf into +-1 instead of (inf-inf) = NaN.
+    huge = y > _ERF_XBIG
+    out[huge] = np.sign(x[huge])
+
+    far = (y > 4.0) & ~huge
     yf = y[far]
     with np.errstate(under="ignore", divide="ignore"):
         ysq = 1.0 / (yf * yf)

@@ -342,7 +342,12 @@ def fit_many_resampled(
                 P = np.empty((n_g, L), dtype=np.float64)
                 for c0, (i, j) in enumerate(tri):
                     P[:, c0] = X[:, i] * X[:, j]
-                stat = np.concatenate([P.T @ (C * W), X.T @ (C * S)], axis=0)
+                # last row = total resample count per replicate, so the driver
+                # can flag degenerate all-zero Poisson draws instead of
+                # accepting a beta=0 "converged" fit
+                stat = np.concatenate(
+                    [P.T @ (C * W), X.T @ (C * S), C.sum(axis=0, keepdims=True)], axis=0
+                )
                 for idx, r in enumerate(rep_ids):
                     rows_out.append((int(r), gval, stat[:, idx].tolist()))
             yield pd.DataFrame(rows_out, columns=["rep", "grp", "stats"])
@@ -358,10 +363,17 @@ def fit_many_resampled(
                 acc[key] = arr.copy()
 
         for key, v in acc.items():
+            if v[-1] <= 0.0:
+                # replicate resampled zero rows: info = reg*I, grad = 0 would
+                # "converge" at beta = 0 — mark degenerate instead
+                done[key] = GlmFit(
+                    names=list(xcols), beta=betas[key], converged=False, iterations=it
+                )
+                continue
             info = np.zeros((k, k))
             for idx, (i, j) in enumerate(tri):
                 info[i, j] = info[j, i] = v[idx]
-            step, info = _newton_step(info, v[L:], k, ridge, diag_reg, family)
+            step, info = _newton_step(info, v[L : L + k], k, ridge, diag_reg, family)
             betas[key] = betas[key] + step
             infos[key] = info
             if float(np.linalg.norm(step)) < tol:

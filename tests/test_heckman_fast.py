@@ -91,6 +91,23 @@ def test_fit_many_resampled_identity_matches_fit_many(heckman_df):
     assert ref.converged  # pooled sanity
 
 
+def test_fit_many_resampled_zero_count_replicate_not_converged(spark):
+    """A replicate whose Poisson draw resamples zero rows must come back
+    converged=False, not a plausible-looking beta=0 'converged' fit (round-2
+    advisory). seed=0 with a 2-row group draws zero total count at rep 8."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    pdf = pd.DataFrame({"grp": ["A", "A"], "sel": [1.0, 0.0], "rid": [0, 1]})
+    d = spark.createDataFrame(pdf).withColumn("one", F.lit(1.0))
+    fits = fit_many_resampled(
+        d, ["one"], "sel", "grp", reps=30, seed=0, family="logit", id_col="rid"
+    )
+    degenerate = fits[(8, "A")]
+    assert not degenerate.converged
+    assert np.allclose(degenerate.beta, 0.0)
+
+
 def test_fit_many_resampled_logit_family(heckman_df):
     from pyspark.sql import functions as F
 

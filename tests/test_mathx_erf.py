@@ -63,6 +63,52 @@ def test_erf_np_matches_libm():
     assert np.max(np.abs(phi - want_phi)) < 1e-15
 
 
+def test_erf_nan_inf_edges(spark):
+    """NaN propagates, +-inf clamps to +-1 (CALERF XBIG cap) in both variants.
+
+    Regression for two round-2 advisories: erf_np's region masks all excluded
+    NaN, returning uninitialized memory; and the far region computed
+    (inf-inf) = NaN for infinite inputs instead of the +-1 the replaced
+    commons-math Erf.erf returned.
+    """
+    import numpy as np
+
+    from oaxaca_blinder_rs_spark.functions.mathx import erf_np
+
+    got = erf_np(np.array([np.nan, np.inf, -np.inf, 26.544, -26.544, 1e308]))
+    assert math.isnan(got[0])
+    assert got[1] == 1.0 and got[2] == -1.0
+    assert got[3] == 1.0 and got[4] == -1.0 and got[5] == 1.0
+
+    df = spark.createDataFrame(
+        [(float("nan"),), (float("inf",),), (float("-inf"),), (26.544,), (-26.544,)],
+        "x double",
+    )
+    es = [r["e"] for r in df.select(erf_expr(F.col("x")).alias("e")).collect()]
+    assert math.isnan(es[0])
+    assert es[1] == 1.0 and es[2] == -1.0
+    assert es[3] == 1.0 and es[4] == -1.0
+
+
+def test_erf_interpreted_path(spark):
+    """Pin the non-codegen (interpreted) evaluation path: with whole-stage
+    codegen disabled, erf_expr must produce the identical bits, including
+    inside an aggregate. Cheap insurance for the one hand-rolled numeric
+    kernel every GLM depends on."""
+    old = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try:
+        df = spark.createDataFrame([(float(x),) for x in GRID], "x double")
+        rows = df.select("x", erf_expr(F.col("x")).alias("e")).collect()
+        for r in rows:
+            assert abs(r["e"] - math.erf(r["x"])) < 1e-15
+        got = df.agg(F.sum(erf_expr(F.col("x"))).alias("s")).collect()[0]["s"]
+        want = sum(math.erf(x) for x in GRID)
+        assert abs(got - want) < 1e-10
+    finally:
+        spark.conf.set("spark.sql.codegen.wholeStage", old)
+
+
 def test_erf_inside_aggregate(spark):
     """Determinism: unlike the old java_method erf, erf_expr is legal inside
     an aggregate function (no extra projection step required)."""
