@@ -26,6 +26,7 @@ from dataclasses import asdict
 
 MAX_BODY_BYTES = 2 * 1024 * 1024
 SSE_RATE_LIMIT_PER_MIN = 60
+SSE_SESSION_TTL_SECS = 3600.0  # idle sessions swept after 1h (ref never expires)
 
 RATE_LIMIT_PER_MIN = 30
 
@@ -293,12 +294,26 @@ def make_sse_server(port: int, api_key: str, server: McpServer | None = None):
     - DELETE /sse: tears down the session named by Mcp-Session-Id.
     Rate limit: 60 req/min sliding window -> 429. Body cap 2 MiB -> 413.
     """
+    import threading
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
     from urllib.parse import parse_qs, urlparse
 
     mcp = server or McpServer()
     sessions: dict[str, float] = {}
     hits: list[float] = []
+    # ThreadingHTTPServer handles each request on its own thread; the reference
+    # guards its session map with an RwLock (main.rs:83) — mirror that here so
+    # sliding-window reassignment and session mutation can't race.
+    state_lock = threading.Lock()
+
+    def _sweep_expired(now: float) -> None:
+        """Drop sessions idle past the TTL (caller holds state_lock). The
+        reference never expires sessions (DELETE-only); the sweep bounds
+        memory growth for long-lived servers without changing live-session
+        behavior, since _session_from_request refreshes last-seen on use."""
+        dead = [s for s, t in sessions.items() if now - t > SSE_SESSION_TTL_SECS]
+        for s in dead:
+            del sessions[s]
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -310,11 +325,16 @@ def make_sse_server(port: int, api_key: str, server: McpServer | None = None):
         # -- shared gates ---------------------------------------------------
         def _rate_ok(self) -> bool:
             now = time.time()
-            hits[:] = [t for t in hits if now - t < 60.0]
-            if len(hits) >= SSE_RATE_LIMIT_PER_MIN:
+            with state_lock:
+                hits[:] = [t for t in hits if now - t < 60.0]
+                if len(hits) >= SSE_RATE_LIMIT_PER_MIN:
+                    limited = True
+                else:
+                    hits.append(now)
+                    limited = False
+            if limited:
                 self._plain(429, "Rate limit exceeded")
                 return False
-            hits.append(now)
             return True
 
         def _auth_ok(self) -> bool:
@@ -347,7 +367,15 @@ def make_sse_server(port: int, api_key: str, server: McpServer | None = None):
             if not sid:
                 q = parse_qs(urlparse(self.path).query)
                 sid = (q.get("sessionId") or q.get("session_id") or [None])[0]
-            return sid if sid and sid in sessions else None
+            if not sid:
+                return None
+            now = time.time()
+            with state_lock:
+                _sweep_expired(now)
+                if sid in sessions:
+                    sessions[sid] = now  # refresh idle clock on use
+                    return sid
+            return None
 
         # -- routes ---------------------------------------------------------
         def do_OPTIONS(self):  # CORS preflight
@@ -372,16 +400,26 @@ def make_sse_server(port: int, api_key: str, server: McpServer | None = None):
             except json.JSONDecodeError:
                 return self._plain(400, "Parse error")
 
+            # Auth BEFORE minting: the reference stores the session first
+            # (main.rs:309-373) so unauthenticated initialize still inserts an
+            # entry; checking auth first avoids that unauthenticated growth
+            # while keeping identical responses for every request the
+            # reference answers (401 either way).
             is_initialize = req.get("method") == "initialize"
             if is_initialize:
+                if not self._auth_ok():
+                    return
                 sid = str(uuid.uuid4())
-                sessions[sid] = time.time()
+                now = time.time()
+                with state_lock:
+                    _sweep_expired(now)
+                    sessions[sid] = now
             else:
                 sid = self._session_from_request()
                 if sid is None:
                     return self._plain(401, "Missing or invalid Mcp-Session-Id header")
-            if not self._auth_ok():
-                return
+                if not self._auth_ok():
+                    return
 
             resp = mcp.handle(req)
             if req.get("id") is None:  # notification
@@ -410,7 +448,10 @@ def make_sse_server(port: int, api_key: str, server: McpServer | None = None):
                 return self._plain(405, "Method not allowed")
             host = self.headers.get("host", "localhost")
             sid = str(uuid.uuid4())
-            sessions[sid] = time.time()
+            now = time.time()
+            with state_lock:
+                _sweep_expired(now)
+                sessions[sid] = now
             self.send_response(200)
             self._cors()
             self.send_header("Content-Type", "text/event-stream")
@@ -436,7 +477,9 @@ def make_sse_server(port: int, api_key: str, server: McpServer | None = None):
             if not self._auth_ok():
                 return
             sid = self.headers.get("mcp-session-id")
-            if sid and sessions.pop(sid, None) is not None:
+            with state_lock:
+                removed = sid is not None and sessions.pop(sid, None) is not None
+            if removed:
                 return self._plain(200, "OK")
             return self._plain(404, "Not found")
 

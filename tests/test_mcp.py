@@ -253,3 +253,50 @@ def test_sse_delete_session(sse_server):
         {"x-api-key": API_KEY, "Mcp-Session-Id": sid},
     )
     assert code == 401
+
+
+def test_sse_unauthenticated_initialize_mints_no_session(sse_server):
+    # initialize with a bad key -> 401 and server state stays intact
+    # (the reference stores the session before auth, main.rs:309-373; we check
+    # auth first so anonymous clients can't grow server state).
+    sid = _initialize(sse_server)
+    code, _, _ = _post(
+        sse_server,
+        {"jsonrpc": "2.0", "id": 1, "method": "initialize"},
+        {"x-api-key": "wrong"},
+    )
+    assert code == 401
+    # the pre-existing session still works (server state intact)
+    code, _, _ = _post(
+        sse_server,
+        {"jsonrpc": "2.0", "id": 2, "method": "ping"},
+        {"x-api-key": API_KEY, "Mcp-Session-Id": sid},
+    )
+    assert code == 200
+
+
+def test_sse_session_ttl_sweep(spark):
+    # an idle session past the TTL is swept and can no longer be used
+    import oaxaca_blinder_rs_spark.mcp_server as m
+
+    httpd = make_sse_server(0, API_KEY, McpServer(spark))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        sid = _initialize(base)
+        assert sid in httpd._sessions
+        # age the session past the TTL by rewinding its last-seen stamp
+        httpd._sessions[sid] -= m.SSE_SESSION_TTL_SECS + 1.0
+        code, _, body = _post(
+            base,
+            {"jsonrpc": "2.0", "id": 1, "method": "tools/list"},
+            {"x-api-key": API_KEY, "Mcp-Session-Id": sid},
+        )
+        assert code == 401 and b"Mcp-Session-Id" in body
+        assert sid not in httpd._sessions
+    finally:
+        httpd._shutting_down = True
+        httpd.shutdown()
+        httpd.server_close()
