@@ -40,6 +40,14 @@ BASELINE_SEC = {"mean_reps1": 0.14, "mean_reps100": 0.76, "mean_reps500": 3.11}
 BASELINE_ROWS = 100_000
 MATCHED_ROWS = 100_000
 
+# Fixed-cost calibration job: pure-JVM arithmetic over exactly 32 partitions,
+# no I/O, no Python workers — its runtime moves only with machine contention.
+# CAL_REF_SEC is the best-of-3 recorded on this sandbox at load ~3 (round 4);
+# a calibration reading far above it means the query numbers in the same file
+# are inflated by external load, not by code.
+CAL_ROWS = 2_000_000_000  # sum(id*3+1) stays under Long.MAX at this size
+CAL_REF_SEC = 0.83
+
 
 def prepared_lineitem(spark):
     li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
@@ -150,6 +158,13 @@ def bench_matching(spark) -> float:
     return time.time() - t0
 
 
+def bench_calibration(spark) -> float:
+    """Constant 32-partition CPU job (see CAL_REF_SEC)."""
+    t0 = time.time()
+    spark.range(0, CAL_ROWS, 1, 32).selectExpr("sum(id * 3 + 1) as s").collect()
+    return time.time() - t0
+
+
 def main():
     spark = (
         SparkSession.builder.appName("oaxaca-bench")
@@ -176,21 +191,36 @@ def main():
     n_matched = matched.count()
     bench_mean(matched, 1)  # warm the small-frame path too
 
-    # best-of-2 per query: the reference's numbers come from criterion, which
+    # best-of-3 per query: the reference's numbers come from criterion, which
     # reports a robust estimate over many iterations; a single local[32] JVM
-    # run has multi-second GC variance, so one retake is the honest analogue
-    def best(fn, *args):
-        return min(fn(*args), fn(*args))
+    # run has multi-second GC variance AND this sandbox shows intermittent
+    # external load (BENCH_r03 slowed byte-identical code 2.5-3x vs r02), so
+    # take min over 3 and record per-sample times + the 1-min load average
+    # around each sample so cross-round files are auditable.
+    samples: dict[str, list[float]] = {}
+    loadavg: dict[str, list[float]] = {}
+
+    def best(name, fn, *args, reps=3):
+        ts, loads = [], []
+        for _ in range(reps):
+            loads.append(round(os.getloadavg()[0], 2))
+            ts.append(fn(*args))
+        loads.append(round(os.getloadavg()[0], 2))
+        samples[name] = [round(t, 3) for t in ts]
+        loadavg[name] = loads
+        return min(ts)
 
     queries = {}
-    queries["mean_reps1"] = best(bench_mean, df, 1)
-    queries["mean_reps100"] = best(bench_mean, df, 100)
-    queries["mean_reps500"] = best(bench_mean, df, 500)
-    queries["mean_reps1_100k"] = best(bench_mean, matched, 1)
-    queries["rif_q90_reps100"] = best(bench_rif, df, 100)
-    queries["akm_panel"] = best(bench_akm, spark)
-    queries["heckman_reps20"] = best(bench_heckman, df, 20)
-    queries["matching_1nn"] = best(bench_matching, spark)
+    queries["calibration_pre"] = best("calibration_pre", bench_calibration, spark)
+    queries["mean_reps1"] = best("mean_reps1", bench_mean, df, 1)
+    queries["mean_reps100"] = best("mean_reps100", bench_mean, df, 100)
+    queries["mean_reps500"] = best("mean_reps500", bench_mean, df, 500)
+    queries["mean_reps1_100k"] = best("mean_reps1_100k", bench_mean, matched, 1)
+    queries["rif_q90_reps100"] = best("rif_q90_reps100", bench_rif, df, 100)
+    queries["akm_panel"] = best("akm_panel", bench_akm, spark)
+    queries["heckman_reps20"] = best("heckman_reps20", bench_heckman, df, 20)
+    queries["matching_1nn"] = best("matching_1nn", bench_matching, spark)
+    queries["calibration_post"] = best("calibration_post", bench_calibration, spark)
 
     # explicit baseline comparison: raw ratio at matched scale, and per-row
     # ratio for the sf-scaled entries (ours runs n rows vs the ref's 100k)
@@ -202,7 +232,8 @@ def main():
         queries["mean_reps1_100k"] / BASELINE_SEC["mean_reps1"], 3
     )
 
-    total = sum(queries.values())
+    cal_best = min(queries["calibration_pre"], queries["calibration_post"])
+    total = sum(v for k, v in queries.items() if not k.startswith("calibration"))
     out = {
         "metric": "oaxaca_bench_total",
         "value": round(total, 3),
@@ -213,6 +244,15 @@ def main():
         "rows_matched": n_matched,
         "baseline": {"rows": BASELINE_ROWS, "sec": BASELINE_SEC},
         "vs_baseline": vs_baseline,
+        # contention audit: calibration is a fixed-cost 32-partition JVM job;
+        # ratio >> 1.2 means this file's numbers are inflated by machine load
+        "calibration": {
+            "ref_sec": CAL_REF_SEC,
+            "best_sec": round(cal_best, 3),
+            "ratio_vs_ref": round(cal_best / CAL_REF_SEC, 3),
+        },
+        "samples": samples,
+        "loadavg_1min": loadavg,
     }
     print(json.dumps(out))
     spark.stop()

@@ -149,8 +149,14 @@ def _clean_floats(obj):
 
 class McpServer:
     def __init__(self, spark=None):
+        import threading
+
         self._spark = spark
         self._calls: list[float] = []
+        # handle() is invoked from ThreadingHTTPServer handler threads in the
+        # SSE transport; guard the sliding-window limiter like the rest of the
+        # shared state so concurrent calls can't miscount.
+        self._calls_lock = threading.Lock()
 
     def spark(self):
         if self._spark is None:
@@ -250,13 +256,16 @@ class McpServer:
             result = {}
         elif method == "tools/call":
             now = time.time()
-            self._calls = [t for t in self._calls if now - t < 60.0]
-            if len(self._calls) >= RATE_LIMIT_PER_MIN:
+            with self._calls_lock:
+                self._calls = [t for t in self._calls if now - t < 60.0]
+                limited = len(self._calls) >= RATE_LIMIT_PER_MIN
+                if not limited:
+                    self._calls.append(now)
+            if limited:
                 return {
                     "jsonrpc": "2.0", "id": rid,
                     "error": {"code": -32000, "message": "Rate limit exceeded; retry later."},
                 }
-            self._calls.append(now)
             params = req.get("params") or {}
             try:
                 payload = self.call_tool(params.get("name"), params.get("arguments") or {})
@@ -400,15 +409,16 @@ def make_sse_server(port: int, api_key: str, server: McpServer | None = None):
             except json.JSONDecodeError:
                 return self._plain(400, "Parse error")
 
-            # Auth BEFORE minting: the reference stores the session first
-            # (main.rs:309-373) so unauthenticated initialize still inserts an
-            # entry; checking auth first avoids that unauthenticated growth
-            # while keeping identical responses for every request the
-            # reference answers (401 either way).
-            is_initialize = req.get("method") == "initialize"
-            if is_initialize:
-                if not self._auth_ok():
-                    return
+            # Auth BEFORE any session mutation: the reference stores the
+            # session first (main.rs:309-373) so unauthenticated initialize
+            # still inserts an entry; checking auth first avoids both that
+            # unauthenticated growth and unauthenticated idle-clock refreshes
+            # (which would keep a known session alive past the TTL), while
+            # keeping identical responses for every request the reference
+            # answers (401 either way).
+            if not self._auth_ok():
+                return
+            if req.get("method") == "initialize":
                 sid = str(uuid.uuid4())
                 now = time.time()
                 with state_lock:
@@ -418,8 +428,6 @@ def make_sse_server(port: int, api_key: str, server: McpServer | None = None):
                 sid = self._session_from_request()
                 if sid is None:
                     return self._plain(401, "Missing or invalid Mcp-Session-Id header")
-                if not self._auth_ok():
-                    return
 
             resp = mcp.handle(req)
             if req.get("id") is None:  # notification
@@ -466,6 +474,12 @@ def make_sse_server(port: int, api_key: str, server: McpServer | None = None):
                     time.sleep(1.0)
                     self.wfile.write(b": keep-alive\n\n")
                     self.wfile.flush()
+                    # a live stream counts as activity: refresh the idle clock
+                    # so the TTL sweep can't drop a connected-but-quiet client
+                    # (don't resurrect a session torn down via DELETE)
+                    with state_lock:
+                        if sid in sessions:
+                            sessions[sid] = time.time()
             except (BrokenPipeError, ConnectionResetError):
                 pass
 

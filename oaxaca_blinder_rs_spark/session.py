@@ -73,7 +73,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
 
     The `events` table carries TIMESTAMP(NANOS) which Spark's parquet reader
     rejects ([PARQUET_TYPE_ILLEGAL]); fall back to pyarrow -> pandas (ns
-    timestamps downcast to us) -> createDataFrame for such files.
+    timestamps downcast to us) -> createDataFrame for such files. tz-naive
+    pandas datetimes infer as TIMESTAMP_NTZ, which ``withWatermark`` rejects
+    as an event-time column — normalize any NTZ columns to TIMESTAMP (LTZ)
+    so downstream batch and streaming code see one timestamp type.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     try:
@@ -84,4 +87,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
         import pyarrow.parquet as pq
 
         pdf = pq.read_table(path).to_pandas()
-        return spark.createDataFrame(pdf)
+        df = spark.createDataFrame(pdf)
+        return _ntz_to_ltz(df)
+
+
+def _ntz_to_ltz(df):
+    """Cast any TIMESTAMP_NTZ columns to TIMESTAMP (LTZ)."""
+    from pyspark.sql import functions as F
+
+    ntz = [f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp_ntz"]
+    if ntz:
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
+    return df

@@ -26,6 +26,16 @@ __all__ = [
 ]
 
 
+def _event_time(events: DataFrame, ts_col: str) -> DataFrame:
+    """withWatermark requires TIMESTAMP (LTZ) event time; sources rewritten
+    through the pandas ingest path can carry TIMESTAMP_NTZ — cast it here so
+    every streaming entry point accepts either."""
+    for f in events.schema.fields:
+        if f.name == ts_col and f.dataType.typeName() == "timestamp_ntz":
+            return events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return events
+
+
 def windowed_event_aggregates(
     events: DataFrame,
     window_duration: str = "1 hour",
@@ -34,7 +44,7 @@ def windowed_event_aggregates(
 ) -> DataFrame:
     """Tumbling-window aggregates with late-data watermark."""
     return (
-        events.withWatermark(ts_col, watermark)
+        _event_time(events, ts_col).withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window_duration).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -65,7 +75,7 @@ def streaming_group_stats(
     enough to solve means/variances/one-predictor models downstream without
     reprocessing the stream."""
     return (
-        events.withWatermark(ts_col, watermark)
+        _event_time(events, ts_col).withWatermark(ts_col, watermark)
         .groupBy(group_col)
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -174,7 +184,7 @@ def sessionize(
 ) -> DataFrame:
     """Session windows per user (gap-based)."""
     return (
-        events.withWatermark(ts_col, watermark)
+        _event_time(events, ts_col).withWatermark(ts_col, watermark)
         .groupBy(F.session_window(ts_col, gap).alias("s"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("session_value"))
         .select(

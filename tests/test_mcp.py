@@ -191,8 +191,16 @@ def test_sse_tools_call_end_to_end(sse_server):
 
 
 def test_sse_auth_and_session_gates(sse_server):
-    # no session on a non-initialize call -> 401 (session gate fires first)
+    # no key and no session -> 401 invalid key (auth gate fires first, so an
+    # unauthenticated request can never touch or refresh session state)
     code, _, body = _post(sse_server, {"jsonrpc": "2.0", "id": 1, "method": "tools/list"})
+    assert code == 401 and b"Invalid API Key" in body
+    # authenticated but no session -> 401 naming the missing session header
+    code, _, body = _post(
+        sse_server,
+        {"jsonrpc": "2.0", "id": 1, "method": "tools/list"},
+        {"x-api-key": API_KEY},
+    )
     assert code == 401 and b"Mcp-Session-Id" in body
     # live session but bad key -> 401 invalid key
     sid = _initialize(sse_server)
@@ -232,6 +240,37 @@ def test_sse_get_stream_announces_endpoint_and_query_session_works(sse_server):
     assert code == 200 and json.loads(body)["result"] == {}
 
 
+def test_sse_keepalive_refreshes_session(spark):
+    # a connected-but-quiet SSE client must not be TTL-swept: the keep-alive
+    # loop refreshes the session's idle clock while the stream is open.
+    import time as _time
+
+    httpd = make_sse_server(0, API_KEY, McpServer(spark))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+    req = urllib.request.Request(
+        base + "/sse", headers={"x-api-key": API_KEY}, method="GET"
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=30) as r:
+            r.readline()  # event: endpoint
+            data = r.readline().decode()
+            sid = data.rsplit("sessionId=", 1)[1].strip()
+            # rewind the clock, then let at least one keep-alive tick fire
+            httpd._sessions[sid] -= 10_000.0
+            rewound = httpd._sessions[sid]
+            deadline = _time.time() + 10.0
+            while _time.time() < deadline and httpd._sessions.get(sid, rewound) <= rewound:
+                _time.sleep(0.2)
+        assert httpd._sessions[sid] > rewound  # refreshed by the live stream
+    finally:
+        httpd._shutting_down = True
+        httpd.shutdown()
+        httpd.server_close()
+
+
 def test_sse_delete_session(sse_server):
     sid = _initialize(sse_server)
     req = urllib.request.Request(
@@ -255,24 +294,61 @@ def test_sse_delete_session(sse_server):
     assert code == 401
 
 
-def test_sse_unauthenticated_initialize_mints_no_session(sse_server):
-    # initialize with a bad key -> 401 and server state stays intact
-    # (the reference stores the session before auth, main.rs:309-373; we check
-    # auth first so anonymous clients can't grow server state).
-    sid = _initialize(sse_server)
-    code, _, _ = _post(
-        sse_server,
-        {"jsonrpc": "2.0", "id": 1, "method": "initialize"},
-        {"x-api-key": "wrong"},
-    )
-    assert code == 401
-    # the pre-existing session still works (server state intact)
-    code, _, _ = _post(
-        sse_server,
-        {"jsonrpc": "2.0", "id": 2, "method": "ping"},
-        {"x-api-key": API_KEY, "Mcp-Session-Id": sid},
-    )
-    assert code == 200
+def test_sse_unauthenticated_initialize_mints_no_session(spark):
+    # initialize with a bad key -> 401 and NO session minted (the reference
+    # stores the session before auth, main.rs:309-373; we check auth first so
+    # anonymous clients can't grow server state). Dedicated server so the
+    # session map can be inspected directly.
+    httpd = make_sse_server(0, API_KEY, McpServer(spark))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        sid = _initialize(base)
+        before = dict(httpd._sessions)
+        code, _, _ = _post(
+            base,
+            {"jsonrpc": "2.0", "id": 1, "method": "initialize"},
+            {"x-api-key": "wrong"},
+        )
+        assert code == 401
+        assert httpd._sessions == before  # nothing minted, nothing refreshed
+        # the pre-existing session still works (server state intact)
+        code, _, _ = _post(
+            base,
+            {"jsonrpc": "2.0", "id": 2, "method": "ping"},
+            {"x-api-key": API_KEY, "Mcp-Session-Id": sid},
+        )
+        assert code == 200
+    finally:
+        httpd._shutting_down = True
+        httpd.shutdown()
+        httpd.server_close()
+
+
+def test_sse_unauthenticated_post_does_not_refresh_session(spark):
+    # an unauthenticated request naming a live session must not refresh its
+    # idle clock (else a keyless client could keep a session alive forever).
+    httpd = make_sse_server(0, API_KEY, McpServer(spark))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        sid = _initialize(base)
+        stamp = httpd._sessions[sid]
+        code, _, _ = _post(
+            base,
+            {"jsonrpc": "2.0", "id": 1, "method": "tools/list"},
+            {"x-api-key": "wrong", "Mcp-Session-Id": sid},
+        )
+        assert code == 401
+        assert httpd._sessions[sid] == stamp  # idle clock untouched
+    finally:
+        httpd._shutting_down = True
+        httpd.shutdown()
+        httpd.server_close()
 
 
 def test_sse_session_ttl_sweep(spark):
