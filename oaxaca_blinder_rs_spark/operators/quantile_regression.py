@@ -17,7 +17,35 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["solve_qr"]
+__all__ = ["solve_qr", "exact_n_counts"]
+
+# Worker-side memo for deterministic resample multiplicities: Spark reuses
+# Python workers across mapInPandas passes (spark.python.worker.reuse), so the
+# Gram-IRLS engine's per-iteration passes hit this cache instead of redrawing
+# n integers per (replicate, side) every iteration. int32 counts keep the
+# cache at ~4 MB per million rows per key; the size cap bounds worker memory.
+_COUNTS_CACHE: dict[tuple, np.ndarray] = {}
+_COUNTS_CACHE_MAX = 256
+
+
+def exact_n_counts(seed: int, rep: int, side: int, n: int) -> np.ndarray:
+    """Multiplicity vector of the deterministic exact-n bootstrap resample.
+
+    Same stream as the Machado-Mata tau-batch engine's in-task resample
+    (``default_rng([seed, 11, rep, side]).integers(0, n, n)``) — a weighted
+    fit with these multiplicities is the identical estimator to fitting the
+    materialized resample, so both engines share one bootstrap definition and
+    the driver's simulation-pick translation.
+    """
+    key = (int(seed), int(rep), int(side), int(n))
+    c = _COUNTS_CACHE.get(key)
+    if c is None:
+        idx = np.random.default_rng([key[0], 11, key[1], key[2]]).integers(0, n, size=n)
+        c = np.bincount(idx, minlength=n).astype(np.int32)
+        if len(_COUNTS_CACHE) >= _COUNTS_CACHE_MAX:
+            _COUNTS_CACHE.clear()
+        _COUNTS_CACHE[key] = c
+    return c
 
 
 def solve_qr(

@@ -2,13 +2,18 @@
 
 Reference: /root/reference/oaxaca_blinder/src/quantile_decomposition.rs.
 
-Spark's role here is preparation (clean, dummies, group split) and the
-group-matrix extraction; the 2S quantile-regression fits and the simulation
-are deliberately driver-side NumPy with a thread pool — exactly the
-reference's rayon design (quantile_decomposition.rs:221-229), because every
-QR fit needs the whole group's rows. A `collect_limit` guards the driver; for
-data beyond it, fit per-tau batches with applyInPandas (each executor task
-still needs one full group in memory — QR is not shuffle-decomposable).
+Three fit engines, one semantics:
+
+- 'driver': collect group matrices once, thread-pooled NumPy fits — the
+  reference's rayon design (quantile_decomposition.rs:221-229), guarded by
+  COLLECT_LIMIT_CELLS;
+- 'distributed' (scale path): Gram-IRLS — every (replicate, group, tau)
+  quantile regression iterates simultaneously, each IRLS iteration one
+  mapInPandas pass emitting check-weighted Gram partials; only O(models x
+  k^2) statistics ever reach the driver, data never duplicates across
+  replicates or taus;
+- 'taubatch' (legacy): per-tau-batch fan-out where each task holds one full
+  group — kept for parity testing.
 
 Determinism: tau draws, simulation row picks and bootstrap resamples all come
 from numpy Generators seeded from the builder seed (the reference uses
@@ -120,13 +125,25 @@ class QuantileDecompositionBuilder:
 
     def fit_engine(self, engine: str) -> "QuantileDecompositionBuilder":
         """'driver': collect group matrices once, thread-pooled NumPy fits
-        (reference's rayon shape; COLLECT_LIMIT-guarded). 'distributed':
-        tau-batch fan-out via applyInPandas — each executor task holds ONE
-        group's rows and fits its batch of taus; only the S x k beta table
-        returns to the driver. Executor-memory bound instead of driver-bound.
+        (reference's rayon shape; COLLECT_LIMIT-guarded).
+
+        'distributed' (the scale path): Gram-IRLS — every (replicate, group,
+        tau) quantile regression iterates simultaneously; each IRLS iteration
+        is ONE mapInPandas pass over the unexploded projection computing
+        check-function-weighted Gram partials (X'WX upper triangle, X'Wy) for
+        all active models with two BLAS GEMMs per partition, and the driver
+        performs the k x k solves. No row is ever duplicated across
+        replicates or taus — resampling is multiplicity-weighted via
+        ``exact_n_counts`` — so shuffle volume is O(n) per iteration and
+        driver traffic is O(models x k^2), independent of n.
+
+        'taubatch' (legacy distributed): replicate x tau-batch fan-out via
+        applyInPandas where each executor task holds ONE group's full rows —
+        n x (B+1) x n_batches rows cross the shuffle. Kept for parity
+        testing; superseded by the Gram engine at scale.
         """
-        if engine not in ("driver", "distributed"):
-            raise ValueError("fit engine must be 'driver' or 'distributed'")
+        if engine not in ("driver", "distributed", "taubatch"):
+            raise ValueError("fit engine must be 'driver', 'distributed' or 'taubatch'")
         self._fit_engine = engine
         return self
 
@@ -215,23 +232,24 @@ class QuantileDecompositionBuilder:
             )
         return effects
 
-    # -- distributed tau-batch fan-out ---------------------------------------
-    def _run_distributed(self) -> QuantileDecompositionResults:
-        """Each executor task holds ONE group's rows and fits a batch of taus
-        (applyInPandas over (rep, group, tau-batch)); only the (B+1) x S x k
-        beta table and the sampled covariate rows return to the driver.
-        Executor-memory bound, not driver-bound.
+    # -- distributed engines --------------------------------------------------
+    def _run_distributed(self, strategy: str = "gram") -> QuantileDecompositionResults:
+        """Shared distributed orchestration: prepare + rank rows, draw taus,
+        fit every (replicate, group, tau) quantile regression via the chosen
+        strategy ('gram' = per-iteration weighted Gram aggregation, 'taubatch'
+        = legacy full-group fan-out), then run the simulation/effects stage on
+        the driver from the S x k beta table and the sampled covariate rows.
 
-        Bootstrap: the fan-out key carries the replicate. Exact-n resampling
-        happens INSIDE each task from a deterministic per-(rep, side) stream
-        (numpy SeedSequence of [seed, 11, rep, side]); the driver regenerates
-        the identical index array to translate simulation picks back to
-        original row ranks, so no resampled data is ever shuffled twice and
-        reruns reproduce exactly. RNG stream layout differs from the driver
-        engine (independent per-rep streams instead of one sequential rng);
-        statistically equivalent, documented divergence.
+        Bootstrap: exact-n resampling is defined by a deterministic
+        per-(rep, side) stream (numpy SeedSequence of [seed, 11, rep, side]);
+        executors regenerate it in-task (taubatch materializes the resample,
+        gram uses its multiplicity vector as weights — identical estimator)
+        and the driver regenerates the identical index array to translate
+        simulation picks back to original row ranks, so no resampled data is
+        ever shuffled and reruns reproduce exactly. RNG stream layout differs
+        from the driver engine (independent per-rep streams instead of one
+        sequential rng); statistically equivalent, documented divergence.
         """
-        import pandas as pd
         from pyspark.sql import Window
 
         design, xcols, group_a, group_b = self._prepare_design()
@@ -256,57 +274,14 @@ class QuantileDecompositionBuilder:
         counts = {r[0]: r[1] for r in ranked.groupBy(self._group).count().collect()}
         n_a, n_b = int(counts[group_a]), int(counts[group_b])
 
-        # sizing: (B+1) x 2 groups x n_batches tasks; shrink batches as the
-        # replicate dimension supplies parallelism (data shipped scales with
-        # reps x batches)
-        par = spark.sparkContext.defaultParallelism
-        total_keys = (B + 1) * 2
-        n_batches = max(1, min(16, math.ceil(par / total_keys)))
-        batch_assign = {b: [i for i in range(S) if i % n_batches == b] for b in range(n_batches)}
-        taus_payload = {
-            (r, b): [(i, float(taus_by_rep[r][i])) for i in batch_assign[b]]
-            for r in range(-1, B)
-            for b in range(n_batches)
-        }
-        rb_df = spark.createDataFrame(
-            [(r, b) for r in range(-1, B) for b in range(n_batches)],
-            "__mm_rep int, __mm_batch int",
-        )
-        replicated = ranked.crossJoin(F.broadcast(rb_df))
-
-        outcome = self._outcome
-        xcols_local = list(xcols)
-        ga = group_a
-
-        def fit_batch(key, pdf):
-            rep, gval, batch = int(key[0]), key[1], int(key[2])
-            pdf = pdf.sort_values("__mm_rn")
-            X = pdf[xcols_local].to_numpy(dtype=np.float64)
-            y = pdf[outcome].to_numpy(dtype=np.float64)
-            if rep >= 0:  # exact-n resample with replacement, deterministic
-                side = 0 if gval == ga else 1
-                idx = np.random.default_rng([seed, 11, rep, side]).integers(0, len(y), size=len(y))
-                X, y = X[idx], y[idx]
-            out = []
-            for ti, tau in taus_payload[(rep, batch)]:
-                try:
-                    beta = solve_qr(X, y, tau)
-                    out.append((rep, gval, int(ti), [float(v) for v in beta], True))
-                except Exception:
-                    out.append((rep, gval, int(ti), [], False))
-            return pd.DataFrame(out, columns=["rep", "grp", "tau_idx", "beta", "ok"])
-
-        beta_rows = (
-            replicated.groupBy("__mm_rep", self._group, "__mm_batch")
-            .applyInPandas(fit_batch, "rep int, grp string, tau_idx int, beta array<double>, ok boolean")
-            .collect()
-        )
-        betas: dict[tuple[int, int], list[np.ndarray]] = {}
-        for row in sorted(
-            (r for r in beta_rows if r["ok"]), key=lambda r: (int(r["rep"]), int(r["tau_idx"]))
-        ):
-            side = 0 if row["grp"] == group_a else 1
-            betas.setdefault((int(row["rep"]), side), []).append(np.array(row["beta"]))
+        if strategy == "taubatch":
+            betas = self._fit_taubatch(
+                spark, ranked, xcols, group_a, group_b, taus_by_rep, n_a, n_b
+            )
+        else:
+            betas = self._fit_gram(
+                spark, ranked, xcols, group_a, group_b, taus_by_rep, n_a, n_b
+            )
 
         # per-rep simulation plan: translate picks into original row ranks
         plans: dict[int, dict] = {}
@@ -400,9 +375,301 @@ class QuantileDecompositionBuilder:
             results_by_quantile=results, n_a=n_a, n_b=n_b
         )
 
+    def _fit_taubatch(
+        self, spark, ranked, xcols, group_a, group_b, taus_by_rep, n_a, n_b
+    ) -> dict[tuple[int, int], list[np.ndarray]]:
+        """Legacy fan-out: applyInPandas over (rep, group, tau-batch) keys —
+        each executor task holds ONE group's full rows (materializing the
+        exact-n resample for rep >= 0) and fits its batch of taus with
+        ``solve_qr``. n x (B+1) x n_batches rows cross the shuffle."""
+        import pandas as pd
+
+        B = self._bootstrap_reps
+        S = self._simulations
+        seed = self._seed
+
+        # sizing: (B+1) x 2 groups x n_batches tasks; shrink batches as the
+        # replicate dimension supplies parallelism (data shipped scales with
+        # reps x batches)
+        par = spark.sparkContext.defaultParallelism
+        total_keys = (B + 1) * 2
+        n_batches = max(1, min(16, math.ceil(par / total_keys)))
+        batch_assign = {b: [i for i in range(S) if i % n_batches == b] for b in range(n_batches)}
+        taus_payload = {
+            (r, b): [(i, float(taus_by_rep[r][i])) for i in batch_assign[b]]
+            for r in range(-1, B)
+            for b in range(n_batches)
+        }
+        rb_df = spark.createDataFrame(
+            [(r, b) for r in range(-1, B) for b in range(n_batches)],
+            "__mm_rep int, __mm_batch int",
+        )
+        replicated = ranked.crossJoin(F.broadcast(rb_df))
+
+        outcome = self._outcome
+        xcols_local = list(xcols)
+        ga = group_a
+
+        def fit_batch(key, pdf):
+            rep, gval, batch = int(key[0]), key[1], int(key[2])
+            pdf = pdf.sort_values("__mm_rn")
+            X = pdf[xcols_local].to_numpy(dtype=np.float64)
+            y = pdf[outcome].to_numpy(dtype=np.float64)
+            if rep >= 0:  # exact-n resample with replacement, deterministic
+                side = 0 if gval == ga else 1
+                idx = np.random.default_rng([seed, 11, rep, side]).integers(0, len(y), size=len(y))
+                X, y = X[idx], y[idx]
+            out = []
+            for ti, tau in taus_payload[(rep, batch)]:
+                try:
+                    beta = solve_qr(X, y, tau)
+                    out.append((rep, gval, int(ti), [float(v) for v in beta], True))
+                except Exception:
+                    out.append((rep, gval, int(ti), [], False))
+            return pd.DataFrame(out, columns=["rep", "grp", "tau_idx", "beta", "ok"])
+
+        beta_rows = (
+            replicated.groupBy("__mm_rep", self._group, "__mm_batch")
+            .applyInPandas(fit_batch, "rep int, grp string, tau_idx int, beta array<double>, ok boolean")
+            .collect()
+        )
+        betas: dict[tuple[int, int], list[np.ndarray]] = {}
+        for row in sorted(
+            (r for r in beta_rows if r["ok"]), key=lambda r: (int(r["rep"]), int(r["tau_idx"]))
+        ):
+            side = 0 if row["grp"] == group_a else 1
+            betas.setdefault((int(row["rep"]), side), []).append(np.array(row["beta"]))
+        return betas
+
+    def _fit_gram(
+        self, spark, ranked, xcols, group_a, group_b, taus_by_rep, n_a, n_b
+    ) -> dict[tuple[int, int], list[np.ndarray]]:
+        """Gram-IRLS: all (rep, side, tau) quantile regressions iterate
+        simultaneously; each IRLS iteration is one mapInPandas pass over the
+        unexploded projection.
+
+        Same objective and iteration as ``solve_qr`` (check-loss IRLS,
+        weights (tau or 1-tau)/max(|r|, eps), OLS start, ridge 1e-12,
+        max|dbeta| < 1e-8, 200 iterations), but the WLS normal equations are
+        assembled from partition-local BLAS partials:
+
+            info[:, m] = Ptri' (c_rep * w_m)     xwy[:, m] = X' (c_rep * w_m * y)
+
+        where Ptri is the n x k(k+1)/2 upper-triangle product matrix and
+        c_rep the exact-n resample multiplicities (``exact_n_counts``) — a
+        count-weighted fit is the identical estimator to fitting the
+        materialized resample, so results line up with the taubatch engine to
+        solver tolerance (summation order and the ridged OLS start differ at
+        ~1e-8; documented). Per pass each partition emits ONE row per group
+        side holding the flattened (L + k) x m_active stat block, so shuffle
+        volume is O(n) data + O(partitions x models x k^2) stats regardless
+        of reps — the 100x-scale fix for the crossJoin fan-out. Convergence
+        dropout: finished (rep, side, tau) models leave the payload, so late
+        passes compute only stragglers. Reference semantics:
+        quantile_regression.rs:22-129 (same check-loss minimum).
+        """
+        import pandas as pd
+
+        B = self._bootstrap_reps
+        S = self._simulations
+        seed = self._seed
+        gcol = self._group
+        outcome = self._outcome
+        k = len(xcols)
+        tri = [(i, j) for i in range(k) for j in range(i, k)]
+        L = len(tri)
+        MAX_ITER, TOL, EPS, RIDGE = 80, 1e-8, 1e-9, 1e-12
+        CHUNK = 256  # bounds the n_p x CHUNK residual/weight blocks per task
+        # Stop rule: solve_qr's absolute max|dbeta| < 1e-8 is cheap when an
+        # iteration is an in-memory GEMM, ruinous when every iteration is a
+        # Spark pass — on real data (discrete predictors -> flat check-loss
+        # valleys) IRLS needs ~100+ iterations for 1e-6-relative steps and
+        # 200 passes x ~0.5 s would dominate the engine. Ladder: converge at
+        # 1e-8 x (1 + max|beta|) any time, 1e-5-relative after 25 passes,
+        # 1e-4-relative after 50, hard cap 80 (solve_qr caps at 200 and also
+        # returns the last iterate). A 1e-4-relative argmin spread moves the
+        # simulated-quantile stage by ~1e-4 of outcome scale — two orders
+        # below the documented cross-engine/oracle tolerance (0.3%).
+        LADDER = ((50, 1e-4), (25, 1e-5), (0, TOL))
+
+        par = spark.sparkContext.defaultParallelism
+        proj = (
+            ranked.select(gcol, "__mm_rn", outcome, *xcols)
+            .repartition(par)
+            .localCheckpoint()
+        )
+
+        rep_list = list(range(-1, B))
+        side_of = {group_a: 0, group_b: 1}
+        n_by_side = {0: n_a, 1: n_b}
+        models = [(r, s, t) for r in rep_list for s in (0, 1) for t in range(S)]
+        M = len(models)
+        model_rep = np.array([m[0] for m in models], dtype=np.int64)
+        model_side = np.array([m[1] for m in models], dtype=np.int64)
+        model_tidx = np.array([m[2] for m in models], dtype=np.int64)
+        model_tau = np.array([taus_by_rep[r][t] for (r, s, t) in models])
+        betas_arr = np.zeros((M, k))
+        status = np.zeros(M, dtype=np.int8)  # 0 active, 1 converged/stopped, 2 failed
+        xcols_l = list(xcols)
+        tri_l = list(tri)
+        n_by_side_l = dict(n_by_side)
+        side_of_l = dict(side_of)
+
+        def run_pass(payload: dict) -> dict[int, np.ndarray]:
+            """One mapInPandas pass. payload: side -> dict(mode, ureps[,
+            repcol, taus, betas]). Returns side -> summed (L+k) x m stats."""
+
+            def compute(iterator, payload=payload):
+                from pyspark import TaskContext
+
+                from oaxaca_blinder_rs_spark.operators.quantile_regression import (
+                    exact_n_counts,
+                )
+
+                ctx = TaskContext.get()
+                pid = ctx.partitionId() if ctx is not None else 0
+                by: dict = {}
+                for pdf in iterator:
+                    for gval, sub in pdf.groupby(gcol, sort=False):
+                        by.setdefault(gval, []).append(sub)
+                rows = []
+                for gval, parts in by.items():
+                    s = side_of_l[gval]
+                    pl = payload.get(s)
+                    if pl is None:
+                        continue
+                    sub = pd.concat(parts, ignore_index=True)
+                    X = sub[xcols_l].to_numpy(dtype=np.float64)
+                    y = sub[outcome].to_numpy(dtype=np.float64)
+                    rn = sub["__mm_rn"].to_numpy(dtype=np.int64)
+                    n_side = n_by_side_l[s]
+                    ureps = pl["ureps"]
+                    C = np.empty((len(rn), len(ureps)))
+                    for ci, r in enumerate(ureps):
+                        if r < 0:
+                            C[:, ci] = 1.0
+                        else:
+                            C[:, ci] = exact_n_counts(seed, int(r), s, n_side)[rn]
+                    P = np.empty((len(rn), L))
+                    for c0, (i, j) in enumerate(tri_l):
+                        P[:, c0] = X[:, i] * X[:, j]
+                    if pl["mode"] == "ols":
+                        W = C  # one init model per unique rep, unit IRLS weights
+                        stat = np.concatenate([P.T @ W, X.T @ (W * y[:, None])], axis=0)
+                    else:
+                        m = len(pl["taus"])
+                        stat = np.empty((L + k, m))
+                        for c0 in range(0, m, CHUNK):
+                            sl = slice(c0, min(c0 + CHUNK, m))
+                            U = y[:, None] - X @ pl["betas"][sl].T
+                            Wir = np.where(
+                                U > 0, pl["taus"][None, sl], 1.0 - pl["taus"][None, sl]
+                            ) / np.maximum(np.abs(U), EPS)
+                            Wtot = Wir * C[:, pl["repcol"][sl]]
+                            stat[:L, sl] = P.T @ Wtot
+                            stat[L:, sl] = X.T @ (Wtot * y[:, None])
+                    rows.append((int(s), int(pid), stat.ravel(order="F").tolist()))
+                yield pd.DataFrame(rows, columns=["side", "pid", "stats"])
+
+            pdf_all = proj.mapInPandas(
+                compute, schema="side int, pid int, stats array<double>"
+            ).toPandas()
+            out: dict[int, np.ndarray] = {}
+            # fixed (side, pid) summation order -> bit-deterministic reruns
+            pdf_all = pdf_all.sort_values(["side", "pid"], kind="mergesort")
+            for side_v, grp in pdf_all.groupby("side", sort=True):
+                m = len(payload[int(side_v)]["ureps"]) if payload[int(side_v)][
+                    "mode"
+                ] == "ols" else len(payload[int(side_v)]["taus"])
+                acc = np.zeros((L + k, m))
+                for st in grp["stats"]:
+                    acc += np.asarray(st, dtype=np.float64).reshape((L + k, m), order="F")
+                out[int(side_v)] = acc
+            return out
+
+        def solve_block(stats: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+            """Batched WLS solves from stacked stats ((L+k) x m) -> (betas m x k,
+            ok mask). Singular/non-finite models are flagged, not raised."""
+            m = stats.shape[1]
+            A = np.zeros((m, k, k))
+            for idx, (i, j) in enumerate(tri_l):
+                A[:, i, j] = stats[idx]
+                A[:, j, i] = stats[idx]
+            A += RIDGE * np.eye(k)[None, :, :]
+            b = stats[L:].T  # m x k
+            sol = np.full((m, k), np.nan)
+            try:
+                sol = np.linalg.solve(A, b)
+            except np.linalg.LinAlgError:
+                for i in range(m):
+                    try:
+                        sol[i] = np.linalg.solve(A[i], b[i])
+                    except np.linalg.LinAlgError:
+                        pass
+            ok = np.isfinite(sol).all(axis=1)
+            return sol, ok
+
+        # ---- init: count-weighted OLS per (rep, side), shared across taus ----
+        init_payload = {
+            s: {"mode": "ols", "ureps": np.array(rep_list, dtype=np.int64)} for s in (0, 1)
+        }
+        init_stats = run_pass(init_payload)
+        for s in (0, 1):
+            sol, ok = solve_block(init_stats[s])
+            for ri, r in enumerate(rep_list):
+                sel = (model_rep == r) & (model_side == s)
+                if ok[ri]:
+                    betas_arr[sel] = sol[ri]
+                else:
+                    status[sel] = 2  # degenerate design for this resample
+
+        # ---- IRLS loop: one pass per iteration over all active models --------
+        it = 0
+        while it < MAX_ITER and (status == 0).any():
+            it += 1
+            payload = {}
+            act_idx: dict[int, np.ndarray] = {}
+            for s in (0, 1):
+                sel = np.where((status == 0) & (model_side == s))[0]
+                if len(sel) == 0:
+                    continue
+                act_idx[s] = sel
+                payload[s] = {
+                    "mode": "irls",
+                    "ureps": np.unique(model_rep[sel]),
+                    "taus": model_tau[sel],
+                    "betas": betas_arr[sel],
+                }
+                payload[s]["repcol"] = np.searchsorted(
+                    payload[s]["ureps"], model_rep[sel]
+                )
+            stats = run_pass(payload)
+            tol_it = next(tol for start, tol in LADDER if it >= start)
+            for s, sel in act_idx.items():
+                sol, ok = solve_block(stats[s])
+                delta = np.abs(sol - betas_arr[sel]).max(axis=1)
+                scale = 1.0 + np.abs(sol).max(axis=1)
+                betas_arr[sel[~ok]] = np.nan
+                status[sel[~ok]] = 2
+                good = sel[ok]
+                betas_arr[good] = sol[ok]
+                status[good[delta[ok] < tol_it * scale[ok]]] = 1
+        status[status == 0] = 1  # max_iter reached: keep last beta (solve_qr parity)
+
+        betas: dict[tuple[int, int], list[np.ndarray]] = {}
+        order = np.lexsort((model_tidx, model_side, model_rep))
+        for mi in order:
+            if status[mi] == 1 and np.isfinite(betas_arr[mi]).all():
+                betas.setdefault(
+                    (int(model_rep[mi]), int(model_side[mi])), []
+                ).append(betas_arr[mi].copy())
+        return betas
+
     def run(self) -> QuantileDecompositionResults:
         if self._fit_engine == "distributed":
-            return self._run_distributed()
+            return self._run_distributed("gram")
+        if self._fit_engine == "taubatch":
+            return self._run_distributed("taubatch")
         (Xa, ya), (Xb, yb), group_a, group_b = self._prepare()
         rng = np.random.default_rng(self._seed)
         point = self._single_pass(Xa, ya, Xb, yb, rng)

@@ -177,6 +177,43 @@ def test_machado_mata_distributed_engine(spark):
     assert abs(d.total_gap.estimate - rv.results_by_quantile["q50"].total_gap.estimate) < 4.0
 
 
+def test_machado_mata_gram_vs_taubatch_parity(spark):
+    """The Gram-IRLS engine and the legacy tau-batch fan-out share taus,
+    resample streams and simulation picks — so they differ only through the
+    QR solver. Bound 1.0 (~10% of the gap): this fixture's tied rows create
+    genuinely FLAT optimal faces (see test_qr_degenerate_tie_case_bounded)
+    where the Gram engine's pass-budget ladder and solve_qr's 200 in-memory
+    iterations stop at different points ON the face — the same documented
+    argmin-spread as IRLS-vs-LP. On non-degenerate real data the engines
+    match the exact-vertex oracle within its 0.3% bound
+    (test_machado_mata_gram_engine_matches_independent_oracle)."""
+    wage = [10.0, 12.0, 11.0, 13.0, 15.0, 20.0, 22.0, 21.0, 23.0, 25.0] * 4
+    edu = [12.0, 16.0, 14.0, 16.0, 18.0] * 8
+    gender = (["F"] * 5 + ["M"] * 5) * 4
+    df = spark.createDataFrame(list(zip(wage, edu, gender)), ["wage", "education", "gender"])
+
+    def build(engine):
+        return (
+            QuantileDecompositionBuilder(df, "wage", "gender", "F")
+            .predictors(["education"])
+            .quantiles([0.25, 0.5, 0.75])
+            .simulations(40)
+            .bootstrap_reps(2)
+            .seed(42)
+            .fit_engine(engine)
+            .run()
+        )
+
+    rg, rt = build("distributed"), build("taubatch")
+    for key in rg.results_by_quantile:
+        dg, dt = rg.results_by_quantile[key], rt.results_by_quantile[key]
+        assert dg.total_gap.estimate == pytest.approx(dt.total_gap.estimate, abs=1.0)
+        assert dg.characteristics_effect.estimate == pytest.approx(
+            dt.characteristics_effect.estimate, abs=1.0
+        )
+        assert dg.total_gap.std_err == pytest.approx(dt.total_gap.std_err, abs=1.0)
+
+
 def test_machado_mata_distributed_bootstrap(spark):
     """Bootstrap rides the fan-out key: finite SEs, identities per replicate
     aggregate, and exact reproducibility across runs."""

@@ -270,3 +270,32 @@ def test_machado_mata_matches_independent_oracle(spark, sf_dir, mm_oracle):
         got = (d.total_gap.estimate, d.characteristics_effect.estimate, d.coefficients_effect.estimate)
         for g, w in zip(got, want):
             assert g == pytest.approx(w, abs=300), (key, got, want)
+
+
+def test_machado_mata_gram_engine_matches_independent_oracle(spark, sf_dir, mm_oracle):
+    """The distributed Gram-IRLS engine against the same exact-vertex oracle:
+    at reps=0 the engine consumes the identical seeded stream as the driver
+    engine (taus then simulation picks from default_rng(seed)), so the oracle
+    replay applies unchanged. Tolerance is the documented flat-valley bound
+    (300 ~ 0.3% of outcome scale) plus the engine's IRLS-vs-LP and
+    distributed-summation divergence, both orders of magnitude below it."""
+    from oaxaca_blinder_rs_spark.quantile_builder import QuantileDecompositionBuilder
+
+    li = _spark_lineitem(spark, sf_dir)
+    res = (
+        QuantileDecompositionBuilder(li, "l_extendedprice", "l_returnflag", "R")
+        .predictors(["l_quantity"])
+        .quantiles([0.25, 0.5, 0.75])
+        .simulations(100)
+        .bootstrap_reps(0)
+        .seed(42)
+        .fit_engine("distributed")
+        .run()
+    )
+    assert res.n_a == mm_oracle["Xa"].shape[0]
+    assert res.n_b == mm_oracle["Xb"].shape[0]
+    for key, want in mm_oracle["effects"].items():
+        d = res.results_by_quantile[key]
+        got = (d.total_gap.estimate, d.characteristics_effect.estimate, d.coefficients_effect.estimate)
+        for g, w in zip(got, want):
+            assert g == pytest.approx(w, abs=300), (key, got, want)
