@@ -482,6 +482,17 @@ def q_embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.round("cosine", 6) >= 0.4)
 
 
+def q_embedding_cosine_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate detection by cosine >= 0.4 over LSH candidates only —
+    the 100 TB default path (bucketed shuffle, no all-pairs join), with the
+    exact-int64 bucket stage reproduced bit-for-bit by the oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_cosine_dups_lsh(emb, dim=64, threshold=0.0)
+    return pairs.select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    ).filter(F.round("cosine", 6) >= 0.4)
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style document quality scoring (4 rules, [0,1])."""
     docs = _t(spark, sf_dir, "documents")
@@ -570,6 +581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oaxaca_categorical": q_oaxaca_categorical,
         "oaxaca_wls": q_oaxaca_wls,
         "embedding_cosine_dups": q_embedding_cosine_dups,
+        "embedding_cosine_dups_lsh": q_embedding_cosine_dups_lsh,
         "quality_score": q_quality_score,
         "simhash": q_simhash,
     }
@@ -982,6 +994,31 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.vec_id < b.vec_id
               AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                                CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+        """,
+        "embedding_cosine_dups_lsh": """
+            WITH v AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) e,
+                     list_transform(range(0,64),
+                       j -> CAST(floor(CAST(embedding[j+1] AS DOUBLE)*1000) AS BIGINT)) qv
+              FROM embeddings
+            ), bk AS (
+              SELECT vec_id, tt.t,
+                     list_sum(list_transform(range(0,6), b ->
+                       CASE WHEN list_sum(list_transform(range(0,64), j ->
+                                    qv[j+1] * (((((tt.t*6 + b)*64 + j + 1) * 2654435761) % 1000003 % 7) - 3))) >= 0
+                            THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) b
+              FROM v, range(6) tt(t)
+            ), pairs AS (
+              SELECT DISTINCT x.vec_id id_a, y.vec_id id_b
+              FROM bk x JOIN bk y ON x.t = y.t AND x.b = y.b
+              WHERE x.vec_id < y.vec_id
+            )
+            SELECT p.id_a, p.id_b,
+                   round(list_cosine_similarity(a.e, c.e), 6) cosine
+            FROM pairs p
+            JOIN v a ON a.vec_id = p.id_a
+            JOIN v c ON c.vec_id = p.id_b
+            WHERE round(list_cosine_similarity(a.e, c.e), 6) >= 0.4
         """,
         "quality_score": f"""
             WITH t AS (

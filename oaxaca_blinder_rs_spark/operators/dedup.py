@@ -30,6 +30,7 @@ __all__ = [
     "simhash64",
     "ngram_jaccard",
     "embedding_cosine_dups",
+    "embedding_cosine_dups_lsh",
 ]
 
 
@@ -166,8 +167,8 @@ def embedding_cosine_dups(
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine similarity >= threshold.
 
-    Brute-force O(n^2) self-join — correct baseline; swap in the LSH-bucketed
-    variant from similarity.py for the 100 TB path.
+    Brute-force O(n^2) self-join — the exactness baseline; the default scale
+    path is `embedding_cosine_dups_lsh` below (bucketed candidates only).
     """
     from .similarity import cosine_sim_expr, with_norm
 
@@ -180,5 +181,44 @@ def embedding_cosine_dups(
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", cosine_sim_expr("__va", "__vb", "__na", "__nb").alias("cosine"))
+        .filter(F.col("cosine") >= F.lit(threshold))
+    )
+
+
+def embedding_cosine_dups_lsh(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    bits: int = 6,
+    num_tables: int = 6,
+    quantize_scale: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine >= threshold over LSH candidates only —
+    the 100 TB default for embedding dedup.
+
+    Physical plan: exact-int64 sign-LSH banding (`similarity.int_banded`,
+    one row per (vector, table)), shuffle BOTH sides on the (table, bucket)
+    key, per-bucket id_a < id_b candidate join, distinct pair, exact cosine,
+    threshold filter. Candidate volume is sum over buckets of |bucket|^2
+    instead of n^2, and every stage is deterministic integer arithmetic, so
+    an independent SQL engine reproduces the pair set bit-for-bit (the
+    driver-verified contract row). Recall is tunable via num_tables/bits —
+    misses are pairs that agree on no table, increasingly unlikely as
+    cosine -> 1 (sign-flip probability per plane falls like acos(cos)/pi).
+    """
+    from .similarity import cosine_sim_expr, int_banded
+
+    a = int_banded(df, "id_a", dim, vec_col, id_col, bits, num_tables, quantize_scale)
+    b = int_banded(df, "id_b", dim, vec_col, id_col, bits, num_tables, quantize_scale)
+    pairs = a.join(b, [a["t"] == b["t"], a["b"] == b["b"], F.col("id_a") < F.col("id_b")])
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            cosine_sim_expr("__v_id_a", "__v_id_b", "__n_id_a", "__n_id_b").alias("cosine"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("cosine") >= F.lit(threshold))
     )

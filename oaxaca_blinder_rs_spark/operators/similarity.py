@@ -21,7 +21,14 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["with_norm", "cosine_sim_expr", "brute_force_topk", "lsh_topk", "lsh_topk_int"]
+__all__ = [
+    "with_norm",
+    "cosine_sim_expr",
+    "brute_force_topk",
+    "lsh_topk",
+    "lsh_topk_int",
+    "int_banded",
+]
 
 
 def with_norm(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
@@ -176,31 +183,46 @@ def lsh_topk_int(
     DuckDB oracle) reproduces the candidate set bit-for-bit. This is the
     driver-verifiable face of the 100 TB ANN path.
     """
-
-    def bucket_sql(table: int) -> str:
-        # one SQL string per side instead of thousands of Column objects:
-        # py4j round-trips dominate build time otherwise (~15 s -> <1 s)
-        parts = []
-        for b in range(bits):
-            planes = ",".join(f"{int_hyperplane(table, b, j, bits, dim)}L" for j in range(dim))
-            dot = f"aggregate(zip_with(__qv, array({planes}), (x,h) -> x*h), 0L, (a,x) -> a+x)"
-            parts.append(f"(case when {dot} >= 0 then {1 << b}L else 0L end)")
-        return "(" + "+".join(parts) + ")"
-
-    def banded(df: DataFrame, label: str) -> DataFrame:
-        base = with_norm(df, vec_col, id_col).withColumn(
-            "__qv", F.transform(F.col("__vec"), lambda x: F.floor(x * quantize_scale).cast("long"))
-        )
-        tables = F.expr(
-            "array(" + ",".join(f"struct({t} as t, {bucket_sql(t)} as b)" for t in range(num_tables)) + ")"
-        )
-        return base.select(
-            F.col(id_col).alias(label),
-            F.col("__vec").alias(f"__v_{label}"),
-            F.col("__norm").alias(f"__n_{label}"),
-            F.explode(tables).alias("__tb"),
-        ).select(label, f"__v_{label}", f"__n_{label}", F.col("__tb.t").alias("t"), F.col("__tb.b").alias("b"))
-
-    qb = banded(queries, "query_id")
-    cb = banded(corpus, "neighbor_id")
+    qb = int_banded(queries, "query_id", dim, vec_col, id_col, bits, num_tables, quantize_scale)
+    cb = int_banded(corpus, "neighbor_id", dim, vec_col, id_col, bits, num_tables, quantize_scale)
     return _rerank_pairs(qb, cb, k, exclude_self)
+
+
+def _int_bucket_sql(table: int, bits: int, dim: int) -> str:
+    # one SQL string per side instead of thousands of Column objects:
+    # py4j round-trips dominate build time otherwise (~15 s -> <1 s)
+    parts = []
+    for b in range(bits):
+        planes = ",".join(f"{int_hyperplane(table, b, j, bits, dim)}L" for j in range(dim))
+        dot = f"aggregate(zip_with(__qv, array({planes}), (x,h) -> x*h), 0L, (a,x) -> a+x)"
+        parts.append(f"(case when {dot} >= 0 then {1 << b}L else 0L end)")
+    return "(" + "+".join(parts) + ")"
+
+
+def int_banded(
+    df: DataFrame,
+    label: str,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 6,
+    num_tables: int = 6,
+    quantize_scale: int = 1000,
+) -> DataFrame:
+    """(id as `label`, __v_label, __n_label, t, b): one row per (vector,
+    LSH table) with its exact-int64 sign-LSH bucket — the shared bucketing
+    stage of `lsh_topk_int` and `embedding_cosine_dups_lsh` (dedup.py)."""
+    base = with_norm(df, vec_col, id_col).withColumn(
+        "__qv", F.transform(F.col("__vec"), lambda x: F.floor(x * quantize_scale).cast("long"))
+    )
+    tables = F.expr(
+        "array("
+        + ",".join(f"struct({t} as t, {_int_bucket_sql(t, bits, dim)} as b)" for t in range(num_tables))
+        + ")"
+    )
+    return base.select(
+        F.col(id_col).alias(label),
+        F.col("__vec").alias(f"__v_{label}"),
+        F.col("__norm").alias(f"__n_{label}"),
+        F.explode(tables).alias("__tb"),
+    ).select(label, f"__v_{label}", f"__n_{label}", F.col("__tb.t").alias("t"), F.col("__tb.b").alias("b"))

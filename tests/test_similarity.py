@@ -75,3 +75,36 @@ def test_lsh_int_recall(emb):
     }
     recall = len(bf & lsh) / len(bf)
     assert recall >= 0.6, f"recall {recall:.2f} too low"
+
+
+def test_embedding_cosine_dups_lsh_subset_and_exact(emb):
+    """The LSH dedup path returns a SUBSET of the brute-force pair set (only
+    bucketed candidates), every returned pair carries the exact cosine, and
+    high-cosine pairs are recovered (the regime the operator exists for)."""
+    from oaxaca_blinder_rs_spark.operators import dedup
+
+    bf = {
+        (r.id_a, r.id_b): r.cosine
+        for r in dedup.embedding_cosine_dups(emb, threshold=0.3).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.cosine
+        for r in dedup.embedding_cosine_dups_lsh(emb, dim=64, threshold=0.3).collect()
+    }
+    assert set(lsh) <= set(bf)  # candidates only, never an invented pair
+    for pair, cos in lsh.items():
+        assert cos == pytest.approx(bf[pair], abs=1e-9)  # exact rerank
+    # recall on the high-similarity tail (random embeddings: the top of the
+    # cosine distribution is what near-dup detection targets)
+    top = {p for p, c in bf.items() if c >= 0.5}
+    if top:
+        got = len(top & set(lsh)) / len(top)
+        assert got >= 0.5, f"high-cosine recall {got:.2f}"
+
+
+def test_embedding_cosine_dups_lsh_deterministic(emb):
+    from oaxaca_blinder_rs_spark.operators import dedup
+
+    a = dedup.embedding_cosine_dups_lsh(emb, dim=64, threshold=0.4).collect()
+    b = dedup.embedding_cosine_dups_lsh(emb, dim=64, threshold=0.4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
