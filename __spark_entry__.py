@@ -18,7 +18,7 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import DataFrame, Row, SparkSession, Window
 from pyspark.sql import functions as F
 
 from oaxaca_blinder_rs_spark import OaxacaBuilder
@@ -332,6 +332,80 @@ def q_akm_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("firm")
 
 
+def q_akm_demeaned_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-matched companion to akm_effects (rows-only): per-firm checksums
+    of the worker-demeaned outcome — the exact within-transform the AKM
+    zig-zag applies each sweep (akm.py) — plus control sums, on the same
+    orders x lineitem panel. The iterative solve itself stays rows-only; this
+    row proves the panel construction and demeaning algebra cross-engine."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    panel = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        F.col("o_custkey").cast("string").alias("worker"),
+        F.col("l_suppkey").cast("string").alias("firm"),
+        F.col("l_extendedprice").alias("y"),
+        F.col("l_quantity").alias("x"),
+    )
+    w = Window.partitionBy("worker")
+    return (
+        panel.withColumn("dem_y", F.col("y") - F.avg("y").over(w))
+        .groupBy("firm")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.round(F.sum("dem_y"), 2).alias("dem_y_sum"),
+            F.round(F.sum("x"), 2).alias("x_sum"),
+        )
+        .orderBy("firm")
+    )
+
+
+def q_heckman_probit_design(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-matched companion to heckman_decomposition (rows-only): the
+    per-group selection-stage design moments — n, selection count, and the
+    [1, l_tax] Gram entries with the selection indicator — i.e. the exact
+    sufficient statistics the probit Fisher iteration consumes (glm.py
+    fit_many_resampled partials at iteration 0). The iterative probit stays
+    rows-only; this row proves its inputs cross-engine."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "sel", (F.col("l_discount") > 0.01).cast("double")
+    )
+    return (
+        li.groupBy(F.col("l_returnflag").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.round(F.sum("sel"), 2).alias("sel_sum"),
+            F.round(F.sum("l_tax"), 4).alias("tax_sum"),
+            F.round(F.sum(F.col("l_tax") * F.col("l_tax")), 4).alias("tax_sq_sum"),
+            F.round(F.sum(F.col("sel") * F.col("l_tax")), 4).alias("sel_tax_sum"),
+        )
+        .orderBy("grp")
+    )
+
+
+def q_mm_ols_start(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-matched companion to machado_mata (rows-only): the closed-form
+    per-group OLS coefficients of l_extendedprice ~ 1 + l_quantity — the
+    exact warm start the Gram-IRLS engine's init pass solves (quantile_
+    builder.py _fit_gram, rep=-1) before the tau iterations. The simulation
+    stage stays rows-only; this row proves the engine's entry state."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag").isin(["A", "R"]))
+    agg = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("l_quantity").alias("sx"),
+        F.sum(F.col("l_quantity") * F.col("l_quantity")).alias("sxx"),
+        F.sum("l_extendedprice").alias("sy"),
+        F.sum(F.col("l_quantity") * F.col("l_extendedprice")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return agg.select(
+        "grp",
+        F.round(slope, 6).alias("ols_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4).alias("ols_intercept"),
+    ).orderBy("grp")
+
+
 def q_machado_mata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M13: MM quantile decomposition (simulation-based — rows-only check)."""
     from oaxaca_blinder_rs_spark.quantile_builder import QuantileDecompositionBuilder
@@ -571,6 +645,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matching_weights": q_matching_weights,
         "ngram_jaccard": q_ngram_jaccard,
         "akm_effects": q_akm_effects,
+        "akm_demeaned_check": q_akm_demeaned_check,
+        "heckman_probit_design": q_heckman_probit_design,
+        "mm_ols_start": q_mm_ols_start,
         "machado_mata": q_machado_mata,
         "dfl_densities": q_dfl_densities,
         "heckman_decomposition": q_heckman_decomposition,
@@ -994,6 +1071,38 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.vec_id < b.vec_id
               AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                                CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+        """,
+        "akm_demeaned_check": """
+            WITH p AS (
+              SELECT CAST(o_custkey AS VARCHAR) worker, CAST(l_suppkey AS VARCHAR) firm,
+                     l_extendedprice y, l_quantity x
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            )
+            SELECT firm, count(*) n_obs,
+                   round(sum(y - wy), 2) dem_y_sum,
+                   round(sum(x), 2) x_sum
+            FROM (SELECT *, avg(y) OVER (PARTITION BY worker) wy FROM p)
+            GROUP BY firm ORDER BY firm
+        """,
+        "heckman_probit_design": """
+            SELECT l_returnflag grp, count(*) n_obs,
+                   round(sum(CASE WHEN l_discount > 0.01 THEN 1.0 ELSE 0.0 END), 2) sel_sum,
+                   round(sum(l_tax), 4) tax_sum,
+                   round(sum(l_tax * l_tax), 4) tax_sq_sum,
+                   round(sum(CASE WHEN l_discount > 0.01 THEN l_tax ELSE 0.0 END), 4) sel_tax_sum
+            FROM lineitem GROUP BY l_returnflag ORDER BY grp
+        """,
+        "mm_ols_start": """
+            WITH s AS (
+              SELECT l_returnflag grp, CAST(count(*) AS DOUBLE) n,
+                     sum(l_quantity) sx, sum(l_quantity * l_quantity) sxx,
+                     sum(l_extendedprice) sy, sum(l_quantity * l_extendedprice) sxy
+              FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY l_returnflag
+            )
+            SELECT grp,
+                   round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) ols_slope,
+                   round((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 4) ols_intercept
+            FROM s ORDER BY grp
         """,
         "embedding_cosine_dups_lsh": """
             WITH v AS (
