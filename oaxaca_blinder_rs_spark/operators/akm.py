@@ -388,11 +388,18 @@ class AkmBuilder:
             )
             new_psi = joined2.groupBy(f).agg(F.avg(F.col("__r") - F.col("__alpha2")).alias("__psi_new"))
             psi_cmp = psi_df.join(new_psi, on=f)
-            da = alpha_cmp.agg(F.sum(F.pow(F.col("__alpha_new") - F.col("__alpha"), 2))).collect()[0][0] or 0.0
-            dp = psi_cmp.agg(F.sum(F.pow(F.col("__psi_new") - F.col("__psi"), 2))).collect()[0][0] or 0.0
+            # one Spark job per sweep for the convergence check: union both
+            # effect deltas into a single aggregation instead of two collects
+            d2 = (
+                alpha_cmp.select(F.pow(F.col("__alpha_new") - F.col("__alpha"), 2).alias("__d2"))
+                .unionAll(psi_cmp.select(F.pow(F.col("__psi_new") - F.col("__psi"), 2).alias("__d2")))
+                .agg(F.sum("__d2"))
+                .collect()[0][0]
+                or 0.0
+            )
             alpha_df = alpha_cmp.select(w, F.col("__alpha_new").alias("__alpha")).localCheckpoint()
             psi_df = psi_cmp.select(f, F.col("__psi_new").alias("__psi")).localCheckpoint()
-            if (float(da) + float(dp)) ** 0.5 <= self._tolerance:
+            if float(d2) ** 0.5 <= self._tolerance:
                 break
         else:
             raise ConvergenceError(

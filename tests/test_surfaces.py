@@ -149,6 +149,61 @@ def test_multimodal_decode_stub_raises():
         multimodal.decode_stub(b"x", "image/png")
 
 
+def test_multimodal_codec_gate_without_pil():
+    """In this container PIL is absent: the gate must report no codec and
+    resolve to the deterministic fake."""
+    assert multimodal.codec_available("image") is False
+    assert multimodal.resolve_decoder("image") is multimodal.deterministic_fake_features
+    # extract_features(decode_fn=None) rides the gate to the fake kernel
+    assert multimodal.codec_available("audio") is False  # only image is gated
+
+
+def test_multimodal_codec_gate_with_fake_pil(monkeypatch):
+    """Real-kernel branch: inject a minimal PIL stub into sys.modules so the
+    gate flips and decode_image_features runs its actual decode/resize/
+    normalize pipeline against a known 4x4 grayscale 'image'."""
+    import sys
+    import types
+
+    import numpy as np
+
+    class FakeImg:
+        def __init__(self, px):
+            self._px = px
+
+        def convert(self, mode):
+            assert mode == "L"
+            return self
+
+        def resize(self, size):
+            assert size == (4, 4)  # sqrt(16)
+            return self
+
+        def __array__(self, dtype=None, copy=None):
+            a = np.array(self._px, dtype=dtype or np.float64)
+            return a.copy() if copy else a
+
+    def fake_open(buf):
+        data = buf.read()
+        px = [[data[(r * 4 + c) % len(data)] for c in range(4)] for r in range(4)]
+        return FakeImg(px)
+
+    pil = types.ModuleType("PIL")
+    pil_image = types.ModuleType("PIL.Image")
+    pil_image.open = fake_open
+    pil.Image = pil_image
+    monkeypatch.setitem(sys.modules, "PIL", pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", pil_image)
+
+    assert multimodal.codec_available("image") is True
+    assert multimodal.resolve_decoder("image") is multimodal.decode_image_features
+    payload = bytes(range(16))
+    feats = multimodal.decode_image_features(payload, "image/png", dim=16)
+    assert feats == [i / 255.0 for i in range(16)]  # decoded, not hashed
+    # and it differs from the fake's hash-derived vector
+    assert feats != multimodal.deterministic_fake_features(payload, "image/png", 16)
+
+
 def test_plot_data_and_plot_guard(spark, wage_csv_path):
     df = read_csv(spark, wage_csv_path)
     res = ob.OaxacaBlinder(df, "wage", "gender", "F", predictors=["education"], bootstrap_reps=5).fit()
