@@ -158,6 +158,41 @@ def bench_matching(spark) -> float:
     return time.time() - t0
 
 
+def bench_mean_kernel(matched_pdf, reps: int = 1) -> float:
+    """Matched-scale COMPUTE-KERNEL entry: the exact math the fused pass runs
+    (deterministic Poisson counts -> count-weighted Gram partials -> k x k
+    solves for point + replicates), timed on pre-extracted matrices with no
+    Spark dispatch. This is the apples-to-apples comparison against the
+    reference's in-process criterion loop (BASELINE.md measures a resident
+    library on in-memory arrays; mean_reps1_100k additionally carries ~0.4 s
+    of unavoidable per-job scheduling + Arrow transfer that the reference
+    never pays — profiled in NOTES_r1.md)."""
+    import numpy as np
+
+    from oaxaca_blinder_rs_spark.operators.bootstrap import poisson_counts_np
+
+    t0 = time.time()
+    groups = {}
+    for gval, sub in matched_pdf.groupby("l_returnflag", sort=True):
+        X = np.column_stack(
+            [np.ones(len(sub))] + [sub[p].to_numpy(dtype=np.float64) for p in PREDICTORS]
+        )
+        y = sub["l_extendedprice"].to_numpy(dtype=np.float64)
+        rid = sub["row_key"].to_numpy(dtype=np.int64)
+        C = poisson_counts_np(rid, np.arange(-1, reps), 42)  # rep -1 = identity
+        xtx = np.einsum("ni,nr,nj->rij", X, C, X, optimize=True)
+        xty = np.einsum("ni,nr,n->ri", X, C, y, optimize=True)
+        betas = np.linalg.solve(xtx, xty)
+        xbar = (X * C[:, 0:1]).sum(axis=0) / C[:, 0].sum()
+        groups[gval] = (betas, xbar)
+    (ba, xa), (bb, xb) = groups["A"], groups["R"]
+    for r in range(reps + 1):  # decomposition identities per replicate
+        gap = float(xa @ ba[r] - xb @ bb[r])
+        explained = float((xa - xb) @ bb[r])
+        assert gap == gap and explained == explained
+    return time.time() - t0
+
+
 def bench_mm(spark, df, engine: str, S: int = 60, B: int = 8) -> float:
     """Machado-Mata quantile decomposition, distributed engines head-to-head:
     'distributed' = Gram-IRLS (pass count independent of reps — the 100x
@@ -239,6 +274,9 @@ def main():
     queries["mean_reps100"] = best("mean_reps100", bench_mean, df, 100)
     queries["mean_reps500"] = best("mean_reps500", bench_mean, df, 500)
     queries["mean_reps1_100k"] = best("mean_reps1_100k", bench_mean, matched, 1)
+    matched_pdf = matched.select("l_returnflag", "l_extendedprice", "row_key", *PREDICTORS).toPandas()
+    bench_mean_kernel(matched_pdf, 1)  # warm (einsum path compilation)
+    queries["mean_reps1_100k_kernel"] = best("mean_reps1_100k_kernel", bench_mean_kernel, matched_pdf, 1)
     queries["rif_q90_reps100"] = best("rif_q90_reps100", bench_rif, df, 100)
     queries["akm_panel"] = best("akm_panel", bench_akm, spark)
     queries["heckman_reps20"] = best("heckman_reps20", bench_heckman, df, 20)
@@ -259,6 +297,9 @@ def main():
         vs_baseline[q + "_per_row"] = round((queries[q] / n) / (ref_sec / BASELINE_ROWS), 3)
     vs_baseline["mean_reps1_100k_raw"] = round(
         queries["mean_reps1_100k"] / BASELINE_SEC["mean_reps1"], 3
+    )
+    vs_baseline["mean_reps1_100k_kernel_raw"] = round(
+        queries["mean_reps1_100k_kernel"] / BASELINE_SEC["mean_reps1"], 3
     )
 
     cal_best = min(queries["calibration_pre"], queries["calibration_post"])

@@ -537,13 +537,18 @@ class OaxacaBuilder:
         # only on demand, guarded by RESIDUAL_COLLECT_LIMIT.
         # The normalization shift is fitted-value-invariant, so using the
         # normalized beta_b gives identical residuals (normalization.rs:53-111).
-        pred = F.lit(0.0)
-        for b, c in zip(point.beta_b, xcols):
-            pred = pred + F.col(c) * F.lit(float(b))
-        residuals_df = design.filter(F.col(self._group) == F.lit(group_b)).select(
-            F.col(ROW_ID).alias("row_id"), (F.col(self._outcome) - pred).alias("residual")
-        )
+        beta_b = [float(b) for b in point.beta_b]
         n_b = stats_b.n
+
+        def residuals_df_factory():
+            # deferred: ~20 py4j round-trips of plan building that would
+            # otherwise tax every fit's latency (profiled ~0.15 s at reps=1)
+            pred = F.lit(0.0)
+            for b, c in zip(beta_b, xcols):
+                pred = pred + F.col(c) * F.lit(b)
+            return design.filter(F.col(self._group) == F.lit(group_b)).select(
+                F.col(ROW_ID).alias("row_id"), (F.col(self._outcome) - pred).alias("residual")
+            )
 
         def residual_supplier():
             if n_b > RESIDUAL_COLLECT_LIMIT:
@@ -552,7 +557,7 @@ class OaxacaBuilder:
                     "results.residuals_df (distributed) or the budget operator "
                     "oaxaca_blinder_rs_spark.operators.budget.allocate_budget."
                 )
-            rows = residuals_df.orderBy("row_id").collect()
+            rows = residuals_df_factory().orderBy("row_id").collect()
             return [int(r[0]) for r in rows], [float(r[1]) for r in rows]
 
         results = OaxacaResults(
@@ -573,7 +578,7 @@ class OaxacaBuilder:
             predictor_names=list(point.names),
             residual_row_ids=[],
         )
-        results.attach_residuals(residuals_df, residual_supplier)
+        results.attach_residuals(residuals_df_factory, residual_supplier)
         return results
 
     # -- RIF quantile decomposition (builder.rs:711-757) -------------------------

@@ -86,11 +86,22 @@ class OaxacaResults:
     def attach_residuals(self, residuals_df, supplier) -> None:
         """Wire the distributed residual frame + a guarded collect thunk.
 
-        ``residuals_df`` is a DataFrame(row_id, residual) that never touches
+        ``residuals_df`` is a DataFrame(row_id, residual) — or a zero-arg
+        factory returning one: the builder passes a factory so the plan's
+        py4j construction cost (~0.15 s of driver chatter) is paid only when
+        residuals are actually requested, not on every fit. It never touches
         the driver unless `ensure_residuals()` is called (and n_b is small).
         """
-        object.__setattr__(self, "residuals_df", residuals_df)
+        object.__setattr__(self, "_residuals_df_src", residuals_df)
         object.__setattr__(self, "_residual_supplier", supplier)
+
+    @property
+    def residuals_df(self):
+        src = getattr(self, "_residuals_df_src", None)
+        if callable(src):
+            src = src()
+            object.__setattr__(self, "_residuals_df_src", src)
+        return src
 
     def ensure_residuals(self) -> None:
         if not self.residuals and getattr(self, "_residual_supplier", None) is not None:
