@@ -111,13 +111,32 @@ class MatchingEngine:
                         T = T @ Lb
                     # squared euclidean distances treated x control
                     d2 = ((T * T).sum(1)[:, None] - 2.0 * (T @ c_X.T) + (c_X * c_X).sum(1)[None, :])
-                    if kk < n_ctl:
-                        # stable sort over id-ordered controls: exact-distance
-                        # ties break by lowest control id — deterministic and
-                        # identical to ORDER BY (dist, id) in a SQL oracle
-                        nearest = np.argsort(d2, axis=1, kind="stable")[:, :kk]
-                    else:
+                    # selection contract (== ORDER BY (dist, id) in the SQL
+                    # oracle): k smallest distances, exact ties by lowest
+                    # control id (controls are id-sorted, so positional order
+                    # IS id order). argpartition instead of a full stable
+                    # argsort of every control per treated row — O(n_ctl)
+                    # select vs O(n_ctl log n_ctl) sort in the hot loop.
+                    if kk >= n_ctl:
                         nearest = np.broadcast_to(np.arange(n_ctl), (len(T), n_ctl))
+                    elif kk == 1:
+                        # argmin returns the FIRST minimum -> lowest-id tie
+                        nearest = np.argmin(d2, axis=1)[:, None]
+                    else:
+                        part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+                        part.sort(axis=1)  # id order within the selection
+                        rows_ix = np.arange(len(T))[:, None]
+                        dsub = d2[rows_ix, part]
+                        order = np.argsort(dsub, axis=1, kind="stable")
+                        nearest = part[rows_ix, order]
+                        # boundary ties: if the k-th smallest VALUE also
+                        # occurs outside the selection, argpartition may have
+                        # kept a higher-id tied control — redo those rows with
+                        # the exact stable sort (rare on float data)
+                        kth = dsub.max(axis=1)
+                        suspect = np.where((d2 <= kth[:, None]).sum(axis=1) > kk)[0]
+                        for ri in suspect:
+                            nearest[ri] = np.argsort(d2[ri], kind="stable")[:kk]
                     counts = np.bincount(nearest.ravel(), minlength=n_ctl).astype(np.float64)
                     yield pd.DataFrame({"ctl_idx": np.arange(n_ctl), "cnt": counts})
 
