@@ -55,3 +55,18 @@ def test_budget_window_is_single_sort(spark, sf_dir):
     df = e.queries()["budget_allocation"](spark, sf_dir)
     plan = _plan(df)
     assert "Window" in plan
+
+
+def test_lsh_dedup_is_bucketed_not_cartesian(spark, sf_dir):
+    """embedding_cosine_dups_lsh must join candidates on the (table, bucket)
+    key — a hash/sort-merge equi-join — never a cartesian/nested-loop
+    product. (The O(n^2) baseline embedding_cosine_dups IS a nested-loop by
+    design; the LSH path exists so the default scales.)"""
+    import __spark_entry__ as e
+
+    df = e.queries()["embedding_cosine_dups_lsh"](spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    join_lines = [l for l in plan.splitlines() if "Join" in l and "BroadcastNestedLoop" not in l]
+    assert any("SortMergeJoin" in l or "ShuffledHashJoin" in l or "BroadcastHashJoin" in l
+               for l in join_lines), plan
