@@ -12,6 +12,150 @@ import math
 from dataclasses import asdict, dataclass, field
 
 
+# -- dependency-free SVG chart (plot() fallback when matplotlib is absent) ----
+# Palette: diverging blue/red poles for signed bars on a light surface, ink
+# colors for text, recessive grid — validated (lightness band, chroma floor,
+# CVD separation 21.6, normal-vision 32.3, contrast >= 3:1 on #fcfcfb).
+_SVG_SURFACE = "#fcfcfb"
+_SVG_POS = "#2a78d6"  # positive bars (cool pole)
+_SVG_NEG = "#e34948"  # negative bars (warm pole)
+_SVG_INK = "#0b0b0b"
+_SVG_INK2 = "#52514e"
+_SVG_GRID = "#f0efec"
+_SVG_FONT = "system-ui, -apple-system, 'Segoe UI', Helvetica, Arial, sans-serif"
+
+
+class SvgFigure:
+    """Minimal figure object wrapping rendered SVG markup."""
+
+    def __init__(self, svg: str):
+        self.svg = svg
+
+    def save(self, path: str) -> None:
+        with open(path, "w", encoding="utf-8") as f:
+            f.write(self.svg)
+
+    def _repr_svg_(self) -> str:  # notebook inline display
+        return self.svg
+
+
+def _nice_ticks(lo: float, hi: float, n: int = 5) -> list[float]:
+    if hi <= lo:
+        hi = lo + 1.0
+    raw = (hi - lo) / max(n, 1)
+    mag = 10.0 ** math.floor(math.log10(raw))
+    step = next(s * mag for s in (1.0, 2.0, 2.5, 5.0, 10.0) if s * mag >= raw)
+    first = math.ceil(lo / step) * step
+    out = []
+    t = first
+    while t <= hi + 1e-9 * step:
+        out.append(round(t, 10))
+        t += step
+    return out
+
+
+def _fmt(v: float) -> str:
+    if v != v:
+        return "nan"
+    a = abs(v)
+    if a >= 1e6 or (a > 0 and a < 1e-3):
+        return f"{v:.2e}"
+    return f"{v:,.4g}" if a >= 1 else f"{v:.4f}".rstrip("0").rstrip(".")
+
+
+def _esc(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;").replace('"', "&quot;")
+
+
+def render_svg_bars(data: dict, title: str, width: int = 640, height: int = 400) -> SvgFigure:
+    """Signed bar chart with CI whiskers as standalone SVG.
+
+    Marks follow the house chart spec: bars rounded 4px at the DATA end and
+    flat at the zero baseline, color by sign (position already encodes sign,
+    so color is redundant, not load-bearing), whiskers + values in secondary
+    ink, recessive grid, per-bar <title> for native hover tooltips.
+    """
+    labels = [str(x) for x in data["labels"]]
+    est = [float(v) for v in data["estimates"]]
+    lo = [float(v) for v in data["ci_lower"]]
+    hi = [float(v) for v in data["ci_upper"]]
+    n = max(len(labels), 1)
+    finite = [v for vs in (est, lo, hi) for v in vs if v == v and abs(v) != math.inf]
+    vmin = min([0.0] + finite)
+    vmax = max([0.0] + finite)
+    pad = 0.06 * (vmax - vmin or 1.0)
+    vmin, vmax = vmin - pad, vmax + pad
+    ml, mr, mt, mb = 78, 20, 52, 56
+    pw, ph = width - ml - mr, height - mt - mb
+
+    def ty(v: float) -> float:  # value -> y pixel
+        return mt + ph * (vmax - v) / (vmax - vmin)
+
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" height="{height}" '
+        f'viewBox="0 0 {width} {height}" role="img" aria-label="{_esc(title)}">',
+        f'<rect width="{width}" height="{height}" fill="{_SVG_SURFACE}"/>',
+        f'<text x="{ml}" y="28" font-family="{_SVG_FONT}" font-size="15" '
+        f'font-weight="600" fill="{_SVG_INK}">{_esc(title)}</text>',
+    ]
+    for t in _nice_ticks(vmin, vmax):
+        y = ty(t)
+        parts.append(f'<line x1="{ml}" y1="{y:.1f}" x2="{ml + pw}" y2="{y:.1f}" stroke="{_SVG_GRID}" stroke-width="1"/>')
+        parts.append(
+            f'<text x="{ml - 8}" y="{y + 4:.1f}" text-anchor="end" font-family="{_SVG_FONT}" '
+            f'font-size="11" fill="{_SVG_INK2}">{_fmt(t)}</text>'
+        )
+    y0 = ty(0.0)
+    parts.append(f'<line x1="{ml}" y1="{y0:.1f}" x2="{ml + pw}" y2="{y0:.1f}" stroke="{_SVG_INK2}" stroke-width="1"/>')
+
+    slot = pw / n
+    bw = min(48.0, slot * 0.6)
+    r = min(4.0, bw / 2)
+    for i, (name, e, l_, h_) in enumerate(zip(labels, est, lo, hi)):
+        if e != e:
+            continue
+        cx = ml + slot * (i + 0.5)
+        x = cx - bw / 2
+        fill = _SVG_POS if e >= 0 else _SVG_NEG
+        yv, yb = ty(e), y0
+        top, bot = min(yv, yb), max(yv, yb)
+        bh = max(bot - top, 0.5)
+        rr = min(r, bh)
+        if e >= 0:  # rounded at the top (data end), flat at baseline
+            d = (f"M{x:.1f},{bot:.1f} V{top + rr:.1f} Q{x:.1f},{top:.1f} {x + rr:.1f},{top:.1f} "
+                 f"H{x + bw - rr:.1f} Q{x + bw:.1f},{top:.1f} {x + bw:.1f},{top + rr:.1f} V{bot:.1f} Z")
+        else:  # rounded at the bottom
+            d = (f"M{x:.1f},{top:.1f} V{bot - rr:.1f} Q{x:.1f},{bot:.1f} {x + rr:.1f},{bot:.1f} "
+                 f"H{x + bw - rr:.1f} Q{x + bw:.1f},{bot:.1f} {x + bw:.1f},{bot - rr:.1f} V{top:.1f} Z")
+        tip = f"{name}: {_fmt(e)}" + (f"  [{_fmt(l_)}, {_fmt(h_)}]" if l_ == l_ and h_ == h_ else "")
+        parts.append(f'<path d="{d}" fill="{fill}"><title>{_esc(tip)}</title></path>')
+        if l_ == l_ and h_ == h_ and (h_ - l_) > 0:  # CI whisker + caps
+            parts.append(
+                f'<line x1="{cx:.1f}" y1="{ty(l_):.1f}" x2="{cx:.1f}" y2="{ty(h_):.1f}" '
+                f'stroke="{_SVG_INK2}" stroke-width="1.5"/>'
+            )
+            for vv in (l_, h_):
+                parts.append(
+                    f'<line x1="{cx - 4:.1f}" y1="{ty(vv):.1f}" x2="{cx + 4:.1f}" y2="{ty(vv):.1f}" '
+                    f'stroke="{_SVG_INK2}" stroke-width="1.5"/>'
+                )
+        # value label clears both the bar end and the whisker tip
+        if e >= 0:
+            vy = min(top, ty(h_) if h_ == h_ else top) - 6
+        else:
+            vy = max(bot, ty(l_) if l_ == l_ else bot) + 14
+        parts.append(
+            f'<text x="{cx:.1f}" y="{vy:.1f}" text-anchor="middle" font-family="{_SVG_FONT}" '
+            f'font-size="11" fill="{_SVG_INK2}">{_fmt(e)}</text>'
+        )
+        parts.append(
+            f'<text x="{cx:.1f}" y="{height - mb + 20}" text-anchor="middle" font-family="{_SVG_FONT}" '
+            f'font-size="12" fill="{_SVG_INK}">{_esc(name)}</text>'
+        )
+    parts.append("</svg>")
+    return SvgFigure("\n".join(parts))
+
+
 @dataclass
 class ComponentResult:
     """types.rs:172-180."""
@@ -229,14 +373,19 @@ class OaxacaResults:
         }
 
     def plot(self, kind: str = "two_fold"):
+        """Render the decomposition chart (reference python.rs:126-158).
+
+        With matplotlib installed this returns a matplotlib Figure (the
+        reference's surface); without it, a dependency-free ``SvgFigure``
+        rendering the same series as a signed bar chart with bootstrap CI
+        whiskers — ``.svg`` holds the markup, ``.save(path)`` writes it, and
+        notebooks display it inline via ``_repr_svg_``.
+        """
         data = self.plot_data(kind)
         try:
             import matplotlib.pyplot as plt  # noqa: F401
-        except ImportError as e:
-            raise NotImplementedError(
-                "matplotlib is not installed in this environment; use "
-                "plot_data(kind) to retrieve the chart series"
-            ) from e
+        except ImportError:
+            return render_svg_bars(data, title=f"Oaxaca-Blinder decomposition ({kind})")
         fig, ax = plt.subplots()
         x = range(len(data["labels"]))
         err = [

@@ -216,9 +216,38 @@ def test_plot_data_and_plot_guard(spark, wage_csv_path):
     except ImportError:
         has_mpl = False
     if not has_mpl:
-        import pytest as _pytest
-        with _pytest.raises(NotImplementedError):
-            res.plot("two_fold")
+        # dependency-free SVG fallback: same series, bars + CI whiskers
+        fig = res.plot("two_fold")
+        from oaxaca_blinder_rs_spark.results import SvgFigure
+
+        assert isinstance(fig, SvgFigure)
+        assert fig.svg.startswith("<svg") and fig.svg.rstrip().endswith("</svg>")
+        for label in d["labels"]:
+            assert label in fig.svg
+        assert "<title>" in fig.svg  # native hover tooltips per bar
+        assert fig._repr_svg_() == fig.svg
+
+
+def test_plot_svg_save_and_signed_colors(spark, wage_csv_path, tmp_path):
+    df = read_csv(spark, wage_csv_path)
+    res = ob.OaxacaBlinder(df, "wage", "gender", "F", predictors=["education"], bootstrap_reps=10).fit()
+    try:
+        import matplotlib  # noqa: F401
+
+        return  # matplotlib path covered by the reference surface
+    except ImportError:
+        pass
+    fig = res.plot("three_fold")
+    p = tmp_path / "chart.svg"
+    fig.save(str(p))
+    svg = p.read_text()
+    assert svg == fig.svg
+    d = res.plot_data("three_fold")
+    # sign -> pole color: any negative estimate paints the warm pole
+    if any(e < 0 for e in d["estimates"]):
+        assert "#e34948" in svg
+    if any(e >= 0 for e in d["estimates"]):
+        assert "#2a78d6" in svg
 
 
 def test_streaming_stateful_decomposition(spark, sf_dir, tmp_path):
