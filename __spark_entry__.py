@@ -448,6 +448,26 @@ def q_dfl_densities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dfl_design_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-matched companion to dfl_densities (rows-only): per-(group,
+    linestatus) cell counts and l_quantity moments — the exact sufficient
+    statistics of the pooled group-membership logit the DFL reweighting
+    iterates on (dfl.py). The iterative fit stays rows-only; this row proves
+    its design inputs cross-engine."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.col("l_returnflag").alias("grp"), F.col("l_linestatus").alias("status")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.round(F.sum("l_quantity"), 4).alias("qty_sum"),
+            F.round(F.sum(F.col("l_quantity") * F.col("l_quantity")), 4).alias("qty_sq_sum"),
+        )
+        .orderBy("grp", "status")
+    )
+
+
 def q_heckman_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M12: Heckman-corrected decomposition; selection = (l_discount > 0.01)
     as a synthetic selection rule (iterative probit — rows-only check)."""
@@ -647,6 +667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "akm_effects": q_akm_effects,
         "akm_demeaned_check": q_akm_demeaned_check,
         "heckman_probit_design": q_heckman_probit_design,
+        "dfl_design_check": q_dfl_design_check,
         "mm_ols_start": q_mm_ols_start,
         "machado_mata": q_machado_mata,
         "dfl_densities": q_dfl_densities,
@@ -1091,6 +1112,12 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_tax * l_tax), 4) tax_sq_sum,
                    round(sum(CASE WHEN l_discount > 0.01 THEN l_tax ELSE 0.0 END), 4) sel_tax_sum
             FROM lineitem GROUP BY l_returnflag ORDER BY grp
+        """,
+        "dfl_design_check": """
+            SELECT l_returnflag grp, l_linestatus status, count(*) n_obs,
+                   round(sum(l_quantity), 4) qty_sum,
+                   round(sum(l_quantity * l_quantity), 4) qty_sq_sum
+            FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY grp, status
         """,
         "mm_ols_start": """
             WITH s AS (
