@@ -23,6 +23,7 @@ __all__ = [
     "streaming_group_stats",
     "sessionize",
     "streaming_decomposition_stats",
+    "streaming_dedup",
 ]
 
 
@@ -174,6 +175,24 @@ def streaming_decomposition_stats(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact deduplication — the streaming face of
+    `operators.dedup.exact_duplicates` for an ingest pipeline.
+
+    `dropDuplicatesWithinWatermark` keeps per-key state only until the
+    watermark passes (bounded state forever, unlike a plain dropDuplicates
+    whose state grows without limit on an unbounded stream). Keys default to
+    the event id; pass e.g. a content hash column for payload-level dedup.
+    """
+    keys = list(keys) if keys else ["event_id"]
+    return _event_time(events, ts_col).withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
 def sessionize(

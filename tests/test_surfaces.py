@@ -128,6 +128,34 @@ def test_streaming_sessionize_plan(spark, sf_dir, tmp_path):
     assert sess.isStreaming
 
 
+def test_streaming_dedup_collapses_duplicates(spark, sf_dir, tmp_path):
+    """streaming_dedup over a source holding every event twice (the same
+    parquet written into two files) must emit each event_id exactly once,
+    with bounded per-key state (dropDuplicatesWithinWatermark)."""
+    import tempfile
+
+    static = ob.load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "events_dup")
+    static.write.mode("overwrite").parquet(src)
+    static.write.mode("append").parquet(src)  # exact duplicates of every row
+    stream = spark.readStream.schema(static.schema).format("parquet").load(src)
+    deduped = streaming_events.streaming_dedup(stream, ["event_id"])
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("evt_dedup")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    out = spark.sql("SELECT event_id FROM evt_dedup")
+    n_unique = static.select("event_id").distinct().count()
+    assert out.count() == n_unique
+    assert out.distinct().count() == n_unique
+
+
 def test_multimodal_features(spark):
     rows = [(i, bytes([i]) * 64, "image/png", 8, 8, None) for i in range(20)]
     df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
