@@ -287,7 +287,7 @@ def main():
     li_raw = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).filter(
         F.col("l_returnflag").isin(["A", "R"])
     )
-    queries["mm_gram_s60_b8"] = best("mm_gram_s60_b8", bench_mm, spark, li_raw, "distributed", reps=2)
+    queries["mm_gram_s60_b8"] = best("mm_gram_s60_b8", bench_mm, spark, li_raw, "distributed", reps=1)
     queries["mm_taubatch_s60_b8"] = best("mm_taubatch_s60_b8", bench_mm, spark, li_raw, "taubatch", reps=1)
     queries["calibration_post"] = best("calibration_post", bench_calibration, spark)
 
