@@ -385,7 +385,7 @@ def q_heckman_probit_design(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_mm_ols_start(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-matched companion to machado_mata (rows-only): the closed-form
     per-group OLS coefficients of l_extendedprice ~ 1 + l_quantity — the
-    exact warm start the Gram-IRLS engine's init pass solves (quantile_
+    exact warm start the Gram-Newton engine's init pass solves (quantile_
     builder.py _fit_gram, rep=-1) before the tau iterations. The simulation
     stage stays rows-only; this row proves the engine's entry state."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag").isin(["A", "R"]))

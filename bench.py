@@ -197,10 +197,10 @@ def bench_mean_kernel(matched_pdf, reps: int = 1) -> float:
 
 def bench_mm(spark, df, engine: str, S: int = 60, B: int = 8) -> float:
     """Machado-Mata quantile decomposition, distributed engines head-to-head:
-    'distributed' = Gram-IRLS (pass count independent of reps — the 100x
-    path), 'taubatch' = legacy full-group fan-out (work scales with reps).
-    At S=100/B=10 on this frame the Gram engine measured 158 s vs 273 s
-    taubatch; the bench runs a smaller config to bound round time."""
+    'distributed' = Gram-Newton on the smoothed check loss (pass count
+    independent of reps — the 100x path), 'taubatch' = legacy full-group
+    fan-out (work scales with reps). The bench runs a small config to bound
+    round time."""
     from oaxaca_blinder_rs_spark.quantile_builder import QuantileDecompositionBuilder
 
     t0 = time.time()

@@ -21,7 +21,7 @@ __all__ = ["solve_qr", "exact_n_counts"]
 
 # Worker-side memo for deterministic resample multiplicities: Spark reuses
 # Python workers across mapInPandas passes (spark.python.worker.reuse), so the
-# Gram-IRLS engine's per-iteration passes hit this cache instead of redrawing
+# Gram-Newton engine's per-iteration passes hit this cache instead of redrawing
 # n integers per (replicate, side) every iteration. int32 counts keep the
 # cache at ~4 MB per million rows per key; the size cap bounds worker memory.
 _COUNTS_CACHE: dict[tuple, np.ndarray] = {}

@@ -7,11 +7,14 @@ Three fit engines, one semantics:
 - 'driver': collect group matrices once, thread-pooled NumPy fits — the
   reference's rayon design (quantile_decomposition.rs:221-229), guarded by
   COLLECT_LIMIT_CELLS;
-- 'distributed' (scale path): Gram-IRLS — every (replicate, group, tau)
-  quantile regression iterates simultaneously, each IRLS iteration one
-  mapInPandas pass emitting check-weighted Gram partials; only O(models x
-  k^2) statistics ever reach the driver, data never duplicates across
-  replicates or taus;
+- 'distributed' (scale path): Gram-Newton on the convolution-smoothed check
+  loss (conquer-style smoothed QR) — every (replicate, group, tau) quantile
+  regression iterates simultaneously, each Newton iteration one mapInPandas
+  pass emitting score/Hessian Gram partials; only O(models x k^2)
+  statistics ever reach the driver, data never duplicates across replicates
+  or taus. Smoothing (h = 0.01 x sd) makes the optimum unique, so the
+  distributed reduce's summation order cannot move the argmin along the
+  check loss's flat faces (it moved IRLS by ~0.3% of outcome scale);
 - 'taubatch' (legacy): per-tau-batch fan-out where each task holds one full
   group — kept for parity testing.
 
@@ -127,12 +130,12 @@ class QuantileDecompositionBuilder:
         """'driver': collect group matrices once, thread-pooled NumPy fits
         (reference's rayon shape; COLLECT_LIMIT-guarded).
 
-        'distributed' (the scale path): Gram-IRLS — every (replicate, group,
-        tau) quantile regression iterates simultaneously; each IRLS iteration
-        is ONE mapInPandas pass over the unexploded projection computing
-        check-function-weighted Gram partials (X'WX upper triangle, X'Wy) for
-        all active models with two BLAS GEMMs per partition, and the driver
-        performs the k x k solves. No row is ever duplicated across
+        'distributed' (the scale path): Gram-Newton on the smoothed check
+        loss — every (replicate, group, tau) quantile regression iterates
+        simultaneously; each Newton iteration is ONE mapInPandas pass over
+        the unexploded projection computing smoothed score/Hessian Gram
+        partials (X'DX upper triangle, X'v) for all active models with two
+        BLAS GEMMs per partition, and the driver performs the k x k solves. No row is ever duplicated across
         replicates or taus — resampling is multiplicity-weighted via
         ``exact_n_counts`` — so shuffle volume is O(n) per iteration and
         driver traffic is O(models x k^2), independent of n.
@@ -444,29 +447,40 @@ class QuantileDecompositionBuilder:
     def _fit_gram(
         self, spark, ranked, xcols, group_a, group_b, taus_by_rep, n_a, n_b
     ) -> dict[tuple[int, int], list[np.ndarray]]:
-        """Gram-IRLS: all (rep, side, tau) quantile regressions iterate
-        simultaneously; each IRLS iteration is one mapInPandas pass over the
-        unexploded projection.
+        """Gram-Newton on the convolution-smoothed check loss: all (rep,
+        side, tau) quantile regressions iterate simultaneously; each Newton
+        iteration is one mapInPandas pass over the unexploded projection.
 
-        Same objective and iteration as ``solve_qr`` (check-loss IRLS,
-        weights (tau or 1-tau)/max(|r|, eps), OLS start, ridge 1e-12,
-        max|dbeta| < 1e-8, 200 iterations), but the WLS normal equations are
-        assembled from partition-local BLAS partials:
+        Solver: conquer-style smoothed quantile regression (Fernandes, Guerre
+        & Horowitz 2021 JoE; He, Pan, Tan & Zhou 2023 "smoothed quantile
+        regression with large-scale inference") — minimize (rho_tau * K_h)(r)
+        with a Gaussian kernel. Why not the exact check loss here: on tied /
+        discrete data the check-loss argmin is a FLAT face whose interior
+        IRLS traverses slowly and lands on chaotically (the stop point moves
+        by O(face diameter) under summation-order perturbation, which a
+        distributed reduce cannot pin). The smoothed loss is smooth and
+        strictly convex, so its minimizer is UNIQUE, Newton converges in
+        ~6-10 passes, and partition/summation order moves the result by
+        ~1e-10 (measured), not hundreds. Bandwidth h = 0.01 x sd_rep(y):
+        smoothing bias is O(h^2) and measured effects sit within ~0.1% of
+        the exact-LP-vertex oracle — inside the documented 0.3% flat-face
+        bound that already governs IRLS-vs-LP divergence. Globalization:
+        anneal h from 1.0 x sd (halving per pass) plus driver-side adaptive
+        damping and a trust clamp (see the Newton loop below).
 
-            info[:, m] = Ptri' (c_rep * w_m)     xwy[:, m] = X' (c_rep * w_m * y)
-
-        where Ptri is the n x k(k+1)/2 upper-triangle product matrix and
-        c_rep the exact-n resample multiplicities (``exact_n_counts``) — a
+        Per pass each partition emits ONE row per group side holding the
+        flattened (L + k) x m_active block [Ptri' (d_m c_rep); X' (v_m
+        c_rep)] where d/v are the smoothed-loss Hessian/score row weights,
+        Ptri the n x k(k+1)/2 upper-triangle product matrix, and c_rep the
+        exact-n resample multiplicities (``exact_n_counts``) — a
         count-weighted fit is the identical estimator to fitting the
-        materialized resample, so results line up with the taubatch engine to
-        solver tolerance (summation order and the ridged OLS start differ at
-        ~1e-8; documented). Per pass each partition emits ONE row per group
-        side holding the flattened (L + k) x m_active stat block, so shuffle
-        volume is O(n) data + O(partitions x models x k^2) stats regardless
-        of reps — the 100x-scale fix for the crossJoin fan-out. Convergence
-        dropout: finished (rep, side, tau) models leave the payload, so late
-        passes compute only stragglers. Reference semantics:
-        quantile_regression.rs:22-129 (same check-loss minimum).
+        materialized resample. Shuffle volume is O(n) data + O(partitions x
+        models x k^2) stats regardless of reps — the 100x-scale fix for the
+        crossJoin fan-out. Converged (rep, side, tau) models leave the
+        payload, so late passes compute only stragglers. Reference
+        semantics: quantile_regression.rs:22-129 (same population target;
+        the reference's Clarabel LP picks a vertex of the same optimal
+        face).
         """
         import pandas as pd
 
@@ -478,19 +492,9 @@ class QuantileDecompositionBuilder:
         k = len(xcols)
         tri = [(i, j) for i in range(k) for j in range(i, k)]
         L = len(tri)
-        MAX_ITER, TOL, EPS, RIDGE = 80, 1e-8, 1e-9, 1e-12
+        MAX_ITER, TOL, RIDGE = 60, 1e-9, 1e-12
+        H_FRAC, H0_FRAC, SHRINK = 0.01, 1.0, 0.5
         CHUNK = 256  # bounds the n_p x CHUNK residual/weight blocks per task
-        # Stop rule: solve_qr's absolute max|dbeta| < 1e-8 is cheap when an
-        # iteration is an in-memory GEMM, ruinous when every iteration is a
-        # Spark pass — on real data (discrete predictors -> flat check-loss
-        # valleys) IRLS needs ~100+ iterations for 1e-6-relative steps and
-        # 200 passes x ~0.5 s would dominate the engine. Ladder: converge at
-        # 1e-8 x (1 + max|beta|) any time, 1e-5-relative after 25 passes,
-        # 1e-4-relative after 50, hard cap 80 (solve_qr caps at 200 and also
-        # returns the last iterate). A 1e-4-relative argmin spread moves the
-        # simulated-quantile stage by ~1e-4 of outcome scale — two orders
-        # below the documented cross-engine/oracle tolerance (0.3%).
-        LADDER = ((50, 1e-4), (25, 1e-5), (0, TOL))
 
         par = spark.sparkContext.defaultParallelism
         proj = (
@@ -517,14 +521,20 @@ class QuantileDecompositionBuilder:
 
         def run_pass(payload: dict) -> dict[int, np.ndarray]:
             """One mapInPandas pass. payload: side -> dict(mode, ureps[,
-            repcol, taus, betas]). Returns side -> summed (L+k) x m stats."""
+            repcol, taus, betas, h]). Returns side -> summed stat block:
+            (L+k+3) x nreps for mode 'ols' (adds count/sum/sumsq y-moment
+            rows for the bandwidth), (L+k) x m for mode 'newton'."""
 
             def compute(iterator, payload=payload):
                 from pyspark import TaskContext
 
+                from oaxaca_blinder_rs_spark.functions.mathx import erf_np
                 from oaxaca_blinder_rs_spark.operators.quantile_regression import (
                     exact_n_counts,
                 )
+
+                _SQRT2 = np.sqrt(2.0)
+                _SQRT2PI = np.sqrt(2.0 * np.pi)
 
                 ctx = TaskContext.get()
                 pid = ctx.partitionId() if ctx is not None else 0
@@ -554,20 +564,28 @@ class QuantileDecompositionBuilder:
                     for c0, (i, j) in enumerate(tri_l):
                         P[:, c0] = X[:, i] * X[:, j]
                     if pl["mode"] == "ols":
-                        W = C  # one init model per unique rep, unit IRLS weights
-                        stat = np.concatenate([P.T @ W, X.T @ (W * y[:, None])], axis=0)
+                        W = C  # one init model per unique rep, unit weights
+                        ymom = np.stack(
+                            [C.sum(axis=0), y @ C, (y * y) @ C], axis=0
+                        )
+                        stat = np.concatenate(
+                            [P.T @ W, X.T @ (W * y[:, None]), ymom], axis=0
+                        )
                     else:
                         m = len(pl["taus"])
                         stat = np.empty((L + k, m))
                         for c0 in range(0, m, CHUNK):
                             sl = slice(c0, min(c0 + CHUNK, m))
-                            U = y[:, None] - X @ pl["betas"][sl].T
-                            Wir = np.where(
-                                U > 0, pl["taus"][None, sl], 1.0 - pl["taus"][None, sl]
-                            ) / np.maximum(np.abs(U), EPS)
-                            Wtot = Wir * C[:, pl["repcol"][sl]]
-                            stat[:L, sl] = P.T @ Wtot
-                            stat[L:, sl] = X.T @ (Wtot * y[:, None])
+                            Z = (y[:, None] - X @ pl["betas"][sl].T) / pl["h"][None, sl]
+                            # smoothed check loss (Gaussian kernel):
+                            # score v = tau - 1 + Phi(z), curvature d = phi(z)/h
+                            V = pl["taus"][None, sl] - 1.0 + 0.5 * (
+                                1.0 + erf_np(Z / _SQRT2)
+                            )
+                            D = np.exp(-0.5 * Z * Z) / (_SQRT2PI * pl["h"][None, sl])
+                            Cs = C[:, pl["repcol"][sl]]
+                            stat[:L, sl] = P.T @ (D * Cs)
+                            stat[L:, sl] = X.T @ (V * Cs)
                     rows.append((int(s), int(pid), stat.ravel(order="F").tolist()))
                 yield pd.DataFrame(rows, columns=["side", "pid", "stats"])
 
@@ -578,18 +596,23 @@ class QuantileDecompositionBuilder:
             # fixed (side, pid) summation order -> bit-deterministic reruns
             pdf_all = pdf_all.sort_values(["side", "pid"], kind="mergesort")
             for side_v, grp in pdf_all.groupby("side", sort=True):
-                m = len(payload[int(side_v)]["ureps"]) if payload[int(side_v)][
-                    "mode"
-                ] == "ols" else len(payload[int(side_v)]["taus"])
-                acc = np.zeros((L + k, m))
+                pl = payload[int(side_v)]
+                if pl["mode"] == "ols":
+                    m, height = len(pl["ureps"]), L + k + 3
+                else:
+                    m, height = len(pl["taus"]), L + k
+                acc = np.zeros((height, m))
                 for st in grp["stats"]:
-                    acc += np.asarray(st, dtype=np.float64).reshape((L + k, m), order="F")
+                    acc += np.asarray(st, dtype=np.float64).reshape((height, m), order="F")
                 out[int(side_v)] = acc
             return out
 
         def solve_block(stats: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-            """Batched WLS solves from stacked stats ((L+k) x m) -> (betas m x k,
-            ok mask). Singular/non-finite models are flagged, not raised."""
+            """Batched k x k solves from stacked stats ((L+k) x m): A from the
+            triangle rows, rhs from the tail rows -> (solution m x k, ok
+            mask). Serves both the OLS init (A = X'CX, rhs = X'Cy -> beta)
+            and the Newton passes (A = Hessian, rhs = score -> step).
+            Singular/non-finite models are flagged, not raised."""
             m = stats.shape[1]
             A = np.zeros((m, k, k))
             for idx, (i, j) in enumerate(tri_l):
@@ -610,22 +633,46 @@ class QuantileDecompositionBuilder:
             return sol, ok
 
         # ---- init: count-weighted OLS per (rep, side), shared across taus ----
+        # The same pass also collects the count-weighted y moments that set
+        # the per-(rep, side) smoothing bandwidth h = H_FRAC x sd(y).
         init_payload = {
             s: {"mode": "ols", "ureps": np.array(rep_list, dtype=np.int64)} for s in (0, 1)
         }
         init_stats = run_pass(init_payload)
+        model_h = np.zeros(M)  # target bandwidth per model
         for s in (0, 1):
-            sol, ok = solve_block(init_stats[s])
+            sol, ok = solve_block(init_stats[s][: L + k])
+            cnt, sy, syy = init_stats[s][L + k], init_stats[s][L + k + 1], init_stats[s][L + k + 2]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                mean = sy / cnt
+                var = np.maximum(syy / cnt - mean * mean, 0.0)
+            sd = np.sqrt(var)
             for ri, r in enumerate(rep_list):
                 sel = (model_rep == r) & (model_side == s)
                 if ok[ri]:
                     betas_arr[sel] = sol[ri]
+                    # degenerate (constant-y) resamples get an absolute floor
+                    model_h[sel] = max(H_FRAC * sd[ri], 1e-8 * (1.0 + abs(mean[ri])))
                 else:
                     status[sel] = 2  # degenerate design for this resample
 
-        # ---- IRLS loop: one pass per iteration over all active models --------
+        # ---- Newton loop: one pass per iteration over all active models -----
+        # Globalization, all driver-side (no extra Spark passes):
+        #   - anneal h_m(it) = max(h_target_m, H0_FRAC x sd_m x SHRINK^(it-1));
+        #     a model may converge only once its bandwidth reached target;
+        #   - adaptive damping alpha_m: halved when the raw Newton step norm
+        #     grows >1.5x pass-over-pass (overshoot signature: residuals left
+        #     the kernel window, Hessian -> 0, steps explode), doubled back
+        #     toward 1 otherwise;
+        #   - trust clamp ||eff step||_inf <= 0.5 x (1 + max|beta_m|), so a
+        #     flat-curvature model can never leave the data's scale.
+        # Small-n tied fixtures may ride the cap and keep the last (bounded,
+        # near-optimal) iterate — same semantics as solve_qr's max_iter.
         it = 0
+        model_prev_sn = np.full(M, np.inf)
+        model_alpha = np.ones(M)
         while it < MAX_ITER and (status == 0).any():
+            h_now = np.maximum(model_h, (H0_FRAC / H_FRAC) * model_h * SHRINK ** it)
             it += 1
             payload = {}
             act_idx: dict[int, np.ndarray] = {}
@@ -635,26 +682,40 @@ class QuantileDecompositionBuilder:
                     continue
                 act_idx[s] = sel
                 payload[s] = {
-                    "mode": "irls",
+                    "mode": "newton",
                     "ureps": np.unique(model_rep[sel]),
                     "taus": model_tau[sel],
                     "betas": betas_arr[sel],
+                    "h": h_now[sel],
                 }
                 payload[s]["repcol"] = np.searchsorted(
                     payload[s]["ureps"], model_rep[sel]
                 )
             stats = run_pass(payload)
-            tol_it = next(tol for start, tol in LADDER if it >= start)
             for s, sel in act_idx.items():
-                sol, ok = solve_block(stats[s])
-                delta = np.abs(sol - betas_arr[sel]).max(axis=1)
-                scale = 1.0 + np.abs(sol).max(axis=1)
+                step, ok = solve_block(stats[s])
                 betas_arr[sel[~ok]] = np.nan
                 status[sel[~ok]] = 2
                 good = sel[ok]
-                betas_arr[good] = sol[ok]
-                status[good[delta[ok] < tol_it * scale[ok]]] = 1
-        status[status == 0] = 1  # max_iter reached: keep last beta (solve_qr parity)
+                sn = np.abs(step[ok]).max(axis=1)
+                grow = sn > 1.5 * model_prev_sn[good]
+                model_alpha[good] = np.where(
+                    grow,
+                    np.maximum(model_alpha[good] * 0.5, 1.0 / 64),
+                    np.minimum(1.0, model_alpha[good] * 2.0),
+                )
+                trust = 0.5 * (1.0 + np.abs(betas_arr[good]).max(axis=1))
+                eff = step[ok] * model_alpha[good][:, None]
+                esn = np.abs(eff).max(axis=1)
+                over = esn > trust
+                eff[over] *= (trust[over] / esn[over])[:, None]
+                betas_arr[good] += eff
+                model_prev_sn[good] = sn
+                delta = np.abs(eff).max(axis=1)
+                scale = 1.0 + np.abs(betas_arr[good]).max(axis=1)
+                at_target = h_now[good] <= model_h[good] * 1.0000001
+                status[good[at_target & (delta < TOL * scale)]] = 1
+        status[status == 0] = 1  # max_iter reached: keep last iterate
 
         betas: dict[tuple[int, int], list[np.ndarray]] = {}
         order = np.lexsort((model_tidx, model_side, model_rep))

@@ -178,14 +178,15 @@ def test_machado_mata_distributed_engine(spark):
 
 
 def test_machado_mata_gram_vs_taubatch_parity(spark):
-    """The Gram-IRLS engine and the legacy tau-batch fan-out share taus,
+    """The Gram-Newton engine and the legacy tau-batch fan-out share taus,
     resample streams and simulation picks — so they differ only through the
     QR solver. Bound 1.0 (~10% of the gap): this fixture's tied rows create
-    genuinely FLAT optimal faces (see test_qr_degenerate_tie_case_bounded)
-    where the Gram engine's pass-budget ladder and solve_qr's 200 in-memory
-    iterations stop at different points ON the face — the same documented
-    argmin-spread as IRLS-vs-LP. On non-degenerate real data the engines
-    match the exact-vertex oracle within its 0.3% bound
+    genuinely FLAT optimal faces (see test_qr_degenerate_tie_case_bounded);
+    solve_qr's IRLS stops at an arbitrary point ON the face while the Gram
+    engine minimizes the h-smoothed loss whose unique optimum sits near the
+    face's center — the same documented argmin-spread as IRLS-vs-LP. On
+    non-degenerate real data the engines match the exact-vertex oracle
+    within its 0.3% bound
     (test_machado_mata_gram_engine_matches_independent_oracle)."""
     wage = [10.0, 12.0, 11.0, 13.0, 15.0, 20.0, 22.0, 21.0, 23.0, 25.0] * 4
     edu = [12.0, 16.0, 14.0, 16.0, 18.0] * 8

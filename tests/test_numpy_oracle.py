@@ -273,12 +273,16 @@ def test_machado_mata_matches_independent_oracle(spark, sf_dir, mm_oracle):
 
 
 def test_machado_mata_gram_engine_matches_independent_oracle(spark, sf_dir, mm_oracle):
-    """The distributed Gram-IRLS engine against the same exact-vertex oracle:
-    at reps=0 the engine consumes the identical seeded stream as the driver
-    engine (taus then simulation picks from default_rng(seed)), so the oracle
-    replay applies unchanged. Tolerance is the documented flat-valley bound
-    (300 ~ 0.3% of outcome scale) plus the engine's IRLS-vs-LP and
-    distributed-summation divergence, both orders of magnitude below it."""
+    """The distributed Gram-Newton (smoothed-QR) engine against the same
+    exact-vertex oracle: at reps=0 the engine consumes the identical seeded
+    stream as the driver engine (taus then simulation picks from
+    default_rng(seed)), so the oracle replay applies unchanged. Tolerance is
+    the documented flat-valley bound (300 ~ 0.3% of outcome scale); the
+    smoothed estimator's h^2 bias plus the smoothed-vs-LP-vertex argmin
+    spread measures ~117 on this data, and distributed-summation order moves
+    the unique smoothed optimum by ~1e-10 (unlike IRLS, whose argmin on flat
+    faces wandered by hundreds under summation-order perturbation — the
+    reason this engine smooths)."""
     from oaxaca_blinder_rs_spark.quantile_builder import QuantileDecompositionBuilder
 
     li = _spark_lineitem(spark, sf_dir)
