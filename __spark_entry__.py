@@ -602,6 +602,22 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", dedup.simhash64(F.col("text"), k=2).alias("simhash"))
 
 
+def q_simhash_shingle_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-matched companion to simhash (rows-only): the tokenize + word
+    2-shingle stage that feeds the SimHash vote — per doc, the distinct
+    shingle count and an md5 over the sorted shingle set. The xxhash64
+    voting stage itself has a bit-exact pure-Python XXH64 oracle in
+    tests/test_numpy_oracle.py; this row pins the only SQL-expressible
+    stage so the driver hash-checks the pipeline up to the vote."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = dedup.shingles(F.col("text"), k=2)
+    return docs.select(
+        "doc_id",
+        F.size(sh).alias("n_shingles"),
+        F.md5(F.concat_ws(chr(31), F.array_sort(sh))).alias("shingle_set_md5"),
+    )
+
+
 def q_optimizer_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M19: remediation optimizer, greedy allocation under a fixed budget.
 
@@ -682,6 +698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_dups_lsh": q_embedding_cosine_dups_lsh,
         "quality_score": q_quality_score,
         "simhash": q_simhash,
+        "simhash_shingle_check": q_simhash_shingle_check,
     }
 
 
@@ -1130,6 +1147,23 @@ def oracle_sql() -> dict[str, str]:
                    round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) ols_slope,
                    round((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 4) ols_intercept
             FROM s ORDER BY grp
+        """,
+        "simhash_shingle_check": """
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                CASE WHEN len(t) >= 2
+                  THEN list_distinct(list_transform(range(1, len(t)),
+                                                    i -> array_to_string(t[i:i+1], ' ')))
+                  ELSE [array_to_string(t, ' ')]
+                END AS s
+              FROM toks
+            )
+            SELECT doc_id, len(s) AS n_shingles,
+                   md5(array_to_string(list_sort(s), chr(31))) AS shingle_set_md5
+            FROM sh
         """,
         "embedding_cosine_dups_lsh": """
             WITH v AS (
