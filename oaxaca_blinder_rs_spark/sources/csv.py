@@ -14,23 +14,50 @@ import io
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ..operators.engine_ops import strict_numeric_cast  # noqa: F401
 
-__all__ = ["read_csv", "read_csv_bytes", "strict_numeric_cast"]
+__all__ = ["read_csv", "read_csv_bytes", "attach_row_ids", "strict_numeric_cast"]
 
 ROW_ID = "__ob_row_id__"
+
+
+def attach_row_ids(df: DataFrame) -> DataFrame:
+    """Dense 0..n-1 row ids in input order without a global sort.
+
+    monotonically_increasing_id() encodes (partition_id << 33) + local_index
+    with local indices dense from 0 inside each partition and partition ids
+    assigned in scan order, so global input order is (pid, local). A global
+    row_number() over that would move every row to a single partition; here
+    the per-partition counts (one tiny agg — numPartitions rows) are turned
+    into cumulative offsets and broadcast-joined back, keeping the id
+    assignment map-side and shuffle-free at any scale.
+    """
+    df = df.withColumn("__mid", F.monotonically_increasing_id())
+    pid = F.shiftrightunsigned(F.col("__mid"), 33)
+    counts = (
+        df.groupBy(pid.alias("__pid")).agg(F.count(F.lit(1)).alias("__cnt")).orderBy("__pid").collect()
+    )
+    offsets, running = [], 0
+    for r in counts:
+        offsets.append((r["__pid"], running))
+        running += r["__cnt"]
+    spark = df.sparkSession
+    if not offsets:
+        return df.withColumn(ROW_ID, F.lit(0).cast("long")).drop("__mid")
+    off_df = spark.createDataFrame(offsets, ["__pid", "__off"])
+    return (
+        df.withColumn("__pid", pid)
+        .join(F.broadcast(off_df), "__pid")
+        .withColumn(ROW_ID, F.col("__off") + (F.col("__mid") - F.shiftleft(F.col("__pid"), 33)))
+        .drop("__mid", "__pid", "__off")
+    )
 
 
 def read_csv(spark: SparkSession, path: str, with_row_id: bool = True) -> DataFrame:
     df = spark.read.option("header", True).option("inferSchema", True).csv(path)
     if with_row_id:
-        # monotonically_increasing_id preserves file order within partitions;
-        # re-rank it into a dense 0..n-1 id so downstream ops can address rows
-        # exactly like the reference's positional indices
-        df = df.withColumn("__mid", F.monotonically_increasing_id())
-        df = df.withColumn(ROW_ID, F.row_number().over(Window.orderBy("__mid")) - 1).drop("__mid")
+        df = attach_row_ids(df)
     return df
 
 

@@ -40,6 +40,30 @@ def test_read_csv_row_id(spark, wage_csv_path):
     assert rows[0]["wage"] == 10.0
 
 
+def test_attach_row_ids_multipartition(spark):
+    """Row ids are dense 0..n-1 in (partition, local) order without a global
+    single-partition sort: the plan must contain no SinglePartition exchange
+    and ids must follow partition scan order."""
+    from oaxaca_blinder_rs_spark.sources.csv import attach_row_ids
+
+    base = spark.range(0, 1000, 1, 8).select((F.col("id") * 2).alias("v"))
+    out = attach_row_ids(base)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    ids = sorted(r["__ob_row_id__"] for r in out.collect())
+    assert ids == list(range(1000))
+    # ids are dense within each original partition and ordered by partition
+    per_part = out.withColumn("__p", F.spark_partition_id()).collect()
+    by_part = {}
+    for r in per_part:
+        by_part.setdefault(r["__p"], []).append(r["__ob_row_id__"])
+    ranges = sorted((min(v), max(v), len(v)) for v in by_part.values())
+    prev_end = -1
+    for lo, hi, n in ranges:
+        assert lo == prev_end + 1 and hi - lo + 1 == n
+        prev_end = hi
+
+
 def test_read_csv_bytes(spark):
     df = read_csv_bytes(spark, WAGE_CSV.encode())
     assert df.count() == 10
