@@ -59,19 +59,65 @@ def kde_at_point(df: DataFrame, ycol: str, point: float, bandwidth: float, wcol:
 
 
 def order_stats(df: DataFrame, ycol: str, idxs: list[int], group: str | None = None) -> dict:
-    """Exact 0-based order statistics via a per-group ranked filter.
+    """Exact 0-based order statistics via distributed selection.
 
     Returns {idx: value} (ungrouped) or {(group_value, idx): value}.
-    One sort-shuffle; only |idxs| rows reach the driver.
+
+    Ungrouped path: a global row_number() would funnel every row through one
+    partition. Instead the column is range-partitioned (ranks become
+    contiguous per partition), per-partition counts give cumulative rank
+    offsets, and only the partitions that actually contain a wanted index
+    are locally sorted — the sort cost is O(n/P log n/P) on <=|idxs|
+    partitions, never a single-partition exchange.
+
+    Grouped path keeps a per-group window: the reference needs exact
+    per-group ranks and groups are the parallelism unit (skewed single
+    groups would need the same range-split applied within the group).
     """
+    wanted = sorted({int(i) for i in idxs})
     if group is None:
-        w = Window.orderBy(F.col(ycol).asc())
-        ranked = df.select(ycol).withColumn("__rn", F.row_number().over(w) - 1)
-        rows = ranked.filter(F.col("__rn").isin([int(i) for i in idxs])).collect()
-        return {int(r["__rn"]): float(r[ycol]) for r in rows}
+        vals = df.select(F.col(ycol).cast("double").alias(ycol))
+        nparts = max(vals.sparkSession.sparkContext.defaultParallelism, 1)
+        ranged = (
+            vals.repartitionByRange(nparts, F.col(ycol).asc())
+            .withColumn("__pid", F.spark_partition_id())
+            .persist()
+        )
+        try:
+            counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt")).orderBy("__pid").collect()
+            locals_by_pid: dict[int, list[int]] = {}
+            running = 0
+            it = iter(wanted)
+            nxt = next(it, None)
+            for r in counts:
+                hi = running + r["__cnt"]
+                while nxt is not None and nxt < hi:
+                    locals_by_pid.setdefault(r["__pid"], []).append(nxt - running)
+                    nxt = next(it, None)
+                running = hi
+            if not locals_by_pid:
+                return {}
+            cond = None
+            for p, lrs in locals_by_pid.items():
+                c = (F.col("__pid") == p) & F.col("__lrn").isin(lrs)
+                cond = c if cond is None else (cond | c)
+            w = Window.partitionBy("__pid").orderBy(F.col(ycol).asc())
+            rows = (
+                ranged.filter(F.col("__pid").isin(list(locals_by_pid)))
+                .withColumn("__lrn", F.row_number().over(w) - 1)
+                .filter(cond)
+                .collect()
+            )
+            offsets = {}
+            running = 0
+            for r in counts:
+                offsets[r["__pid"]] = running
+                running += r["__cnt"]
+            return {offsets[r["__pid"]] + int(r["__lrn"]): float(r[ycol]) for r in rows}
+        finally:
+            ranged.unpersist()
     w = Window.partitionBy(group).orderBy(F.col(ycol).asc())
     ranked = df.select(group, ycol).withColumn("__rn", F.row_number().over(w) - 1)
-    wanted = [int(i) for i in idxs]
     rows = ranked.filter(F.col("__rn").isin(wanted)).collect()
     return {(r[group], int(r["__rn"])): float(r[ycol]) for r in rows}
 

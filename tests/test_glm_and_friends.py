@@ -237,3 +237,22 @@ def test_heckman_two_step_free_function(spark):
     assert res["imr_coeff"] > 0
     assert res["selection_coeffs"][1] > 0.3  # gamma_z near 0.5/sqrt(2)
     assert res["imr_delta"] < 0
+
+
+def test_order_stats_distributed_selection(spark):
+    """order_stats (ungrouped) must return exact global order statistics via
+    the range-partitioned selection path — including ties, duplicates at
+    range boundaries, and indices at both extremes — matching a full sort."""
+    from oaxaca_blinder_rs_spark.operators.kde import order_stats
+
+    rng = np.random.default_rng(7)
+    vals = np.round(rng.normal(0.0, 10.0, 5000), 1)  # heavy ties
+    df = spark.createDataFrame([(float(v),) for v in vals], "y double").repartition(16)
+    ref = np.sort(vals)
+    idxs = [0, 1, 1250, 2500, 3749, 4999]
+    got = order_stats(df, "y", idxs)
+    assert set(got) == set(idxs)
+    for i in idxs:
+        assert got[i] == pytest.approx(float(ref[i]), abs=1e-12)
+    # out-of-range indices are silently omitted (legacy behavior)
+    assert order_stats(df, "y", [10_000_000]) == {}
