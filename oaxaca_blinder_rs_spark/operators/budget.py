@@ -7,15 +7,18 @@ prefix-sum reformulation vectorizes it exactly:
   cum_prev = sum(-residual) over all strictly-preceding candidates
   adjustment = clip(min(-residual, budget - cum_prev), 0, .)
 
-which is a window cumulative sum — one sort-shuffle, no driver loop, no
-collect. Identical output to the sequential greedy including the 1e-9
-minimum-raise filter.
+which is an ordered cumulative sum — expressed via scan.ordered_prev_cumsum
+(range partition + per-partition offsets), so the prefix sum never collapses
+to a single partition. Identical output to the sequential greedy including
+the 1e-9 minimum-raise filter.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .scan import ordered_prev_cumsum
 
 __all__ = ["allocate_budget"]
 
@@ -33,16 +36,13 @@ def allocate_budget(
     Returns the input columns + ``adjustment`` for rows receiving > 1e-9.
     """
     order = [F.col(residual_col).asc()] + [F.col(c).asc() for c in (order_cols or [])]
-    w = (
-        Window.orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
     candidates = df.filter(F.col(residual_col) < 0)
     need = -F.col(residual_col)
-    cum_prev = F.coalesce(F.sum(need).over(w), F.lit(0.0))
-    remaining = F.greatest(F.lit(float(budget)) - cum_prev, F.lit(0.0))
+    candidates = ordered_prev_cumsum(candidates, order, need, "__cum_prev")
+    remaining = F.greatest(F.lit(float(budget)) - F.col("__cum_prev"), F.lit(0.0))
     adjustment = F.least(need, remaining)
     return (
         candidates.withColumn("adjustment", adjustment)
+        .drop("__cum_prev")
         .filter(F.col("adjustment") > 1e-9)
     )

@@ -28,9 +28,10 @@ import math
 from dataclasses import dataclass, field
 
 import numpy as np
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .scan import ordered_prev_cumsum
 from ..errors import ColumnNotFound, NonNumericData, OaxacaError
 from ..functions.linalg import collect_group_stats
 from ..functions.mathx import norm_cdf_scalar, norm_ppf_scalar
@@ -372,15 +373,19 @@ def optimize(
                 ).otherwise(F.lit(0.0)),
             )
         else:
-            w = Window.orderBy(F.col("__diff").desc(), F.col(ROW_ID).asc()).rowsBetween(
-                Window.unboundedPreceding, -1
-            )
             paid = pot.filter(F.col("__eligible") & (F.col("__diff") > 0))
-            cum_prev = F.coalesce(F.sum("__diff").over(w), F.lit(0.0))
-            paid = paid.withColumn(
+            paid = ordered_prev_cumsum(
+                paid,
+                [F.col("__diff").desc(), F.col(ROW_ID).asc()],
+                F.col("__diff"),
+                "__cum_prev",
+            ).withColumn(
                 "adjustment",
-                F.least(F.col("__diff"), F.greatest(F.lit(effective_budget) - cum_prev, F.lit(0.0))),
-            )
+                F.least(
+                    F.col("__diff"),
+                    F.greatest(F.lit(effective_budget) - F.col("__cum_prev"), F.lit(0.0)),
+                ),
+            ).drop("__cum_prev")
             rest = pot.filter(~(F.col("__eligible") & (F.col("__diff") > 0))).withColumn(
                 "adjustment", F.lit(0.0)
             )
@@ -551,10 +556,9 @@ def efficient_frontier(
         ),
         on=ROW_ID,
     ).select(ROW_ID, "__gap", F.col(outcome).alias("__y"), *xcols)
-    w = Window.orderBy(F.col("__gap").desc(), F.col(ROW_ID).asc()).rowsBetween(
-        Window.unboundedPreceding, -1
+    sched = ordered_prev_cumsum(
+        sched, [F.col("__gap").desc(), F.col(ROW_ID).asc()], F.col("__gap"), "__cum_prev"
     )
-    sched = sched.withColumn("__cum_prev", F.coalesce(F.sum("__gap").over(w), F.lit(0.0)))
 
     spark = design.sparkSession
     steps_df = F.broadcast(

@@ -1,0 +1,84 @@
+"""Distributed ordered-scan primitives.
+
+A ``Window.orderBy(...)`` with no partition key funnels every row through a
+single task — fine at fixture scale, a stall at cluster scale. The greedy
+allocation operators (engine_ops.optimize, budget.allocate_budget, the
+efficient-frontier schedule) all need one global ordered running total, so
+that scan is expressed here once, parallel at any size:
+
+1. range-partition on the ordering (partition p's rows all precede
+   partition p+1's; ties never span a boundary),
+2. one tiny aggregation of per-partition sums -> exclusive offsets on the
+   driver (numPartitions rows),
+3. broadcast the offsets back and finish with a partition-LOCAL window.
+
+The ranged frame is persisted across the two jobs (range bounds are sampled
+per physical plan, so both must read one materialization) and the result is
+checkpointed before the cache is dropped — cost over the naive window is
+one numPartitions-row collect plus one cached pass.
+
+Reference behavior pinned: oaxaca_blinder/src/analysis.rs greedy payment
+loop (sequential over sorted rows); same running totals, distributed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["ordered_prev_cumsum"]
+
+
+def ordered_prev_cumsum(
+    df: DataFrame,
+    order: list[Column],
+    value: Column,
+    out_col: str,
+) -> DataFrame:
+    """Exclusive running total of ``value`` under a global ordering.
+
+    Row r gets sum(value) over all rows strictly before r in ``order``
+    (ties resolved by the caller's tiebreaker columns, exactly as a global
+    ``rowsBetween(unboundedPreceding, -1)`` window would) — without ever
+    collapsing the data to one partition.
+    """
+    spark = df.sparkSession
+    nparts = max(spark.sparkContext.defaultParallelism, 1)
+    # repartitionByRange samples its bounds per physical plan, so the offsets
+    # job and the final scan MUST share one materialization — persist pins the
+    # partitioning; the result is checkpointed before the cache is released.
+    ranged = (
+        df.repartitionByRange(nparts, *order)
+        .withColumn("__scan_pid", F.spark_partition_id())
+        .withColumn("__scan_v", value.cast("double"))
+        .persist()
+    )
+    try:
+        sums = (
+            ranged.groupBy("__scan_pid")
+            .agg(F.sum("__scan_v").alias("__s"))
+            .orderBy("__scan_pid")
+            .collect()
+        )
+        offsets, running = [], 0.0
+        for r in sums:
+            offsets.append((int(r["__scan_pid"]), running))
+            running += float(r["__s"] or 0.0)
+        if not offsets:
+            return df.withColumn(out_col, F.lit(0.0))
+        off_df = spark.createDataFrame(offsets, "__scan_pid int, __scan_off double")
+        w = (
+            Window.partitionBy("__scan_pid")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        result = (
+            ranged.join(F.broadcast(off_df), "__scan_pid")
+            .withColumn(
+                out_col, F.col("__scan_off") + F.coalesce(F.sum("__scan_v").over(w), F.lit(0.0))
+            )
+            .drop("__scan_pid", "__scan_off", "__scan_v")
+        )
+        return result.localCheckpoint(eager=True)
+    finally:
+        ranged.unpersist()

@@ -153,3 +153,27 @@ def test_defensibility(spark):
     ).collect()[0]
     assert not out2["is_defensible"]
     assert "below the fair-wage lower bound" in out2["defensibility_message"]
+
+
+def test_ordered_prev_cumsum_matches_global_window(spark):
+    """The distributed prefix sum must equal a driver-side sequential scan
+    under the same ordering (ties broken by id) and keep the plan free of a
+    SinglePartition exchange."""
+    from pyspark.sql import functions as F
+
+    from oaxaca_blinder_rs_spark.operators.scan import ordered_prev_cumsum
+
+    rng = np.random.default_rng(11)
+    vals = np.round(rng.exponential(5.0, 4000), 1)  # ties
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "id long, v double"
+    ).repartition(16)
+    out = ordered_prev_cumsum(df, [F.col("v").desc(), F.col("id").asc()], F.col("v"), "cum")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    got = {r["id"]: r["cum"] for r in out.collect()}
+    order = sorted(range(len(vals)), key=lambda i: (-vals[i], i))
+    running = 0.0
+    for i in order:
+        assert got[i] == pytest.approx(running, rel=1e-12, abs=1e-9)
+        running += vals[i]
