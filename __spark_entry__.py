@@ -241,6 +241,20 @@ def q_ann_lsh_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat cosine top-3 — the inverted-list ANN scale path.
+
+    Corpus vectors live in one inverted list each (argmax exact-int64 dot
+    against a deterministic sampled centroid table); queries probe their 3
+    best lists; exact cosine reranks per list. The quantizer is pure int64
+    so the oracle reproduces assignment, probing and candidates exactly."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 50)
+    return similarity.ivf_topk(q, emb, k=3, n_lists=8, n_probe=3).select(
+        "query_id", "neighbor_id", "cosine", "rank"
+    )
+
+
 def q_weighted_kde_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9: weighted Gaussian KDE on a 20-point grid (fixed bandwidth)."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
@@ -675,6 +689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "knn_cosine_top3": q_knn_cosine_top3,
         "ann_lsh_top3": q_ann_lsh_top3,
+        "ann_ivf_top3": q_ann_ivf_top3,
         "weighted_kde_grid": q_weighted_kde_grid,
         "oaxaca_mean_weighted": q_oaxaca_mean_weighted,
         "vif_lineitem": q_vif_lineitem,
@@ -905,6 +920,43 @@ def oracle_sql() -> dict[str, str]:
                      ) rank
               FROM embeddings a, embeddings b
               WHERE a.vec_id < 50 AND b.vec_id != a.vec_id
+            ) WHERE rank <= 3
+        """,
+        "ann_ivf_top3": """
+            WITH v AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) e,
+                     list_transform(range(0,64),
+                       j -> CAST(floor(CAST(embedding[j+1] AS DOUBLE)*1000) AS BIGINT)) qv
+              FROM embeddings
+            ), cents AS (
+              SELECT vec_id cid, qv cqv FROM v ORDER BY vec_id LIMIT 8
+            ), dots AS (
+              SELECT v.vec_id, c.cid,
+                     list_sum(list_transform(range(1,65), i -> v.qv[i]*c.cqv[i])) dot
+              FROM v, cents c
+            ), ranked AS (
+              SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid ASC) rk
+              FROM dots
+            ), assign AS (
+              SELECT vec_id, cid FROM ranked WHERE rk = 1
+            ), probes AS (
+              SELECT vec_id, cid FROM ranked WHERE rk <= 3 AND vec_id < 50
+            ), cand AS (
+              SELECT DISTINCT p.vec_id query_id, a.vec_id neighbor_id
+              FROM probes p JOIN assign a ON p.cid = a.cid
+              WHERE p.vec_id <> a.vec_id
+            ), sims AS (
+              SELECT c.query_id, c.neighbor_id,
+                     round(list_cosine_similarity(vq.e, vn.e), 6) cosine
+              FROM cand c
+              JOIN v vq ON vq.vec_id = c.query_id
+              JOIN v vn ON vn.vec_id = c.neighbor_id
+            )
+            SELECT query_id, neighbor_id, cosine, rank FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) rank
+              FROM sims
             ) WHERE rank <= 3
         """,
         "ann_lsh_top3": """

@@ -28,6 +28,8 @@ __all__ = [
     "lsh_topk",
     "lsh_topk_int",
     "int_banded",
+    "ivf_centroids",
+    "ivf_topk",
 ]
 
 
@@ -226,3 +228,76 @@ def int_banded(
         F.col("__norm").alias(f"__n_{label}"),
         F.explode(tables).alias("__tb"),
     ).select(label, f"__v_{label}", f"__n_{label}", F.col("__tb.t").alias("t"), F.col("__tb.b").alias("b"))
+
+
+def _int_dot_sql(cvec: list[int]) -> str:
+    planes = ",".join(f"{int(c)}L" for c in cvec)
+    return f"aggregate(zip_with(__qv, array({planes}), (x,h) -> x*h), 0L, (a,x) -> a+x)"
+
+
+def ivf_centroids(corpus: DataFrame, n_lists: int, vec_col: str = "embedding",
+                  id_col: str = "vec_id", quantize_scale: int = 1000) -> list[tuple[int, list[int]]]:
+    """Deterministic coarse quantizer: the quantized vectors of the n_lists
+    lowest ids. A k-means trainer would refine these at scale; a sampled
+    quantizer is a standard IVF bootstrap and — being exact int64 — lets an
+    independent engine reproduce every list assignment bit-for-bit."""
+    rows = (
+        corpus.select(F.col(id_col).alias("cid"),
+                      F.transform(F.col(vec_col), lambda x: F.floor(x.cast("double") * quantize_scale).cast("long")).alias("cqv"))
+        .orderBy("cid")
+        .limit(n_lists)
+        .collect()
+    )
+    return [(int(r["cid"]), [int(v) for v in r["cqv"]]) for r in rows]
+
+
+def _ivf_sided(df: DataFrame, label: str, cents: list[tuple[int, list[int]]],
+               n_probe: int, vec_col: str, id_col: str, quantize_scale: int) -> DataFrame:
+    """(id as label, __v_label, __n_label, t=0, b=list_id) — one row per
+    probed inverted list. Assignment = argmax exact-int64 dot against the
+    centroid table, ties to the lowest centroid id (struct-max on (dot, -id));
+    probes = the n_probe best lists in that order."""
+    base = with_norm(df, vec_col, id_col).withColumn(
+        "__qv", F.transform(F.col("__vec"), lambda x: F.floor(x * quantize_scale).cast("long"))
+    )
+    structs = ",".join(
+        f"struct({_int_dot_sql(cvec)} as d, {-cid}L as nj)" for cid, cvec in cents
+    )
+    probes = F.expr(
+        f"transform(slice(reverse(array_sort(array({structs}))), 1, {int(n_probe)}), s -> -s.nj)"
+    )
+    return base.select(
+        F.col(id_col).alias(label),
+        F.col("__vec").alias(f"__v_{label}"),
+        F.col("__norm").alias(f"__n_{label}"),
+        F.explode(probes).alias("b"),
+    ).withColumn("t", F.lit(0))
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_lists: int = 8,
+    n_probe: int = 2,
+    quantize_scale: int = 1000,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate cosine top-k via an IVF-Flat index (inverted file lists).
+
+    Corpus vectors are assigned to their single nearest inverted list
+    (argmax integer dot product against the centroid table); queries probe
+    their ``n_probe`` best lists; candidates are per-list pairs with an
+    exact cosine rerank and a per-query top-k window — the canonical
+    IVF-Flat physical plan: shuffle keyed on list id (n_lists lists, so at
+    cluster scale centroid count is sized ~sqrt(n) and the per-list join is
+    the parallelism unit). The quantizer is exact int64 so the DuckDB
+    oracle reproduces the same candidate sets; recall < 1 by construction,
+    identical across engines.
+    """
+    cents = ivf_centroids(corpus, n_lists, vec_col, id_col, quantize_scale)
+    cb = _ivf_sided(corpus, "neighbor_id", cents, 1, vec_col, id_col, quantize_scale)
+    qb = _ivf_sided(queries, "query_id", cents, n_probe, vec_col, id_col, quantize_scale)
+    return _rerank_pairs(qb, cb, k, exclude_self)

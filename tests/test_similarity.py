@@ -108,3 +108,40 @@ def test_embedding_cosine_dups_lsh_deterministic(emb):
     a = dedup.embedding_cosine_dups_lsh(emb, dim=64, threshold=0.4).collect()
     b = dedup.embedding_cosine_dups_lsh(emb, dim=64, threshold=0.4).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_ivf_topk_deterministic_and_exact_cosines(emb):
+    """IVF-Flat: rerun-deterministic (int64 quantizer, no RNG) and every
+    returned pair carries the exact brute-force cosine — only the candidate
+    set is approximate."""
+    q = emb.filter(F.col("vec_id") < 20)
+    a = similarity.ivf_topk(q, emb, k=3, n_lists=8, n_probe=3).collect()
+    b = similarity.ivf_topk(q, emb, k=3, n_lists=8, n_probe=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in similarity.brute_force_topk(q, emb, k=10_000).collect()
+    }
+    for r in a:
+        assert exact[(r["query_id"], r["neighbor_id"])] == r["cosine"]
+
+
+def test_ivf_topk_recall(emb):
+    """Probing more lists must not lose neighbors, and with n_probe = n_lists
+    the search is exhaustive (every corpus vector lives in exactly one list),
+    so recall vs brute force is 1.0."""
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(q, emb, k=3).collect()
+    }
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(q, emb, k=3, n_lists=8, n_probe=8).collect()
+    }
+    assert full == exact
+    probed = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(q, emb, k=3, n_lists=8, n_probe=3).collect()
+    }
+    assert len(probed & exact) / len(exact) >= 0.5
