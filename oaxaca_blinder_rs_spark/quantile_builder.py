@@ -270,12 +270,36 @@ class QuantileDecompositionBuilder:
             taus_by_rep[r] = np.random.default_rng([seed, 7, r]).uniform(0.01, 0.99, size=S)
 
         # stable per-group row rank: fixes row order inside executor tasks
-        # (and the driver's pick translation); checkpoint pins the ids
-        design = design.withColumn("__mm_mid", F.monotonically_increasing_id())
-        w = Window.partitionBy(self._group).orderBy("__mm_mid")
-        ranked = design.withColumn("__mm_rn", F.row_number().over(w) - 1).localCheckpoint()
-        counts = {r[0]: r[1] for r in ranked.groupBy(self._group).count().collect()}
-        n_a, n_b = int(counts[group_a]), int(counts[group_b])
+        # (and the driver's pick translation); checkpoint pins the ids.
+        # A window partitioned only by group would funnel each group through
+        # one task; ranking instead shuffles on (group, source partition) —
+        # P*|groups| uniform cells — with per-cell offsets from one tiny
+        # count aggregation (monotonically_increasing_id is
+        # (partition << 33) + local index, so (group, pid) counts in pid
+        # order are exactly the mid-order prefix sizes).
+        design = design.withColumn("__mm_mid", F.monotonically_increasing_id()).withColumn(
+            "__mm_pid", F.shiftrightunsigned(F.col("__mm_mid"), 33)
+        )
+        cell_rows = (
+            design.groupBy(self._group, "__mm_pid")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .collect()
+        )
+        offs, running = [], {}
+        for r in sorted(cell_rows, key=lambda r: (str(r[self._group]), int(r["__mm_pid"]))):
+            g = r[self._group]
+            offs.append((g, int(r["__mm_pid"]), running.get(g, 0)))
+            running[g] = running.get(g, 0) + int(r["__c"])
+        gtype = dict(design.dtypes)[self._group]
+        off_df = spark.createDataFrame(offs, f"`{self._group}` {gtype}, __mm_pid long, __mm_off long")
+        w = Window.partitionBy(self._group, "__mm_pid").orderBy("__mm_mid")
+        ranked = (
+            design.join(F.broadcast(off_df), [self._group, "__mm_pid"])
+            .withColumn("__mm_rn", F.col("__mm_off") + F.row_number().over(w) - 1)
+            .drop("__mm_pid", "__mm_off")
+            .localCheckpoint()
+        )
+        n_a, n_b = int(running[group_a]), int(running[group_b])
 
         if strategy == "taubatch":
             betas = self._fit_taubatch(
