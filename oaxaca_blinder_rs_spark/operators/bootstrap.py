@@ -36,9 +36,10 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .scan import grouped_dense_rank
 from ..functions.linalg import GroupStats, gram_agg_exprs, stats_from_row
 
 __all__ = [
@@ -132,8 +133,7 @@ def bootstrap_group_stats(
         counts = picks.groupBy(group, "__rep", "__pick").agg(
             F.count(F.lit(1)).cast("double").alias("__cnt")
         )
-        w_idx = Window.partitionBy(group).orderBy(id_col)
-        base = df.withColumn("__gidx", F.row_number().over(w_idx) - 1)
+        base = grouped_dense_rank(df, group, id_col, "__gidx")
         boot = base.join(
             counts,
             on=[base[group] == counts[group], base["__gidx"] == counts["__pick"]],
@@ -292,8 +292,7 @@ def bootstrap_group_stats_fast(
                 F.col("__rc.__c").alias("__cl"),
             )
         )
-        w_idx = Window.partitionBy(group).orderBy(id_col)
-        base = proj.withColumn("__gidx", (F.row_number().over(w_idx) - 1).cast("long"))
+        base = grouped_dense_rank(proj, group, id_col, "__gidx")
         proj = (
             base.join(
                 pick_counts,

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["ordered_prev_cumsum"]
+__all__ = ["ordered_prev_cumsum", "grouped_dense_rank"]
 
 
 def ordered_prev_cumsum(
@@ -78,6 +78,55 @@ def ordered_prev_cumsum(
                 out_col, F.col("__scan_off") + F.coalesce(F.sum("__scan_v").over(w), F.lit(0.0))
             )
             .drop("__scan_pid", "__scan_off", "__scan_v")
+        )
+        return result.localCheckpoint(eager=True)
+    finally:
+        ranged.unpersist()
+
+
+def grouped_dense_rank(
+    df: DataFrame,
+    group: str,
+    order_col: str,
+    out_col: str,
+) -> DataFrame:
+    """0-based dense rank of ``order_col`` inside each ``group``.
+
+    A window partitioned only by the group column serializes each group
+    through one task (the Oaxaca group column has 2 values). Instead:
+    range-partition on (group, order), count each (group, partition) cell,
+    turn the counts into per-group offsets, and rank with a window local to
+    the (group, partition) cell — P*|groups| uniform units of work. The
+    result is eagerly checkpointed before the ranged cache is released so
+    downstream actions cannot observe a re-sampled partitioning.
+    """
+    spark = df.sparkSession
+    nparts = max(spark.sparkContext.defaultParallelism, 1)
+    ranged = (
+        df.repartitionByRange(nparts, F.col(group).asc(), F.col(order_col).asc())
+        .withColumn("__scan_pid", F.spark_partition_id())
+        .persist()
+    )
+    try:
+        cells = ranged.groupBy(group, "__scan_pid").agg(F.count(F.lit(1)).alias("__c")).collect()
+        if not cells:
+            return df.withColumn(out_col, F.lit(0).cast("long"))
+        by_group: dict = {}
+        for r in cells:
+            by_group.setdefault(r[group], []).append((int(r["__scan_pid"]), int(r["__c"])))
+        offs = []
+        for g, lst in by_group.items():
+            running = 0
+            for pid, c in sorted(lst):
+                offs.append((g, pid, running))
+                running += c
+        gtype = dict(df.dtypes)[group]
+        off_df = spark.createDataFrame(offs, f"`{group}` {gtype}, __scan_pid int, __scan_off long")
+        w = Window.partitionBy(group, "__scan_pid").orderBy(F.col(order_col).asc())
+        result = (
+            ranged.join(F.broadcast(off_df), [group, "__scan_pid"])
+            .withColumn(out_col, F.col("__scan_off") + F.row_number().over(w) - 1)
+            .drop("__scan_pid", "__scan_off")
         )
         return result.localCheckpoint(eager=True)
     finally:
