@@ -63,63 +63,62 @@ def order_stats(df: DataFrame, ycol: str, idxs: list[int], group: str | None = N
 
     Returns {idx: value} (ungrouped) or {(group_value, idx): value}.
 
-    Ungrouped path: a global row_number() would funnel every row through one
-    partition. Instead the column is range-partitioned (ranks become
-    contiguous per partition), per-partition counts give cumulative rank
-    offsets, and only the partitions that actually contain a wanted index
-    are locally sorted — the sort cost is O(n/P log n/P) on <=|idxs|
-    partitions, never a single-partition exchange.
-
-    Grouped path keeps a per-group window: the reference needs exact
-    per-group ranks and groups are the parallelism unit (skewed single
-    groups would need the same range-split applied within the group).
+    A per-group (or global) row_number() would funnel each group through one
+    task. Instead the column is range-partitioned on (group, y) so ranks are
+    contiguous per (group, partition) cell, one small count aggregation
+    yields per-cell rank offsets, and only the cells that actually contain a
+    wanted index are locally sorted — O(n/P log n/P) work on <= |groups| *
+    |idxs| cells, never a single-task scan of a whole group.
     """
     wanted = sorted({int(i) for i in idxs})
-    if group is None:
-        vals = df.select(F.col(ycol).cast("double").alias(ycol))
-        nparts = max(vals.sparkSession.sparkContext.defaultParallelism, 1)
-        ranged = (
-            vals.repartitionByRange(nparts, F.col(ycol).asc())
-            .withColumn("__pid", F.spark_partition_id())
-            .persist()
-        )
-        try:
-            counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt")).orderBy("__pid").collect()
-            locals_by_pid: dict[int, list[int]] = {}
+    gcol = group if group is not None else "__os_g"
+    head = [F.col(group)] if group is not None else [F.lit(0).alias("__os_g")]
+    sel = df.select(*head, F.col(ycol).cast("double").alias(ycol))
+    nparts = max(sel.sparkSession.sparkContext.defaultParallelism, 1)
+    ranged = (
+        sel.repartitionByRange(nparts, F.col(gcol).asc(), F.col(ycol).asc())
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    try:
+        counts = ranged.groupBy(gcol, "__pid").agg(F.count(F.lit(1)).alias("__cnt")).collect()
+        by_g: dict = {}
+        for r in counts:
+            by_g.setdefault(r[gcol], []).append((int(r["__pid"]), int(r["__cnt"])))
+        cells: dict = {}
+        offsets: dict = {}
+        for g, lst in by_g.items():
             running = 0
             it = iter(wanted)
             nxt = next(it, None)
-            for r in counts:
-                hi = running + r["__cnt"]
+            for pid_, c in sorted(lst):
+                offsets[(g, pid_)] = running
+                hi = running + c
                 while nxt is not None and nxt < hi:
-                    locals_by_pid.setdefault(r["__pid"], []).append(nxt - running)
+                    cells.setdefault((g, pid_), []).append(nxt - running)
                     nxt = next(it, None)
                 running = hi
-            if not locals_by_pid:
-                return {}
-            cond = None
-            for p, lrs in locals_by_pid.items():
-                c = (F.col("__pid") == p) & F.col("__lrn").isin(lrs)
-                cond = c if cond is None else (cond | c)
-            w = Window.partitionBy("__pid").orderBy(F.col(ycol).asc())
-            rows = (
-                ranged.filter(F.col("__pid").isin(list(locals_by_pid)))
-                .withColumn("__lrn", F.row_number().over(w) - 1)
-                .filter(cond)
-                .collect()
-            )
-            offsets = {}
-            running = 0
-            for r in counts:
-                offsets[r["__pid"]] = running
-                running += r["__cnt"]
-            return {offsets[r["__pid"]] + int(r["__lrn"]): float(r[ycol]) for r in rows}
-        finally:
-            ranged.unpersist()
-    w = Window.partitionBy(group).orderBy(F.col(ycol).asc())
-    ranked = df.select(group, ycol).withColumn("__rn", F.row_number().over(w) - 1)
-    rows = ranked.filter(F.col("__rn").isin(wanted)).collect()
-    return {(r[group], int(r["__rn"])): float(r[ycol]) for r in rows}
+        if not cells:
+            return {}
+        cond = None
+        for (g, p), lrs in cells.items():
+            c = F.col(gcol).eqNullSafe(F.lit(g)) & (F.col("__pid") == p) & F.col("__lrn").isin(lrs)
+            cond = c if cond is None else (cond | c)
+        w = Window.partitionBy(gcol, "__pid").orderBy(F.col(ycol).asc())
+        rows = (
+            ranged.filter(F.col("__pid").isin(sorted({p for _, p in cells})))
+            .withColumn("__lrn", F.row_number().over(w) - 1)
+            .filter(cond)
+            .collect()
+        )
+        if group is None:
+            return {offsets[(r[gcol], r["__pid"])] + int(r["__lrn"]): float(r[ycol]) for r in rows}
+        return {
+            (r[gcol], offsets[(r[gcol], r["__pid"])] + int(r["__lrn"])): float(r[ycol])
+            for r in rows
+        }
+    finally:
+        ranged.unpersist()
 
 
 def silverman_bandwidth(df: DataFrame, ycol: str) -> float:

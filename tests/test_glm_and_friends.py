@@ -256,3 +256,13 @@ def test_order_stats_distributed_selection(spark):
         assert got[i] == pytest.approx(float(ref[i]), abs=1e-12)
     # out-of-range indices are silently omitted (legacy behavior)
     assert order_stats(df, "y", [10_000_000]) == {}
+    # grouped path: exact per-group ranks through the same cell machinery
+    gdf = spark.createDataFrame(
+        [("A" if i % 3 else "B", float(v)) for i, v in enumerate(vals)], "g string, y double"
+    ).repartition(16)
+    arr_a = np.sort(vals[[i for i in range(len(vals)) if i % 3]])
+    arr_b = np.sort(vals[[i for i in range(len(vals)) if not i % 3]])
+    got_g = order_stats(gdf, "y", [0, 100, 1000], group="g")
+    for i in (0, 100, 1000):
+        assert got_g[("A", i)] == pytest.approx(float(arr_a[i]), abs=1e-12)
+        assert got_g[("B", i)] == pytest.approx(float(arr_b[i]), abs=1e-12)
