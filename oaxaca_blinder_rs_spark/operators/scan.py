@@ -79,9 +79,22 @@ def ordered_prev_cumsum(
             )
             .drop("__scan_pid", "__scan_off", "__scan_v")
         )
-        return result.localCheckpoint(eager=True)
+        return _checkpoint_with_plan(result)
     finally:
         ranged.unpersist()
+
+
+def _checkpoint_with_plan(result: DataFrame) -> DataFrame:
+    """Eagerly checkpoint, attaching the pre-checkpoint physical plan as
+    ``._scan_plan`` so tests can assert the scan never used a
+    SinglePartition exchange (the checkpointed frame's own plan is just a
+    scan of materialized blocks)."""
+    out = result.localCheckpoint(eager=True)
+    try:
+        out._scan_plan = result._jdf.queryExecution().executedPlan().toString()
+    except Exception:
+        out._scan_plan = ""
+    return out
 
 
 def grouped_dense_rank(
@@ -128,6 +141,6 @@ def grouped_dense_rank(
             .withColumn(out_col, F.col("__scan_off") + F.row_number().over(w) - 1)
             .drop("__scan_pid", "__scan_off")
         )
-        return result.localCheckpoint(eager=True)
+        return _checkpoint_with_plan(result)
     finally:
         ranged.unpersist()

@@ -48,13 +48,20 @@ def test_star_join_broadcasts_dimensions(spark, sf_dir):
     assert "BroadcastExchange" in plan
 
 
-def test_budget_window_is_single_sort(spark, sf_dir):
-    """Greedy allocation = one global sort window, no extra shuffles."""
-    import __spark_entry__ as e
+def test_budget_prefix_scan_is_distributed(spark, sf_dir):
+    """The greedy allocation's running total must window per range-partition
+    cell — never a global (SinglePartition) sort. The scan primitive exposes
+    its pre-checkpoint physical plan for exactly this assertion; the
+    budget_allocation oracle row pins the values."""
+    from oaxaca_blinder_rs_spark.operators.scan import ordered_prev_cumsum
 
-    df = e.queries()["budget_allocation"](spark, sf_dir)
-    plan = _plan(df)
-    assert "Window" in plan
+    df = spark.range(0, 2000, 1, 8).select(
+        F.col("id"), (F.col("id") % 13).cast("double").alias("v")
+    )
+    out = ordered_prev_cumsum(df, [F.col("v").desc(), F.col("id").asc()], F.col("v"), "cum")
+    plan = out._scan_plan
+    assert "Window" in plan and "__scan_pid" in plan
+    assert "SinglePartition" not in plan
 
 
 def test_lsh_dedup_is_bucketed_not_cartesian(spark, sf_dir):
