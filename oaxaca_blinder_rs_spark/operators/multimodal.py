@@ -34,6 +34,11 @@ __all__ = [
     "codec_available",
     "decode_image_features",
     "resolve_decoder",
+    "resize_images",
+    "resize_image_payload",
+    "deterministic_fake_resize",
+    "sample_frames",
+    "deterministic_fake_frame",
 ]
 
 # canonical media-column schema: payload + typed metadata
@@ -151,3 +156,130 @@ def extract_features(
             yield pd.DataFrame({"media_id": pdf[id_col], "features": feats})
 
     return df.select(id_col, payload_col, mime_col).mapInPandas(run, schema)
+
+
+def resize_image_payload(payload: bytes, mime_type: str, width: int, height: int) -> bytes:
+    """REAL resize kernel (runs whenever PIL is importable): decode, resize,
+    re-encode as PNG. Same (payload, mime, w, h) -> bytes contract as the
+    fake, so pipelines are kernel-agnostic."""
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(payload)).resize((int(width), int(height)))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def deterministic_fake_resize(payload: bytes, mime_type: str, width: int, height: int) -> bytes:
+    """Codec-free stand-in: a seeded digest stream of width*height bytes.
+    Deterministic in (payload, w, h) so tests hash-check the plumbing."""
+    n = max(1, int(width) * int(height))
+    h = hashlib.sha256((payload or b"") + f":{width}x{height}".encode())
+    out = bytearray()
+    block = h.digest()
+    while len(out) < n:
+        block = hashlib.sha256(block).digest()
+        out.extend(block)
+    return bytes(out[:n])
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    resize_fn=None,
+    payload_col: str = "payload",
+    mime_col: str = "mime_type",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Arrow-batched image resize: (media_id, payload, width, height).
+
+    ``resize_fn=None`` engages the per-worker self-upgrade gate (real PIL
+    kernel when importable, deterministic fake otherwise) — the same
+    contract as ``extract_features``.
+    """
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("payload", BinaryType(), True),
+            StructField("width", LongType(), False),
+            StructField("height", LongType(), False),
+        ]
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        fn = resize_fn
+        if fn is None:
+            fn = resize_image_payload if codec_available("image") else deterministic_fake_resize
+        for pdf in batches:
+            out = [
+                fn(p, m, width, height)
+                for p, m in zip(pdf[payload_col], pdf[mime_col])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "payload": out,
+                    "width": [int(width)] * len(pdf),
+                    "height": [int(height)] * len(pdf),
+                }
+            )
+
+    return df.select(id_col, payload_col, mime_col).mapInPandas(run, schema)
+
+
+def deterministic_fake_frame(payload: bytes, ts_ms: int) -> bytes:
+    """Codec-free frame stand-in: sha256(payload || ts) digest bytes."""
+    return hashlib.sha256((payload or b"") + f"@{int(ts_ms)}".encode()).digest()
+
+
+def sample_frames(
+    df: DataFrame,
+    every_ms: int = 1000,
+    max_frames: int = 32,
+    frame_fn=None,
+    payload_col: str = "payload",
+    duration_col: str = "duration_ms",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Video frame sampling: one output row per sampled timestamp.
+
+    (media_id, frame_idx, ts_ms, frame). Timestamps are 0, every_ms, ... up
+    to duration_ms, capped at max_frames. The fan-out happens inside the
+    Arrow batch (no pre-explode shuffle); a real deployment passes
+    ``frame_fn`` wrapping ffmpeg/PyAV seek+decode — the container has no
+    video codecs, so the default is the deterministic fake.
+    """
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("frame_idx", LongType(), False),
+            StructField("ts_ms", LongType(), False),
+            StructField("frame", BinaryType(), True),
+        ]
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        fn = frame_fn if frame_fn is not None else deterministic_fake_frame
+        for pdf in batches:
+            ids, idxs, tss, frames = [], [], [], []
+            for mid, p, dur in zip(pdf[id_col], pdf[payload_col], pdf[duration_col]):
+                dur = int(dur) if dur is not None and not pd.isna(dur) else 0
+                n = min(max_frames, max(1, -(-dur // int(every_ms)) if dur > 0 else 1))
+                for i in range(n):
+                    ts = i * int(every_ms)
+                    ids.append(mid)
+                    idxs.append(i)
+                    tss.append(ts)
+                    frames.append(fn(p, ts))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "ts_ms": tss, "frame": frames}
+            )
+
+    return df.select(id_col, payload_col, duration_col).mapInPandas(run, schema)

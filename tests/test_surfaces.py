@@ -339,3 +339,60 @@ def test_streaming_stateful_decomposition(spark, sf_dir, tmp_path):
     assert abs(streamed[0] - fit.beta[0]) < 1e-4
     assert abs(streamed[1] - fit.beta[1]) < 1e-4
     assert rows[gval]["n"] == stats.n
+
+
+def test_multimodal_resize_fake_path(spark):
+    """resize_images via the deterministic fake: schema, sizes, determinism."""
+    rows = [(i, bytes([i]) * 64, "image/png", 8, 8, None) for i in range(10)]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = multimodal.resize_images(df, 4, 4).collect()
+    assert len(out) == 10
+    by_id = {r["media_id"]: r for r in out}
+    assert all(r["width"] == 4 and r["height"] == 4 for r in out)
+    assert all(len(r["payload"]) == 16 for r in out)
+    out2 = multimodal.resize_images(df, 4, 4).collect()
+    assert {r["media_id"]: bytes(r["payload"]) for r in out2} == {
+        k: bytes(v["payload"]) for k, v in by_id.items()
+    }
+    # different target size -> different deterministic payloads
+    other = {r["media_id"]: bytes(r["payload"]) for r in multimodal.resize_images(df, 2, 2).collect()}
+    assert other[1] != bytes(by_id[1]["payload"])
+
+
+def test_multimodal_resize_injected_kernel():
+    """The real-kernel contract: a custom resize_fn sees (payload, mime, w, h)."""
+    calls = []
+
+    def fn(p, m, w, h):
+        calls.append((bytes(p), m, w, h))
+        return b"resized"
+
+    import oaxaca_blinder_rs_spark as ob
+
+    spark = ob.get_spark("t-resize")
+    rows = [(1, b"abc", "image/png", 8, 8, None)]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = multimodal.resize_images(df, 3, 5, resize_fn=fn).collect()
+    assert bytes(out[0]["payload"]) == b"resized"
+
+
+def test_multimodal_sample_frames(spark):
+    """Frame sampling: cadence, cap, and the one-frame floor for missing or
+    zero durations; deterministic fake frames."""
+    rows = [
+        (1, b"videobytes", "video/mp4", None, None, 3500),
+        (2, b"other", "video/mp4", None, None, 0),
+        (3, b"third", "video/mp4", None, None, None),
+        (4, b"long", "video/mp4", None, None, 10_000_000),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = multimodal.sample_frames(df, every_ms=1000, max_frames=5).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert sorted(r["ts_ms"] for r in by_id[1]) == [0, 1000, 2000, 3000]
+    assert len(by_id[2]) == 1 and by_id[2][0]["ts_ms"] == 0
+    assert len(by_id[3]) == 1
+    assert len(by_id[4]) == 5  # capped
+    f = by_id[1][0]
+    assert bytes(f["frame"]) == multimodal.deterministic_fake_frame(b"videobytes", f["ts_ms"])
