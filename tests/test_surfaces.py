@@ -396,3 +396,29 @@ def test_multimodal_sample_frames(spark):
     assert len(by_id[4]) == 5  # capped
     f = by_id[1][0]
     assert bytes(f["frame"]) == multimodal.deterministic_fake_frame(b"videobytes", f["ts_ms"])
+
+
+def test_read_jsonl(spark, tmp_path):
+    """JSONL ingest: schema-pinned read, stable shuffle-free row ids, and
+    corrupt-line quarantine via the PERMISSIVE corrupt column."""
+    from oaxaca_blinder_rs_spark.sources.jsonl import read_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    lines = [f'{{"doc_id": {i}, "text": "doc number {i}"}}' for i in range(50)]
+    lines[25] = '{"doc_id": 25, "text": unquoted garbage}'
+    p.write_text("\n".join(lines) + "\n")
+
+    df = read_jsonl(
+        spark,
+        str(p),
+        schema="doc_id long, text string, _bad string",
+        corrupt_col="_bad",
+    )
+    rows = df.collect()
+    assert len(rows) == 50
+    ids = sorted(r["__ob_row_id__"] for r in rows)
+    assert ids == list(range(50))
+    bad = [r for r in rows if r["_bad"] is not None]
+    assert len(bad) == 1 and "unquoted" in bad[0]["_bad"]
+    good = {r["doc_id"]: r["text"] for r in rows if r["_bad"] is None}
+    assert good[10] == "doc number 10"
