@@ -632,6 +632,23 @@ def q_simhash_shingle_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup end step: near-dup pairs (3-gram Jaccard >= 0.9) resolved into
+    connected-component clusters by distributed min-label propagation
+    (dedup.dup_clusters); cluster_id = min doc_id = the kept representative.
+    Contract-scale edges come from the exact all-pairs Jaccard; at corpus
+    scale the edge input is the LSH candidate set (same operator)."""
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.select(F.col("doc_id").alias("id_a"))
+    allp = ids.crossJoin(docs.select(F.col("doc_id").alias("id_b"))).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    edges = dedup.ngram_jaccard(docs, allp, k=3).filter(
+        F.round("jaccard", 6) >= 0.9
+    )
+    return dedup.dup_clusters(edges.select("id_a", "id_b"))
+
+
 def q_optimizer_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M19: remediation optimizer, greedy allocation under a fixed budget.
 
@@ -695,6 +712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vif_lineitem": q_vif_lineitem,
         "matching_weights": q_matching_weights,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "akm_effects": q_akm_effects,
         "akm_demeaned_check": q_akm_demeaned_check,
         "heckman_probit_design": q_heckman_probit_design,
@@ -1199,6 +1217,27 @@ def oracle_sql() -> dict[str, str]:
                    round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) ols_slope,
                    round((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 4) ols_intercept
             FROM s ORDER BY grp
+        """,
+        "dedup_clusters": """
+            WITH RECURSIVE sh AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(list_slice(toks, i, i+2), ' ')
+                                    for i in range(1, len(toks) - 1)]) s
+              FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') toks
+                    FROM documents)
+            ), half AS (
+              SELECT a.doc_id a, b.doc_id b FROM sh a, sh b
+              WHERE a.doc_id < b.doc_id
+                AND round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.9
+            ), e AS (
+              SELECT a, b FROM half UNION SELECT b, a FROM half
+            ), reach(id, lab) AS (
+              SELECT DISTINCT a, a FROM e
+              UNION
+              SELECT e.b, r.lab FROM reach r JOIN e ON e.a = r.id
+            )
+            SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id
         """,
         "simhash_shingle_check": """
             WITH toks AS (

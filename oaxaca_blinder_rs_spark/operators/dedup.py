@@ -31,6 +31,7 @@ __all__ = [
     "ngram_jaccard",
     "embedding_cosine_dups",
     "embedding_cosine_dups_lsh",
+    "dup_clusters",
 ]
 
 
@@ -222,3 +223,41 @@ def embedding_cosine_dups_lsh(
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("cosine") >= F.lit(threshold))
     )
+
+
+def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iters: int = 50) -> DataFrame:
+    """Resolve duplicate pairs into clusters: (doc_id, cluster_id).
+
+    The end step of every dedup pipeline — candidate pairs (from exact
+    hashes, MinHash-LSH or cosine buckets) form a graph whose connected
+    components are the duplicate clusters; keep cluster_id == doc_id as the
+    representative and drop the rest. Components are found by alternating
+    min-label propagation: each sweep is one join + one groupBy-min keyed on
+    node id (uniform shuffle, no single-task stage), converging in
+    O(component diameter) sweeps — duplicate clusters are shallow, so this
+    is a handful of sweeps even at corpus scale. Labels checkpoint per sweep
+    to keep plans flat; convergence = a sweep that lowers no label.
+    """
+    a, b = F.col(id_a).cast("long").alias("a"), F.col(id_b).cast("long").alias("b")
+    half = pairs.select(a, b)
+    edges = half.unionByName(half.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    edges = edges.localCheckpoint()
+    labels = edges.select(F.col("a").alias("id")).distinct().withColumn("lab", F.col("id"))
+    labels = labels.localCheckpoint()
+    for _ in range(max_iters):
+        prop = (
+            edges.join(labels.withColumnRenamed("id", "a"), "a")
+            .groupBy(F.col("b").alias("id"))
+            .agg(F.min("lab").alias("nlab"))
+        )
+        joined = labels.join(prop, "id", "left").select(
+            "id",
+            F.least(F.col("lab"), F.coalesce("nlab", "lab")).alias("lab"),
+            (F.coalesce("nlab", "lab") < F.col("lab")).cast("long").alias("__low"),
+        )
+        joined = joined.localCheckpoint()
+        changed = int(joined.agg(F.sum("__low")).collect()[0][0] or 0)
+        labels = joined.drop("__low")
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("lab").alias("cluster_id"))

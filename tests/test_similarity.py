@@ -145,3 +145,20 @@ def test_ivf_topk_recall(emb):
         for r in similarity.ivf_topk(q, emb, k=3, n_lists=8, n_probe=3).collect()
     }
     assert len(probed & exact) / len(exact) >= 0.5
+
+
+def test_dup_clusters_connected_components(spark):
+    """dup_clusters resolves pair graphs into min-label components: chains,
+    isolated pairs, triangles with bridges; representatives = min ids."""
+    from oaxaca_blinder_rs_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22), (22, 23)],
+        "id_a long, id_b long",
+    )
+    out = {(r["doc_id"], r["cluster_id"]) for r in dedup.dup_clusters(pairs).collect()}
+    assert out == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20), (23, 20),
+    }
