@@ -632,6 +632,15 @@ def q_simhash_shingle_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (rolling k-gram hash + window minima, exact
+    int64) exploded to (doc_id, fp) rows — textops.winnow_fingerprints."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    return textops.winnow_fingerprints(docs).select(
+        "doc_id", F.explode("fps").alias("fp")
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup end step: near-dup pairs (3-gram Jaccard >= 0.9) resolved into
     connected-component clusters by distributed min-label propagation
@@ -713,6 +722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matching_weights": q_matching_weights,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "akm_effects": q_akm_effects,
         "akm_demeaned_check": q_akm_demeaned_check,
         "heckman_probit_design": q_heckman_probit_design,
@@ -1217,6 +1227,23 @@ def oracle_sql() -> dict[str, str]:
                    round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) ols_slope,
                    round((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 4) ols_intercept
             FROM s ORDER BY grp
+        """,
+        "winnow_fingerprints": """
+            WITH t AS (
+              SELECT doc_id, lower(trim(text)) s FROM documents WHERE doc_id < 30
+            ), h AS (
+              SELECT doc_id,
+                list_transform(range(1, len(s) - 8 + 2),
+                  i -> list_sum(list_transform(range(0, 8),
+                         j -> ascii(s[i+j]) * ([709659,107820,529604,457315,974545,66049,257,1])[j+1])) % 1000003) hs
+              FROM t WHERE len(s) >= 11
+            ), w AS (
+              SELECT doc_id,
+                list_distinct(list_transform(range(1, len(hs) - 4 + 2),
+                  tt -> list_min(hs[tt:tt+4-1]))) fps
+              FROM h
+            )
+            SELECT doc_id, unnest(fps) fp FROM w
         """,
         "dedup_clusters": """
             WITH RECURSIVE sh AS (

@@ -162,3 +162,30 @@ def test_dup_clusters_connected_components(spark):
         (10, 10), (11, 10),
         (20, 20), (21, 20), (22, 20), (23, 20),
     }
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    """Winnowing invariants: documents sharing a substring of length
+    >= k + w - 1 share a fingerprint; disjoint texts share none; short text
+    yields an empty set; values match an independent Python roll."""
+    from oaxaca_blinder_rs_spark.operators import textops
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (0, f"PREFIX A {shared} SUFFIX ONE"),
+        (1, f"completely different opener {shared} and closer"),
+        (2, "zzzz qqqq xxxx yyyy wwww vvvv uuuu tttt"),
+        (3, "tiny"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: set(r["fps"]) for r in textops.winnow_fingerprints(df).collect()}
+    assert out[0] & out[1], "shared substring must produce a shared fingerprint"
+    assert not (out[0] & out[2])
+    assert out[3] == set()
+    # independent Python reference for doc 2
+    k, w, B, P = 8, 4, 257, 1000003
+    s = rows[2][1].strip().lower()
+    pows = [pow(B, k - 1 - j, P) for j in range(k)]
+    hs = [sum(ord(s[i + j]) * pows[j] for j in range(k)) % P for i in range(len(s) - k + 1)]
+    exp = {min(hs[t:t + w]) for t in range(len(hs) - w + 1)}
+    assert out[2] == exp
