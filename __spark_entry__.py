@@ -632,6 +632,17 @@ def q_simhash_shingle_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite LLM-corpus pipeline (operators/corpus.py): quality+language
+    gate -> prefix-fingerprint exact dedup (keep min id) -> near-dup
+    clustering at Jaccard 0.9 (connected components, keep representatives).
+    The whole four-stage flow hash-matches one recursive-CTE oracle."""
+    from oaxaca_blinder_rs_spark.operators import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.prepare_corpus(docs)
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (rolling k-gram hash + window minima, exact
     int64) exploded to (doc_id, fp) rows — textops.winnow_fingerprints."""
@@ -735,6 +746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "corpus_prepare": q_corpus_prepare,
         "akm_effects": q_akm_effects,
         "akm_demeaned_check": q_akm_demeaned_check,
         "heckman_probit_design": q_heckman_probit_design,
@@ -1239,6 +1251,62 @@ def oracle_sql() -> dict[str, str]:
                    round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) ols_slope,
                    round((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 4) ols_intercept
             FROM s ORDER BY grp
+        """,
+        "corpus_prepare": """
+            WITH RECURSIVE m AS (
+              SELECT doc_id,
+                     CAST(length(text) AS DOUBLE) n_chars,
+                     CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) n_toks,
+                     CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) n_punct,
+                     CAST(len(list_filter(list_transform(regexp_split_to_array(trim(text), '\\s+'), x -> lower(x)),
+                                          x -> x IN ('the','and','of','to','in','a','is','that','it','for','on','with','as','was','at','by','an','be','this','are'))) AS DOUBLE) n_stop,
+                     len(list_filter(list_transform(regexp_split_to_array(trim(text), '\\s+'), t -> lower(t)), t -> t IN ('der','die','das','und','ist','nicht','ein','eine','zu','mit'))) cde,
+                     len(list_filter(list_transform(regexp_split_to_array(trim(text), '\\s+'), t -> lower(t)), t -> t IN ('el','la','los','las','y','es','un','una','de','que'))) ces,
+                     len(list_filter(list_transform(regexp_split_to_array(trim(text), '\\s+'), t -> lower(t)), t -> t IN ('le','la','les','et','est','un','une','des','dans','que'))) cfr,
+                     md5(array_to_string(list_slice(regexp_split_to_array(trim(lower(text)), '\\s+'), 1, 5), ' ')) fp,
+                     lower(trim(text)) s
+              FROM documents
+            ), g AS (
+              SELECT doc_id, CAST(n_toks AS BIGINT) n_tokens,
+                     round(((CASE WHEN n_chars >= 200 AND n_chars <= 100000 THEN 1.0 ELSE 0.0 END) +
+                      (CASE WHEN n_toks > 0 AND n_chars/n_toks >= 3.0 AND n_chars/n_toks <= 12.0 THEN 1.0 ELSE 0.0 END) +
+                      (CASE WHEN n_toks > 0 AND n_stop/n_toks >= 0.05 THEN 1.0 ELSE 0.0 END) +
+                      (CASE WHEN n_punct/n_chars > 0.0 THEN 1.0 ELSE 0.0 END))/4.0, 6) quality,
+                     CASE WHEN greatest(cde, n_stop, ces, cfr) = 0 THEN 'und'
+                          WHEN cfr > greatest(cde, n_stop, ces) THEN 'fr'
+                          WHEN ces > greatest(cde, n_stop) THEN 'es'
+                          WHEN n_stop > cde THEN 'en'
+                          ELSE 'de' END lang,
+                     fp, s
+              FROM m
+            ), kept AS (
+              SELECT * FROM g WHERE quality >= 0.5 AND lang IN ('en')
+            ), kept2 AS (
+              SELECT k.* FROM kept k
+              JOIN (SELECT fp, min(doc_id) doc_id FROM kept GROUP BY fp) r
+                ON k.fp = r.fp AND k.doc_id = r.doc_id
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(list_slice(toks, i, i+2), ' ')
+                                    for i in range(1, len(toks) - 1)]) sl
+              FROM (SELECT doc_id, regexp_split_to_array(s, '\\s+') toks FROM kept2)
+            ), half AS (
+              SELECT a.doc_id a, b.doc_id b FROM sh a, sh b
+              WHERE a.doc_id < b.doc_id
+                AND least(len(a.sl), len(b.sl)) >= 0.9 * greatest(len(a.sl), len(b.sl))
+                AND round(CAST(len(list_intersect(a.sl, b.sl)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.sl, b.sl))), 6) >= 0.9
+            ), e AS (
+              SELECT a, b FROM half UNION SELECT b, a FROM half
+            ), reach(id, lab) AS (
+              SELECT DISTINCT a, a FROM e
+              UNION
+              SELECT e.b, r.lab FROM reach r JOIN e ON e.a = r.id
+            ), cc AS (
+              SELECT id, min(lab) lab FROM reach GROUP BY id
+            )
+            SELECT doc_id, n_tokens, quality, lang FROM kept2
+            WHERE doc_id NOT IN (SELECT id FROM cc WHERE lab <> id)
         """,
         "winnow_fingerprints": """
             WITH t AS (

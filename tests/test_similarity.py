@@ -189,3 +189,33 @@ def test_winnow_fingerprints_guarantee(spark):
     hs = [sum(ord(s[i + j]) * pows[j] for j in range(k)) % P for i in range(len(s) - k + 1)]
     exp = {min(hs[t:t + w]) for t in range(len(hs) - w + 1)}
     assert out[2] == exp
+
+
+def test_prepare_corpus_stages(spark):
+    """The composite pipeline drops low-quality docs, exact-duplicate
+    non-representatives, and near-dup cluster members — keeping min ids."""
+    from oaxaca_blinder_rs_spark.operators import corpus
+
+    good = (
+        "the cat and the dog went to the market, and it was a fine day for "
+        "all of them. the weather is that kind of thing that is on with as "
+        "was at by an be this are; they walked for a while in the sun. "
+        "the cat and the dog came back to the house and it was good."
+    )
+    rows = [
+        (0, good),                        # keeper
+        (1, good),                        # exact dup of 0 (same 5-token prefix) -> dropped
+        (2, good + " one tiny extra tail sentence here to shift the prefix? "
+                   "no: prefix differs only if first five tokens differ."),
+        (3, "short low quality"),         # fails quality gate
+        (4, "der die das und ist nicht ein eine zu mit " * 12),  # German
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in corpus.prepare_corpus(df).collect()}
+    assert 0 in out
+    assert 1 not in out          # exact-dup non-representative
+    assert 3 not in out          # quality gate
+    assert 4 not in out          # language gate
+    # doc 2 shares the 5-token prefix with 0 -> also exact-dup dropped
+    assert 2 not in out
+    assert out[0]["lang"] == "en" and out[0]["quality"] >= 0.5
