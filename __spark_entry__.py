@@ -659,22 +659,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Contract-scale edges come from the exact all-pairs Jaccard; at corpus
     scale the edge input is the LSH candidate set (same operator)."""
     docs = _t(spark, sf_dir, "documents")
-    ids = docs.select(F.col("doc_id").alias("id_a"))
-    allp = ids.crossJoin(docs.select(F.col("doc_id").alias("id_b"))).filter(
-        F.col("id_a") < F.col("id_b")
-    )
-    # lossless size prune: J(A,B) >= t forces min|.| >= t*max|.|, so pairs
-    # whose distinct-shingle counts differ by >1/t never reach the exact
-    # intersect (125k -> ~15k pairs at sf0.01, identical edge set)
-    sizes = docs.select(F.col("doc_id"), F.size(dedup.shingles(F.col("text"), 3)).alias("__ns"))
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("__ns").alias("__na"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("__ns").alias("__nb"))
-    pruned = (
-        allp.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
-        .filter(F.least("__na", "__nb").cast("double") >= 0.9 * F.greatest("__na", "__nb"))
-        .select("id_a", "id_b")
-    )
+    pruned = dedup.size_pruned_pairs(docs, k=3, threshold=0.9)
     edges = dedup.ngram_jaccard(docs, pruned, k=3).filter(
         F.round("jaccard", 6) >= 0.9
     )

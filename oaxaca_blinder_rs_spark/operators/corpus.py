@@ -63,24 +63,8 @@ def prepare_corpus(
 
     # near-dup clustering among survivors
     if candidate_pairs is None:
-        # lossless size prune: J >= t forces shingle counts within 1/t
-        sizes = kept.select(
-            F.col(id_col), F.size(dedup.shingles(t, shingle_k)).alias("__ns")
-        )
-        ids = kept.select(F.col(id_col).alias("id_a"))
-        allp = ids.crossJoin(kept.select(F.col(id_col).alias("id_b"))).filter(
-            F.col("id_a") < F.col("id_b")
-        )
-        sa = sizes.select(F.col(id_col).alias("id_a"), F.col("__ns").alias("__na"))
-        sb = sizes.select(F.col(id_col).alias("id_b"), F.col("__ns").alias("__nb"))
-        candidate_pairs = (
-            allp.join(F.broadcast(sa), "id_a")
-            .join(F.broadcast(sb), "id_b")
-            .filter(
-                F.least("__na", "__nb").cast("double")
-                >= float(jaccard_threshold) * F.greatest("__na", "__nb")
-            )
-            .select("id_a", "id_b")
+        candidate_pairs = dedup.size_pruned_pairs(
+            kept, text_col="__text", id_col=id_col, k=shingle_k, threshold=jaccard_threshold
         )
     edges = dedup.ngram_jaccard(
         kept, candidate_pairs, text_col="__text", id_col=id_col, k=shingle_k
