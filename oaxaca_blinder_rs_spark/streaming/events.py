@@ -24,6 +24,7 @@ __all__ = [
     "sessionize",
     "streaming_decomposition_stats",
     "streaming_dedup",
+    "streaming_corpus_gate",
 ]
 
 
@@ -213,4 +214,49 @@ def sessionize(
             "n_events",
             "session_value",
         )
+    )
+
+
+def streaming_corpus_gate(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    min_quality: float = 0.5,
+    langs: tuple[str, ...] = ("en",),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming ingest gate for a document corpus — the streaming face of
+    ``operators.corpus.prepare_corpus`` stages 1-2.
+
+    Stateless quality + language scoring (pure codegen, textops) filters
+    each micro-batch; exact dedup on the canonical 5-token-prefix
+    fingerprint uses ``dropDuplicatesWithinWatermark`` so per-fingerprint
+    state is dropped once the watermark passes. Near-dup clustering is NOT
+    streamed — connected components need global graph state; the standard
+    architecture is this gate on ingest plus a periodic batch
+    ``prepare_corpus`` compaction over the accumulated table.
+
+    Output: (doc_id, ts, fingerprint, n_tokens, quality, lang) survivors.
+    """
+    from ..operators import textops
+
+    t = F.col(text_col)
+    toks = F.split(F.trim(F.lower(t)), r"\s+")
+    scored = docs.select(
+        F.col(id_col),
+        F.col(ts_col),
+        t.alias("__text"),
+        F.md5(F.concat_ws(" ", F.slice(toks, 1, 5))).alias("fingerprint"),
+        textops.token_count(t).alias("n_tokens"),
+        F.round(textops.quality_score(t), 6).alias("quality"),
+        textops.lang_id(t).alias("lang"),
+    )
+    kept = scored.filter(
+        (F.col("quality") >= float(min_quality)) & F.col("lang").isin(list(langs))
+    ).drop("__text")
+    return (
+        _event_time(kept, ts_col)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
     )

@@ -422,3 +422,41 @@ def test_read_jsonl(spark, tmp_path):
     assert len(bad) == 1 and "unquoted" in bad[0]["_bad"]
     good = {r["doc_id"]: r["text"] for r in rows if r["_bad"] is None}
     assert good[10] == "doc number 10"
+
+
+def test_streaming_corpus_gate(spark, tmp_path):
+    """Streaming ingest gate: quality + language filtering plus
+    watermark-bounded fingerprint dedup, end-to-end with availableNow."""
+    import tempfile
+    from datetime import datetime, timedelta
+
+    good = (
+        "the cat and the dog went to the market, and it was a fine day for "
+        "all of them. the weather is that kind of thing that is on with as "
+        "was at by an be this are; they walked for a while in the sun. "
+        "the cat and the dog came back to the house and it was good."
+    )
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (0, good, t0),
+        (1, good, t0 + timedelta(minutes=5)),              # dup fingerprint
+        (2, "short junk", t0),                             # quality gate
+        (3, "der die das und ist nicht ein eine zu mit " * 12, t0),  # lang gate
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, ts timestamp")
+    src = str(tmp_path / "docs_stream")
+    df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(df.schema).format("parquet").load(src)
+    gated = streaming_events.streaming_corpus_gate(stream)
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            gated.writeStream.format("memory").queryName("corpus_gate")
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM corpus_gate").collect()
+    ids = sorted(r["doc_id"] for r in out)
+    assert ids == [0] or ids == [1]  # exactly one of the duplicate pair
+    assert out[0]["lang"] == "en" and out[0]["quality"] >= 0.5
+    assert out[0]["fingerprint"]
