@@ -632,6 +632,13 @@ def q_simhash_shingle_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 word-2-gram document frequencies (textops.ngram_doc_freq) —
+    deterministic (df desc, ngram asc) cut, exact in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.ngram_doc_freq(docs, k=2, top_n=50)
+
+
 def q_corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite LLM-corpus pipeline (operators/corpus.py): quality+language
     gate -> prefix-fingerprint exact dedup (keep min id) -> near-dup
@@ -732,6 +739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "winnow_fingerprints": q_winnow_fingerprints,
         "corpus_prepare": q_corpus_prepare,
+        "ngram_doc_freq": q_ngram_doc_freq,
         "akm_effects": q_akm_effects,
         "akm_demeaned_check": q_akm_demeaned_check,
         "heckman_probit_design": q_heckman_probit_design,
@@ -1236,6 +1244,21 @@ def oracle_sql() -> dict[str, str]:
                    round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) ols_slope,
                    round((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 4) ols_intercept
             FROM s ORDER BY grp
+        """,
+        "ngram_doc_freq": """
+            WITH sh AS (
+              SELECT doc_id,
+                CASE WHEN len(toks) >= 2
+                  THEN list_distinct(list_transform(range(1, len(toks)),
+                                                    i -> array_to_string(toks[i:i+1], ' ')))
+                  ELSE [array_to_string(toks, ' ')]
+                END AS s
+              FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') toks
+                    FROM documents)
+            )
+            SELECT ngram, count(*) df
+            FROM (SELECT doc_id, unnest(s) ngram FROM sh)
+            GROUP BY ngram ORDER BY df DESC, ngram ASC LIMIT 50
         """,
         "corpus_prepare": """
             WITH RECURSIVE m AS (

@@ -23,6 +23,7 @@ __all__ = [
     "lang_id",
     "fingerprint",
     "winnow_fingerprints",
+    "ngram_doc_freq",
     "text_stats",
     "EN_STOPWORDS",
     "STOPSETS",
@@ -180,3 +181,30 @@ def winnow_fingerprints(
             yield pd.DataFrame({"doc_id": ids, "fps": fps})
 
     return df.select(F.col(id_col), F.col(text_col)).mapInPandas(run, schema)
+
+
+def ngram_doc_freq(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 2,
+    top_n: int = 50,
+) -> DataFrame:
+    """Corpus n-gram document frequencies: the IDF building block and the
+    standard vocabulary-health report for a training corpus.
+
+    Per-doc DISTINCT word k-shingles (dedup.shingles) exploded and counted:
+    df(g) = number of documents containing g. One explode + one count
+    shuffle keyed on the n-gram (uniform), then a top-n with a total
+    (df desc, ngram asc) order so the cut is deterministic and
+    oracle-comparable.
+    """
+    from .dedup import shingles
+
+    return (
+        df.select(F.explode(shingles(F.col(text_col), k)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), F.col("ngram").asc())
+        .limit(int(top_n))
+    )
