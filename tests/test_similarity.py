@@ -219,3 +219,47 @@ def test_prepare_corpus_stages(spark):
     # doc 2 shares the 5-token prefix with 0 -> also exact-dup dropped
     assert 2 not in out
     assert out[0]["lang"] == "en" and out[0]["quality"] >= 0.5
+
+
+def test_exact_duplicates_groups(spark):
+    """exact_duplicates: byte-identical docs group on the content hash."""
+    from oaxaca_blinder_rs_spark.operators import dedup
+
+    rows = [(0, "alpha beta"), (1, "alpha beta"), (2, "gamma"), (3, "alpha beta"), (4, "gamma")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {tuple(r["doc_ids"]): r["dup_count"] for r in dedup.exact_duplicates(df).collect()}
+    assert out == {(0, 1, 3): 3, (2, 4): 2}
+
+
+def test_minhash_lsh_candidates_and_corpus_parity(spark, sf_dir):
+    """minhash_lsh_candidates finds the high-Jaccard pairs (miss prob per
+    0.99-similar pair ~1e-5 at 16 perms / 4 bands), and feeding its
+    candidates into prepare_corpus — the documented corpus-scale path —
+    yields the identical keep-list as the all-pairs default on the
+    documents table."""
+    import os
+
+    from oaxaca_blinder_rs_spark.operators import corpus, dedup
+    from pyspark.sql import functions as F
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    if not os.path.exists(path):
+        pytest.skip("no documents table")
+    docs = spark.read.parquet(path)
+
+    cand = dedup.minhash_lsh_candidates(docs, num_perm=16, bands=4, k=3)
+    cand_set = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    true_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard(docs, dedup.size_pruned_pairs(docs), k=3)
+        .filter(F.round("jaccard", 6) >= 0.9)
+        .collect()
+    }
+    assert true_pairs, "fixture should contain near-duplicates"
+    assert true_pairs <= cand_set, "LSH candidates must cover the >=0.9 pairs"
+
+    default = sorted(tuple(r) for r in corpus.prepare_corpus(docs).collect())
+    via_lsh = sorted(
+        tuple(r) for r in corpus.prepare_corpus(docs, candidate_pairs=cand).collect()
+    )
+    assert default == via_lsh
