@@ -700,6 +700,18 @@ def q_optimizer_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (streaming/events.py sessionize_batch):
+    Spark session_window vs a DuckDB gaps-and-islands oracle — pins the
+    exact boundary semantics (new session at inter-event gap >= 30 min,
+    session end = last event + gap)."""
+    from oaxaca_blinder_rs_spark.session import load_table
+    from oaxaca_blinder_rs_spark.streaming.events import sessionize_batch
+
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize_batch(ev, gap="30 minutes")
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series aggregation over the events table (hourly rollup)."""
     from oaxaca_blinder_rs_spark.session import load_table
@@ -750,6 +762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heckman_decomposition": q_heckman_decomposition,
         "optimizer_greedy": q_optimizer_greedy,
         "events_hourly": q_events_hourly,
+        "user_sessions": q_user_sessions,
         "regional_revenue": q_regional_revenue,
         "oaxaca_mean_2pred": q_oaxaca_mean_2pred,
         "oaxaca_categorical": q_oaxaca_categorical,
@@ -1117,6 +1130,24 @@ def oracle_sql() -> dict[str, str]:
                    round(least(diff, greatest(2000000.0 - cum, 0)), 4) adjustment,
                    round(fair, 4) fair_wage
             FROM c WHERE least(diff, greatest(2000000.0 - cum, 0)) > 1e-9
+        """,
+        "user_sessions": """
+            WITH o AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                          OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             >= INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END brk
+              FROM events
+            ), s AS (
+              SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) sid
+              FROM o
+            )
+            SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') session_start,
+                   strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') session_end,
+                   user_id, count(*) n_events, round(sum(value), 6) session_value
+            FROM s GROUP BY user_id, sid
         """,
         "events_hourly": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') hour_start,

@@ -25,6 +25,7 @@ __all__ = [
     "streaming_decomposition_stats",
     "streaming_dedup",
     "streaming_corpus_gate",
+    "sessionize_batch",
 ]
 
 
@@ -259,4 +260,28 @@ def streaming_corpus_gate(
         _event_time(kept, ts_col)
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["fingerprint"])
+    )
+
+
+def sessionize_batch(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    ts_fmt: str = "yyyy-MM-dd HH:mm:ss",
+) -> DataFrame:
+    """Batch analogue of ``sessionize`` — identical session semantics
+    (session end = last event + gap, a new session when the inter-event gap
+    is >= the gap duration) on a static frame, with string-formatted window
+    bounds so results are engine-portable. One shuffle keyed on user_id."""
+    return (
+        _event_time(events, ts_col)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("session_value"))
+        .select(
+            F.date_format("w.start", ts_fmt).alias("session_start"),
+            F.date_format("w.end", ts_fmt).alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
     )
