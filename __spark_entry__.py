@@ -700,6 +700,28 @@ def q_optimizer_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fraction sampling (operators/sampling.py): membership
+    is a pure function of (seed, id) via an md5 uniform — stateless
+    map-side filter, identical in any engine with md5."""
+    from oaxaca_blinder_rs_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.deterministic_sample(docs, 0.2).select("doc_id")
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: the 100 smallest (md5-uniform, id)
+    rows per event_type, ranked by the distributed grouped_dense_rank
+    primitive (no per-stratum single-task window)."""
+    from oaxaca_blinder_rs_spark.operators import sampling
+
+    ev = _t(spark, sf_dir, "events")
+    return sampling.stratified_sample(ev, "event_type", 100, id_col="event_id").select(
+        "event_type", "event_id"
+    )
+
+
 def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (streaming/events.py sessionize_batch):
     Spark session_window vs a DuckDB gaps-and-islands oracle — pins the
@@ -763,6 +785,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "optimizer_greedy": q_optimizer_greedy,
         "events_hourly": q_events_hourly,
         "user_sessions": q_user_sessions,
+        "sample_fraction": q_sample_fraction,
+        "sample_stratified": q_sample_stratified,
         "regional_revenue": q_regional_revenue,
         "oaxaca_mean_2pred": q_oaxaca_mean_2pred,
         "oaxaca_categorical": q_oaxaca_categorical,
@@ -1130,6 +1154,20 @@ def oracle_sql() -> dict[str, str]:
                    round(least(diff, greatest(2000000.0 - cum, 0)), 4) adjustment,
                    round(fair, 4) fair_wage
             FROM c WHERE least(diff, greatest(2000000.0 - cum, 0)) > 1e-9
+        """,
+        "sample_fraction": """
+            SELECT doc_id FROM documents
+            WHERE ('0x' || substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  / 4294967296.0 < 0.2
+        """,
+        "sample_stratified": """
+            SELECT event_type, event_id FROM (
+              SELECT event_type, event_id,
+                     row_number() OVER (PARTITION BY event_type ORDER BY
+                       substr(md5('s42:' || CAST(event_id AS VARCHAR)), 1, 8) ||
+                       lpad(CAST(event_id AS VARCHAR), 18, '0')) rk
+              FROM events
+            ) WHERE rk <= 100
         """,
         "user_sessions": """
             WITH o AS (

@@ -1,0 +1,64 @@
+"""Deterministic corpus sampling (net-new scale surface).
+
+Training pipelines need reproducible subsamples whose membership does not
+depend on partitioning, cluster size, or execution order. Both modes key
+off an md5-derived uniform — `u(id) = int(md5("s{seed}:" + id)[:8], 16) /
+2^32` — which Spark and DuckDB (and any engine with md5) reproduce
+bit-for-bit, so sampled memberships are oracle-checkable and stable across
+reruns and engines.
+
+- ``deterministic_sample``: keep rows with u < fraction. A stateless
+  map-side filter — no shuffle, no state, the 100 TB shape.
+- ``stratified_sample``: exactly n rows per stratum, the n smallest by
+  (u, id). Ranking goes through scan.grouped_dense_rank (range partition +
+  per-cell offsets), so a handful of huge strata do not serialize through
+  one task each.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .scan import grouped_dense_rank
+
+__all__ = ["md5_uniform", "deterministic_sample", "stratified_sample"]
+
+
+def md5_uniform(id_col: str, seed: int = 42) -> Column:
+    """U[0,1) from the row id: int(md5("s{seed}:"+id)[:8], 16) / 2^32."""
+    hexpart = F.substring(
+        F.md5(F.concat(F.lit(f"s{seed}:"), F.col(id_col).cast("string"))), 1, 8
+    )
+    return F.conv(hexpart, 16, 10).cast("long") / F.lit(float(1 << 32))
+
+
+def deterministic_sample(
+    df: DataFrame, fraction: float, id_col: str = "doc_id", seed: int = 42
+) -> DataFrame:
+    """Keep rows whose deterministic uniform falls below ``fraction``."""
+    return df.filter(md5_uniform(id_col, seed) < float(fraction))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Exactly min(n, |stratum|) rows per stratum: the n smallest by
+    (uniform, id). The sort key is the md5 hex prefix concatenated with the
+    zero-padded id — one string column, totally ordered, tie-free — ranked
+    by the distributed grouped_dense_rank primitive.
+    """
+    key = F.concat(
+        F.substring(
+            F.md5(F.concat(F.lit(f"s{seed}:"), F.col(id_col).cast("string"))), 1, 8
+        ),
+        F.lpad(F.col(id_col).cast("string"), 18, "0"),
+    )
+    ranked = grouped_dense_rank(
+        df.withColumn("__sk", key), strata_col, "__sk", "__srank"
+    )
+    return ranked.filter(F.col("__srank") < int(n_per_stratum)).drop("__sk", "__srank")

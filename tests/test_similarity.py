@@ -263,3 +263,23 @@ def test_minhash_lsh_candidates_and_corpus_parity(spark, sf_dir):
         tuple(r) for r in corpus.prepare_corpus(docs, candidate_pairs=cand).collect()
     )
     assert default == via_lsh
+
+
+def test_sampling_partition_invariant(spark):
+    """Sample membership must be a pure function of (seed, id): identical
+    under 1-partition and 32-partition layouts, and exactly n per stratum."""
+    from oaxaca_blinder_rs_spark.operators import sampling
+
+    base = [(i, "s%d" % (i % 3)) for i in range(2000)]
+    a = spark.createDataFrame(base, "id long, g string").repartition(1)
+    b = spark.createDataFrame(base, "id long, g string").repartition(32)
+
+    fa = sorted(r["id"] for r in sampling.deterministic_sample(a, 0.3, id_col="id").collect())
+    fb = sorted(r["id"] for r in sampling.deterministic_sample(b, 0.3, id_col="id").collect())
+    assert fa == fb and 0 < len(fa) < 2000
+
+    sa = sorted((r["g"], r["id"]) for r in sampling.stratified_sample(a, "g", 50, id_col="id").collect())
+    sb = sorted((r["g"], r["id"]) for r in sampling.stratified_sample(b, "g", 50, id_col="id").collect())
+    assert sa == sb
+    from collections import Counter
+    assert Counter(g for g, _ in sa) == {"s0": 50, "s1": 50, "s2": 50}
