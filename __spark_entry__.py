@@ -639,6 +639,13 @@ def q_ngram_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.ngram_doc_freq(docs, k=2, top_n=50)
 
 
+def q_tfidf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (textops.tfidf_top_terms) — the
+    keyword-extraction face of the text-analysis suite."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.tfidf_top_terms(docs, top_k=3)
+
+
 def q_corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite LLM-corpus pipeline (operators/corpus.py): quality+language
     gate -> prefix-fingerprint exact dedup (keep min id) -> near-dup
@@ -774,6 +781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "corpus_prepare": q_corpus_prepare,
         "ngram_doc_freq": q_ngram_doc_freq,
+        "tfidf_top3": q_tfidf_top3,
         "akm_effects": q_akm_effects,
         "akm_demeaned_check": q_akm_demeaned_check,
         "heckman_probit_design": q_heckman_probit_design,
@@ -1328,6 +1336,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT ngram, count(*) df
             FROM (SELECT doc_id, unnest(s) ngram FROM sh)
             GROUP BY ngram ORDER BY df DESC, ngram ASC LIMIT 50
+        """,
+        "tfidf_top3": """
+            WITH t AS (
+              SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) term
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, term, count(*) tf FROM t GROUP BY 1, 2
+            ), df AS (
+              SELECT term, count(*) df FROM tf GROUP BY 1
+            ), n AS (SELECT CAST(count(*) AS DOUBLE) n FROM documents)
+            SELECT doc_id, term, score FROM (
+              SELECT tf.doc_id, tf.term, round(tf.tf * ln(n.n / df.df), 6) score,
+                     row_number() OVER (PARTITION BY tf.doc_id
+                        ORDER BY round(tf.tf * ln(n.n / df.df), 6) DESC, tf.term ASC) rk
+              FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+            ) WHERE rk <= 3
         """,
         "corpus_prepare": """
             WITH RECURSIVE m AS (

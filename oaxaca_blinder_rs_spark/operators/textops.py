@@ -24,6 +24,7 @@ __all__ = [
     "fingerprint",
     "winnow_fingerprints",
     "ngram_doc_freq",
+    "tfidf_top_terms",
     "text_stats",
     "EN_STOPWORDS",
     "STOPSETS",
@@ -207,4 +208,38 @@ def ngram_doc_freq(
         .agg(F.count(F.lit(1)).alias("df"))
         .orderBy(F.col("df").desc(), F.col("ngram").asc())
         .limit(int(top_n))
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 3,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document: (doc_id, term, score).
+
+    tf = term count within the doc; idf = ln(N / df) with df = number of
+    docs containing the term; score rounded to 6 decimals with a (score
+    desc, term asc) cut so the per-doc top-k is deterministic. Two count
+    shuffles (term-in-doc, then term) and a per-doc window — every key is
+    high-cardinality, nothing funnels. Pass ``n_docs`` to skip the count
+    job when the corpus size is already known.
+    """
+    from pyspark.sql import Window
+
+    N = float(n_docs if n_docs is not None else df.count())
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    terms = df.select(F.col(id_col), F.explode(toks).alias("term"))
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dfreq, "term").withColumn(
+        "score", F.round(F.col("tf") * F.log(F.lit(N) / F.col("df")), 6)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= int(top_k))
+        .select(id_col, "term", "score")
     )
