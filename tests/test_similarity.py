@@ -283,3 +283,25 @@ def test_sampling_partition_invariant(spark):
     assert sa == sb
     from collections import Counter
     assert Counter(g for g, _ in sa) == {"s0": 50, "s1": 50, "s2": 50}
+
+
+def test_tfidf_top_terms(spark):
+    """TF-IDF: corpus-wide terms get zero idf, rare repeated terms rank
+    first, and the (score, term) cut is deterministic."""
+    from oaxaca_blinder_rs_spark.operators import textops
+
+    rows = [
+        (0, "common common rare rare rare"),
+        (1, "common other other"),
+        (2, "common unique"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {}
+    for r in textops.tfidf_top_terms(df, top_k=2).collect():
+        out.setdefault(r["doc_id"], []).append((r["term"], r["score"]))
+    import math
+    # 'common' appears in every doc -> idf = ln(3/3) = 0
+    assert all(s == 0.0 for d in out.values() for t, s in d if t == "common")
+    assert out[0][0][0] == "rare" and out[0][0][1] == round(3 * math.log(3.0), 6)
+    assert out[1][0][0] == "other" and out[1][0][1] == round(2 * math.log(3.0), 6)
+    assert out[2][0][0] == "unique"
