@@ -177,3 +177,37 @@ def test_ordered_prev_cumsum_matches_global_window(spark):
     for i in order:
         assert got[i] == pytest.approx(running, rel=1e-12, abs=1e-9)
         running += vals[i]
+
+
+def test_scan_primitives_randomized(spark):
+    """Randomized cross-checks of the distributed-scan primitives against
+    sequential references: varying sizes, duplicate-heavy values, and
+    partition counts (including 1 and more partitions than rows)."""
+    from pyspark.sql import functions as F
+
+    from oaxaca_blinder_rs_spark.operators.scan import grouped_dense_rank, ordered_prev_cumsum
+
+    rng = np.random.default_rng(23)
+    for trial in range(4):
+        n = int(rng.integers(1, 800))
+        nparts = int(rng.choice([1, 4, 16, 64]))
+        vals = np.round(rng.normal(0, 3, n), 1)
+        groups = rng.choice(["p", "q"], n)
+        df = spark.createDataFrame(
+            [(i, float(v), str(g)) for i, (v, g) in enumerate(zip(vals, groups))],
+            "id long, v double, g string",
+        ).repartition(nparts)
+
+        got = {r["id"]: r["cum"] for r in
+               ordered_prev_cumsum(df, [F.col("v").asc(), F.col("id").asc()], F.col("v"), "cum").collect()}
+        order = sorted(range(n), key=lambda i: (vals[i], i))
+        run = 0.0
+        for i in order:
+            assert got[i] == pytest.approx(run, abs=1e-9), f"trial {trial} id {i}"
+            run += vals[i]
+
+        gr = {r["id"]: r["rk"] for r in grouped_dense_rank(df, "g", "id", "rk").collect()}
+        for gval in ("p", "q"):
+            ids = sorted(i for i in range(n) if groups[i] == gval)
+            for rank, i in enumerate(ids):
+                assert gr[i] == rank, f"trial {trial} group {gval} id {i}"
