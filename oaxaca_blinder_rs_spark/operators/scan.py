@@ -134,12 +134,20 @@ def grouped_dense_rank(
                 offs.append((g, pid, running))
                 running += c
         gtype = dict(df.dtypes)[group]
-        off_df = spark.createDataFrame(offs, f"`{group}` {gtype}, __scan_pid int, __scan_off long")
+        off_df = spark.createDataFrame(
+            offs, f"`__scan_g` {gtype}, __scan_pid int, __scan_off long"
+        )
         w = Window.partitionBy(group, "__scan_pid").orderBy(F.col(order_col).asc())
+        # null-safe group match: a plain equi-join would silently drop rows
+        # whose group value is null (the old per-group window ranked them)
+        cond = F.col(group).eqNullSafe(F.col("__scan_g")) & (
+            ranged["__scan_pid"] == off_df["__scan_pid"]
+        )
         result = (
-            ranged.join(F.broadcast(off_df), [group, "__scan_pid"])
+            ranged.join(F.broadcast(off_df), cond)
+            .drop(off_df["__scan_pid"])
             .withColumn(out_col, F.col("__scan_off") + F.row_number().over(w) - 1)
-            .drop("__scan_pid", "__scan_off")
+            .drop("__scan_pid", "__scan_off", "__scan_g")
         )
         return _checkpoint_with_plan(result)
     finally:

@@ -211,3 +211,14 @@ def test_scan_primitives_randomized(spark):
             ids = sorted(i for i in range(n) if groups[i] == gval)
             for rank, i in enumerate(ids):
                 assert gr[i] == rank, f"trial {trial} group {gval} id {i}"
+
+
+def test_grouped_dense_rank_null_group(spark):
+    """Rows with a null group value must still be ranked (their own group),
+    exactly as the legacy per-group window did."""
+    from oaxaca_blinder_rs_spark.operators.scan import grouped_dense_rank
+
+    rows = [(0, "a"), (1, None), (2, "a"), (3, None), (4, None)]
+    df = spark.createDataFrame(rows, "id long, g string").repartition(4)
+    got = {(r["g"], r["id"]): r["rk"] for r in grouped_dense_rank(df, "g", "id", "rk").collect()}
+    assert got == {("a", 0): 0, ("a", 2): 1, (None, 1): 0, (None, 3): 1, (None, 4): 2}
