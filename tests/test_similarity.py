@@ -305,3 +305,29 @@ def test_tfidf_top_terms(spark):
     assert out[0][0][0] == "rare" and out[0][0][1] == round(3 * math.log(3.0), 6)
     assert out[1][0][0] == "other" and out[1][0][1] == round(2 * math.log(3.0), 6)
     assert out[2][0][0] == "unique"
+
+
+def test_new_operators_on_empty_inputs(spark):
+    """Degenerate inputs: every late-round operator must return an empty
+    (or well-formed) result rather than raise on empty frames."""
+    from oaxaca_blinder_rs_spark.operators import corpus, dedup, sampling, textops
+    from oaxaca_blinder_rs_spark.operators.kde import order_stats
+    from oaxaca_blinder_rs_spark.operators.scan import grouped_dense_rank, ordered_prev_cumsum
+    from pyspark.sql import functions as F
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    empty_pairs = spark.createDataFrame([], "id_a long, id_b long")
+
+    assert dedup.dup_clusters(empty_pairs).count() == 0
+    assert dedup.size_pruned_pairs(empty_docs).count() == 0
+    assert corpus.prepare_corpus(empty_docs).count() == 0
+    assert textops.winnow_fingerprints(empty_docs).count() == 0
+    assert textops.ngram_doc_freq(empty_docs).count() == 0
+    assert textops.tfidf_top_terms(empty_docs, n_docs=1).count() == 0
+    assert sampling.deterministic_sample(empty_docs, 0.5).count() == 0
+    assert sampling.stratified_sample(empty_docs, "text", 3).count() == 0
+    ev = spark.createDataFrame([], "id long, v double, g string")
+    assert ordered_prev_cumsum(ev, [F.col("v").asc()], F.col("v"), "c").count() == 0
+    assert grouped_dense_rank(ev, "g", "id", "rk").count() == 0
+    assert order_stats(ev, "v", [0]) == {}
+    assert order_stats(ev, "v", [0], group="g") == {}
