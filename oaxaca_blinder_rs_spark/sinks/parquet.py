@@ -1,0 +1,68 @@
+"""Size-targeted parquet sink.
+
+At cluster scale the output side has its own failure mode: a shuffle with
+thousands of tasks writes thousands of tiny files (metadata pressure,
+slow scans), while one task writes one huge file (no read parallelism).
+``write_sized_parquet`` measures the actual compressed bytes-per-row on a
+sample — written through the same parquet codec, not guessed from the
+schema — and repartitions to hit a target file size before writing.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame
+
+__all__ = ["write_sized_parquet"]
+
+
+def write_sized_parquet(
+    df: DataFrame,
+    path: str,
+    target_file_mb: float = 256.0,
+    partition_by: list[str] | None = None,
+    sample_rows: int = 1000,
+    mode: str = "overwrite",
+) -> dict:
+    """Write ``df`` as parquet with files sized near ``target_file_mb``.
+
+    A ``sample_rows``-row head is written to a sibling scratch directory to
+    measure real compressed bytes-per-row; the frame is then repartitioned
+    to ``ceil(total_bytes / target)`` files (per partition_by value when
+    partitioning). Returns {rows, files, bytes_per_row} for observability.
+    Estimation costs one small write + one count — negligible against the
+    main write at any scale worth sizing.
+    """
+    n = df.count()
+    if n == 0:
+        df.write.mode(mode).parquet(path)
+        return {"rows": 0, "files": 0, "bytes_per_row": 0.0}
+
+    scratch = os.path.join(
+        os.path.dirname(path.rstrip("/")) or ".", f"__sizing_{uuid.uuid4().hex}"
+    )
+    sample_n = min(int(sample_rows), n)
+    df.limit(sample_n).coalesce(1).write.mode("overwrite").parquet(scratch)
+    try:
+        sample_bytes = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(scratch)
+            for f in files
+            if f.endswith(".parquet")
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    bytes_per_row = max(sample_bytes / sample_n, 1.0)
+
+    target_bytes = float(target_file_mb) * 1024 * 1024
+    files = max(1, math.ceil(n * bytes_per_row / target_bytes))
+    writer = df.repartition(files, *partition_by) if partition_by else df.repartition(files)
+    out = writer.write.mode(mode)
+    if partition_by:
+        out = out.partitionBy(*partition_by)
+    out.parquet(path)
+    return {"rows": n, "files": files, "bytes_per_row": bytes_per_row}

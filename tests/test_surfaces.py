@@ -460,3 +460,27 @@ def test_streaming_corpus_gate(spark, tmp_path):
     assert ids == [0] or ids == [1]  # exactly one of the duplicate pair
     assert out[0]["lang"] == "en" and out[0]["quality"] >= 0.5
     assert out[0]["fingerprint"]
+
+
+def test_write_sized_parquet(spark, sf_dir, tmp_path):
+    """Size-targeted parquet sink: file count tracks the measured
+    bytes-per-row against the target, rows round-trip, and empty frames
+    write a valid empty dataset."""
+    import glob
+
+    from oaxaca_blinder_rs_spark.sinks.parquet import write_sized_parquet
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out_dir = str(tmp_path / "sized")
+    stats = write_sized_parquet(docs, out_dir, target_file_mb=0.02)
+    files = glob.glob(f"{out_dir}/*.parquet")
+    assert stats["rows"] == docs.count()
+    assert stats["files"] == len(files) > 1  # 0.02 MB target forces a split
+    back = spark.read.parquet(out_dir)
+    assert back.count() == stats["rows"]
+    assert sorted(back.columns) == sorted(docs.columns)
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    st2 = write_sized_parquet(empty, str(tmp_path / "empty"))
+    assert st2 == {"rows": 0, "files": 0, "bytes_per_row": 0.0}
+    assert spark.read.parquet(str(tmp_path / "empty")).count() == 0
