@@ -729,6 +729,18 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dataset mixture (sampling.mix_corpora): even-id docs
+    sampled at 0.5, odd-id docs at 0.25, memberships pure functions of
+    (seed, source, id) so the mixture is engine-reproducible."""
+    from oaxaca_blinder_rs_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    return sampling.mix_corpora([(even, 0.5), (odd, 0.25)]).select("source_id", "doc_id")
+
+
 def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (streaming/events.py sessionize_batch):
     Spark session_window vs a DuckDB gaps-and-islands oracle — pins the
@@ -795,6 +807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": q_user_sessions,
         "sample_fraction": q_sample_fraction,
         "sample_stratified": q_sample_stratified,
+        "corpus_mixture": q_corpus_mixture,
         "regional_revenue": q_regional_revenue,
         "oaxaca_mean_2pred": q_oaxaca_mean_2pred,
         "oaxaca_categorical": q_oaxaca_categorical,
@@ -1176,6 +1189,17 @@ def oracle_sql() -> dict[str, str]:
                        lpad(CAST(event_id AS VARCHAR), 18, '0')) rk
               FROM events
             ) WHERE rk <= 100
+        """,
+        "corpus_mixture": """
+            SELECT 0 AS source_id, doc_id FROM documents
+            WHERE doc_id % 2 = 0
+              AND ('0x' || substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  / 4294967296.0 < 0.5
+            UNION ALL
+            SELECT 1 AS source_id, doc_id FROM documents
+            WHERE doc_id % 2 = 1
+              AND ('0x' || substr(md5('s43:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  / 4294967296.0 < 0.25
         """,
         "user_sessions": """
             WITH o AS (

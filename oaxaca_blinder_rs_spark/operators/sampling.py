@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from .scan import grouped_dense_rank
 
-__all__ = ["md5_uniform", "deterministic_sample", "stratified_sample"]
+__all__ = ["md5_uniform", "deterministic_sample", "stratified_sample", "mix_corpora"]
 
 
 def md5_uniform(id_col: str, seed: int = 42) -> Column:
@@ -62,3 +62,26 @@ def stratified_sample(
         df.withColumn("__sk", key), strata_col, "__sk", "__srank"
     )
     return ranked.filter(F.col("__srank") < int(n_per_stratum)).drop("__sk", "__srank")
+
+
+def mix_corpora(
+    sources: list[tuple[DataFrame, float]],
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic dataset mixture: for each (frame, weight) source, keep
+    rows via ``deterministic_sample`` at that weight (seed offset per
+    source) and union with a ``source_id`` tag. Membership is a pure
+    function of (seed, source index, id) — rerun-, partition- and
+    engine-stable — so mixtures are reproducible and each source's
+    contribution is auditable. All sources must share a schema.
+    """
+    out = None
+    for i, (df, w) in enumerate(sources):
+        part = deterministic_sample(df, float(w), id_col=id_col, seed=seed + i).withColumn(
+            "source_id", F.lit(i)
+        )
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        raise ValueError("mix_corpora needs at least one source")
+    return out

@@ -331,3 +331,22 @@ def test_new_operators_on_empty_inputs(spark):
     assert grouped_dense_rank(ev, "g", "id", "rk").count() == 0
     assert order_stats(ev, "v", [0]) == {}
     assert order_stats(ev, "v", [0], group="g") == {}
+
+
+def test_mix_corpora(spark):
+    """Mixture: per-source deterministic membership, source tags, rerun
+    stability, and the single-source error path."""
+    from oaxaca_blinder_rs_spark.operators import sampling
+
+    rows = [(i, "t%d" % i) for i in range(1000)]
+    a = spark.createDataFrame(rows[:500], "doc_id long, text string")
+    b = spark.createDataFrame(rows[500:], "doc_id long, text string")
+    m1 = sorted((r["source_id"], r["doc_id"]) for r in sampling.mix_corpora([(a, 0.4), (b, 0.8)]).collect())
+    m2 = sorted((r["source_id"], r["doc_id"]) for r in sampling.mix_corpora([(a, 0.4), (b, 0.8)]).collect())
+    assert m1 == m2
+    n0 = sum(1 for s, _ in m1 if s == 0)
+    n1 = sum(1 for s, _ in m1 if s == 1)
+    assert 130 < n0 < 270 and 330 < n1 < 470  # near 200 / 400
+    assert all(d < 500 for s, d in m1 if s == 0) and all(d >= 500 for s, d in m1 if s == 1)
+    with pytest.raises(ValueError):
+        sampling.mix_corpora([])
