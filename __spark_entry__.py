@@ -219,6 +219,51 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", textops.lang_id(F.col("text")).alias("lang_guess"))
 
 
+def _pii_augmented(docs: DataFrame) -> DataFrame:
+    """Documents with deterministic synthetic PII appended (the testdata corpus
+    contains none) so the scrub/count operators are exercised for real. The
+    oracle builds the identical text in SQL."""
+    pii_txt = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com now")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(" ip 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(" call +1 555 000 "), (F.lit(1000) + F.col("doc_id") % 9000).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", pii_txt.alias("text"))
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction audit frame: per-doc email/IPv4/phone counts + md5 of the
+    scrubbed text (regexp chain, pure codegen)."""
+    docs = _pii_augmented(_t(spark, sf_dir, "documents"))
+    return textops.pii_stats(docs)
+
+
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenizer token counts (GPT-2 split regex, regexp_count)."""
+    docs = _pii_augmented(_t(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        textops.token_count(F.col("text")).alias("n_ws_tokens"),
+        textops.token_count_bpe(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: top/dup word-bigram fractions."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.repetition_stats(docs, n=2)
+
+
 def q_knn_cosine_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-3 neighbors for vec_id < 50."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -781,6 +826,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signature": q_minhash_signature,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
+        "pii_scrub": q_pii_scrub,
+        "token_count_bpe": q_token_count_bpe,
+        "repetition_stats": q_repetition_stats,
         "knn_cosine_top3": q_knn_cosine_top3,
         "ann_lsh_top3": q_ann_lsh_top3,
         "ann_ivf_top3": q_ann_ivf_top3,
@@ -865,6 +913,21 @@ WITH li AS (
 """
 
 _STOP_EN = ",".join(f"'{w}'" for w in textops.EN_STOPWORDS)
+
+# PII patterns restated for DuckDB (RE2) — textually identical to
+# textops.PII_PATTERNS; both engines share the portable subset.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\+\d[\d \-]{7,}\d"
+
+# SQL twin of _pii_augmented (deterministic synthetic PII).
+_PII_AUG_SQL = """
+  SELECT doc_id, text ||
+    CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || '@example.com now' ELSE '' END ||
+    CASE WHEN doc_id % 5 = 0 THEN ' ip 10.0.' || (doc_id % 256) || '.7' ELSE '' END ||
+    CASE WHEN doc_id % 7 = 0 THEN ' call +1 555 000 ' || (1000 + doc_id % 9000) ELSE '' END AS text
+  FROM documents
+"""
 
 
 def _stop_count(lang: str) -> str:
@@ -1009,6 +1072,38 @@ def oracle_sql() -> dict[str, str]:
                         WHEN cen > cde THEN 'en'
                         ELSE 'de' END lang_guess
             FROM c
+        """,
+        "pii_scrub": f"""
+            WITH aug AS ({_PII_AUG_SQL})
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{_PII_EMAIL}')) n_email,
+                   len(regexp_extract_all(text, '{_PII_IPV4}')) n_ipv4,
+                   len(regexp_extract_all(text, '{_PII_PHONE}')) n_phone,
+                   md5(regexp_replace(regexp_replace(regexp_replace(text,
+                       '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                       '{_PII_IPV4}', '<IP>', 'g'),
+                       '{_PII_PHONE}', '<PHONE>', 'g')) scrubbed_md5
+            FROM aug
+        """,
+        "token_count_bpe": f"""
+            WITH aug AS ({_PII_AUG_SQL})
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\\s+')) n_ws_tokens,
+                   len(regexp_extract_all(text,
+                       '''(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s'']+')) n_bpe_tokens
+            FROM aug
+        """,
+        "repetition_stats": """
+            WITH grams AS (
+              SELECT doc_id, unnest(list_transform(range(0, greatest(len(toks)-1, 0)),
+                       i -> toks[i+1] || ' ' || toks[i+2])) g
+              FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') toks
+                    FROM documents)
+            ), per AS (SELECT doc_id, g, count(*) c FROM grams GROUP BY doc_id, g)
+            SELECT doc_id, CAST(sum(c) AS BIGINT) n_ngrams,
+                   round(max(c)/CAST(sum(c) AS DOUBLE), 6) top_frac,
+                   round(coalesce(sum(CASE WHEN c > 1 THEN c END), 0)/CAST(sum(c) AS DOUBLE), 6) dup_frac
+            FROM per GROUP BY doc_id
         """,
         "knn_cosine_top3": """
             SELECT * FROM (

@@ -26,8 +26,14 @@ __all__ = [
     "ngram_doc_freq",
     "tfidf_top_terms",
     "text_stats",
+    "token_count_bpe",
+    "pii_scrub",
+    "pii_stats",
+    "repetition_stats",
     "EN_STOPWORDS",
     "STOPSETS",
+    "BPE_SPLIT_RE",
+    "PII_PATTERNS",
 ]
 
 EN_STOPWORDS = [
@@ -50,6 +56,97 @@ def tokens(text: Column) -> Column:
 
 def token_count(text: Column) -> Column:
     return F.size(tokens(text))
+
+
+# GPT-2-style pre-tokenizer pattern, restricted to the syntax shared by Java
+# regex (Spark codegen) and RE2 (DuckDB): contractions, letter runs, digit
+# runs, symbol runs — each with an optional leading space. No lookarounds, so
+# both engines produce the identical match sequence and count.
+BPE_SPLIT_RE = r"'(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish token count: number of pre-tokenizer matches in the text.
+
+    The approximation LLM-data pipelines use when the real tokenizer is too
+    expensive for a first pass — the GPT-2 split regex counts within ~10% of
+    true BPE token counts on English text. Pure codegen (``regexp_count``),
+    no Python in the loop.
+    """
+    return F.regexp_count(text, F.lit(BPE_SPLIT_RE))
+
+
+# (label, pattern, replacement) applied in order: emails first (their dotted
+# domains would otherwise be eaten by the IP pattern), then IPv4, then
+# international phone numbers. Patterns are Java-regex/RE2-portable.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d[\d \-]{7,}\d", "<PHONE>"),
+]
+
+
+def pii_scrub(text: Column) -> Column:
+    """Redact emails, IPv4 addresses and phone numbers with typed placeholders.
+
+    Sequential ``regexp_replace`` chain — one codegen expression, applied in
+    the PII_PATTERNS order so overlapping matches resolve deterministically.
+    """
+    out = text
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document PII counts + scrubbed-text digest: the audit frame a
+    redaction pass emits before dropping raw text."""
+    t = F.col(text_col)
+    cols = [F.col(id_col)]
+    for label, pat, _ in PII_PATTERNS:
+        cols.append(F.regexp_count(t, F.lit(pat)).alias(f"n_{label}"))
+    cols.append(F.md5(pii_scrub(t)).alias("scrubbed_md5"))
+    return df.select(*cols)
+
+
+def _ngrams_all(text: Column, n: int) -> Column:
+    """All word n-grams in order (with repeats — unlike dedup.shingles)."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(0), cnt - F.lit(n))
+    return F.when(
+        cnt >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
+    ).otherwise(F.array())
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """Gopher-style within-document repetition signals per document:
+
+    - ``n_ngrams``: total word n-gram occurrences,
+    - ``top_frac``: occurrences of the single most frequent n-gram / total
+      (Gopher's "top n-gram fraction" filter),
+    - ``dup_frac``: fraction of occurrences whose n-gram appears more than
+      once (Gopher's "duplicate n-gram fraction").
+
+    Shape: one explode + two keyed aggregations — both keys ((doc, gram) then
+    doc) are high-cardinality and uniform, so the plan is two map-side-combine
+    shuffles that hold at corpus scale; no per-doc window, no Python.
+    """
+    grams = df.select(F.col(id_col), F.explode(_ngrams_all(F.col(text_col), n)).alias("gram"))
+    per_gram = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+    return per_gram.groupBy(id_col).agg(
+        F.sum("c").alias("n_ngrams"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_frac"),
+        F.round(
+            F.coalesce(F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0)) / F.sum("c"), 6
+        ).alias("dup_frac"),
+    )
 
 
 def punct_ratio(text: Column) -> Column:

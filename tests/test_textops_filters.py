@@ -1,0 +1,104 @@
+"""Unit tests for the round-4 text-pipeline filters: BPE-ish token counting,
+PII scrubbing and Gopher-style repetition stats.
+
+token_count_bpe is checked against Python's `re` on the identical pattern —
+a third engine (after Spark/Java and DuckDB/RE2) agreeing on the match count.
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from oaxaca_blinder_rs_spark.operators import textops
+
+
+SAMPLES = [
+    "Hello world, it's 42 degrees outside!",
+    "the quick brown fox",
+    "x",
+    "   spaced   out   tokens   ",
+    "I'll won't we're you've he's she'd they'd 100% a+b=c",
+    "no-punct-just-dashes and_underscores mix3d t0kens",
+]
+
+
+def _df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_token_count_bpe_matches_python_re(spark):
+    out = {
+        r["doc_id"]: r["n"]
+        for r in _df(spark, SAMPLES)
+        .select("doc_id", textops.token_count_bpe(F.col("text")).alias("n"))
+        .collect()
+    }
+    pat = re.compile(textops.BPE_SPLIT_RE)
+    for i, s in enumerate(SAMPLES):
+        assert out[i] == len(pat.findall(s)), f"sample {i}: {s!r}"
+
+
+def test_token_count_bpe_contractions_split(spark):
+    # "it's" = "it" + "'s": 2 BPE tokens, 1 whitespace token.
+    row = (
+        _df(spark, ["it's"])
+        .select(
+            textops.token_count_bpe(F.col("text")).alias("bpe"),
+            textops.token_count(F.col("text")).alias("ws"),
+        )
+        .first()
+    )
+    assert row["bpe"] == 2 and row["ws"] == 1
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    txt = "mail a.b+c@ex-ample.co.uk or 10.20.30.40 or +1 555 010 9999 end"
+    df = _df(spark, [txt])
+    scrubbed = df.select(textops.pii_scrub(F.col("text")).alias("s")).first()["s"]
+    assert "<EMAIL>" in scrubbed and "<IP>" in scrubbed and "<PHONE>" in scrubbed
+    assert "@" not in scrubbed and "555" not in scrubbed
+    stats = textops.pii_stats(df).first()
+    assert (stats["n_email"], stats["n_ipv4"], stats["n_phone"]) == (1, 1, 1)
+
+
+def test_pii_scrub_email_before_ip_ordering(spark):
+    # Dotted numeric local-part would match the IPv4 pattern if the email
+    # pass did not run first.
+    txt = "reach 1.2.3.4@numbers.example please"
+    scrubbed = (
+        _df(spark, [txt]).select(textops.pii_scrub(F.col("text")).alias("s")).first()["s"]
+    )
+    assert scrubbed == "reach <EMAIL> please"
+
+
+def test_pii_scrub_clean_text_unchanged(spark):
+    txt = "perfectly ordinary sentence with numbers 12 34 and dots. done"
+    df = _df(spark, [txt])
+    assert df.select(textops.pii_scrub(F.col("text")).alias("s")).first()["s"] == txt
+    stats = textops.pii_stats(df).first()
+    assert (stats["n_email"], stats["n_ipv4"], stats["n_phone"]) == (0, 0, 0)
+
+
+def test_repetition_stats_hand_computed(spark):
+    # bigrams of "a b a b c": [a b, b a, a b, b c] -> top 2/4, dup 2/4
+    df = _df(spark, ["a b a b c", "u v w x"])
+    rows = {r["doc_id"]: r for r in textops.repetition_stats(df).collect()}
+    assert rows[0]["n_ngrams"] == 4
+    assert rows[0]["top_frac"] == pytest.approx(0.5)
+    assert rows[0]["dup_frac"] == pytest.approx(0.5)
+    # all-distinct bigrams: top = 1/3, dup = 0
+    assert rows[1]["n_ngrams"] == 3
+    assert rows[1]["top_frac"] == pytest.approx(round(1 / 3, 6))
+    assert rows[1]["dup_frac"] == 0.0
+
+
+def test_repetition_stats_short_docs_dropped(spark):
+    # docs with < n tokens produce no n-grams and therefore no row —
+    # matching the SQL oracle (GROUP BY over an empty gram set).
+    df = _df(spark, ["single", "", "two tokens"])
+    rows = {r["doc_id"]: r for r in textops.repetition_stats(df).collect()}
+    assert set(rows) == {2}
+    assert rows[2]["n_ngrams"] == 1
