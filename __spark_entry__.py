@@ -702,6 +702,30 @@ def q_corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.prepare_corpus(docs)
 
 
+def q_corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing (corpus.pack_token_shards): each document's
+    global token offset under id order and the 2000-token shard its first
+    token lands in — via the distributed prefix scan, no global window."""
+    from oaxaca_blinder_rs_spark.operators import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.pack_token_shards(docs, budget=2000)
+
+
+def q_cross_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus decontamination (corpus.cross_corpus_dedup): odd-id docs
+    (the 'new batch') against even-id docs (the 'training corpus') — exact
+    md5 matches plus Jaccard>=0.9 near-dups through the cross-corpus
+    MinHash-LSH band join. The oracle replays banding, candidate join and
+    verification in SQL."""
+    from oaxaca_blinder_rs_spark.operators import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    return corpus.cross_corpus_dedup(new, ref)
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (rolling k-gram hash + window minima, exact
     int64) exploded to (doc_id, fp) rows — textops.winnow_fingerprints."""
@@ -840,6 +864,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "winnow_fingerprints": q_winnow_fingerprints,
         "corpus_prepare": q_corpus_prepare,
+        "corpus_pack": q_corpus_pack,
+        "cross_corpus_dedup": q_cross_corpus_dedup,
         "ngram_doc_freq": q_ngram_doc_freq,
         "tfidf_top3": q_tfidf_top3,
         "akm_effects": q_akm_effects,
@@ -928,6 +954,18 @@ _PII_AUG_SQL = """
     CASE WHEN doc_id % 7 = 0 THEN ' call +1 555 000 ' || (1000 + doc_id % 9000) ELSE '' END AS text
   FROM documents
 """
+
+
+# MinHash banding in SQL (num_perm=16, bands=4, k=3) — the DuckDB twin of
+# dedup.minhash_bands for the cross-corpus dedup oracle.
+_MINS_16 = ",\n                     ".join(
+    f"list_min([md5('p{p}:' || s) for s in shingles]) mh_{p}" for p in range(16)
+)
+_BANDS_UNION = "\n              UNION ALL\n".join(
+    f"              SELECT doc_id, {b} band_idx, "
+    f"md5(mh_{4 * b} || '|' || mh_{4 * b + 1} || '|' || mh_{4 * b + 2} || '|' || mh_{4 * b + 3}) band_key FROM sig"
+    for b in range(4)
+)
 
 
 def _stop_count(lang: str) -> str:
@@ -1544,6 +1582,56 @@ def oracle_sql() -> dict[str, str]:
               FROM h
             )
             SELECT doc_id, unnest(fps) fp FROM w
+        """,
+        "corpus_pack": """
+            WITH c AS (
+              SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) n_tokens
+              FROM documents
+            ), o AS (
+              SELECT doc_id, n_tokens,
+                     CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) token_offset
+              FROM c
+            )
+            SELECT doc_id, n_tokens, token_offset,
+                   CAST(floor(token_offset / 2000.0) AS BIGINT) shard_id
+            FROM o
+        """,
+        "cross_corpus_dedup": f"""
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(list_slice(toks, i, i+2), ' ')
+                                    for i in range(1, len(toks) - 1)]) shingles
+              FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') toks
+                    FROM documents)
+            ), sig AS (
+              SELECT doc_id,
+                     {_MINS_16}
+              FROM sh
+            ), bands AS (
+{_BANDS_UNION}
+            ), exact AS (
+              SELECT n.doc_id, min(r.doc_id) matched_ref_id, 'exact' stage
+              FROM documents n JOIN documents r ON md5(n.text) = md5(r.text)
+              WHERE n.doc_id % 2 = 1 AND r.doc_id % 2 = 0
+              GROUP BY n.doc_id
+            ), cand AS (
+              SELECT DISTINCT nb.doc_id, rb.doc_id rid
+              FROM bands nb JOIN bands rb
+                ON nb.band_idx = rb.band_idx AND nb.band_key = rb.band_key
+              WHERE nb.doc_id % 2 = 1 AND rb.doc_id % 2 = 0
+            ), near AS (
+              SELECT c.doc_id, min(c.rid) matched_ref_id, 'near' stage
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.doc_id
+              JOIN sh b ON b.doc_id = c.rid
+              WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                          / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) >= 0.9
+              GROUP BY c.doc_id
+            )
+            SELECT * FROM exact
+            UNION ALL
+            SELECT * FROM near WHERE doc_id NOT IN (SELECT doc_id FROM exact)
         """,
         "dedup_clusters": """
             WITH RECURSIVE sh AS (

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from . import dedup, textops
 
-__all__ = ["prepare_corpus"]
+__all__ = ["prepare_corpus", "pack_token_shards", "cross_corpus_dedup"]
 
 
 def prepare_corpus(
@@ -75,3 +75,109 @@ def prepare_corpus(
     )
     survivors = kept.join(dropped, id_col, "left_anti")
     return survivors.select(id_col, "n_tokens", "quality", "lang")
+
+
+def pack_token_shards(
+    docs: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_col: str | None = None,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training shards:
+    (id, n_tokens, token_offset, shard_id).
+
+    ``token_offset`` is each document's global starting token position under
+    the deterministic id ordering (the offset a concatenate-and-chunk data
+    loader would hand it); ``shard_id = token_offset // budget`` — the shard
+    whose window contains the document's first token. The running total uses
+    the distributed prefix-scan (scan.ordered_prev_cumsum): range-partition
+    on id, tiny per-partition-sum collect, partition-local windows — no
+    global single-task window, so the packing holds at corpus scale.
+
+    Pass ``token_col`` when counts are precomputed (e.g. from a prior
+    text_stats pass) to skip re-tokenizing.
+    """
+    from . import scan
+
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    n_tok = F.col(token_col) if token_col else textops.token_count(F.col(text_col))
+    base = docs.select(F.col(id_col), n_tok.cast("long").alias("n_tokens"))
+    packed = scan.ordered_prev_cumsum(
+        base, [F.col(id_col).asc()], F.col("n_tokens"), "token_offset"
+    )
+    return packed.select(
+        id_col,
+        "n_tokens",
+        F.col("token_offset").cast("long").alias("token_offset"),
+        F.floor(F.col("token_offset") / F.lit(int(budget))).cast("long").alias("shard_id"),
+    )
+
+
+def cross_corpus_dedup(
+    new_docs: DataFrame,
+    ref_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.9,
+    shingle_k: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Decontaminate a new document batch against an existing corpus:
+    (doc_id, matched_ref_id, stage) for every NEW document that duplicates a
+    REFERENCE document. stage = 'exact' (byte-identical text) or 'near'
+    (n-gram Jaccard >= threshold through a cross-corpus MinHash-LSH join).
+
+    The anti-join face of training-set decontamination: callers drop these
+    ids from the new batch (``new_docs.join(result, id, 'left_anti')``).
+
+    Scale shape: the exact stage joins on md5(text) (uniform key); the near
+    stage bands BOTH corpora with identical MinHash parameters and joins on
+    (band_idx, band_key) — only colliding bucket contents ever pair, the
+    same banded-shuffle contract as the within-corpus LSH path. Jaccard
+    verification touches candidate ids only. Reported matched_ref_id is the
+    minimum matching reference id with exact preferred over near, so the
+    result is deterministic and oracle-comparable.
+    """
+    t = F.col(text_col)
+    new_fp = new_docs.select(F.col(id_col), F.md5(t).alias("__fp"))
+    ref_fp = ref_docs.select(F.col(id_col).alias("__rid"), F.md5(t).alias("__fp"))
+    exact = (
+        new_fp.join(ref_fp, "__fp")
+        .groupBy(id_col)
+        .agg(F.min("__rid").alias("matched_ref_id"))
+        .withColumn("stage", F.lit("exact"))
+    )
+
+    nb = dedup.minhash_bands(
+        new_docs, text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands, k=shingle_k
+    )
+    rb = dedup.minhash_bands(
+        ref_docs, text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands, k=shingle_k
+    ).select(F.col(id_col).alias("__rid"), "band_idx", "band_key")
+    cand = nb.join(rb, ["band_idx", "band_key"]).select(id_col, "__rid").distinct()
+
+    new_sh = new_docs.select(
+        F.col(id_col), dedup.shingles(t, shingle_k).alias("__sh_n")
+    )
+    ref_sh = ref_docs.select(
+        F.col(id_col).alias("__rid"), dedup.shingles(t, shingle_k).alias("__sh_r")
+    )
+    near = (
+        cand.join(new_sh, id_col)
+        .join(ref_sh, "__rid")
+        .withColumn(
+            "__j",
+            F.size(F.array_intersect("__sh_n", "__sh_r")).cast("double")
+            / F.size(F.array_union("__sh_n", "__sh_r")).cast("double"),
+        )
+        .filter(F.round("__j", 6) >= float(jaccard_threshold))
+        .groupBy(id_col)
+        .agg(F.min("__rid").alias("matched_ref_id"))
+        .withColumn("stage", F.lit("near"))
+    )
+    # exact wins when a doc matches in both stages
+    near_only = near.join(exact.select(id_col), id_col, "left_anti")
+    return exact.unionByName(near_only)

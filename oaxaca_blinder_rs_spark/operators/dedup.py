@@ -26,6 +26,7 @@ __all__ = [
     "exact_duplicates",
     "shingles",
     "minhash_signature",
+    "minhash_bands",
     "minhash_lsh_candidates",
     "simhash64",
     "ngram_jaccard",
@@ -73,6 +74,29 @@ def minhash_signature(text: Column, num_perm: int = 16, k: int = 3) -> Column:
     return F.array(*[_min_hash(sh, p) for p in range(num_perm)])
 
 
+def minhash_bands(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """(id, band_idx, band_key) rows — the LSH banding shared by the
+    within-corpus candidate join and the cross-corpus dedup join. Two frames
+    banded with identical parameters collide on the same keys."""
+    rows_per_band = num_perm // bands
+    sig = minhash_signature(F.col(text_col), num_perm=num_perm, k=k)
+    with_sig = df.select(F.col(id_col), sig.alias("__sig"))
+    band_cols = []
+    for b in range(bands):
+        band = F.concat_ws("|", *[F.col("__sig")[b * rows_per_band + r] for r in range(rows_per_band)])
+        band_cols.append(F.struct(F.lit(b).alias("band_idx"), F.md5(band).alias("band_key")))
+    return with_sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("__band")
+    ).select(id_col, F.col("__band.band_idx").alias("band_idx"), F.col("__band.band_key").alias("band_key"))
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -82,16 +106,7 @@ def minhash_lsh_candidates(
     k: int = 3,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) colliding in >=1 LSH band."""
-    rows_per_band = num_perm // bands
-    sig = minhash_signature(F.col(text_col), num_perm=num_perm, k=k)
-    with_sig = df.select(F.col(id_col), sig.alias("__sig"))
-    band_cols = []
-    for b in range(bands):
-        band = F.concat_ws("|", *[F.col("__sig")[b * rows_per_band + r] for r in range(rows_per_band)])
-        band_cols.append(F.struct(F.lit(b).alias("band_idx"), F.md5(band).alias("band_key")))
-    banded = with_sig.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("__band")
-    ).select(id_col, F.col("__band.band_idx").alias("band_idx"), F.col("__band.band_key").alias("band_key"))
+    banded = minhash_bands(df, text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands, k=k)
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (

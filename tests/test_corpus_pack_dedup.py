@@ -1,0 +1,84 @@
+"""Unit tests for token-shard packing and cross-corpus decontamination."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from oaxaca_blinder_rs_spark.operators import corpus
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pack_token_shards_hand_computed(spark):
+    # token counts: 3, 4, 2, 5 -> offsets 0, 3, 7, 9; budget 5 -> shards 0,0,1,1
+    df = _docs(
+        spark,
+        [(0, "a b c"), (1, "d e f g"), (2, "h i"), (3, "j k l m n")],
+    )
+    rows = {r["doc_id"]: r for r in corpus.pack_token_shards(df, budget=5).collect()}
+    assert [rows[i]["token_offset"] for i in range(4)] == [0, 3, 7, 9]
+    assert [rows[i]["shard_id"] for i in range(4)] == [0, 0, 1, 1]
+    assert [rows[i]["n_tokens"] for i in range(4)] == [3, 4, 2, 5]
+
+
+def test_pack_token_shards_exact_boundary(spark):
+    # doc starting exactly at offset == budget lands in the next shard
+    df = _docs(spark, [(0, "a b c d e"), (1, "f g")])
+    rows = {r["doc_id"]: r for r in corpus.pack_token_shards(df, budget=5).collect()}
+    assert rows[1]["token_offset"] == 5 and rows[1]["shard_id"] == 1
+
+
+def test_pack_token_shards_precomputed_counts(spark):
+    df = spark.createDataFrame([(0, 10), (1, 20)], "doc_id long, n_tok long")
+    rows = {
+        r["doc_id"]: r
+        for r in corpus.pack_token_shards(df, budget=15, token_col="n_tok").collect()
+    }
+    assert rows[0]["shard_id"] == 0 and rows[1]["shard_id"] == 0
+    assert rows[1]["token_offset"] == 10
+
+
+def test_pack_token_shards_rejects_bad_budget(spark):
+    df = _docs(spark, [(0, "a")])
+    with pytest.raises(ValueError):
+        corpus.pack_token_shards(df, budget=0)
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while seven wizards "
+    "brew strong potions under a pale winter moon near the old stone bridge"
+)
+
+
+def test_cross_corpus_dedup_stages(spark):
+    ref = _docs(spark, [(0, BASE), (2, "completely unrelated reference content here")])
+    new = _docs(
+        spark,
+        [
+            (11, BASE),  # exact duplicate of ref 0
+            (13, BASE + " tonight"),  # near duplicate of ref 0
+            (15, "novel text with no counterpart in the reference corpus at all"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in corpus.cross_corpus_dedup(new, ref).collect()}
+    assert set(out) == {11, 13}
+    assert out[11]["stage"] == "exact" and out[11]["matched_ref_id"] == 0
+    assert out[13]["stage"] == "near" and out[13]["matched_ref_id"] == 0
+
+
+def test_cross_corpus_dedup_exact_wins_over_near(spark):
+    # a doc that matches both stages reports 'exact'
+    ref = _docs(spark, [(0, BASE), (1, BASE + " indeed")])
+    new = _docs(spark, [(10, BASE)])
+    rows = corpus.cross_corpus_dedup(new, ref).collect()
+    assert len(rows) == 1
+    assert rows[0]["stage"] == "exact" and rows[0]["matched_ref_id"] == 0
+
+
+def test_cross_corpus_dedup_keep_list_face(spark):
+    ref = _docs(spark, [(0, BASE)])
+    new = _docs(spark, [(10, BASE), (11, "fresh unseen document body")])
+    dups = corpus.cross_corpus_dedup(new, ref)
+    kept = new.join(dups.select("doc_id"), "doc_id", "left_anti")
+    assert [r["doc_id"] for r in kept.collect()] == [11]
