@@ -300,6 +300,71 @@ def q_ann_ivf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization (embeddings.l2_normalize): original norm + first/last
+    normalized coordinates, all codegen."""
+    from oaxaca_blinder_rs_spark.operators import embeddings as embx
+
+    e = _t(spark, sf_dir, "embeddings")
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x))
+    nv = embx.l2_normalize(F.col("embedding"))
+    return e.select(
+        "vec_id",
+        F.round(norm, 6).alias("l2_norm"),
+        F.round(nv[0], 6).alias("nv_0"),
+        F.round(nv[63], 6).alias("nv_63"),
+    )
+
+
+def q_embedding_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group mean-pooling (embeddings.mean_pool) over vec_id%5 buckets;
+    first four pooled dimensions, exploded-average shape."""
+    from oaxaca_blinder_rs_spark.operators import embeddings as embx
+
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "g", (F.col("vec_id") % 5).cast("long")
+    )
+    pooled = embx.mean_pool(e, "g")
+    return pooled.select(
+        "g",
+        *[F.round(F.col("pooled")[i], 6).alias(f"p{i}") for i in range(4)],
+    )
+
+
+def q_embedding_cov_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Companion row for PCA whitening: the distributed one-pass covariance
+    (embeddings.embedding_covariance) for dims i<=j<6, hash-matched against
+    DuckDB covar_samp. Pins the sufficient statistics the eigensolve
+    consumes; the whitening itself is checked by the NumPy-oracle suite."""
+    from oaxaca_blinder_rs_spark.operators import embeddings as embx
+
+    e = _t(spark, sf_dir, "embeddings")
+    cov, _, _ = embx.embedding_covariance(e)
+    rows = [
+        Row(i=i, j=j, cov=round(float(cov[i, j]), 6))
+        for i in range(6)
+        for j in range(i, 6)
+    ]
+    return spark.createDataFrame(rows, "i int, j int, cov double")
+
+
+def q_pca_whiten_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA whitening (embeddings.pca_whiten): first two whitened coordinates
+    per vector. Driver eigensolve is not SQL-expressible (rows-only check);
+    embedding_cov_check pins its inputs and the suite holds the NumPy
+    parity + identity-covariance oracles."""
+    from oaxaca_blinder_rs_spark.operators import embeddings as embx
+
+    e = _t(spark, sf_dir, "embeddings")
+    w = embx.pca_whiten(e, n_components=2)
+    return w.select(
+        "vec_id",
+        F.round(F.col("whitened")[0], 4).alias("w0"),
+        F.round(F.col("whitened")[1], 4).alias("w1"),
+    )
+
+
 def q_weighted_kde_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9: weighted Gaussian KDE on a 20-point grid (fixed bandwidth)."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
@@ -856,6 +921,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine_top3": q_knn_cosine_top3,
         "ann_lsh_top3": q_ann_lsh_top3,
         "ann_ivf_top3": q_ann_ivf_top3,
+        "embedding_normalize": q_embedding_normalize,
+        "embedding_mean_pool": q_embedding_mean_pool,
+        "embedding_cov_check": q_embedding_cov_check,
+        "pca_whiten_top2": q_pca_whiten_top2,
         "weighted_kde_grid": q_weighted_kde_grid,
         "oaxaca_mean_weighted": q_oaxaca_mean_weighted,
         "vif_lineitem": q_vif_lineitem,
@@ -1714,6 +1783,33 @@ def oracle_sql() -> dict[str, str]:
               (CASE WHEN n_punct/n_chars > 0.0 THEN 1.0 ELSE 0.0 END)
             ) / 4.0, 6) quality
             FROM t
+        """,
+        "embedding_normalize": """
+            SELECT vec_id,
+                   round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))), 6) l2_norm,
+                   round(CAST(embedding[1] AS DOUBLE)
+                         / greatest(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))), 1e-12), 6) nv_0,
+                   round(CAST(embedding[64] AS DOUBLE)
+                         / greatest(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))), 1e-12), 6) nv_63
+            FROM embeddings
+        """,
+        "embedding_mean_pool": """
+            SELECT vec_id % 5 g,
+                   round(avg(CAST(embedding[1] AS DOUBLE)), 6) p0,
+                   round(avg(CAST(embedding[2] AS DOUBLE)), 6) p1,
+                   round(avg(CAST(embedding[3] AS DOUBLE)), 6) p2,
+                   round(avg(CAST(embedding[4] AS DOUBLE)), 6) p3
+            FROM embeddings GROUP BY 1
+        """,
+        "embedding_cov_check": """
+            WITH pairs AS (
+              SELECT i.i, j.j FROM range(0, 6) i(i), range(0, 6) j(j) WHERE j.j >= i.i
+            )
+            SELECT CAST(p.i AS INT) i, CAST(p.j AS INT) j,
+                   round(covar_samp(CAST(e.embedding[p.i + 1] AS DOUBLE),
+                                    CAST(e.embedding[p.j + 1] AS DOUBLE)), 6) cov
+            FROM pairs p, embeddings e
+            GROUP BY p.i, p.j
         """,
         "weighted_kde_grid": """
             WITH b AS (

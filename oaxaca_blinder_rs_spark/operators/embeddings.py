@@ -1,0 +1,161 @@
+"""Embedding-column transforms for training-data pipelines (net-new scale
+surface, like operators/similarity.py): L2 normalization, group mean-pooling,
+single-pass covariance, and PCA whitening.
+
+Scale shapes:
+- l2_normalize is one codegen expression (no shuffle, no Python);
+- mean_pool is posexplode -> (group, dim) average -> re-assemble: two uniform
+  keyed shuffles, never a per-group array in one task;
+- embedding_covariance is ONE Arrow pass emitting per-partition (n, sum, X'X)
+  partials reduced on the driver — the same Gram-partial pattern as the OLS
+  engine (functions/linalg.py), so a 64-dim covariance over any corpus size
+  moves only partitions x (k + k^2) numbers;
+- pca_whiten broadcasts the k x m projection and applies it in one Arrow
+  pass — embeddings never leave their partitions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+__all__ = [
+    "l2_normalize",
+    "mean_pool",
+    "embedding_covariance",
+    "pca_whiten",
+]
+
+
+def l2_normalize(vec: Column, eps: float = 1e-12) -> Column:
+    """Unit-L2 vector as a pure codegen expression (double precision)."""
+    v = F.transform(vec, lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    safe = F.greatest(norm, F.lit(float(eps)))
+    return F.transform(v, lambda x: x / safe)
+
+
+def mean_pool(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    out_col: str = "pooled",
+) -> DataFrame:
+    """Per-group elementwise mean of an embedding column: (group, pooled).
+
+    posexplode -> average per (group, dim) -> sort_array re-assembly. Both
+    shuffle keys ((group, dim) then group) are uniform; the pooled array is
+    built from k struct rows per group, so no stage ever holds a group's
+    full member set.
+    """
+    exploded = df.select(
+        F.col(group_col), F.posexplode(F.col(vec_col)).alias("__dim", "__x")
+    ).select(group_col, "__dim", F.col("__x").cast("double").alias("__x"))
+    per_dim = exploded.groupBy(group_col, "__dim").agg(F.avg("__x").alias("__m"))
+    return (
+        per_dim.groupBy(group_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__dim"), F.col("__m")))
+            ).alias("__s")
+        )
+        .select(group_col, F.transform(F.col("__s"), lambda s: s["__m"]).alias(out_col))
+    )
+
+
+def embedding_covariance(
+    df: DataFrame, vec_col: str = "embedding", ddof: int = 1
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """(cov, mean, n) of an embedding column in ONE distributed pass.
+
+    Each partition emits (n, sum, X'X) — two BLAS calls over the Arrow batch
+    — and the driver combines partials: cov = (S - n mu mu') / (n - ddof).
+    Only partitions x (k + k^2) doubles cross the wire.
+    """
+    schema = StructType(
+        [
+            StructField("n", DoubleType(), False),
+            StructField("s", ArrayType(DoubleType()), False),
+            StructField("xtx", ArrayType(DoubleType()), False),
+        ]
+    )
+
+    def partials(batches):
+        import pandas as pd
+
+        n_tot, s_tot, xtx_tot = 0.0, None, None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array([np.asarray(v, dtype=np.float64) for v in pdf.iloc[:, 0]])
+            n_tot += x.shape[0]
+            s = x.sum(axis=0)
+            g = x.T @ x
+            s_tot = s if s_tot is None else s_tot + s
+            xtx_tot = g if xtx_tot is None else xtx_tot + g
+        if s_tot is not None:
+            yield pd.DataFrame(
+                {"n": [n_tot], "s": [s_tot.tolist()], "xtx": [xtx_tot.ravel().tolist()]}
+            )
+
+    rows = df.select(vec_col).mapInPandas(partials, schema).collect()
+    if not rows:
+        raise ValueError("embedding_covariance: empty input")
+    n = sum(r["n"] for r in rows)
+    k = len(rows[0]["s"])
+    s = np.zeros(k)
+    xtx = np.zeros((k, k))
+    for r in rows:
+        s += np.asarray(r["s"])
+        xtx += np.asarray(r["xtx"]).reshape(k, k)
+    mean = s / n
+    cov = (xtx - n * np.outer(mean, mean)) / max(n - ddof, 1.0)
+    return cov, mean, int(n)
+
+
+def pca_whiten(
+    df: DataFrame,
+    n_components: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "whitened",
+    eps: float = 1e-9,
+) -> DataFrame:
+    """PCA-whitened projection: (id, whitened array<double>[n_components]).
+
+    Covariance from the one-pass partial reduction above; eigendecomposition
+    (k x k) on the driver; components ordered by descending eigenvalue with
+    a deterministic sign convention (largest-|coord| entry positive). The
+    centered projection  W = (x - mu) V / sqrt(lambda)  is applied in one
+    Arrow pass with the (k x m) matrix broadcast in the closure.
+    """
+    cov, mean, _ = embedding_covariance(df, vec_col=vec_col)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:n_components]
+    vals, vecs = vals[order], vecs[:, order]
+    for j in range(vecs.shape[1]):
+        i = int(np.argmax(np.abs(vecs[:, j])))
+        if vecs[i, j] < 0:
+            vecs[:, j] = -vecs[:, j]
+    proj = vecs / np.sqrt(np.maximum(vals, eps))
+
+    schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType, False),
+            StructField(out_col, ArrayType(DoubleType()), False),
+        ]
+    )
+
+    def apply(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            w = (x - mean) @ proj
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: list(map(list, w))})
+
+    return df.select(id_col, vec_col).mapInPandas(apply, schema)
