@@ -218,6 +218,40 @@ def bench_mm(spark, df, engine: str, S: int = 60, B: int = 8) -> float:
     return time.time() - t0
 
 
+def bench_corpus_filters(spark) -> float:
+    """Tracking entry (no reference analogue): the per-document filter pass of
+    an LLM-data pipeline — text stats + BPE-regex token count + PII counts +
+    bigram repetition fractions over the documents table, one action."""
+    from oaxaca_blinder_rs_spark.operators import textops
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    t0 = time.time()
+    base = textops.text_stats(docs).join(
+        docs.select(
+            "doc_id",
+            textops.token_count_bpe(F.col("text")).alias("n_bpe"),
+        ),
+        "doc_id",
+    )
+    pii = textops.pii_stats(docs)
+    rep = textops.repetition_stats(docs)
+    n = base.join(pii, "doc_id").join(rep, "doc_id").count()
+    assert n > 0
+    return time.time() - t0
+
+
+def bench_embedding_cov(spark) -> float:
+    """Tracking entry: one-pass 64x64 embedding covariance + 8-component PCA
+    whitening projection count."""
+    from oaxaca_blinder_rs_spark.operators import embeddings as embx
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    t0 = time.time()
+    w = embx.pca_whiten(emb, n_components=8)
+    assert w.count() > 0
+    return time.time() - t0
+
+
 def bench_calibration(spark) -> float:
     """Constant 32-partition CPU job (see CAL_REF_SEC)."""
     t0 = time.time()
@@ -289,6 +323,8 @@ def main():
     )
     queries["mm_gram_s60_b8"] = best("mm_gram_s60_b8", bench_mm, spark, li_raw, "distributed", reps=1)
     queries["mm_taubatch_s60_b8"] = best("mm_taubatch_s60_b8", bench_mm, spark, li_raw, "taubatch", reps=1)
+    queries["corpus_filters"] = best("corpus_filters", bench_corpus_filters, spark)
+    queries["embedding_cov"] = best("embedding_cov", bench_embedding_cov, spark)
     queries["calibration_post"] = best("calibration_post", bench_calibration, spark)
 
     # explicit baseline comparison: raw ratio at matched scale, and per-row
