@@ -33,15 +33,24 @@ def prepare_corpus(
     jaccard_threshold: float = 0.9,
     shingle_k: int = 3,
     candidate_pairs: DataFrame | None = None,
+    candidates: str = "auto",
+    lsh_threshold: int = 5000,
 ) -> DataFrame:
     """Raw documents -> (doc_id, n_tokens, quality, lang) keep-list.
 
     Stages: (1) keep docs with quality_score >= min_quality and a language
     guess in ``langs``; (2) exact dedup on the 5-token-prefix md5, keeping
     the lowest doc id per group; (3) near-dup clustering at
-    ``jaccard_threshold`` over ``shingle_k``-gram shingles (edges from
-    ``candidate_pairs`` when given, else size-pruned all-pairs), keeping
-    each cluster's lowest-id representative.
+    ``jaccard_threshold`` over ``shingle_k``-gram shingles, keeping each
+    cluster's lowest-id representative.
+
+    Candidate edges for stage 3: ``candidate_pairs`` when given; otherwise
+    ``candidates`` picks the generator — ``"allpairs"`` (size-pruned exact,
+    full recall), ``"lsh"`` (banded MinHash shuffle, the corpus-scale path),
+    or ``"auto"`` (default): one count of the gated survivors decides,
+    all-pairs at or below ``lsh_threshold`` docs, LSH above. The count job
+    costs one scan of the (small, post-filter) projection and removes the
+    need for callers to know the corpus size up front.
     """
     t = F.col("__text")
     scored = docs.select(
@@ -63,9 +72,19 @@ def prepare_corpus(
 
     # near-dup clustering among survivors
     if candidate_pairs is None:
-        candidate_pairs = dedup.size_pruned_pairs(
-            kept, text_col="__text", id_col=id_col, k=shingle_k, threshold=jaccard_threshold
-        )
+        if candidates not in ("auto", "allpairs", "lsh"):
+            raise ValueError(f"candidates must be auto|allpairs|lsh, got {candidates!r}")
+        mode = candidates
+        if mode == "auto":
+            mode = "lsh" if kept.count() > int(lsh_threshold) else "allpairs"
+        if mode == "allpairs":
+            candidate_pairs = dedup.size_pruned_pairs(
+                kept, text_col="__text", id_col=id_col, k=shingle_k, threshold=jaccard_threshold
+            )
+        else:
+            candidate_pairs = dedup.minhash_lsh_candidates(
+                kept, text_col="__text", id_col=id_col, k=shingle_k
+            )
     edges = dedup.ngram_jaccard(
         kept, candidate_pairs, text_col="__text", id_col=id_col, k=shingle_k
     ).filter(F.round("jaccard", 6) >= float(jaccard_threshold))

@@ -226,6 +226,7 @@ def streaming_corpus_gate(
     min_quality: float = 0.5,
     langs: tuple[str, ...] = ("en",),
     watermark: str = "2 hours",
+    scrub_pii: bool = False,
 ) -> DataFrame:
     """Streaming ingest gate for a document corpus — the streaming face of
     ``operators.corpus.prepare_corpus`` stages 1-2.
@@ -238,13 +239,18 @@ def streaming_corpus_gate(
     architecture is this gate on ingest plus a periodic batch
     ``prepare_corpus`` compaction over the accumulated table.
 
-    Output: (doc_id, ts, fingerprint, n_tokens, quality, lang) survivors.
+    ``scrub_pii=True`` adds a redacted ``text`` column
+    (``textops.pii_scrub`` — stateless regexp chain, so it streams with no
+    extra state), letting the gate emit train-safe text directly.
+
+    Output: (doc_id, ts, fingerprint, n_tokens, quality, lang [, text])
+    survivors.
     """
     from ..operators import textops
 
     t = F.col(text_col)
     toks = F.split(F.trim(F.lower(t)), r"\s+")
-    scored = docs.select(
+    cols = [
         F.col(id_col),
         F.col(ts_col),
         t.alias("__text"),
@@ -252,7 +258,10 @@ def streaming_corpus_gate(
         textops.token_count(t).alias("n_tokens"),
         F.round(textops.quality_score(t), 6).alias("quality"),
         textops.lang_id(t).alias("lang"),
-    )
+    ]
+    if scrub_pii:
+        cols.append(textops.pii_scrub(t).alias("text"))
+    scored = docs.select(*cols)
     kept = scored.filter(
         (F.col("quality") >= float(min_quality)) & F.col("lang").isin(list(langs))
     ).drop("__text")

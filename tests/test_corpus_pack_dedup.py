@@ -82,3 +82,51 @@ def test_cross_corpus_dedup_keep_list_face(spark):
     dups = corpus.cross_corpus_dedup(new, ref)
     kept = new.join(dups.select("doc_id"), "doc_id", "left_anti")
     assert [r["doc_id"] for r in kept.collect()] == [11]
+
+
+def test_prepare_corpus_lsh_matches_allpairs(spark, sf_dir):
+    """The LSH candidate generator keeps the same survivors as the exact
+    all-pairs path on the driver corpus (dup pairs are near-identical, so
+    16-perm/4-band LSH catches every verified edge)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = {r["doc_id"] for r in corpus.prepare_corpus(docs, candidates="allpairs").collect()}
+    b = {r["doc_id"] for r in corpus.prepare_corpus(docs, candidates="lsh").collect()}
+    assert a == b and len(a) > 0
+
+
+def test_prepare_corpus_rejects_bad_candidates_mode(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with pytest.raises(ValueError):
+        corpus.prepare_corpus(docs, candidates="nope").collect()
+
+
+def test_streaming_gate_scrub_pii(spark, tmp_path):
+    """scrub_pii=True emits a redacted text column from the streaming gate."""
+    import tempfile
+    from datetime import datetime
+
+    from oaxaca_blinder_rs_spark.streaming import events as streaming_events
+
+    good = (
+        "the cat and the dog went to the market, and it was a fine day for "
+        "all of them. the weather is that kind of thing that is on with as "
+        "was at by an be this are; mail me at cat.dog@example.com please."
+    )
+    df = spark.createDataFrame(
+        [(0, good, datetime(2026, 1, 1, 12, 0, 0))],
+        "doc_id long, text string, ts timestamp",
+    )
+    src = str(tmp_path / "pii_stream")
+    df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(df.schema).format("parquet").load(src)
+    gated = streaming_events.streaming_corpus_gate(stream, scrub_pii=True)
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            gated.writeStream.format("memory").queryName("pii_gate")
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM pii_gate").collect()
+    assert len(out) == 1
+    assert "<EMAIL>" in out[0]["text"] and "@" not in out[0]["text"]
