@@ -726,6 +726,16 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", dedup.simhash64(F.col("text"), k=2).alias("simhash"))
 
 
+def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (dedup.simhash_candidates): 4-band pigeonhole
+    blocking + bit_count verify at Hamming <= 3. Rows-only at the driver
+    (DuckDB has no xxhash64); the suite holds a bit-exact pure-Python
+    brute-force oracle (test_simhash_candidates_matches_bruteforce_oracle)
+    and simhash_shingle_check hash-matches the shingle stage."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_candidates(docs, max_hamming=3, k=2)
+
+
 def q_simhash_shingle_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-matched companion to simhash (rows-only): the tokenize + word
     2-shingle stage that feeds the SimHash vote — per doc, the distinct
@@ -959,6 +969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_dups_lsh": q_embedding_cosine_dups_lsh,
         "quality_score": q_quality_score,
         "simhash": q_simhash,
+        "simhash_dups": q_simhash_dups,
         "simhash_shingle_check": q_simhash_shingle_check,
     }
 

@@ -29,6 +29,7 @@ __all__ = [
     "minhash_bands",
     "minhash_lsh_candidates",
     "simhash64",
+    "simhash_candidates",
     "ngram_jaccard",
     "embedding_cosine_dups",
     "embedding_cosine_dups_lsh",
@@ -145,6 +146,76 @@ def simhash64(text: Column, k: int = 2) -> Column:
     for b in bits[1:]:
         out = out + b
     return out
+
+
+def simhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    k: int = 2,
+    sig_col: str | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance:
+    (id_a, id_b, hamming) with hamming <= max_hamming.
+
+    Classic bit-band blocking (the web-dedup construction): split the 64-bit
+    signature into ``max_hamming + 1`` equal bands — by pigeonhole, any pair
+    within the Hamming budget agrees EXACTLY on at least one band — join on
+    (band_idx, band_value), then verify ``bit_count(xor)`` on the candidate
+    set only. Shuffle key is the band value (uniform: signature bits are
+    hash votes); everything stays codegen. Band extraction uses arithmetic
+    shift + mask, well-defined for the sign-bit band.
+
+    Pass ``sig_col`` to reuse precomputed signatures (skips re-hashing).
+    """
+    n_bands = int(max_hamming) + 1
+    width = 64 // n_bands
+    sig = F.col(sig_col) if sig_col else simhash64(F.col(text_col), k)
+    base = df.select(F.col(id_col), sig.alias("__sig"))
+    mask = (1 << width) - 1
+    banded = base.select(
+        id_col,
+        "__sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftright(F.col("__sig"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("__band"),
+    ).select(
+        id_col,
+        "__sig",
+        F.col("__band.band_idx").alias("band_idx"),
+        F.col("__band.band_val").alias("band_val"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    ham = F.bit_count(F.col("l.__sig").bitwiseXOR(F.col("r.__sig")))
+    return (
+        left.join(
+            right,
+            on=[
+                F.col("l.band_idx") == F.col("r.band_idx"),
+                F.col("l.band_val") == F.col("r.band_val"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= int(max_hamming))
+        .distinct()
+    )
 
 
 def ngram_jaccard(

@@ -102,3 +102,68 @@ def test_repetition_stats_short_docs_dropped(spark):
     rows = {r["doc_id"]: r for r in textops.repetition_stats(df).collect()}
     assert set(rows) == {2}
     assert rows[2]["n_ngrams"] == 1
+
+
+def test_simhash_candidates_matches_bruteforce_oracle(spark):
+    """Banded candidate generation finds EXACTLY the pairs a brute-force
+    Hamming scan over the bit-exact pure-Python signatures finds (pigeonhole
+    guarantees no miss at hamming <= bands-1; the verify step kills every
+    false candidate)."""
+    import itertools
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..", "tools"))
+    from xxh64 import simhash64_py
+
+    from oaxaca_blinder_rs_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        F.col("doc_id") < 60
+    )
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    sigs = {i: simhash64_py(t, k=2) for i, t in texts.items()}
+    expected = {
+        (a, b): bin((sigs[a] ^ sigs[b]) & 0xFFFFFFFFFFFFFFFF).count("1")
+        for a, b in itertools.combinations(sorted(sigs), 2)
+        if bin((sigs[a] ^ sigs[b]) & 0xFFFFFFFFFFFFFFFF).count("1") <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_candidates(docs, max_hamming=3).collect()
+    }
+    assert got == expected and len(expected) > 0
+
+
+def test_simhash_candidates_precomputed_signatures(spark):
+    """sig_col path + pigeonhole edge cases: 3 flipped bits across 3 bands
+    still collide on the untouched band; a 4-bit pair is dropped by the
+    verify step; the sign-bit band works."""
+    M = (1 << 64) - 1
+
+    def i64(x):  # two's-complement int64 view of an unsigned 64-bit pattern
+        x &= M
+        return x - (1 << 64) if x >= (1 << 63) else x
+
+    base = (1 << 63) + (0xABCD << 32) + 0x1234  # unsigned pattern, sign bit set
+    rows = [
+        (0, i64(base)),
+        (1, i64(base ^ (1 << 2) ^ (1 << 20) ^ (1 << 40))),  # hamming 3, bands 0,1,2
+        (2, i64(base ^ (1 << 2) ^ (1 << 20) ^ (1 << 40) ^ (1 << 63))),  # hamming 4 vs 0
+        (3, i64(base ^ (1 << 63))),  # hamming 1 vs 0, differs only in sign band
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, sig long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup_candidates_collect(df)
+    }
+    assert got[(0, 1)] == 3
+    assert got[(0, 3)] == 1
+    assert (0, 2) not in got
+    assert got[(1, 2)] == 1
+
+
+def dedup_candidates_collect(df):
+    from oaxaca_blinder_rs_spark.operators import dedup
+
+    return dedup.simhash_candidates(df, sig_col="sig", max_hamming=3).collect()
