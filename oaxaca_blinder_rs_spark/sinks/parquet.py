@@ -17,7 +17,7 @@ import uuid
 
 from pyspark.sql import DataFrame
 
-__all__ = ["write_sized_parquet"]
+__all__ = ["write_sized_parquet", "write_token_shards"]
 
 
 def write_sized_parquet(
@@ -66,3 +66,41 @@ def write_sized_parquet(
         out = out.partitionBy(*partition_by)
     out.parquet(path)
     return {"rows": n, "files": files, "bytes_per_row": bytes_per_row}
+
+
+def write_token_shards(
+    docs: DataFrame,
+    path: str,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_col: str | None = None,
+    mode: str = "overwrite",
+) -> dict:
+    """Write a corpus as token-budget training shards: hive-partitioned
+    parquet under ``path/shard_id=N/`` with each document carrying its
+    ``n_tokens`` and global ``token_offset``.
+
+    The last mile of the corpus pipeline (gate -> dedup -> pack -> shard):
+    shard assignment comes from ``corpus.pack_token_shards`` (distributed
+    prefix scan), the write shuffles once on shard_id, and a data loader
+    can stream shard directories independently with stable offsets.
+    A shard holds every document whose first token falls in its window, so
+    a shard's token sum can overrun ``budget`` by at most one document.
+    Returns {rows, shards, total_tokens}.
+    """
+    from ..operators.corpus import pack_token_shards
+
+    packed = pack_token_shards(
+        docs, budget, text_col=text_col, id_col=id_col, token_col=token_col
+    )
+    joined = docs.join(packed, id_col)
+    joined.repartition("shard_id").write.mode(mode).partitionBy("shard_id").parquet(path)
+    stats = packed.agg(
+        {"*": "count", "shard_id": "max", "n_tokens": "sum"}
+    ).collect()[0]
+    return {
+        "rows": int(stats["count(1)"]),
+        "shards": int(stats["max(shard_id)"]) + 1 if stats["max(shard_id)"] is not None else 0,
+        "total_tokens": int(stats["sum(n_tokens)"] or 0),
+    }

@@ -130,3 +130,27 @@ def test_streaming_gate_scrub_pii(spark, tmp_path):
     out = spark.sql("SELECT * FROM pii_gate").collect()
     assert len(out) == 1
     assert "<EMAIL>" in out[0]["text"] and "@" not in out[0]["text"]
+
+
+def test_write_token_shards_roundtrip(spark, sf_dir, tmp_path):
+    """Sharded corpus write: hive partition dirs per shard, offsets/tokens
+    survive the round-trip, and every shard except possibly the last starts
+    within its budget window."""
+    import glob
+
+    from oaxaca_blinder_rs_spark.sinks.parquet import write_token_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out_dir = str(tmp_path / "shards")
+    budget = 2000
+    stats = write_token_shards(docs, out_dir, budget=budget)
+    assert stats["rows"] == docs.count()
+    shard_dirs = glob.glob(f"{out_dir}/shard_id=*")
+    assert len(shard_dirs) == stats["shards"] > 1
+    back = spark.read.parquet(out_dir)
+    assert back.count() == stats["rows"]
+    rows = back.select("doc_id", "n_tokens", "token_offset", "shard_id").collect()
+    total = sum(r["n_tokens"] for r in rows)
+    assert total == stats["total_tokens"]
+    for r in rows:
+        assert r["shard_id"] == r["token_offset"] // budget
