@@ -1,0 +1,52 @@
+"""Skew mitigation: salted joins for hot keys.
+
+AQE's skew-join split handles most skew at runtime (enabled in this repo's
+sessions), but it only splits the SHUFFLE side of a sort-merge join and
+needs statistics to trigger. When one join key holds a double-digit share
+of a 100 TB fact table (the classic null-bucket / default-value / megacity
+key), explicit salting is the deterministic fix: spread the big side's hot
+rows across ``salt`` sub-keys and replicate the matching small-side rows to
+every sub-key, so no single reducer owns the hot key.
+
+Semantics are identical to the unsalted equi-join (inner/left): each big
+row keeps exactly one salt value, and the small side carries every salt
+value, so each matched pair appears exactly once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["salted_join"]
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str | list[str],
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join ``big`` with ``small`` on ``on``, salting the key ``salt``
+    ways.
+
+    The big side gets a deterministic per-row salt (hash of the whole row,
+    mod salt) — uniform even when the join key itself is constant; the
+    small side is exploded salt times (its size multiplies by ``salt``:
+    keep it the dimension side). Join keys become (on..., salt), so a key
+    holding p% of the table spreads over ``salt`` reducers instead of one.
+
+    how: 'inner' or 'left' (the outer side must be ``big`` — replicating
+    the small side makes right/full outer semantics ambiguous).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    if salt < 1:
+        raise ValueError(f"salt must be >= 1, got {salt}")
+    keys = [on] if isinstance(on, str) else list(on)
+    big_s = big.withColumn("__salt", F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(int(salt))))
+    small_s = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(int(salt))]))
+    )
+    return big_s.join(small_s, keys + ["__salt"], how).drop("__salt")
