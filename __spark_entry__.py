@@ -897,6 +897,27 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_batch(ev, gap="30 minutes")
 
 
+def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join (operators/asof.py): each 'error' event gets the
+    latest at-or-before 'click' state of the same user — one union + one
+    per-user window pass, checked against DuckDB's NATIVE ASOF LEFT JOIN."""
+    from oaxaca_blinder_rs_spark.operators.asof import asof_join
+    from oaxaca_blinder_rs_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    out = asof_join(left, right, "ts", "user_id", right_cols=["value"])
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", fmt).alias("ts_s"),
+        F.round("asof_value", 6).alias("asof_value"),
+        F.date_format("asof_ts", fmt).alias("asof_ts_s"),
+    )
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series aggregation over the events table (hourly rollup)."""
     from oaxaca_blinder_rs_spark.session import load_table
@@ -957,6 +978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heckman_decomposition": q_heckman_decomposition,
         "optimizer_greedy": q_optimizer_greedy,
         "events_hourly": q_events_hourly,
+        "asof_join_events": q_asof_join_events,
         "user_sessions": q_user_sessions,
         "sample_fraction": q_sample_fraction,
         "sample_stratified": q_sample_stratified,
@@ -1431,6 +1453,19 @@ def oracle_sql() -> dict[str, str]:
                    strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') session_end,
                    user_id, count(*) n_events, round(sum(value), 6) session_value
             FROM s GROUP BY user_id, sid
+        """,
+        "asof_join_events": """
+            WITH l AS (
+              SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+            ), r AS (
+              SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+            )
+            SELECT l.event_id, l.user_id,
+                   strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') ts_s,
+                   round(r.value, 6) asof_value,
+                   strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') asof_ts_s
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "events_hourly": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') hour_start,

@@ -1,0 +1,103 @@
+"""Distributed as-of (point-in-time) join — an operator Spark lacks natively.
+
+For each left row, attach the most recent right row with right.time <=
+left.time (per key): the state-at-event-time join every event pipeline and
+feature store needs (latest model score before a click, last account state
+before a transaction).
+
+Spark-first formulation (no Python in the loop): UNION the two sides with a
+source tag, then ONE window pass per key ordered by (time, tag, tiebreak)
+taking last(payload, ignorenulls=True) over the preceding frame — right rows
+sort before left rows at equal timestamps, giving the inclusive (<=)
+semantics DuckDB's ASOF JOIN implements (the contract oracle). The window
+partitions on the join key: with feature-store key cardinality (users,
+devices, accounts) the work spreads uniformly; a single global as-of (no
+key) funnels one task and is rejected.
+
+Why not merge_asof in applyInPandas: same shuffle, but every group's rows
+must materialize in one pandas frame; the window form streams through the
+sort and keeps whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    time_col: str,
+    by: str | list[str],
+    right_cols: list[str] | None = None,
+    tolerance_seconds: float | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Left as-of join: every left row, plus ``prefix``-named columns holding
+    the latest right payload at-or-before its ``time_col`` (per ``by`` key).
+
+    right_cols: payload columns to carry (default: all non-key, non-time
+    right columns). tolerance_seconds: matches older than this are nulled
+    (the match must be recent enough to be meaningful).
+    Also emits ``{prefix}{time_col}`` — the matched right timestamp.
+    """
+    keys = [by] if isinstance(by, str) else list(by)
+    if time_col in keys:
+        raise ValueError("time_col cannot be a by key")
+    payload = right_cols or [c for c in right.columns if c not in keys + [time_col]]
+    missing = [c for c in payload if c not in right.columns]
+    if missing:
+        raise ValueError(f"right_cols not in right: {missing}")
+
+    # tag order at equal time: right (0) before left (1) -> inclusive <=
+    l_tag = left.select(
+        *[F.col(c) for c in left.columns],
+        F.lit(1).alias("__src"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in payload],
+        F.lit(None).cast("timestamp").alias("__r_time"),
+    )
+    r_tag = right.select(
+        *[F.col(k) for k in keys],
+        F.col(time_col),
+        F.lit(0).alias("__src"),
+        *[F.col(c).alias(f"__r_{c}") for c in payload],
+        F.col(time_col).cast("timestamp").alias("__r_time"),
+        *[
+            F.lit(None).cast(t).alias(c)
+            for c, t in left.dtypes
+            if c not in keys + [time_col]
+        ],
+    ).select(l_tag.columns)  # align column order for union
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(time_col).asc(), F.col("__src").asc(), F.col("__r_time").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_tag.unionByName(r_tag).select(
+        "*",
+        *[
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__m_{c}")
+            for c in payload
+        ],
+        F.last(F.col("__r_time"), ignorenulls=True).over(w).alias("__m_time"),
+    )
+    out = carried.filter(F.col("__src") == 1)
+    within = (
+        F.lit(True)
+        if tolerance_seconds is None
+        else (
+            F.col(time_col).cast("double") - F.col("__m_time").cast("double")
+            <= float(tolerance_seconds)
+        )
+    )
+    sel = [F.col(c) for c in left.columns]
+    for c in payload:
+        sel.append(F.when(within, F.col(f"__m_{c}")).otherwise(F.lit(None)).alias(f"{prefix}{c}"))
+    sel.append(
+        F.when(within, F.col("__m_time")).otherwise(F.lit(None)).alias(f"{prefix}{time_col}")
+    )
+    return out.select(*sel)

@@ -1,0 +1,64 @@
+"""asof_join semantics: inclusive backward match, per-key isolation,
+tolerance nulling — hand-computed fixtures."""
+
+from datetime import datetime
+
+import pytest
+
+from oaxaca_blinder_rs_spark.operators.asof import asof_join
+
+
+def _ts(s):
+    return datetime(2024, 1, 1, 0, 0, s)
+
+
+@pytest.fixture()
+def frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u1", _ts(4)),   # before any state -> null
+            (2, "u1", _ts(10)),  # equal ts -> inclusive match v=2
+            (3, "u1", _ts(11)),  # latest prior is t=10
+            (4, "u2", _ts(30)),  # other key: only u2 states visible
+        ],
+        "event_id long, user string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _ts(5), 1.0),
+            ("u1", _ts(10), 2.0),
+            ("u1", _ts(12), 3.0),
+            ("u2", _ts(1), 9.0),
+        ],
+        "user string, ts timestamp, state double",
+    )
+    return left, right
+
+
+def test_asof_backward_inclusive(spark, frames):
+    left, right = frames
+    out = {r["event_id"]: r for r in asof_join(left, right, "ts", "user").collect()}
+    assert out[1]["asof_state"] is None and out[1]["asof_ts"] is None
+    assert out[2]["asof_state"] == 2.0 and out[2]["asof_ts"] == _ts(10)
+    assert out[3]["asof_state"] == 2.0
+    assert out[4]["asof_state"] == 9.0 and out[4]["asof_ts"] == _ts(1)
+    assert len(out) == left.count()  # left join: every left row survives
+
+
+def test_asof_tolerance_nulls_stale_matches(spark, frames):
+    left, right = frames
+    out = {
+        r["event_id"]: r
+        for r in asof_join(left, right, "ts", "user", tolerance_seconds=5).collect()
+    }
+    assert out[3]["asof_state"] == 2.0      # 1s old: inside tolerance
+    assert out[4]["asof_state"] is None     # 29s old: stale -> nulled
+    assert out[4]["asof_ts"] is None
+
+
+def test_asof_right_cols_validation(spark, frames):
+    left, right = frames
+    with pytest.raises(ValueError):
+        asof_join(left, right, "ts", "user", right_cols=["nope"]).collect()
+    with pytest.raises(ValueError):
+        asof_join(left, right, "ts", "ts").collect()
