@@ -918,6 +918,30 @@ def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval containment join (operators/rangejoin.py): each 'error'
+    event paired with every same-user 'view' window [ts-1h, ts+1h]
+    containing it — bucketed equi-join + exact filter, no nested loop. The
+    oracle is DuckDB's plain inequality join."""
+    from oaxaca_blinder_rs_spark.operators.rangejoin import range_join
+    from oaxaca_blinder_rs_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    points = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        (F.col("ts").cast("double") - 3600).alias("w_lo"),
+        (F.col("ts").cast("double") + 3600).alias("w_hi"),
+    )
+    out = range_join(points, views, "ts", "w_lo", "w_hi", by="user_id", bucket_width=3600.0)
+    return out.select("event_id", "user_id", "view_id")
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series aggregation over the events table (hourly rollup)."""
     from oaxaca_blinder_rs_spark.session import load_table
@@ -979,6 +1003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "optimizer_greedy": q_optimizer_greedy,
         "events_hourly": q_events_hourly,
         "asof_join_events": q_asof_join_events,
+        "range_join_events": q_range_join_events,
         "user_sessions": q_user_sessions,
         "sample_fraction": q_sample_fraction,
         "sample_stratified": q_sample_stratified,
@@ -1466,6 +1491,20 @@ def oracle_sql() -> dict[str, str]:
                    strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') asof_ts_s
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "range_join_events": """
+            WITH p AS (
+              SELECT event_id, user_id, epoch_us(ts)/1000000.0 t
+              FROM events WHERE event_type = 'error'
+            ), v AS (
+              SELECT event_id view_id, user_id,
+                     epoch_us(ts)/1000000.0 - 3600 w_lo,
+                     epoch_us(ts)/1000000.0 + 3600 w_hi
+              FROM events WHERE event_type = 'view'
+            )
+            SELECT p.event_id, p.user_id, v.view_id
+            FROM p JOIN v ON p.user_id = v.user_id
+                         AND v.w_lo <= p.t AND p.t <= v.w_hi
         """,
         "events_hourly": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') hour_start,
