@@ -139,3 +139,41 @@ def test_pack_token_shards_scan_is_distributed(spark, sf_dir):
         plan = stepped._scan_plan
     assert "__scan_pid" in plan
     assert "SinglePartition" not in plan
+
+
+def test_asof_join_plans_without_nested_loop(spark, sf_dir):
+    """The as-of join is a union + window — no join operator at all, and
+    the window partitions on the by-key (never SinglePartition)."""
+    from datetime import datetime
+
+    from oaxaca_blinder_rs_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u", datetime(2024, 1, 1))], "eid long, u string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("u", datetime(2024, 1, 1), 1.0)], "u string, ts timestamp, v double"
+    )
+    plan = _plan(asof_join(left, right, "ts", "u"))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_range_join_plans_as_equi_join(spark, sf_dir):
+    """The bucketed range join must plan as a hash/sort-merge equi-join on
+    (key, bucket) — the nested-loop plan it exists to avoid."""
+    from oaxaca_blinder_rs_spark.operators.rangejoin import range_join
+
+    points = spark.range(0, 1000).select(
+        F.col("id").alias("pid"), (F.col("id") % 7).alias("k"),
+        (F.col("id") % 97).cast("double").alias("x"),
+    )
+    intervals = spark.range(0, 200).select(
+        F.col("id").alias("iid"), (F.col("id") % 7).alias("k"),
+        (F.col("id") % 80).cast("double").alias("lo"),
+        ((F.col("id") % 80) + 10).cast("double").alias("hi"),
+    )
+    plan = _plan(range_join(points, intervals, "x", "lo", "hi", by="k", bucket_width=10.0))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert any(j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
