@@ -35,15 +35,21 @@ def asof_join(
     right_cols: list[str] | None = None,
     tolerance_seconds: float | None = None,
     prefix: str = "asof_",
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join: every left row, plus ``prefix``-named columns holding
-    the latest right payload at-or-before its ``time_col`` (per ``by`` key).
+    the latest right payload at-or-before its ``time_col`` (per ``by`` key) —
+    or, with ``direction='forward'``, the EARLIEST right payload at-or-after
+    it (the next-state join: first fill after an order, next heartbeat
+    after an alert).
 
     right_cols: payload columns to carry (default: all non-key, non-time
-    right columns). tolerance_seconds: matches older than this are nulled
-    (the match must be recent enough to be meaningful).
+    right columns). tolerance_seconds: matches further away than this are
+    nulled (the match must be recent/near enough to be meaningful).
     Also emits ``{prefix}{time_col}`` — the matched right timestamp.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     keys = [by] if isinstance(by, str) else list(by)
     if time_col in keys:
         raise ValueError("time_col cannot be a by key")
@@ -72,27 +78,41 @@ def asof_join(
         ],
     ).select(l_tag.columns)  # align column order for union
 
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col(time_col).asc(), F.col("__src").asc(), F.col("__r_time").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    # backward: frame = everything up to and incl. the current row, take the
+    # LAST right payload; forward: mirror it — right rows sort AFTER left at
+    # equal ts is wrong for inclusive >=, so keep right-first ordering and
+    # use the following frame with FIRST. At equal ts, right(0) < left(1) in
+    # the sort, so a following frame anchored at the left row excludes a
+    # same-ts right row — order __src DESC for forward instead (left before
+    # right at equal ts -> the frame [current, following] includes it).
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col(time_col).asc(), F.col("__src").asc(), F.col("__r_time").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        pick = lambda c: F.last(c, ignorenulls=True)
+    else:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col(time_col).asc(), F.col("__src").desc(), F.col("__r_time").asc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        pick = lambda c: F.first(c, ignorenulls=True)
     carried = l_tag.unionByName(r_tag).select(
         "*",
         *[
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__m_{c}")
+            pick(F.col(f"__r_{c}")).over(w).alias(f"__m_{c}")
             for c in payload
         ],
-        F.last(F.col("__r_time"), ignorenulls=True).over(w).alias("__m_time"),
+        pick(F.col("__r_time")).over(w).alias("__m_time"),
     )
     out = carried.filter(F.col("__src") == 1)
+    t_sec = F.col(time_col).cast("timestamp").cast("double")  # NTZ-safe hop
+    m_sec = F.col("__m_time").cast("double")
+    gap = t_sec - m_sec if direction == "backward" else m_sec - t_sec
     within = (
-        F.lit(True)
-        if tolerance_seconds is None
-        else (
-            F.col(time_col).cast("double") - F.col("__m_time").cast("double")
-            <= float(tolerance_seconds)
-        )
+        F.lit(True) if tolerance_seconds is None else (gap <= float(tolerance_seconds))
     )
     sel = [F.col(c) for c in left.columns]
     for c in payload:

@@ -62,3 +62,36 @@ def test_asof_right_cols_validation(spark, frames):
         asof_join(left, right, "ts", "user", right_cols=["nope"]).collect()
     with pytest.raises(ValueError):
         asof_join(left, right, "ts", "ts").collect()
+
+
+def test_asof_forward_inclusive(spark, frames):
+    left, right = frames
+    out = {
+        r["event_id"]: r
+        for r in asof_join(left, right, "ts", "user", direction="forward").collect()
+    }
+    assert out[1]["asof_state"] == 1.0 and out[1]["asof_ts"] == _ts(5)   # next at t=5
+    assert out[2]["asof_state"] == 2.0 and out[2]["asof_ts"] == _ts(10)  # equal ts inclusive
+    assert out[3]["asof_state"] == 3.0                                   # next at t=12
+    assert out[4]["asof_state"] is None                                  # nothing after t=30
+
+
+def test_asof_forward_tolerance(spark, frames):
+    left, right = frames
+    out = {
+        r["event_id"]: r
+        for r in asof_join(
+            left, right, "ts", "user", direction="forward", tolerance_seconds=1
+        ).collect()
+    }
+    assert out[1]["asof_state"] == 1.0   # t=4 -> t=5 is 1s: inside tolerance
+    assert out[3]["asof_state"] == 3.0   # t=11 -> t=12 is 1s: kept
+    assert out[4]["asof_state"] is None  # no following state at all
+
+
+def test_asof_direction_validation(spark, frames):
+    left, right = frames
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        asof_join(left, right, "ts", "user", direction="nearest")
