@@ -95,3 +95,49 @@ def test_asof_direction_validation(spark, frames):
 
     with _pytest.raises(ValueError):
         asof_join(left, right, "ts", "user", direction="nearest")
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    """Randomized cross-check against pandas.merge_asof (an independent
+    implementation of the same semantics), both directions, with keys."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    n_l, n_r = 300, 200
+    left_pd = pd.DataFrame(
+        {
+            "eid": np.arange(n_l),
+            "k": rng.integers(0, 5, n_l).astype(str),
+            "t": pd.to_datetime(rng.integers(0, 10_000, n_l), unit="s"),
+        }
+    )
+    right_pd = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, n_r).astype(str),
+            "t": pd.to_datetime(rng.integers(0, 10_000, n_r), unit="s"),
+            "v": np.round(rng.normal(size=n_r), 6),
+        }
+    )
+    # merge_asof needs unique (k, t) on the right for a deterministic match
+    right_pd = right_pd.drop_duplicates(subset=["k", "t"], keep="last")
+
+    left = spark.createDataFrame(left_pd.rename(columns={"t": "ts"}))
+    right = spark.createDataFrame(right_pd.rename(columns={"t": "ts"}))
+    for direction in ("backward", "forward"):
+        got = {
+            r["eid"]: r["asof_v"]
+            for r in asof_join(left, right, "ts", "k", direction=direction).collect()
+        }
+        want_df = pd.merge_asof(
+            left_pd.sort_values("t"),
+            right_pd.sort_values("t"),
+            on="t",
+            by="k",
+            direction=direction,
+            allow_exact_matches=True,
+        )
+        want = dict(zip(want_df["eid"], want_df["v"]))
+        for eid in want:
+            g, w = got[eid], want[eid]
+            assert (g is None and pd.isna(w)) or g == w, (direction, eid, g, w)
