@@ -873,6 +873,19 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (sampling.split_corpus): per-split
+    row count + id checksum; membership is a pure function of (seed, id)."""
+    from oaxaca_blinder_rs_spark.operators.sampling import split_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    tagged = split_corpus(docs, {"train": 0.9, "val": 0.05, "test": 0.05})
+    return tagged.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
 def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic dataset mixture (sampling.mix_corpora): even-id docs
     sampled at 0.5, odd-id docs at 0.25, memberships pure functions of
@@ -1008,6 +1021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_fraction": q_sample_fraction,
         "sample_stratified": q_sample_stratified,
         "corpus_mixture": q_corpus_mixture,
+        "corpus_split": q_corpus_split,
         "regional_revenue": q_regional_revenue,
         "oaxaca_mean_2pred": q_oaxaca_mean_2pred,
         "oaxaca_categorical": q_oaxaca_categorical,
@@ -1435,6 +1449,19 @@ def oracle_sql() -> dict[str, str]:
                    round(least(diff, greatest(2000000.0 - cum, 0)), 4) adjustment,
                    round(fair, 4) fair_wage
             FROM c WHERE least(diff, greatest(2000000.0 - cum, 0)) > 1e-9
+        """,
+        "corpus_split": """
+            WITH u AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       / 4294967296.0 un
+              FROM documents
+            )
+            SELECT CASE WHEN un < 0.9 THEN 'train'
+                        WHEN un < 0.95 THEN 'val'
+                        ELSE 'test' END split,
+                   count(*) n_docs, sum(doc_id) id_sum
+            FROM u GROUP BY 1
         """,
         "sample_fraction": """
             SELECT doc_id FROM documents

@@ -22,7 +22,13 @@ from pyspark.sql import functions as F
 
 from .scan import grouped_dense_rank
 
-__all__ = ["md5_uniform", "deterministic_sample", "stratified_sample", "mix_corpora"]
+__all__ = [
+    "md5_uniform",
+    "deterministic_sample",
+    "stratified_sample",
+    "mix_corpora",
+    "split_corpus",
+]
 
 
 def md5_uniform(id_col: str, seed: int = 42) -> Column:
@@ -62,6 +68,42 @@ def stratified_sample(
         df.withColumn("__sk", key), strata_col, "__sk", "__srank"
     )
     return ranked.filter(F.col("__srank") < int(n_per_stratum)).drop("__sk", "__srank")
+
+
+def split_corpus(
+    df: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 42,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic disjoint splits (train/val/test): every row tagged with
+    the name of the fraction band its uniform falls in.
+
+    Bands are cumulative in the dict's insertion order —
+    ``{"train": .9, "val": .05, "test": .05}`` maps u<0.9 -> train,
+    u<0.95 -> val, else test. Fractions must sum to 1 (±1e-9): unlike
+    sampling, a split must place EVERY row. Membership is a pure function
+    of (seed, id): stable across reruns, partitionings and engines, and a
+    row can never land in two splits — the leakage guarantee train/test
+    splits exist for. Stateless map-side expression, no shuffle.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    if not fractions or any(w < 0 for w in fractions.values()):
+        raise ValueError("fractions must be non-negative and non-empty")
+    u = md5_uniform(id_col, seed)
+    expr = None
+    cum = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += float(fractions[name])
+        branch = F.when(u < cum, F.lit(name))
+        expr = branch if expr is None else expr.when(u < cum, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)
 
 
 def mix_corpora(

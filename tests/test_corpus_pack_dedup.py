@@ -154,3 +154,34 @@ def test_write_token_shards_roundtrip(spark, sf_dir, tmp_path):
     assert total == stats["total_tokens"]
     for r in rows:
         assert r["shard_id"] == r["token_offset"] // budget
+
+
+def test_split_corpus_disjoint_exhaustive_deterministic(spark, sf_dir):
+    from oaxaca_blinder_rs_spark.operators.sampling import split_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tagged = split_corpus(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    n = docs.count()
+    # exhaustive: every row gets exactly one split tag
+    assert tagged.count() == n
+    counts = {r["split"]: r["c"] for r in tagged.groupBy("split").agg(
+        F.count(F.lit(1)).alias("c")).collect()}
+    assert set(counts) == {"train", "val", "test"} and sum(counts.values()) == n
+    assert counts["train"] > counts["val"]  # rough proportionality
+    # deterministic: same membership on a different partitioning
+    again = {
+        r["doc_id"]: r["split"]
+        for r in split_corpus(docs.repartition(17), {"train": 0.8, "val": 0.1, "test": 0.1}).collect()
+    }
+    for r in tagged.collect():
+        assert again[r["doc_id"]] == r["split"]
+
+
+def test_split_corpus_validates_fractions(spark, sf_dir):
+    from oaxaca_blinder_rs_spark.operators.sampling import split_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with pytest.raises(ValueError):
+        split_corpus(docs, {"a": 0.5, "b": 0.4})
+    with pytest.raises(ValueError):
+        split_corpus(docs, {"a": 1.5, "b": -0.5})
