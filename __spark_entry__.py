@@ -365,6 +365,18 @@ def q_pca_whiten_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quantized k-means (embeddings.kmeans_quantized, k=6,
+    2 Lloyd iterations): every assignment is exact int64 arithmetic, so the
+    oracle replays BOTH iterations (assign -> floor-div centroids -> assign)
+    in SQL bit-for-bit."""
+    from oaxaca_blinder_rs_spark.operators import embeddings as embx
+
+    e = _t(spark, sf_dir, "embeddings")
+    assigns, _ = embx.kmeans_quantized(e, k=6, iters=2)
+    return assigns
+
+
 def q_weighted_kde_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9: weighted Gaussian KDE on a 20-point grid (fixed bandwidth)."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
@@ -993,6 +1005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_mean_pool": q_embedding_mean_pool,
         "embedding_cov_check": q_embedding_cov_check,
         "pca_whiten_top2": q_pca_whiten_top2,
+        "kmeans_clusters": q_kmeans_clusters,
         "weighted_kde_grid": q_weighted_kde_grid,
         "oaxaca_mean_weighted": q_oaxaca_mean_weighted,
         "vif_lineitem": q_vif_lineitem,
@@ -1095,6 +1108,64 @@ _PII_AUG_SQL = """
     CASE WHEN doc_id % 7 = 0 THEN ' call +1 555 000 ' || (1000 + doc_id % 9000) ELSE '' END AS text
   FROM documents
 """
+
+
+def _kmeans_sql(k: int = 6, iters: int = 2) -> str:
+    """DuckDB twin of embeddings.kmeans_quantized: the Lloyd loop unrolled
+    (exact int64 distances, floor-div centroids, empty clusters keep the
+    previous centroid)."""
+    dist = (
+        "list_sum(list_transform(range(1,65), "
+        "i -> (v.qv[i]-c.cqv[i])*(v.qv[i]-c.cqv[i])))"
+    )
+    parts = [
+        """v AS (
+          SELECT vec_id, list_transform(range(0,64),
+                   j -> CAST(floor(CAST(embedding[j+1] AS DOUBLE)*1000) AS BIGINT)) qv
+          FROM embeddings
+        )""",
+        f"""c0 AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 cid, qv cqv
+          FROM (SELECT vec_id, qv FROM v ORDER BY vec_id LIMIT {k})
+        )""",
+    ]
+    prev = "c0"
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""a{t} AS (
+              SELECT vec_id, cid FROM (
+                SELECT v.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY v.vec_id
+                         ORDER BY {dist} ASC, c.cid ASC) rk
+                FROM v, {prev} c
+              ) WHERE rk = 1
+            )""",
+        )
+        parts.append(
+            f"""s{t} AS (
+              SELECT a{t}.cid, d.i, sum(v.qv[d.i]) s, count(*) n
+              FROM a{t} JOIN v USING (vec_id), range(1,65) d(i)
+              GROUP BY a{t}.cid, d.i
+            )""",
+        )
+        parts.append(
+            f"""c{t} AS (
+              SELECT c0_.cid,
+                     coalesce(n_.cqv, c0_.cqv) cqv
+              FROM {prev} c0_ LEFT JOIN (
+                SELECT cid, list(CAST(floor(CAST(s AS DOUBLE)/n) AS BIGINT) ORDER BY i) cqv
+                FROM s{t} GROUP BY cid
+              ) n_ USING (cid)
+            )""",
+        )
+        prev = f"c{t}"
+    final = f"""SELECT vec_id, cid AS "cluster" FROM (
+          SELECT v.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY v.vec_id
+                   ORDER BY {dist} ASC, c.cid ASC) rk
+          FROM v, {prev} c
+        ) WHERE rk = 1"""
+    return "WITH " + ",\n".join(parts) + "\n" + final
 
 
 # MinHash banding in SQL (num_perm=16, bands=4, k=3) — the DuckDB twin of
@@ -1896,6 +1967,7 @@ def oracle_sql() -> dict[str, str]:
             ) / 4.0, 6) quality
             FROM t
         """,
+        "kmeans_clusters": _kmeans_sql(k=6, iters=2),
         "embedding_normalize": """
             SELECT vec_id,
                    round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))), 6) l2_norm,

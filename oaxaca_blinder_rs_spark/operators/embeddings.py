@@ -26,6 +26,7 @@ __all__ = [
     "mean_pool",
     "embedding_covariance",
     "pca_whiten",
+    "kmeans_quantized",
 ]
 
 
@@ -113,6 +114,120 @@ def embedding_covariance(
     mean = s / n
     cov = (xtx - n * np.outer(mean, mean)) / max(n - ddof, 1.0)
     return cov, mean, int(n)
+
+
+def kmeans_quantized(
+    df: DataFrame,
+    k: int,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1000,
+) -> tuple[DataFrame, list[list[int]]]:
+    """Deterministic Lloyd's k-means over quantized embeddings:
+    (assignments (id, cluster), final integer centroids).
+
+    The reproducibility trick (shared with the IVF quantizer): work on
+    ``floor(x * scale)`` int64 vectors, assign by EXACT integer squared-L2
+    (ties -> lowest cluster id), and floor-divide the per-cluster sums for
+    the next centroids. Every quantity is integer-exact, so an independent
+    engine (the DuckDB oracle) replays every assignment bit-for-bit —
+    no floating-point summation-order ambiguity, the failure mode that
+    makes distributed k-means otherwise unverifiable.
+
+    Scale shape: per iteration, ONE Arrow pass computes assignments and
+    per-partition (cluster, dim-sum, count) partials — the driver combines
+    k x dim integers. Init = the quantized vectors of the k lowest ids
+    (deterministic; callers wanting k-means++ can seed via `df` ordering).
+    Empty clusters keep their previous centroid. Cluster-based diversity
+    sampling / near-dup blocking are the corpus uses.
+    """
+    if k < 1 or iters < 1:
+        raise ValueError(f"k and iters must be >= 1, got k={k} iters={iters}")
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField as SF, StructType as ST
+
+    qv = F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * scale).cast("long")
+    )
+    base = df.select(F.col(id_col), qv.alias("__qv")).persist()
+    try:
+        init_rows = base.orderBy(id_col).limit(k).collect()
+        if len(init_rows) < k:
+            raise ValueError(f"k={k} exceeds row count {len(init_rows)}")
+        cents = [list(map(int, r["__qv"])) for r in init_rows]
+        dim = len(cents[0])
+
+        part_schema = ST(
+            [
+                SF("cluster", LongType(), False),
+                SF("n", LongType(), False),
+                SF("sums", ArrayType(LongType()), False),
+            ]
+        )
+
+        def stats_pass(cent_arr):
+            def run(batches):
+                totals: dict[int, tuple[int, np.ndarray]] = {}
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    x = np.array([np.asarray(v, dtype=np.int64) for v in pdf["__qv"]])
+                    d = ((x[:, None, :] - cent_arr[None, :, :]) ** 2).sum(axis=2)
+                    assign = d.argmin(axis=1)  # argmin takes lowest index on ties
+                    for c in np.unique(assign):
+                        sel = x[assign == c]
+                        n0, s0 = totals.get(int(c), (0, np.zeros(dim, dtype=np.int64)))
+                        totals[int(c)] = (n0 + sel.shape[0], s0 + sel.sum(axis=0))
+                if totals:
+                    yield pd.DataFrame(
+                        {
+                            "cluster": list(totals),
+                            "n": [v[0] for v in totals.values()],
+                            "sums": [v[1].tolist() for v in totals.values()],
+                        }
+                    )
+
+            return run
+
+        for _ in range(iters):
+            cent_arr = np.array(cents, dtype=np.int64)
+            rows = base.mapInPandas(stats_pass(cent_arr), part_schema).collect()
+            agg: dict[int, tuple[int, np.ndarray]] = {}
+            for r in rows:
+                n0, s0 = agg.get(r["cluster"], (0, np.zeros(dim, dtype=np.int64)))
+                agg[r["cluster"]] = (n0 + r["n"], s0 + np.asarray(r["sums"], dtype=np.int64))
+            new_cents = []
+            for c in range(k):
+                if c in agg and agg[c][0] > 0:
+                    n, s = agg[c]
+                    new_cents.append([int(v) // n for v in s])  # floor division
+                else:
+                    new_cents.append(cents[c])
+            cents = new_cents
+
+        cent_arr = np.array(cents, dtype=np.int64)
+        out_schema = ST(
+            [
+                SF(id_col, df.schema[id_col].dataType, False),
+                SF("cluster", LongType(), False),
+            ]
+        )
+
+        def assign_final(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.array([np.asarray(v, dtype=np.int64) for v in pdf["__qv"]])
+                d = ((x[:, None, :] - cent_arr[None, :, :]) ** 2).sum(axis=2)
+                yield pd.DataFrame({id_col: pdf[id_col], "cluster": d.argmin(axis=1)})
+
+        assignments = base.mapInPandas(assign_final, out_schema)
+        # materialize before unpersisting the shared base
+        assignments = assignments.localCheckpoint(eager=True)
+        return assignments, cents
+    finally:
+        base.unpersist()
 
 
 def pca_whiten(

@@ -81,3 +81,50 @@ def test_pca_whiten_deterministic_across_partitionings(spark, vecs):
     assert set(a) == set(b)
     for k in a:
         assert np.allclose(a[k], b[k], atol=1e-9)
+
+
+def _kmeans_numpy(mat, k, iters, scale=1000):
+    ids = sorted(mat)
+    X = np.floor(np.array([mat[i] for i in ids]) * scale).astype(np.int64)
+    cents = X[:k].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        new = []
+        for c in range(k):
+            sel = X[a == c]
+            if len(sel):
+                new.append(sel.sum(axis=0) // len(sel))  # floor division
+            else:
+                new.append(cents[c])
+        cents = np.array(new, dtype=np.int64)
+    d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    return dict(zip(ids, d.argmin(axis=1))), cents
+
+
+def test_kmeans_quantized_matches_numpy(spark, vecs):
+    df, mat = vecs
+    assigns, cents = emb.kmeans_quantized(df.repartition(7), k=5, iters=3)
+    got = {r["vec_id"]: r["cluster"] for r in assigns.collect()}
+    want, want_cents = _kmeans_numpy(mat, k=5, iters=3)
+    assert got == want
+    assert np.array_equal(np.array(cents, dtype=np.int64), want_cents)
+    assert len(set(got.values())) > 1  # actually clusters
+
+
+def test_kmeans_quantized_partitioning_invariant(spark, vecs):
+    df, _ = vecs
+    a, ca = emb.kmeans_quantized(df.repartition(3), k=4, iters=2)
+    b, cb = emb.kmeans_quantized(df.repartition(13), k=4, iters=2)
+    assert {r["vec_id"]: r["cluster"] for r in a.collect()} == {
+        r["vec_id"]: r["cluster"] for r in b.collect()
+    }
+    assert ca == cb
+
+
+def test_kmeans_quantized_validates(spark, vecs):
+    df, _ = vecs
+    with pytest.raises(ValueError):
+        emb.kmeans_quantized(df, k=0)
+    with pytest.raises(ValueError):
+        emb.kmeans_quantized(df.limit(2), k=5)
