@@ -284,6 +284,7 @@ def ivf_topk(
     n_probe: int = 2,
     quantize_scale: int = 1000,
     exclude_self: bool = True,
+    train_iters: int = 0,
 ) -> DataFrame:
     """Approximate cosine top-k via an IVF-Flat index (inverted file lists).
 
@@ -297,7 +298,20 @@ def ivf_topk(
     oracle reproduces the same candidate sets; recall < 1 by construction,
     identical across engines.
     """
-    cents = ivf_centroids(corpus, n_lists, vec_col, id_col, quantize_scale)
+    if train_iters > 0:
+        # refine the sampled quantizer with the deterministic integer-exact
+        # k-means trainer (embeddings.kmeans_quantized) — list occupancy
+        # balances toward the data's actual density; still fully
+        # reproducible (every centroid coordinate is an int64)
+        from .embeddings import kmeans_quantized
+
+        _, trained = kmeans_quantized(
+            corpus, k=n_lists, iters=train_iters, vec_col=vec_col,
+            id_col=id_col, scale=quantize_scale,
+        )
+        cents = list(enumerate(trained))
+    else:
+        cents = ivf_centroids(corpus, n_lists, vec_col, id_col, quantize_scale)
     cb = _ivf_sided(corpus, "neighbor_id", cents, 1, vec_col, id_col, quantize_scale)
     qb = _ivf_sided(queries, "query_id", cents, n_probe, vec_col, id_col, quantize_scale)
     return _rerank_pairs(qb, cb, k, exclude_self)

@@ -350,3 +350,31 @@ def test_mix_corpora(spark):
     assert all(d < 500 for s, d in m1 if s == 0) and all(d >= 500 for s, d in m1 if s == 1)
     with pytest.raises(ValueError):
         sampling.mix_corpora([])
+
+
+def test_ivf_trained_centroids_deterministic_and_exact_at_full_probe(spark, sf_dir):
+    """train_iters>0 refines the quantizer with integer k-means: results
+    stay deterministic across partitionings, and probing every list still
+    recovers the exact brute-force top-k (rerank is exact regardless of
+    the quantizer)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from oaxaca_blinder_rs_spark.operators import similarity
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = emb.filter(F.col("vec_id") < 20)
+
+    def key(df):
+        return sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"]) for r in df.collect()
+        )
+
+    a = similarity.ivf_topk(q, emb.repartition(3), k=3, n_lists=4,
+                            n_probe=4, train_iters=2)
+    b = similarity.ivf_topk(q, emb.repartition(11), k=3, n_lists=4,
+                            n_probe=4, train_iters=2)
+    assert key(a) == key(b)
+    exact = similarity.brute_force_topk(q, emb, k=3)
+    assert key(a) == key(exact)
