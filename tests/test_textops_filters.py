@@ -167,3 +167,19 @@ def dedup_candidates_collect(df):
     from oaxaca_blinder_rs_spark.operators import dedup
 
     return dedup.simhash_candidates(df, sig_col="sig", max_hamming=3).collect()
+
+
+def test_simhash_table_matches_column_form(spark):
+    """The vectorized explode+groupBy signature equals the 64-HOF Column
+    form value-for-value (same shingles, hashes, vote rule)."""
+    from oaxaca_blinder_rs_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        F.col("doc_id") < 40
+    )
+    col_form = {
+        r["doc_id"]: r["sh"]
+        for r in docs.select("doc_id", dedup.simhash64(F.col("text"), k=2).alias("sh")).collect()
+    }
+    table_form = {r["doc_id"]: r["simhash"] for r in dedup.simhash_table(docs).collect()}
+    assert table_form == col_form and len(col_form) == 40
