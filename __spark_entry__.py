@@ -377,6 +377,17 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigns
 
 
+def q_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quota diversity subsample (embeddings.diversity_sample):
+    k-means clusters (k=6, 2 iters) then the 20 smallest (md5-uniform, id)
+    per cluster. The oracle composes the unrolled k-means CTE with the
+    stratified-pick window."""
+    from oaxaca_blinder_rs_spark.operators import embeddings as embx
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embx.diversity_sample(e, n_per_cluster=20, k=6, iters=2)
+
+
 def q_weighted_kde_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9: weighted Gaussian KDE on a 20-point grid (fixed bandwidth)."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
@@ -1006,6 +1017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cov_check": q_embedding_cov_check,
         "pca_whiten_top2": q_pca_whiten_top2,
         "kmeans_clusters": q_kmeans_clusters,
+        "diversity_sample": q_diversity_sample,
         "weighted_kde_grid": q_weighted_kde_grid,
         "oaxaca_mean_weighted": q_oaxaca_mean_weighted,
         "vif_lineitem": q_vif_lineitem,
@@ -1968,6 +1980,16 @@ def oracle_sql() -> dict[str, str]:
             FROM t
         """,
         "kmeans_clusters": _kmeans_sql(k=6, iters=2),
+        "diversity_sample": f"""
+            WITH assigns AS ({_kmeans_sql(k=6, iters=2)})
+            SELECT vec_id, "cluster" FROM (
+              SELECT vec_id, "cluster",
+                     row_number() OVER (PARTITION BY "cluster" ORDER BY
+                       substr(md5('s42:' || CAST(vec_id AS VARCHAR)), 1, 8) ||
+                       lpad(CAST(vec_id AS VARCHAR), 18, '0')) rk
+              FROM assigns
+            ) WHERE rk <= 20
+        """,
         "embedding_normalize": """
             SELECT vec_id,
                    round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))), 6) l2_norm,

@@ -27,6 +27,7 @@ __all__ = [
     "embedding_covariance",
     "pca_whiten",
     "kmeans_quantized",
+    "diversity_sample",
 ]
 
 
@@ -228,6 +229,35 @@ def kmeans_quantized(
         return assignments, cents
     finally:
         base.unpersist()
+
+
+def diversity_sample(
+    df: DataFrame,
+    n_per_cluster: int,
+    k: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-diversity subsample: (id, cluster) — up to ``n_per_cluster``
+    rows from each of ``k`` k-means clusters.
+
+    The standard corpus-diversity recipe (cluster then quota-sample) built
+    from two verified pieces: ``kmeans_quantized`` assignments (integer-
+    exact, reproducible) and the md5-uniform per-stratum pick from
+    ``sampling.stratified_sample`` (the n smallest (uniform, id) per
+    cluster via the distributed grouped rank). Deterministic end-to-end:
+    membership is a pure function of (seed, id, data).
+    """
+    from .sampling import stratified_sample
+
+    assigns, _ = kmeans_quantized(
+        df, k=k, iters=iters, vec_col=vec_col, id_col=id_col
+    )
+    return stratified_sample(
+        assigns, "cluster", n_per_cluster, id_col=id_col, seed=seed
+    )
 
 
 def pca_whiten(

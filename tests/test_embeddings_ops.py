@@ -128,3 +128,17 @@ def test_kmeans_quantized_validates(spark, vecs):
         emb.kmeans_quantized(df, k=0)
     with pytest.raises(ValueError):
         emb.kmeans_quantized(df.limit(2), k=5)
+
+
+def test_diversity_sample_quota_and_determinism(spark, vecs):
+    df, _ = vecs
+    out = emb.diversity_sample(df, n_per_cluster=5, k=4, iters=2)
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["cluster"], []).append(r["vec_id"])
+    assert all(len(v) <= 5 for v in per.values())
+    assert len(per) > 1
+    again = {(r["vec_id"], r["cluster"]) for r in
+             emb.diversity_sample(df.repartition(9), n_per_cluster=5, k=4, iters=2).collect()}
+    assert {(r["vec_id"], r["cluster"]) for r in rows} == again
