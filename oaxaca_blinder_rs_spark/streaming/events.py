@@ -25,6 +25,7 @@ __all__ = [
     "streaming_decomposition_stats",
     "streaming_dedup",
     "streaming_corpus_gate",
+    "streaming_enrich_last_state",
     "sessionize_batch",
 ]
 
@@ -174,6 +175,94 @@ def streaming_decomposition_stats(
             outputStructType=out_schema,
             stateStructType=state_schema,
             outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def streaming_enrich_last_state(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    kind_col: str = "kind",
+    value_col: str = "value",
+    state_kind: str = "state",
+) -> DataFrame:
+    """Streaming point-in-time enrichment — the streaming face of
+    ``operators.asof.asof_join`` (backward direction).
+
+    One tagged stream carries both sides: rows with ``kind_col ==
+    state_kind`` update a per-key latest-state register; every OTHER row is
+    an event, emitted as (key, ts, asof_value, asof_ts) holding the most
+    recent state at-or-before its timestamp. State per key is one
+    (timestamp, value) pair — O(1) forever, no watermark needed.
+
+    Ordering contract: exact within a micro-batch (rows are sorted by
+    (ts, state-first)); across batches the register only moves forward, so
+    an event arriving in a later batch than a newer state row is enriched
+    with that newer state — the standard last-value-register semantics of
+    stream enrichment. Use the batch asof_join for exact reprocessing.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import DoubleType, StructField, StructType, TimestampType
+
+    out_schema = StructType(
+        [
+            StructField(key_col, stream.schema[key_col].dataType),
+            StructField(ts_col, TimestampType()),
+            StructField("asof_value", DoubleType()),
+            StructField("asof_ts", TimestampType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("sts", DoubleType()), StructField("sv", DoubleType())]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        last_ts, last_v = (state.get if state.exists else (None, None))
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if frames:
+            pdf = pd.concat(frames, ignore_index=True)
+            is_state = pdf[kind_col] == state_kind
+            pdf = pdf.assign(__kr=(~is_state).astype(int)).sort_values(
+                [ts_col, "__kr"], kind="mergesort"
+            )
+            is_state = pdf[kind_col] == state_kind
+            sv = pdf[value_col].where(is_state).ffill()
+            st = pdf[ts_col].where(is_state).ffill()
+            if last_ts is not None:
+                seed_ts = pd.Timestamp(last_ts, unit="s")
+                sv = sv.fillna(last_v)
+                st = st.fillna(seed_ts)
+            ev_mask = ~is_state
+            out = pd.DataFrame(
+                {
+                    key_col: pdf.loc[ev_mask, key_col],
+                    ts_col: pdf.loc[ev_mask, ts_col],
+                    "asof_value": sv[ev_mask],
+                    "asof_ts": st[ev_mask],
+                }
+            )
+            new_last = st.iloc[-1] if is_state.any() else None
+            if new_last is not None and not pd.isna(new_last):
+                state.update(
+                    (float(st[is_state].iloc[-1].timestamp()),
+                     float(sv[is_state].iloc[-1]))
+                )
+            yield out
+        else:
+            yield pd.DataFrame(
+                {key_col: [], ts_col: [], "asof_value": [], "asof_ts": []}
+            )
+
+    return (
+        stream.groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )

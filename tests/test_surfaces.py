@@ -484,3 +484,54 @@ def test_write_sized_parquet(spark, sf_dir, tmp_path):
     st2 = write_sized_parquet(empty, str(tmp_path / "empty"))
     assert st2 == {"rows": 0, "files": 0, "bytes_per_row": 0.0}
     assert spark.read.parquet(str(tmp_path / "empty")).count() == 0
+
+
+def test_streaming_enrich_last_state_two_batches(spark, tmp_path):
+    """Streaming as-of enrichment: within-batch inclusive ordering and the
+    per-key register carrying across separately-triggered batches (same
+    checkpoint, second run sees only the new file)."""
+    import tempfile
+    from datetime import datetime
+
+    def ts(s):
+        return datetime(2026, 1, 1, 0, 0, s)
+
+    schema = "user_id long, ts timestamp, kind string, value double"
+    src = str(tmp_path / "enrich_stream")
+    ckpt = str(tmp_path / "enrich_ckpt")
+    batch1 = spark.createDataFrame(
+        [
+            (1, ts(5), "state", 10.0),
+            (1, ts(7), "event", 0.0),   # -> 10.0
+            (1, ts(9), "state", 20.0),
+            (2, ts(3), "event", 0.0),   # no state yet -> null
+        ],
+        schema,
+    )
+    batch1.coalesce(1).write.mode("overwrite").parquet(src)
+
+    out_dir = str(tmp_path / "enrich_out")
+
+    def run_once():
+        stream = spark.readStream.schema(batch1.schema).format("parquet").load(src)
+        out = streaming_events.streaming_enrich_last_state(stream)
+        # parquet sink: supports checkpoint recovery (memory sink does not)
+        q = (
+            out.writeStream.format("parquet").option("path", out_dir)
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    first = {(r["user_id"], r["ts"]): r for r in spark.read.parquet(out_dir).collect()}
+    assert first[(1, ts(7))]["asof_value"] == 10.0
+    assert first[(2, ts(3))]["asof_value"] is None
+
+    # second batch: event for user 1 must see the register carried from run 1
+    batch2 = spark.createDataFrame([(1, ts(20), "event", 0.0)], schema)
+    batch2.coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    rows = {(r["user_id"], r["ts"]): r for r in spark.read.parquet(out_dir).collect()}
+    assert rows[(1, ts(20))]["asof_value"] == 20.0
+    assert rows[(1, ts(20))]["asof_ts"] == ts(9)
