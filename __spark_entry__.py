@@ -978,6 +978,23 @@ def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "view_id")
 
 
+def q_salted_join_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key skew mitigation (operators/skew.py): the salted equi-join
+    must aggregate to exactly what the plain join produces — the oracle IS
+    the plain join. Revenue per order-priority through an 8-way salt."""
+    from oaxaca_blinder_rs_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    out = salted_join(li, orders, "l_orderkey", salt=8)
+    return out.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 4).alias("revenue"),
+    )
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series aggregation over the events table (hourly rollup)."""
     from oaxaca_blinder_rs_spark.session import load_table
@@ -1042,6 +1059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "asof_join_events": q_asof_join_events,
         "range_join_events": q_range_join_events,
+        "salted_join_check": q_salted_join_check,
         "user_sessions": q_user_sessions,
         "sample_fraction": q_sample_fraction,
         "sample_stratified": q_sample_stratified,
@@ -1601,6 +1619,12 @@ def oracle_sql() -> dict[str, str]:
                    strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') asof_ts_s
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "salted_join_check": """
+            SELECT o.o_orderpriority, count(*) n_items,
+                   round(sum(l.l_extendedprice), 4) revenue
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderpriority
         """,
         "range_join_events": """
             WITH p AS (
