@@ -258,6 +258,13 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score (textops.ngram_logprob): per-doc mean log
+    probability under the corpus's own add-0.1-smoothed bigram model."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.ngram_logprob(docs)
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filters: top/dup word-bigram fractions."""
     docs = _t(spark, sf_dir, "documents")
@@ -1026,6 +1033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "token_count_bpe": q_token_count_bpe,
         "repetition_stats": q_repetition_stats,
+        "ngram_logprob": q_ngram_logprob,
         "knn_cosine_top3": q_knn_cosine_top3,
         "ann_lsh_top3": q_ann_lsh_top3,
         "ann_ivf_top3": q_ann_ivf_top3,
@@ -1372,6 +1380,27 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text,
                        '''(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s'']+')) n_bpe_tokens
             FROM aug
+        """,
+        "ngram_logprob": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') t
+              FROM documents
+            ), big AS (
+              SELECT doc_id, unnest(list_transform(range(1, greatest(len(t), 1)),
+                       i -> struct_pack(w1 := t[i], w2 := t[i+1]))) bg
+              FROM toks WHERE len(t) >= 2
+            ), b AS (
+              SELECT doc_id, bg.w1 w1, bg.w2 w2 FROM big
+            ), uni AS (
+              SELECT w1, count(*) c1 FROM (SELECT unnest(t) w1 FROM toks) GROUP BY w1
+            ), v AS (SELECT count(*) v FROM uni
+            ), bgc AS (
+              SELECT w1, w2, count(*) c12 FROM b GROUP BY w1, w2
+            )
+            SELECT b.doc_id, count(*) n_bigrams,
+                   round(avg(ln((bgc.c12 + 0.1) / (uni.c1 + 0.1 * v.v))), 6) mean_logprob
+            FROM b JOIN bgc USING (w1, w2) JOIN uni USING (w1), v
+            GROUP BY b.doc_id
         """,
         "repetition_stats": """
             WITH grams AS (

@@ -30,6 +30,7 @@ __all__ = [
     "pii_scrub",
     "pii_stats",
     "repetition_stats",
+    "ngram_logprob",
     "EN_STOPWORDS",
     "STOPSETS",
     "BPE_SPLIT_RE",
@@ -146,6 +147,69 @@ def repetition_stats(
         F.round(
             F.coalesce(F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0)) / F.sum("c"), 6
         ).alias("dup_frac"),
+    )
+
+
+def ngram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Per-document mean bigram log-probability under an add-alpha-smoothed
+    bigram LM trained on the corpus itself: (id, n_bigrams, mean_logprob).
+
+    The CCNet-style LM quality filter: documents whose token transitions
+    are improbable under the corpus LM (gibberish, boilerplate soup, wrong
+    language) score low; fluent text scores high. Scoring a corpus under a
+    reference corpus's LM = train on one frame, score the other (the counts
+    are plain aggregations, so both directions compose).
+
+    Shape: one explode (doc, w1, w2) -> bigram + unigram count aggregations
+    on uniform token keys -> two joins back -> per-doc average. All codegen;
+    the LM "model" never materializes outside the shuffle. Deterministic
+    (round 6) and fully SQL-expressible for the oracle.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(0), cnt - F.lit(2))
+    big = df.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                cnt >= 2,
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        F.element_at(toks, i + 1).alias("w1"),
+                        F.element_at(toks, i + 2).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("__bg"),
+    ).select(id_col, F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
+
+    uni = (
+        df.select(F.explode(toks).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+    bg_counts = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+
+    a = float(alpha)
+    scored = (
+        big.join(bg_counts, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "__lp",
+            F.log((F.col("c12") + F.lit(a)) / (F.col("c1") + F.lit(a) * F.col("v"))),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("__lp"), 6).alias("mean_logprob"),
     )
 
 

@@ -183,3 +183,24 @@ def test_simhash_table_matches_column_form(spark):
     }
     table_form = {r["doc_id"]: r["simhash"] for r in dedup.simhash_table(docs).collect()}
     assert table_form == col_form and len(col_form) == 40
+
+
+def test_ngram_logprob_hand_computed(spark):
+    """docs 'a b a' / 'a b': C(a)=3 C(b)=2 V=2 C(a,b)=2 C(b,a)=1, alpha=0.1:
+    P(b|a)=2.1/3.2, P(a|b)=1.1/2.2."""
+    import math
+
+    df = _df(spark, ["a b a", "a b"])
+    rows = {r["doc_id"]: r for r in textops.ngram_logprob(df).collect()}
+    p_ba = math.log(2.1 / 3.2)
+    p_ab = math.log(1.1 / 2.2)
+    assert rows[0]["n_bigrams"] == 2
+    assert rows[0]["mean_logprob"] == pytest.approx(round((p_ba + p_ab) / 2, 6), abs=1e-6)
+    assert rows[1]["n_bigrams"] == 1
+    assert rows[1]["mean_logprob"] == pytest.approx(round(p_ba, 6), abs=1e-6)
+
+
+def test_ngram_logprob_single_token_docs_dropped(spark):
+    df = _df(spark, ["solo", "two words"])
+    rows = {r["doc_id"]: r for r in textops.ngram_logprob(df).collect()}
+    assert set(rows) == {1}
