@@ -185,3 +185,56 @@ def test_split_corpus_validates_fractions(spark, sf_dir):
         split_corpus(docs, {"a": 0.5, "b": 0.4})
     with pytest.raises(ValueError):
         split_corpus(docs, {"a": 1.5, "b": -0.5})
+
+
+def test_new_operators_on_empty_and_degenerate_inputs(spark):
+    """Empty frames flow through every continuation-session operator without
+    errors: packing, decontamination, joins, filters, LM scoring."""
+    from datetime import datetime
+
+    from oaxaca_blinder_rs_spark.operators import textops
+    from oaxaca_blinder_rs_spark.operators.asof import asof_join
+    from oaxaca_blinder_rs_spark.operators.rangejoin import range_join
+    from oaxaca_blinder_rs_spark.operators.skew import salted_join
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert corpus.pack_token_shards(empty_docs, budget=10).count() == 0
+    assert corpus.cross_corpus_dedup(empty_docs, empty_docs).count() == 0
+    assert textops.pii_stats(empty_docs).count() == 0
+    assert textops.repetition_stats(empty_docs).count() == 0
+    assert textops.ngram_logprob(empty_docs).count() == 0
+
+    one_doc = spark.createDataFrame([(0, "hello world")], "doc_id long, text string")
+    # empty reference corpus: nothing to match
+    assert corpus.cross_corpus_dedup(one_doc, empty_docs).count() == 0
+
+    left = spark.createDataFrame(
+        [(1, "u", datetime(2024, 1, 1))], "eid long, u string, ts timestamp"
+    )
+    empty_right = spark.createDataFrame([], "u string, ts timestamp, v double")
+    rows = asof_join(left, empty_right, "ts", "u").collect()
+    assert len(rows) == 1 and rows[0]["asof_v"] is None
+
+    pts = spark.createDataFrame([(0, 5.0)], "pid long, x double")
+    empty_iv = spark.createDataFrame([], "iid long, lo double, hi double")
+    assert range_join(pts, empty_iv, "x", "lo", "hi").count() == 0
+    out = range_join(pts, empty_iv, "x", "lo", "hi", how="left").collect()
+    assert len(out) == 1 and out[0]["iid"] is None
+
+    empty_dim = spark.createDataFrame([], "k long, name string")
+    fact = spark.createDataFrame([(7, 1.0)], "k long, v double")
+    assert salted_join(fact, empty_dim, "k").count() == 0
+    assert salted_join(fact, empty_dim, "k", how="left").count() == 1
+
+
+def test_textops_null_text_propagates(spark):
+    """Null text rows: regexp expressions yield nulls (pii counts / digest),
+    explode-based stats drop the row — no exceptions either way."""
+    from oaxaca_blinder_rs_spark.operators import textops
+
+    df = spark.createDataFrame([(0, None), (1, "a b a b")], "doc_id long, text string")
+    pii = {r["doc_id"]: r for r in textops.pii_stats(df).collect()}
+    assert pii[0]["scrubbed_md5"] is None and pii[0]["n_email"] is None
+    assert pii[1]["n_email"] == 0
+    rep = {r["doc_id"]: r for r in textops.repetition_stats(df).collect()}
+    assert set(rep) == {1}
