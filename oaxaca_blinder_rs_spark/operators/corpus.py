@@ -35,14 +35,25 @@ def prepare_corpus(
     candidate_pairs: DataFrame | None = None,
     candidates: str = "auto",
     lsh_threshold: int = 5000,
+    max_top_bigram_frac: float | None = None,
+    min_mean_logprob: float | None = None,
+    scrub_pii: bool = False,
 ) -> DataFrame:
-    """Raw documents -> (doc_id, n_tokens, quality, lang) keep-list.
+    """Raw documents -> (doc_id, n_tokens, quality, lang) keep-list
+    (plus ``text`` when ``scrub_pii=True``).
 
     Stages: (1) keep docs with quality_score >= min_quality and a language
     guess in ``langs``; (2) exact dedup on the 5-token-prefix md5, keeping
     the lowest doc id per group; (3) near-dup clustering at
     ``jaccard_threshold`` over ``shingle_k``-gram shingles, keeping each
     cluster's lowest-id representative.
+
+    Optional gates (all default off, so the verified default pipeline is
+    unchanged): ``max_top_bigram_frac`` drops documents whose most frequent
+    bigram exceeds that share (Gopher repetition rule);
+    ``min_mean_logprob`` drops documents below that mean bigram
+    log-probability under the corpus LM (CCNet-style); ``scrub_pii=True``
+    carries a redacted ``text`` column through to the keep-list.
 
     Candidate edges for stage 3: ``candidate_pairs`` when given; otherwise
     ``candidates`` picks the generator — ``"allpairs"`` (size-pruned exact,
@@ -63,6 +74,15 @@ def prepare_corpus(
     kept = scored.filter(
         (F.col("quality") >= float(min_quality)) & F.col("lang").isin(list(langs))
     )
+
+    if max_top_bigram_frac is not None:
+        rep = textops.repetition_stats(docs, text_col=text_col, id_col=id_col, n=2)
+        too_rep = rep.filter(F.col("top_frac") > float(max_top_bigram_frac)).select(id_col)
+        kept = kept.join(too_rep, id_col, "left_anti")
+    if min_mean_logprob is not None:
+        lp = textops.ngram_logprob(docs, text_col=text_col, id_col=id_col)
+        too_odd = lp.filter(F.col("mean_logprob") < float(min_mean_logprob)).select(id_col)
+        kept = kept.join(too_odd, id_col, "left_anti")
 
     # exact dedup: canonical 5-token-prefix fingerprint, keep min id
     toks = F.split(F.trim(F.lower(t)), r"\s+")
@@ -93,7 +113,11 @@ def prepare_corpus(
         F.col("doc_id").alias(id_col)
     )
     survivors = kept.join(dropped, id_col, "left_anti")
-    return survivors.select(id_col, "n_tokens", "quality", "lang")
+    cols = [id_col, "n_tokens", "quality", "lang"]
+    if scrub_pii:
+        survivors = survivors.withColumn("text", textops.pii_scrub(t))
+        cols.append("text")
+    return survivors.select(*cols)
 
 
 def pack_token_shards(

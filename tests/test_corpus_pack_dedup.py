@@ -238,3 +238,23 @@ def test_textops_null_text_propagates(spark):
     assert pii[1]["n_email"] == 0
     rep = {r["doc_id"]: r for r in textops.repetition_stats(df).collect()}
     assert set(rep) == {1}
+
+
+def test_prepare_corpus_optional_gates(spark, sf_dir):
+    """The repetition/LM/PII gates compose with the verified default: off by
+    default (same survivors), strictly-subset when on, scrubbed text carried
+    when requested."""
+    from pyspark.sql import functions as FF
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = {r["doc_id"] for r in corpus.prepare_corpus(docs).collect()}
+
+    gated = corpus.prepare_corpus(
+        docs, max_top_bigram_frac=0.08, min_mean_logprob=-6.5
+    )
+    sub = {r["doc_id"] for r in gated.collect()}
+    assert sub <= base and len(sub) < len(base)
+
+    scrubbed = corpus.prepare_corpus(docs, scrub_pii=True)
+    assert "text" in scrubbed.columns
+    assert {r["doc_id"] for r in scrubbed.collect()} == base
