@@ -204,3 +204,39 @@ def test_ngram_logprob_single_token_docs_dropped(spark):
     df = _df(spark, ["solo", "two words"])
     rows = {r["doc_id"]: r for r in textops.ngram_logprob(df).collect()}
     assert set(rows) == {1}
+
+
+def test_bpe_and_pii_patterns_portable_on_random_strings(spark):
+    """Fuzz the regex-dialect portability claim: on 400 seeded random
+    strings over a hostile alphabet (quotes, digits, punctuation, spaces,
+    pattern fragments), Spark's Java-regex counts equal Python re's counts
+    for the BPE split and every PII pattern."""
+    import random
+
+    rng = random.Random(1234)
+    alphabet = list(
+        "abcXYZ019 .,!?'\"@+-_()[]{}#$%&*=/\\<>:;\n\tÀéß中"
+    )
+    fragments = ["it's", "a@b.co", "1.2.3.4", "+1 555 000 1234", "  ", "don't",
+                 "x" * 30, "@@", "..", "'s", "10.0.0.1:8080", "e.g.", "we're"]
+    strings = []
+    for i in range(400):
+        n = rng.randint(0, 60)
+        s = "".join(rng.choice(alphabet) for _ in range(n))
+        if rng.random() < 0.5:
+            cut = rng.randint(0, len(s))
+            s = s[:cut] + rng.choice(fragments) + s[cut:]
+        strings.append(s)
+
+    df = _df(spark, strings)
+    cols = [textops.token_count_bpe(F.col("text")).alias("bpe")]
+    for label, pat, _ in textops.PII_PATTERNS:
+        cols.append(F.regexp_count(F.col("text"), F.lit(pat)).alias(label))
+    got = {r["doc_id"]: r for r in df.select("doc_id", *cols).collect()}
+
+    bpe_re = re.compile(textops.BPE_SPLIT_RE)
+    pii_res = [(label, re.compile(pat)) for label, pat, _ in textops.PII_PATTERNS]
+    for i, s in enumerate(strings):
+        assert got[i]["bpe"] == len(bpe_re.findall(s)), (i, s)
+        for label, cre in pii_res:
+            assert got[i][label] == len(cre.findall(s)), (label, i, s)
