@@ -265,6 +265,37 @@ def q_ngram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.ngram_logprob(docs)
 
 
+_MULTI_PHRASES = {
+    1: "пример текста на русском языке",
+    2: "中文示例文本内容",
+    3: "مثال على النص العربي",
+}
+
+
+def _script_augmented(docs: DataFrame) -> DataFrame:
+    """Deterministic multilingual augmentation (the testdata corpus is
+    ASCII-only): doc_id%4 in {1,2,3} appends a Cyrillic/Han/Arabic phrase.
+    The oracle builds the identical text with the same UTF-8 literals."""
+    expr = F.col("text")
+    for m, phrase in _MULTI_PHRASES.items():
+        expr = F.when(
+            F.col("doc_id") % 4 == m, F.concat(F.col("text"), F.lit(" " + phrase))
+        ).otherwise(expr)
+    return docs.select("doc_id", expr.alias("text"))
+
+
+def q_script_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script composition + dominant-script ID over the
+    multilingual-augmented corpus (textops.script_ratios / script_id):
+    Java \\p{IsX} and RE2 \\p{X} classes agree count-for-count."""
+    docs = _script_augmented(_t(spark, sf_dir, "documents"))
+    out = textops.script_ratios(docs)
+    sid = docs.select(
+        "doc_id", textops.script_id(F.col("text")).alias("script_guess")
+    )
+    return out.join(sid, "doc_id")
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filters: top/dup word-bigram fractions."""
     docs = _t(spark, sf_dir, "documents")
@@ -1034,6 +1065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_bpe": q_token_count_bpe,
         "repetition_stats": q_repetition_stats,
         "ngram_logprob": q_ngram_logprob,
+        "script_ratios": q_script_ratios,
         "knn_cosine_top3": q_knn_cosine_top3,
         "ann_lsh_top3": q_ann_lsh_top3,
         "ann_ivf_top3": q_ann_ivf_top3,
@@ -1401,6 +1433,41 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(ln((bgc.c12 + 0.1) / (uni.c1 + 0.1 * v.v))), 6) mean_logprob
             FROM b JOIN bgc USING (w1, w2) JOIN uni USING (w1), v
             GROUP BY b.doc_id
+        """,
+        "script_ratios": f"""
+            WITH aug AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 4 = 1 THEN text || ' {_MULTI_PHRASES[1]}'
+                          WHEN doc_id % 4 = 2 THEN text || ' {_MULTI_PHRASES[2]}'
+                          WHEN doc_id % 4 = 3 THEN text || ' {_MULTI_PHRASES[3]}'
+                          ELSE text END AS text
+              FROM documents
+            ), c AS (
+              SELECT doc_id,
+                     length(regexp_replace(text, '[^\\p{{L}}]', '', 'g')) nl,
+                     length(regexp_replace(text, '[^\\p{{Latin}}]', '', 'g')) c_latin,
+                     length(regexp_replace(text, '[^\\p{{Cyrillic}}]', '', 'g')) c_cyrillic,
+                     length(regexp_replace(text, '[^\\p{{Han}}]', '', 'g')) c_han,
+                     length(regexp_replace(text, '[^\\p{{Arabic}}]', '', 'g')) c_arabic,
+                     length(regexp_replace(text, '[^\\p{{Greek}}]', '', 'g')) c_greek
+              FROM aug
+            )
+            SELECT doc_id, nl n_letters,
+                   CASE WHEN nl > 0 THEN round(CAST(c_latin AS DOUBLE)/nl, 6) ELSE 0.0 END r_latin,
+                   CASE WHEN nl > 0 THEN round(CAST(c_cyrillic AS DOUBLE)/nl, 6) ELSE 0.0 END r_cyrillic,
+                   CASE WHEN nl > 0 THEN round(CAST(c_han AS DOUBLE)/nl, 6) ELSE 0.0 END r_han,
+                   CASE WHEN nl > 0 THEN round(CAST(c_arabic AS DOUBLE)/nl, 6) ELSE 0.0 END r_arabic,
+                   CASE WHEN nl > 0 THEN round(CAST(c_greek AS DOUBLE)/nl, 6) ELSE 0.0 END r_greek,
+                   CASE WHEN nl = 0 THEN 'und'
+                        WHEN CAST(greatest(c_latin, c_cyrillic, c_han, c_arabic, c_greek) AS DOUBLE)/nl > 0.5
+                        THEN CASE greatest(c_latin, c_cyrillic, c_han, c_arabic, c_greek)
+                               WHEN c_latin THEN 'latin'
+                               WHEN c_cyrillic THEN 'cyrillic'
+                               WHEN c_han THEN 'han'
+                               WHEN c_arabic THEN 'arabic'
+                               ELSE 'greek' END
+                        ELSE 'mixed' END script_guess
+            FROM c
         """,
         "repetition_stats": """
             WITH grams AS (

@@ -31,6 +31,9 @@ __all__ = [
     "pii_stats",
     "repetition_stats",
     "ngram_logprob",
+    "script_ratios",
+    "script_id",
+    "SCRIPTS",
     "EN_STOPWORDS",
     "STOPSETS",
     "BPE_SPLIT_RE",
@@ -210,6 +213,54 @@ def ngram_logprob(
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg("__lp"), 6).alias("mean_logprob"),
+    )
+
+
+# Unicode scripts the detector votes over. Java regex spells the class
+# \p{IsLatin}, RE2 (DuckDB) spells it \p{Latin} — semantically identical;
+# the oracle uses its own dialect and the counts hash-match.
+SCRIPTS = ["Latin", "Cyrillic", "Han", "Arabic", "Greek"]
+
+
+def _script_count(text: Column, script: str) -> Column:
+    return F.length(F.regexp_replace(text, rf"[^\p{{Is{script}}}]", ""))
+
+
+def script_ratios(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document Unicode-script composition: (id, n_letters, r_latin,
+    r_cyrillic, r_han, r_arabic, r_greek), each ratio = script letters /
+    all letters (6 dp).
+
+    The first stage of multilingual corpus routing — script is cheaper and
+    more robust than token-level language ID, and mixed-script documents
+    (spam, code dumps, mojibake) show up as split ratios. Pure codegen
+    regexp counts; zero shuffles.
+    """
+    t = F.col(text_col)
+    n_letters = F.length(F.regexp_replace(t, r"[^\p{L}]", ""))
+    cols = [F.col(id_col), n_letters.alias("n_letters")]
+    for s in SCRIPTS:
+        ratio = F.when(
+            n_letters > 0,
+            F.round(_script_count(t, s).cast("double") / n_letters, 6),
+        ).otherwise(F.lit(0.0))
+        cols.append(ratio.alias(f"r_{s.lower()}"))
+    return df.select(*cols)
+
+
+def script_id(text: Column, min_ratio: float = 0.5) -> Column:
+    """Dominant script name (lowercase) when it holds more than
+    ``min_ratio`` of the letters, else 'mixed'; 'und' when no letters."""
+    n_letters = F.length(F.regexp_replace(text, r"[^\p{L}]", ""))
+    best = None
+    for s in SCRIPTS:
+        c = _script_count(text, s)
+        item = F.struct(c.alias("c"), F.lit(s.lower()).alias("name"))
+        best = item if best is None else F.when(c > best["c"], item).otherwise(best)
+    return (
+        F.when(n_letters == 0, F.lit("und"))
+        .when(best["c"].cast("double") / n_letters > float(min_ratio), best["name"])
+        .otherwise(F.lit("mixed"))
     )
 
 

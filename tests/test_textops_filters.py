@@ -240,3 +240,32 @@ def test_bpe_and_pii_patterns_portable_on_random_strings(spark):
         assert got[i]["bpe"] == len(bpe_re.findall(s)), (i, s)
         for label, cre in pii_res:
             assert got[i][label] == len(cre.findall(s)), (label, i, s)
+
+
+def test_script_id_and_ratios(spark):
+    """Hand fixtures across scripts incl. mixed and empty."""
+    texts = [
+        "plain english text only",
+        "пример текста на русском",
+        "这是中文",
+        "نص عربي",
+        "ελληνικό κείμενο",
+        "abcd абвг",  # exactly half latin / half cyrillic -> not > 0.5 -> mixed
+        "1234 .,!? ",
+    ]
+    df = _df(spark, texts)
+    sid = {
+        r["doc_id"]: r["s"]
+        for r in df.select("doc_id", textops.script_id(F.col("text")).alias("s")).collect()
+    }
+    assert sid[0] == "latin"
+    assert sid[1] == "cyrillic"
+    assert sid[2] == "han"
+    assert sid[3] == "arabic"
+    assert sid[4] == "greek"
+    assert sid[5] == "mixed"
+    assert sid[6] == "und"
+    rows = {r["doc_id"]: r for r in textops.script_ratios(df).collect()}
+    assert rows[0]["r_latin"] == 1.0 and rows[0]["r_cyrillic"] == 0.0
+    assert rows[6]["n_letters"] == 0 and rows[6]["r_latin"] == 0.0
+    assert 0.0 < rows[5]["r_latin"] < 1.0 and 0.0 < rows[5]["r_cyrillic"] < 1.0
