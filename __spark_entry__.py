@@ -1016,6 +1016,20 @@ def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "view_id")
 
 
+def q_events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the events JSON props column
+    (get_json_object — JVM-side JSON path, no UDF) and aggregate the
+    extracted field per event type. Oracle uses DuckDB's JSON extraction."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("k_sum"),
+        F.min(k).alias("k_min"),
+        F.max(k).alias("k_max"),
+    )
+
+
 def q_salted_join_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key skew mitigation (operators/skew.py): the salted equi-join
     must aggregate to exactly what the plain join produces — the oracle IS
@@ -1100,6 +1114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": q_asof_join_events,
         "range_join_events": q_range_join_events,
         "salted_join_check": q_salted_join_check,
+        "events_props_stats": q_events_props_stats,
         "user_sessions": q_user_sessions,
         "sample_fraction": q_sample_fraction,
         "sample_stratified": q_sample_stratified,
@@ -1715,6 +1730,13 @@ def oracle_sql() -> dict[str, str]:
                    strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') asof_ts_s
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "events_props_stats": """
+            SELECT event_type, count(*) n_events,
+                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) k_sum,
+                   min(CAST(json_extract_string(props, '$.k') AS BIGINT)) k_min,
+                   max(CAST(json_extract_string(props, '$.k') AS BIGINT)) k_max
+            FROM events GROUP BY event_type
         """,
         "salted_join_check": """
             SELECT o.o_orderpriority, count(*) n_items,

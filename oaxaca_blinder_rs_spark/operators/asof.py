@@ -36,6 +36,7 @@ def asof_join(
     tolerance_seconds: float | None = None,
     prefix: str = "asof_",
     direction: str = "backward",
+    allow_exact_matches: bool = True,
 ) -> DataFrame:
     """Left as-of join: every left row, plus ``prefix``-named columns holding
     the latest right payload at-or-before its ``time_col`` (per ``by`` key) —
@@ -46,6 +47,8 @@ def asof_join(
     right_cols: payload columns to carry (default: all non-key, non-time
     right columns). tolerance_seconds: matches further away than this are
     nulled (the match must be recent/near enough to be meaningful).
+    allow_exact_matches=False makes the comparison strict (< / >) — a
+    same-timestamp right row no longer matches, pandas-merge_asof style.
     Also emits ``{prefix}{time_col}`` — the matched right timestamp.
     """
     if direction not in ("backward", "forward"):
@@ -85,17 +88,21 @@ def asof_join(
     # the sort, so a following frame anchored at the left row excludes a
     # same-ts right row — order __src DESC for forward instead (left before
     # right at equal ts -> the frame [current, following] includes it).
+    # equal-timestamp tag order decides inclusivity: the right row matches
+    # iff it falls inside the left row's frame. backward+inclusive and
+    # forward+strict want right rows FIRST at equal ts; the other two last.
+    src = F.col("__src").asc() if (direction == "backward") == allow_exact_matches else F.col("__src").desc()
     if direction == "backward":
         w = (
             Window.partitionBy(*keys)
-            .orderBy(F.col(time_col).asc(), F.col("__src").asc(), F.col("__r_time").asc())
+            .orderBy(F.col(time_col).asc(), src, F.col("__r_time").asc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         pick = lambda c: F.last(c, ignorenulls=True)
     else:
         w = (
             Window.partitionBy(*keys)
-            .orderBy(F.col(time_col).asc(), F.col("__src").desc(), F.col("__r_time").asc())
+            .orderBy(F.col(time_col).asc(), src, F.col("__r_time").asc())
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
         pick = lambda c: F.first(c, ignorenulls=True)

@@ -141,3 +141,58 @@ def test_asof_matches_pandas_merge_asof(spark):
         for eid in want:
             g, w = got[eid], want[eid]
             assert (g is None and pd.isna(w)) or g == w, (direction, eid, g, w)
+
+
+def test_asof_strict_excludes_same_timestamp(spark, frames):
+    left, right = frames
+    out = {
+        r["event_id"]: r
+        for r in asof_join(
+            left, right, "ts", "user", allow_exact_matches=False
+        ).collect()
+    }
+    # event at t=10 must now skip the t=10 state and take t=5
+    assert out[2]["asof_state"] == 1.0 and out[2]["asof_ts"] == _ts(5)
+    fwd = {
+        r["event_id"]: r
+        for r in asof_join(
+            left, right, "ts", "user", direction="forward", allow_exact_matches=False
+        ).collect()
+    }
+    # forward-strict at t=10 skips t=10 and takes t=12
+    assert fwd[2]["asof_state"] == 3.0 and fwd[2]["asof_ts"] == _ts(12)
+
+
+def test_asof_strict_matches_pandas(spark):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    left_pd = pd.DataFrame(
+        {
+            "eid": np.arange(150),
+            "k": rng.integers(0, 4, 150).astype(str),
+            "t": pd.to_datetime(rng.integers(0, 500, 150), unit="s"),
+        }
+    )
+    right_pd = pd.DataFrame(
+        {
+            "k": rng.integers(0, 4, 120).astype(str),
+            "t": pd.to_datetime(rng.integers(0, 500, 120), unit="s"),
+            "v": np.round(rng.normal(size=120), 6),
+        }
+    ).drop_duplicates(subset=["k", "t"], keep="last")
+    left = spark.createDataFrame(left_pd.rename(columns={"t": "ts"}))
+    right = spark.createDataFrame(right_pd.rename(columns={"t": "ts"}))
+    got = {
+        r["eid"]: r["asof_v"]
+        for r in asof_join(left, right, "ts", "k", allow_exact_matches=False).collect()
+    }
+    want_df = pd.merge_asof(
+        left_pd.sort_values("t"), right_pd.sort_values("t"),
+        on="t", by="k", direction="backward", allow_exact_matches=False,
+    )
+    want = dict(zip(want_df["eid"], want_df["v"]))
+    for eid in want:
+        g, w = got[eid], want[eid]
+        assert (g is None and pd.isna(w)) or g == w, (eid, g, w)
