@@ -33,6 +33,8 @@ __all__ = [
     "ngram_logprob",
     "script_ratios",
     "script_id",
+    "vocab_sketches",
+    "vocab_estimate",
     "SCRIPTS",
     "EN_STOPWORDS",
     "STOPSETS",
@@ -214,6 +216,37 @@ def ngram_logprob(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg("__lp"), 6).alias("mean_logprob"),
     )
+
+
+def vocab_sketches(
+    df: DataFrame,
+    text_col: str = "text",
+    shard_col: Column | None = None,
+) -> DataFrame:
+    """Per-shard HyperLogLog vocabulary sketches: (shard, sketch binary).
+
+    The 100 TB way to track vocabulary size: each shard/partition/day keeps
+    a fixed-size mergeable sketch (Spark's Datasketches HLL), and ANY
+    subset's distinct-token estimate is one `hll_union_agg` away — no
+    re-scan of the text. Default sharding is the physical partition id;
+    pass e.g. a date column to keep one sketch per ingest day.
+    """
+    toks = F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("__w")
+    shard = shard_col if shard_col is not None else F.spark_partition_id()
+    return (
+        df.select(shard.alias("shard"), toks)
+        .groupBy("shard")
+        .agg(F.hll_sketch_agg("__w").alias("sketch"))
+    )
+
+
+def vocab_estimate(sketches: DataFrame) -> int:
+    """Union a sketch frame (any subset of shards) into one distinct-token
+    estimate."""
+    row = sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est")
+    ).first()
+    return int(row["est"] or 0)
 
 
 # Unicode scripts the detector votes over. Java regex spells the class

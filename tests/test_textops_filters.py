@@ -269,3 +269,24 @@ def test_script_id_and_ratios(spark):
     assert rows[0]["r_latin"] == 1.0 and rows[0]["r_cyrillic"] == 0.0
     assert rows[6]["n_letters"] == 0 and rows[6]["r_latin"] == 0.0
     assert 0.0 < rows[5]["r_latin"] < 1.0 and 0.0 < rows[5]["r_cyrillic"] < 1.0
+
+
+def test_vocab_sketches_merge_to_exact_on_small_vocab(spark, sf_dir):
+    """Mergeable HLL vocabulary sketches: per-shard sketches union to the
+    whole-corpus estimate; on a small vocab HLL is exact; any shard subset
+    estimates a subset vocabulary."""
+    from oaxaca_blinder_rs_spark.operators import textops
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(6)
+    sk = textops.vocab_sketches(docs)
+    assert sk.count() > 1  # several shard sketches
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w")
+    )
+    exact = toks.distinct().count()
+    assert textops.vocab_estimate(sk) == exact
+    # sharding by a column works too and merges to the same estimate
+    sk2 = textops.vocab_sketches(docs, shard_col=(F.col("doc_id") % 3))
+    assert sk2.count() == 3
+    assert textops.vocab_estimate(sk2) == exact
+    assert textops.vocab_estimate(sk2.limit(1)) <= exact
