@@ -290,3 +290,24 @@ def test_vocab_sketches_merge_to_exact_on_small_vocab(spark, sf_dir):
     assert sk2.count() == 3
     assert textops.vocab_estimate(sk2) == exact
     assert textops.vocab_estimate(sk2.limit(1)) <= exact
+
+
+def test_minhash_table_matches_column_form(spark):
+    """The vectorized explode+groupBy MinHash equals the Column form
+    signature-for-signature."""
+    from oaxaca_blinder_rs_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        F.col("doc_id") < 40
+    )
+    col_form = {
+        r["doc_id"]: list(r["s"])
+        for r in docs.select(
+            "doc_id", dedup.minhash_signature(F.col("text"), num_perm=16, k=3).alias("s")
+        ).collect()
+    }
+    table_form = {
+        r["doc_id"]: list(r["sig"])
+        for r in dedup.minhash_table(docs, num_perm=16, k=3).collect()
+    }
+    assert table_form == col_form and len(col_form) == 40
