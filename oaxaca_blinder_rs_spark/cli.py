@@ -47,11 +47,72 @@ def build_parser() -> argparse.ArgumentParser:
     report = sub.add_parser("report", help="Run a mean decomposition and write an HTML report")
     common(report)
     report.add_argument("--output", required=True, help="Output HTML path")
+
+    # net-new surface: the training-data corpus pipeline as a CLI verb
+    cp = sub.add_parser(
+        "corpus",
+        help="Gate, dedup and (optionally) shard a document corpus",
+    )
+    cp.add_argument("--input", required=True, help="Input documents (parquet dir/file)")
+    cp.add_argument("--output", required=True, help="Output directory (parquet)")
+    cp.add_argument("--text-col", default="text")
+    cp.add_argument("--id-col", default="doc_id")
+    cp.add_argument("--min-quality", type=float, default=0.5)
+    cp.add_argument("--langs", default="en", help="comma-separated language codes")
+    cp.add_argument("--jaccard", type=float, default=0.9)
+    cp.add_argument("--max-top-bigram-frac", type=float, default=None)
+    cp.add_argument("--min-mean-logprob", type=float, default=None)
+    cp.add_argument("--scrub-pii", action="store_true")
+    cp.add_argument(
+        "--pack-budget", type=int, default=0,
+        help="tokens per training shard; 0 writes the keep-list only",
+    )
     return p
 
 
 def _csv_list(s):
     return [x.strip() for x in s.split(",") if x.strip()] if s else []
+
+
+def _run_corpus(spark, args) -> int:
+    """corpus verb: documents in -> gated/deduped keep-list (or token
+    shards) out, one JSON stats line on stdout."""
+    from .operators.corpus import prepare_corpus
+    from .sinks.parquet import write_token_shards
+
+    docs = spark.read.parquet(args.input)
+    keep = prepare_corpus(
+        docs,
+        text_col=args.text_col,
+        id_col=args.id_col,
+        min_quality=args.min_quality,
+        langs=tuple(_csv_list(args.langs)),
+        jaccard_threshold=args.jaccard,
+        max_top_bigram_frac=args.max_top_bigram_frac,
+        min_mean_logprob=args.min_mean_logprob,
+        scrub_pii=args.scrub_pii,
+    )
+    n_in = docs.count()
+    stats = {"docs_in": n_in}
+    if args.pack_budget > 0:
+        if args.scrub_pii:
+            # the keep-list carries the scrubbed text; drop the raw column
+            kept_docs = docs.drop(args.text_col).join(
+                keep.select(args.id_col, "n_tokens", "text"), args.id_col
+            )
+        else:
+            kept_docs = docs.join(keep.select(args.id_col, "n_tokens"), args.id_col)
+        st = write_token_shards(
+            kept_docs, args.output, budget=args.pack_budget,
+            text_col=args.text_col, id_col=args.id_col, token_col="n_tokens",
+        )
+        stats.update({"docs_kept": st["rows"], "shards": st["shards"],
+                      "total_tokens": st["total_tokens"]})
+    else:
+        keep.write.mode("overwrite").parquet(args.output)
+        stats["docs_kept"] = spark.read.parquet(args.output).count()
+    print(json.dumps(stats))
+    return 0
 
 
 def main(argv=None) -> int:
@@ -64,6 +125,14 @@ def main(argv=None) -> int:
     owns_session = SparkSession.getActiveSession() is None
     spark = get_spark("oaxaca-cli")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.command == "corpus":
+        try:
+            return _run_corpus(spark, args)
+        finally:
+            if owns_session:
+                spark.stop()
+
     df = read_csv(spark, args.data)
     predictors = _csv_list(args.predictors)
     categorical = _csv_list(args.categorical)

@@ -94,7 +94,10 @@ def write_token_shards(
     packed = pack_token_shards(
         docs, budget, text_col=text_col, id_col=id_col, token_col=token_col
     )
-    joined = docs.join(packed, id_col)
+    # the packed frame re-emits these; drop caller-side copies (e.g. a
+    # precomputed token count passed via token_col) so the join is clean
+    overlap = [c for c in ("n_tokens", "token_offset", "shard_id") if c in docs.columns]
+    joined = docs.drop(*overlap).join(packed, id_col)
     joined.repartition("shard_id").write.mode(mode).partitionBy("shard_id").parquet(path)
     stats = packed.agg(
         {"*": "count", "shard_id": "max", "n_tokens": "sum"}

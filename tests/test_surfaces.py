@@ -535,3 +535,30 @@ def test_streaming_enrich_last_state_two_batches(spark, tmp_path):
     rows = {(r["user_id"], r["ts"]): r for r in spark.read.parquet(out_dir).collect()}
     assert rows[(1, ts(20))]["asof_value"] == 20.0
     assert rows[(1, ts(20))]["asof_ts"] == ts(9)
+
+
+def test_cli_corpus_verb(spark, sf_dir, tmp_path, capsys):
+    """The corpus CLI verb: keep-list mode and packed-shard mode both write
+    parquet and print one JSON stats line."""
+    import glob
+    import json as _json
+
+    from oaxaca_blinder_rs_spark.cli import main
+
+    src = f"{sf_dir}/documents.parquet"
+    out1 = str(tmp_path / "keep")
+    assert main(["corpus", "--input", src, "--output", out1]) == 0
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["docs_in"] > stats["docs_kept"] > 0
+    assert spark.read.parquet(out1).count() == stats["docs_kept"]
+
+    out2 = str(tmp_path / "shards")
+    assert main([
+        "corpus", "--input", src, "--output", out2,
+        "--pack-budget", "1500", "--scrub-pii",
+    ]) == 0
+    stats2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats2["shards"] > 1 and stats2["total_tokens"] > 0
+    back = spark.read.parquet(out2)
+    assert back.count() == stats2["docs_kept"]
+    assert "text" in back.columns and "shard_id" in back.columns
