@@ -1047,6 +1047,27 @@ def q_salted_join_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly calendar (timeseries.gap_fill_hourly): every hour x
+    event_type cell in the span, zeros where no events landed."""
+    from oaxaca_blinder_rs_spark.operators.timeseries import gap_fill_hourly
+    from oaxaca_blinder_rs_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return gap_fill_hourly(ev)
+
+
+def q_rolling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-hour features (timeseries.rolling_window): count
+    and value sum of the same user's events in the preceding 3600 s."""
+    from oaxaca_blinder_rs_spark.operators.timeseries import rolling_window
+    from oaxaca_blinder_rs_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    out = rolling_window(ev, window_seconds=3600)
+    return out.select("event_id", "user_id", "w_count", "w_sum")
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series aggregation over the events table (hourly rollup)."""
     from oaxaca_blinder_rs_spark.session import load_table
@@ -1111,6 +1132,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heckman_decomposition": q_heckman_decomposition,
         "optimizer_greedy": q_optimizer_greedy,
         "events_hourly": q_events_hourly,
+        "events_gapfilled": q_events_gapfilled,
+        "rolling_events": q_rolling_events,
         "asof_join_events": q_asof_join_events,
         "range_join_events": q_range_join_events,
         "salted_join_check": q_salted_join_check,
@@ -1717,6 +1740,32 @@ def oracle_sql() -> dict[str, str]:
                    strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') session_end,
                    user_id, count(*) n_events, round(sum(value), 6) session_value
             FROM s GROUP BY user_id, sid
+        """,
+        "events_gapfilled": """
+            WITH agg AS (
+              SELECT date_trunc('hour', ts) h, event_type g,
+                     count(*) n_events, round(sum(value), 6) sum_value
+              FROM events GROUP BY 1, 2
+            ), span AS (
+              SELECT min(date_trunc('hour', ts)) lo, max(date_trunc('hour', ts)) hi
+              FROM events
+            ), hours AS (
+              SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) h FROM span
+            ), groups AS (SELECT DISTINCT event_type g FROM events)
+            SELECT strftime(hours.h, '%Y-%m-%d %H:%M:%S') hour_start,
+                   groups.g event_type,
+                   coalesce(agg.n_events, 0) n_events,
+                   coalesce(agg.sum_value, 0.0) sum_value
+            FROM hours CROSS JOIN groups
+            LEFT JOIN agg ON agg.h = hours.h AND agg.g = groups.g
+        """,
+        "rolling_events": """
+            SELECT event_id, user_id,
+                   count(*) OVER w w_count,
+                   round(sum(value) OVER w, 6) w_sum
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)/1000000.0
+                         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
         """,
         "asof_join_events": """
             WITH l AS (

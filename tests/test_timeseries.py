@@ -1,0 +1,67 @@
+"""Hand-computed fixtures for the time-series operators."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from oaxaca_blinder_rs_spark.operators.timeseries import gap_fill_hourly, rolling_window
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+
+
+def test_gap_fill_hourly_zero_fills_missing_cells(spark):
+    t = datetime(2026, 1, 1)
+    df = _ev(
+        spark,
+        [
+            (0, 1, t.replace(hour=0, minute=5), "click", 1.0),
+            (1, 1, t.replace(hour=0, minute=50), "click", 2.0),
+            (2, 2, t.replace(hour=3, minute=10), "view", 5.0),
+        ],
+    )
+    out = {(r["hour_start"], r["event_type"]): r for r in gap_fill_hourly(df).collect()}
+    # span = hours 0..3, groups = {click, view} -> 8 dense cells
+    assert len(out) == 8
+    assert out[("2026-01-01 00:00:00", "click")]["n_events"] == 2
+    assert out[("2026-01-01 00:00:00", "click")]["sum_value"] == 3.0
+    assert out[("2026-01-01 01:00:00", "click")]["n_events"] == 0
+    assert out[("2026-01-01 02:00:00", "view")]["sum_value"] == 0.0
+    assert out[("2026-01-01 03:00:00", "view")]["n_events"] == 1
+
+
+def test_rolling_window_trailing_hour(spark):
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+    df = _ev(
+        spark,
+        [
+            (0, 1, t0, "c", 1.0),
+            (1, 1, t0.replace(minute=30), "c", 2.0),   # 0 and 1 in window
+            (2, 1, t0.replace(hour=13, minute=1), "c", 4.0),  # 1 (61m after 0) and 2
+            (3, 2, t0.replace(minute=30), "c", 8.0),   # other user: isolated
+        ],
+    )
+    out = {r["event_id"]: r for r in rolling_window(df, 3600).collect()}
+    assert out[0]["w_count"] == 1 and out[0]["w_sum"] == 1.0
+    assert out[1]["w_count"] == 2 and out[1]["w_sum"] == 3.0
+    assert out[2]["w_count"] == 2 and out[2]["w_sum"] == 6.0  # events 1 and 2
+    assert out[3]["w_count"] == 1 and out[3]["w_sum"] == 8.0
+    with pytest.raises(ValueError):
+        rolling_window(df, 0)
+
+
+def test_rolling_window_boundary_inclusive(spark):
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+    df = _ev(
+        spark,
+        [
+            (0, 1, t0, "c", 1.0),
+            (1, 1, t0.replace(hour=13), "c", 2.0),  # exactly 3600 s later: included
+        ],
+    )
+    out = {r["event_id"]: r for r in rolling_window(df, 3600).collect()}
+    assert out[1]["w_count"] == 2 and out[1]["w_sum"] == 3.0
