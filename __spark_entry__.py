@@ -213,6 +213,45 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level curation table: per provenance bucket, document count,
+    mean quality score, exact-dup document share — the report that drives
+    source allow/deny decisions in corpus curation."""
+    docs = _t(spark, sf_dir, "documents")
+    q = textops.quality_score(F.col("text"))
+    fp = F.md5(F.col("text"))
+    dup_counts = docs.groupBy(F.md5(F.col("text")).alias("__fp")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    flagged = docs.select("doc_id", "source", fp.alias("__fp")).join(
+        dup_counts, "__fp"
+    )
+    dup_share = flagged.groupBy("source").agg(
+        F.round(
+            F.sum(F.when(F.col("__n") > 1, 1).otherwise(0)) / F.count(F.lit(1)), 6
+        ).alias("dup_share")
+    )
+    base = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(q), 6).alias("mean_quality"),
+    )
+    return base.join(dup_share, "source")
+
+
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as a query: the stopword-vote lang_id guess
+    cross-tabulated against the corpus's labeled lang column."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("label"),
+            textops.lang_id(F.col("text")).alias("guess"),
+        )
+        .groupBy("label", "guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-vote language ID over {de,en,es,fr}; 'und' when no votes."""
     docs = _t(spark, sf_dir, "documents")
@@ -1096,6 +1135,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signature": q_minhash_signature,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
+        "source_stats": q_source_stats,
+        "lang_id_confusion": q_lang_id_confusion,
         "pii_scrub": q_pii_scrub,
         "token_count_bpe": q_token_count_bpe,
         "repetition_stats": q_repetition_stats,
@@ -1430,6 +1471,48 @@ def oracle_sql() -> dict[str, str]:
                         WHEN cen > cde THEN 'en'
                         ELSE 'de' END lang_guess
             FROM c
+        """,
+        "source_stats": f"""
+            WITH t AS (
+              SELECT doc_id, source, md5(text) fp,
+                     CAST(length(text) AS DOUBLE) n_chars,
+                     CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) n_toks,
+                     CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) n_punct,
+                     CAST(len(list_filter(list_transform(regexp_split_to_array(trim(text), '\\s+'), x -> lower(x)),
+                                          x -> x IN ({_STOP_EN}))) AS DOUBLE) n_stop
+              FROM documents
+            ), q AS (
+              SELECT doc_id, source, fp, (
+                (CASE WHEN n_chars >= 200 AND n_chars <= 100000 THEN 1.0 ELSE 0.0 END) +
+                (CASE WHEN n_toks > 0 AND n_chars/n_toks >= 3.0 AND n_chars/n_toks <= 12.0 THEN 1.0 ELSE 0.0 END) +
+                (CASE WHEN n_toks > 0 AND n_stop/n_toks >= 0.05 THEN 1.0 ELSE 0.0 END) +
+                (CASE WHEN n_punct/n_chars > 0.0 THEN 1.0 ELSE 0.0 END)
+              ) / 4.0 quality
+              FROM t
+            ), d AS (SELECT fp, count(*) n FROM q GROUP BY fp)
+            SELECT q.source, count(*) n_docs,
+                   round(avg(q.quality), 6) mean_quality,
+                   round(sum(CASE WHEN d.n > 1 THEN 1 ELSE 0 END)
+                         / CAST(count(*) AS DOUBLE), 6) dup_share
+            FROM q JOIN d USING (fp) GROUP BY q.source
+        """,
+        "lang_id_confusion": f"""
+            WITH c AS (
+              SELECT lang AS "label",
+                     {_stop_count('de')} cde,
+                     {_stop_count('en')} cen,
+                     {_stop_count('es')} ces,
+                     {_stop_count('fr')} cfr
+              FROM documents
+            )
+            SELECT "label",
+                   CASE WHEN greatest(cde, cen, ces, cfr) = 0 THEN 'und'
+                        WHEN cfr > greatest(cde, cen, ces) THEN 'fr'
+                        WHEN ces > greatest(cde, cen) THEN 'es'
+                        WHEN cen > cde THEN 'en'
+                        ELSE 'de' END guess,
+                   count(*) n
+            FROM c GROUP BY 1, 2
         """,
         "pii_scrub": f"""
             WITH aug AS ({_PII_AUG_SQL})
