@@ -1107,6 +1107,30 @@ def q_rolling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "w_count", "w_sum")
 
 
+def q_segment_revenue_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped OLAP query: top-10 orders by revenue within the
+    BUILDING market segment — two fact joins (customer broadcast), one
+    aggregation, a deterministic global top-k cut."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(rev, 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series aggregation over the events table (hourly rollup)."""
     from oaxaca_blinder_rs_spark.session import load_table
@@ -1185,6 +1209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mixture": q_corpus_mixture,
         "corpus_split": q_corpus_split,
         "regional_revenue": q_regional_revenue,
+        "segment_revenue_top10": q_segment_revenue_top10,
         "oaxaca_mean_2pred": q_oaxaca_mean_2pred,
         "oaxaca_categorical": q_oaxaca_categorical,
         "oaxaca_wls": q_oaxaca_wls,
@@ -1823,6 +1848,19 @@ def oracle_sql() -> dict[str, str]:
                    strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') session_end,
                    user_id, count(*) n_events, round(sum(value), 6) session_value
             FROM s GROUP BY user_id, sid
+        """,
+        "segment_revenue_top10": """
+            SELECT o.o_orderkey,
+                   strftime(o.o_orderdate, '%Y-%m-%d') o_orderdate,
+                   o.o_orderpriority,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+            GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+            ORDER BY revenue DESC, o.o_orderkey ASC
+            LIMIT 10
         """,
         "events_gapfilled": """
             WITH agg AS (
