@@ -1131,6 +1131,23 @@ def q_segment_revenue_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crosstab via groupBy().pivot(): hour-of-day x event-type count matrix
+    (pivot values pinned so the output schema is static — the scale-safe
+    way to pivot; value discovery would add a pass and nondeterminism)."""
+    from oaxaca_blinder_rs_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.withColumn("hour_of_day", F.hour(F.col("ts").cast("timestamp")))
+        .groupBy("hour_of_day")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+    )
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series aggregation over the events table (hourly rollup)."""
     from oaxaca_blinder_rs_spark.session import load_table
@@ -1198,6 +1215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "optimizer_greedy": q_optimizer_greedy,
         "events_hourly": q_events_hourly,
         "events_gapfilled": q_events_gapfilled,
+        "events_pivot": q_events_pivot,
         "rolling_events": q_rolling_events,
         "asof_join_events": q_asof_join_events,
         "range_join_events": q_range_join_events,
@@ -1861,6 +1879,15 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
             ORDER BY revenue DESC, o.o_orderkey ASC
             LIMIT 10
+        """,
+        "events_pivot": """
+            SELECT hour(ts) hour_of_day,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) click,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) error,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) purchase,
+                   CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) signup,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) "view"
+            FROM events GROUP BY 1
         """,
         "events_gapfilled": """
             WITH agg AS (
