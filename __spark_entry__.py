@@ -1131,6 +1131,37 @@ def q_segment_revenue_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical grouping sets via rollup(): revenue at (returnflag,
+    linestatus), per returnflag subtotal, and grand total in ONE pass —
+    the OLAP drill-down shape. Null grouping keys are labeled ALL so the
+    oracle comparison is unambiguous."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 4).alias("revenue"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_items",
+            "revenue",
+        )
+    )
+
+
+def q_events_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): the wide hour x event-type crosstab back to long
+    (hour_of_day, event_type, n) rows — Spark's native unpivot operator."""
+    wide = q_events_pivot(spark, sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    return wide.unpivot(
+        ["hour_of_day"], types, "event_type", "n"
+    )
+
+
 def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crosstab via groupBy().pivot(): hour-of-day x event-type count matrix
     (pivot values pinned so the output schema is static — the scale-safe
@@ -1216,6 +1247,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_gapfilled": q_events_gapfilled,
         "events_pivot": q_events_pivot,
+        "events_melt": q_events_melt,
+        "revenue_rollup": q_revenue_rollup,
         "rolling_events": q_rolling_events,
         "asof_join_events": q_asof_join_events,
         "range_join_events": q_range_join_events,
@@ -1879,6 +1912,32 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
             ORDER BY revenue DESC, o.o_orderkey ASC
             LIMIT 10
+        """,
+        "revenue_rollup": """
+            SELECT coalesce(l_returnflag, 'ALL') returnflag,
+                   coalesce(l_linestatus, 'ALL') linestatus,
+                   count(*) n_items,
+                   round(sum(l_extendedprice), 4) revenue
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "events_melt": """
+            WITH wide AS (
+              SELECT hour(ts) hour_of_day,
+                     CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) click,
+                     CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) error,
+                     CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) purchase,
+                     CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) signup,
+                     CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) "view"
+              FROM events GROUP BY 1
+            )
+            SELECT hour_of_day, event_type, n FROM (
+              SELECT hour_of_day, 'click' event_type, click n FROM wide
+              UNION ALL SELECT hour_of_day, 'error', error FROM wide
+              UNION ALL SELECT hour_of_day, 'purchase', purchase FROM wide
+              UNION ALL SELECT hour_of_day, 'signup', signup FROM wide
+              UNION ALL SELECT hour_of_day, 'view', "view" FROM wide
+            )
         """,
         "events_pivot": """
             SELECT hour(ts) hour_of_day,
