@@ -1854,7 +1854,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT CASE WHEN un < 0.9 THEN 'train'
                         WHEN un < 0.95 THEN 'val'
                         ELSE 'test' END split,
-                   count(*) n_docs, sum(doc_id) id_sum
+                   count(*) n_docs, CAST(sum(doc_id) AS BIGINT) id_sum
             FROM u GROUP BY 1
         """,
         "sample_fraction": """
@@ -1989,7 +1989,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_props_stats": """
             SELECT event_type, count(*) n_events,
-                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) k_sum,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) k_sum,
                    min(CAST(json_extract_string(props, '$.k') AS BIGINT)) k_min,
                    max(CAST(json_extract_string(props, '$.k') AS BIGINT)) k_max
             FROM events GROUP BY event_type
@@ -2117,7 +2117,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "heckman_probit_design": """
             SELECT l_returnflag grp, count(*) n_obs,
-                   round(sum(CASE WHEN l_discount > 0.01 THEN 1.0 ELSE 0.0 END), 2) sel_sum,
+                   CAST(round(sum(CASE WHEN l_discount > 0.01 THEN 1.0 ELSE 0.0 END), 2) AS DOUBLE) sel_sum,
                    round(sum(l_tax), 4) tax_sum,
                    round(sum(l_tax * l_tax), 4) tax_sq_sum,
                    round(sum(CASE WHEN l_discount > 0.01 THEN l_tax ELSE 0.0 END), 4) sel_tax_sum
@@ -2234,8 +2234,8 @@ def oracle_sql() -> dict[str, str]:
             ), h AS (
               SELECT doc_id,
                 list_transform(range(1, len(s) - 8 + 2),
-                  i -> list_sum(list_transform(range(0, 8),
-                         j -> ascii(s[i+j]) * ([709659,107820,529604,457315,974545,66049,257,1])[j+1])) % 1000003) hs
+                  i -> CAST(list_sum(list_transform(range(0, 8),
+                         j -> ascii(s[i+j]) * ([709659,107820,529604,457315,974545,66049,257,1])[j+1])) % 1000003 AS BIGINT)) hs
               FROM t WHERE len(s) >= 11
             ), w AS (
               SELECT doc_id,

@@ -77,12 +77,29 @@ def main():
         try:
             ores = con.sql(oracles[name])
             ocols = [c.lower() for c in ores.columns]
+            otypes = [str(t) for t in ores.types]
             orows = ores.fetchall()
         except Exception as e:
             print(f"[FAIL] {name}: duckdb error: {e}")
             failures.append(name)
             continue
         ok = True
+        # The driver's hasher serializes *typed* values: a DuckDB HUGEINT
+        # (int128, e.g. from list_sum or sum(BIGINT)) or DECIMAL hashes
+        # differently from Spark's BIGINT/DOUBLE even when the Python values
+        # compare equal (the round-4 winnow_fingerprints red). Flag any
+        # oracle column type outside the Spark-representable set.
+        _OK_TYPES = {
+            "BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE", "FLOAT",
+            "VARCHAR", "BOOLEAN", "DATE", "TIMESTAMP",
+            "TIMESTAMP WITH TIME ZONE", "BIGINT[]", "INTEGER[]",
+            "DOUBLE[]", "FLOAT[]", "VARCHAR[]",
+        }
+        bad_types = [(c, t) for c, t in zip(ores.columns, otypes) if t not in _OK_TYPES]
+        if bad_types:
+            print(f"[FAIL] {name}: oracle emits driver-hash-unsafe types {bad_types} "
+                  f"(CAST to BIGINT/DOUBLE in the SQL)")
+            ok = False
         if len(srows) != len(orows):
             print(f"[FAIL] {name}: row count {len(srows)} vs {len(orows)}")
             ok = False
