@@ -77,6 +77,8 @@ def _csv_list(s):
 def _run_corpus(spark, args) -> int:
     """corpus verb: documents in -> gated/deduped keep-list (or token
     shards) out, one JSON stats line on stdout."""
+    from pyspark.sql import functions as F
+
     from .operators.corpus import prepare_corpus
     from .sinks.parquet import write_token_shards
 
@@ -96,9 +98,16 @@ def _run_corpus(spark, args) -> int:
     stats = {"docs_in": n_in}
     if args.pack_budget > 0:
         if args.scrub_pii:
-            # the keep-list carries the scrubbed text; drop the raw column
+            # the keep-list carries the scrubbed text (always emitted as
+            # 'text' by prepare_corpus); surface it under the caller's
+            # --text-col name so shards match the input schema
             kept_docs = docs.drop(args.text_col).join(
-                keep.select(args.id_col, "n_tokens", "text"), args.id_col
+                keep.select(
+                    args.id_col,
+                    "n_tokens",
+                    F.col("text").alias(args.text_col),
+                ),
+                args.id_col,
             )
         else:
             kept_docs = docs.join(keep.select(args.id_col, "n_tokens"), args.id_col)

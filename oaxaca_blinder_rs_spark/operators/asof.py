@@ -92,17 +92,25 @@ def asof_join(
     # iff it falls inside the left row's frame. backward+inclusive and
     # forward+strict want right rows FIRST at equal ts; the other two last.
     src = F.col("__src").asc() if (direction == "backward") == allow_exact_matches else F.col("__src").desc()
+    # Duplicate right rows at the same (key, time) would make the picked
+    # payload depend on shuffle order; the payload columns themselves are the
+    # final tie-break so the pick is deterministic run-to-run (backward takes
+    # the greatest payload tuple, forward the least). If right is unique on
+    # (by, time_col) — the normal feature-store contract — this never fires.
+    order = [F.col(time_col).asc(), src, F.col("__r_time").asc()] + [
+        F.col(f"__r_{c}").asc_nulls_first() for c in payload
+    ]
     if direction == "backward":
         w = (
             Window.partitionBy(*keys)
-            .orderBy(F.col(time_col).asc(), src, F.col("__r_time").asc())
+            .orderBy(*order)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         pick = lambda c: F.last(c, ignorenulls=True)
     else:
         w = (
             Window.partitionBy(*keys)
-            .orderBy(F.col(time_col).asc(), src, F.col("__r_time").asc())
+            .orderBy(*order)
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
         pick = lambda c: F.first(c, ignorenulls=True)

@@ -51,7 +51,16 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 
 def shingles(text: Column, k: int = 3) -> Column:
-    """Word k-shingles as an array of strings (lowercased, whitespace tokens)."""
+    """Word k-shingles as an array of strings (lowercased, whitespace tokens).
+
+    Invariant: the result is NEVER empty — a document shorter than k words
+    (including empty or null text) yields the one-element array of its
+    joined tokens. This is what keeps the exploded table forms
+    (minhash_table / simhash_table) lossless: explode always emits at least
+    one row per document, so short/empty docs participate in LSH banding
+    and cross-corpus candidates exactly like the Column forms
+    (test_dedup.py::test_table_forms_keep_short_docs).
+    """
     toks = F.split(F.lower(F.trim(text)), r"\s+")
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))

@@ -48,33 +48,39 @@ def range_join(
 
     types = dict(points.dtypes) | dict(intervals.dtypes)
 
-    def axis(col):
-        c = F.col(col)
+    def axis(col, side=None):
+        c = F.col(f"{side}.{col}" if side else col)
         # TIMESTAMP_NTZ has no direct double cast; hop through LTZ first
         if types.get(col, "").startswith("timestamp"):
             c = c.cast("timestamp")
         return c.cast("double")
 
-    p = points.withColumn("__pid", F.monotonically_increasing_id()).withColumn(
-        "__bucket", F.floor(axis(point_col) / w)
-    )
+    p = points.withColumn("__bucket", F.floor(axis(point_col) / w))
     b_lo = F.floor(axis(start_col) / w)
     b_hi = F.floor(axis(end_col) / w)
     iv = (
         intervals.filter(axis(end_col) >= axis(start_col))
         .withColumn("__bucket", F.explode(F.sequence(b_lo, b_hi)))
     )
-    contained = (axis(start_col) <= axis(point_col)) & (
-        axis(point_col) <= axis(end_col)
+    # One outer join with the containment predicate folded into the join
+    # condition: the bucket (+key) equalities keep it a shuffle equi-join
+    # (SortMergeJoin with a post-filter), left rows are never evaluated in
+    # two plan subtrees, and no synthetic row id is needed — the previous
+    # monotonically_increasing_id + anti-join formulation could assign
+    # different ids across the matched/unmatched branches when upstream
+    # row order was nondeterministic (AQE-coalesced shuffles).
+    pa, ia = p.alias("__p"), iv.alias("__i")
+    cond = F.col("__p.__bucket") == F.col("__i.__bucket")
+    for k in keys:
+        cond = cond & (F.col(f"__p.{k}") == F.col(f"__i.{k}"))
+    cond = (
+        cond
+        & (axis(start_col, "__i") <= axis(point_col, "__p"))
+        & (axis(point_col, "__p") <= axis(end_col, "__i"))
     )
-    matched = p.join(iv, keys + ["__bucket"], "inner").filter(contained)
-    if how == "inner":
-        return matched.drop("__bucket", "__pid")
-    # left: unmatched points come back with null interval columns
-    iv_cols = [c for c in intervals.columns if c not in keys]
-    unmatched = p.join(matched.select("__pid"), "__pid", "left_anti")
-    for c in iv_cols:
-        unmatched = unmatched.withColumn(c, F.lit(None).cast(dict(intervals.dtypes)[c]))
-    return matched.drop("__bucket", "__pid").unionByName(
-        unmatched.drop("__bucket", "__pid").select(matched.drop("__bucket", "__pid").columns)
-    )
+    joined = pa.join(ia, cond, how)
+    iv_out = [c for c in intervals.columns if c not in keys]
+    out_cols = [F.col(f"__p.{c}") for c in points.columns] + [
+        F.col(f"__i.{c}").alias(c) for c in iv_out
+    ]
+    return joined.select(out_cols)

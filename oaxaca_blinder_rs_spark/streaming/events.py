@@ -229,13 +229,19 @@ def streaming_enrich_last_state(
                 [ts_col, "__kr"], kind="mergesort"
             )
             is_state = pdf[kind_col] == state_kind
+            ev_mask = ~is_state
+            # Forward-only register: a late state row OLDER than the stored
+            # register must not move it backward (nor override enrichment of
+            # events that already have a newer register value), so such rows
+            # are ignored entirely.
+            if last_ts is not None:
+                seed_ts = pd.Timestamp(last_ts, unit="s")
+                is_state = is_state & (pdf[ts_col] >= seed_ts)
             sv = pdf[value_col].where(is_state).ffill()
             st = pdf[ts_col].where(is_state).ffill()
             if last_ts is not None:
-                seed_ts = pd.Timestamp(last_ts, unit="s")
                 sv = sv.fillna(last_v)
                 st = st.fillna(seed_ts)
-            ev_mask = ~is_state
             out = pd.DataFrame(
                 {
                     key_col: pdf.loc[ev_mask, key_col],
@@ -244,7 +250,7 @@ def streaming_enrich_last_state(
                     "asof_ts": st[ev_mask],
                 }
             )
-            new_last = st.iloc[-1] if is_state.any() else None
+            new_last = st[is_state].iloc[-1] if is_state.any() else None
             if new_last is not None and not pd.isna(new_last):
                 state.update(
                     (float(st[is_state].iloc[-1].timestamp()),

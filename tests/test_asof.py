@@ -196,3 +196,29 @@ def test_asof_strict_matches_pandas(spark):
     for eid in want:
         g, w = got[eid], want[eid]
         assert (g is None and pd.isna(w)) or g == w, (eid, g, w)
+
+
+def test_asof_duplicate_right_rows_deterministic(spark):
+    """Duplicate right rows at the same (key, time) with different payloads:
+    the payload tie-break makes the pick deterministic — backward takes the
+    greatest payload tuple, forward the least (round-5 ADVICE regression)."""
+    left = spark.createDataFrame(
+        [(1, "u1", _ts(10))], "event_id long, user string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("u1", _ts(5), 1.0), ("u1", _ts(5), 9.0), ("u1", _ts(5), 4.0)],
+        "user string, ts timestamp, v double",
+    )
+    for _ in range(3):
+        out = asof_join(
+            left.repartition(4), right.repartition(3), "ts", by="user"
+        ).collect()
+        assert len(out) == 1 and out[0]["asof_v"] == 9.0
+    fwd = asof_join(left, right, "ts", by="user", direction="forward")
+    # no right row at-or-after ts(10) -> null; with forward from ts(2) the
+    # least payload of the tied ts(5) rows is picked
+    left2 = spark.createDataFrame(
+        [(1, "u1", _ts(2))], "event_id long, user string, ts timestamp"
+    )
+    out2 = asof_join(left2, right, "ts", by="user", direction="forward").collect()
+    assert out2[0]["asof_v"] == 1.0

@@ -562,3 +562,75 @@ def test_cli_corpus_verb(spark, sf_dir, tmp_path, capsys):
     back = spark.read.parquet(out2)
     assert back.count() == stats2["docs_kept"]
     assert "text" in back.columns and "shard_id" in back.columns
+
+
+def test_cli_corpus_nondefault_text_col(spark, sf_dir, tmp_path, capsys):
+    """--scrub-pii + --pack-budget with a non-default --text-col: shards must
+    carry the scrubbed text under the caller's column name, not literal
+    'text' (round-5 ADVICE regression)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from oaxaca_blinder_rs_spark.cli import main
+
+    src = str(tmp_path / "docs_body.parquet")
+    spark.read.parquet(f"{sf_dir}/documents.parquet").withColumnRenamed(
+        "text", "body"
+    ).write.parquet(src)
+    out = str(tmp_path / "shards_body")
+    assert main([
+        "corpus", "--input", src, "--output", out,
+        "--text-col", "body", "--scrub-pii", "--pack-budget", "1500",
+    ]) == 0
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    back = spark.read.parquet(out)
+    assert back.count() == stats["docs_kept"] > 0
+    assert "body" in back.columns and "text" not in back.columns
+
+
+def test_streaming_enrich_register_forward_only(spark, tmp_path):
+    """A late state row OLDER than the stored register must not move the
+    register backward nor override enrichment (round-5 ADVICE regression)."""
+    from datetime import datetime
+
+    def ts(s):
+        return datetime(2026, 1, 1, 0, 0, s)
+
+    schema = "user_id long, ts timestamp, kind string, value double"
+    src = str(tmp_path / "fwd_stream")
+    ckpt = str(tmp_path / "fwd_ckpt")
+    out_dir = str(tmp_path / "fwd_out")
+    batch1 = spark.createDataFrame([(1, ts(10), "state", 50.0)], schema)
+    batch1.coalesce(1).write.mode("overwrite").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(batch1.schema).format("parquet").load(src)
+        out = streaming_events.streaming_enrich_last_state(stream)
+        q = (
+            out.writeStream.format("parquet").option("path", out_dir)
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    # batch 2: a LATE state row at ts(2) (older than the ts(10) register)
+    # followed by an event at ts(30): must be enriched from the register,
+    # and the register must stay at (ts(10), 50.0) afterwards.
+    batch2 = spark.createDataFrame(
+        [(1, ts(2), "state", 5.0), (1, ts(30), "event", 0.0)], schema
+    )
+    batch2.coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    rows = {(r["user_id"], r["ts"]): r for r in spark.read.parquet(out_dir).collect()}
+    assert rows[(1, ts(30))]["asof_value"] == 50.0
+    assert rows[(1, ts(30))]["asof_ts"] == ts(10)
+
+    # batch 3: another event — register must still be (ts(10), 50.0)
+    batch3 = spark.createDataFrame([(1, ts(40), "event", 0.0)], schema)
+    batch3.coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    rows = {(r["user_id"], r["ts"]): r for r in spark.read.parquet(out_dir).collect()}
+    assert rows[(1, ts(40))]["asof_value"] == 50.0
+    assert rows[(1, ts(40))]["asof_ts"] == ts(10)

@@ -311,3 +311,32 @@ def test_minhash_table_matches_column_form(spark):
         for r in dedup.minhash_table(docs, num_perm=16, k=3).collect()
     }
     assert table_form == col_form and len(col_form) == 40
+
+
+def test_table_forms_keep_short_docs(spark):
+    """shingles() is never empty, so the exploded table forms are lossless:
+    short / empty / null / whitespace-only docs keep a row and match the
+    Column forms value-for-value (the advertised 'identical values' claim)."""
+    from oaxaca_blinder_rs_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "hello world foo bar"), (2, "hi"), (3, ""), (4, None), (5, "   ")],
+        ["doc_id", "text"],
+    )
+    col_mh = {
+        r["doc_id"]: list(r["s"])
+        for r in docs.select(
+            "doc_id", dedup.minhash_signature(F.col("text"), num_perm=4, k=3).alias("s")
+        ).collect()
+    }
+    tab_mh = {
+        r["doc_id"]: list(r["sig"])
+        for r in dedup.minhash_table(docs, num_perm=4, k=3).collect()
+    }
+    assert tab_mh == col_mh and len(tab_mh) == 5
+    col_sh = {
+        r["doc_id"]: r["s"]
+        for r in docs.select("doc_id", dedup.simhash64(F.col("text")).alias("s")).collect()
+    }
+    tab_sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash_table(docs).collect()}
+    assert tab_sh == col_sh and len(tab_sh) == 5
