@@ -655,7 +655,9 @@ def q_machado_mata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dfl_densities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M14: DFL reweighting (iterative logit — rows-only check)."""
+    """M14: DFL reweighting. Hash-matched against a full-result DuckDB
+    oracle that unrolls the Newton logit as explicit CTE stages
+    (_dfl_oracle_sql) — exact at sf0.001/0.01/0.1."""
     from oaxaca_blinder_rs_spark.operators.dfl import run_dfl
 
     li = _t(spark, sf_dir, "lineitem")
@@ -1416,6 +1418,102 @@ _BANDS_UNION = "\n              UNION ALL\n".join(
 )
 
 
+def _dfl_oracle_sql(newton_iters: int = 6) -> str:
+    """DuckDB twin of q_dfl_densities: the group-membership logit is a
+    deterministic Newton iteration, unrolled as explicit CTE stages (the
+    same construction the kmeans_clusters oracle uses for Lloyd).
+
+    The Spark fit converges in 4 iterations at every test scale (||step||_2
+    < 1e-6); 6 unrolled stages leave the oracle beta within ~1e-12 of the
+    converged fixed point (Newton is quadratically contracting past
+    convergence), far inside the round-to-10 output quantum. Design (dummy
+    coding, clamps, Silverman floor-index IQR bandwidths, grid arithmetic)
+    replicates dfl.py / kde.py operation-for-operation.
+    """
+    parts = ["""
+WITH d AS (
+  SELECT CASE WHEN l_returnflag='A' THEN 1.0 ELSE 0.0 END cls,
+         CAST(l_quantity AS DOUBLE) x1,
+         CASE WHEN l_linestatus='O' THEN 1.0 ELSE 0.0 END x2,
+         CAST(l_extendedprice AS DOUBLE) yv
+  FROM lineitem
+), b0 AS (SELECT CAST(0 AS DOUBLE) b0, CAST(0 AS DOUBLE) b1, CAST(0 AS DOUBLE) b2)"""]
+    for t in range(1, newton_iters + 1):
+        parts.append(f""", p{t} AS (
+  SELECT d.cls, d.x1, d.x2,
+         least(greatest(1.0/(1.0+exp(-(b.b0 + b.b1*d.x1 + b.b2*d.x2))), 1e-10), 1.0-1e-10) p
+  FROM d, b{t-1} b
+), h{t} AS (
+  SELECT sum(p*(1.0-p)) h00, sum(p*(1.0-p)*x1) h01, sum(p*(1.0-p)*x2) h02,
+         sum(p*(1.0-p)*x1*x1) h11, sum(p*(1.0-p)*x1*x2) h12, sum(p*(1.0-p)*x2*x2) h22,
+         sum(cls-p) g0, sum(x1*(cls-p)) g1, sum(x2*(cls-p)) g2
+  FROM p{t}
+), hh{t} AS (
+  SELECT *, h00*(h11*h22-h12*h12) - h01*(h01*h22-h12*h02) + h02*(h01*h12-h11*h02) det
+  FROM h{t}
+), b{t} AS (
+  SELECT pb.b0 + ((h11*h22-h12*h12)*g0 + (h02*h12-h01*h22)*g1 + (h01*h12-h02*h11)*g2)/det b0,
+         pb.b1 + ((h02*h12-h01*h22)*g0 + (h00*h22-h02*h02)*g1 + (h02*h01-h00*h12)*g2)/det b1,
+         pb.b2 + ((h01*h12-h02*h11)*g0 + (h02*h01-h00*h12)*g1 + (h00*h11-h01*h01)*g2)/det b2
+  FROM hh{t}, b{t-1} pb
+)""")
+    fin = f"b{newton_iters}"
+    parts.append(f""", cnt AS (
+  SELECT sum(CASE WHEN l_returnflag='A' THEN 1.0 ELSE 0.0 END) na,
+         sum(CASE WHEN l_returnflag='R' THEN 1.0 ELSE 0.0 END) nb
+  FROM lineitem
+), gp AS (SELECT min(yv) lo, max(yv) hi FROM d),
+grid AS (
+  SELECT CAST(i AS BIGINT) i, lo + CAST(i AS DOUBLE)*((hi-lo)/100.0) g
+  FROM gp, range(0, 100) t(i)
+),
+fa AS (SELECT yv FROM d WHERE cls = 1.0),
+fb AS (
+  SELECT d.yv,
+         least(greatest(least(greatest(1.0/(1.0+exp(-(b.b0 + b.b1*d.x1 + b.b2*d.x2))), 1e-10), 1.0-1e-10), 0.0001), 0.9999) pc,
+         cnt.nb/cnt.na ratio
+  FROM d, {fin} b, cnt WHERE d.cls = 0.0
+),
+fbw AS (SELECT yv, (pc/(1.0-pc))*ratio w FROM fb),
+sa AS (
+  SELECT count(yv) n, var_samp(yv) v FROM fa
+), oa AS (
+  SELECT yv, row_number() OVER (ORDER BY yv) - 1 rn FROM fa
+), iqa AS (
+  SELECT max(CASE WHEN rn = CAST(floor(n*0.75) AS BIGINT) THEN yv END)
+       - max(CASE WHEN rn = CAST(floor(n*0.25) AS BIGINT) THEN yv END) iqr
+  FROM oa, sa GROUP BY n
+), bwa AS (SELECT 0.9 * least(sqrt(v), iqr/1.34) * pow(n, -0.2) h FROM sa, iqa),
+sb AS (
+  SELECT count(yv) n, var_samp(yv) v FROM fbw
+), ob AS (
+  SELECT yv, row_number() OVER (ORDER BY yv) - 1 rn FROM fbw
+), iqb AS (
+  SELECT max(CASE WHEN rn = CAST(floor(n*0.75) AS BIGINT) THEN yv END)
+       - max(CASE WHEN rn = CAST(floor(n*0.25) AS BIGINT) THEN yv END) iqr
+  FROM ob, sb GROUP BY n
+), bwb AS (SELECT 0.9 * least(sqrt(v), iqr/1.34) * pow(n, -0.2) h FROM sb, iqb),
+da AS (
+  SELECT grid.i, avg(exp(-((grid.g-fa.yv)/bwa.h)*((grid.g-fa.yv)/bwa.h)/2.0)/2.5066282746310002)/any_value(bwa.h) dens
+  FROM grid, fa, bwa GROUP BY grid.i
+),
+db AS (
+  SELECT grid.i, avg(exp(-((grid.g-fbw.yv)/bwb.h)*((grid.g-fbw.yv)/bwb.h)/2.0)/2.5066282746310002)/any_value(bwb.h) dens
+  FROM grid, fbw, bwb GROUP BY grid.i
+),
+dcf AS (
+  SELECT grid.i,
+         sum(fbw.w*exp(-((grid.g-fbw.yv)/bwb.h)*((grid.g-fbw.yv)/bwb.h)/2.0)/2.5066282746310002)
+         / sum(fbw.w) / any_value(bwb.h) dens
+  FROM grid, fbw, bwb GROUP BY grid.i
+)
+SELECT grid.i grid_idx, round(grid.g, 4) grid,
+       round(da.dens, 10) density_a, round(db.dens, 10) density_b,
+       round(dcf.dens, 10) density_b_cf
+FROM grid JOIN da ON grid.i = da.i JOIN db ON grid.i = db.i JOIN dcf ON grid.i = dcf.i""")
+    return "".join(parts)
+
+
 def _stop_count(lang: str) -> str:
     words = ",".join(f"'{w}'" for w in textops.STOPSETS[lang])
     return (
@@ -2134,6 +2232,7 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(CASE WHEN l_discount > 0.01 THEN l_tax ELSE 0.0 END), 4) sel_tax_sum
             FROM lineitem GROUP BY l_returnflag ORDER BY grp
         """,
+        "dfl_densities": _dfl_oracle_sql(),
         "dfl_design_check": """
             SELECT l_returnflag grp, l_linestatus status, count(*) n_obs,
                    round(sum(l_quantity), 4) qty_sum,
