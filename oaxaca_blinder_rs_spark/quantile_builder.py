@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from .errors import InvalidGroupVariable, OaxacaError
 from .operators.bootstrap import bootstrap_stats
-from .operators.quantile_regression import solve_qr
+from .operators.quantile_regression import solve_qr, solve_qr_exact
 from .results import ComponentResult
 
 INTERCEPT = "__ob_intercept__"
@@ -100,7 +100,7 @@ class QuantileDecompositionBuilder:
         self._bootstrap_reps = 20
         self._seed = 42
         self._threads = 8
-        self._fit_engine = "driver"
+        self._fit_engine = "auto"
 
     def predictors(self, cols) -> "QuantileDecompositionBuilder":
         self._predictors = list(cols)
@@ -127,8 +127,15 @@ class QuantileDecompositionBuilder:
         return self
 
     def fit_engine(self, engine: str) -> "QuantileDecompositionBuilder":
-        """'driver': collect group matrices once, thread-pooled NumPy fits
-        (reference's rayon shape; COLLECT_LIMIT-guarded).
+        """'auto' (default): 'driver' when the design fits the driver collect
+        limit (cells counted BEFORE collecting), else 'distributed' — a user
+        at scale gets the Gram engine instead of an error.
+
+        'driver': collect group matrices once, thread-pooled NumPy fits
+        (reference's rayon shape; COLLECT_LIMIT-guarded). Each fit is the
+        exact LP-vertex optimum (solve_qr_exact: IRLS warm start + simplex
+        basis exchange) — the reference's interior-point semantics
+        (quantile_regression.rs:22-129) without an LP dependency.
 
         'distributed' (the scale path): Gram-Newton on the smoothed check
         loss — every (replicate, group, tau) quantile regression iterates
@@ -145,13 +152,17 @@ class QuantileDecompositionBuilder:
         n x (B+1) x n_batches rows cross the shuffle. Kept for parity
         testing; superseded by the Gram engine at scale.
         """
-        if engine not in ("driver", "distributed", "taubatch"):
-            raise ValueError("fit engine must be 'driver', 'distributed' or 'taubatch'")
+        if engine not in ("auto", "driver", "distributed", "taubatch"):
+            raise ValueError("fit engine must be 'auto', 'driver', 'distributed' or 'taubatch'")
         self._fit_engine = engine
         return self
 
     # -- Spark side: prep + matrix extraction ---------------------------------
     def _prepare_design(self):
+        # memoized: the 'auto' engine resolution and the chosen engine both
+        # need it; the dummy-level and group-level distinct scans run once
+        if getattr(self, "_design_cache", None) is not None:
+            return self._design_cache
         cols = [self._outcome, self._group] + self._predictors + self._categorical_predictors
         existing = set(self._df.columns)
         for c in cols:
@@ -177,21 +188,25 @@ class QuantileDecompositionBuilder:
         df = df.withColumn(INTERCEPT, F.lit(1.0))
         for p in self._predictors:
             df = df.withColumn(p, F.col(p).cast("double"))
-        return df, xcols, group_a, group_b
+        self._design_cache = (df, xcols, group_a, group_b)
+        return self._design_cache
 
     def _prepare(self):
         df, xcols, group_a, group_b = self._prepare_design()
         out = {}
         for g in (group_a, group_b):
             sub = df.filter(F.col(self._group) == F.lit(g)).select(*xcols, self._outcome)
+            n_rows = sub.count()
+            if n_rows * len(xcols) > COLLECT_LIMIT_CELLS:
+                # guard BEFORE collecting — the old post-toPandas check could
+                # OOM the driver on the way to raising
+                raise OaxacaError(
+                    "Group matrix exceeds the driver collect limit for Machado-Mata; "
+                    "use fit_engine('distributed') (or 'auto'), or raise COLLECT_LIMIT_CELLS"
+                )
             pdf = sub.toPandas()
             if len(pdf) < 2:
                 raise InvalidGroupVariable("One group has insufficient data")
-            if len(pdf) * len(xcols) > COLLECT_LIMIT_CELLS:
-                raise OaxacaError(
-                    "Group matrix exceeds the driver collect limit for Machado-Mata; "
-                    "reduce data or raise COLLECT_LIMIT_CELLS"
-                )
             X = pdf[xcols].to_numpy(dtype=np.float64)
             y = pdf[self._outcome].to_numpy(dtype=np.float64)
             out[g] = (X, y)
@@ -205,7 +220,7 @@ class QuantileDecompositionBuilder:
         def fit(args):
             X, y, tau = args
             try:
-                return solve_qr(X, y, tau)
+                return solve_qr_exact(X, y, tau)
             except Exception:
                 return None
 
@@ -449,7 +464,7 @@ class QuantileDecompositionBuilder:
             out = []
             for ti, tau in taus_payload[(rep, batch)]:
                 try:
-                    beta = solve_qr(X, y, tau)
+                    beta = solve_qr_exact(X, y, tau)
                     out.append((rep, gval, int(ti), [float(v) for v in beta], True))
                 except Exception:
                     out.append((rep, gval, int(ti), [], False))
@@ -751,9 +766,17 @@ class QuantileDecompositionBuilder:
         return betas
 
     def run(self) -> QuantileDecompositionResults:
-        if self._fit_engine == "distributed":
+        engine = self._fit_engine
+        if engine == "auto":
+            # row-guard the engine choice like AkmBuilder.engine("auto"):
+            # full-data exact fits on the driver while the design fits the
+            # collect limit, the distributed Gram engine past it
+            df, xcols, ga, gb = self._prepare_design()
+            n = df.filter(F.col(self._group).isin([ga, gb])).count()
+            engine = "driver" if n * len(xcols) <= COLLECT_LIMIT_CELLS else "distributed"
+        if engine == "distributed":
             return self._run_distributed("gram")
-        if self._fit_engine == "taubatch":
+        if engine == "taubatch":
             return self._run_distributed("taubatch")
         (Xa, ya), (Xb, yb), group_a, group_b = self._prepare()
         rng = np.random.default_rng(self._seed)

@@ -244,10 +244,11 @@ def test_qr_degenerate_tie_case_bounded():
 def test_machado_mata_matches_independent_oracle(spark, sf_dir, mm_oracle):
     """Mirrors q_machado_mata (driver engine, reps=0): the oracle replays the
     engine's seeded RNG stream but solves every QR with the independent
-    exact-vertex solver. q25/q50 matched 0.0 when written; flat-valley argmin
-    spread moves individual simulated draws by O(100) on a ~1e5-scale
-    outcome, so order statistics can shift by that much — 300 is ~0.3% of
-    outcome scale and ~25x below the smallest effect magnitude tested."""
+    exact-vertex solver (qr_exact_2d: subgradient bisection + pair
+    enumeration — a different algorithm than the engine's warm-started
+    simplex). Since round 5 the driver engine is LP-exact (solve_qr_exact),
+    so both land on the same vertices and the tolerance is solver roundoff
+    (1e-6 on a ~1e5-scale outcome), not the old 300 flat-valley bound."""
     from oaxaca_blinder_rs_spark.quantile_builder import QuantileDecompositionBuilder
 
     li = _spark_lineitem(spark, sf_dir)
@@ -269,7 +270,7 @@ def test_machado_mata_matches_independent_oracle(spark, sf_dir, mm_oracle):
         d = res.results_by_quantile[key]
         got = (d.total_gap.estimate, d.characteristics_effect.estimate, d.coefficients_effect.estimate)
         for g, w in zip(got, want):
-            assert g == pytest.approx(w, abs=300), (key, got, want)
+            assert g == pytest.approx(w, abs=1e-6), (key, got, want)
 
 
 def test_machado_mata_gram_engine_matches_independent_oracle(spark, sf_dir, mm_oracle):
