@@ -696,7 +696,10 @@ def q_dfl_design_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_heckman_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M12: Heckman-corrected decomposition; selection = (l_discount > 0.01)
-    as a synthetic selection rule (iterative probit — rows-only check)."""
+    as a synthetic selection rule. Hash-matched against a full-result DuckDB
+    oracle that unrolls the Fisher-scoring probit as CTE stages with the
+    engine's own Cody erf replayed in SQL (_heckman_oracle_sql) — exact at
+    sf0.001/0.01/0.1."""
     li = _t(spark, sf_dir, "lineitem").withColumn(
         "sel", (F.col("l_discount") > 0.01).cast("double")
     )
@@ -1514,6 +1517,153 @@ FROM grid JOIN da ON grid.i = da.i JOIN db ON grid.i = db.i JOIN dcf ON grid.i =
     return "".join(parts)
 
 
+# Cody/CALERF erf coefficients (mathx.py) replayed in DuckDB SQL so the
+# Heckman oracle's probit matches the Spark engine's codegen erf bit-for-bit.
+_CODY_A = [3.16112374387056560e00, 1.13864154151050156e02,
+     3.77485237685302021e02, 3.20937758913846947e03,
+     1.85777706184603153e-1]
+_CODY_B = [2.36012909523441209e01, 2.44024637934444173e02,
+     1.28261652607737228e03, 2.84423683343917062e03]
+_CODY_C = [5.64188496988670089e-1, 8.88314979438837594e00,
+     6.61191906371416295e01, 2.98635138197400131e02,
+     8.81952221241769090e02, 1.71204761263407058e03,
+     2.05107837782607147e03, 1.23033935479799725e03,
+     2.15311535474403846e-8]
+_CODY_D = [1.57449261107098347e01, 1.17693950891312499e02,
+     5.37181101862009858e02, 1.62138957456669019e03,
+     3.29079923573345963e03, 4.36261909014324716e03,
+     3.43936767414372164e03, 1.23033935480374942e03]
+_CODY_P = [3.05326634961232344e-1, 3.60344899949804439e-1,
+     1.25781726111229246e-1, 1.60837851487422766e-2,
+     6.58749161529837803e-4, 1.63153871373020978e-2]
+_CODY_Q = [2.56852019228982242e00, 1.87295284992346047e00,
+     5.27905102951428412e-1, 6.05183413124413191e-2,
+     2.33520497626869185e-3]
+_CODY_SQRPI = "5.6418958354775628695e-1"
+
+
+def _erf_stage_sql(inner: str, xcol: str) -> str:
+    """SELECT *, erf(xcol) AS __erf FROM (inner) via layered subselects.
+
+    Replicates mathx.erf_expr (Cody CALERF) operation-for-operation:
+    region 1 |x|<=0.46875 direct, region 2 erfc for y<=4, region 3 y>4,
+    with the trunc-16ths exp split and the XBIG sign cap.
+    """
+    x = xcol
+    # layer 1: y, ysq
+    s1 = f"SELECT *, abs({x}) __ey, {x}*{x} __eysq FROM ({inner})"
+    # region 1 polynomial (in __eysq)
+    xnum1 = f"({_CODY_A[4]}*__eysq + {_CODY_A[0]})*__eysq"
+    xnum1 = f"({xnum1} + {_CODY_A[1]})*__eysq"
+    xnum1 = f"({xnum1} + {_CODY_A[2]})*__eysq"
+    xden1 = "__eysq"
+    for i in range(3):
+        xden1 = f"({xden1} + {_CODY_B[i]})*__eysq"
+    near = f"{x} * (({xnum1}) + {_CODY_A[3]}) / (({xden1}) + {_CODY_B[3]})"
+    # region 2 (y in (0.46875, 4]): polynomials in __ey
+    xnum2 = f"{_CODY_C[8]}*__ey"
+    xden2 = "__ey"
+    for i in range(7):
+        xnum2 = f"({xnum2} + {_CODY_C[i]})*__ey"
+        xden2 = f"({xden2} + {_CODY_D[i]})*__ey"
+    r2 = f"(({xnum2}) + {_CODY_C[7]}) / (({xden2}) + {_CODY_D[7]})"
+    # layer 2: precompute the exp-split pieces shared by regions 2 and 3
+    s2 = (f"SELECT *, floor(__ey*16.0)/16.0 __et FROM ({s1})")
+    esplit = "exp(-__et*__et) * exp(-(__ey-__et)*(__ey+__et))"
+    erfc_mid = f"{esplit} * ({r2})"
+    # region 3 (y > 4): polynomials in 1/y^2
+    s3 = f"SELECT *, 1.0/(__ey*__ey) __ez FROM ({s2})"
+    xnum3 = f"{_CODY_P[5]}*__ez"
+    xden3 = "__ez"
+    for i in range(4):
+        xnum3 = f"({xnum3} + {_CODY_P[i]})*__ez"
+        xden3 = f"({xden3} + {_CODY_Q[i]})*__ez"
+    r3 = f"__ez * (({xnum3}) + {_CODY_P[4]}) / (({xden3}) + {_CODY_Q[4]})"
+    r3 = f"({_CODY_SQRPI} - ({r3})) / __ey"
+    erfc_far = f"{esplit} * ({r3})"
+    erfc = f"CASE WHEN __ey <= 4.0 THEN {erfc_mid} ELSE {erfc_far} END"
+    tail = f"CASE WHEN {x} > 0.0 THEN 1.0 - ({erfc}) ELSE ({erfc}) - 1.0 END"
+    out = f"CASE WHEN __ey <= 0.46875 THEN {near} ELSE {tail} END"
+    out = f"CASE WHEN __ey >= 26.543 THEN sign({x}) ELSE {out} END"
+    return f"SELECT *, {out} AS __erf FROM ({s3})"
+
+
+def _heckman_oracle_sql(iters: int = 8) -> str:
+    parts = ["""
+WITH d AS (
+  SELECT l_returnflag grp,
+         CASE WHEN l_discount > 0.01 THEN 1.0 ELSE 0.0 END sel,
+         CAST(l_tax AS DOUBLE) z1,
+         CAST(l_quantity AS DOUBLE) x1,
+         CAST(l_extendedprice AS DOUBLE) yv
+  FROM lineitem WHERE l_returnflag IN ('A','R')
+), gp0 AS (
+  SELECT grp, CAST(0 AS DOUBLE) b0, CAST(0 AS DOUBLE) b1
+  FROM (SELECT DISTINCT grp FROM d)
+)"""]
+    for t in range(1, iters + 1):
+        inner = (f"SELECT d.grp, d.sel, d.z1, (g.b0 + g.b1*d.z1) zg, "
+                 f"(g.b0 + g.b1*d.z1)/1.4142135623730951 __ex "
+                 f"FROM d JOIN gp{t-1} g ON d.grp = g.grp")
+        erf_sel = _erf_stage_sql(inner, "__ex")
+        parts.append(f""", i{t} AS (
+  SELECT grp, z1, (pdf*pdf)/(bp*(1.0-bp)) w,
+         CASE WHEN sel > 0.5 THEN pdf/bp ELSE -pdf/(1.0-bp) END sc
+  FROM (
+    SELECT grp, sel, z1, exp(-zg*zg/2.0)/2.5066282746310002 pdf,
+           least(greatest((1.0 + __erf)/2.0, 1e-10), 1.0-1e-10) bp
+    FROM ({erf_sel})
+  )
+), a{t} AS (
+  SELECT grp, sum(w) + 1e-9 h00, sum(w*z1) h01, sum(w*z1*z1) + 1e-9 h11,
+         sum(sc) g0, sum(sc*z1) g1
+  FROM i{t} GROUP BY grp
+), gp{t} AS (
+  SELECT g.grp,
+         g.b0 + (h11*g0 - h01*g1)/(h00*h11 - h01*h01) b0,
+         g.b1 + (h00*g1 - h01*g0)/(h00*h11 - h01*h01) b1
+  FROM a{t} a JOIN gp{t-1} g ON a.grp = g.grp
+)""")
+    fin = f"gp{iters}"
+    inner_fin = (f"SELECT d.grp, d.sel, d.z1, d.x1, d.yv, (g.b0 + g.b1*d.z1) zg, "
+                 f"(g.b0 + g.b1*d.z1)/1.4142135623730951 __ex "
+                 f"FROM d JOIN {fin} g ON d.grp = g.grp")
+    erf_fin = _erf_stage_sql(inner_fin, "__ex")
+    parts.append(f""", rows0 AS (
+  SELECT grp, sel, z1, x1, yv, zg,
+         CASE WHEN (1.0 + __erf)/2.0 < 1e-10 THEN 0.0
+              ELSE (exp(-zg*zg/2.0)/2.5066282746310002) / ((1.0 + __erf)/2.0)
+         END imr
+  FROM ({erf_fin})
+), zm AS (
+  SELECT grp, avg(z1) zm1 FROM rows0 GROUP BY grp
+), gr AS (
+  SELECT grp,
+         count(*) n, sum(x1) sx1, sum(imr) simr, sum(yv) sy,
+         sum(x1*x1) s11, sum(x1*imr) s12, sum(imr*imr) s22,
+         sum(x1*yv) sy1, sum(imr*yv) sy2,
+         avg(-imr*(imr+zg)) delta
+  FROM rows0 WHERE sel = 1.0 GROUP BY grp
+), beta AS (
+  SELECT grp, n, sx1/n xm1, simr/n xm2, sy/n ym,
+         -- solve [[n,sx1,simr],[sx1,s11,s12],[simr,s12,s22]] b = [sy,sy1,sy2]
+         ((s11*s22-s12*s12)*sy + (simr*s12-sx1*s22)*sy1 + (sx1*s12-simr*s11)*sy2)/det b0,
+         ((simr*s12-sx1*s22)*sy + (n*s22-simr*simr)*sy1 + (simr*sx1-n*s12)*sy2)/det b1,
+         ((sx1*s12-simr*s11)*sy + (simr*sx1-n*s12)*sy1 + (n*s11-sx1*sx1)*sy2)/det b2
+  FROM (SELECT *, n*(s11*s22-s12*s12) - sx1*(sx1*s22-s12*simr) + simr*(sx1*s12-s11*simr) det
+        FROM gr)
+), ab AS (
+  SELECT a.xm1 - b.xm1 dx1, a.xm2 - b.xm2 dx2, a.ym - b.ym gap,
+         b.b1 bs1, b.b2 bs2
+  FROM (SELECT * FROM beta WHERE grp = 'A') a, (SELECT * FROM beta WHERE grp = 'R') b
+)
+SELECT 'intercept' component, 0.0 estimate FROM ab
+UNION ALL SELECT 'l_quantity', round(dx1*bs1, 4) FROM ab
+UNION ALL SELECT 'IMR', round(dx2*bs2, 4) FROM ab
+UNION ALL SELECT 'total_gap', round(gap, 4) FROM ab""")
+    return "".join(parts)
+
+
 def _stop_count(lang: str) -> str:
     words = ",".join(f"'{w}'" for w in textops.STOPSETS[lang])
     return (
@@ -2224,6 +2374,7 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT *, avg(y) OVER (PARTITION BY worker) wy FROM p)
             GROUP BY firm ORDER BY firm
         """,
+        "heckman_decomposition": _heckman_oracle_sql(),
         "heckman_probit_design": """
             SELECT l_returnflag grp, count(*) n_obs,
                    CAST(round(sum(CASE WHEN l_discount > 0.01 THEN 1.0 ELSE 0.0 END), 2) AS DOUBLE) sel_sum,
