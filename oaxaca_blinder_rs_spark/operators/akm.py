@@ -118,8 +118,11 @@ class AkmBuilder:
         """
         w, f = self._worker, self._firm
         edges = df.select(w, f).distinct().localCheckpoint()
-        # initial labels: worker id hash-min space via dense labels from ids
-        wlab = edges.select(w).distinct().withColumn("__lab", F.xxhash64(F.col(w)))
+        # initial labels: the worker key ITSELF (collision-free — an earlier
+        # build used xxhash64(worker), where a 64-bit collision across two
+        # components would have merged them silently; the label is only ever
+        # min'd and compared, so any orderable value works)
+        wlab = edges.select(w).distinct().withColumn("__lab", F.col(w))
         for _ in range(10_000):
             fl = (
                 edges.join(wlab, on=w)

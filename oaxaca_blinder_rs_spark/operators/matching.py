@@ -42,6 +42,11 @@ class MatchingEngine:
         self._id_col = id_col
 
     def _with_id(self) -> DataFrame:
+        # With an explicit id_col, match ids are fully deterministic. The
+        # monotonically_increasing_id fallback is partition-order dependent:
+        # ids (and therefore tie-breaks between equidistant controls) can
+        # change if the input's partitioning changes between runs — pass
+        # id_col for reproducible pipelines.
         if self._id_col:
             return self._df.withColumn(ROW_ID, F.col(self._id_col).cast("long"))
         return self._df.withColumn(ROW_ID, F.monotonically_increasing_id())
