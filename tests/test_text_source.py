@@ -45,3 +45,32 @@ def test_text_lines_feed_the_filter_ops(spark, tmp_path):
     df = read_text_lines(spark, str(p), with_row_id=False)
     out = df.select(textops.token_count(F.col("text")).alias("n")).collect()
     assert sorted(r["n"] for r in out) == [3, 4]
+
+
+def test_orc_roundtrip_with_row_ids_and_pruning(spark, sf_dir, tmp_path):
+    """ORC source: roundtrip from driver parquet, dense input-order row ids,
+    partition pruning on a hive-partitioned write."""
+    from pyspark.sql import functions as F
+
+    from oaxaca_blinder_rs_spark.sources.orc import read_orc, write_orc
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = str(tmp_path / "docs.orc")
+    write_orc(docs, p)
+    back = read_orc(spark, p)
+    assert back.count() == docs.count()
+    ids = [r[0] for r in back.select("__ob_row_id__").collect()]
+    assert sorted(ids) == list(range(docs.count()))
+    # values survive the roundtrip
+    a = {r["doc_id"]: r["n_chars"] for r in docs.select("doc_id", "n_chars").collect()}
+    b = {r["doc_id"]: r["n_chars"] for r in back.select("doc_id", "n_chars").collect()}
+    assert a == b
+
+    # partitioned write -> the lang filter becomes a partition-pruned scan
+    pp = str(tmp_path / "docs_by_lang.orc")
+    write_orc(docs, pp, partition_by=["lang"])
+    pruned = read_orc(spark, pp, with_row_id=False).filter(F.col("lang") == "en")
+    want = docs.filter(F.col("lang") == "en").count()
+    assert pruned.count() == want
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(lang" in plan or "lang#" in plan
