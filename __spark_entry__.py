@@ -323,6 +323,15 @@ def _script_augmented(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", expr.alias("text"))
 
 
+def q_adaptive_logprob_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language adaptive LM-quality gate: keep the top half of each
+    language's documents by mean bigram logprob — exact per-group type-7
+    percentile threshold + broadcast filter join, never a per-group window
+    sort (textops.adaptive_logprob_filter)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.adaptive_logprob_filter(docs, frac=0.5, by_col="lang")
+
+
 def q_script_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode-script composition + dominant-script ID over the
     multilingual-augmented corpus (textops.script_ratios / script_id):
@@ -1236,6 +1245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_shingle_check": q_simhash_shingle_check,
         # -- (2) changed this round / rows-only iterative ops --------------
         "winnow_fingerprints": q_winnow_fingerprints,
+        "adaptive_logprob_keep": q_adaptive_logprob_keep,
         "heckman_probit_design": q_heckman_probit_design,
         "dfl_densities": q_dfl_densities,
         "mm_ols_start": q_mm_ols_start,
@@ -2373,6 +2383,36 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(x), 2) x_sum
             FROM (SELECT *, avg(y) OVER (PARTITION BY worker) wy FROM p)
             GROUP BY firm ORDER BY firm
+        """,
+        "adaptive_logprob_keep": """
+            WITH toks AS (
+              SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '\\s+') t
+              FROM documents
+            ), big AS (
+              SELECT doc_id, unnest(list_transform(range(1, greatest(len(t), 1)),
+                       i -> struct_pack(w1 := t[i], w2 := t[i+1]))) bg
+              FROM toks WHERE len(t) >= 2
+            ), b AS (
+              SELECT doc_id, bg.w1 w1, bg.w2 w2 FROM big
+            ), uni AS (
+              SELECT w1, count(*) c1 FROM (SELECT unnest(t) w1 FROM toks) GROUP BY w1
+            ), v AS (SELECT count(*) v FROM uni
+            ), bgc AS (
+              SELECT w1, w2, count(*) c12 FROM b GROUP BY w1, w2
+            ), sc AS (
+              SELECT b.doc_id,
+                     round(avg(ln((bgc.c12 + 0.1) / (uni.c1 + 0.1 * v.v))), 6) mean_logprob
+              FROM b JOIN bgc USING (w1, w2) JOIN uni USING (w1), v
+              GROUP BY b.doc_id
+            ), lsc AS (
+              SELECT t.doc_id, t.lang, sc.mean_logprob
+              FROM toks t JOIN sc ON t.doc_id = sc.doc_id
+            ), thr AS (
+              SELECT lang, quantile_cont(mean_logprob, 0.5) th FROM lsc GROUP BY lang
+            )
+            SELECT lsc.doc_id, lsc.lang, lsc.mean_logprob
+            FROM lsc JOIN thr ON lsc.lang = thr.lang
+            WHERE lsc.mean_logprob >= thr.th
         """,
         "heckman_decomposition": _heckman_oracle_sql(),
         "heckman_probit_design": """

@@ -20,6 +20,7 @@ __all__ = [
     "punct_ratio",
     "stopword_ratio",
     "quality_score",
+    "adaptive_logprob_filter",
     "lang_id",
     "fingerprint",
     "winnow_fingerprints",
@@ -215,6 +216,41 @@ def ngram_logprob(
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg("__lp"), 6).alias("mean_logprob"),
+    )
+
+
+def adaptive_logprob_filter(
+    df: DataFrame,
+    frac: float = 0.5,
+    by_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Per-group adaptive LM-quality gate: keep the top ``frac`` of documents
+    in each ``by_col`` group by mean bigram logprob (CCNet-style per-language
+    perplexity buckets — a fixed global cutoff over- or under-filters
+    whichever language the LM fits worst).
+
+    100 TB shape: score with ngram_logprob (keyed aggregations), reduce each
+    group to ONE exact type-7 percentile threshold (a scalar agg — never a
+    per-group window sort, which would funnel each language through a single
+    task), then broadcast the |groups|-row threshold table back over the
+    scores. Keeps docs with score >= threshold, so the kept fraction is
+    >= frac under score ties.
+    """
+    if not 0.0 < frac <= 1.0:
+        raise ValueError(f"frac must be in (0, 1], got {frac}")
+    sc = df.select(id_col, by_col).join(
+        ngram_logprob(df, text_col=text_col, id_col=id_col, alpha=alpha), id_col
+    )
+    thr = sc.groupBy(by_col).agg(
+        F.percentile("mean_logprob", F.lit(1.0 - float(frac))).alias("__thr")
+    )
+    return (
+        sc.join(F.broadcast(thr), by_col)
+        .filter(F.col("mean_logprob") >= F.col("__thr"))
+        .select(id_col, by_col, "mean_logprob")
     )
 
 

@@ -340,3 +340,38 @@ def test_table_forms_keep_short_docs(spark):
     }
     tab_sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash_table(docs).collect()}
     assert tab_sh == col_sh and len(tab_sh) == 5
+
+
+def test_adaptive_logprob_filter_per_group_threshold(spark):
+    """Each group keeps its own top-frac by mean bigram logprob: a group of
+    fluent docs and a group of gibberish must each keep ~half, where a
+    global cutoff would drop all of one group."""
+    from oaxaca_blinder_rs_spark.operators import textops
+
+    fluent = [
+        "the cat sat on the mat and the dog sat on the rug",
+        "the cat sat on the rug and the dog sat on the mat",
+        "a dog and a cat sat on a mat in the sun",
+        "the sun was warm and the cat sat in the sun",
+    ]
+    gibberish = [
+        "zxq vlk pft qrw mnb zxq plo",
+        "vlk zxq qrw pft plo mnb kjh",
+        "qrw pft zxq vlk mnb plo wer",
+        "pft qrw vlk zxq plo kjh mnb",
+    ]
+    rows = [(i, "en", t) for i, t in enumerate(fluent)] + [
+        (100 + i, "zz", t) for i, t in enumerate(gibberish)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    kept = textops.adaptive_logprob_filter(docs, frac=0.5, by_col="lang").collect()
+    by_lang = {}
+    for r in kept:
+        by_lang.setdefault(r["lang"], []).append(r["doc_id"])
+    # >= half of each group survives (ties keep extra), both groups present
+    assert len(by_lang.get("en", [])) >= 2
+    assert len(by_lang.get("zz", [])) >= 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        textops.adaptive_logprob_filter(docs, frac=0.0)
