@@ -332,6 +332,26 @@ def q_adaptive_logprob_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.adaptive_logprob_filter(docs, frac=0.5, by_col="lang")
 
 
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view -> click -> purchase funnel over events: per-user
+    strictly-increasing earliest timestamp chain, one type-filtered
+    per-user min-agg per step (operators/funnel.py — no windows over the
+    full stream, no per-user history collection)."""
+    from oaxaca_blinder_rs_spark.operators.funnel import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel(ev, ["view", "click", "purchase"])
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention matrix over events: first-activity-day
+    cohorts x day offsets -> active user counts (operators/funnel.py)."""
+    from oaxaca_blinder_rs_spark.operators.funnel import cohort_retention
+
+    ev = _t(spark, sf_dir, "events")
+    return cohort_retention(ev)
+
+
 def q_script_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode-script composition + dominant-script ID over the
     multilingual-augmented corpus (textops.script_ratios / script_id):
@@ -1246,6 +1266,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (2) changed this round / rows-only iterative ops --------------
         "winnow_fingerprints": q_winnow_fingerprints,
         "adaptive_logprob_keep": q_adaptive_logprob_keep,
+        "event_funnel": q_event_funnel,
+        "cohort_retention": q_cohort_retention,
         "heckman_probit_design": q_heckman_probit_design,
         "dfl_densities": q_dfl_densities,
         "mm_ols_start": q_mm_ols_start,
@@ -2383,6 +2405,36 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(x), 2) x_sum
             FROM (SELECT *, avg(y) OVER (PARTITION BY worker) wy FROM p)
             GROUP BY firm ORDER BY firm
+        """,
+        "event_funnel": """
+            WITH s0 AS (
+              SELECT user_id, min(ts) t FROM events WHERE event_type = 'view' GROUP BY user_id
+            ), s1 AS (
+              SELECT e.user_id, min(e.ts) t FROM events e JOIN s0 ON e.user_id = s0.user_id
+              WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY e.user_id
+            ), s2 AS (
+              SELECT e.user_id, min(e.ts) t FROM events e JOIN s1 ON e.user_id = s1.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY e.user_id
+            )
+            SELECT CAST(0 AS BIGINT) step_idx, 'view' step, CAST((SELECT count(*) FROM s0) AS BIGINT) n_users
+            UNION ALL
+            SELECT 1, 'click', CAST((SELECT count(*) FROM s1) AS BIGINT)
+            UNION ALL
+            SELECT 2, 'purchase', CAST((SELECT count(*) FROM s2) AS BIGINT)
+        """,
+        "cohort_retention": """
+            WITH p AS (
+              SELECT user_id, CAST(date_trunc('day', ts) AS DATE) pd FROM events
+            ), firsts AS (
+              SELECT user_id, min(pd) cohort FROM p GROUP BY user_id
+            ), acts AS (
+              SELECT DISTINCT user_id, pd FROM p
+            )
+            SELECT f.cohort cohort_date,
+                   CAST(date_diff('day', f.cohort, a.pd) AS BIGINT) "offset",
+                   CAST(count(*) AS BIGINT) active_users
+            FROM acts a JOIN firsts f ON a.user_id = f.user_id
+            GROUP BY f.cohort, date_diff('day', f.cohort, a.pd)
         """,
         "adaptive_logprob_keep": """
             WITH toks AS (

@@ -1,0 +1,88 @@
+"""Event-sequence analytics: ordered funnels and cohort retention.
+
+Net-new OLAP surface (no reference analogue — the reference has no event
+tables); the two queries every product-analytics warehouse runs on an
+events stream.
+
+Scale notes (100 TB events):
+- funnel: one type-filtered per-user min-aggregation per step (the type
+  filter pushes down to the scan), chained by user-keyed joins. No window
+  over all events, no collect_list of a user's history — state per user per
+  step is ONE timestamp. k steps = k shuffles on user_id, each over only
+  that step's events.
+- cohort_retention: per-user first-activity period (one agg) + distinct
+  (user, period) activity (one agg), joined user-keyed, then a tiny
+  (cohort, offset) count aggregation. Nothing larger than the distinct
+  activity table ever shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["funnel", "cohort_retention"]
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel: users advance to step i when an event of type
+    ``steps[i]`` occurs STRICTLY after their step i-1 time (earliest such
+    chain per user). Returns (step_idx, step, n_users), n_users
+    monotonically non-increasing.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    ts = F.col(ts_col).cast("timestamp")
+    reached = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts).alias("__t"))
+    )
+    counts = [reached.count()]
+    for step in steps[1:]:
+        nxt = (
+            events.filter(F.col(type_col) == step)
+            .select(user_col, ts.alias("__ts"))
+            .join(reached, user_col)
+            .filter(F.col("__ts") > F.col("__t"))
+            .groupBy(user_col)
+            .agg(F.min("__ts").alias("__t"))
+        )
+        reached = nxt
+        counts.append(reached.count())
+    spark = events.sparkSession
+    rows = [(i, s, int(c)) for i, (s, c) in enumerate(zip(steps, counts))]
+    return spark.createDataFrame(rows, "step_idx long, step string, n_users long")
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    granularity: str = "day",
+) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-activity period
+    (their cohort), counted once per (cohort, period-offset) they were
+    active in. Returns (cohort_date, offset, active_users).
+    """
+    period = F.date_trunc(granularity, F.col(ts_col).cast("timestamp")).cast("date")
+    firsts = (
+        events.select(user_col, period.alias("__p"))
+        .groupBy(user_col)
+        .agg(F.min("__p").alias("__cohort"))
+    )
+    acts = events.select(user_col, period.alias("__p")).distinct()
+    return (
+        acts.join(firsts, user_col)
+        .groupBy(
+            F.col("__cohort").alias("cohort_date"),
+            F.datediff(F.col("__p"), F.col("__cohort")).cast("long").alias("offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )

@@ -65,3 +65,53 @@ def test_rolling_window_boundary_inclusive(spark):
     )
     out = {r["event_id"]: r for r in rolling_window(df, 3600).collect()}
     assert out[1]["w_count"] == 2 and out[1]["w_sum"] == 3.0
+
+
+def test_funnel_strict_ordering_and_monotonicity(spark):
+    """Hand-built funnel: strictly-after semantics (same-timestamp step does
+    NOT advance), per-user earliest chain, monotone counts."""
+    from datetime import datetime
+
+    from oaxaca_blinder_rs_spark.operators.funnel import funnel
+
+    def ts(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+
+    rows = [
+        # user 1 completes view->click->purchase in order
+        (1, ts(1), "view"), (1, ts(2), "click"), (1, ts(3), "purchase"),
+        # user 2 clicks BEFORE viewing; the later click at ts(5) advances
+        (2, ts(4), "view"), (2, ts(2), "click"), (2, ts(5), "click"),
+        # user 3: click at the SAME timestamp as view -> strict > blocks it
+        (3, ts(6), "view"), (3, ts(6), "click"),
+        # user 4 never views
+        (4, ts(1), "click"), (4, ts(2), "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {r["step"]: r["n_users"] for r in funnel(ev, ["view", "click", "purchase"]).collect()}
+    assert out == {"view": 3, "click": 2, "purchase": 1}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        funnel(ev, [])
+
+
+def test_cohort_retention_hand_computed(spark):
+    from datetime import datetime
+
+    from oaxaca_blinder_rs_spark.operators.funnel import cohort_retention
+
+    rows = [
+        (1, datetime(2024, 1, 1, 5), "x"), (1, datetime(2024, 1, 2, 6), "x"),
+        (1, datetime(2024, 1, 2, 9), "x"),  # same day counted once
+        (2, datetime(2024, 1, 1, 8), "x"),
+        (3, datetime(2024, 1, 2, 1), "x"), (3, datetime(2024, 1, 4, 1), "x"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {(str(r["cohort_date"]), r["offset"]): r["active_users"]
+           for r in cohort_retention(ev).collect()}
+    assert got == {
+        ("2024-01-01", 0): 2, ("2024-01-01", 1): 1,
+        ("2024-01-02", 0): 1, ("2024-01-02", 2): 1,
+    }
