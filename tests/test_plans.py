@@ -196,10 +196,11 @@ def test_range_join_left_is_hash_join_no_nested_loop(spark, sf_dir):
     plan = _plan(out)
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     # exactly one outer equi-join node, no anti-join second branch
-    join_nodes = {l.split("(")[0].strip().lstrip("+-: ") for l in plan.splitlines()
-                  if ("HashJoin" in l or "SortMergeJoin" in l or "NestedLoop" in l)}
-    assert len(join_nodes) == 1 and all(
-        "HashJoin" in j or "SortMergeJoin" in j for j in join_nodes
+    join_nodes = [l.split("(")[0].strip().lstrip("+-: ") for l in plan.splitlines()
+                  if ("HashJoin" in l or "SortMergeJoin" in l or "NestedLoop" in l)]
+    join_nodes = [j for j in join_nodes if j]
+    assert len(join_nodes) == 1 and (
+        "HashJoin" in join_nodes[0] or "SortMergeJoin" in join_nodes[0]
     ), join_nodes
     assert "LeftAnti" not in plan and "Union" not in plan
 
