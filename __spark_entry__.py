@@ -854,18 +854,21 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash fingerprints (xxhash64-based — Spark-only, rows-only
-    check; cross-engine hash portability is covered by the md5 MinHash)."""
+    """64-bit SimHash fingerprints. Hash-matched since round 6: the oracle
+    replays the full XXH64 spec in DuckDB SQL (functions/xxh64_sql.py —
+    HUGEINT mod-2^64 arithmetic, list_reduce stripe loop, unrolled tails)
+    and then the per-bit vote, so the driver checks the signatures
+    bit-for-bit against an engine-independent transliteration."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     return docs.select("doc_id", dedup.simhash64(F.col("text"), k=2).alias("simhash"))
 
 
 def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (dedup.simhash_candidates): 4-band pigeonhole
-    blocking + bit_count verify at Hamming <= 3. Rows-only at the driver
-    (DuckDB has no xxhash64); the suite holds a bit-exact pure-Python
-    brute-force oracle (test_simhash_candidates_matches_bruteforce_oracle)
-    and simhash_shingle_check hash-matches the shingle stage."""
+    blocking + bit_count verify at Hamming <= 3. Hash-matched since round 6:
+    the oracle recomputes signatures via the SQL XXH64 replay and takes the
+    BRUTE-FORCE all-pairs Hamming set — independent of Spark's banding, so
+    it also re-proves the pigeonhole blocking loses no pair."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.simhash_candidates(docs, max_hamming=3, k=2)
 
@@ -1572,6 +1575,48 @@ _CODY_Q = [2.56852019228982242e00, 1.87295284992346047e00,
      5.27905102951428412e-1, 6.05183413124413191e-2,
      2.33520497626869185e-3]
 _CODY_SQRPI = "5.6418958354775628695e-1"
+
+
+def _simhash_sig_cte(doc_filter: str = "") -> str:
+    """CTE chain ending in sig(doc_id, simhash BIGINT) — a full-SQL replay of
+    dedup.simhash_table: word 2-shingles (the hash-matched shingle stage of
+    simhash_shingle_check), XXH64 per distinct shingle via the
+    functions.xxh64_sql transliteration (bit-exact vs tools/xxh64 and
+    Spark's xxhash64), then the per-bit +-1 vote and bit reassembly.
+    Hashing runs once per DISTINCT shingle string and joins back — same
+    dedup the Spark side gets from its explode+groupBy shape."""
+    from oaxaca_blinder_rs_spark.functions.xxh64_sql import xxh64_select_sql
+
+    inner = xxh64_select_sql("shrow", "sg", "sg", "xh")
+    return f"""
+toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents {doc_filter}
+), sh AS (
+  SELECT doc_id, CASE WHEN len(t) >= 2
+    THEN list_distinct(list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' ')))
+    ELSE [array_to_string(t, ' ')] END AS s
+  FROM toks
+), shrow AS (
+  SELECT DISTINCT unnest(s) AS sg FROM sh
+), hx AS (
+  {inner}
+), docsh AS (
+  SELECT doc_id, unnest(s) AS sg FROM sh
+), xh AS (
+  SELECT d.doc_id, h.xh FROM docsh d JOIN hx h USING (sg)
+), votes AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (xh // (1::HUGEINT << b)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+  FROM xh, range(0, 64) rb(b)
+  GROUP BY doc_id, b
+), sig AS (
+  SELECT doc_id,
+         CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+                   THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT) AS simhash
+  FROM (SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END) AS u
+        FROM votes GROUP BY doc_id)
+)"""
 
 
 def _erf_stage_sql(inner: str, xcol: str) -> str:
@@ -2669,6 +2714,17 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.b, r.lab FROM reach r JOIN e ON e.a = r.id
             )
             SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id
+        """,
+        "simhash": f"""
+            WITH {_simhash_sig_cte("WHERE doc_id < 50")}
+            SELECT doc_id, simhash FROM sig
+        """,
+        "simhash_dups": f"""
+            WITH {_simhash_sig_cte()}
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         """,
         "simhash_shingle_check": """
             WITH toks AS (

@@ -166,6 +166,33 @@ def test_xxh64_matches_spec_and_spark(spark):
         assert xxh64_signed(r.s.encode("utf-8")) == r.h, repr(r.s)
 
 
+def test_xxh64_sql_transliteration_matches_python():
+    """The DuckDB-SQL XXH64 replay (functions/xxh64_sql.py — the round-6
+    oracle that made simhash/simhash_dups hash-matched driver rows) is
+    bit-exact vs tools/xxh64.py across every code path: empty input, all
+    tail-length residues (8-byte/4-byte/single-byte rounds), the 32-byte
+    stripe loop boundary, multi-stripe inputs, and multibyte UTF-8."""
+    import random
+
+    import duckdb
+
+    from oaxaca_blinder_rs_spark.functions.xxh64_sql import xxh64_select_sql
+    from xxh64 import xxh64
+
+    rng = random.Random(20260814)
+    alphabet = "abcdefghij KLMNOP 0123456789 .,;:!? éü€ñ中文 \t"
+    tests = [""] + ["q" * n for n in (1, 3, 4, 7, 8, 9, 15, 16, 31, 32, 33, 63, 64, 65, 100)] + [
+        "héllo wörld €uro",
+        "the quick brown fox jumps over the lazy dog",
+    ] + ["".join(rng.choice(alphabet) for _ in range(rng.randint(0, 120))) for _ in range(60)]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id INT, s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(tests)))
+    sql = xxh64_select_sql("t", "s", "id", "xh")
+    for i, got in con.execute(f"SELECT id, xh FROM ({sql})").fetchall():
+        assert int(got) == xxh64(tests[i].encode("utf-8")), repr(tests[i])
+
+
 def test_simhash_matches_python_oracle(spark, sf_dir):
     """Mirrors q_simhash: the 64-bit SimHash column (shingle -> xxhash64 ->
     per-bit vote) recomputed driver-side from raw text. Closes the rows-only
