@@ -27,6 +27,20 @@ from pyspark.sql import functions as F
 __all__ = ["asof_join"]
 
 
+def _orderable(dt) -> bool:
+    """Whether Spark can ORDER BY this type (maps can't; arrays/structs can
+    iff their element/field types can)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return False
+    if isinstance(dt, ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -97,8 +111,13 @@ def asof_join(
     # final tie-break so the pick is deterministic run-to-run (backward takes
     # the greatest payload tuple, forward the least). If right is unique on
     # (by, time_col) — the normal feature-store contract — this never fires.
+    # Only ORDERABLE payload types join the tie-break: a map-typed payload
+    # in an ORDER BY is an AnalysisException at plan time, and its presence
+    # must not break the join for right sides that are unique anyway.
+    rdtypes = {f.name: f.dataType for f in right.schema.fields}
+    tiebreak = [c for c in payload if _orderable(rdtypes[c])]
     order = [F.col(time_col).asc(), src, F.col("__r_time").asc()] + [
-        F.col(f"__r_{c}").asc_nulls_first() for c in payload
+        F.col(f"__r_{c}").asc_nulls_first() for c in tiebreak
     ]
     if direction == "backward":
         w = (

@@ -8,8 +8,10 @@ Scale notes (100 TB events):
 - funnel: one type-filtered per-user min-aggregation per step (the type
   filter pushes down to the scan), chained by user-keyed joins. No window
   over all events, no collect_list of a user's history — state per user per
-  step is ONE timestamp. k steps = k shuffles on user_id, each over only
-  that step's events.
+  step is ONE timestamp. Each step's reached set is persisted before its
+  count and unpersisted once its successor materializes, so step i never
+  re-executes steps 1..i-1 — k scans of events total, not k(k+1)/2
+  (cache-asserted in test_plans).
 - cohort_retention: per-user first-activity period (one agg) + distinct
   (user, period) activity (one agg), joined user-keyed, then a tiny
   (cohort, offset) count aggregation. Nothing larger than the distinct
@@ -44,6 +46,15 @@ def funnel(
         .groupBy(user_col)
         .agg(F.min(ts).alias("__t"))
     )
+    # Each reached set is persist()ed before its count so the next step's
+    # join reads the materialized per-user state instead of re-executing
+    # the whole prior chain (which made step i cost i scans of events —
+    # k(k+1)/2 total). Now: k scans, and each step's cache is dropped as
+    # soon as its successor is materialized, so nothing leaks past the
+    # call. Exchange reuse alone can't dedupe this (column pruning
+    # rewrites the count branch's aggregate, breaking canonical-plan
+    # identity) — the explicit persist is the contract.
+    reached = reached.persist()
     counts = [reached.count()]
     for step in steps[1:]:
         nxt = (
@@ -53,9 +64,11 @@ def funnel(
             .filter(F.col("__ts") > F.col("__t"))
             .groupBy(user_col)
             .agg(F.min("__ts").alias("__t"))
-        )
+        ).persist()
+        counts.append(nxt.count())
+        reached.unpersist()
         reached = nxt
-        counts.append(reached.count())
+    reached.unpersist()
     spark = events.sparkSession
     rows = [(i, s, int(c)) for i, (s, c) in enumerate(zip(steps, counts))]
     return spark.createDataFrame(rows, "step_idx long, step string, n_users long")
@@ -70,7 +83,14 @@ def cohort_retention(
     """Cohort retention matrix: users bucketed by first-activity period
     (their cohort), counted once per (cohort, period-offset) they were
     active in. Returns (cohort_date, offset, active_users).
+
+    ``offset`` counts PERIODS of the chosen granularity, not days: 1 means
+    "the next day/week/month/year after the cohort period". Both dates are
+    date_trunc'd to the period boundary first, so day/week offsets divide
+    exactly and month/year offsets are whole months_between multiples.
     """
+    if granularity not in ("day", "week", "month", "year"):
+        raise ValueError(f"unsupported granularity: {granularity!r}")
     period = F.date_trunc(granularity, F.col(ts_col).cast("timestamp")).cast("date")
     firsts = (
         events.select(user_col, period.alias("__p"))
@@ -78,11 +98,20 @@ def cohort_retention(
         .agg(F.min("__p").alias("__cohort"))
     )
     acts = events.select(user_col, period.alias("__p")).distinct()
+    day_diff = F.datediff(F.col("__p"), F.col("__cohort"))
+    if granularity == "day":
+        offset = day_diff
+    elif granularity == "week":
+        offset = day_diff / F.lit(7)
+    elif granularity == "month":
+        offset = F.months_between(F.col("__p"), F.col("__cohort"))
+    else:  # year
+        offset = F.months_between(F.col("__p"), F.col("__cohort")) / F.lit(12)
     return (
         acts.join(firsts, user_col)
         .groupBy(
             F.col("__cohort").alias("cohort_date"),
-            F.datediff(F.col("__p"), F.col("__cohort")).cast("long").alias("offset"),
+            offset.cast("long").alias("offset"),
         )
         .agg(F.count(F.lit(1)).alias("active_users"))
     )

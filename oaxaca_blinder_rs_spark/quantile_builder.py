@@ -101,13 +101,16 @@ class QuantileDecompositionBuilder:
         self._seed = 42
         self._threads = 8
         self._fit_engine = "auto"
+        self._design_cache = None
 
     def predictors(self, cols) -> "QuantileDecompositionBuilder":
         self._predictors = list(cols)
+        self._design_cache = None  # design-shaping setter: drop the memo
         return self
 
     def categorical_predictors(self, cols) -> "QuantileDecompositionBuilder":
         self._categorical_predictors = list(cols)
+        self._design_cache = None  # design-shaping setter: drop the memo
         return self
 
     def quantiles(self, qs) -> "QuantileDecompositionBuilder":
@@ -160,8 +163,11 @@ class QuantileDecompositionBuilder:
     # -- Spark side: prep + matrix extraction ---------------------------------
     def _prepare_design(self):
         # memoized: the 'auto' engine resolution and the chosen engine both
-        # need it; the dummy-level and group-level distinct scans run once
-        if getattr(self, "_design_cache", None) is not None:
+        # need it; the dummy-level and group-level distinct scans run once.
+        # Design-shaping setters (predictors/categorical_predictors) reset
+        # the memo so a run() -> reconfigure -> run() sequence refits on the
+        # new design instead of silently reusing the stale one.
+        if self._design_cache is not None:
             return self._design_cache
         cols = [self._outcome, self._group] + self._predictors + self._categorical_predictors
         existing = set(self._df.columns)

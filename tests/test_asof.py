@@ -222,3 +222,39 @@ def test_asof_duplicate_right_rows_deterministic(spark):
     )
     out2 = asof_join(left2, right, "ts", by="user", direction="forward").collect()
     assert out2[0]["asof_v"] == 1.0
+
+
+def test_asof_map_payload_not_orderable_still_joins(spark):
+    """A map-typed right payload can't be part of an ORDER BY; the tie-break
+    must silently drop it (r5 ADVICE) instead of raising AnalysisException
+    at plan time. Orderable payloads in the same join still tie-break."""
+    left = spark.createDataFrame(
+        [(1, "u1", _ts(10))], "event_id long, user string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("u1", _ts(5), 7.0, {"a": 1})],
+        "user string, ts timestamp, v double, props map<string,int>",
+    )
+    out = asof_join(left, right, "ts", by="user").collect()
+    assert len(out) == 1
+    assert out[0]["asof_v"] == 7.0
+    assert dict(out[0]["asof_props"]) == {"a": 1}
+
+
+def test_quantile_builder_design_cache_invalidation(spark, sf_dir):
+    """predictors()/categorical_predictors() after a _prepare_design must
+    drop the memoized design (r5 ADVICE): reconfigure-then-run refits on
+    the new design rather than silently reusing the stale matrix."""
+    import os
+
+    from oaxaca_blinder_rs_spark.quantile_builder import QuantileDecompositionBuilder
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    b = (
+        QuantileDecompositionBuilder(li, "l_extendedprice", "l_returnflag", "R")
+        .predictors(["l_quantity"])
+    )
+    _, xcols1, _, _ = b._prepare_design()
+    b.predictors(["l_quantity", "l_discount"])
+    _, xcols2, _, _ = b._prepare_design()
+    assert "l_discount" in xcols2 and "l_discount" not in xcols1

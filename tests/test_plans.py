@@ -235,3 +235,68 @@ def test_funnel_no_window_no_collect(spark, sf_dir):
     # the public API returns the counts frame
     out = funnel(ev, ["view", "click"])
     assert [r["step"] for r in out.collect()] == ["view", "click"]
+
+
+def test_funnel_persists_each_step_and_leaks_nothing(spark, sf_dir, monkeypatch):
+    """The r5 verdict flagged funnel's k^2/2 event scans: step i's count
+    re-executed steps 1..i-1 because each count was an action on an
+    uncached chain. The contract now is: every step's reached set is
+    persisted before it is counted (so the next step's join reads the
+    materialized per-user state — k scans total), and every persist is
+    dropped before funnel() returns."""
+    from oaxaca_blinder_rs_spark.operators import funnel as funnel_mod
+
+    # patch the CONCRETE class (pyspark 4's classic DataFrame overrides the
+    # pyspark.sql.DataFrame base methods)
+    DataFrame = type(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    persists, unpersists = [], []
+    orig_persist, orig_unpersist = DataFrame.persist, DataFrame.unpersist
+
+    def spy_persist(self, *a, **k):
+        persists.append(1)
+        return orig_persist(self, *a, **k)
+
+    def spy_unpersist(self, *a, **k):
+        unpersists.append(1)
+        return orig_unpersist(self, *a, **k)
+
+    monkeypatch.setattr(DataFrame, "persist", spy_persist)
+    monkeypatch.setattr(DataFrame, "unpersist", spy_unpersist)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    steps = ["view", "click", "purchase"]
+    out = funnel_mod.funnel(ev, steps)
+    assert len(persists) == len(steps)
+    assert len(unpersists) == len(steps)
+    # nothing left cached after the call
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    assert len(infos) == 0, [str(i) for i in infos]
+    ns = [r["n_users"] for r in out.orderBy("step_idx").collect()]
+    assert ns == sorted(ns, reverse=True)
+
+
+def test_cohort_retention_offset_counts_periods(spark):
+    """granularity='week'/'month' offsets count PERIODS, not days (the r5
+    ADVICE fix): a user first seen in week W and active again the next
+    week has offset 1, not 7."""
+    from datetime import datetime
+
+    from oaxaca_blinder_rs_spark.operators.funnel import cohort_retention
+
+    rows = [
+        (1, datetime(2024, 1, 1), "x"), (1, datetime(2024, 1, 8), "x"),
+        (1, datetime(2024, 2, 5), "x"),
+        (2, datetime(2024, 1, 3), "x"), (2, datetime(2024, 3, 1), "x"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    wk = {(str(r["cohort_date"]), r["offset"]): r["active_users"]
+          for r in cohort_retention(ev, granularity="week").collect()}
+    # 2024-01-01 is a Monday; both users land in that cohort week
+    assert wk == {("2024-01-01", 0): 2, ("2024-01-01", 1): 1,
+                  ("2024-01-01", 5): 1, ("2024-01-01", 8): 1}
+    mo = {(str(r["cohort_date"]), r["offset"]): r["active_users"]
+          for r in cohort_retention(ev, granularity="month").collect()}
+    assert mo == {("2024-01-01", 0): 2, ("2024-01-01", 1): 1, ("2024-01-01", 2): 1}
+    import pytest
+
+    with pytest.raises(ValueError):
+        cohort_retention(ev, granularity="fortnight")
