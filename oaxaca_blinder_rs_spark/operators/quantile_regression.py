@@ -94,7 +94,8 @@ def solve_qr_exact(
     y: np.ndarray,
     tau: float,
     max_pivots: int = 500,
-) -> np.ndarray:
+    return_basis: bool = False,
+):
     """Exact LP-vertex quantile regression (the reference's semantics).
 
     quantile_regression.rs:22-129 solves min sum rho_tau(y - X beta) as an
@@ -108,7 +109,17 @@ def solve_qr_exact(
     piecewise-linear objective). Exact up to solve() roundoff, unlike IRLS
     whose argmin can wander a near-flat optimal face by the documented
     ~0.3%-of-scale spread.
+
+    With ``return_basis=True`` returns ``(beta, basis)`` where ``basis`` is
+    the certified k-row optimal basis (row indices into X) — or ``None`` on
+    the uncertified bail paths (rank deficiency, numeric degeneracy, pivot
+    budget). The SQL vertex-enumeration oracle (mm_qr_vertex) uses the
+    basis to canonicalize the optimal line from its two data points.
     """
+
+    def _ret(b, basis_rows):
+        return (b, basis_rows) if return_basis else b
+
     n, k = X.shape
     beta = solve_qr(X, y, tau)
     scale = max(float(np.max(np.abs(y))), 1.0)
@@ -131,7 +142,7 @@ def solve_qr_exact(
             if nu == k:
                 break
     if nu < k:
-        return beta  # rank-deficient design: keep the IRLS solution
+        return _ret(beta, None)  # rank-deficient design: keep the IRLS solution
 
     B = np.array(basis)
     best_beta, best_obj = beta, _check_loss(X, y, beta, tau)
@@ -141,7 +152,7 @@ def solve_qr_exact(
             beta = np.linalg.solve(XB, y[B])
             Binv = np.linalg.inv(XB)
         except np.linalg.LinAlgError:
-            return best_beta
+            return _ret(best_beta, None)
         obj = _check_loss(X, y, beta, tau)
         if obj < best_obj:
             best_obj, best_beta = obj, beta
@@ -160,7 +171,7 @@ def solve_qr_exact(
             )
         jmin = int(np.argmin(grads))
         if grads[jmin] >= -1e-9 * scale:
-            return beta  # every edge ascends: LP optimum certified
+            return _ret(beta, B.copy())  # every edge ascends: LP optimum certified
         s = 1.0 if jmin < k else -1.0
         j = jmin % k
         delta = -s * D[:, j]
@@ -170,6 +181,6 @@ def solve_qr_exact(
         t[B] = np.inf
         enter = int(np.argmin(t))
         if not np.isfinite(t[enter]):
-            return best_beta  # unbounded edge: numerically degenerate, bail
+            return _ret(best_beta, None)  # unbounded edge: numerically degenerate, bail
         B[j] = enter
-    return best_beta
+    return _ret(best_beta, None)
