@@ -1287,63 +1287,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (3) long-stable rows that have been driver-green for multiple rounds.
     """
     return {
-        # -- (1) never driver-verified before round 5 ----------------------
-        "events_pivot": q_events_pivot,
-        "events_melt": q_events_melt,
-        "revenue_rollup": q_revenue_rollup,
-        "rolling_events": q_rolling_events,
-        "asof_join_events": q_asof_join_events,
-        "range_join_events": q_range_join_events,
-        "salted_join_check": q_salted_join_check,
-        "events_props_stats": q_events_props_stats,
-        "user_sessions": q_user_sessions,
-        "sample_fraction": q_sample_fraction,
-        "sample_stratified": q_sample_stratified,
-        "corpus_mixture": q_corpus_mixture,
-        "corpus_split": q_corpus_split,
-        "regional_revenue": q_regional_revenue,
-        "segment_revenue_top10": q_segment_revenue_top10,
-        "oaxaca_mean_2pred": q_oaxaca_mean_2pred,
-        "oaxaca_categorical": q_oaxaca_categorical,
-        "oaxaca_wls": q_oaxaca_wls,
-        "embedding_cosine_dups": q_embedding_cosine_dups,
-        "embedding_cosine_dups_lsh": q_embedding_cosine_dups_lsh,
-        "quality_score": q_quality_score,
-        "simhash": q_simhash,
-        "simhash_dups": q_simhash_dups,
-        "simhash_shingle_check": q_simhash_shingle_check,
-        # -- (2) changed this round / rows-only iterative ops --------------
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "adaptive_logprob_keep": q_adaptive_logprob_keep,
-        "event_funnel": q_event_funnel,
-        "cohort_retention": q_cohort_retention,
-        "heckman_probit_design": q_heckman_probit_design,
-        "dfl_densities": q_dfl_densities,
-        "mm_ols_start": q_mm_ols_start,
+        # Window-rotation policy (NOTES_r5, r5 verdict ask 8): the driver
+        # hash-checks the FIRST 50 entries. Declared first: every row with
+        # no round-5 driver record (last round's out-of-window set plus
+        # the new mm_qr_vertex); then rows whose query/oracle changed this
+        # round; then the long-stable round-5-green rows. Every declared
+        # row therefore has a driver record at most 2 rounds old.
+        # -- (1) no driver record from round 5 -----------------------------
         "mm_qr_vertex": q_mm_qr_vertex,
-        "machado_mata": q_machado_mata,
-        "kmeans_clusters": q_kmeans_clusters,
-        "oaxaca_mean_groupb": q_oaxaca_mean_groupb,
-        "oaxaca_mean_pooled": q_oaxaca_mean_pooled,
-        "oaxaca_mean_weighted": q_oaxaca_mean_weighted,
-        "rif_q90_groupb": q_rif_q90_groupb,
-        "budget_allocation": q_budget_allocation,
-        "vif_lineitem": q_vif_lineitem,
-        "matching_weights": q_matching_weights,
-        "ngram_jaccard": q_ngram_jaccard,
-        "dedup_clusters": q_dedup_clusters,
-        "corpus_prepare": q_corpus_prepare,
-        "corpus_pack": q_corpus_pack,
-        "cross_corpus_dedup": q_cross_corpus_dedup,
-        "tfidf_top3": q_tfidf_top3,
-        "akm_demeaned_check": q_akm_demeaned_check,
-        "akm_effects": q_akm_effects,
-        "dfl_design_check": q_dfl_design_check,
-        "heckman_decomposition": q_heckman_decomposition,
         "optimizer_greedy": q_optimizer_greedy,
         "events_hourly": q_events_hourly,
         "events_gapfilled": q_events_gapfilled,
-        # -- (3) long-stable driver-green rows (outside the 50-window) -----
         "pca_whiten_top2": q_pca_whiten_top2,
         "pricing_summary": q_pricing_summary,
         "group_outcome_stats": q_group_outcome_stats,
@@ -1368,6 +1322,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diversity_sample": q_diversity_sample,
         "weighted_kde_grid": q_weighted_kde_grid,
         "ngram_doc_freq": q_ngram_doc_freq,
+        # -- (2) query/oracle changed in round 6 ---------------------------
+        "simhash": q_simhash,
+        "simhash_dups": q_simhash_dups,
+        "simhash_shingle_check": q_simhash_shingle_check,
+        "event_funnel": q_event_funnel,
+        "cohort_retention": q_cohort_retention,
+        "asof_join_events": q_asof_join_events,
+        "machado_mata": q_machado_mata,
+        "akm_effects": q_akm_effects,
+        # -- (3) driver-green in round 5 (past the 50-row boundary) --------
+        "events_pivot": q_events_pivot,
+        "events_melt": q_events_melt,
+        "revenue_rollup": q_revenue_rollup,
+        "rolling_events": q_rolling_events,
+        "range_join_events": q_range_join_events,
+        "salted_join_check": q_salted_join_check,
+        "events_props_stats": q_events_props_stats,
+        "user_sessions": q_user_sessions,
+        "sample_fraction": q_sample_fraction,
+        "sample_stratified": q_sample_stratified,
+        "corpus_mixture": q_corpus_mixture,
+        "corpus_split": q_corpus_split,
+        "regional_revenue": q_regional_revenue,
+        "segment_revenue_top10": q_segment_revenue_top10,
+        "oaxaca_mean_2pred": q_oaxaca_mean_2pred,
+        "oaxaca_categorical": q_oaxaca_categorical,
+        "oaxaca_wls": q_oaxaca_wls,
+        "embedding_cosine_dups": q_embedding_cosine_dups,
+        "embedding_cosine_dups_lsh": q_embedding_cosine_dups_lsh,
+        "quality_score": q_quality_score,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "adaptive_logprob_keep": q_adaptive_logprob_keep,
+        "heckman_probit_design": q_heckman_probit_design,
+        "dfl_densities": q_dfl_densities,
+        "mm_ols_start": q_mm_ols_start,
+        "kmeans_clusters": q_kmeans_clusters,
+        "oaxaca_mean_groupb": q_oaxaca_mean_groupb,
+        "oaxaca_mean_pooled": q_oaxaca_mean_pooled,
+        "oaxaca_mean_weighted": q_oaxaca_mean_weighted,
+        "rif_q90_groupb": q_rif_q90_groupb,
+        "budget_allocation": q_budget_allocation,
+        "vif_lineitem": q_vif_lineitem,
+        "matching_weights": q_matching_weights,
+        "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
+        "corpus_prepare": q_corpus_prepare,
+        "corpus_pack": q_corpus_pack,
+        "cross_corpus_dedup": q_cross_corpus_dedup,
+        "tfidf_top3": q_tfidf_top3,
+        "akm_demeaned_check": q_akm_demeaned_check,
+        "dfl_design_check": q_dfl_design_check,
+        "heckman_decomposition": q_heckman_decomposition,
     }
 
 

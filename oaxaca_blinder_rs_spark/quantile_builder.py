@@ -41,6 +41,15 @@ from .results import ComponentResult
 INTERCEPT = "__ob_intercept__"
 COLLECT_LIMIT_CELLS = 50_000_000
 
+# Gram-engine smoothing schedule (see _fit_gram): target bandwidth fraction
+# of sd(y), anneal start fraction, per-pass shrink. Module-level so the
+# schedule-invariance test can vary the HOMOTOPY PATH and assert the
+# converged answer (the unique optimum of the target-h loss) doesn't move.
+GRAM_H_FRAC = 0.01
+GRAM_H0_FRAC = 0.5
+GRAM_SHRINK = 0.25
+
+
 
 @dataclass
 class QuantileDecompositionDetail:
@@ -545,7 +554,7 @@ class QuantileDecompositionBuilder:
         # (0.5, 0.25) reaches target at pass 3 (50 x 0.25^3 < 1) instead of
         # the old (1.0, 0.5)'s pass 7 — ~40% fewer full-data passes, with
         # the adaptive damping + trust clamp absorbing the larger h steps.
-        H_FRAC, H0_FRAC, SHRINK = 0.01, 0.5, 0.25
+        H_FRAC, H0_FRAC, SHRINK = GRAM_H_FRAC, GRAM_H0_FRAC, GRAM_SHRINK
         CHUNK = 256  # bounds the n_p x CHUNK residual/weight blocks per task
 
         par = spark.sparkContext.defaultParallelism
@@ -768,6 +777,7 @@ class QuantileDecompositionBuilder:
                 at_target = h_now[good] <= model_h[good] * 1.0000001
                 status[good[at_target & (delta < TOL * scale)]] = 1
         status[status == 0] = 1  # max_iter reached: keep last iterate
+        self._gram_passes = it  # instrumentation: full-data Newton passes
 
         betas: dict[tuple[int, int], list[np.ndarray]] = {}
         order = np.lexsort((model_tidx, model_side, model_rep))
