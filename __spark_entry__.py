@@ -987,6 +987,20 @@ def q_cross_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.cross_corpus_dedup(new, ref)
 
 
+def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-gram contamination audit (corpus.ngram_contamination, r6):
+    docs with id < 450 as the training corpus, id >= 450 as the probe set
+    (eval benchmark stand-in). Spark joins on xxhash64 of the n-gram
+    (8-byte broadcast keys, map-side join); the oracle joins on the n-gram
+    strings, so a hash collision would surface as a mismatch."""
+    from oaxaca_blinder_rs_spark.operators import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.ngram_contamination(
+        docs.filter(F.col("doc_id") < 450), docs.filter(F.col("doc_id") >= 450), n=5
+    )
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (rolling k-gram hash + window minima, exact
     int64) exploded to (doc_id, fp) rows — textops.winnow_fingerprints."""
@@ -1325,7 +1339,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diversity_sample": q_diversity_sample,
         "weighted_kde_grid": q_weighted_kde_grid,
         "ngram_doc_freq": q_ngram_doc_freq,
-        # -- (2) query/oracle changed in round 6 ---------------------------
+        # -- (2) query/oracle changed or new in round 6 --------------------
+        "ngram_contamination": q_ngram_contamination,
         "simhash": q_simhash,
         "simhash_dups": q_simhash_dups,
         "simhash_shingle_check": q_simhash_shingle_check,
@@ -2788,6 +2803,31 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY round(tf.tf * ln(n.n / df.df), 6) DESC, tf.term ASC) rk
               FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
             ) WHERE rk <= 3
+        """,
+        "ngram_contamination": """
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+              FROM documents
+            ), sh AS (
+              SELECT doc_id, CASE WHEN len(t) >= 5
+                THEN list_distinct(list_transform(range(1, len(t) - 3),
+                                                  i -> array_to_string(t[i:i+4], ' ')))
+                ELSE [array_to_string(t, ' ')] END AS s
+              FROM toks
+            ), d AS (
+              SELECT doc_id, unnest(s) AS ng FROM sh WHERE doc_id < 450
+            ), p AS (
+              SELECT doc_id AS probe_id, unnest(s) AS ng FROM sh WHERE doc_id >= 450
+            ), ptot AS (
+              SELECT probe_id, count(*) AS probe_ngrams FROM p GROUP BY probe_id
+            ), pairs AS (
+              SELECT d.doc_id, p.probe_id, count(*) AS n_shared
+              FROM d JOIN p USING (ng) GROUP BY d.doc_id, p.probe_id
+            )
+            SELECT doc_id, probe_id, n_shared, probe_ngrams,
+                   round(CAST(n_shared AS DOUBLE) / probe_ngrams, 6) AS containment
+            FROM pairs JOIN ptot USING (probe_id)
+            WHERE n_shared >= 1
         """,
         "corpus_prepare": """
             WITH RECURSIVE m AS (

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from . import dedup, textops
 
-__all__ = ["prepare_corpus", "pack_token_shards", "cross_corpus_dedup"]
+__all__ = ["prepare_corpus", "pack_token_shards", "cross_corpus_dedup", "ngram_contamination"]
 
 
 def prepare_corpus(
@@ -224,3 +224,56 @@ def cross_corpus_dedup(
     # exact wins when a doc matches in both stages
     near_only = near.join(exact.select(id_col), id_col, "left_anti")
     return exact.unionByName(near_only)
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    probes: DataFrame,
+    n: int = 5,
+    min_overlap: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact word-n-gram contamination check of a training corpus against a
+    probe set (eval benchmarks) — the standard "13-gram decontamination"
+    audit, here with configurable ``n``. Complements cross_corpus_dedup's
+    MinHash near-dup stage with the EXACT-overlap evidence auditors want:
+    (doc_id, probe_id, n_shared, probe_ngrams, containment) for every
+    (corpus doc, probe) pair sharing >= min_overlap distinct n-grams,
+    containment = n_shared / probe's distinct n-gram count.
+
+    Scale shape (100 TB corpus, small probe set): both sides explode their
+    DISTINCT per-document n-grams (dedup.shingles — same tokenizer as every
+    other text operator); the corpus side joins on xxhash64 of the n-gram
+    (an 8-byte shuffle key instead of ~50-byte strings) against the
+    BROADCAST probe-side hashes, so the corpus never shuffles — the join is
+    map-side. Per-pair counts then aggregate on (doc, probe). A 64-bit hash
+    collision could inflate a count (~1e-19 per pair); the DuckDB oracle
+    joins on the n-gram STRINGS, so any collision would surface as a
+    driver mismatch rather than hide.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    d_ng = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(dedup.shingles(F.col(text_col), n)).alias("__ng"),
+    ).select("doc_id", F.xxhash64("__ng").alias("__h"))
+    p_sh = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.explode(dedup.shingles(F.col(text_col), n)).alias("__ng"),
+    )
+    p_tot = p_sh.groupBy("probe_id").agg(F.count(F.lit(1)).alias("probe_ngrams"))
+    p_ng = p_sh.select("probe_id", F.xxhash64("__ng").alias("__h"))
+    pairs = (
+        d_ng.join(F.broadcast(p_ng), "__h")
+        .groupBy("doc_id", "probe_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= int(min_overlap))
+    )
+    return pairs.join(F.broadcast(p_tot), "probe_id").select(
+        "doc_id",
+        "probe_id",
+        "n_shared",
+        "probe_ngrams",
+        F.round(F.col("n_shared") / F.col("probe_ngrams"), 6).alias("containment"),
+    )

@@ -258,3 +258,30 @@ def test_prepare_corpus_optional_gates(spark, sf_dir):
     scrubbed = corpus.prepare_corpus(docs, scrub_pii=True)
     assert "text" in scrubbed.columns
     assert {r["doc_id"] for r in scrubbed.collect()} == base
+
+
+def test_ngram_contamination_hand_case_and_plan(spark):
+    """Exact n-gram contamination audit (r6): hand-built corpus/probe pair
+    with known shared 3-grams, plus the scale contract — the probe side is
+    broadcast so the corpus never shuffles for the join."""
+    from oaxaca_blinder_rs_spark.operators.corpus import ngram_contamination
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps high"), (2, "totally unrelated words here")],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame(
+        [(10, "the quick brown fox runs")], "doc_id long, text string"
+    )
+    out = ngram_contamination(docs, probes, n=3)
+    rows = out.collect()
+    # probe 3-grams: {the quick brown, quick brown fox, brown fox runs} -> 3
+    # doc 1 shares the first two
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_id"], r["probe_id"], r["n_shared"], r["probe_ngrams"]) == (1, 10, 2, 3)
+    assert r["containment"] == round(2 / 3, 6)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # doc with no overlap is absent
+    assert all(x["doc_id"] != 2 for x in rows)
