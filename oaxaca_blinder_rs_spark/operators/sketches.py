@@ -1,0 +1,102 @@
+"""Distinct-count sketches: HyperLogLog over xxhash64 (net-new scale surface).
+
+The cardinality primitive every 100 TB pipeline needs (distinct users,
+distinct n-grams, distinct URLs) where exact COUNT(DISTINCT) would shuffle
+the full key set. Spark ships approx_count_distinct, but its sketch is
+opaque; this HLL is built from first principles on `F.xxhash64` so that
+
+- the REGISTERS are a queryable DataFrame (mergeable across corpora/days by
+  a further groupBy-max — union of sketches IS max of registers), and
+- the whole pipeline is bit-exactly oracle-checkable: the round-6 XXH64
+  SQL transliteration (functions/xxh64_sql.py) lets DuckDB recompute the
+  identical registers, something impossible for an opaque sketch.
+
+Algorithm (Flajolet et al. 2007 HyperLogLog, 64-bit-hash variant):
+p index bits -> m = 2^p registers; for each value, register = top p bits of
+the unsigned hash, rho = 1 + leading-zero count of the remaining 64-p bits
+(computed EXACTLY via length(bin(w)) — integer string length, no float
+log2 edge cases); register keeps the max rho. Estimate = alpha_m * m^2 /
+sum(2^-M_j) with the classic linear-counting small-range correction
+(E <= 2.5m and empty registers present). No large-range correction: with
+64-bit hashes collisions are negligible at any practical cardinality.
+
+Scale shape: ONE groupBy on the register index (max m = 2^p keys, partial
+max map-side) + one m-row final aggregate. Nothing else shuffles.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["hll_registers", "hll_count_distinct", "hll_alpha"]
+
+
+def hll_alpha(m: int) -> float:
+    """Bias-correction constant alpha_m (Flajolet et al. 2007, Fig. 3)."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _rho_expr(h, p: int):
+    """rho = 1 + leading zeros of the low (64-p) bits of unsigned hash h.
+
+    w = h & (2^(64-p) - 1); its bit length is length(bin(w)) EXCEPT w=0,
+    where bin() is "0" (length 1). Integer-exact: no log2 on doubles."""
+    w = F.shiftleft(h, p)  # drop the p index bits; low bits fill with 0
+    w = F.shiftrightunsigned(w, p)  # back in place: pure low-(64-p) field
+    blen = F.length(F.bin(w))
+    return (
+        F.when(w == 0, F.lit(64 - p + 1))
+        .otherwise(F.lit(64 - p) - blen + F.lit(1))
+        .cast("int")
+    )
+
+
+def hll_registers(df: DataFrame, col: str, p: int = 8) -> DataFrame:
+    """The full m-row register table (register long, rho int), rho = 0 for
+    registers no value hashed into. Mergeable: union two corpora's tables
+    and groupBy(register).max(rho) — that IS the sketch union."""
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    m = 1 << p
+    h = F.xxhash64(F.col(col))
+    idx = F.shiftrightunsigned(h, 64 - p).alias("register")
+    occupied = (
+        df.select(idx, _rho_expr(h, p).alias("__rho"))
+        .groupBy("register")
+        .agg(F.max("__rho").alias("rho"))
+    )
+    spine = df.sparkSession.range(m).select(F.col("id").alias("register"))
+    return (
+        spine.join(occupied, "register", "left")
+        .select("register", F.coalesce("rho", F.lit(0)).cast("int").alias("rho"))
+    )
+
+
+def hll_count_distinct(df: DataFrame, col: str, p: int = 8) -> DataFrame:
+    """One-row estimate frame (m, zeros, estimate). estimate rounded to 4dp
+    so the DuckDB oracle (same formula over the same bit-exact registers)
+    hash-matches despite ln/pow last-ulp differences across engines."""
+    m = 1 << p
+    alpha = hll_alpha(m)
+    regs = hll_registers(df, col, p)
+    agg = regs.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("__s"),
+        F.sum((F.col("rho") == 0).cast("long")).alias("zeros"),
+    )
+    raw = F.lit(alpha * m * m) / F.col("__s")
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("zeros"))
+    est = F.when((raw <= 2.5 * m) & (F.col("zeros") > 0), linear).otherwise(raw)
+    return agg.select(
+        F.lit(m).cast("long").alias("m"),
+        F.col("zeros"),
+        F.round(est, 4).alias("estimate"),
+    )

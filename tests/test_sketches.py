@@ -1,0 +1,66 @@
+"""HyperLogLog sketch tests (operators/sketches.py, round 6)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from oaxaca_blinder_rs_spark.operators import sketches
+
+
+def test_hll_estimate_accuracy_and_determinism(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").cast("string").alias("u")
+    )
+    exact = ev.distinct().count()
+    row = sketches.hll_count_distinct(ev, "u", p=8).collect()[0]
+    m = row["m"]
+    assert m == 256
+    # standard error ~1.04/sqrt(m) ~ 6.5%; allow 4 sigma
+    assert abs(row["estimate"] - exact) <= max(4 * 1.04 / (m ** 0.5) * exact, 10.0)
+    again = sketches.hll_count_distinct(ev, "u", p=8).collect()[0]
+    assert again["estimate"] == row["estimate"]
+
+
+def test_hll_registers_merge_is_max(spark, sf_dir):
+    """Sketch union = register-wise max: merging the two halves' register
+    tables reproduces the whole corpus's registers exactly."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").cast("string").alias("u"), "event_id"
+    )
+    whole = sketches.hll_registers(ev, "u", p=6)
+    a = sketches.hll_registers(ev.filter(F.col("event_id") % 2 == 0), "u", p=6)
+    b = sketches.hll_registers(ev.filter(F.col("event_id") % 2 == 1), "u", p=6)
+    merged = (
+        a.unionByName(b).groupBy("register").agg(F.max("rho").alias("rho"))
+    )
+    got = {r["register"]: r["rho"] for r in merged.collect()}
+    want = {r["register"]: r["rho"] for r in whole.collect()}
+    assert got == want
+
+
+def test_hll_linear_counting_small_range(spark):
+    """Tiny cardinality -> linear-counting branch: estimate lands within a
+    couple of counts of the exact value."""
+    df = spark.createDataFrame([(f"v{i}",) for i in range(20)], "u string")
+    row = sketches.hll_count_distinct(df, "u", p=8).collect()[0]
+    assert row["zeros"] >= 236
+    assert abs(row["estimate"] - 20) <= 2.0
+
+
+def test_hll_plan_partial_aggregation(spark, sf_dir):
+    """Scale contract: ONE shuffle keyed by the (<= 2^p)-ary register index
+    with a map-side partial max; no window, no collect."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").cast("string").alias("u")
+    )
+    plan = (
+        sketches.hll_registers(ev, "u", p=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "partial_max" in plan or "partial_" in plan
+    assert "Window" not in plan
+
+
+def test_hll_p_validation(spark):
+    df = spark.createDataFrame([("a",)], "u string")
+    with pytest.raises(ValueError):
+        sketches.hll_registers(df, "u", p=2)
