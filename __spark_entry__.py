@@ -1083,6 +1083,19 @@ def q_sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.deterministic_sample(docs, 0.2).select("doc_id")
 
 
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Bernoulli sampling (sampling.weighted_sample, r6): keep
+    probability min(1, frac * w / mean(w)) with w = document char length —
+    the quality-aware subsample, same engine-portable md5 uniform as
+    sample_fraction (one scalar broadcast, then a map-side filter)."""
+    from oaxaca_blinder_rs_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "__w", F.length("text").cast("double")
+    )
+    return sampling.weighted_sample(docs, "__w", 0.3).select("doc_id")
+
+
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling: the 100 smallest (md5-uniform, id)
     rows per event_type, ranked by the distributed grouped_dense_rank
@@ -1363,6 +1376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_doc_freq": q_ngram_doc_freq,
         # -- (2) query/oracle changed or new in round 6 --------------------
         "ngram_contamination": q_ngram_contamination,
+        "sample_weighted": q_sample_weighted,
         "hll_registers": q_hll_registers,
         "hll_count_users": q_hll_count_users,
         "simhash": q_simhash,
@@ -2419,6 +2433,13 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'test' END split,
                    count(*) n_docs, CAST(sum(doc_id) AS BIGINT) id_sum
             FROM u GROUP BY 1
+        """,
+        "sample_weighted": """
+            WITH mw AS (SELECT avg(CAST(length(text) AS DOUBLE)) AS w FROM documents)
+            SELECT doc_id FROM documents, mw
+            WHERE ('0x' || substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  / 4294967296.0
+                  < least(1.0, 0.3 * CAST(length(text) AS DOUBLE) / mw.w)
         """,
         "sample_fraction": """
             SELECT doc_id FROM documents

@@ -25,6 +25,7 @@ from .scan import grouped_dense_rank
 __all__ = [
     "md5_uniform",
     "deterministic_sample",
+    "weighted_sample",
     "stratified_sample",
     "mix_corpora",
     "split_corpus",
@@ -127,3 +128,32 @@ def mix_corpora(
     if out is None:
         raise ValueError("mix_corpora needs at least one source")
     return out
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    fraction: float,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Weighted Bernoulli sampling: row i kept with probability
+    min(1, fraction * w_i / mean(w)) — the quality-aware subsample every
+    curation pipeline runs (upweight high-quality documents, keep the
+    EXPECTED sample size at ~fraction * n). Membership is the same
+    deterministic md5 uniform as deterministic_sample, so it is stable
+    across engines, reruns and partitionings, and oracle-checkable.
+
+    Scale shape: one tiny global aggregate for mean(w) (broadcast scalar
+    via crossJoin of a 1-row frame), then a stateless map-side filter —
+    no shuffle of the data itself.
+    """
+    if fraction < 0:
+        raise ValueError("fraction must be >= 0")
+    mw = df.agg(F.avg(F.col(weight_col).cast("double")).alias("__mw"))
+    u = md5_uniform(id_col, seed)
+    return (
+        df.crossJoin(F.broadcast(mw))
+        .filter(u < F.least(F.lit(1.0), F.lit(float(fraction)) * F.col(weight_col) / F.col("__mw")))
+        .drop("__mw")
+    )

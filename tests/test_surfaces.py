@@ -634,3 +634,38 @@ def test_streaming_enrich_register_forward_only(spark, tmp_path):
     rows = {(r["user_id"], r["ts"]): r for r in spark.read.parquet(out_dir).collect()}
     assert rows[(1, ts(40))]["asof_value"] == 50.0
     assert rows[(1, ts(40))]["asof_ts"] == ts(10)
+
+
+def test_weighted_sample_expected_size_and_shape(spark, sf_dir):
+    """weighted_sample (r6): expected size ~ fraction*n, high-weight rows
+    overrepresented, membership deterministic, and the plan is a map-side
+    filter over a broadcast scalar (no data shuffle)."""
+    from pyspark.sql import functions as F
+
+    from oaxaca_blinder_rs_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "__w", F.length("text").cast("double")
+    )
+    n = docs.count()
+    out = sampling.weighted_sample(docs, "__w", 0.3)
+    ids1 = {r["doc_id"] for r in out.select("doc_id").collect()}
+    k = len(ids1)
+    assert abs(k - 0.3 * n) < 0.15 * n
+    ids2 = {r["doc_id"] for r in sampling.weighted_sample(docs, "__w", 0.3).select("doc_id").collect()}
+    assert ids1 == ids2
+    # longer docs are kept at a higher rate WITHIN the one sample (weights
+    # normalize by the full frame's mean, so subsetting first would
+    # re-normalize and equalize the rates)
+    med = docs.approxQuantile("__w", [0.5], 0.01)[0]
+    hi_ids = {r["doc_id"] for r in docs.filter(F.col("__w") > med).select("doc_id").collect()}
+    lo_ids = {r["doc_id"] for r in docs.filter(F.col("__w") <= med).select("doc_id").collect()}
+    hi_rate = len(ids1 & hi_ids) / max(len(hi_ids), 1)
+    lo_rate = len(ids1 & lo_ids) / max(len(lo_ids), 1)
+    assert hi_rate > lo_rate
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    import pytest
+
+    with pytest.raises(ValueError):
+        sampling.weighted_sample(docs, "__w", -0.1)
