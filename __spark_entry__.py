@@ -1023,6 +1023,28 @@ def q_hll_count_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.hll_count_distinct(ev, "u", p=8)
 
 
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution (funnel.attribution, r6): purchase
+    conversions credited to the most recent view/click/signup touch within
+    a 2-day lookback; no-touch conversions fall to '(direct)'. User-keyed
+    join + per-conversion max-of-struct — no event-stream window."""
+    from oaxaca_blinder_rs_spark.operators.funnel import attribution
+
+    ev = _t(spark, sf_dir, "events")
+    return attribution(ev, "purchase", ["view", "click", "signup"],
+                       model="last_touch", lookback_days=2)
+
+
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-model attribution: each of the k touches before a conversion
+    gets credit 1/k (same 2-day lookback)."""
+    from oaxaca_blinder_rs_spark.operators.funnel import attribution
+
+    ev = _t(spark, sf_dir, "events")
+    return attribution(ev, "purchase", ["view", "click", "signup"],
+                       model="linear", lookback_days=2)
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (rolling k-gram hash + window minima, exact
     int64) exploded to (doc_id, fp) rows — textops.winnow_fingerprints."""
@@ -1377,6 +1399,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (2) query/oracle changed or new in round 6 --------------------
         "ngram_contamination": q_ngram_contamination,
         "sample_weighted": q_sample_weighted,
+        "attribution_last_touch": q_attribution_last_touch,
+        "attribution_linear": q_attribution_linear,
         "hll_registers": q_hll_registers,
         "hll_count_users": q_hll_count_users,
         "simhash": q_simhash,
@@ -2433,6 +2457,57 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'test' END split,
                    count(*) n_docs, CAST(sum(doc_id) AS BIGINT) id_sum
             FROM u GROUP BY 1
+        """,
+        "attribution_last_touch": """
+            WITH conv AS (
+              SELECT user_id AS u, event_id AS cid, ts AS ct, CAST(value AS DOUBLE) AS cv
+              FROM events WHERE event_type = 'purchase'
+            ), touch AS (
+              SELECT user_id AS u, ts AS tt, event_id AS tid, event_type AS channel
+              FROM events WHERE event_type IN ('view', 'click', 'signup')
+            ), j AS (
+              SELECT c.cid, c.cv, t.channel, t.tt, t.tid
+              FROM conv c JOIN touch t ON t.u = c.u
+              WHERE t.tt < c.ct AND t.tt >= c.ct - INTERVAL 2 DAYS
+            ), direct AS (
+              SELECT '(direct)' AS channel, CAST(1.0 AS DOUBLE) AS credit, c.cv
+              FROM conv c WHERE NOT EXISTS (SELECT 1 FROM j WHERE j.cid = c.cid)
+            ),
+            pick AS (
+              SELECT cid, cv, channel,
+                     row_number() OVER (PARTITION BY cid ORDER BY tt DESC, tid DESC) AS rn
+              FROM j
+            ), cr AS (
+              SELECT channel, CAST(1.0 AS DOUBLE) AS credit, cv FROM pick WHERE rn = 1
+              UNION ALL SELECT * FROM direct
+            )
+            SELECT channel, round(sum(credit), 4) AS credit,
+                   round(sum(credit * cv), 2) AS credited_value
+            FROM cr GROUP BY channel
+        """,
+        "attribution_linear": """
+            WITH conv AS (
+              SELECT user_id AS u, event_id AS cid, ts AS ct, CAST(value AS DOUBLE) AS cv
+              FROM events WHERE event_type = 'purchase'
+            ), touch AS (
+              SELECT user_id AS u, ts AS tt, event_id AS tid, event_type AS channel
+              FROM events WHERE event_type IN ('view', 'click', 'signup')
+            ), j AS (
+              SELECT c.cid, c.cv, t.channel, t.tt, t.tid
+              FROM conv c JOIN touch t ON t.u = c.u
+              WHERE t.tt < c.ct AND t.tt >= c.ct - INTERVAL 2 DAYS
+            ), direct AS (
+              SELECT '(direct)' AS channel, CAST(1.0 AS DOUBLE) AS credit, c.cv
+              FROM conv c WHERE NOT EXISTS (SELECT 1 FROM j WHERE j.cid = c.cid)
+            ),
+            cnt AS (SELECT cid, count(*) AS k FROM j GROUP BY cid),
+            cr AS (
+              SELECT j.channel, 1.0 / cnt.k AS credit, j.cv FROM j JOIN cnt USING (cid)
+              UNION ALL SELECT * FROM direct
+            )
+            SELECT channel, round(sum(credit), 4) AS credit,
+                   round(sum(credit * cv), 2) AS credited_value
+            FROM cr GROUP BY channel
         """,
         "sample_weighted": """
             WITH mw AS (SELECT avg(CAST(length(text) AS DOUBLE)) AS w FROM documents)

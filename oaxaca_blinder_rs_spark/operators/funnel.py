@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel", "cohort_retention"]
+__all__ = ["funnel", "cohort_retention", "attribution"]
 
 
 def funnel(
@@ -114,4 +114,84 @@ def cohort_retention(
             offset.cast("long").alias("offset"),
         )
         .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+
+
+def attribution(
+    events: DataFrame,
+    conversion_type: str,
+    touch_types: list[str],
+    model: str = "last_touch",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    lookback_days: int | None = None,
+) -> DataFrame:
+    """Marketing-style conversion attribution: credit each conversion event
+    to the touch channel(s) that preceded it for the same user. Returns
+    (channel, credit, credited_value) — credit sums fractional conversion
+    credits, credited_value sums credit * conversion value. Conversions
+    with no prior touch are credited to the '(direct)' channel.
+
+    Models: 'last_touch' (most recent touch strictly before the
+    conversion gets credit 1; deterministic (ts, event_id) tie-break),
+    'first_touch' (earliest touch), 'linear' (1/k to each of the k
+    touches). ``lookback_days`` bounds how old a touch may be.
+
+    Scale shape (100 TB events): conversions and touches join user-keyed
+    (ONE shuffle on user_id); last/first picks are per-conversion
+    max/min-of-struct aggregates — no window over the event stream, no
+    per-user history collection; linear adds one count aggregate keyed by
+    conversion id. The final channel rollup is a k-ary aggregate.
+    """
+    if model not in ("last_touch", "first_touch", "linear"):
+        raise ValueError(f"unknown attribution model: {model!r}")
+    ts = F.col(ts_col).cast("timestamp")
+    conv = events.filter(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("__u"),
+        F.col(id_col).alias("__cid"),
+        ts.alias("__ct"),
+        F.col(value_col).cast("double").alias("__cv"),
+    )
+    touch = events.filter(F.col(type_col).isin(list(touch_types))).select(
+        F.col(user_col).alias("__u"),
+        ts.alias("__tt"),
+        F.col(id_col).alias("__tid"),
+        F.col(type_col).alias("channel"),
+    )
+    j = conv.join(touch, "__u").filter(F.col("__tt") < F.col("__ct"))
+    if lookback_days is not None:
+        j = j.filter(
+            F.col("__tt") >= F.col("__ct") - F.expr(f"INTERVAL {int(lookback_days)} DAYS")
+        )
+    if model == "linear":
+        cnt = j.groupBy("__cid").agg(F.count(F.lit(1)).alias("__k"))
+        credits = j.join(cnt, "__cid").select(
+            "channel", (F.lit(1.0) / F.col("__k")).alias("credit"), F.col("__cv")
+        )
+    else:
+        pick = F.struct("__tt", "__tid", "channel")
+        agg = F.max(pick) if model == "last_touch" else F.min(pick)
+        credits = (
+            j.groupBy("__cid", "__cv")
+            .agg(agg.alias("__pick"))
+            .select(
+                F.col("__pick.channel").alias("channel"),
+                F.lit(1.0).alias("credit"),
+                F.col("__cv"),
+            )
+        )
+    direct = (
+        conv.join(j.select("__cid").distinct(), "__cid", "left_anti")
+        .select(F.lit("(direct)").alias("channel"), F.lit(1.0).alias("credit"), F.col("__cv"))
+    )
+    return (
+        credits.unionByName(direct)
+        .groupBy("channel")
+        .agg(
+            F.round(F.sum("credit"), 4).alias("credit"),
+            F.round(F.sum(F.col("credit") * F.col("__cv")), 2).alias("credited_value"),
+        )
     )

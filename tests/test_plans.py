@@ -262,14 +262,16 @@ def test_funnel_persists_each_step_and_leaks_nothing(spark, sf_dir, monkeypatch)
 
     monkeypatch.setattr(DataFrame, "persist", spy_persist)
     monkeypatch.setattr(DataFrame, "unpersist", spy_unpersist)
+    before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     steps = ["view", "click", "purchase"]
     out = funnel_mod.funnel(ev, steps)
     assert len(persists) == len(steps)
     assert len(unpersists) == len(steps)
-    # nothing left cached after the call
-    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
-    assert len(infos) == 0, [str(i) for i in infos]
+    # funnel leaves no NEW cached RDDs behind (other suites may hold their
+    # own caches, so compare against the pre-call count rather than zero)
+    after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    assert after <= before
     ns = [r["n_users"] for r in out.orderBy("step_idx").collect()]
     assert ns == sorted(ns, reverse=True)
 

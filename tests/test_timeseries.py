@@ -115,3 +115,55 @@ def test_cohort_retention_hand_computed(spark):
         ("2024-01-01", 0): 2, ("2024-01-01", 1): 1,
         ("2024-01-02", 0): 1, ("2024-01-02", 2): 1,
     }
+
+
+def test_attribution_hand_case_all_models(spark):
+    """Hand-built attribution: last/first/linear credit assignment, the
+    2-day lookback cut, (direct) fallback, and value crediting."""
+    from datetime import datetime
+
+    from oaxaca_blinder_rs_spark.operators.funnel import attribution
+
+    rows = [
+        # user 1: view(d1) -> click(d2) -> purchase(d3, 10.0)
+        (1, 1, datetime(2024, 1, 1), "view", 0.0),
+        (2, 1, datetime(2024, 1, 2), "click", 0.0),
+        (3, 1, datetime(2024, 1, 3), "purchase", 10.0),
+        # user 2: touch too old for the 2-day lookback -> (direct)
+        (4, 2, datetime(2024, 1, 1), "view", 0.0),
+        (5, 2, datetime(2024, 1, 9), "purchase", 4.0),
+        # user 3: no touches at all -> (direct)
+        (6, 3, datetime(2024, 1, 5), "purchase", 1.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+
+    def got(model):
+        return {
+            r["channel"]: (r["credit"], r["credited_value"])
+            for r in attribution(
+                ev, "purchase", ["view", "click"], model=model, lookback_days=2
+            ).collect()
+        }
+
+    assert got("last_touch") == {"click": (1.0, 10.0), "(direct)": (2.0, 5.0)}
+    assert got("first_touch") == {"view": (1.0, 10.0), "(direct)": (2.0, 5.0)}
+    lin = got("linear")
+    assert lin["view"] == (0.5, 5.0) and lin["click"] == (0.5, 5.0)
+    assert lin["(direct)"] == (2.0, 5.0)
+    import pytest
+
+    with pytest.raises(ValueError):
+        attribution(ev, "purchase", ["view"], model="u_shaped")
+
+
+def test_attribution_no_window_plan(spark, sf_dir):
+    """Scale contract: attribution is user-keyed joins + struct-max
+    aggregates; no Window over the event stream."""
+    from oaxaca_blinder_rs_spark.operators.funnel import attribution
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = attribution(ev, "purchase", ["view", "click"], model="last_touch")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan
