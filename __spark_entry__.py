@@ -1045,6 +1045,26 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
                        model="linear", lookback_days=2)
 
 
+def q_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point estimates (sketches.cms_table/cms_estimate,
+    r6): event counts per user for users 0..19, estimated from a w=256 x
+    d=4 sketch over ALL events. The oracle rebuilds every sketch cell with
+    the SQL XXH64 transliteration (hash of 'r{i}:' || value), so the
+    driver checks the sketch's internal state end-to-end; w=256 makes
+    collisions (and therefore genuine approximation) certain at sf0.01."""
+    from oaxaca_blinder_rs_spark.operators import sketches
+
+    ev = _t(spark, sf_dir, "events").select(F.col("user_id").cast("string").alias("u"))
+    cms = sketches.cms_table(ev, "u", w=256, d=4)
+    probes = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 20)
+        .select(F.col("user_id").cast("string").alias("u"))
+        .distinct()
+    )
+    return sketches.cms_estimate(cms, probes, "u", w=256, d=4)
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (rolling k-gram hash + window minima, exact
     int64) exploded to (doc_id, fp) rows — textops.winnow_fingerprints."""
@@ -1400,6 +1420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_contamination": q_ngram_contamination,
         "sample_weighted": q_sample_weighted,
         "attribution_last_touch": q_attribution_last_touch,
+        "cms_user_counts": q_cms_user_counts,
         "attribution_linear": q_attribution_linear,
         "hll_registers": q_hll_registers,
         "hll_count_users": q_hll_count_users,
@@ -2457,6 +2478,25 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'test' END split,
                    count(*) n_docs, CAST(sum(doc_id) AS BIGINT) id_sum
             FROM u GROUP BY 1
+        """,
+        "cms_user_counts": """
+            WITH uv AS (
+              SELECT CAST(user_id AS VARCHAR) AS v, count(*) AS n FROM events GROUP BY 1
+            ), ps AS (
+              SELECT v, n, r.range AS row, 'r' || r.range || ':' || v AS s
+              FROM uv, range(0, 4) r
+            ), hx AS (
+              SELECT v, n, row, xh FROM (SELECT *, xor(__av4, __av4 // 4294967296::HUGEINT) AS xh FROM (SELECT *, ((((__av3) % 4294967296)*2654435833::HUGEINT + ((((__av3) % 4294967296)*374761393::HUGEINT + ((__av3) // 4294967296)*2654435833::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS __av4 FROM (SELECT *, xor(__av2, __av2 // 536870912::HUGEINT) AS __av3 FROM (SELECT *, ((((__av1) % 4294967296)*668265295::HUGEINT + ((((__av1) % 4294967296)*3266489917::HUGEINT + ((__av1) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS __av2 FROM (SELECT *, xor(__h8, __h8 // 8589934592::HUGEINT) AS __av1 FROM (SELECT *, CASE WHEN __r1 >= 3 THEN (((((((((xor(__h7, __b1m2)) * 2048::HUGEINT) % 18446744073709551616::HUGEINT + ((xor(__h7, __b1m2)) // 9007199254740992::HUGEINT))) % 4294967296)*2246822535::HUGEINT + (((((((xor(__h7, __b1m2)) * 2048::HUGEINT) % 18446744073709551616::HUGEINT + ((xor(__h7, __b1m2)) // 9007199254740992::HUGEINT))) % 4294967296)*2654435761::HUGEINT + (((((xor(__h7, __b1m2)) * 2048::HUGEINT) % 18446744073709551616::HUGEINT + ((xor(__h7, __b1m2)) // 9007199254740992::HUGEINT))) // 4294967296)*2246822535::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT) ELSE __h7 END AS __h8 FROM (SELECT *, CASE WHEN __r1 >= 2 THEN (((((((((xor(__h6, __b1m1)) * 2048::HUGEINT) % 18446744073709551616::HUGEINT + ((xor(__h6, __b1m1)) // 9007199254740992::HUGEINT))) % 4294967296)*2246822535::HUGEINT + (((((((xor(__h6, __b1m1)) * 2048::HUGEINT) % 18446744073709551616::HUGEINT + ((xor(__h6, __b1m1)) // 9007199254740992::HUGEINT))) % 4294967296)*2654435761::HUGEINT + (((((xor(__h6, __b1m1)) * 2048::HUGEINT) % 18446744073709551616::HUGEINT + ((xor(__h6, __b1m1)) // 9007199254740992::HUGEINT))) // 4294967296)*2246822535::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT) ELSE __h6 END AS __h7 FROM (SELECT *, CASE WHEN __r1 >= 1 THEN (((((((((xor(__h5, __b1m0)) * 2048::HUGEINT) % 18446744073709551616::HUGEINT + ((xor(__h5, __b1m0)) // 9007199254740992::HUGEINT))) % 4294967296)*2246822535::HUGEINT + (((((((xor(__h5, __b1m0)) * 2048::HUGEINT) % 18446744073709551616::HUGEINT + ((xor(__h5, __b1m0)) // 9007199254740992::HUGEINT))) % 4294967296)*2654435761::HUGEINT + (((((xor(__h5, __b1m0)) * 2048::HUGEINT) % 18446744073709551616::HUGEINT + ((xor(__h5, __b1m0)) // 9007199254740992::HUGEINT))) // 4294967296)*2246822535::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT) ELSE __h5 END AS __h6 FROM (SELECT *, __n - __i2 AS __r1, ((__by[__i2 + 1] * 2870177450012600261::HUGEINT) % 18446744073709551616::HUGEINT) AS __b1m0, ((__by[__i2 + 2] * 2870177450012600261::HUGEINT) % 18446744073709551616::HUGEINT) AS __b1m1, ((__by[__i2 + 3] * 2870177450012600261::HUGEINT) % 18446744073709551616::HUGEINT) AS __b1m2 FROM (SELECT *, CASE WHEN __r4 >= 4 THEN (((((((((xor(__h4, __u4m)) * 8388608::HUGEINT) % 18446744073709551616::HUGEINT + ((xor(__h4, __u4m)) // 2199023255552::HUGEINT))) % 4294967296)*668265295::HUGEINT + (((((((xor(__h4, __u4m)) * 8388608::HUGEINT) % 18446744073709551616::HUGEINT + ((xor(__h4, __u4m)) // 2199023255552::HUGEINT))) % 4294967296)*3266489917::HUGEINT + (((((xor(__h4, __u4m)) * 8388608::HUGEINT) % 18446744073709551616::HUGEINT + ((xor(__h4, __u4m)) // 2199023255552::HUGEINT))) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) + 1609587929392839161::HUGEINT) % 18446744073709551616::HUGEINT) ELSE __h4 END AS __h5, __i1 + CASE WHEN __r4 >= 4 THEN 4 ELSE 0 END AS __i2 FROM (SELECT *, ((((((__u32) % 4294967296)*2246822535::HUGEINT + ((((__u32) % 4294967296)*2654435761::HUGEINT + ((__u32) // 4294967296)*2246822535::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT) AS __u4m FROM (SELECT *, __by[__i1 + 1] * 1::HUGEINT + __by[__i1 + 2] * 256::HUGEINT + __by[__i1 + 3] * 65536::HUGEINT + __by[__i1 + 4] * 16777216::HUGEINT AS __u32 FROM (SELECT *, CASE WHEN __rem >= 24 THEN (((((((((xor(__h3, __k82)) * 134217728::HUGEINT) % 18446744073709551616::HUGEINT + ((xor(__h3, __k82)) // 137438953472::HUGEINT))) % 4294967296)*2246822535::HUGEINT + (((((((xor(__h3, __k82)) * 134217728::HUGEINT) % 18446744073709551616::HUGEINT + ((xor(__h3, __k82)) // 137438953472::HUGEINT))) % 4294967296)*2654435761::HUGEINT + (((((xor(__h3, __k82)) * 134217728::HUGEINT) % 18446744073709551616::HUGEINT + ((xor(__h3, __k82)) // 137438953472::HUGEINT))) // 4294967296)*2246822535::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) + 9650029242287828579::HUGEINT) % 18446744073709551616::HUGEINT) ELSE __h3 END AS __h4 FROM (SELECT *, CASE WHEN __rem >= 16 THEN (((((((((xor(__h2, __k81)) * 134217728::HUGEINT) % 18446744073709551616::HUGEINT + ((xor(__h2, __k81)) // 137438953472::HUGEINT))) % 4294967296)*2246822535::HUGEINT + (((((((xor(__h2, __k81)) * 134217728::HUGEINT) % 18446744073709551616::HUGEINT + ((xor(__h2, __k81)) // 137438953472::HUGEINT))) % 4294967296)*2654435761::HUGEINT + (((((xor(__h2, __k81)) * 134217728::HUGEINT) % 18446744073709551616::HUGEINT + ((xor(__h2, __k81)) // 137438953472::HUGEINT))) // 4294967296)*2246822535::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) + 9650029242287828579::HUGEINT) % 18446744073709551616::HUGEINT) ELSE __h2 END AS __h3 FROM (SELECT *, CASE WHEN __rem >= 8 THEN (((((((((xor(__h1, __k80)) * 134217728::HUGEINT) % 18446744073709551616::HUGEINT + ((xor(__h1, __k80)) // 137438953472::HUGEINT))) % 4294967296)*2246822535::HUGEINT + (((((((xor(__h1, __k80)) * 134217728::HUGEINT) % 18446744073709551616::HUGEINT + ((xor(__h1, __k80)) // 137438953472::HUGEINT))) % 4294967296)*2654435761::HUGEINT + (((((xor(__h1, __k80)) * 134217728::HUGEINT) % 18446744073709551616::HUGEINT + ((xor(__h1, __k80)) // 137438953472::HUGEINT))) // 4294967296)*2246822535::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) + 9650029242287828579::HUGEINT) % 18446744073709551616::HUGEINT) ELSE __h1 END AS __h2 FROM (SELECT *, (__h0 + __n) % 18446744073709551616::HUGEINT AS __h1 FROM (SELECT *, CASE WHEN __n >= 32 THEN __hb4 ELSE 2870177450012600303::HUGEINT END AS __h0 FROM (SELECT *, ((((((xor(__hb3, __r0d)) % 4294967296)*2246822535::HUGEINT + ((((xor(__hb3, __r0d)) % 4294967296)*2654435761::HUGEINT + ((xor(__hb3, __r0d)) // 4294967296)*2246822535::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) + 9650029242287828579::HUGEINT) % 18446744073709551616::HUGEINT) AS __hb4 FROM (SELECT *, ((((((xor(__hb2, __r0c)) % 4294967296)*2246822535::HUGEINT + ((((xor(__hb2, __r0c)) % 4294967296)*2654435761::HUGEINT + ((xor(__hb2, __r0c)) // 4294967296)*2246822535::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) + 9650029242287828579::HUGEINT) % 18446744073709551616::HUGEINT) AS __hb3 FROM (SELECT *, ((((((xor(__hb1, __r0b)) % 4294967296)*2246822535::HUGEINT + ((((xor(__hb1, __r0b)) % 4294967296)*2654435761::HUGEINT + ((xor(__hb1, __r0b)) // 4294967296)*2246822535::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) + 9650029242287828579::HUGEINT) % 18446744073709551616::HUGEINT) AS __hb2 FROM (SELECT *, ((((((xor(__hb0, __r0a)) % 4294967296)*2246822535::HUGEINT + ((((xor(__hb0, __r0a)) % 4294967296)*2654435761::HUGEINT + ((xor(__hb0, __r0a)) // 4294967296)*2246822535::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) + 9650029242287828579::HUGEINT) % 18446744073709551616::HUGEINT) AS __hb1 FROM (SELECT *, ((((((__v).a) * 2::HUGEINT) % 18446744073709551616::HUGEINT + (((__v).a) // 9223372036854775808::HUGEINT)) + ((((__v).b) * 128::HUGEINT) % 18446744073709551616::HUGEINT + (((__v).b) // 144115188075855872::HUGEINT)) + ((((__v).c) * 4096::HUGEINT) % 18446744073709551616::HUGEINT + (((__v).c) // 4503599627370496::HUGEINT)) + ((((__v).d) * 262144::HUGEINT) % 18446744073709551616::HUGEINT + (((__v).d) // 70368744177664::HUGEINT))) % 18446744073709551616::HUGEINT) AS __hb0, __n - __i1 AS __r4, ((((((((((((((__v).a) % 4294967296)*668265295::HUGEINT + (((((__v).a) % 4294967296)*3266489917::HUGEINT + (((__v).a) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + (((((((((__v).a) % 4294967296)*668265295::HUGEINT + (((((__v).a) % 4294967296)*3266489917::HUGEINT + (((__v).a) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) // 8589934592::HUGEINT))) % 4294967296)*2246822535::HUGEINT + ((((((((((((((__v).a) % 4294967296)*668265295::HUGEINT + (((((__v).a) % 4294967296)*3266489917::HUGEINT + (((__v).a) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + (((((((((__v).a) % 4294967296)*668265295::HUGEINT + (((((__v).a) % 4294967296)*3266489917::HUGEINT + (((__v).a) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) // 8589934592::HUGEINT))) % 4294967296)*2654435761::HUGEINT + ((((((((((((__v).a) % 4294967296)*668265295::HUGEINT + (((((__v).a) % 4294967296)*3266489917::HUGEINT + (((__v).a) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + (((((((((__v).a) % 4294967296)*668265295::HUGEINT + (((((__v).a) % 4294967296)*3266489917::HUGEINT + (((__v).a) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) // 8589934592::HUGEINT))) // 4294967296)*2246822535::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS __r0a, ((((((((((((((__v).b) % 4294967296)*668265295::HUGEINT + (((((__v).b) % 4294967296)*3266489917::HUGEINT + (((__v).b) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + (((((((((__v).b) % 4294967296)*668265295::HUGEINT + (((((__v).b) % 4294967296)*3266489917::HUGEINT + (((__v).b) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) // 8589934592::HUGEINT))) % 4294967296)*2246822535::HUGEINT + ((((((((((((((__v).b) % 4294967296)*668265295::HUGEINT + (((((__v).b) % 4294967296)*3266489917::HUGEINT + (((__v).b) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + (((((((((__v).b) % 4294967296)*668265295::HUGEINT + (((((__v).b) % 4294967296)*3266489917::HUGEINT + (((__v).b) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) // 8589934592::HUGEINT))) % 4294967296)*2654435761::HUGEINT + ((((((((((((__v).b) % 4294967296)*668265295::HUGEINT + (((((__v).b) % 4294967296)*3266489917::HUGEINT + (((__v).b) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + (((((((((__v).b) % 4294967296)*668265295::HUGEINT + (((((__v).b) % 4294967296)*3266489917::HUGEINT + (((__v).b) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) // 8589934592::HUGEINT))) // 4294967296)*2246822535::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS __r0b, ((((((((((((((__v).c) % 4294967296)*668265295::HUGEINT + (((((__v).c) % 4294967296)*3266489917::HUGEINT + (((__v).c) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + (((((((((__v).c) % 4294967296)*668265295::HUGEINT + (((((__v).c) % 4294967296)*3266489917::HUGEINT + (((__v).c) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) // 8589934592::HUGEINT))) % 4294967296)*2246822535::HUGEINT + ((((((((((((((__v).c) % 4294967296)*668265295::HUGEINT + (((((__v).c) % 4294967296)*3266489917::HUGEINT + (((__v).c) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + (((((((((__v).c) % 4294967296)*668265295::HUGEINT + (((((__v).c) % 4294967296)*3266489917::HUGEINT + (((__v).c) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) // 8589934592::HUGEINT))) % 4294967296)*2654435761::HUGEINT + ((((((((((((__v).c) % 4294967296)*668265295::HUGEINT + (((((__v).c) % 4294967296)*3266489917::HUGEINT + (((__v).c) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + (((((((((__v).c) % 4294967296)*668265295::HUGEINT + (((((__v).c) % 4294967296)*3266489917::HUGEINT + (((__v).c) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) // 8589934592::HUGEINT))) // 4294967296)*2246822535::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS __r0c, ((((((((((((((__v).d) % 4294967296)*668265295::HUGEINT + (((((__v).d) % 4294967296)*3266489917::HUGEINT + (((__v).d) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + (((((((((__v).d) % 4294967296)*668265295::HUGEINT + (((((__v).d) % 4294967296)*3266489917::HUGEINT + (((__v).d) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) // 8589934592::HUGEINT))) % 4294967296)*2246822535::HUGEINT + ((((((((((((((__v).d) % 4294967296)*668265295::HUGEINT + (((((__v).d) % 4294967296)*3266489917::HUGEINT + (((__v).d) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + (((((((((__v).d) % 4294967296)*668265295::HUGEINT + (((((__v).d) % 4294967296)*3266489917::HUGEINT + (((__v).d) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) // 8589934592::HUGEINT))) % 4294967296)*2654435761::HUGEINT + ((((((((((((__v).d) % 4294967296)*668265295::HUGEINT + (((((__v).d) % 4294967296)*3266489917::HUGEINT + (((__v).d) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + (((((((((__v).d) % 4294967296)*668265295::HUGEINT + (((((__v).d) % 4294967296)*3266489917::HUGEINT + (((__v).d) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) // 8589934592::HUGEINT))) // 4294967296)*2246822535::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS __r0d, (((((((((((((__wd[__i0//8 + 1]) % 4294967296)*668265295::HUGEINT + ((((__wd[__i0//8 + 1]) % 4294967296)*3266489917::HUGEINT + ((__wd[__i0//8 + 1]) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + ((((((((__wd[__i0//8 + 1]) % 4294967296)*668265295::HUGEINT + ((((__wd[__i0//8 + 1]) % 4294967296)*3266489917::HUGEINT + ((__wd[__i0//8 + 1]) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) // 8589934592::HUGEINT))) % 4294967296)*2246822535::HUGEINT + (((((((((((((__wd[__i0//8 + 1]) % 4294967296)*668265295::HUGEINT + ((((__wd[__i0//8 + 1]) % 4294967296)*3266489917::HUGEINT + ((__wd[__i0//8 + 1]) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + ((((((((__wd[__i0//8 + 1]) % 4294967296)*668265295::HUGEINT + ((((__wd[__i0//8 + 1]) % 4294967296)*3266489917::HUGEINT + ((__wd[__i0//8 + 1]) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) // 8589934592::HUGEINT))) % 4294967296)*2654435761::HUGEINT + (((((((((((__wd[__i0//8 + 1]) % 4294967296)*668265295::HUGEINT + ((((__wd[__i0//8 + 1]) % 4294967296)*3266489917::HUGEINT + ((__wd[__i0//8 + 1]) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + ((((((((__wd[__i0//8 + 1]) % 4294967296)*668265295::HUGEINT + ((((__wd[__i0//8 + 1]) % 4294967296)*3266489917::HUGEINT + ((__wd[__i0//8 + 1]) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) // 8589934592::HUGEINT))) // 4294967296)*2246822535::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS __k80, (((((((((((((__wd[__i0//8 + 2]) % 4294967296)*668265295::HUGEINT + ((((__wd[__i0//8 + 2]) % 4294967296)*3266489917::HUGEINT + ((__wd[__i0//8 + 2]) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + ((((((((__wd[__i0//8 + 2]) % 4294967296)*668265295::HUGEINT + ((((__wd[__i0//8 + 2]) % 4294967296)*3266489917::HUGEINT + ((__wd[__i0//8 + 2]) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) // 8589934592::HUGEINT))) % 4294967296)*2246822535::HUGEINT + (((((((((((((__wd[__i0//8 + 2]) % 4294967296)*668265295::HUGEINT + ((((__wd[__i0//8 + 2]) % 4294967296)*3266489917::HUGEINT + ((__wd[__i0//8 + 2]) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + ((((((((__wd[__i0//8 + 2]) % 4294967296)*668265295::HUGEINT + ((((__wd[__i0//8 + 2]) % 4294967296)*3266489917::HUGEINT + ((__wd[__i0//8 + 2]) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) // 8589934592::HUGEINT))) % 4294967296)*2654435761::HUGEINT + (((((((((((__wd[__i0//8 + 2]) % 4294967296)*668265295::HUGEINT + ((((__wd[__i0//8 + 2]) % 4294967296)*3266489917::HUGEINT + ((__wd[__i0//8 + 2]) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + ((((((((__wd[__i0//8 + 2]) % 4294967296)*668265295::HUGEINT + ((((__wd[__i0//8 + 2]) % 4294967296)*3266489917::HUGEINT + ((__wd[__i0//8 + 2]) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) // 8589934592::HUGEINT))) // 4294967296)*2246822535::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS __k81, (((((((((((((__wd[__i0//8 + 3]) % 4294967296)*668265295::HUGEINT + ((((__wd[__i0//8 + 3]) % 4294967296)*3266489917::HUGEINT + ((__wd[__i0//8 + 3]) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + ((((((((__wd[__i0//8 + 3]) % 4294967296)*668265295::HUGEINT + ((((__wd[__i0//8 + 3]) % 4294967296)*3266489917::HUGEINT + ((__wd[__i0//8 + 3]) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) // 8589934592::HUGEINT))) % 4294967296)*2246822535::HUGEINT + (((((((((((((__wd[__i0//8 + 3]) % 4294967296)*668265295::HUGEINT + ((((__wd[__i0//8 + 3]) % 4294967296)*3266489917::HUGEINT + ((__wd[__i0//8 + 3]) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + ((((((((__wd[__i0//8 + 3]) % 4294967296)*668265295::HUGEINT + ((((__wd[__i0//8 + 3]) % 4294967296)*3266489917::HUGEINT + ((__wd[__i0//8 + 3]) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) // 8589934592::HUGEINT))) % 4294967296)*2654435761::HUGEINT + (((((((((((__wd[__i0//8 + 3]) % 4294967296)*668265295::HUGEINT + ((((__wd[__i0//8 + 3]) % 4294967296)*3266489917::HUGEINT + ((__wd[__i0//8 + 3]) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + ((((((((__wd[__i0//8 + 3]) % 4294967296)*668265295::HUGEINT + ((((__wd[__i0//8 + 3]) % 4294967296)*3266489917::HUGEINT + ((__wd[__i0//8 + 3]) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) // 8589934592::HUGEINT))) // 4294967296)*2246822535::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS __k82 FROM (SELECT *, list_reduce(list_concat([{'a': 6983438078262162944::HUGEINT, 'b': 14029467366897019769::HUGEINT, 'c': 42::HUGEINT, 'd': 7046029288634856867::HUGEINT}], list_transform(range(0, __n // 32), si -> {'a': __wd[4*si + 1], 'b': __wd[4*si + 2], 'c': __wd[4*si + 3], 'd': __wd[4*si + 4]})), (acc, x) -> {'a': ((((((((((acc.a) + ((((x.a) % 4294967296)*668265295::HUGEINT + ((((x.a) % 4294967296)*3266489917::HUGEINT + ((x.a) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + (((((acc.a) + ((((x.a) % 4294967296)*668265295::HUGEINT + ((((x.a) % 4294967296)*3266489917::HUGEINT + ((x.a) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) // 8589934592::HUGEINT))) % 4294967296)*2246822535::HUGEINT + ((((((((((acc.a) + ((((x.a) % 4294967296)*668265295::HUGEINT + ((((x.a) % 4294967296)*3266489917::HUGEINT + ((x.a) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + (((((acc.a) + ((((x.a) % 4294967296)*668265295::HUGEINT + ((((x.a) % 4294967296)*3266489917::HUGEINT + ((x.a) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) // 8589934592::HUGEINT))) % 4294967296)*2654435761::HUGEINT + ((((((((acc.a) + ((((x.a) % 4294967296)*668265295::HUGEINT + ((((x.a) % 4294967296)*3266489917::HUGEINT + ((x.a) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + (((((acc.a) + ((((x.a) % 4294967296)*668265295::HUGEINT + ((((x.a) % 4294967296)*3266489917::HUGEINT + ((x.a) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) // 8589934592::HUGEINT))) // 4294967296)*2246822535::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT), 'b': ((((((((((acc.b) + ((((x.b) % 4294967296)*668265295::HUGEINT + ((((x.b) % 4294967296)*3266489917::HUGEINT + ((x.b) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + (((((acc.b) + ((((x.b) % 4294967296)*668265295::HUGEINT + ((((x.b) % 4294967296)*3266489917::HUGEINT + ((x.b) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) // 8589934592::HUGEINT))) % 4294967296)*2246822535::HUGEINT + ((((((((((acc.b) + ((((x.b) % 4294967296)*668265295::HUGEINT + ((((x.b) % 4294967296)*3266489917::HUGEINT + ((x.b) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + (((((acc.b) + ((((x.b) % 4294967296)*668265295::HUGEINT + ((((x.b) % 4294967296)*3266489917::HUGEINT + ((x.b) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) // 8589934592::HUGEINT))) % 4294967296)*2654435761::HUGEINT + ((((((((acc.b) + ((((x.b) % 4294967296)*668265295::HUGEINT + ((((x.b) % 4294967296)*3266489917::HUGEINT + ((x.b) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + (((((acc.b) + ((((x.b) % 4294967296)*668265295::HUGEINT + ((((x.b) % 4294967296)*3266489917::HUGEINT + ((x.b) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) // 8589934592::HUGEINT))) // 4294967296)*2246822535::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT), 'c': ((((((((((acc.c) + ((((x.c) % 4294967296)*668265295::HUGEINT + ((((x.c) % 4294967296)*3266489917::HUGEINT + ((x.c) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + (((((acc.c) + ((((x.c) % 4294967296)*668265295::HUGEINT + ((((x.c) % 4294967296)*3266489917::HUGEINT + ((x.c) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) // 8589934592::HUGEINT))) % 4294967296)*2246822535::HUGEINT + ((((((((((acc.c) + ((((x.c) % 4294967296)*668265295::HUGEINT + ((((x.c) % 4294967296)*3266489917::HUGEINT + ((x.c) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + (((((acc.c) + ((((x.c) % 4294967296)*668265295::HUGEINT + ((((x.c) % 4294967296)*3266489917::HUGEINT + ((x.c) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) // 8589934592::HUGEINT))) % 4294967296)*2654435761::HUGEINT + ((((((((acc.c) + ((((x.c) % 4294967296)*668265295::HUGEINT + ((((x.c) % 4294967296)*3266489917::HUGEINT + ((x.c) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + (((((acc.c) + ((((x.c) % 4294967296)*668265295::HUGEINT + ((((x.c) % 4294967296)*3266489917::HUGEINT + ((x.c) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) // 8589934592::HUGEINT))) // 4294967296)*2246822535::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT), 'd': ((((((((((acc.d) + ((((x.d) % 4294967296)*668265295::HUGEINT + ((((x.d) % 4294967296)*3266489917::HUGEINT + ((x.d) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + (((((acc.d) + ((((x.d) % 4294967296)*668265295::HUGEINT + ((((x.d) % 4294967296)*3266489917::HUGEINT + ((x.d) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) // 8589934592::HUGEINT))) % 4294967296)*2246822535::HUGEINT + ((((((((((acc.d) + ((((x.d) % 4294967296)*668265295::HUGEINT + ((((x.d) % 4294967296)*3266489917::HUGEINT + ((x.d) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + (((((acc.d) + ((((x.d) % 4294967296)*668265295::HUGEINT + ((((x.d) % 4294967296)*3266489917::HUGEINT + ((x.d) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) // 8589934592::HUGEINT))) % 4294967296)*2654435761::HUGEINT + ((((((((acc.d) + ((((x.d) % 4294967296)*668265295::HUGEINT + ((((x.d) % 4294967296)*3266489917::HUGEINT + ((x.d) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + (((((acc.d) + ((((x.d) % 4294967296)*668265295::HUGEINT + ((((x.d) % 4294967296)*3266489917::HUGEINT + ((x.d) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) // 8589934592::HUGEINT))) // 4294967296)*2246822535::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)}) AS __v, __i0 + (__rem // 8) * 8 AS __i1 FROM (SELECT *, list_transform(range(0, __n // 8), w -> __by[8*w + 1] * 1::HUGEINT + __by[8*w + 2] * 256::HUGEINT + __by[8*w + 3] * 65536::HUGEINT + __by[8*w + 4] * 16777216::HUGEINT + __by[8*w + 5] * 4294967296::HUGEINT + __by[8*w + 6] * 1099511627776::HUGEINT + __by[8*w + 7] * 281474976710656::HUGEINT + __by[8*w + 8] * 72057594037927936::HUGEINT) AS __wd, __n - __i0 AS __rem FROM (SELECT *, list_transform(range(0, __n), j -> ('0x' || substr(__hx, 2*j + 1, 2))::UBIGINT::HUGEINT) AS __by, (__n // 32) * 32 AS __i0 FROM (SELECT *, octet_length(__bl) AS __n, hex(__bl) AS __hx FROM (SELECT v, n, row, encode(s) AS __bl FROM ps)))))))))))))))))))))))))))
+            ), cells AS (
+              SELECT row, CAST(xh % 256 AS BIGINT) AS col, CAST(sum(n) AS BIGINT) AS cnt
+              FROM hx GROUP BY 1, 2
+            ), probe AS (
+              SELECT v, row, CAST(xh % 256 AS BIGINT) AS col FROM hx
+              WHERE CAST(v AS BIGINT) < 20
+            )
+            SELECT p.v AS value, min(coalesce(c.cnt, 0)) AS estimate
+            FROM probe p LEFT JOIN cells c USING (row, col)
+            GROUP BY p.v
         """,
         "attribution_last_touch": """
             WITH conv AS (

@@ -326,7 +326,10 @@ def main():
     # belongs to session setup, not the engine — the reference baseline is
     # likewise measured on a resident process.
     bench_mm(spark, li_raw, "distributed", S=4, B=0)
-    queries["mm_gram_s60_b8"] = best("mm_gram_s60_b8", bench_mm, spark, li_raw, "distributed", reps=1)
+    # two samples: the single-sample record was dominated by machine noise
+    # (measured 18-65 s for identical code under different residual load);
+    # the taubatch trim below pays for the extra sample threefold
+    queries["mm_gram_s60_b8"] = best("mm_gram_s60_b8", bench_mm, spark, li_raw, "distributed", reps=2)
     # taubatch is the legacy parity engine (superseded by the Gram path at
     # scale); keep a tracking entry but at S=20 — the r5 verdict flagged
     # ~110 s of bench budget benchmarking a superseded engine at S=60.

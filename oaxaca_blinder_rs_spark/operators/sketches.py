@@ -31,7 +31,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hll_registers", "hll_count_distinct", "hll_alpha"]
+__all__ = ["hll_registers", "hll_count_distinct", "hll_alpha", "cms_table", "cms_estimate"]
 
 
 def hll_alpha(m: int) -> float:
@@ -99,4 +99,75 @@ def hll_count_distinct(df: DataFrame, col: str, p: int = 8) -> DataFrame:
         F.lit(m).cast("long").alias("m"),
         F.col("zeros"),
         F.round(est, 4).alias("estimate"),
+    )
+
+
+def cms_table(df: DataFrame, col: str, w: int = 1024, d: int = 4) -> DataFrame:
+    """Count-min sketch table (row, col, cnt) — the heavy-hitter frequency
+    primitive (Cormode & Muthukrishnan 2005). Each value increments one
+    cell per hash row; estimates (cms_estimate) take the min over rows, so
+    they only ever OVERcount (by <= eN/w with probability 1 - (1/2)^d).
+
+    Hash row i uses xxhash64 of "r{i}:" || value — the same engine-portable
+    string-prefix trick as the md5 samplers, so the round-6 XXH64 SQL
+    transliteration can recompute every cell and the driver hash-checks
+    the sketch's INTERNAL STATE, not just its estimates. ``w`` must be a
+    power of two: the column index is hash & (w-1), which is sign-safe on
+    Spark's signed int64 hash and equals the unsigned mod.
+
+    Scale: d map-side projections explode to (row, col) keys, ONE groupBy
+    over <= d*w cells with partial map-side counts. Mergeable: union two
+    tables and re-sum — sketch union IS cell-wise addition.
+    """
+    if w & (w - 1) != 0 or w < 2:
+        raise ValueError("w must be a power of two >= 2")
+    if not 1 <= d <= 16:
+        raise ValueError("d must be in [1, 16]")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                F.xxhash64(F.concat(F.lit(f"r{i}:"), F.col(col).cast("string")))
+                .bitwiseAND(F.lit(w - 1))
+                .alias("col"),
+            )
+            for i in range(d)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("__c"))
+        .select(F.col("__c.row").alias("row"), F.col("__c.col").alias("col"))
+        .groupBy("row", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame, probes: DataFrame, col: str, w: int = 1024, d: int = 4
+) -> DataFrame:
+    """Point-frequency estimates for each probe value: (value, estimate) =
+    min over hash rows of the matching cell counts (missing cell = 0).
+    ``w``/``d`` must match the sketch's build parameters. The probe side is
+    the small one — its hashed cells broadcast against the sketch table."""
+    if w & (w - 1) != 0 or w < 2:
+        raise ValueError("w must be a power of two >= 2")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                F.xxhash64(F.concat(F.lit(f"r{i}:"), F.col(col).cast("string")))
+                .bitwiseAND(F.lit(w - 1))
+                .alias("col"),
+            )
+            for i in range(d)
+        ]
+    )
+    pcells = (
+        probes.select(F.col(col).alias("value"), F.explode(cells).alias("__c"))
+        .select("value", F.col("__c.row").alias("row"), F.col("__c.col").alias("col"))
+    )
+    return (
+        pcells.join(cms, ["row", "col"], "left")
+        .groupBy("value")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("estimate"))
     )

@@ -64,3 +64,38 @@ def test_hll_p_validation(spark):
     df = spark.createDataFrame([("a",)], "u string")
     with pytest.raises(ValueError):
         sketches.hll_registers(df, "u", p=2)
+
+
+def test_cms_overcount_bound_and_merge(spark, sf_dir):
+    """CMS never undercounts; with w=256/d=4 over ~10k events the
+    overcount stays within the eN/w-style bound; merging the two halves'
+    tables by cell-wise sum reproduces the whole sketch."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").cast("string").alias("u"), "event_id"
+    )
+    n = ev.count()
+    cms = sketches.cms_table(ev, "u", w=256, d=4)
+    truth = {r["u"]: r["n"] for r in ev.groupBy("u").agg(F.count("*").alias("n")).collect()}
+    probes = ev.select("u").distinct().limit(50)
+    est = {r["value"]: r["estimate"] for r in sketches.cms_estimate(cms, probes, "u", w=256, d=4).collect()}
+    assert len(est) > 0
+    for v, e in est.items():
+        assert e >= truth[v], (v, e, truth[v])
+        assert e - truth[v] <= 4 * n / 256, (v, e, truth[v])
+    # merge = cell-wise sum
+    a = sketches.cms_table(ev.filter(F.col("event_id") % 2 == 0), "u", w=256, d=4)
+    b = sketches.cms_table(ev.filter(F.col("event_id") % 2 == 1), "u", w=256, d=4)
+    merged = a.unionByName(b).groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+    got = {(r["row"], r["col"]): r["cnt"] for r in merged.collect()}
+    want = {(r["row"], r["col"]): r["cnt"] for r in cms.collect()}
+    assert got == want
+
+
+def test_cms_validation(spark):
+    df = spark.createDataFrame([("a",)], "u string")
+    with pytest.raises(ValueError):
+        sketches.cms_table(df, "u", w=100)
+    with pytest.raises(ValueError):
+        sketches.cms_table(df, "u", w=256, d=0)
