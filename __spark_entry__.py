@@ -1065,6 +1065,16 @@ def q_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.cms_estimate(cms, probes, "u", w=256, d=4)
 
 
+def q_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey transition matrix (funnel.path_transitions, r6):
+    consecutive event-type pairs per user's time-ordered stream plus
+    (start)/(end) endpoint edges — one user-partitioned window pass,
+    deterministic (ts, event_id) ordering."""
+    from oaxaca_blinder_rs_spark.operators.funnel import path_transitions
+
+    return path_transitions(_t(spark, sf_dir, "events"))
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (rolling k-gram hash + window minima, exact
     int64) exploded to (doc_id, fp) rows — textops.winnow_fingerprints."""
@@ -1421,6 +1431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_weighted": q_sample_weighted,
         "attribution_last_touch": q_attribution_last_touch,
         "cms_user_counts": q_cms_user_counts,
+        "path_transitions": q_path_transitions,
         "attribution_linear": q_attribution_linear,
         "hll_registers": q_hll_registers,
         "hll_count_users": q_hll_count_users,
@@ -2478,6 +2489,22 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'test' END split,
                    count(*) n_docs, CAST(sum(doc_id) AS BIGINT) id_sum
             FROM u GROUP BY 1
+        """,
+        "path_transitions": """
+            WITH b AS (
+              SELECT user_id AS u, event_type AS t,
+                     lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+                     lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+              FROM events
+            ), edges AS (
+              SELECT prev AS from_type, t AS to_type FROM b WHERE prev IS NOT NULL
+              UNION ALL
+              SELECT '(start)', t FROM b WHERE prev IS NULL
+              UNION ALL
+              SELECT t, '(end)' FROM b WHERE nxt IS NULL
+            )
+            SELECT from_type, to_type, count(*) AS transitions
+            FROM edges GROUP BY from_type, to_type
         """,
         "cms_user_counts": """
             WITH uv AS (

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel", "cohort_retention", "attribution"]
+__all__ = ["funnel", "cohort_retention", "attribution", "path_transitions"]
 
 
 def funnel(
@@ -194,4 +194,54 @@ def attribution(
             F.round(F.sum("credit"), 4).alias("credit"),
             F.round(F.sum(F.col("credit") * F.col("__cv")), 2).alias("credited_value"),
         )
+    )
+
+
+def path_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    include_endpoints: bool = True,
+) -> DataFrame:
+    """User-journey transition matrix: count of consecutive event-type
+    pairs across every user's time-ordered stream — the edge list behind
+    sankey/path analyses. Returns (from_type, to_type, transitions).
+    With ``include_endpoints``, each user's first event also yields a
+    ('(start)', first_type) edge and their last a (last_type, '(end)')
+    edge, so path entry/exit rates read off the same matrix.
+
+    Scale shape: ONE window pass partitioned by user (lag over (ts, id) —
+    user cardinality is the partition key, so the sort spreads; no global
+    ordering), then a k^2-ary aggregate. Ties at identical timestamps are
+    ordered by the unique event id, so the matrix is deterministic.
+    """
+    from pyspark.sql import Window
+
+    ts = F.col(ts_col).cast("timestamp")
+    w = Window.partitionBy(user_col).orderBy(ts, F.col(id_col))
+    base = events.select(
+        F.col(user_col).alias("__u"),
+        ts.alias("__ts"),
+        F.col(id_col).alias("__id"),
+        F.col(type_col).alias("__t"),
+    ).withColumn("__prev", F.lag("__t").over(Window.partitionBy("__u").orderBy(F.col("__ts"), F.col("__id"))))
+    inner = base.filter(F.col("__prev").isNotNull()).select(
+        F.col("__prev").alias("from_type"), F.col("__t").alias("to_type")
+    )
+    edges = inner
+    if include_endpoints:
+        nxt = F.lead("__t").over(Window.partitionBy("__u").orderBy(F.col("__ts"), F.col("__id")))
+        firsts = base.filter(F.col("__prev").isNull()).select(
+            F.lit("(start)").alias("from_type"), F.col("__t").alias("to_type")
+        )
+        lasts = (
+            base.withColumn("__next", nxt)
+            .filter(F.col("__next").isNull())
+            .select(F.col("__t").alias("from_type"), F.lit("(end)").alias("to_type"))
+        )
+        edges = inner.unionByName(firsts).unionByName(lasts)
+    return edges.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("transitions")
     )

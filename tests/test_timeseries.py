@@ -167,3 +167,28 @@ def test_attribution_no_window_plan(spark, sf_dir):
     out = attribution(ev, "purchase", ["view", "click"], model="last_touch")
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "Window" not in plan
+
+
+def test_path_transitions_hand_case(spark):
+    """Hand-built journey: A -> B -> B plus a single-event user; endpoint
+    edges and same-ts tie-break by event_id."""
+    from datetime import datetime
+
+    from oaxaca_blinder_rs_spark.operators.funnel import path_transitions
+
+    rows = [
+        (1, 1, datetime(2024, 1, 1, 1), "A"),
+        (2, 1, datetime(2024, 1, 1, 2), "B"),
+        (3, 1, datetime(2024, 1, 1, 2), "B"),  # same ts: ordered by id
+        (4, 2, datetime(2024, 1, 1, 5), "C"),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, event_type string")
+    got = {(r["from_type"], r["to_type"]): r["transitions"]
+           for r in path_transitions(ev).collect()}
+    assert got == {
+        ("(start)", "A"): 1, ("A", "B"): 1, ("B", "B"): 1, ("B", "(end)"): 1,
+        ("(start)", "C"): 1, ("C", "(end)"): 1,
+    }
+    inner = {(r["from_type"], r["to_type"]): r["transitions"]
+             for r in path_transitions(ev, include_endpoints=False).collect()}
+    assert inner == {("A", "B"): 1, ("B", "B"): 1}
