@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "windowed_event_aggregates",
+    "streaming_hll_registers",
     "streaming_group_stats",
     "sessionize",
     "streaming_decomposition_stats",
@@ -387,5 +388,47 @@ def sessionize_batch(
             "user_id",
             "n_events",
             "session_value",
+        )
+    )
+
+
+def streaming_hll_registers(
+    events: DataFrame,
+    col: str = "user_id",
+    p: int = 8,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming HyperLogLog: per tumbling window, the (register, rho)
+    sketch state for distinct ``col`` values — the continuous distinct-user
+    counter. State per (window, register) is ONE small int (the max rho),
+    bounded at 2^p rows per window regardless of stream volume, and the
+    watermark expires closed windows, so state never grows unboundedly —
+    the exact property that makes HLL the streaming cardinality primitive.
+
+    Emitted registers are mergeable downstream exactly like the batch
+    table (operators/sketches.py): groupBy(register).max(rho) across
+    windows or streams IS the sketch union, and the batch estimator
+    (hll_alpha formula) turns any merged register set into a count.
+    The register/rho math is byte-identical to the batch operator, which
+    the driver hash-checks cross-engine (hll_registers row)."""
+    from ..operators.sketches import _rho_expr
+
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    h = F.xxhash64(F.col(col).cast("string"))
+    return (
+        _event_time(events, ts_col).withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(ts_col, window_duration).alias("w"),
+            F.shiftrightunsigned(h, 64 - p).alias("register"),
+        )
+        .agg(F.max(_rho_expr(h, p)).alias("rho"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "register",
+            "rho",
         )
     )

@@ -669,3 +669,41 @@ def test_weighted_sample_expected_size_and_shape(spark, sf_dir):
 
     with pytest.raises(ValueError):
         sampling.weighted_sample(docs, "__w", -0.1)
+
+
+def test_streaming_hll_registers_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming HLL (r6): the per-window register stream, merged across
+    windows by groupBy(register).max(rho), must equal the BATCH sketch of
+    the same data — the mergeability contract, end-to-end through a real
+    availableNow streaming query."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from oaxaca_blinder_rs_spark.operators import sketches
+
+    static = ob.load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "events_hll")
+    static.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(static.schema).format("parquet").load(src)
+    regs = streaming_events.streaming_hll_registers(stream, "user_id", p=6, watermark="0 seconds")
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            regs.writeStream.format("memory")
+            .queryName("hll_regs")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    out = spark.sql("SELECT register, rho FROM hll_regs")
+    merged = {r["register"]: r["rho"]
+              for r in out.groupBy("register").agg(F.max("rho").alias("rho")).collect()}
+    batch = {
+        r["register"]: r["rho"]
+        for r in sketches.hll_registers(
+            static.select(F.col("user_id").cast("string").alias("u")), "u", p=6
+        ).filter(F.col("rho") > 0).collect()
+    }
+    assert merged == batch
