@@ -316,25 +316,30 @@ def main():
     queries["rif_q90_reps100"] = best("rif_q90_reps100", bench_rif, df, 100)
     queries["akm_panel"] = best("akm_panel", bench_akm, spark)
     queries["heckman_reps20"] = best("heckman_reps20", bench_heckman, df, 20)
+    # one untimed pass first: the matching plan's first execution carries
+    # ~8-14 s of JVM codegen + python-worker spin-up (samples like
+    # [16.2, 9.0, 1.9] in r6) that belongs to session setup under the
+    # BASELINE.md resident-process protocol
+    bench_matching(spark)
     queries["matching_1nn"] = best("matching_1nn", bench_matching, spark)
     # MM engines: fewer retakes — each run is already a long multi-pass job
     li_raw = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).filter(
         F.col("l_returnflag").isin(["A", "R"])
     )
-    # warm pass first (S=4, B=0): JVM codegen for the unexploded projection
-    # plus Python-worker spin-up cost ~26 s on a cold session (NOTES_r5) and
-    # belongs to session setup, not the engine — the reference baseline is
-    # likewise measured on a resident process.
-    bench_mm(spark, li_raw, "distributed", S=4, B=0)
-    # two samples: the single-sample record was dominated by machine noise
-    # (measured 18-65 s for identical code under different residual load);
-    # the taubatch trim below pays for the extra sample threefold
+    # FULL-SIZE untimed warm pass: an S=4 warm leaves the first S=60 run
+    # ~2-3x slower (r6 measured cold-full ~85 s vs warm-full 18-35 s —
+    # JVM codegen + worker spin-up + BLAS thread-pool init are shape-
+    # dependent). The reference baseline measures a resident process, so
+    # the timed samples should be genuinely warm (BASELINE.md protocol);
+    # the taubatch trim below pays for the warm run.
+    bench_mm(spark, li_raw, "distributed")
     queries["mm_gram_s60_b8"] = best("mm_gram_s60_b8", bench_mm, spark, li_raw, "distributed", reps=2)
     # taubatch is the legacy parity engine (superseded by the Gram path at
     # scale); keep a tracking entry but at S=20 — the r5 verdict flagged
     # ~110 s of bench budget benchmarking a superseded engine at S=60.
     # Parity with the Gram engine stays covered by the pytest suite.
     queries["mm_taubatch_s20_b8"] = best("mm_taubatch_s20_b8", bench_mm, spark, li_raw, "taubatch", reps=1, S=20)
+    bench_corpus_filters(spark)  # untimed warm pass (same rationale)
     queries["corpus_filters"] = best("corpus_filters", bench_corpus_filters, spark)
     queries["embedding_cov"] = best("embedding_cov", bench_embedding_cov, spark)
     queries["calibration_post"] = best("calibration_post", bench_calibration, spark)
