@@ -1075,6 +1075,22 @@ def q_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return path_transitions(_t(spark, sf_dir, "events"))
 
 
+def q_zorder_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout index (layout.zorder_index, r6): customers
+    keyed by the interleave of quantized acctbal and nationkey — the
+    multi-dimension clustering key Delta/Iceberg-style OPTIMIZE ZORDER
+    writes would sort by. Exact integer bit arithmetic; the oracle replays
+    the interleave bit-for-bit."""
+    from oaxaca_blinder_rs_spark.operators.layout import zorder_index
+
+    cust = _t(spark, sf_dir, "customer")
+    q_bal = F.pmod(F.round(F.col("c_acctbal") * 100).cast("long"), F.lit(1 << 16))
+    q_nat = F.pmod(F.col("c_nationkey").cast("long"), F.lit(1 << 16))
+    return cust.select(
+        "c_custkey", zorder_index([q_bal, q_nat], bits=16).alias("zvalue")
+    )
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (rolling k-gram hash + window minima, exact
     int64) exploded to (doc_id, fp) rows — textops.winnow_fingerprints."""
@@ -1432,6 +1448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_last_touch": q_attribution_last_touch,
         "cms_user_counts": q_cms_user_counts,
         "path_transitions": q_path_transitions,
+        "zorder_customers": q_zorder_customers,
         "attribution_linear": q_attribution_linear,
         "hll_registers": q_hll_registers,
         "hll_count_users": q_hll_count_users,
@@ -2489,6 +2506,15 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'test' END split,
                    count(*) n_docs, CAST(sum(doc_id) AS BIGINT) id_sum
             FROM u GROUP BY 1
+        """,
+        "zorder_customers": """
+            WITH q AS (
+              SELECT c_custkey,
+                     ((CAST(round(c_acctbal * 100) AS BIGINT) % 65536) + 65536) % 65536 AS qb,
+                     ((CAST(c_nationkey AS BIGINT) % 65536) + 65536) % 65536 AS qn
+              FROM customer
+            )
+            SELECT c_custkey, CAST(((qb // 1) % 2) * 1 + ((qb // 2) % 2) * 4 + ((qb // 4) % 2) * 16 + ((qb // 8) % 2) * 64 + ((qb // 16) % 2) * 256 + ((qb // 32) % 2) * 1024 + ((qb // 64) % 2) * 4096 + ((qb // 128) % 2) * 16384 + ((qb // 256) % 2) * 65536 + ((qb // 512) % 2) * 262144 + ((qb // 1024) % 2) * 1048576 + ((qb // 2048) % 2) * 4194304 + ((qb // 4096) % 2) * 16777216 + ((qb // 8192) % 2) * 67108864 + ((qb // 16384) % 2) * 268435456 + ((qb // 32768) % 2) * 1073741824 + ((qn // 1) % 2) * 2 + ((qn // 2) % 2) * 8 + ((qn // 4) % 2) * 32 + ((qn // 8) % 2) * 128 + ((qn // 16) % 2) * 512 + ((qn // 32) % 2) * 2048 + ((qn // 64) % 2) * 8192 + ((qn // 128) % 2) * 32768 + ((qn // 256) % 2) * 131072 + ((qn // 512) % 2) * 524288 + ((qn // 1024) % 2) * 2097152 + ((qn // 2048) % 2) * 8388608 + ((qn // 4096) % 2) * 33554432 + ((qn // 8192) % 2) * 134217728 + ((qn // 16384) % 2) * 536870912 + ((qn // 32768) % 2) * 2147483648 AS BIGINT) AS zvalue FROM q
         """,
         "path_transitions": """
             WITH b AS (
