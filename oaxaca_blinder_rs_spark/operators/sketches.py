@@ -31,7 +31,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hll_registers", "hll_count_distinct", "hll_alpha", "cms_table", "cms_estimate"]
+__all__ = ["hll_registers", "hll_count_distinct", "hll_alpha", "cms_table", "cms_estimate", "bloom_build", "bloom_maybe_contains"]
 
 
 def hll_alpha(m: int) -> float:
@@ -170,4 +170,73 @@ def cms_estimate(
         pcells.join(cms, ["row", "col"], "left")
         .groupBy("value")
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("estimate"))
+    )
+
+
+def _bloom_cells(col: str, m_bits: int, k: int):
+    """Array of (word, mask) structs for a value's k bloom positions.
+    pos_i = xxhash64('b{i}:' || value) & (m_bits - 1); word = pos >> 6,
+    mask = 1 << (pos & 63) as a signed-long BIT PATTERN (bit 63 wraps to
+    Long.MIN — still the right pattern under bit_or)."""
+    cells = []
+    for i in range(k):
+        pos = F.xxhash64(F.concat(F.lit(f"b{i}:"), F.col(col).cast("string"))).bitwiseAND(
+            F.lit(m_bits - 1)
+        )
+        bit = pos.bitwiseAND(F.lit(63))
+        # F.shiftleft takes a literal shift count, so build the mask as
+        # 2^bit — powers of two through 2^62 are exact doubles; bit 63
+        # wraps to Long.MIN explicitly
+        mask = (
+            F.when(bit == 63, F.lit(-(1 << 63)).cast("long"))
+            .otherwise(F.pow(F.lit(2.0), bit).cast("long"))
+        )
+        cells.append(
+            F.struct(F.shiftright(pos, 6).alias("word"), mask.alias("mask"))
+        )
+    return F.array(*cells)
+
+
+def bloom_build(df: DataFrame, col: str, m_bits: int = 4096, k: int = 3) -> DataFrame:
+    """Bloom filter as a (word, bits) table — 64 filter bits per row, only
+    occupied words materialized. The join-pruning primitive: build on the
+    small side's keys, semi-join the 100 TB side against the (tiny,
+    broadcastable) word table and drop rows whose bits are absent before
+    the real shuffle. No false negatives; false positives ~ (1-e^{-kn/m})^k.
+
+    Same engine-portable prefix-seeded xxhash64 as the count-min sketch,
+    so the oracle (XXH64 SQL transliteration) rebuilds every word's bit
+    pattern exactly. Mergeable: union two tables and bit_or per word.
+    Scale: one groupBy over <= m/64 words with map-side partial bit_or.
+    """
+    if m_bits & (m_bits - 1) != 0 or m_bits < 64:
+        raise ValueError("m_bits must be a power of two >= 64")
+    if not 1 <= k <= 16:
+        raise ValueError("k must be in [1, 16]")
+    return (
+        df.select(F.explode(_bloom_cells(col, m_bits, k)).alias("__c"))
+        .select(F.col("__c.word").alias("word"), F.col("__c.mask").alias("mask"))
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_maybe_contains(
+    bloom: DataFrame, probes: DataFrame, col: str, m_bits: int = 4096, k: int = 3
+) -> DataFrame:
+    """(value, maybe_present) per probe: true iff ALL k bloom bits are set.
+    ``m_bits``/``k`` must match the build. The bloom table is the small
+    side — broadcast it against the probe stream."""
+    if m_bits & (m_bits - 1) != 0 or m_bits < 64:
+        raise ValueError("m_bits must be a power of two >= 64")
+    pc = (
+        probes.select(F.col(col).alias("value"), F.explode(_bloom_cells(col, m_bits, k)).alias("__c"))
+        .select("value", F.col("__c.word").alias("word"), F.col("__c.mask").alias("mask"))
+    )
+    hit = pc.join(F.broadcast(bloom), "word", "left").select(
+        "value",
+        (F.coalesce("bits", F.lit(0)).bitwiseAND(F.col("mask")) == F.col("mask")).alias("__hit"),
+    )
+    return hit.groupBy("value").agg(
+        (F.sum(F.when(F.col("__hit"), 0).otherwise(1)) == 0).alias("maybe_present")
     )

@@ -99,3 +99,38 @@ def test_cms_validation(spark):
         sketches.cms_table(df, "u", w=100)
     with pytest.raises(ValueError):
         sketches.cms_table(df, "u", w=256, d=0)
+
+
+def test_bloom_no_false_negatives_and_fp_rate(spark, sf_dir):
+    """Every built key must test present (no false negatives); absent keys
+    show only the expected small false-positive rate; union of two builds
+    by per-word bit_or equals the whole build."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").cast("string").alias("u"), "user_id", "event_id"
+    )
+    present = ev.filter(F.col("user_id") % 2 == 0).select("u").distinct()
+    bloom = sketches.bloom_build(present, "u", m_bits=2048, k=3)
+    probes = ev.select("u", "user_id").distinct()
+    got = {r["value"]: r["maybe_present"]
+           for r in sketches.bloom_maybe_contains(bloom, probes.select("u"), "u", m_bits=2048, k=3).collect()}
+    evens = {r["u"] for r in present.collect()}
+    absent = [v for v in got if v not in evens]
+    assert all(got[v] for v in evens)          # no false negatives
+    fp = sum(1 for v in absent if got[v])
+    assert fp <= max(3, 0.2 * len(absent))     # load ~0.1 -> fp well under 20%
+    # merge = per-word bit_or
+    a = sketches.bloom_build(present.filter(F.col("u").cast("long") < 60), "u", m_bits=2048, k=3)
+    b = sketches.bloom_build(present.filter(F.col("u").cast("long") >= 60), "u", m_bits=2048, k=3)
+    merged = a.unionByName(b).groupBy("word").agg(F.bit_or("bits").alias("bits"))
+    assert {(r["word"], r["bits"]) for r in merged.collect()} == \
+           {(r["word"], r["bits"]) for r in bloom.collect()}
+
+
+def test_bloom_validation(spark):
+    df = spark.createDataFrame([("a",)], "u string")
+    with pytest.raises(ValueError):
+        sketches.bloom_build(df, "u", m_bits=100)
+    with pytest.raises(ValueError):
+        sketches.bloom_build(df, "u", m_bits=512, k=0)
