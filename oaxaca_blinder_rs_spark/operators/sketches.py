@@ -31,7 +31,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hll_registers", "hll_count_distinct", "hll_alpha", "cms_table", "cms_estimate", "bloom_build", "bloom_maybe_contains"]
+__all__ = ["hll_registers", "hll_count_distinct", "hll_alpha", "cms_table", "cms_estimate", "bloom_build", "bloom_maybe_contains", "hll_count_distinct_by"]
 
 
 def hll_alpha(m: int) -> float:
@@ -240,3 +240,38 @@ def bloom_maybe_contains(
     return hit.groupBy("value").agg(
         (F.sum(F.when(F.col("__hit"), 0).otherwise(1)) == 0).alias("maybe_present")
     )
+
+
+def hll_count_distinct_by(
+    df: DataFrame, key_col: str, col: str, p: int = 8
+) -> DataFrame:
+    """Per-group HLL cardinality: (key, zeros, estimate) — distinct users
+    per segment / distinct n-grams per source, with one sketch per key.
+    One groupBy on (key, register) with map-side partial max (state
+    <= 2^p per key), then a per-key m-row rollup — no per-key exact
+    distinct shuffle. Same register math the driver hash-checks
+    cross-engine (hll_registers); estimate rounded 4dp like the global
+    form so ln/pow ulp differences can't flip the hash."""
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    m = 1 << p
+    alpha = hll_alpha(m)
+    h = F.xxhash64(F.col(col))
+    occupied = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.shiftrightunsigned(h, 64 - p).alias("register"),
+            _rho_expr(h, p).alias("__rho"),
+        )
+        .groupBy("key", "register")
+        .agg(F.max("__rho").alias("rho"))
+    )
+    agg = occupied.groupBy("key").agg(
+        # absent registers contribute 2^0 = 1 each to the harmonic sum
+        (F.sum(F.pow(F.lit(2.0), -F.col("rho"))) + (m - F.count(F.lit(1)))).alias("__s"),
+        (F.lit(m) - F.count(F.lit(1))).alias("zeros"),
+    )
+    raw = F.lit(alpha * m * m) / F.col("__s")
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("zeros"))
+    est = F.when((raw <= 2.5 * m) & (F.col("zeros") > 0), linear).otherwise(raw)
+    return agg.select("key", F.col("zeros").cast("long").alias("zeros"), F.round(est, 4).alias("estimate"))

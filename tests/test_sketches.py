@@ -134,3 +134,22 @@ def test_bloom_validation(spark):
         sketches.bloom_build(df, "u", m_bits=100)
     with pytest.raises(ValueError):
         sketches.bloom_build(df, "u", m_bits=512, k=0)
+
+
+def test_hll_by_key_matches_per_group_global(spark, sf_dir):
+    """Per-group HLL estimates equal running the GLOBAL estimator on each
+    group's rows separately — the grouped form is a pure re-keying, and
+    accuracy holds per group."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", F.col("user_id").cast("string").alias("u")
+    )
+    got = {r["key"]: (r["zeros"], r["estimate"])
+           for r in sketches.hll_count_distinct_by(ev, "event_type", "u", p=8).collect()}
+    for et in [r["event_type"] for r in ev.select("event_type").distinct().collect()]:
+        sub = ev.filter(F.col("event_type") == et)
+        glob = sketches.hll_count_distinct(sub, "u", p=8).collect()[0]
+        assert got[et] == (glob["zeros"], glob["estimate"]), et
+        exact = sub.select("u").distinct().count()
+        assert abs(got[et][1] - exact) <= max(4 * 1.04 / 16 * exact, 10.0)
