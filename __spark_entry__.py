@@ -923,12 +923,12 @@ def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_shingle_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hash-matched companion to simhash (rows-only): the tokenize + word
-    2-shingle stage that feeds the SimHash vote — per doc, the distinct
-    shingle count and an md5 over the sorted shingle set. The xxhash64
-    voting stage itself has a bit-exact pure-Python XXH64 oracle in
-    tests/test_numpy_oracle.py; this row pins the only SQL-expressible
-    stage so the driver hash-checks the pipeline up to the vote."""
+    """Companion to simhash: the tokenize + word 2-shingle stage that feeds
+    the SimHash vote — per doc, the distinct shingle count and an md5 over
+    the sorted shingle set. Since round 6 the simhash row itself is fully
+    hash-matched (XXH64 SQL transliteration); this row remains as the
+    cheap stage-isolating diagnostic — a tokenizer regression shows here
+    independently of the hashing stage."""
     docs = _t(spark, sf_dir, "documents")
     sh = dedup.shingles(F.col("text"), k=2)
     return docs.select(
