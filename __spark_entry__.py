@@ -1090,6 +1090,24 @@ def q_hll_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_intersection_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch algebra (sketches.hll_intersection_estimate, r6):
+    estimated overlap between viewers and purchasers by inclusion-
+    exclusion over three register-level estimates — no raw-key shuffle.
+    The oracle recomputes all three estimates from SQL-replayed
+    registers, so the algebra is checked end-to-end."""
+    from oaxaca_blinder_rs_spark.operators import sketches
+
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").cast("string").alias("u")
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").cast("string").alias("u")
+    )
+    return sketches.hll_intersection_estimate(a, b, "u", p=8)
+
+
 def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter join pruning (sketches.bloom_build/bloom_maybe_contains,
     r6): filter built over EVEN event user ids (m=512 bits, k=3 — loaded
@@ -1490,6 +1508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_customers": q_zorder_customers,
         "bloom_membership": q_bloom_membership,
         "hll_users_by_type": q_hll_users_by_type,
+        "hll_intersection_users": q_hll_intersection_users,
         "attribution_linear": q_attribution_linear,
         "hll_registers": q_hll_registers,
         "hll_count_users": q_hll_count_users,
@@ -2547,6 +2566,49 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'test' END split,
                    count(*) n_docs, CAST(sum(doc_id) AS BIGINT) id_sum
             FROM u GROUP BY 1
+        """,
+        "hll_intersection_users": """
+            WITH av AS (
+              SELECT DISTINCT CAST(user_id AS VARCHAR) AS u FROM events WHERE event_type = 'view'
+            ), bv AS (
+              SELECT DISTINCT CAST(user_id AS VARCHAR) AS u FROM events WHERE event_type = 'purchase'
+            ), uvals AS (
+              SELECT u FROM av UNION SELECT u FROM bv
+            ), hx AS (
+              SELECT u, xh FROM (SELECT *, xor(__av4, __av4 // 4294967296::HUGEINT) AS xh FROM (SELECT *, ((((__av3) % 4294967296)*2654435833::HUGEINT + ((((__av3) % 4294967296)*374761393::HUGEINT + ((__av3) // 4294967296)*2654435833::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS __av4 FROM (SELECT *, xor(__av2, __av2 // 536870912::HUGEINT) AS __av3 FROM (SELECT *, ((((__av1) % 4294967296)*668265295::HUGEINT + ((((__av1) % 4294967296)*3266489917::HUGEINT + ((__av1) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS __av2 FROM (SELECT *, xor(__h8, __h8 // 8589934592::HUGEINT) AS __av1 FROM (SELECT *, CASE WHEN __r1 >= 3 THEN (((((((((xor(__h7, __b1m2)) * 2048::HUGEINT) % 18446744073709551616::HUGEINT + ((xor(__h7, __b1m2)) // 9007199254740992::HUGEINT))) % 4294967296)*2246822535::HUGEINT + (((((((xor(__h7, __b1m2)) * 2048::HUGEINT) % 18446744073709551616::HUGEINT + ((xor(__h7, __b1m2)) // 9007199254740992::HUGEINT))) % 4294967296)*2654435761::HUGEINT + (((((xor(__h7, __b1m2)) * 2048::HUGEINT) % 18446744073709551616::HUGEINT + ((xor(__h7, __b1m2)) // 9007199254740992::HUGEINT))) // 4294967296)*2246822535::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT) ELSE __h7 END AS __h8 FROM (SELECT *, CASE WHEN __r1 >= 2 THEN (((((((((xor(__h6, __b1m1)) * 2048::HUGEINT) % 18446744073709551616::HUGEINT + ((xor(__h6, __b1m1)) // 9007199254740992::HUGEINT))) % 4294967296)*2246822535::HUGEINT + (((((((xor(__h6, __b1m1)) * 2048::HUGEINT) % 18446744073709551616::HUGEINT + ((xor(__h6, __b1m1)) // 9007199254740992::HUGEINT))) % 4294967296)*2654435761::HUGEINT + (((((xor(__h6, __b1m1)) * 2048::HUGEINT) % 18446744073709551616::HUGEINT + ((xor(__h6, __b1m1)) // 9007199254740992::HUGEINT))) // 4294967296)*2246822535::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT) ELSE __h6 END AS __h7 FROM (SELECT *, CASE WHEN __r1 >= 1 THEN (((((((((xor(__h5, __b1m0)) * 2048::HUGEINT) % 18446744073709551616::HUGEINT + ((xor(__h5, __b1m0)) // 9007199254740992::HUGEINT))) % 4294967296)*2246822535::HUGEINT + (((((((xor(__h5, __b1m0)) * 2048::HUGEINT) % 18446744073709551616::HUGEINT + ((xor(__h5, __b1m0)) // 9007199254740992::HUGEINT))) % 4294967296)*2654435761::HUGEINT + (((((xor(__h5, __b1m0)) * 2048::HUGEINT) % 18446744073709551616::HUGEINT + ((xor(__h5, __b1m0)) // 9007199254740992::HUGEINT))) // 4294967296)*2246822535::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT) ELSE __h5 END AS __h6 FROM (SELECT *, __n - __i2 AS __r1, ((__by[__i2 + 1] * 2870177450012600261::HUGEINT) % 18446744073709551616::HUGEINT) AS __b1m0, ((__by[__i2 + 2] * 2870177450012600261::HUGEINT) % 18446744073709551616::HUGEINT) AS __b1m1, ((__by[__i2 + 3] * 2870177450012600261::HUGEINT) % 18446744073709551616::HUGEINT) AS __b1m2 FROM (SELECT *, CASE WHEN __r4 >= 4 THEN (((((((((xor(__h4, __u4m)) * 8388608::HUGEINT) % 18446744073709551616::HUGEINT + ((xor(__h4, __u4m)) // 2199023255552::HUGEINT))) % 4294967296)*668265295::HUGEINT + (((((((xor(__h4, __u4m)) * 8388608::HUGEINT) % 18446744073709551616::HUGEINT + ((xor(__h4, __u4m)) // 2199023255552::HUGEINT))) % 4294967296)*3266489917::HUGEINT + (((((xor(__h4, __u4m)) * 8388608::HUGEINT) % 18446744073709551616::HUGEINT + ((xor(__h4, __u4m)) // 2199023255552::HUGEINT))) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) + 1609587929392839161::HUGEINT) % 18446744073709551616::HUGEINT) ELSE __h4 END AS __h5, __i1 + CASE WHEN __r4 >= 4 THEN 4 ELSE 0 END AS __i2 FROM (SELECT *, ((((((__u32) % 4294967296)*2246822535::HUGEINT + ((((__u32) % 4294967296)*2654435761::HUGEINT + ((__u32) // 4294967296)*2246822535::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT) AS __u4m FROM (SELECT *, __by[__i1 + 1] * 1::HUGEINT + __by[__i1 + 2] * 256::HUGEINT + __by[__i1 + 3] * 65536::HUGEINT + __by[__i1 + 4] * 16777216::HUGEINT AS __u32 FROM (SELECT *, CASE WHEN __rem >= 24 THEN (((((((((xor(__h3, __k82)) * 134217728::HUGEINT) % 18446744073709551616::HUGEINT + ((xor(__h3, __k82)) // 137438953472::HUGEINT))) % 4294967296)*2246822535::HUGEINT + (((((((xor(__h3, __k82)) * 134217728::HUGEINT) % 18446744073709551616::HUGEINT + ((xor(__h3, __k82)) // 137438953472::HUGEINT))) % 4294967296)*2654435761::HUGEINT + (((((xor(__h3, __k82)) * 134217728::HUGEINT) % 18446744073709551616::HUGEINT + ((xor(__h3, __k82)) // 137438953472::HUGEINT))) // 4294967296)*2246822535::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) + 9650029242287828579::HUGEINT) % 18446744073709551616::HUGEINT) ELSE __h3 END AS __h4 FROM (SELECT *, CASE WHEN __rem >= 16 THEN (((((((((xor(__h2, __k81)) * 134217728::HUGEINT) % 18446744073709551616::HUGEINT + ((xor(__h2, __k81)) // 137438953472::HUGEINT))) % 4294967296)*2246822535::HUGEINT + (((((((xor(__h2, __k81)) * 134217728::HUGEINT) % 18446744073709551616::HUGEINT + ((xor(__h2, __k81)) // 137438953472::HUGEINT))) % 4294967296)*2654435761::HUGEINT + (((((xor(__h2, __k81)) * 134217728::HUGEINT) % 18446744073709551616::HUGEINT + ((xor(__h2, __k81)) // 137438953472::HUGEINT))) // 4294967296)*2246822535::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) + 9650029242287828579::HUGEINT) % 18446744073709551616::HUGEINT) ELSE __h2 END AS __h3 FROM (SELECT *, CASE WHEN __rem >= 8 THEN (((((((((xor(__h1, __k80)) * 134217728::HUGEINT) % 18446744073709551616::HUGEINT + ((xor(__h1, __k80)) // 137438953472::HUGEINT))) % 4294967296)*2246822535::HUGEINT + (((((((xor(__h1, __k80)) * 134217728::HUGEINT) % 18446744073709551616::HUGEINT + ((xor(__h1, __k80)) // 137438953472::HUGEINT))) % 4294967296)*2654435761::HUGEINT + (((((xor(__h1, __k80)) * 134217728::HUGEINT) % 18446744073709551616::HUGEINT + ((xor(__h1, __k80)) // 137438953472::HUGEINT))) // 4294967296)*2246822535::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) + 9650029242287828579::HUGEINT) % 18446744073709551616::HUGEINT) ELSE __h1 END AS __h2 FROM (SELECT *, (__h0 + __n) % 18446744073709551616::HUGEINT AS __h1 FROM (SELECT *, CASE WHEN __n >= 32 THEN __hb4 ELSE 2870177450012600303::HUGEINT END AS __h0 FROM (SELECT *, ((((((xor(__hb3, __r0d)) % 4294967296)*2246822535::HUGEINT + ((((xor(__hb3, __r0d)) % 4294967296)*2654435761::HUGEINT + ((xor(__hb3, __r0d)) // 4294967296)*2246822535::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) + 9650029242287828579::HUGEINT) % 18446744073709551616::HUGEINT) AS __hb4 FROM (SELECT *, ((((((xor(__hb2, __r0c)) % 4294967296)*2246822535::HUGEINT + ((((xor(__hb2, __r0c)) % 4294967296)*2654435761::HUGEINT + ((xor(__hb2, __r0c)) // 4294967296)*2246822535::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) + 9650029242287828579::HUGEINT) % 18446744073709551616::HUGEINT) AS __hb3 FROM (SELECT *, ((((((xor(__hb1, __r0b)) % 4294967296)*2246822535::HUGEINT + ((((xor(__hb1, __r0b)) % 4294967296)*2654435761::HUGEINT + ((xor(__hb1, __r0b)) // 4294967296)*2246822535::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) + 9650029242287828579::HUGEINT) % 18446744073709551616::HUGEINT) AS __hb2 FROM (SELECT *, ((((((xor(__hb0, __r0a)) % 4294967296)*2246822535::HUGEINT + ((((xor(__hb0, __r0a)) % 4294967296)*2654435761::HUGEINT + ((xor(__hb0, __r0a)) // 4294967296)*2246822535::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) + 9650029242287828579::HUGEINT) % 18446744073709551616::HUGEINT) AS __hb1 FROM (SELECT *, ((((((__v).a) * 2::HUGEINT) % 18446744073709551616::HUGEINT + (((__v).a) // 9223372036854775808::HUGEINT)) + ((((__v).b) * 128::HUGEINT) % 18446744073709551616::HUGEINT + (((__v).b) // 144115188075855872::HUGEINT)) + ((((__v).c) * 4096::HUGEINT) % 18446744073709551616::HUGEINT + (((__v).c) // 4503599627370496::HUGEINT)) + ((((__v).d) * 262144::HUGEINT) % 18446744073709551616::HUGEINT + (((__v).d) // 70368744177664::HUGEINT))) % 18446744073709551616::HUGEINT) AS __hb0, __n - __i1 AS __r4, ((((((((((((((__v).a) % 4294967296)*668265295::HUGEINT + (((((__v).a) % 4294967296)*3266489917::HUGEINT + (((__v).a) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + (((((((((__v).a) % 4294967296)*668265295::HUGEINT + (((((__v).a) % 4294967296)*3266489917::HUGEINT + (((__v).a) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) // 8589934592::HUGEINT))) % 4294967296)*2246822535::HUGEINT + ((((((((((((((__v).a) % 4294967296)*668265295::HUGEINT + (((((__v).a) % 4294967296)*3266489917::HUGEINT + (((__v).a) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + (((((((((__v).a) % 4294967296)*668265295::HUGEINT + (((((__v).a) % 4294967296)*3266489917::HUGEINT + (((__v).a) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) // 8589934592::HUGEINT))) % 4294967296)*2654435761::HUGEINT + ((((((((((((__v).a) % 4294967296)*668265295::HUGEINT + (((((__v).a) % 4294967296)*3266489917::HUGEINT + (((__v).a) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + (((((((((__v).a) % 4294967296)*668265295::HUGEINT + (((((__v).a) % 4294967296)*3266489917::HUGEINT + (((__v).a) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) // 8589934592::HUGEINT))) // 4294967296)*2246822535::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS __r0a, ((((((((((((((__v).b) % 4294967296)*668265295::HUGEINT + (((((__v).b) % 4294967296)*3266489917::HUGEINT + (((__v).b) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + (((((((((__v).b) % 4294967296)*668265295::HUGEINT + (((((__v).b) % 4294967296)*3266489917::HUGEINT + (((__v).b) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) // 8589934592::HUGEINT))) % 4294967296)*2246822535::HUGEINT + ((((((((((((((__v).b) % 4294967296)*668265295::HUGEINT + (((((__v).b) % 4294967296)*3266489917::HUGEINT + (((__v).b) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + (((((((((__v).b) % 4294967296)*668265295::HUGEINT + (((((__v).b) % 4294967296)*3266489917::HUGEINT + (((__v).b) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) // 8589934592::HUGEINT))) % 4294967296)*2654435761::HUGEINT + ((((((((((((__v).b) % 4294967296)*668265295::HUGEINT + (((((__v).b) % 4294967296)*3266489917::HUGEINT + (((__v).b) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + (((((((((__v).b) % 4294967296)*668265295::HUGEINT + (((((__v).b) % 4294967296)*3266489917::HUGEINT + (((__v).b) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) // 8589934592::HUGEINT))) // 4294967296)*2246822535::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS __r0b, ((((((((((((((__v).c) % 4294967296)*668265295::HUGEINT + (((((__v).c) % 4294967296)*3266489917::HUGEINT + (((__v).c) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + (((((((((__v).c) % 4294967296)*668265295::HUGEINT + (((((__v).c) % 4294967296)*3266489917::HUGEINT + (((__v).c) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) // 8589934592::HUGEINT))) % 4294967296)*2246822535::HUGEINT + ((((((((((((((__v).c) % 4294967296)*668265295::HUGEINT + (((((__v).c) % 4294967296)*3266489917::HUGEINT + (((__v).c) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + (((((((((__v).c) % 4294967296)*668265295::HUGEINT + (((((__v).c) % 4294967296)*3266489917::HUGEINT + (((__v).c) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) // 8589934592::HUGEINT))) % 4294967296)*2654435761::HUGEINT + ((((((((((((__v).c) % 4294967296)*668265295::HUGEINT + (((((__v).c) % 4294967296)*3266489917::HUGEINT + (((__v).c) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + (((((((((__v).c) % 4294967296)*668265295::HUGEINT + (((((__v).c) % 4294967296)*3266489917::HUGEINT + (((__v).c) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) // 8589934592::HUGEINT))) // 4294967296)*2246822535::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS __r0c, ((((((((((((((__v).d) % 4294967296)*668265295::HUGEINT + (((((__v).d) % 4294967296)*3266489917::HUGEINT + (((__v).d) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + (((((((((__v).d) % 4294967296)*668265295::HUGEINT + (((((__v).d) % 4294967296)*3266489917::HUGEINT + (((__v).d) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) // 8589934592::HUGEINT))) % 4294967296)*2246822535::HUGEINT + ((((((((((((((__v).d) % 4294967296)*668265295::HUGEINT + (((((__v).d) % 4294967296)*3266489917::HUGEINT + (((__v).d) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + (((((((((__v).d) % 4294967296)*668265295::HUGEINT + (((((__v).d) % 4294967296)*3266489917::HUGEINT + (((__v).d) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) // 8589934592::HUGEINT))) % 4294967296)*2654435761::HUGEINT + ((((((((((((__v).d) % 4294967296)*668265295::HUGEINT + (((((__v).d) % 4294967296)*3266489917::HUGEINT + (((__v).d) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + (((((((((__v).d) % 4294967296)*668265295::HUGEINT + (((((__v).d) % 4294967296)*3266489917::HUGEINT + (((__v).d) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) // 8589934592::HUGEINT))) // 4294967296)*2246822535::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS __r0d, (((((((((((((__wd[__i0//8 + 1]) % 4294967296)*668265295::HUGEINT + ((((__wd[__i0//8 + 1]) % 4294967296)*3266489917::HUGEINT + ((__wd[__i0//8 + 1]) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + ((((((((__wd[__i0//8 + 1]) % 4294967296)*668265295::HUGEINT + ((((__wd[__i0//8 + 1]) % 4294967296)*3266489917::HUGEINT + ((__wd[__i0//8 + 1]) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) // 8589934592::HUGEINT))) % 4294967296)*2246822535::HUGEINT + (((((((((((((__wd[__i0//8 + 1]) % 4294967296)*668265295::HUGEINT + ((((__wd[__i0//8 + 1]) % 4294967296)*3266489917::HUGEINT + ((__wd[__i0//8 + 1]) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + ((((((((__wd[__i0//8 + 1]) % 4294967296)*668265295::HUGEINT + ((((__wd[__i0//8 + 1]) % 4294967296)*3266489917::HUGEINT + ((__wd[__i0//8 + 1]) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) // 8589934592::HUGEINT))) % 4294967296)*2654435761::HUGEINT + (((((((((((__wd[__i0//8 + 1]) % 4294967296)*668265295::HUGEINT + ((((__wd[__i0//8 + 1]) % 4294967296)*3266489917::HUGEINT + ((__wd[__i0//8 + 1]) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + ((((((((__wd[__i0//8 + 1]) % 4294967296)*668265295::HUGEINT + ((((__wd[__i0//8 + 1]) % 4294967296)*3266489917::HUGEINT + ((__wd[__i0//8 + 1]) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) // 8589934592::HUGEINT))) // 4294967296)*2246822535::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS __k80, (((((((((((((__wd[__i0//8 + 2]) % 4294967296)*668265295::HUGEINT + ((((__wd[__i0//8 + 2]) % 4294967296)*3266489917::HUGEINT + ((__wd[__i0//8 + 2]) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + ((((((((__wd[__i0//8 + 2]) % 4294967296)*668265295::HUGEINT + ((((__wd[__i0//8 + 2]) % 4294967296)*3266489917::HUGEINT + ((__wd[__i0//8 + 2]) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) // 8589934592::HUGEINT))) % 4294967296)*2246822535::HUGEINT + (((((((((((((__wd[__i0//8 + 2]) % 4294967296)*668265295::HUGEINT + ((((__wd[__i0//8 + 2]) % 4294967296)*3266489917::HUGEINT + ((__wd[__i0//8 + 2]) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + ((((((((__wd[__i0//8 + 2]) % 4294967296)*668265295::HUGEINT + ((((__wd[__i0//8 + 2]) % 4294967296)*3266489917::HUGEINT + ((__wd[__i0//8 + 2]) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) // 8589934592::HUGEINT))) % 4294967296)*2654435761::HUGEINT + (((((((((((__wd[__i0//8 + 2]) % 4294967296)*668265295::HUGEINT + ((((__wd[__i0//8 + 2]) % 4294967296)*3266489917::HUGEINT + ((__wd[__i0//8 + 2]) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + ((((((((__wd[__i0//8 + 2]) % 4294967296)*668265295::HUGEINT + ((((__wd[__i0//8 + 2]) % 4294967296)*3266489917::HUGEINT + ((__wd[__i0//8 + 2]) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) // 8589934592::HUGEINT))) // 4294967296)*2246822535::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS __k81, (((((((((((((__wd[__i0//8 + 3]) % 4294967296)*668265295::HUGEINT + ((((__wd[__i0//8 + 3]) % 4294967296)*3266489917::HUGEINT + ((__wd[__i0//8 + 3]) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + ((((((((__wd[__i0//8 + 3]) % 4294967296)*668265295::HUGEINT + ((((__wd[__i0//8 + 3]) % 4294967296)*3266489917::HUGEINT + ((__wd[__i0//8 + 3]) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) // 8589934592::HUGEINT))) % 4294967296)*2246822535::HUGEINT + (((((((((((((__wd[__i0//8 + 3]) % 4294967296)*668265295::HUGEINT + ((((__wd[__i0//8 + 3]) % 4294967296)*3266489917::HUGEINT + ((__wd[__i0//8 + 3]) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + ((((((((__wd[__i0//8 + 3]) % 4294967296)*668265295::HUGEINT + ((((__wd[__i0//8 + 3]) % 4294967296)*3266489917::HUGEINT + ((__wd[__i0//8 + 3]) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) // 8589934592::HUGEINT))) % 4294967296)*2654435761::HUGEINT + (((((((((((__wd[__i0//8 + 3]) % 4294967296)*668265295::HUGEINT + ((((__wd[__i0//8 + 3]) % 4294967296)*3266489917::HUGEINT + ((__wd[__i0//8 + 3]) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + ((((((((__wd[__i0//8 + 3]) % 4294967296)*668265295::HUGEINT + ((((__wd[__i0//8 + 3]) % 4294967296)*3266489917::HUGEINT + ((__wd[__i0//8 + 3]) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) // 8589934592::HUGEINT))) // 4294967296)*2246822535::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS __k82 FROM (SELECT *, list_reduce(list_concat([{'a': 6983438078262162944::HUGEINT, 'b': 14029467366897019769::HUGEINT, 'c': 42::HUGEINT, 'd': 7046029288634856867::HUGEINT}], list_transform(range(0, __n // 32), si -> {'a': __wd[4*si + 1], 'b': __wd[4*si + 2], 'c': __wd[4*si + 3], 'd': __wd[4*si + 4]})), (acc, x) -> {'a': ((((((((((acc.a) + ((((x.a) % 4294967296)*668265295::HUGEINT + ((((x.a) % 4294967296)*3266489917::HUGEINT + ((x.a) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + (((((acc.a) + ((((x.a) % 4294967296)*668265295::HUGEINT + ((((x.a) % 4294967296)*3266489917::HUGEINT + ((x.a) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) // 8589934592::HUGEINT))) % 4294967296)*2246822535::HUGEINT + ((((((((((acc.a) + ((((x.a) % 4294967296)*668265295::HUGEINT + ((((x.a) % 4294967296)*3266489917::HUGEINT + ((x.a) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + (((((acc.a) + ((((x.a) % 4294967296)*668265295::HUGEINT + ((((x.a) % 4294967296)*3266489917::HUGEINT + ((x.a) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) // 8589934592::HUGEINT))) % 4294967296)*2654435761::HUGEINT + ((((((((acc.a) + ((((x.a) % 4294967296)*668265295::HUGEINT + ((((x.a) % 4294967296)*3266489917::HUGEINT + ((x.a) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + (((((acc.a) + ((((x.a) % 4294967296)*668265295::HUGEINT + ((((x.a) % 4294967296)*3266489917::HUGEINT + ((x.a) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) // 8589934592::HUGEINT))) // 4294967296)*2246822535::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT), 'b': ((((((((((acc.b) + ((((x.b) % 4294967296)*668265295::HUGEINT + ((((x.b) % 4294967296)*3266489917::HUGEINT + ((x.b) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + (((((acc.b) + ((((x.b) % 4294967296)*668265295::HUGEINT + ((((x.b) % 4294967296)*3266489917::HUGEINT + ((x.b) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) // 8589934592::HUGEINT))) % 4294967296)*2246822535::HUGEINT + ((((((((((acc.b) + ((((x.b) % 4294967296)*668265295::HUGEINT + ((((x.b) % 4294967296)*3266489917::HUGEINT + ((x.b) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + (((((acc.b) + ((((x.b) % 4294967296)*668265295::HUGEINT + ((((x.b) % 4294967296)*3266489917::HUGEINT + ((x.b) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) // 8589934592::HUGEINT))) % 4294967296)*2654435761::HUGEINT + ((((((((acc.b) + ((((x.b) % 4294967296)*668265295::HUGEINT + ((((x.b) % 4294967296)*3266489917::HUGEINT + ((x.b) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + (((((acc.b) + ((((x.b) % 4294967296)*668265295::HUGEINT + ((((x.b) % 4294967296)*3266489917::HUGEINT + ((x.b) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) // 8589934592::HUGEINT))) // 4294967296)*2246822535::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT), 'c': ((((((((((acc.c) + ((((x.c) % 4294967296)*668265295::HUGEINT + ((((x.c) % 4294967296)*3266489917::HUGEINT + ((x.c) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + (((((acc.c) + ((((x.c) % 4294967296)*668265295::HUGEINT + ((((x.c) % 4294967296)*3266489917::HUGEINT + ((x.c) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) // 8589934592::HUGEINT))) % 4294967296)*2246822535::HUGEINT + ((((((((((acc.c) + ((((x.c) % 4294967296)*668265295::HUGEINT + ((((x.c) % 4294967296)*3266489917::HUGEINT + ((x.c) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + (((((acc.c) + ((((x.c) % 4294967296)*668265295::HUGEINT + ((((x.c) % 4294967296)*3266489917::HUGEINT + ((x.c) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) // 8589934592::HUGEINT))) % 4294967296)*2654435761::HUGEINT + ((((((((acc.c) + ((((x.c) % 4294967296)*668265295::HUGEINT + ((((x.c) % 4294967296)*3266489917::HUGEINT + ((x.c) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + (((((acc.c) + ((((x.c) % 4294967296)*668265295::HUGEINT + ((((x.c) % 4294967296)*3266489917::HUGEINT + ((x.c) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) // 8589934592::HUGEINT))) // 4294967296)*2246822535::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT), 'd': ((((((((((acc.d) + ((((x.d) % 4294967296)*668265295::HUGEINT + ((((x.d) % 4294967296)*3266489917::HUGEINT + ((x.d) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + (((((acc.d) + ((((x.d) % 4294967296)*668265295::HUGEINT + ((((x.d) % 4294967296)*3266489917::HUGEINT + ((x.d) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) // 8589934592::HUGEINT))) % 4294967296)*2246822535::HUGEINT + ((((((((((acc.d) + ((((x.d) % 4294967296)*668265295::HUGEINT + ((((x.d) % 4294967296)*3266489917::HUGEINT + ((x.d) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + (((((acc.d) + ((((x.d) % 4294967296)*668265295::HUGEINT + ((((x.d) % 4294967296)*3266489917::HUGEINT + ((x.d) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) // 8589934592::HUGEINT))) % 4294967296)*2654435761::HUGEINT + ((((((((acc.d) + ((((x.d) % 4294967296)*668265295::HUGEINT + ((((x.d) % 4294967296)*3266489917::HUGEINT + ((x.d) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + (((((acc.d) + ((((x.d) % 4294967296)*668265295::HUGEINT + ((((x.d) % 4294967296)*3266489917::HUGEINT + ((x.d) // 4294967296)*668265295::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)) % 18446744073709551616::HUGEINT)) // 8589934592::HUGEINT))) // 4294967296)*2246822535::HUGEINT) % 4294967296) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)}) AS __v, __i0 + (__rem // 8) * 8 AS __i1 FROM (SELECT *, list_transform(range(0, __n // 8), w -> __by[8*w + 1] * 1::HUGEINT + __by[8*w + 2] * 256::HUGEINT + __by[8*w + 3] * 65536::HUGEINT + __by[8*w + 4] * 16777216::HUGEINT + __by[8*w + 5] * 4294967296::HUGEINT + __by[8*w + 6] * 1099511627776::HUGEINT + __by[8*w + 7] * 281474976710656::HUGEINT + __by[8*w + 8] * 72057594037927936::HUGEINT) AS __wd, __n - __i0 AS __rem FROM (SELECT *, list_transform(range(0, __n), j -> ('0x' || substr(__hx, 2*j + 1, 2))::UBIGINT::HUGEINT) AS __by, (__n // 32) * 32 AS __i0 FROM (SELECT *, octet_length(__bl) AS __n, hex(__bl) AS __hx FROM (SELECT u, encode(u) AS __bl FROM uvals)))))))))))))))))))))))))))
+            ), hr AS (
+              SELECT u, CAST(xh // 72057594037927936 AS BIGINT) AS register,
+                     CASE WHEN xh % 72057594037927936 = 0 THEN 57
+                          ELSE 56 - length(bin(CAST(xh % 72057594037927936 AS BIGINT))) + 1
+                     END AS rho
+              FROM hx
+            ), ra AS (
+              SELECT register, max(rho) AS rho FROM hr JOIN av USING (u) GROUP BY register
+            ), rb AS (
+              SELECT register, max(rho) AS rho FROM hr JOIN bv USING (u) GROUP BY register
+            ), ru AS (
+              SELECT register, max(rho) AS rho FROM hr GROUP BY register
+            )
+            SELECT round(greatest((
+              SELECT round(CASE WHEN (CAST(0.7182725932495458 AS DOUBLE) * 256 * 256 / s) <= 2.5 * 256 AND zeros > 0
+                                THEN 256.0 * ln(256.0 / zeros)
+                                ELSE CAST(0.7182725932495458 AS DOUBLE) * 256 * 256 / s END, 4)
+              FROM (SELECT sum(pow(2.0, -rho)) + (256 - count(*)) AS s,
+                           256 - count(*) AS zeros FROM ra)
+            ) + (
+              SELECT round(CASE WHEN (CAST(0.7182725932495458 AS DOUBLE) * 256 * 256 / s) <= 2.5 * 256 AND zeros > 0
+                                THEN 256.0 * ln(256.0 / zeros)
+                                ELSE CAST(0.7182725932495458 AS DOUBLE) * 256 * 256 / s END, 4)
+              FROM (SELECT sum(pow(2.0, -rho)) + (256 - count(*)) AS s,
+                           256 - count(*) AS zeros FROM rb)
+            ) - (
+              SELECT round(CASE WHEN (CAST(0.7182725932495458 AS DOUBLE) * 256 * 256 / s) <= 2.5 * 256 AND zeros > 0
+                                THEN 256.0 * ln(256.0 / zeros)
+                                ELSE CAST(0.7182725932495458 AS DOUBLE) * 256 * 256 / s END, 4)
+              FROM (SELECT sum(pow(2.0, -rho)) + (256 - count(*)) AS s,
+                           256 - count(*) AS zeros FROM ru)
+            ), 0.0), 4)
+                   AS intersection_estimate
         """,
         "hll_users_by_type": """
             WITH gu AS (

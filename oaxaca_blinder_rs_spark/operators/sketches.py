@@ -31,7 +31,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hll_registers", "hll_count_distinct", "hll_alpha", "cms_table", "cms_estimate", "bloom_build", "bloom_maybe_contains", "hll_count_distinct_by"]
+__all__ = ["hll_registers", "hll_count_distinct", "hll_alpha", "cms_table", "cms_estimate", "bloom_build", "bloom_maybe_contains", "hll_count_distinct_by", "hll_union_estimate", "hll_intersection_estimate"]
 
 
 def hll_alpha(m: int) -> float:
@@ -275,3 +275,49 @@ def hll_count_distinct_by(
     linear = F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("zeros"))
     est = F.when((raw <= 2.5 * m) & (F.col("zeros") > 0), linear).otherwise(raw)
     return agg.select("key", F.col("zeros").cast("long").alias("zeros"), F.round(est, 4).alias("estimate"))
+
+
+def hll_union_estimate(regs_a: DataFrame, regs_b: DataFrame, p: int = 8) -> DataFrame:
+    """Cardinality of A ∪ B from two register tables alone (no data
+    re-scan): merge by register-wise max, then the standard estimator.
+    This is the sketch algebra that lets per-day / per-corpus sketches
+    roll up without touching the raw keys again."""
+    m = 1 << p
+    alpha = hll_alpha(m)
+    merged = (
+        regs_a.unionByName(regs_b)
+        .groupBy("register")
+        .agg(F.max("rho").alias("rho"))
+    )
+    agg = merged.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("__s"),
+        F.sum((F.col("rho") == 0).cast("long")).alias("zeros"),
+    )
+    raw = F.lit(alpha * m * m) / F.col("__s")
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("zeros"))
+    est = F.when((raw <= 2.5 * m) & (F.col("zeros") > 0), linear).otherwise(raw)
+    return agg.select(F.round(est, 4).alias("union_estimate"))
+
+
+def hll_intersection_estimate(
+    df_a: DataFrame, df_b: DataFrame, col: str, p: int = 8
+) -> DataFrame:
+    """|A ∩ B| by inclusion-exclusion over three HLL estimates:
+    est(A) + est(B) - est(A ∪ B), floored at 0. The union comes from
+    register-wise max of the two sketches (hll_union_estimate), so the
+    raw keys are scanned once per side and never shuffled. Error grows
+    with |A ∪ B| / |A ∩ B| — the documented HLL intersection caveat; use
+    MinHash Jaccard (dedup.py) when the intersection is small."""
+    ra, rb = hll_registers(df_a, col, p), hll_registers(df_b, col, p)
+    ea = hll_count_distinct(df_a, col, p).select(F.col("estimate").alias("ea"))
+    eb = hll_count_distinct(df_b, col, p).select(F.col("estimate").alias("eb"))
+    eu = hll_union_estimate(ra, rb, p)
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .select(
+            F.round(
+                F.greatest(F.col("ea") + F.col("eb") - F.col("union_estimate"), F.lit(0.0)), 4
+            ).alias("intersection_estimate")
+        )
+    )

@@ -153,3 +153,25 @@ def test_hll_by_key_matches_per_group_global(spark, sf_dir):
         assert got[et] == (glob["zeros"], glob["estimate"]), et
         exact = sub.select("u").distinct().count()
         assert abs(got[et][1] - exact) <= max(4 * 1.04 / 16 * exact, 10.0)
+
+
+def test_hll_union_and_intersection_estimates(spark, sf_dir):
+    """Sketch algebra: union estimate from merged registers tracks the
+    exact union; inclusion-exclusion intersection tracks the exact
+    overlap (within HLL error at p=8, ~6.5% of the UNION size)."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").cast("string").alias("u"), "user_id"
+    )
+    a = ev.filter(F.col("user_id") % 3 != 0).select("u")
+    b = ev.filter(F.col("user_id") % 2 != 0).select("u")
+    exact_a = a.distinct().count()
+    exact_b = b.distinct().count()
+    exact_u = a.union(b).distinct().count()
+    exact_i = exact_a + exact_b - exact_u
+    ra, rb = sketches.hll_registers(a, "u", 8), sketches.hll_registers(b, "u", 8)
+    eu = sketches.hll_union_estimate(ra, rb, 8).collect()[0]["union_estimate"]
+    assert abs(eu - exact_u) <= max(4 * 1.04 / 16 * exact_u, 10.0)
+    ei = sketches.hll_intersection_estimate(a, b, "u", 8).collect()[0]["intersection_estimate"]
+    assert abs(ei - exact_i) <= max(12 * 1.04 / 16 * exact_u, 15.0)
