@@ -26,8 +26,6 @@ max map-side) + one m-row final aggregate. Nothing else shuffles.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
