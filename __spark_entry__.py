@@ -1075,6 +1075,16 @@ def q_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return path_transitions(_t(spark, sf_dir, "events"))
 
 
+def q_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-25 documents for the query {hash, join, scan}
+    (textops.bm25_scores, r6) — Lucene-form idf, k1=1.2, b=0.75,
+    deterministic (score desc, doc id) cut. The corpus explodes filtered
+    to query terms only; df and avgdl broadcast back."""
+    return textops.bm25_scores(
+        _t(spark, sf_dir, "documents"), ["hash", "join", "scan"], top_n=25
+    )
+
+
 def q_hll_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group HLL cardinality (sketches.hll_count_distinct_by, r6):
     approximate distinct users per event_type — one (key, register)
@@ -1509,6 +1519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_membership": q_bloom_membership,
         "hll_users_by_type": q_hll_users_by_type,
         "hll_intersection_users": q_hll_intersection_users,
+        "bm25_ranking": q_bm25_ranking,
         "attribution_linear": q_attribution_linear,
         "hll_registers": q_hll_registers,
         "hll_count_users": q_hll_count_users,
@@ -2566,6 +2577,32 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'test' END split,
                    count(*) n_docs, CAST(sum(doc_id) AS BIGINT) id_sum
             FROM u GROUP BY 1
+        """,
+        "bm25_ranking": """
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+            ), n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM documents),
+            dl AS (SELECT doc_id, len(t) AS dlen FROM toks),
+            avgdl AS (SELECT avg(dlen) AS ad FROM dl),
+            terms AS (
+              SELECT doc_id, unnest(t) AS term FROM toks
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM terms
+              WHERE term IN ('hash', 'join', 'scan') GROUP BY doc_id, term
+            ), dfq AS (
+              SELECT term, count(*) AS dfc FROM tf GROUP BY term
+            ), scored AS (
+              SELECT tf.doc_id,
+                     round(sum(
+                       ln(1.0 + ((SELECT nn FROM n) - dfc + 0.5) / (dfc + 0.5))
+                       * tf * (1.2 + 1.0)
+                       / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dlen / (SELECT ad FROM avgdl)))
+                     ), 6) AS score
+              FROM tf JOIN dfq USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+              GROUP BY tf.doc_id
+            )
+            SELECT doc_id, score FROM scored
+            ORDER BY score DESC, doc_id ASC LIMIT 25
         """,
         "hll_intersection_users": """
             WITH av AS (

@@ -524,3 +524,64 @@ def tfidf_top_terms(
         .filter(F.col("__rk") <= int(top_k))
         .select(id_col, "term", "score")
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int | None = None,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a bag of query terms:
+    (doc_id, score) — the retrieval-quality ranking a training-data search
+    / curation UI runs over the corpus (Robertson & Walker 1994).
+
+    score = sum over query terms of
+      idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl)),
+    idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))  (the non-negative Lucene
+    form). Terms are lowercase whitespace tokens — the same tokenizer as
+    every other text operator, so scores compose with tf-idf/dedup stats.
+
+    Scale shape: the corpus explodes once to (doc, term, tf) filtered TO
+    QUERY TERMS ONLY (the filter prunes before the count shuffle); doc
+    lengths come from one map-side length projection; df per query term is
+    a |q|-row aggregate broadcast back. Nothing keyed lower than doc id
+    ever shuffles. Deterministic (score rounded 6dp, doc id tie-break)
+    ``top_n`` cut when requested.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    q = [t.lower() for t in query_terms]
+    N = float(n_docs if n_docs is not None else df.count())
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = df.select(F.col(id_col), toks.alias("__t"))
+    dl = base.select(F.col(id_col), F.size("__t").alias("__dl"))
+    avgdl = dl.agg(F.avg("__dl").alias("__avgdl"))
+    terms = (
+        base.select(F.col(id_col), F.explode("__t").alias("term"))
+        .filter(F.col("term").isin(q))
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(F.lit(1.0) + (F.lit(N) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(avgdl))
+        .withColumn(
+            "__s",
+            idf
+            * F.col("tf")
+            * (k1 + 1.0)
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl"))),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.sum("__s"), 6).alias("score"))
+    )
+    if top_n is not None:
+        scored = scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(int(top_n))
+    return scored

@@ -375,3 +375,37 @@ def test_adaptive_logprob_filter_per_group_threshold(spark):
 
     with _pytest.raises(ValueError):
         textops.adaptive_logprob_filter(docs, frac=0.0)
+
+
+def test_bm25_hand_case_and_properties(spark):
+    """BM25 (r6): hand-checkable ranking — a doc with more query-term hits
+    and shorter length outranks a longer one; docs without query terms are
+    absent; empty query raises."""
+    import math
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from oaxaca_blinder_rs_spark.operators.textops import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hash join hash probe"),
+            (2, "hash only once in a much longer document about other things"),
+            (3, "nothing relevant here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["score"] for r in bm25_scores(docs, ["hash", "join"]).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1] > rows[2]
+    # verify doc 1's score against the formula computed by hand
+    N, k1, b = 3.0, 1.2, 0.75
+    avgdl = (4 + 11 + 3) / 3.0
+    def idf(df_): return math.log(1.0 + (N - df_ + 0.5) / (df_ + 0.5))
+    def part(tf, dl, df_):
+        return idf(df_) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    want1 = round(part(2, 4, 2) + part(1, 4, 1), 6)
+    assert rows[1] == pytest.approx(want1, abs=1e-6)
+    with pytest.raises(ValueError):
+        bm25_scores(docs, [])
