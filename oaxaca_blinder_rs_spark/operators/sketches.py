@@ -100,6 +100,26 @@ def hll_count_distinct(df: DataFrame, col: str, p: int = 8) -> DataFrame:
     )
 
 
+def _cms_cells_expr(col: str, w: int, d: int):
+    """Array of (row, col) structs for a value's d count-min cells —
+    shared by the batch table, the probe side, and the streaming face."""
+    if w & (w - 1) != 0 or w < 2:
+        raise ValueError("w must be a power of two >= 2")
+    if not 1 <= d <= 16:
+        raise ValueError("d must be in [1, 16]")
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                F.xxhash64(F.concat(F.lit(f"r{i}:"), F.col(col).cast("string")))
+                .bitwiseAND(F.lit(w - 1))
+                .alias("col"),
+            )
+            for i in range(d)
+        ]
+    )
+
+
 def cms_table(df: DataFrame, col: str, w: int = 1024, d: int = 4) -> DataFrame:
     """Count-min sketch table (row, col, cnt) — the heavy-hitter frequency
     primitive (Cormode & Muthukrishnan 2005). Each value increments one
@@ -117,21 +137,7 @@ def cms_table(df: DataFrame, col: str, w: int = 1024, d: int = 4) -> DataFrame:
     over <= d*w cells with partial map-side counts. Mergeable: union two
     tables and re-sum — sketch union IS cell-wise addition.
     """
-    if w & (w - 1) != 0 or w < 2:
-        raise ValueError("w must be a power of two >= 2")
-    if not 1 <= d <= 16:
-        raise ValueError("d must be in [1, 16]")
-    cells = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("row"),
-                F.xxhash64(F.concat(F.lit(f"r{i}:"), F.col(col).cast("string")))
-                .bitwiseAND(F.lit(w - 1))
-                .alias("col"),
-            )
-            for i in range(d)
-        ]
-    )
+    cells = _cms_cells_expr(col, w, d)
     return (
         df.select(F.explode(cells).alias("__c"))
         .select(F.col("__c.row").alias("row"), F.col("__c.col").alias("col"))
@@ -147,19 +153,7 @@ def cms_estimate(
     min over hash rows of the matching cell counts (missing cell = 0).
     ``w``/``d`` must match the sketch's build parameters. The probe side is
     the small one — its hashed cells broadcast against the sketch table."""
-    if w & (w - 1) != 0 or w < 2:
-        raise ValueError("w must be a power of two >= 2")
-    cells = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("row"),
-                F.xxhash64(F.concat(F.lit(f"r{i}:"), F.col(col).cast("string")))
-                .bitwiseAND(F.lit(w - 1))
-                .alias("col"),
-            )
-            for i in range(d)
-        ]
-    )
+    cells = _cms_cells_expr(col, w, d)
     pcells = (
         probes.select(F.col(col).alias("value"), F.explode(cells).alias("__c"))
         .select("value", F.col("__c.row").alias("row"), F.col("__c.col").alias("col"))

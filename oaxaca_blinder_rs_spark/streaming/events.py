@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "windowed_event_aggregates",
     "streaming_hll_registers",
+    "streaming_cms_cells",
     "streaming_group_stats",
     "sessionize",
     "streaming_decomposition_stats",
@@ -430,5 +431,43 @@ def streaming_hll_registers(
             F.col("w.end").alias("window_end"),
             "register",
             "rho",
+        )
+    )
+
+
+def streaming_cms_cells(
+    events: DataFrame,
+    col: str = "user_id",
+    w: int = 1024,
+    d: int = 4,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming count-min sketch: per tumbling window, the (row, col, cnt)
+    cell table for ``col``'s value frequencies — the continuous
+    heavy-hitter tracker. State is bounded at d*w cells per window and the
+    watermark expires closed windows. Cells merge downstream by per-cell
+    SUM (across windows or streams), exactly like the batch table
+    (operators/sketches.cms_table), whose hash math this shares and which
+    the driver hash-checks cross-engine (cms_user_counts row)."""
+    from ..operators.sketches import _cms_cells_expr
+
+    cells = _cms_cells_expr(col, w, d)
+    return (
+        _event_time(events, ts_col).withWatermark(ts_col, watermark)
+        .select(F.col(ts_col), F.explode(cells).alias("__c"))
+        .groupBy(
+            F.window(ts_col, window_duration).alias("wnd"),
+            F.col("__c.row").alias("row"),
+            F.col("__c.col").alias("col"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("wnd.start").alias("window_start"),
+            F.col("wnd.end").alias("window_end"),
+            "row",
+            "col",
+            "cnt",
         )
     )

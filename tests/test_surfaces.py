@@ -707,3 +707,38 @@ def test_streaming_hll_registers_matches_batch(spark, sf_dir, tmp_path):
         ).filter(F.col("rho") > 0).collect()
     }
     assert merged == batch
+
+
+def test_streaming_cms_cells_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming count-min (r6): per-window cell stream merged across
+    windows by per-cell sum equals the batch sketch of the same data —
+    end-to-end through a real availableNow query."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from oaxaca_blinder_rs_spark.operators import sketches
+
+    static = ob.load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "events_cms")
+    static.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(static.schema).format("parquet").load(src)
+    cells = streaming_events.streaming_cms_cells(stream, "user_id", w=256, d=2, watermark="0 seconds")
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            cells.writeStream.format("memory")
+            .queryName("cms_cells")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    out = spark.sql("SELECT row, col, cnt FROM cms_cells")
+    merged = {(r["row"], r["col"]): r["cnt"]
+              for r in out.groupBy("row", "col").agg(F.sum("cnt").alias("cnt")).collect()}
+    batch = {(r["row"], r["col"]): r["cnt"]
+             for r in sketches.cms_table(
+                 static.select(F.col("user_id").alias("user_id")), "user_id", w=256, d=2
+             ).collect()}
+    assert merged == batch
