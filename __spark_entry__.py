@@ -1075,6 +1075,29 @@ def q_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return path_transitions(_t(spark, sf_dir, "events"))
 
 
+def q_normalized_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text cleaning (textops.normalize_text, r6): control-char
+    strip + whitespace collapse + lowercase, emitted as an md5 per doc so
+    the full normalized string is pinned compactly. Literal-class regexes
+    only — Java and RE2 agree (the PII-scrubber parity contract)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(textops.normalize_text(F.col("text"), lowercase=True)).alias("norm_md5"),
+        F.length(textops.normalize_text(F.col("text"))).alias("norm_len"),
+    )
+
+
+def q_skew_report_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnosis (skew.skew_report, r6): the top-10 hottest
+    customer keys in orders with share and cumulative share — the salting
+    decision input. Distributed TakeOrdered cut, no global window over
+    the key-count table."""
+    from oaxaca_blinder_rs_spark.operators.skew import skew_report
+
+    return skew_report(_t(spark, sf_dir, "orders"), "o_custkey", top_k=10)
+
+
 def q_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-25 documents for the query {hash, join, scan}
     (textops.bm25_scores, r6) — Lucene-form idf, k1=1.2, b=0.75,
@@ -1520,6 +1543,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_users_by_type": q_hll_users_by_type,
         "hll_intersection_users": q_hll_intersection_users,
         "bm25_ranking": q_bm25_ranking,
+        "normalized_text": q_normalized_text,
+        "skew_report_custkey": q_skew_report_custkey,
         "attribution_linear": q_attribution_linear,
         "hll_registers": q_hll_registers,
         "hll_count_users": q_hll_count_users,
@@ -2577,6 +2602,30 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'test' END split,
                    count(*) n_docs, CAST(sum(doc_id) AS BIGINT) id_sum
             FROM u GROUP BY 1
+        """,
+        "normalized_text": """
+            SELECT doc_id,
+                   md5(lower(trim(regexp_replace(
+                         regexp_replace(text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+                         '\s+', ' ', 'g')))) AS norm_md5,
+                   length(trim(regexp_replace(
+                         regexp_replace(text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+                         '\s+', ' ', 'g'))) AS norm_len
+            FROM documents
+        """,
+        "skew_report_custkey": """
+            WITH counts AS (
+              SELECT CAST(o_custkey AS VARCHAR) AS key, count(*) AS n FROM orders GROUP BY 1
+            ), total AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM orders),
+            top AS (
+              SELECT key, n, row_number() OVER (ORDER BY n DESC, key ASC) AS rank
+              FROM counts ORDER BY n DESC, key ASC LIMIT 10
+            )
+            SELECT rank, key, n,
+                   round(n / (SELECT t FROM total), 6) AS share,
+                   round(sum(n / (SELECT t FROM total))
+                         OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING), 6) AS cum_share
+            FROM top
         """,
         "bm25_ranking": """
             WITH toks AS (

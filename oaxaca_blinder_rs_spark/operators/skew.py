@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_join"]
+__all__ = ["salted_join", "skew_report"]
 
 
 def salted_join(
@@ -50,3 +50,35 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(int(salt))]))
     )
     return big_s.join(small_s, keys + ["__salt"], how).drop("__salt")
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 10,
+) -> DataFrame:
+    """Key-skew diagnosis before a join/groupBy: the top-k hottest keys
+    with their row counts, share of the table, and cumulative share —
+    the numbers that decide whether a key needs salting (salted_join) or
+    AQE skew handling. One count aggregate, then a DISTRIBUTED top-k cut
+    (orderBy + limit = TakeOrdered with per-partition heaps — never a
+    global window over the full key-count table, which at 100 TB can
+    itself be huge); only the k surviving rows see a window for the
+    rank/cum-share bookkeeping. Deterministic (count desc, key asc)
+    ranking. Returns (rank, key, n, share, cum_share), 6-dp rounded.
+    """
+    from pyspark.sql import Window
+
+    total = df.count()
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    top = counts.orderBy(F.col("n").desc(), F.col("key").asc()).limit(int(top_k))
+    w = Window.orderBy(F.col("n").desc(), F.col("key").asc())
+    ranked = top.withColumn("rank", F.row_number().over(w)).withColumn(
+        "share", F.round(F.col("n") / F.lit(float(total)), 6)
+    )
+    w2 = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ranked.withColumn(
+        "cum_share", F.round(F.sum(F.col("n") / F.lit(float(total))).over(w2), 6)
+    ).select("rank", "key", "n", "share", "cum_share")

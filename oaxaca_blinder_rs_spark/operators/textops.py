@@ -585,3 +585,26 @@ def bm25_scores(
     if top_n is not None:
         scored = scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(int(top_n))
     return scored
+
+
+def normalize_text(
+    text: Column,
+    lowercase: bool = False,
+    collapse_whitespace: bool = True,
+    strip_control: bool = True,
+) -> Column:
+    """Canonical text cleaning — the first stage of every ingest pipeline:
+    strip C0/C1 control characters (except the whitespace the collapse
+    step handles), collapse whitespace runs to single spaces, trim, and
+    optionally lowercase. Pure regexp_replace chain (codegen, map-only);
+    each regex uses only literal character classes, so Java and RE2
+    evaluate them identically — the same engine-parity contract the PII
+    scrubber relies on."""
+    out = text
+    if strip_control:
+        out = F.regexp_replace(out, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", "")
+    if collapse_whitespace:
+        out = F.trim(F.regexp_replace(out, "\\s+", " "))
+    if lowercase:
+        out = F.lower(out)
+    return out

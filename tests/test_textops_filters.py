@@ -409,3 +409,32 @@ def test_bm25_hand_case_and_properties(spark):
     assert rows[1] == pytest.approx(want1, abs=1e-6)
     with pytest.raises(ValueError):
         bm25_scores(docs, [])
+
+
+def test_normalize_text_hand_cases(spark):
+    """normalize_text (r6): control chars stripped, whitespace collapsed,
+    optional lowercase; tabs/newlines become single spaces."""
+    from pyspark.sql import functions as F
+
+    from oaxaca_blinder_rs_spark.operators.textops import normalize_text
+
+    df = spark.createDataFrame(
+        [("  Hello\tWorld\x00\x07  again\n\n ",), ("ok",)], "t string"
+    )
+    out = [r["n"] for r in df.select(normalize_text(F.col("t")).alias("n")).collect()]
+    assert out == ["Hello World again", "ok"]
+    low = df.select(normalize_text(F.col("t"), lowercase=True).alias("n")).collect()[0]["n"]
+    assert low == "hello world again"
+    raw = df.select(
+        normalize_text(F.col("t"), collapse_whitespace=False, strip_control=False).alias("n")
+    ).collect()[0]["n"]
+    assert raw == "  Hello\tWorld\x00\x07  again\n\n "
+
+
+def test_skew_report_hand_case(spark):
+    from oaxaca_blinder_rs_spark.operators.skew import skew_report
+
+    df = spark.createDataFrame([("a",)] * 6 + [("b",)] * 3 + [("c",)] * 1, "k string")
+    rows = {r["rank"]: (r["key"], r["n"], r["share"], r["cum_share"])
+            for r in skew_report(df, "k", top_k=2).collect()}
+    assert rows == {1: ("a", 6, 0.6, 0.6), 2: ("b", 3, 0.3, 0.9)}
