@@ -120,3 +120,36 @@ def test_greedy_allocation_feasibility(resids, budget):
             total += pay
         cum += need
     assert total <= budget + 1e-9 or abs(total - budget) < 1e-6
+
+
+def test_sketch_properties_fuzzed(spark):
+    """Property fuzz over random string corpora (fixed seeds): CMS never
+    undercounts any value; bloom never false-negatives; HLL registers are
+    permutation-invariant (shuffled input -> identical sketch)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from oaxaca_blinder_rs_spark.operators import sketches
+
+    rng = random.Random(20260814)
+    vals = [f"v{rng.randint(0, 300)}" for _ in range(2000)]
+    df = spark.createDataFrame([(v,) for v in vals], "u string").repartition(8)
+    truth = {}
+    for v in vals:
+        truth[v] = truth.get(v, 0) + 1
+    cms = sketches.cms_table(df, "u", w=64, d=3)
+    probes = spark.createDataFrame([(v,) for v in set(vals)], "u string")
+    est = {r["value"]: r["estimate"]
+           for r in sketches.cms_estimate(cms, probes, "u", w=64, d=3).collect()}
+    assert all(est[v] >= truth[v] for v in truth)
+    bloom = sketches.bloom_build(df, "u", m_bits=1024, k=4)
+    mem = {r["value"]: r["maybe_present"]
+           for r in sketches.bloom_maybe_contains(bloom, probes, "u", m_bits=1024, k=4).collect()}
+    assert all(mem[v] for v in truth)
+    shuffled = list(vals)
+    rng.shuffle(shuffled)
+    df2 = spark.createDataFrame([(v,) for v in shuffled], "u string").repartition(3)
+    r1 = sorted((r["register"], r["rho"]) for r in sketches.hll_registers(df, "u", 6).collect())
+    r2 = sorted((r["register"], r["rho"]) for r in sketches.hll_registers(df2, "u", 6).collect())
+    assert r1 == r2
