@@ -1075,6 +1075,27 @@ def q_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return path_transitions(_t(spark, sf_dir, "events"))
 
 
+def q_histogram_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (profiling.equi_width_histogram, r6): 20 dense
+    bins over l_extendedprice — one bin projection + one <= bins-ary
+    groupBy; zero bins kept via a broadcast spine."""
+    from oaxaca_blinder_rs_spark.operators.profiling import equi_width_histogram
+
+    return equi_width_histogram(_t(spark, sf_dir, "lineitem"), "l_extendedprice", bins=20)
+
+
+def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column health profile (profiling.profile_columns, r6): nulls, exact
+    distincts, min/max, mean for a lineitem column sample — the
+    first-look data-quality report."""
+    from oaxaca_blinder_rs_spark.operators.profiling import profile_columns
+
+    return profile_columns(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_returnflag", "l_extendedprice", "l_shipdate"],
+    )
+
+
 def q_normalized_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical text cleaning (textops.normalize_text, r6): control-char
     strip + whitespace collapse + lowercase, emitted as an md5 per doc so
@@ -1544,6 +1565,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_intersection_users": q_hll_intersection_users,
         "bm25_ranking": q_bm25_ranking,
         "normalized_text": q_normalized_text,
+        "histogram_extendedprice": q_histogram_extendedprice,
+        "profile_lineitem": q_profile_lineitem,
         "skew_report_custkey": q_skew_report_custkey,
         "attribution_linear": q_attribution_linear,
         "hll_registers": q_hll_registers,
@@ -2602,6 +2625,60 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'test' END split,
                    count(*) n_docs, CAST(sum(doc_id) AS BIGINT) id_sum
             FROM u GROUP BY 1
+        """,
+        "histogram_extendedprice": """
+            WITH b AS (
+              SELECT CAST(min(l_extendedprice) AS DOUBLE) AS lo,
+                     CAST(max(l_extendedprice) AS DOUBLE) AS hi
+              FROM lineitem
+            ), w AS (SELECT lo, hi, (hi - lo) / 20 AS wd FROM b),
+            cnt AS (
+              SELECT least(CAST(floor((CAST(l_extendedprice AS DOUBLE) - w.lo) / w.wd) AS BIGINT), 19) AS bin,
+                     count(*) AS n
+              FROM lineitem, w
+              WHERE l_extendedprice IS NOT NULL
+                AND l_extendedprice >= w.lo AND l_extendedprice <= w.hi
+              GROUP BY 1
+            )
+            SELECT r.range AS bin,
+                   round(w.lo + r.range * w.wd, 6) AS lo,
+                   round(w.lo + (r.range + 1) * w.wd, 6) AS hi,
+                   coalesce(cnt.n, 0) AS n
+            FROM range(0, 20) r CROSS JOIN w LEFT JOIN cnt ON cnt.bin = r.range
+        """,
+        "profile_lineitem": """
+            WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem)
+            SELECT 'l_quantity' AS "column", t.n,
+                   CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+                   round(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) / CAST(t.n AS DOUBLE), 6) AS null_frac,
+                   CAST(count(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+                   CAST(min(l_quantity) AS VARCHAR) AS min_s, CAST(max(l_quantity) AS VARCHAR) AS max_s,
+                   round(avg(CAST(l_quantity AS DOUBLE)), 6) AS mean
+            FROM lineitem, t GROUP BY t.n
+            UNION ALL
+            SELECT 'l_returnflag', t.n,
+                   CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   round(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) / CAST(t.n AS DOUBLE), 6),
+                   CAST(count(DISTINCT l_returnflag) AS BIGINT),
+                   CAST(min(l_returnflag) AS VARCHAR), CAST(max(l_returnflag) AS VARCHAR),
+                   CAST(NULL AS DOUBLE)
+            FROM lineitem, t GROUP BY t.n
+            UNION ALL
+            SELECT 'l_extendedprice', t.n,
+                   CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   round(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) / CAST(t.n AS DOUBLE), 6),
+                   CAST(count(DISTINCT l_extendedprice) AS BIGINT),
+                   CAST(min(l_extendedprice) AS VARCHAR), CAST(max(l_extendedprice) AS VARCHAR),
+                   round(avg(CAST(l_extendedprice AS DOUBLE)), 6)
+            FROM lineitem, t GROUP BY t.n
+            UNION ALL
+            SELECT 'l_shipdate', t.n,
+                   CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   round(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) / CAST(t.n AS DOUBLE), 6),
+                   CAST(count(DISTINCT l_shipdate) AS BIGINT),
+                   CAST(min(l_shipdate) AS VARCHAR), CAST(max(l_shipdate) AS VARCHAR),
+                   CAST(NULL AS DOUBLE)
+            FROM lineitem, t GROUP BY t.n
         """,
         "normalized_text": """
             SELECT doc_id,
