@@ -1518,13 +1518,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (3) long-stable rows that have been driver-green for multiple rounds.
     """
     return {
-        # Window-rotation policy (NOTES_r5, r5 verdict ask 8): the driver
-        # hash-checks the FIRST 50 entries. Declared first: every row with
-        # no round-5 driver record (last round's out-of-window set plus
-        # the new mm_qr_vertex); then rows whose query/oracle changed this
-        # round; then the long-stable round-5-green rows. Every declared
-        # row therefore has a driver record at most 2 rounds old.
-        # -- (1) no driver record from round 5 -----------------------------
+        # Window-rotation policy (NOTES_r5/r6): the driver hash-checks the
+        # FIRST 50 entries. (1) rows with no prior driver record — last
+        # round's out-of-window set plus every r6-new row; (2) rows that
+        # gained a NEW oracle this round (akm_effects, the simhash pair)
+        # and need their first hash-matched driver record; (3) r5-green
+        # rows whose results are unchanged (incl. funnel/cohort/asof,
+        # which changed execution strategy only), records <= 2 rounds old.
+        # -- (1) no driver record yet ---------------------------------------
         "mm_qr_vertex": q_mm_qr_vertex,
         "optimizer_greedy": q_optimizer_greedy,
         "events_hourly": q_events_hourly,
@@ -1553,7 +1554,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diversity_sample": q_diversity_sample,
         "weighted_kde_grid": q_weighted_kde_grid,
         "ngram_doc_freq": q_ngram_doc_freq,
-        # -- (2) query/oracle changed or new in round 6 --------------------
         "ngram_contamination": q_ngram_contamination,
         "sample_weighted": q_sample_weighted,
         "attribution_last_touch": q_attribution_last_touch,
@@ -1571,15 +1571,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_linear": q_attribution_linear,
         "hll_registers": q_hll_registers,
         "hll_count_users": q_hll_count_users,
+        # -- (2) gained a new oracle in round 6 -----------------------------
+        "akm_effects": q_akm_effects,
         "simhash": q_simhash,
         "simhash_dups": q_simhash_dups,
-        "simhash_shingle_check": q_simhash_shingle_check,
+        # -- (3) round-5 green, results unchanged ---------------------------
+        "asof_join_events": q_asof_join_events,
         "event_funnel": q_event_funnel,
         "cohort_retention": q_cohort_retention,
-        "asof_join_events": q_asof_join_events,
+        "simhash_shingle_check": q_simhash_shingle_check,
         "machado_mata": q_machado_mata,
-        "akm_effects": q_akm_effects,
-        # -- (3) driver-green in round 5 (past the 50-row boundary) --------
         "events_pivot": q_events_pivot,
         "events_melt": q_events_melt,
         "revenue_rollup": q_revenue_rollup,
