@@ -708,6 +708,23 @@ def q_mm_qr_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "grp string, tau double, b0 double, b1 double")
 
 
+def q_mm_tau_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Machado-Mata simulation ENTROPY itself, hash-matched (r6): the
+    100 point-pass tau draws of default_rng(42).uniform(0.01, 0.99) — the
+    exact stream the MM engines consume (quantile_builder.mm_tau_stream).
+    The oracle replays SeedSequence + PCG64 + the uniform transform in
+    DuckDB SQL (functions/pcg64_sql.py — a 128-bit LCG advanced per draw
+    in a recursive CTE over two-HUGEINT halves) and matches the doubles
+    BIT-FOR-BIT, no rounding. With mm_qr_vertex pinning the QR solver and
+    mm_ols_start the init pass, every deterministic ingredient of the
+    rows-only machado_mata row now has a hash-matched driver record."""
+    from oaxaca_blinder_rs_spark.quantile_builder import mm_tau_stream
+
+    taus = mm_tau_stream(42, 100)
+    rows = [Row(i=i + 1, tau=float(t)) for i, t in enumerate(taus)]
+    return spark.createDataFrame(rows, "i long, tau double")
+
+
 def q_machado_mata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M13: MM quantile decomposition (simulation-based — rows-only check)."""
     from oaxaca_blinder_rs_spark.quantile_builder import QuantileDecompositionBuilder
@@ -1527,6 +1544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # which changed execution strategy only), records <= 2 rounds old.
         # -- (1) no driver record yet ---------------------------------------
         "mm_qr_vertex": q_mm_qr_vertex,
+        "mm_tau_stream": q_mm_tau_stream,
         "optimizer_greedy": q_optimizer_greedy,
         "events_hourly": q_events_hourly,
         "events_gapfilled": q_events_gapfilled,
@@ -2181,6 +2199,15 @@ def _stop_count(lang: str) -> str:
         "len(list_filter(list_transform(regexp_split_to_array(trim(text), '\\s+'), t -> lower(t)),"
         f" t -> t IN ({words})))"
     )
+
+
+def _pcg64_tau_oracle() -> str:
+    from oaxaca_blinder_rs_spark.functions.pcg64_sql import pcg64_uniform_sql
+
+    return "SELECT i, tau FROM (" + pcg64_uniform_sql(42, 100, 0.01, 0.99) + ")"
+
+
+_PCG64_TAU_ORACLE = _pcg64_tau_oracle()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3264,6 +3291,7 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_quantity * l_quantity), 4) qty_sq_sum
             FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY grp, status
         """,
+        "mm_tau_stream": _PCG64_TAU_ORACLE,
         "mm_qr_vertex": """
             WITH d AS (
               SELECT l_returnflag AS grp, CAST(l_quantity AS DOUBLE) AS x,

@@ -90,6 +90,20 @@ def _empirical_quantile(data: np.ndarray, q: float) -> float:
     return float(s[idx])
 
 
+def mm_tau_stream(seed: int, S: int, rep: int = -1) -> np.ndarray:
+    """The Machado-Mata tau draw stream, exactly as the engines consume it
+    (quantile_decomposition.rs:96-101 semantics): rep -1 (the point pass)
+    draws S uniforms on [0.01, 0.99) from a fresh default_rng(seed); rep
+    r >= 0 from default_rng([seed, 7, r]). Public so the driver contract
+    can pin the stream itself: the mm_tau_stream oracle replays SeedSequence
+    + PCG64 + the uniform transform in DuckDB SQL (functions/pcg64_sql.py)
+    and hash-matches these doubles BIT-FOR-BIT — the simulation entropy is
+    no longer an un-oracle-able input."""
+    if rep < 0:
+        return np.random.default_rng(seed).uniform(0.01, 0.99, size=S)
+    return np.random.default_rng([seed, 7, rep]).uniform(0.01, 0.99, size=S)
+
+
 class QuantileDecompositionBuilder:
     """Mirror of QuantileDecompositionBuilder (quantile_decomposition.rs:46-94).
 

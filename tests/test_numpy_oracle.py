@@ -331,3 +331,28 @@ def test_machado_mata_gram_engine_matches_independent_oracle(spark, sf_dir, mm_o
         got = (d.total_gap.estimate, d.characteristics_effect.estimate, d.coefficients_effect.estimate)
         for g, w in zip(got, want):
             assert g == pytest.approx(w, abs=300), (key, got, want)
+
+
+def test_pcg64_transliteration_matches_numpy():
+    """tools/pcg64 (pure-Python SeedSequence + PCG64 XSL-RR from the public
+    specs) and the DuckDB SQL replay (functions/pcg64_sql.py — the round-6
+    mm_tau_stream oracle) are BIT-exact vs numpy's default_rng across
+    scalar and list entropy: the seeded simulation stream is engine-
+    independently reproducible, doubles compared with no rounding."""
+    import duckdb
+    import numpy as np
+
+    from oaxaca_blinder_rs_spark.functions.pcg64_sql import pcg64_uniform_sql
+    from pcg64 import PCG64, seedseq_u64
+
+    con = duckdb.connect()
+    for ent in [42, 0, 7, 123456, [42, 7, 0], [42, 7, 3], [42, 11, 2, 1]]:
+        elist = ent if isinstance(ent, list) else [ent]
+        ss = np.random.SeedSequence(ent)
+        assert seedseq_u64(elist, 4) == [int(x) for x in ss.generate_state(4, np.uint64)]
+        want = list(np.random.default_rng(ent).uniform(0.01, 0.99, 30))
+        assert PCG64.from_numpy_seed(elist).uniform(0.01, 0.99, 30) == want
+        got = [r[1] for r in con.execute(
+            pcg64_uniform_sql(ent, 30, 0.01, 0.99) + " ORDER BY i"
+        ).fetchall()]
+        assert got == want, ent
