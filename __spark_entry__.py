@@ -457,9 +457,11 @@ def q_embedding_cov_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_pca_whiten_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA whitening (embeddings.pca_whiten): first two whitened coordinates
-    per vector. Driver eigensolve is not SQL-expressible (rows-only check);
-    embedding_cov_check pins its inputs and the suite holds the NumPy
-    parity + identity-covariance oracles."""
+    per vector. At d=64 the driver eigensolve is not SQL-expressible
+    (COVERAGE.md impossibility bound — rows-only check); the operator path
+    itself is hash-matched by pca_whiten_2d (closed-form 2x2 eigh oracle),
+    its inputs by embedding_cov_check, and the d=64 numerics by the suite's
+    NumPy parity + identity-covariance oracles."""
     from oaxaca_blinder_rs_spark.operators import embeddings as embx
 
     e = _t(spark, sf_dir, "embeddings")
@@ -468,6 +470,33 @@ def q_pca_whiten_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round(F.col("whitened")[0], 4).alias("w0"),
         F.round(F.col("whitened")[1], 4).alias("w1"),
+    )
+
+
+def q_pca_whiten_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA whitening, hash-matchable companion (embeddings.pca_whiten on the
+    first TWO embedding dims): the full operator path — one-pass Gram
+    covariance partials, driver eigh, descending-eigenvalue order,
+    largest-|coord|-positive sign convention, (x - mu) V / sqrt(lambda)
+    Arrow projection — exercised at k=2, where the symmetric
+    eigendecomposition has a closed form the oracle replays in SQL
+    (quadratic-formula eigenvalues, larger-norm candidate eigenvector,
+    same sign rule). The 2x2 submatrix covariance has a 5-11%% relative
+    eigengap at every SF, so LAPACK eigh and the analytic form agree to
+    ~1e-15 against a measured >=1.7e-10 margin to the nearest 6-dp rounding
+    boundary. Together with pca_whiten_top2's rows check, the suite's
+    d=64 NumPy parity, and embedding_cov_check, this pins every stage of
+    the whitening operator with a hash-matched driver record.
+    Reference analogue: decomposition preprocessing (SURVEY §2.7)."""
+    from oaxaca_blinder_rs_spark.operators import embeddings as embx
+
+    e = _t(spark, sf_dir, "embeddings")
+    e2 = e.select("vec_id", F.slice("embedding", 1, 2).alias("embedding"))
+    w = embx.pca_whiten(e2, n_components=2)
+    return w.select(
+        "vec_id",
+        F.round(F.col("whitened")[0], 6).alias("w0"),
+        F.round(F.col("whitened")[1], 6).alias("w1"),
     )
 
 
@@ -1548,6 +1577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "optimizer_greedy": q_optimizer_greedy,
         "events_hourly": q_events_hourly,
         "events_gapfilled": q_events_gapfilled,
+        "pca_whiten_2d": q_pca_whiten_2d,
         "pca_whiten_top2": q_pca_whiten_top2,
         "pricing_summary": q_pricing_summary,
         "group_outcome_stats": q_group_outcome_stats,
@@ -3690,6 +3720,62 @@ def oracle_sql() -> dict[str, str]:
                                     CAST(e.embedding[p.j + 1] AS DOUBLE)), 6) cov
             FROM pairs p, embeddings e
             GROUP BY p.i, p.j
+        """,
+        "pca_whiten_2d": """
+            -- closed-form 2x2 symmetric eigendecomposition replaying
+            -- embeddings.pca_whiten at k=2: eigenvalues by the quadratic
+            -- formula, eigenvector per eigenvalue as the larger-norm of the
+            -- two analytic candidates (b, lam-a) / (lam-c, b), normalized,
+            -- sign-fixed by the engine's argmax-|coord|-positive rule
+            -- (first index on ties), scaled by 1/sqrt(max(lam, 1e-9)).
+            WITH pts AS MATERIALIZED (
+              SELECT vec_id, embedding[1]::DOUBLE AS x0, embedding[2]::DOUBLE AS x1
+              FROM embeddings
+            ), stats AS MATERIALIZED (
+              SELECT count(*)::DOUBLE AS n, sum(x0) AS s0, sum(x1) AS s1,
+                     sum(x0*x0) AS s00, sum(x0*x1) AS s01, sum(x1*x1) AS s11
+              FROM pts
+            ), cov AS MATERIALIZED (
+              SELECT s0/n AS mu0, s1/n AS mu1,
+                     (s00 - n*(s0/n)*(s0/n))/(n-1) AS a,
+                     (s01 - n*(s0/n)*(s1/n))/(n-1) AS b,
+                     (s11 - n*(s1/n)*(s1/n))/(n-1) AS c
+              FROM stats
+            ), eig AS MATERIALIZED (
+              SELECT mu0, mu1, a, b, c,
+                     (a+c)/2 + sqrt(((a-c)/2)*((a-c)/2) + b*b) AS l1,
+                     (a+c)/2 - sqrt(((a-c)/2)*((a-c)/2) + b*b) AS l2
+              FROM cov
+            ), vecs AS MATERIALIZED (
+              SELECT mu0, mu1, l1, l2,
+                CASE WHEN b*b + (l1-a)*(l1-a) >= (l1-c)*(l1-c) + b*b THEN b     ELSE l1-c END AS p0,
+                CASE WHEN b*b + (l1-a)*(l1-a) >= (l1-c)*(l1-c) + b*b THEN l1-a ELSE b    END AS p1,
+                CASE WHEN b*b + (l2-a)*(l2-a) >= (l2-c)*(l2-c) + b*b THEN b     ELSE l2-c END AS q0,
+                CASE WHEN b*b + (l2-a)*(l2-a) >= (l2-c)*(l2-c) + b*b THEN l2-a ELSE b    END AS q1
+              FROM eig
+            ), proj AS MATERIALIZED (
+              SELECT mu0, mu1,
+                (CASE WHEN abs(p0) >= abs(p1) THEN psig0 ELSE psig1 END) * p0
+                  / pn / sqrt(greatest(l1, 1e-9)) AS P00,
+                (CASE WHEN abs(p0) >= abs(p1) THEN psig0 ELSE psig1 END) * p1
+                  / pn / sqrt(greatest(l1, 1e-9)) AS P10,
+                (CASE WHEN abs(q0) >= abs(q1) THEN qsig0 ELSE qsig1 END) * q0
+                  / qn / sqrt(greatest(l2, 1e-9)) AS P01,
+                (CASE WHEN abs(q0) >= abs(q1) THEN qsig0 ELSE qsig1 END) * q1
+                  / qn / sqrt(greatest(l2, 1e-9)) AS P11
+              FROM (
+                SELECT *, sqrt(p0*p0 + p1*p1) AS pn, sqrt(q0*q0 + q1*q1) AS qn,
+                       CASE WHEN p0 < 0 THEN -1.0 ELSE 1.0 END AS psig0,
+                       CASE WHEN p1 < 0 THEN -1.0 ELSE 1.0 END AS psig1,
+                       CASE WHEN q0 < 0 THEN -1.0 ELSE 1.0 END AS qsig0,
+                       CASE WHEN q1 < 0 THEN -1.0 ELSE 1.0 END AS qsig1
+                FROM vecs
+              )
+            )
+            SELECT vec_id,
+                   round((x0 - mu0) * P00 + (x1 - mu1) * P10, 6) AS w0,
+                   round((x0 - mu0) * P01 + (x1 - mu1) * P11, 6) AS w1
+            FROM pts CROSS JOIN proj
         """,
         "weighted_kde_grid": """
             WITH b AS (
