@@ -754,6 +754,55 @@ def q_mm_tau_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "i long, tau double")
 
 
+def q_mm_small_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL Machado-Mata composition, hash-matched end to end (r7):
+    QuantileDecompositionBuilder.run() — tau draws, per-tau quantile
+    regressions, covariate picks, counterfactual prediction, empirical
+    quantiles, three-effect decomposition — on a fixed small contract
+    (l_orderkey <= 100 slice, S=12 simulations, B=0, taubatch engine,
+    seed 42). Every stage is replayed in the DuckDB oracle with zero
+    shared code: the taus AND the covariate picks come from one PCG64
+    chain (pcg64_raw_sql; `uniform` eats whole uint64s, `integers` eats
+    buffered 32-bit halves through Lemire rejection — low half first,
+    buffer carrying across the n_a->n_b stage switch, bit-exact vs
+    numpy); each QR fit is found by brute-force 2-point vertex
+    enumeration (the LP optimum, as in mm_qr_vertex); picks translate
+    through the per-group row rank, which the contract pins by
+    pre-sorting the slice on (l_orderkey, l_linenumber, l_quantity,
+    l_extendedprice) — the key alone repeats in this data, and the
+    payload-extended sort makes any residual tie a full duplicate, so
+    rank order is well-defined on both sides. Reference semantics:
+    quantile_decomposition.rs:96-279. The production-scale random-
+    simulation row (machado_mata) stays rows-only; THIS row proves the
+    composition's arithmetic, not just its ingredients."""
+    from oaxaca_blinder_rs_spark.quantile_builder import QuantileDecompositionBuilder
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter((F.col("l_orderkey") <= 100) & F.col("l_returnflag").isin(["A", "R"]))
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+    res = (
+        QuantileDecompositionBuilder(li, "l_extendedprice", "l_returnflag", "R")
+        .predictors(["l_quantity"])
+        .quantiles([0.25, 0.5, 0.75])
+        .simulations(12)
+        .bootstrap_reps(0)
+        .seed(42)
+        .fit_engine("taubatch")
+        .run()
+    )
+    rows = []
+    for key in sorted(res.results_by_quantile):
+        d = res.results_by_quantile[key]
+        rows.append(Row(quantile=key, gap=round(d.total_gap.estimate, 4),
+                        characteristics=round(d.characteristics_effect.estimate, 4),
+                        coefficients=round(d.coefficients_effect.estimate, 4)))
+    return spark.createDataFrame(
+        rows, "quantile string, gap double, characteristics double, coefficients double"
+    )
+
+
 def q_machado_mata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M13: MM quantile decomposition (simulation-based — rows-only check)."""
     from oaxaca_blinder_rs_spark.quantile_builder import QuantileDecompositionBuilder
@@ -1572,6 +1621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows whose results are unchanged (incl. funnel/cohort/asof,
         # which changed execution strategy only), records <= 2 rounds old.
         # -- (1) no driver record yet ---------------------------------------
+        "mm_small_exact": q_mm_small_exact,
         "mm_qr_vertex": q_mm_qr_vertex,
         "mm_tau_stream": q_mm_tau_stream,
         "optimizer_greedy": q_optimizer_greedy,
@@ -2238,6 +2288,103 @@ def _pcg64_tau_oracle() -> str:
 
 
 _PCG64_TAU_ORACLE = _pcg64_tau_oracle()
+
+
+def _mm_small_oracle_sql(seed: int = 42, S: int = 12) -> str:
+    """Full-composition Machado-Mata oracle (q_mm_small_exact): one PCG64
+    chain supplies the taus (whole uint64 draws) AND the covariate picks
+    (buffered 32-bit halves through Lemire rejection, exactly numpy's
+    Generator.integers consumption for a < 2^32 range: v*n >> 32 accepted
+    iff (v*n) mod 2^32 >= (2^32 - n) mod n, low half before high half,
+    with the half-buffer carrying across the n_a -> n_b stage switch);
+    each per-tau QR fit is the check-loss argmin over every 2-point
+    candidate line (LP vertex enumeration, as mm_qr_vertex); the
+    empirical quantile is the engine's floor-index convention
+    (sorted[min(int(m*q), m-1)]). Zero shared code with the engine."""
+    from oaxaca_blinder_rs_spark.functions.pcg64_sql import pcg64_raw_sql
+
+    M = S  # B=0 and no fit failures on this slice: m = min(|ba|, |bb|) = S
+    idx = {q: min(int(M * q), M - 1) + 1 for q in (0.25, 0.5, 0.75)}  # 1-based
+    union = "\nUNION ALL\n".join(
+        f"""SELECT 'q{int(q * 100)}' AS quantile,
+       round((SELECT y_aa FROM rsims WHERE raa={idx[q]}) - (SELECT y_bb FROM rsims WHERE rbb={idx[q]}), 4) AS gap,
+       round((SELECT y_ab FROM rsims WHERE rab={idx[q]}) - (SELECT y_bb FROM rsims WHERE rbb={idx[q]}), 4) AS characteristics,
+       round((SELECT y_aa FROM rsims WHERE raa={idx[q]}) - (SELECT y_ab FROM rsims WHERE rab={idx[q]}), 4) AS coefficients"""
+        for q in (0.25, 0.5, 0.75)
+    )
+    return f"""
+WITH slice AS MATERIALIZED (
+  SELECT l_returnflag AS grp, CAST(l_quantity AS DOUBLE) AS x,
+         CAST(l_extendedprice AS DOUBLE) AS y,
+         row_number() OVER (PARTITION BY l_returnflag
+           ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice) - 1 AS rn
+  FROM lineitem WHERE l_orderkey <= 100 AND l_returnflag IN ('A','R')
+), counts AS MATERIALIZED (
+  SELECT count(*) FILTER (WHERE grp = 'A') AS na,
+         count(*) FILTER (WHERE grp = 'R') AS nb FROM slice
+), raw AS MATERIALIZED ({pcg64_raw_sql(seed, S + 28).strip()}
+), taus AS MATERIALIZED (
+  SELECT i AS ti, 0.01 + 0.98 * (CAST(out // 2048 AS DOUBLE) * (1.0/9007199254740992.0)) AS tau
+  FROM raw WHERE i <= {S}
+), half AS MATERIALIZED (
+  SELECT (i - {S + 1}) * 2 + h.h + 1 AS p,
+         CASE WHEN h.h = 0 THEN out % 4294967296 ELSE out // 4294967296 END AS v
+  FROM raw, (SELECT unnest([0, 1]) AS h) h WHERE i >= {S + 1}
+), ca AS MATERIALIZED (
+  SELECT p, (v * na) // 4294967296 AS val, acc,
+         sum(CASE WHEN acc THEN 1 ELSE 0 END) OVER (ORDER BY p) AS cnt
+  FROM (SELECT p, v, na, ((v * na) % 4294967296) >= ((4294967296 - na) % na) AS acc
+        FROM half, counts)
+), cutoff AS MATERIALIZED (SELECT min(p) AS cpos FROM ca WHERE acc AND cnt = {M}),
+idx_a AS MATERIALIZED (
+  SELECT cnt AS i, CAST(val AS BIGINT) AS r FROM ca WHERE acc AND cnt <= {M}
+), cb AS MATERIALIZED (
+  SELECT p, (v * nb) // 4294967296 AS val, acc,
+         sum(CASE WHEN acc THEN 1 ELSE 0 END) OVER (ORDER BY p) AS cnt
+  FROM (SELECT h.p, h.v, c.nb, ((h.v * c.nb) % 4294967296) >= ((4294967296 - c.nb) % c.nb) AS acc
+        FROM half h, counts c, cutoff WHERE h.p > cpos)
+), idx_b AS MATERIALIZED (
+  SELECT cnt AS i, CAST(val AS BIGINT) AS r FROM cb WHERE acc AND cnt <= {M}
+), pts AS MATERIALIZED (SELECT DISTINCT grp, x, y FROM slice),
+cand AS MATERIALIZED (
+  SELECT a.grp, (b.y - a.y)/(b.x - a.x) AS slope,
+         a.y - (b.y - a.y)/(b.x - a.x) * a.x AS b0
+  FROM pts a JOIN pts b ON a.grp = b.grp AND a.x < b.x
+), loss AS MATERIALIZED (
+  SELECT c.grp, t.ti, c.b0, c.slope,
+         sum(CASE WHEN d.y - (c.b0 + c.slope*d.x) >= 0 THEN t.tau*(d.y - (c.b0 + c.slope*d.x))
+                  ELSE (t.tau - 1.0)*(d.y - (c.b0 + c.slope*d.x)) END) AS L
+  FROM cand c JOIN slice d ON d.grp = c.grp CROSS JOIN taus t
+  GROUP BY c.grp, t.ti, c.b0, c.slope
+), fit AS MATERIALIZED (
+  SELECT grp, ti, b0, slope FROM (
+    SELECT grp, ti, b0, slope,
+           row_number() OVER (PARTITION BY grp, ti ORDER BY L, b0, slope) AS rnk
+    FROM loss) WHERE rnk = 1
+), sims AS MATERIALIZED (
+  SELECT t.ti,
+         fa.b0 + fa.slope * xa.x AS y_aa,
+         fb.b0 + fb.slope * xb.x AS y_bb,
+         fb.b0 + fb.slope * xa.x AS y_ab
+  FROM taus t
+  JOIN idx_a ia ON ia.i = t.ti
+  JOIN idx_b ib ON ib.i = t.ti
+  JOIN slice xa ON xa.grp = 'A' AND xa.rn = ia.r
+  JOIN slice xb ON xb.grp = 'R' AND xb.rn = ib.r
+  JOIN fit fa ON fa.grp = 'A' AND fa.ti = t.ti
+  JOIN fit fb ON fb.grp = 'R' AND fb.ti = t.ti
+), rsims AS MATERIALIZED (
+  SELECT ti, y_aa, y_bb, y_ab,
+         row_number() OVER (ORDER BY y_aa) AS raa,
+         row_number() OVER (ORDER BY y_bb) AS rbb,
+         row_number() OVER (ORDER BY y_ab) AS rab
+  FROM sims
+)
+{union}
+"""
+
+
+_MM_SMALL_ORACLE = _mm_small_oracle_sql()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3322,6 +3469,7 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY grp, status
         """,
         "mm_tau_stream": _PCG64_TAU_ORACLE,
+        "mm_small_exact": _MM_SMALL_ORACLE,
         "mm_qr_vertex": """
             WITH d AS (
               SELECT l_returnflag AS grp, CAST(l_quantity AS DOUBLE) AS x,

@@ -59,9 +59,17 @@ def _product_stages(pref: str, a0: str, a1: str, b: int):
     return [s0, s1, s2, s3]
 
 
-def pcg64_uniform_sql(entropy, n: int, lo: float, hi: float) -> str:
-    """A SELECT emitting (i, tau) for i in 1..n — draw i of
-    numpy default_rng(entropy).uniform(lo, hi), bit-exact."""
+def pcg64_raw_sql(entropy, n: int) -> str:
+    """A SELECT emitting (i, out) for i in 1..n — raw XSL-RR uint64 output
+    i of numpy default_rng(entropy)'s PCG64, as a HUGEINT in [0, 2^64).
+
+    This is the stream every numpy draw type consumes: `uniform` takes one
+    whole output per double ((out >> 11) * 2^-53); `integers` with a
+    < 2^32 range consumes BUFFERED 32-bit halves (LOW half first, then the
+    saved HIGH half) through Lemire rejection — so an oracle can carve
+    taus and bounded index picks out of one shared chain exactly as the
+    engine's single default_rng(seed) does (see the mm_small_exact
+    oracle in __spark_entry__.py)."""
     pcg = _tools_pcg64()
     g = pcg.PCG64.from_numpy_seed(entropy)
     mult = pcg.PCG_MULT
@@ -112,16 +120,22 @@ WITH RECURSIVE st(i, sh, sl) AS (
   {step}
 )
 SELECT i,
-       {lo!r} + ({hi!r} - {lo!r}) * (CAST(__out // 2048 AS DOUBLE) * (1.0 / 9007199254740992.0)) AS tau
+       CASE WHEN __rot = 0 THEN __x
+            ELSE (__x // (1{_H} << __rot)
+                  + (__x * (1{_H} << (64 - __rot))) % {M64}{_H}) % {M64}{_H}
+       END AS out
 FROM (
-  SELECT i,
-         CASE WHEN __rot = 0 THEN __x
-              ELSE (__x // (1{_H} << __rot)
-                    + (__x * (1{_H} << (64 - __rot))) % {M64}{_H}) % {M64}{_H}
-         END AS __out
-  FROM (
-    SELECT i, sh // 288230376151711744 AS __rot, xor(sh, sl) AS __x
-    FROM st WHERE i >= 1
-  )
+  SELECT i, sh // 288230376151711744 AS __rot, xor(sh, sl) AS __x
+  FROM st WHERE i >= 1
 )
+"""
+
+
+def pcg64_uniform_sql(entropy, n: int, lo: float, hi: float) -> str:
+    """A SELECT emitting (i, tau) for i in 1..n — draw i of
+    numpy default_rng(entropy).uniform(lo, hi), bit-exact."""
+    return f"""
+SELECT i,
+       {lo!r} + ({hi!r} - {lo!r}) * (CAST(out // 2048 AS DOUBLE) * (1.0 / 9007199254740992.0)) AS tau
+FROM ({pcg64_raw_sql(entropy, n)})
 """

@@ -321,9 +321,19 @@ class QuantileDecompositionBuilder:
         # count aggregation (monotonically_increasing_id is
         # (partition << 33) + local index, so (group, pid) counts in pid
         # order are exactly the mid-order prefix sizes).
+        # CHECKPOINT BEFORE the offsets collect, not after the join: the
+        # offsets job and the rank-window job otherwise execute the plan
+        # twice, and AQE may lay out the upstream exchange differently
+        # between them (observed at small SFs with a sorted input) — the
+        # per-(group, pid) counts then describe a DIFFERENT layout than
+        # the one the window ranks, silently scrambling the pick
+        # translation and breaking exact rerun reproducibility. Pinning
+        # the ids first makes both jobs read the same materialized layout
+        # (and replaces, rather than adds to, the post-join checkpoint:
+        # the join+window is deterministic given pinned input).
         design = design.withColumn("__mm_mid", F.monotonically_increasing_id()).withColumn(
             "__mm_pid", F.shiftrightunsigned(F.col("__mm_mid"), 33)
-        )
+        ).localCheckpoint()
         cell_rows = (
             design.groupBy(self._group, "__mm_pid")
             .agg(F.count(F.lit(1)).alias("__c"))
@@ -341,7 +351,6 @@ class QuantileDecompositionBuilder:
             design.join(F.broadcast(off_df), [self._group, "__mm_pid"])
             .withColumn("__mm_rn", F.col("__mm_off") + F.row_number().over(w) - 1)
             .drop("__mm_pid", "__mm_off")
-            .localCheckpoint()
         )
         n_a, n_b = int(running[group_a]), int(running[group_b])
 

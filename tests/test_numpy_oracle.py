@@ -356,3 +356,52 @@ def test_pcg64_transliteration_matches_numpy():
             pcg64_uniform_sql(ent, 30, 0.01, 0.99) + " ORDER BY i"
         ).fetchall()]
         assert got == want, ent
+
+
+def test_pcg64_lemire_integers_sql_matches_numpy():
+    """numpy Generator.integers(0, n) for n < 2^32 consumes BUFFERED 32-bit
+    halves of the PCG64 output (low half first) through Lemire rejection:
+    accept v iff (v*n) mod 2^32 >= (2^32 - n) mod n, result (v*n) >> 32.
+    The SQL replay (the mm_small_exact oracle's pick stages) carves taus
+    and two bounded-integer stages out of ONE pcg64_raw_sql chain with the
+    half-buffer carrying across the stage switch — exactly the engine's
+    single default_rng(seed) consumption. Bit-exact, no rounding."""
+    import duckdb
+    import numpy as np
+
+    from oaxaca_blinder_rs_spark.functions.pcg64_sql import pcg64_raw_sql
+
+    con = duckdb.connect()
+    # (na, nb) mixes tiny ranges (high rejection prob) with realistic ones
+    for seed, S, na, nb, m in [(42, 12, 130, 143, 12), (7, 5, 3, 17, 5),
+                               (123, 8, 65537, 7, 8), (42, 100, 20037, 19000, 40)]:
+        rng = np.random.default_rng(seed)
+        taus = rng.uniform(0.01, 0.99, S)
+        ia, ib = rng.integers(0, na, m), rng.integers(0, nb, m)
+        sql = f"""
+WITH raw AS MATERIALIZED ({pcg64_raw_sql(seed, S + 2 * m + 8)}),
+half AS MATERIALIZED (
+  SELECT (i - {S + 1}) * 2 + h.h + 1 AS p,
+         CASE WHEN h.h = 0 THEN out % 4294967296 ELSE out // 4294967296 END AS v
+  FROM raw, (SELECT unnest([0, 1]) AS h) h WHERE i >= {S + 1}
+), ca AS (
+  SELECT p, (v * {na}) // 4294967296 AS val, acc,
+         sum(CASE WHEN acc THEN 1 ELSE 0 END) OVER (ORDER BY p) AS cnt
+  FROM (SELECT p, v, ((v * {na}) % 4294967296) >= ((4294967296 - {na}) % {na}) AS acc FROM half)
+), cutoff AS (SELECT min(p) AS cpos FROM ca WHERE acc AND cnt = {m}),
+cb AS (
+  SELECT p, (v * {nb}) // 4294967296 AS val, acc,
+         sum(CASE WHEN acc THEN 1 ELSE 0 END) OVER (ORDER BY p) AS cnt
+  FROM (SELECT h.p, h.v, ((h.v * {nb}) % 4294967296) >= ((4294967296 - {nb}) % {nb}) AS acc
+        FROM half h, cutoff WHERE h.p > cpos)
+)
+SELECT 'a' s, cnt i, CAST(val AS BIGINT) r FROM ca WHERE acc AND cnt <= {m}
+UNION ALL
+SELECT 'b' s, cnt i, CAST(val AS BIGINT) r FROM cb WHERE acc AND cnt <= {m}
+ORDER BY s, i
+"""
+        rows = con.execute(sql).fetchall()
+        got_a = [r[2] for r in rows if r[0] == "a"]
+        got_b = [r[2] for r in rows if r[0] == "b"]
+        assert got_a == list(ia), (seed, na)
+        assert got_b == list(ib), (seed, nb)
