@@ -803,6 +803,20 @@ def q_mm_small_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (corpus.chunk_documents): 64-token windows
+    with 16 tokens of overlap (stride 48) over every document — the
+    pre-training chunking stage, pure codegen (split -> sequence ->
+    slice -> posexplode, no shuffle, no Python). The oracle replays it
+    with generate-series + list_slice and compares the chunk TEXT
+    itself, so tokenization, window arithmetic, clipping, and the
+    one-chunk-per-short-doc rule are all pinned."""
+    from oaxaca_blinder_rs_spark.operators.corpus import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_size=64, overlap=16)
+
+
 def q_machado_mata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M13: MM quantile decomposition (simulation-based — rows-only check)."""
     from oaxaca_blinder_rs_spark.quantile_builder import QuantileDecompositionBuilder
@@ -1613,68 +1627,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (3) long-stable rows that have been driver-green for multiple rounds.
     """
     return {
-        # Window-rotation policy (NOTES_r5/r6): the driver hash-checks the
-        # FIRST 50 entries. (1) rows with no prior driver record — last
-        # round's out-of-window set plus every r6-new row; (2) rows that
-        # gained a NEW oracle this round (akm_effects, the simhash pair)
-        # and need their first hash-matched driver record; (3) r5-green
-        # rows whose results are unchanged (incl. funnel/cohort/asof,
-        # which changed execution strategy only), records <= 2 rounds old.
-        # -- (1) no driver record yet ---------------------------------------
+        # Window-rotation policy (NOTES_r5/r6/r7): the driver hash-checks
+        # the FIRST 50 entries. Round-7 ordering: (1) the two rows new this
+        # round (mm_small_exact, pca_whiten_2d), (2) the 46 rows whose
+        # latest driver record is r5 (out of the r6 window), (3) the 50
+        # r6-green rows, freshest records last. Every declared row keeps a
+        # driver record at most 2 rounds old.
         "mm_small_exact": q_mm_small_exact,
-        "mm_qr_vertex": q_mm_qr_vertex,
-        "mm_tau_stream": q_mm_tau_stream,
-        "optimizer_greedy": q_optimizer_greedy,
-        "events_hourly": q_events_hourly,
-        "events_gapfilled": q_events_gapfilled,
         "pca_whiten_2d": q_pca_whiten_2d,
-        "pca_whiten_top2": q_pca_whiten_top2,
-        "pricing_summary": q_pricing_summary,
-        "group_outcome_stats": q_group_outcome_stats,
-        "quantiles_type7": q_quantiles_type7,
-        "dedup_fingerprint": q_dedup_fingerprint,
-        "minhash_signature": q_minhash_signature,
-        "text_stats": q_text_stats,
-        "lang_id": q_lang_id,
-        "source_stats": q_source_stats,
-        "lang_id_confusion": q_lang_id_confusion,
-        "pii_scrub": q_pii_scrub,
-        "token_count_bpe": q_token_count_bpe,
-        "repetition_stats": q_repetition_stats,
-        "ngram_logprob": q_ngram_logprob,
-        "script_ratios": q_script_ratios,
-        "knn_cosine_top3": q_knn_cosine_top3,
-        "ann_lsh_top3": q_ann_lsh_top3,
-        "ann_ivf_top3": q_ann_ivf_top3,
-        "embedding_normalize": q_embedding_normalize,
-        "embedding_mean_pool": q_embedding_mean_pool,
-        "embedding_cov_check": q_embedding_cov_check,
-        "diversity_sample": q_diversity_sample,
-        "weighted_kde_grid": q_weighted_kde_grid,
-        "ngram_doc_freq": q_ngram_doc_freq,
-        "ngram_contamination": q_ngram_contamination,
-        "sample_weighted": q_sample_weighted,
-        "attribution_last_touch": q_attribution_last_touch,
-        "cms_user_counts": q_cms_user_counts,
-        "path_transitions": q_path_transitions,
-        "zorder_customers": q_zorder_customers,
-        "bloom_membership": q_bloom_membership,
-        "hll_users_by_type": q_hll_users_by_type,
-        "hll_intersection_users": q_hll_intersection_users,
-        "bm25_ranking": q_bm25_ranking,
-        "normalized_text": q_normalized_text,
-        "histogram_extendedprice": q_histogram_extendedprice,
-        "profile_lineitem": q_profile_lineitem,
-        "skew_report_custkey": q_skew_report_custkey,
-        "attribution_linear": q_attribution_linear,
-        "hll_registers": q_hll_registers,
-        "hll_count_users": q_hll_count_users,
-        # -- (2) gained a new oracle in round 6 -----------------------------
-        "akm_effects": q_akm_effects,
-        "simhash": q_simhash,
-        "simhash_dups": q_simhash_dups,
-        # -- (3) round-5 green, results unchanged ---------------------------
-        "asof_join_events": q_asof_join_events,
+        "chunk_documents": q_chunk_documents,
+        # -- (2) r5-record rows rotating back into the window ---------------
         "event_funnel": q_event_funnel,
         "cohort_retention": q_cohort_retention,
         "simhash_shingle_check": q_simhash_shingle_check,
@@ -1721,6 +1683,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "akm_demeaned_check": q_akm_demeaned_check,
         "dfl_design_check": q_dfl_design_check,
         "heckman_decomposition": q_heckman_decomposition,
+        # -- (3) r6-green rows (records 1 round old) ------------------------
+        "mm_qr_vertex": q_mm_qr_vertex,
+        "mm_tau_stream": q_mm_tau_stream,
+        "optimizer_greedy": q_optimizer_greedy,
+        "events_hourly": q_events_hourly,
+        "events_gapfilled": q_events_gapfilled,
+        "pca_whiten_top2": q_pca_whiten_top2,
+        "pricing_summary": q_pricing_summary,
+        "group_outcome_stats": q_group_outcome_stats,
+        "quantiles_type7": q_quantiles_type7,
+        "dedup_fingerprint": q_dedup_fingerprint,
+        "minhash_signature": q_minhash_signature,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "source_stats": q_source_stats,
+        "lang_id_confusion": q_lang_id_confusion,
+        "pii_scrub": q_pii_scrub,
+        "token_count_bpe": q_token_count_bpe,
+        "repetition_stats": q_repetition_stats,
+        "ngram_logprob": q_ngram_logprob,
+        "script_ratios": q_script_ratios,
+        "knn_cosine_top3": q_knn_cosine_top3,
+        "ann_lsh_top3": q_ann_lsh_top3,
+        "ann_ivf_top3": q_ann_ivf_top3,
+        "embedding_normalize": q_embedding_normalize,
+        "embedding_mean_pool": q_embedding_mean_pool,
+        "embedding_cov_check": q_embedding_cov_check,
+        "diversity_sample": q_diversity_sample,
+        "weighted_kde_grid": q_weighted_kde_grid,
+        "ngram_doc_freq": q_ngram_doc_freq,
+        "ngram_contamination": q_ngram_contamination,
+        "sample_weighted": q_sample_weighted,
+        "attribution_last_touch": q_attribution_last_touch,
+        "cms_user_counts": q_cms_user_counts,
+        "path_transitions": q_path_transitions,
+        "zorder_customers": q_zorder_customers,
+        "bloom_membership": q_bloom_membership,
+        "hll_users_by_type": q_hll_users_by_type,
+        "hll_intersection_users": q_hll_intersection_users,
+        "bm25_ranking": q_bm25_ranking,
+        "normalized_text": q_normalized_text,
+        "histogram_extendedprice": q_histogram_extendedprice,
+        "profile_lineitem": q_profile_lineitem,
+        "skew_report_custkey": q_skew_report_custkey,
+        "attribution_linear": q_attribution_linear,
+        "hll_registers": q_hll_registers,
+        "hll_count_users": q_hll_count_users,
+        "akm_effects": q_akm_effects,
+        "simhash": q_simhash,
+        "simhash_dups": q_simhash_dups,
+        "asof_join_events": q_asof_join_events,
     }
 
 
@@ -3470,6 +3483,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "mm_tau_stream": _PCG64_TAU_ORACLE,
         "mm_small_exact": _MM_SMALL_ORACLE,
+        "chunk_documents": r"""
+            WITH t AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+              FROM documents
+            ), s AS (
+              -- starts 0..ub by stride, ub = first start whose 64-token
+              -- window reaches the last token (ceil-div rounded up)
+              SELECT doc_id, toks,
+                     unnest(range(0,
+                       ((greatest(len(toks) - 64, 0) + 47) // 48) * 48 + 1,
+                       48)) AS st
+              FROM t
+            )
+            SELECT doc_id, CAST(st // 48 AS INT) AS chunk_idx,
+                   CAST(len(list_slice(toks, st + 1, st + 64)) AS INT) AS n_tokens,
+                   array_to_string(list_slice(toks, st + 1, st + 64), ' ') AS chunk_text
+            FROM s
+        """,
         "mm_qr_vertex": """
             WITH d AS (
               SELECT l_returnflag AS grp, CAST(l_quantity AS DOUBLE) AS x,

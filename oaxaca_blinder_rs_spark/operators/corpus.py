@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from . import dedup, textops
 
-__all__ = ["prepare_corpus", "pack_token_shards", "cross_corpus_dedup", "ngram_contamination"]
+__all__ = ["prepare_corpus", "pack_token_shards", "cross_corpus_dedup", "ngram_contamination", "chunk_documents"]
 
 
 def prepare_corpus(
@@ -276,4 +276,49 @@ def ngram_contamination(
         "n_shared",
         "probe_ngrams",
         F.round(F.col("n_shared") / F.col("probe_ngrams"), 6).alias("containment"),
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_size: int = 128,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into fixed-size whitespace-token windows with
+    ``overlap`` shared tokens between consecutive chunks — the context-
+    window chunking stage of a pre-training pipeline (the sibling of
+    ``pack_token_shards``, which packs WHOLE documents; this slices WITHIN
+    documents). Returns (doc_id, chunk_idx, n_tokens, chunk_text).
+
+    Pure codegen, no Python and no shuffle: tokens = split(trim(text),
+    '\\s+') (the package-wide whitespace convention, textops.py:61),
+    chunk starts = sequence(0, ub, stride) with stride = chunk_size -
+    overlap and ub = ceil(max(n - chunk_size, 0) / stride) * stride —
+    the FIRST start whose window reaches the last token, so every token
+    index is covered, only the final chunk may be short, and no chunk is
+    wholly contained in its predecessor. A document with fewer tokens
+    than chunk_size yields exactly one chunk. One posexplode per
+    document; the operator is a deterministic pure function of the text
+    and parameters, and the DuckDB oracle (chunk_documents in
+    __spark_entry__.py) replays it with generate-series + list_slice.
+    """
+    if chunk_size < 1:
+        raise ValueError("chunk_size must be >= 1")
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("overlap must be in [0, chunk_size)")
+    stride = chunk_size - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    over = F.greatest(F.size(toks) - chunk_size, F.lit(0))
+    ub = ((over + stride - 1) / stride).cast("int") * stride
+    starts = F.sequence(F.lit(0), ub, F.lit(stride))
+    pieces = F.transform(starts, lambda s: F.slice(toks, s + 1, chunk_size))
+    return docs.select(
+        F.col(id_col), F.posexplode(pieces).alias("chunk_idx", "__c")
+    ).select(
+        id_col,
+        "chunk_idx",
+        F.size("__c").alias("n_tokens"),
+        F.array_join("__c", " ").alias("chunk_text"),
     )

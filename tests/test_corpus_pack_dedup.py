@@ -285,3 +285,42 @@ def test_ngram_contamination_hand_case_and_plan(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     # doc with no overlap is absent
     assert all(x["doc_id"] != 2 for x in rows)
+
+
+def test_chunk_documents_windows(spark):
+    """Coverage + overlap invariants of the chunking stage, plus edges:
+    every token index lands in a chunk, consecutive chunks share exactly
+    `overlap` tokens (stride apart), short/empty docs yield one chunk."""
+    from oaxaca_blinder_rs_spark.operators.corpus import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),   # 10 tokens, 3 chunks
+            (2, "a b c"),                                  # shorter than chunk
+            (3, ""),                                       # empty
+            (4, " ".join(f"w{i}" for i in range(8))),     # exact multiple of stride
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_size=4, overlap=2).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.doc_id, {})[r.chunk_idx] = (r.n_tokens, r.chunk_text)
+    # doc 1: starts 0,2,4,6 (ub = ceil((10-4)/2)*2 = 6) -> 4 full chunks
+    assert sorted(by[1]) == [0, 1, 2, 3]
+    assert by[1][0] == (4, "t0 t1 t2 t3")
+    assert by[1][1] == (4, "t2 t3 t4 t5")     # 2-token overlap
+    assert by[1][3] == (4, "t6 t7 t8 t9")     # tail window reaches the end
+    toks_seen = set()
+    for _, (_, txt) in by[1].items():
+        toks_seen.update(txt.split())
+    assert toks_seen == {f"t{i}" for i in range(10)}  # full coverage
+    assert by[2] == {0: (3, "a b c")}         # short doc -> exactly one chunk
+    assert by[3] == {0: (1, "")}              # empty doc -> one empty chunk
+    # doc 4: 8 tokens, ub = ceil(4/2)*2 = 4 -> starts 0,2,4, full coverage
+    assert sorted(by[4]) == [0, 1, 2]
+    assert by[4][2] == (4, "w4 w5 w6 w7")
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_size=4, overlap=4)
