@@ -803,6 +803,23 @@ def q_mm_small_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles from the mergeable equi-width histogram
+    (profiling.histogram_quantiles, 64 bins): the scale-twin of the exact
+    type-7 quantile — per-bin counts merge by SUM across shards/days, so
+    a 100 TB quantile is one map-side projection + a 64-key groupBy,
+    never a global sort. True quantile provably inside [bin_lo, bin_hi]
+    (error <= bin width, suite-tested vs the exact quantile); the oracle
+    replays the binning, cumulative ranks, and in-bin interpolation
+    arithmetic exactly."""
+    from oaxaca_blinder_rs_spark.operators.profiling import histogram_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    return histogram_quantiles(
+        li, "l_extendedprice", [0.1, 0.25, 0.5, 0.75, 0.9, 0.99], bins=64
+    )
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking (corpus.chunk_documents): 64-token windows
     with 16 tokens of overlap (stride 48) over every document — the
@@ -1636,6 +1653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_small_exact": q_mm_small_exact,
         "pca_whiten_2d": q_pca_whiten_2d,
         "chunk_documents": q_chunk_documents,
+        "histogram_quantiles": q_histogram_quantiles,
         # -- (2) r5-record rows rotating back into the window ---------------
         "event_funnel": q_event_funnel,
         "cohort_retention": q_cohort_retention,
@@ -3483,6 +3501,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         "mm_tau_stream": _PCG64_TAU_ORACLE,
         "mm_small_exact": _MM_SMALL_ORACLE,
+        "histogram_quantiles": """
+            WITH mm AS MATERIALIZED (
+              SELECT min(CAST(l_extendedprice AS DOUBLE)) lo,
+                     max(CAST(l_extendedprice AS DOUBLE)) hi
+              FROM lineitem
+            ), c AS MATERIALIZED (
+              SELECT least(CAST(floor((CAST(l_extendedprice AS DOUBLE) - lo)
+                                      / ((hi - lo)/64)) AS BIGINT), 63) bin,
+                     count(*) n
+              FROM lineitem, mm
+              WHERE l_extendedprice IS NOT NULL
+                AND CAST(l_extendedprice AS DOUBLE) >= lo
+                AND CAST(l_extendedprice AS DOUBLE) <= hi
+              GROUP BY 1
+            ), cum AS (
+              SELECT bin, n, sum(n) OVER (ORDER BY bin) cum,
+                     sum(n) OVER (ORDER BY bin) - n cum_prev, sum(n) OVER () total
+              FROM c
+            ), qs AS (SELECT CAST(unnest([0.1,0.25,0.5,0.75,0.9,0.99]) AS DOUBLE) q)
+            SELECT q,
+                   round(lo + (bin + (q*total - cum_prev)/n) * ((hi - lo)/64), 6) est,
+                   bin,
+                   round(lo + bin * ((hi - lo)/64), 6) bin_lo,
+                   round(lo + (bin + 1) * ((hi - lo)/64), 6) bin_hi,
+                   n n_bin
+            FROM qs, cum, mm WHERE q*total > cum_prev AND q*total <= cum
+        """,
         "chunk_documents": r"""
             WITH t AS (
               SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks

@@ -302,3 +302,17 @@ def test_cohort_retention_offset_counts_periods(spark):
 
     with pytest.raises(ValueError):
         cohort_retention(ev, granularity="fortnight")
+
+
+def test_chunk_documents_is_map_only(spark, sf_dir):
+    """chunk_documents is split -> sequence -> slice -> posexplode: one
+    scan -> generate -> project, NO shuffle, and only (doc_id, text) read
+    from parquet — per-document work stays on its partition, so the stage
+    scales linearly with the corpus at any partition count."""
+    from oaxaca_blinder_rs_spark.operators.corpus import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(chunk_documents(docs, chunk_size=64, overlap=16))
+    assert "Exchange" not in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" in read_schema and "meta" not in read_schema

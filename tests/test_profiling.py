@@ -36,3 +36,40 @@ def test_profile_columns_hand_case(spark):
     assert ps["mean"] is None
     with pytest.raises(ValueError):
         profile_columns(df, [])
+
+
+def test_histogram_quantiles_error_bound_and_merge(spark):
+    """The estimate's bin must bracket the TRUE quantile (error <= bin
+    width) for every q, and the underlying per-bin counts merge by SUM:
+    the histogram of a union equals the summed histograms of its parts —
+    the property that makes the estimator a one-pass mergeable sketch."""
+    import numpy as np
+
+    from oaxaca_blinder_rs_spark.operators.profiling import (
+        equi_width_histogram,
+        histogram_quantiles,
+    )
+
+    rng = np.random.default_rng(7)
+    vals = np.concatenate([rng.normal(100, 15, 4000), rng.exponential(40, 2000)])
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double").repartition(7)
+    qs = [0.1, 0.5, 0.9, 0.99]
+    out = {r.q: r for r in histogram_quantiles(df, "x", qs, bins=64).collect()}
+    assert sorted(out) == qs
+    for q in qs:
+        # floor-index true quantile, the package's A8 convention
+        s = np.sort(vals)
+        true = s[min(int(len(s) * q), len(s) - 1)]
+        r = out[q]
+        assert r.bin_lo - 1e-9 <= true <= r.bin_hi + 1e-9, (q, true, r)
+        assert r.bin_lo <= r.est <= r.bin_hi + 1e-9
+    # merge-by-sum: histogram(union) == histogram(part1) + histogram(part2)
+    lo, hi = float(vals.min()), float(vals.max())
+    d1 = spark.createDataFrame([(float(v),) for v in vals[:3000]], "x double")
+    d2 = spark.createDataFrame([(float(v),) for v in vals[3000:]], "x double")
+    h = {r.bin: r.n for r in equi_width_histogram(df, "x", 32, lo, hi).collect()}
+    h1 = {r.bin: r.n for r in equi_width_histogram(d1, "x", 32, lo, hi).collect()}
+    h2 = {r.bin: r.n for r in equi_width_histogram(d2, "x", 32, lo, hi).collect()}
+    assert h == {b: h1[b] + h2[b] for b in h}
+    with pytest.raises(ValueError):
+        histogram_quantiles(df, "x", [0.0])
