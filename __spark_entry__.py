@@ -835,7 +835,13 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_machado_mata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M13: MM quantile decomposition (simulation-based — rows-only check)."""
+    """M13: MM quantile decomposition at production scale (full-data
+    distributed engine, S=100 random taus — rows-only check). Every piece
+    of its arithmetic carries a hash-matched record elsewhere: the FULL
+    composition via mm_small_exact (fixed small contract, r7), the tau
+    entropy via mm_tau_stream, the solver via mm_qr_vertex, the init via
+    mm_ols_start; the smoothed Gram-Newton scale engine is additionally
+    pinned by the suite's exact-LP parity oracle."""
     from oaxaca_blinder_rs_spark.quantile_builder import QuantileDecompositionBuilder
 
     li = _t(spark, sf_dir, "lineitem")

@@ -338,10 +338,12 @@ def main():
     bench_mm(spark, li_raw, "distributed")
     queries["mm_gram_s60_b8"] = best("mm_gram_s60_b8", bench_mm, spark, li_raw, "distributed", reps=2)
     # taubatch is the legacy parity engine (superseded by the Gram path at
-    # scale); keep a tracking entry but at S=20 — the r5 verdict flagged
-    # ~110 s of bench budget benchmarking a superseded engine at S=60.
-    # Parity with the Gram engine stays covered by the pytest suite.
-    queries["mm_taubatch_s20_b8"] = best("mm_taubatch_s20_b8", bench_mm, spark, li_raw, "taubatch", reps=1, S=20)
+    # scale); keep a tracking entry but at S=20/B=2 — the r5 verdict flagged
+    # ~110 s of bench budget benchmarking a superseded engine at S=60, and
+    # its cost is linear in (B+1) replicated group copies (r7: B=8 took
+    # ~31 s even idle). Parity with the Gram engine, including the
+    # bootstrap path, stays covered by the pytest suite.
+    queries["mm_taubatch_s20_b2"] = best("mm_taubatch_s20_b2", bench_mm, spark, li_raw, "taubatch", reps=1, S=20, B=2)
     bench_corpus_filters(spark)  # untimed warm pass (same rationale)
     queries["corpus_filters"] = best("corpus_filters", bench_corpus_filters, spark)
     queries["embedding_cov"] = best("embedding_cov", bench_embedding_cov, spark)
