@@ -803,6 +803,21 @@ def q_mm_small_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k weighted sampling without replacement (sampling.
+    priority_sample, Efraimidis-Spirakis A-ES): 50 documents drawn by
+    n_chars weight — priority ln(u)/w off the deterministic md5 uniform,
+    k largest win. Plan-asserted TakeOrderedAndProject (per-partition
+    top-k + k-row driver merge, never a global sort); the oracle replays
+    priority and selection exactly."""
+    from oaxaca_blinder_rs_spark.operators.sampling import priority_sample
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "w", F.col("n_chars").cast("double")
+    )
+    return priority_sample(docs, 50, "w", "doc_id").select("doc_id", "w", "priority")
+
+
 def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate quantiles from the mergeable equi-width histogram
     (profiling.histogram_quantiles, 64 bins): the scale-twin of the exact
@@ -1660,6 +1675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_whiten_2d": q_pca_whiten_2d,
         "chunk_documents": q_chunk_documents,
         "histogram_quantiles": q_histogram_quantiles,
+        "priority_sample": q_priority_sample,
         # -- (2) r5-record rows rotating back into the window ---------------
         "event_funnel": q_event_funnel,
         "cohort_retention": q_cohort_retention,
@@ -3507,6 +3523,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "mm_tau_stream": _PCG64_TAU_ORACLE,
         "mm_small_exact": _MM_SMALL_ORACLE,
+        "priority_sample": """
+            SELECT doc_id, w, round(pri, 6) AS priority FROM (
+              SELECT doc_id, CAST(n_chars AS DOUBLE) w,
+                     ln(greatest(('0x' || substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                                 / 4294967296.0, pow(2.0, -33)))
+                       / CAST(n_chars AS DOUBLE) AS pri
+              FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+            ) ORDER BY pri DESC, doc_id LIMIT 50
+        """,
         "histogram_quantiles": """
             WITH mm AS MATERIALIZED (
               SELECT min(CAST(l_extendedprice AS DOUBLE)) lo,

@@ -122,8 +122,21 @@ class MatchingEngine:
                     T = pdf[covs].to_numpy(dtype=np.float64)
                     if Lb is not None:
                         T = T @ Lb
-                    # squared euclidean distances treated x control
-                    d2 = ((T * T).sum(1)[:, None] - 2.0 * (T @ c_X.T) + (c_X * c_X).sum(1)[None, :])
+                    # squared euclidean distances treated x control, as the
+                    # EXACT per-pair form sum_j (t_j - c_j)^2 — not the
+                    # expanded |t|^2 - 2tc + |c|^2. The expanded form's
+                    # rounding breaks the exact symmetry of true ties
+                    # (t-c1 = -(t-c2) gives bitwise-equal d2 here, but
+                    # 1-ulp-different values there), which silently flips
+                    # the lowest-id tie contract against the SQL oracle —
+                    # caught at sf0.1 where duplicate covariate values make
+                    # real ties. Same peak memory (one n_t x n_ctl temp per
+                    # covariate, accumulated in fixed j order); covariate
+                    # counts are small so the lost BLAS matmul is noise.
+                    d2 = np.zeros((T.shape[0], c_X.shape[0]))
+                    for j in range(c_X.shape[1]):
+                        diff = T[:, j][:, None] - c_X[:, j][None, :]
+                        d2 += diff * diff
                     # selection contract (== ORDER BY (dist, id) in the SQL
                     # oracle): k smallest distances, exact ties by lowest
                     # control id (controls are id-sorted, so positional order

@@ -29,6 +29,7 @@ __all__ = [
     "stratified_sample",
     "mix_corpora",
     "split_corpus",
+    "priority_sample",
 ]
 
 
@@ -156,4 +157,44 @@ def weighted_sample(
         df.crossJoin(F.broadcast(mw))
         .filter(u < F.least(F.lit(1.0), F.lit(float(fraction)) * F.col(weight_col) / F.col("__mw")))
         .drop("__mw")
+    )
+
+
+def priority_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES):
+    each row gets priority ln(u)/w from its deterministic md5 uniform and
+    the k LARGEST priorities win — equivalent in distribution to k
+    sequential weighted draws without replacement.
+
+    The third leg of the sampling family: `deterministic_sample` is
+    Bernoulli (random size), `weighted_sample` is weighted Bernoulli
+    (random size), this is EXACT-k weighted. Scale shape: priority is a
+    stateless map-side expression and the selection is sort-limit, which
+    Spark executes as TakeOrderedAndProject — per-partition top-k then a
+    k-row merge on the driver, never a global sort (the skew_report
+    pattern). Mergeable by construction: top-k of a union is the top-k of
+    per-shard top-ks. Membership is a pure function of (seed, id, w) —
+    rerun/partition/engine stable; the DuckDB oracle replays priority and
+    selection exactly. Rows with w <= 0 or null are excluded (they can
+    never win a weighted draw); u is clamped to 2^-33 so ln stays finite
+    on both engines.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = F.col(weight_col).cast("double")
+    u = F.greatest(md5_uniform(id_col, seed), F.lit(2.0 ** -33))
+    pri = F.log(u) / w
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn("__pri", pri)
+        .orderBy(F.col("__pri").desc(), F.col(id_col))
+        .limit(int(k))
+        .withColumn("priority", F.round(F.col("__pri"), 6))
+        .drop("__pri")
     )

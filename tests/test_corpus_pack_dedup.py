@@ -324,3 +324,32 @@ def test_chunk_documents_windows(spark):
 
     with pytest.raises(ValueError):
         chunk_documents(docs, chunk_size=4, overlap=4)
+
+
+def test_priority_sample_exact_k_weighted(spark):
+    """A-ES weighted sampling without replacement: exactly k rows, only
+    positive-weight rows eligible, deterministic across reruns AND
+    partitionings, and heavier rows win more often across seeds (the
+    statistical point of weighting)."""
+    from oaxaca_blinder_rs_spark.operators.sampling import priority_sample
+
+    rows = [(i, 100.0 if i < 20 else 1.0) for i in range(200)]
+    rows += [(900, 0.0), (901, -3.0), (902, None)]  # never eligible
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    out = priority_sample(df, 30, "w", "doc_id", seed=1).collect()
+    assert len(out) == 30
+    ids = {r.doc_id for r in out}
+    assert ids.isdisjoint({900, 901, 902})
+    # rerun + repartition determinism
+    out2 = priority_sample(df.repartition(13), 30, "w", "doc_id", seed=1).collect()
+    assert {r.doc_id for r in out2} == ids
+    # heavy rows (w=100, 20 of 200) should dominate the 30 picks on average
+    heavy = 0
+    for seed in range(5):
+        s = priority_sample(df, 30, "w", "doc_id", seed=seed).collect()
+        heavy += sum(1 for r in s if r.doc_id < 20)
+    assert heavy / 5 > 10, heavy  # ~2/3 expected; uniform draws would give ~3
+    import pytest
+
+    with pytest.raises(ValueError):
+        priority_sample(df, 0, "w")
