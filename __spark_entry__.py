@@ -1679,7 +1679,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (2) r5-record rows rotating back into the window ---------------
         "event_funnel": q_event_funnel,
         "cohort_retention": q_cohort_retention,
-        "simhash_shingle_check": q_simhash_shingle_check,
         "machado_mata": q_machado_mata,
         "events_pivot": q_events_pivot,
         "events_melt": q_events_melt,
@@ -1723,6 +1722,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "akm_demeaned_check": q_akm_demeaned_check,
         "dfl_design_check": q_dfl_design_check,
         "heckman_decomposition": q_heckman_decomposition,
+        # -- first row past the 50-slot window: the one 2-round-cadence
+        # exception this round (101 rows > 2x50 capacity). Trivially stable
+        # tokenizer diagnostic, green in BOTH full sf0.01 sweeps this session
+        # and superseded for coverage by the fully-oracled simhash row and
+        # chunk_documents (which pins token TEXT, not a digest). Rotates
+        # first in r8.
+        "simhash_shingle_check": q_simhash_shingle_check,
         # -- (3) r6-green rows (records 1 round old) ------------------------
         "mm_qr_vertex": q_mm_qr_vertex,
         "mm_tau_stream": q_mm_tau_stream,
