@@ -22,6 +22,7 @@ __all__ = [
     "windowed_event_aggregates",
     "streaming_hll_registers",
     "streaming_cms_cells",
+    "streaming_histogram_cells",
     "streaming_group_stats",
     "sessionize",
     "streaming_decomposition_stats",
@@ -469,5 +470,50 @@ def streaming_cms_cells(
             "row",
             "col",
             "cnt",
+        )
+    )
+
+
+def streaming_histogram_cells(
+    events: DataFrame,
+    col: str = "value",
+    lo: float = 0.0,
+    hi: float = 1000.0,
+    bins: int = 64,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming equi-width histogram: per tumbling window, the (bin, n)
+    count table for ``col`` over FIXED bounds [lo, hi] — the continuous
+    distribution tracker that feeds histogram-based quantile estimates
+    (operators/profiling.histogram_quantiles) without ever sorting.
+    Bounds must be fixed a priori in a stream (no global min/max exists
+    yet); values outside [lo, hi] are dropped, values exactly at ``hi``
+    fall in the last bin — the same closed-right-edge convention as the
+    batch histogram, whose bin expression this mirrors. State is bounded
+    at ``bins`` rows per open window and the watermark expires closed
+    windows; cells merge downstream by per-bin SUM across windows,
+    shards or streams."""
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+    width = (hi - lo) / bins
+    c = F.col(col).cast("double")
+    bin_expr = F.least(
+        F.floor((c - F.lit(lo)) / F.lit(width)).cast("long"), F.lit(bins - 1)
+    )
+    return (
+        _event_time(events, ts_col).withWatermark(ts_col, watermark)
+        .filter(c.isNotNull() & (c >= lo) & (c <= hi))
+        .select(F.col(ts_col), bin_expr.alias("bin"))
+        .groupBy(F.window(ts_col, window_duration).alias("wnd"), "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("wnd.start").alias("window_start"),
+            F.col("wnd.end").alias("window_end"),
+            "bin",
+            "n",
         )
     )

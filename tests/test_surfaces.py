@@ -742,3 +742,43 @@ def test_streaming_cms_cells_matches_batch(spark, sf_dir, tmp_path):
                  static.select(F.col("user_id").alias("user_id")), "user_id", w=256, d=2
              ).collect()}
     assert merged == batch
+
+
+def test_streaming_histogram_cells_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming equi-width histogram (r7): per-window bin counts merged
+    across windows by per-bin sum equal the batch histogram of the same
+    data over the same fixed bounds — end-to-end through a real
+    availableNow query. This is the distribution tracker that feeds
+    histogram_quantiles without a sort."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from oaxaca_blinder_rs_spark.operators.profiling import equi_width_histogram
+
+    static = ob.load_table(spark, sf_dir, "events")
+    lo, hi = 0.0, 500.0
+    src = str(tmp_path / "events_hist")
+    static.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(static.schema).format("parquet").load(src)
+    cells = streaming_events.streaming_histogram_cells(
+        stream, "value", lo=lo, hi=hi, bins=32, watermark="0 seconds"
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            cells.writeStream.format("memory")
+            .queryName("hist_cells")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    out = spark.sql("SELECT bin, n FROM hist_cells")
+    merged = {r["bin"]: r["n"]
+              for r in out.groupBy("bin").agg(F.sum("n").alias("n")).collect()}
+    batch = {r["bin"]: r["n"]
+             for r in equi_width_histogram(static, "value", 32, lo, hi).filter(
+                 F.col("n") > 0
+             ).collect()}
+    assert merged == batch
