@@ -316,3 +316,20 @@ def test_chunk_documents_is_map_only(spark, sf_dir):
     assert "Exchange" not in plan
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "text" in read_schema and "meta" not in read_schema
+
+
+def test_priority_sample_is_take_ordered(spark, sf_dir):
+    """priority_sample's selection must compile to TakeOrderedAndProject —
+    per-partition top-k plus a k-row merge on the driver — never a global
+    Sort: the property that makes exact-k weighted sampling viable at
+    corpus scale."""
+    from pyspark.sql import functions as F
+
+    from oaxaca_blinder_rs_spark.operators.sampling import priority_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "w", F.col("n_chars").cast("double")
+    )
+    plan = _plan(priority_sample(docs, 50, "w", "doc_id"))
+    assert "TakeOrderedAndProject" in plan
+    assert "\n(2) Sort" not in plan and "GlobalSort" not in plan
