@@ -849,6 +849,21 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(docs, chunk_size=64, overlap=16)
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level exact span dedup (dedup.span_dedup): 8-token
+    non-overlapping blocks, keep-first/drop-rest for any block text seen
+    in >= 2 distinct documents, survivors reassembled in document order —
+    the C4/RefinedWeb duplicated-span removal stage. The oracle replays
+    the whole pipeline (token carving, block frequency, global
+    (doc_id, pos) first-occurrence tie-break, ordered reassembly) and
+    compares the CLEANED TEXT itself, so every stage is pinned
+    character-for-character."""
+    from oaxaca_blinder_rs_spark.operators.dedup import span_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return span_dedup(docs, block_tokens=8, min_df=2)
+
+
 def q_machado_mata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M13: MM quantile decomposition at production scale (full-data
     distributed engine, S=100 random taus — rows-only check). Every piece
@@ -1676,6 +1691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "histogram_quantiles": q_histogram_quantiles,
         "priority_sample": q_priority_sample,
+        "span_dedup": q_span_dedup,
         # -- (2) r5-record rows rotating back into the window ---------------
         "event_funnel": q_event_funnel,
         "cohort_retention": q_cohort_retention,
@@ -3582,6 +3598,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_slice(toks, st + 1, st + 64)) AS INT) AS n_tokens,
                    array_to_string(list_slice(toks, st + 1, st + 64), ' ') AS chunk_text
             FROM s
+        """,
+        "span_dedup": r"""
+            WITH t AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+              FROM documents
+            ), b AS (
+              SELECT doc_id, toks,
+                     unnest(range(0, greatest((len(toks)+7)//8, 1))) AS pos
+              FROM t
+            ), blocks AS (
+              SELECT doc_id, CAST(pos AS INT) AS pos,
+                     array_to_string(list_slice(toks, pos*8+1, pos*8+8), ' ') AS block
+              FROM b
+            ), stats AS (
+              SELECT block, count(DISTINCT doc_id) AS span_df,
+                     min({'d': doc_id, 'p': pos}) AS first_occ
+              FROM blocks GROUP BY block
+            ), tagged AS (
+              SELECT k.doc_id, k.pos, k.block,
+                     (s.span_df < 2 OR
+                      (k.doc_id = s.first_occ.d AND k.pos = s.first_occ.p)) AS keep
+              FROM blocks k JOIN stats s USING (block)
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(block, ' ' ORDER BY pos)
+                            FILTER (WHERE keep), '') AS clean_text,
+                   CAST(count(*) AS BIGINT) AS n_blocks,
+                   CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+            FROM tagged GROUP BY doc_id
         """,
         "mm_qr_vertex": """
             WITH d AS (

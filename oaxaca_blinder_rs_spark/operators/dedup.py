@@ -37,6 +37,7 @@ __all__ = [
     "embedding_cosine_dups_lsh",
     "dup_clusters",
     "size_pruned_pairs",
+    "span_dedup",
 ]
 
 
@@ -468,4 +469,75 @@ def size_pruned_pairs(
             >= float(threshold) * F.greatest("__na", "__nb")
         )
         .select("id_a", "id_b")
+    )
+
+
+def span_dedup(
+    docs: DataFrame,
+    block_tokens: int = 8,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level exact span dedup: split each document into consecutive
+    non-overlapping ``block_tokens``-token blocks, drop every block whose
+    exact text occurs in >= ``min_df`` distinct documents EXCEPT its first
+    occurrence (global (doc_id, pos) order), and reassemble the survivors in
+    document order. This is the keep-one exact-span dedup stage of a
+    pre-training pipeline (C4 keeps one copy of a duplicated span;
+    RefinedWeb/Dolma run the same shape per paragraph) — the within-document
+    sibling of whole-document ``exact_duplicates`` and the exact-text
+    counterpart of the MinHash near-dup path (reference dedup contract:
+    engine/src/dedup.rs analogue is whole-doc only; this stage is net-new).
+
+    Returns (doc_id, clean_text, n_blocks, n_dropped) — one row per input
+    document (a fully-duplicated document survives with clean_text = '').
+
+    Scale shape: tokens/blocks are carved map-side in codegen (split +
+    slice + posexplode, the chunk_documents machinery); block statistics
+    are ONE keyed groupBy on the block text (partial-agg map-side; the key
+    is the span string itself, NOT a 64-bit hash — at corpus scale (~1e12
+    blocks) birthday collisions on 64-bit keys would silently merge
+    distinct spans and delete innocent text); the keep decision is a keyed
+    shuffle join back on the same key (no broadcast: the stats table is
+    corpus-sized); reassembly is ONE groupBy on doc_id. No windows, no
+    driver loops, no quadratic stage — three keyed shuffles total, each
+    combinable map-side.
+    """
+    if block_tokens < 1:
+        raise ValueError("block_tokens must be >= 1")
+    b = int(block_tokens)
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_blocks = F.greatest(
+        ((F.size(toks) + (b - 1)) / b).cast("int"), F.lit(1)
+    )
+    pieces = F.transform(
+        F.sequence(F.lit(0), n_blocks - 1),
+        lambda i: F.array_join(F.slice(toks, i * b + 1, b), " "),
+    )
+    blocks = docs.select(F.col(id_col), F.posexplode(pieces).alias("pos", "block"))
+    stats = blocks.groupBy("block").agg(
+        F.countDistinct(id_col).alias("__span_df"),
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias(
+            "__first"
+        ),
+    )
+    tagged = blocks.join(stats, "block").withColumn(
+        "__keep",
+        (F.col("__span_df") < int(min_df))
+        | (
+            (F.col(id_col) == F.col("__first.d"))
+            & (F.col("pos") == F.col("__first.p"))
+        ),
+    )
+    kept_struct = F.when(F.col("__keep"), F.struct("pos", "block"))
+    return tagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["block"]
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum((~F.col("__keep")).cast("bigint")).alias("n_dropped"),
     )

@@ -353,3 +353,70 @@ def test_priority_sample_exact_k_weighted(spark):
 
     with pytest.raises(ValueError):
         priority_sample(df, 0, "w")
+
+
+def test_span_dedup_keep_first_hand_case(spark):
+    """Keep-first semantics on a hand-computed corpus: 'a b' occurs in four
+    documents — only its global first occurrence (doc 1, pos 0) survives;
+    within-document repetition alone ('z z' twice in doc 4) is NOT corpus
+    duplication and is untouched; survivors rejoin in document order."""
+    from oaxaca_blinder_rs_spark.operators.dedup import span_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),
+            (2, "a b x y"),
+            (3, "a b"),
+            (4, "z z z z"),
+            (5, "p q a b r s"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_blocks"], r["n_dropped"])
+        for r in span_dedup(docs, block_tokens=2).collect()
+    }
+    assert got == {
+        1: ("a b c d", 2, 0),
+        2: ("x y", 2, 1),
+        3: ("", 1, 1),
+        4: ("z z z z", 2, 0),
+        5: ("p q r s", 3, 1),
+    }
+
+
+def test_span_dedup_short_tail_block_and_validation(spark):
+    """The trailing partial block is a block in its own right: a 3-token doc
+    at block_tokens=2 yields blocks ['a b', 'c'], and the 1-token tail
+    deduplicates against other docs' tails by exact text."""
+    import pytest as _pytest
+
+    from oaxaca_blinder_rs_spark.operators.dedup import span_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "x y c")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_blocks"], r["n_dropped"])
+        for r in span_dedup(docs, block_tokens=2).collect()
+    }
+    assert got == {1: ("a b c", 2, 0), 2: ("x y", 2, 1)}
+    with _pytest.raises(ValueError):
+        span_dedup(docs, block_tokens=0)
+
+
+def test_span_dedup_reassembly_is_lossless_without_duplicates(spark, sf_dir):
+    """With min_df above any real document frequency the operator is the
+    identity on text (modulo whitespace normalization): reassembled
+    clean_text equals the single-space token join of the input for every
+    contract document, and nothing is dropped."""
+    from oaxaca_blinder_rs_spark.operators.dedup import span_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = span_dedup(docs, block_tokens=8, min_df=10**9)
+    joined = out.join(docs, "doc_id")
+    bad = joined.filter(
+        (F.col("clean_text") != F.regexp_replace(F.trim("text"), r"\s+", " "))
+        | (F.col("n_dropped") != 0)
+    )
+    assert bad.count() == 0

@@ -333,3 +333,18 @@ def test_priority_sample_is_take_ordered(spark, sf_dir):
     plan = _plan(priority_sample(docs, 50, "w", "doc_id"))
     assert "TakeOrderedAndProject" in plan
     assert "\n(2) Sort" not in plan and "GlobalSort" not in plan
+
+
+def test_span_dedup_is_keyed_shuffles_only(spark, sf_dir):
+    """span_dedup must stay keyed-shuffle shaped at any corpus size: no
+    window operator, no cartesian/nested-loop join (the block-stats join is
+    an equi-join on the span text), and the scan reads only (doc_id, text)."""
+    from oaxaca_blinder_rs_spark.operators.dedup import span_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(span_dedup(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" in read_schema and "lang" not in read_schema
