@@ -864,6 +864,22 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup(docs, block_tokens=8, min_df=2)
 
 
+def q_scd2_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build (cdc.scd2_build): collapse the event feed
+    into effective-dated intervals of constant event_type per user —
+    (user_id, segment, event_id, valid_from, valid_to, is_current), with
+    valid_to = next change's timestamp and NULL marking the current row.
+    Same-timestamp order is pinned by event_id on both engines. One hash
+    partitioning of user_id serves both window passes (plan-asserted
+    single Exchange)."""
+    from oaxaca_blinder_rs_spark.operators.cdc import scd2_build
+
+    ev = _t(spark, sf_dir, "events")
+    return scd2_build(ev, "user_id", ["event_type"], "ts", ["event_id"]).withColumnRenamed(
+        "event_type", "segment"
+    )
+
+
 def q_machado_mata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M13: MM quantile decomposition at production scale (full-data
     distributed engine, S=100 random taus — rows-only check). Every piece
@@ -1692,6 +1708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_quantiles": q_histogram_quantiles,
         "priority_sample": q_priority_sample,
         "span_dedup": q_span_dedup,
+        "scd2_user_segments": q_scd2_user_segments,
         # -- (2) r5-record rows rotating back into the window ---------------
         "event_funnel": q_event_funnel,
         "cohort_retention": q_cohort_retention,
@@ -3598,6 +3615,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_slice(toks, st + 1, st + 64)) AS INT) AS n_tokens,
                    array_to_string(list_slice(toks, st + 1, st + 64), ' ') AS chunk_text
             FROM s
+        """,
+        "scd2_user_segments": """
+            WITH ordered AS (
+              SELECT user_id, event_type, ts, event_id,
+                     row_number() OVER w AS rn,
+                     lag(event_type) OVER w AS prev_attr
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), seg AS (
+              SELECT user_id, event_type, ts, event_id FROM ordered
+              WHERE rn = 1 OR prev_attr IS DISTINCT FROM event_type
+            )
+            SELECT user_id, event_type AS segment, event_id,
+                   ts AS valid_from, lead(ts) OVER w2 AS valid_to,
+                   (lead(ts) OVER w2 IS NULL) AS is_current
+            FROM seg WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         "span_dedup": r"""
             WITH t AS (

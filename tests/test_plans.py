@@ -348,3 +348,20 @@ def test_span_dedup_is_keyed_shuffles_only(spark, sf_dir):
     assert "Window" not in plan
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "text" in read_schema and "lang" not in read_schema
+
+
+def test_scd2_build_single_exchange(spark, sf_dir):
+    """Both SCD2 window passes (change detection, interval chaining) must
+    ride ONE hash partitioning of the key: the change-point filter preserves
+    distribution and order, so a second Exchange would be pure waste at
+    dimension scale."""
+    from oaxaca_blinder_rs_spark.operators.cdc import scd2_build
+
+    import re
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = _plan(scd2_build(ev, "user_id", ["event_type"], "ts", ["event_id"]))
+    # formatted explain prints each node twice (tree + detail header);
+    # count the "(n) Exchange" detail headers
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+    assert "CartesianProduct" not in plan
