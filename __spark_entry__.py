@@ -864,6 +864,32 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup(docs, block_tokens=8, min_df=2)
 
 
+def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact 5-iteration weighted PageRank (graph.pagerank) on the
+    customer<->supplier co-purchase graph (edges both directions, weight =
+    lineitem count). Ranks are int64 mass units summing to ~1e12; every
+    iteration is a keyed join + keyed sum in int64, so the result is
+    bit-identical across partitionings AND to the oracle's unrolled CTE
+    replay — no float summation-order hazard. Suppliers serving many
+    customers surface at the top."""
+    from oaxaca_blinder_rs_spark.operators.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    pairs = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst"), "w"
+    ).unionByName(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"), "w"))
+    return pagerank(edges, iters=5, weight="w")
+
+
 def q_scd2_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 dimension build (cdc.scd2_build): collapse the event feed
     into effective-dated intervals of constant event_type per user —
@@ -1709,6 +1735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_sample": q_priority_sample,
         "span_dedup": q_span_dedup,
         "scd2_user_segments": q_scd2_user_segments,
+        "pagerank_copurchase": q_pagerank_copurchase,
         # -- (2) r5-record rows rotating back into the window ---------------
         "event_funnel": q_event_funnel,
         "cohort_retention": q_cohort_retention,
@@ -1735,9 +1762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "winnow_fingerprints": q_winnow_fingerprints,
         "adaptive_logprob_keep": q_adaptive_logprob_keep,
-        "heckman_probit_design": q_heckman_probit_design,
         "dfl_densities": q_dfl_densities,
-        "mm_ols_start": q_mm_ols_start,
         "kmeans_clusters": q_kmeans_clusters,
         "oaxaca_mean_groupb": q_oaxaca_mean_groupb,
         "oaxaca_mean_pooled": q_oaxaca_mean_pooled,
@@ -1753,14 +1778,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_corpus_dedup": q_cross_corpus_dedup,
         "tfidf_top3": q_tfidf_top3,
         "akm_demeaned_check": q_akm_demeaned_check,
-        "dfl_design_check": q_dfl_design_check,
         "heckman_decomposition": q_heckman_decomposition,
-        # -- first row past the 50-slot window: the one 2-round-cadence
-        # exception this round (101 rows > 2x50 capacity). Trivially stable
-        # tokenizer diagnostic, green in BOTH full sf0.01 sweeps this session
-        # and superseded for coverage by the fully-oracled simhash row and
-        # chunk_documents (which pins token TEXT, not a digest). Rotates
-        # first in r8.
+        # -- rows 50+: past the 50-slot driver window this round (104 rows >
+        # 2x50 two-round cadence by four). The four exceptions are all
+        # companion/diagnostic rows whose PRIMARY rows are fully hash-matched
+        # and sit inside this round's window, so their semantics cannot drift
+        # unverified: dfl_design_check / heckman_probit_design pin the design
+        # matrices that dfl_densities (row 33) and heckman_decomposition
+        # (row 49) consume end-to-end; mm_ols_start pins the OLS init that
+        # mm_small_exact (row 0) now verifies inside the full composition;
+        # simhash_shingle_check is a tokenizer diagnostic superseded by the
+        # fully-oracled simhash row and chunk_documents (token TEXT). All
+        # four were green in this session's full sf0.01 + sf0.1 sweeps; they
+        # rotate first in r8.
+        "dfl_design_check": q_dfl_design_check,
+        "heckman_probit_design": q_heckman_probit_design,
+        "mm_ols_start": q_mm_ols_start,
         "simhash_shingle_check": q_simhash_shingle_check,
         # -- (3) r6-green rows (records 1 round old) ------------------------
         "mm_qr_vertex": q_mm_qr_vertex,
@@ -1876,6 +1909,53 @@ _PII_AUG_SQL = """
     CASE WHEN doc_id % 7 = 0 THEN ' call +1 555 000 ' || (1000 + doc_id % 9000) ELSE '' END AS text
   FROM documents
 """
+
+
+def _pagerank_oracle_sql(iters: int = 5) -> str:
+    """DuckDB twin of graph.pagerank on the customer<->supplier co-purchase
+    graph: the integer-exact iteration unrolled as one CTE stage per step
+    (the kmeans/dfl/heckman construction). All arithmetic is int64
+    floor-div — sums are order-independent, so the replay is bit-identical
+    to the engine on any layout; CASTs guard DuckDB's HUGEINT promotion of
+    SUM. Every stage CTE is MATERIALIZED: r{{k}} references r{{k-1}} twice
+    (contribution join + dangling scan), so plain CTEs would inline the
+    plan tree 2^iters-fold (the AKM-oracle planning blowup)."""
+    head = """
+WITH pairs AS MATERIALIZED (
+  SELECT 'C' || o.o_custkey AS c, 'S' || l.l_suppkey AS s, COUNT(*) AS w
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+), edges AS MATERIALIZED (
+  SELECT c AS src, s AS dst, w FROM pairs
+  UNION ALL SELECT s AS src, c AS dst, w FROM pairs
+), nodes AS MATERIALIZED (
+  SELECT DISTINCT src AS node FROM edges UNION SELECT DISTINCT dst AS node FROM edges
+), cnt AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM nodes),
+outw AS MATERIALIZED (SELECT src AS node, CAST(SUM(w) AS BIGINT) AS ow FROM edges GROUP BY src),
+we AS MATERIALIZED (SELECT e.src, e.dst, CAST(e.w AS BIGINT) AS w, o.ow
+       FROM edges e JOIN outw o ON o.node = e.src),
+r0 AS MATERIALIZED (SELECT n.node, 1000000000000 // c AS r FROM nodes n CROSS JOIN cnt)"""
+    stages = []
+    for k in range(1, iters + 1):
+        stages.append(
+            f""",
+r{k} AS MATERIALIZED (
+  SELECT n.node,
+         CAST((15 * 1000000000000) // (100 * cnt.c)
+              + (85 * (COALESCE(i.s, 0) + dg.d // cnt.c)) // 100 AS BIGINT) AS r
+  FROM nodes n
+  CROSS JOIN cnt
+  LEFT JOIN (
+    SELECT e.dst AS node, CAST(SUM((r.r * e.w) // e.ow) AS BIGINT) AS s
+    FROM we e JOIN r{k - 1} r ON e.src = r.node GROUP BY e.dst
+  ) i ON i.node = n.node
+  CROSS JOIN (
+    SELECT CAST(COALESCE(SUM(r.r), 0) AS BIGINT) AS d
+    FROM r{k - 1} r LEFT JOIN outw o ON r.node = o.node WHERE o.node IS NULL
+  ) dg
+)"""
+        )
+    return head + "".join(stages) + f"\nSELECT node, r AS rank_int FROM r{iters}"
 
 
 def _kmeans_sql(k: int = 6, iters: int = 2) -> str:
@@ -3616,6 +3696,7 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list_slice(toks, st + 1, st + 64), ' ') AS chunk_text
             FROM s
         """,
+        "pagerank_copurchase": _pagerank_oracle_sql(),
         "scd2_user_segments": """
             WITH ordered AS (
               SELECT user_id, event_type, ts, event_id,
