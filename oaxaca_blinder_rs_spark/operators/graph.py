@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "connected_components", "triangle_count"]
 
 SCALE = 10**12
 
@@ -114,3 +114,115 @@ def pagerank(
             ).cast("long").alias("rank_int"),
         )
     return ranks
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components of an undirected graph given as an edge list of
+    arbitrary orderable node type (string labels, longs, ...). Returns
+    (node, component) where component is the MINIMUM node id reachable from
+    the node — a deterministic, layout-independent representative.
+
+    Alternating min-label propagation (the dedup.dup_clusters construction
+    generalized off long ids): each sweep is one keyed join (labels onto
+    edge sources) plus one groupBy-min on destination — uniform shuffles
+    only, no single-task stage — converging in O(component diameter)
+    sweeps. Labels are localCheckpoint-ed per sweep so plan depth stays
+    O(1) per sweep; convergence is detected by a sweep that lowers no
+    label (a scalar aggregate per sweep, the same k-sized driver pull
+    contract as pagerank's dangling mass). Extra sweeps past the fixed
+    point are no-ops (min is monotone + idempotent), which is what lets a
+    SQL oracle replay a fixed unroll.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    und = und.localCheckpoint()
+    labels = und.select(F.col("a").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    labels = labels.localCheckpoint()
+    for _ in range(int(max_iters)):
+        prop = (
+            und.join(labels.withColumnRenamed("node", "a"), "a")
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.min("component").alias("nlab"))
+        )
+        joined = labels.join(prop, "node", "left").select(
+            "node",
+            F.least(F.col("component"), F.coalesce("nlab", "component")).alias("component"),
+            (F.coalesce("nlab", "component") < F.col("component")).cast("long").alias("__low"),
+        )
+        joined = joined.localCheckpoint()
+        changed = int(joined.agg(F.sum("__low")).collect()[0][0] or 0)
+        labels = joined.drop("__low")
+        if changed == 0:
+            break
+    return labels
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle counts of an undirected simple graph. Returns
+    (node, degree, triangles) for every node of the deduplicated edge list.
+
+    The distributed degree-orientation algorithm (the shape GraphX and the
+    MR triangle literature use): order nodes by (degree, id) and orient
+    every edge from the smaller endpoint. Out-degrees are then bounded by
+    O(sqrt(E)), so the wedge self-join — pairs of oriented edges sharing a
+    pivot, with the second endpoint (degree, id)-greater than the first —
+    enumerates O(E^1.5) candidate wedges worst-case instead of
+    sum(deg^2), and each triangle is generated EXACTLY once: its
+    (degree, id)-smallest corner is the pivot, and the closing edge
+    between the two remaining corners is oriented (smaller -> greater),
+    so one equi-join on (b1, b2) confirms it. Everything is keyed
+    joins/aggs — no cartesian, no driver loop; the orientation comparison
+    must use the SAME (degree, id) tuple order in the wedge condition as
+    in the edge orientation, else triangles whose closing edge points
+    'backwards' are silently dropped (raw-id wedge ordering undercounts).
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    pairs = (
+        e.filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+    )
+    und = pairs.unionByName(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("degree"))
+    # Orient u -> v iff (deg(u), u) < (deg(v), v); carry the head's (deg, id)
+    # so the wedge join can compare in the SAME order.
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("dv"))
+    lt = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        pairs.join(du, "u").join(dv, "v")
+        .select(
+            F.when(lt, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(lt, F.col("v")).otherwise(F.col("u")).alias("b"),
+            F.when(lt, F.col("dv")).otherwise(F.col("du")).alias("db"),
+        )
+    )
+    e1 = oriented.select(F.col("a"), F.col("b").alias("b1"), F.col("db").alias("db1"))
+    e2 = oriented.select(F.col("a"), F.col("b").alias("b2"), F.col("db").alias("db2"))
+    wedges = e1.join(e2, "a").filter(
+        (F.col("db1") < F.col("db2"))
+        | ((F.col("db1") == F.col("db2")) & (F.col("b1") < F.col("b2")))
+    )
+    closing = oriented.select(F.col("a").alias("b1"), F.col("b").alias("b2"))
+    tris = wedges.join(closing, ["b1", "b2"]).select("a", "b1", "b2")
+    corner = (
+        tris.select(F.col("a").alias("node"))
+        .unionByName(tris.select(F.col("b1").alias("node")))
+        .unionByName(tris.select(F.col("b2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return deg.join(corner, "node", "left").select(
+        "node", "degree", F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles")
+    )

@@ -10,7 +10,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["equi_width_histogram", "profile_columns", "histogram_quantiles"]
+__all__ = [
+    "equi_width_histogram",
+    "profile_columns",
+    "histogram_quantiles",
+    "drift_report",
+]
 
 
 def equi_width_histogram(
@@ -170,4 +175,102 @@ def histogram_quantiles(
             F.round(F.lit(lo) + (F.col("bin") + 1) * F.lit(width), 6).alias("bin_hi"),
             F.col("n").alias("n_bin"),
         )
+    )
+
+
+def drift_report(
+    a: DataFrame,
+    b: DataFrame,
+    cat_cols: list[str] | None = None,
+    num_cols: list[str] | None = None,
+    bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index report between two snapshots of the same
+    table (training corpus last week vs this week, reference vs serving
+    window). One row per (dim, bucket): counts, shares and the bucket's PSI
+    contribution; SUM(psi) per dim is the PSI (rule of thumb: < 0.1 stable,
+    0.1-0.25 shifting, > 0.25 drifted).
+
+    Categorical columns bucket by value (nulls -> "(null)"); numeric
+    columns by `bins` equi-width bins over the GLOBAL [min, max] of BOTH
+    snapshots (one tiny pre-aggregate; same closed-right-edge convention
+    as equi_width_histogram), so bucket edges are identical on both sides
+    by construction. Shares are clamped at `eps` before the log so
+    empty-on-one-side buckets contribute a large finite term, the standard
+    PSI convention. psi = (share_a - share_b) * ln(share_a / share_b).
+
+    Scale: each dim is a map-side projection; everything unions into ONE
+    long-form groupBy over (dim, bucket, snapshot) keys — cardinality is
+    bins x dims, not rows — with partial aggregation map-side. Per-dim
+    totals broadcast back onto the bucket table. No windows, no sort; the
+    two inputs are scanned exactly once each.
+    """
+    cat_cols = cat_cols or []
+    num_cols = num_cols or []
+    if not cat_cols and not num_cols:
+        raise ValueError("need at least one of cat_cols / num_cols")
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    edges: dict[str, tuple[float, float]] = {}
+    for c in num_cols:
+        col = F.col(c).cast("double")
+        lo_a, hi_a = a.agg(F.min(col), F.max(col)).collect()[0]
+        lo_b, hi_b = b.agg(F.min(col), F.max(col)).collect()[0]
+        lo, hi = min(lo_a, lo_b), max(hi_a, hi_b)
+        if not hi > lo:
+            raise ValueError(f"need hi > lo for {c}, got [{lo}, {hi}]")
+        edges[c] = (float(lo), float(hi))
+
+    def long_form(df: DataFrame, snap: str) -> DataFrame:
+        parts = []
+        for c in cat_cols:
+            parts.append(
+                df.select(
+                    F.lit(c).alias("dim"),
+                    F.coalesce(F.col(c).cast("string"), F.lit("(null)")).alias("bucket"),
+                    F.lit(snap).alias("__snap"),
+                )
+            )
+        for c in num_cols:
+            lo, hi = edges[c]
+            width = (hi - lo) / bins
+            col = F.col(c).cast("double")
+            bin_expr = F.least(
+                F.floor((col - F.lit(lo)) / F.lit(width)).cast("long"),
+                F.lit(bins - 1),
+            )
+            parts.append(
+                df.filter(col.isNotNull() & (col >= lo) & (col <= hi)).select(
+                    F.lit(c).alias("dim"),
+                    bin_expr.cast("string").alias("bucket"),
+                    F.lit(snap).alias("__snap"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    counts = (
+        long_form(a, "a").unionByName(long_form(b, "b"))
+        .groupBy("dim", "bucket")
+        .agg(
+            F.sum((F.col("__snap") == "a").cast("long")).alias("n_a"),
+            F.sum((F.col("__snap") == "b").cast("long")).alias("n_b"),
+        )
+    )
+    totals = counts.groupBy("dim").agg(
+        F.sum("n_a").alias("__ta"), F.sum("n_b").alias("__tb")
+    )
+    sa = F.greatest(F.col("n_a") / F.col("__ta"), F.lit(float(eps)))
+    sb = F.greatest(F.col("n_b") / F.col("__tb"), F.lit(float(eps)))
+    return counts.join(F.broadcast(totals), "dim").select(
+        "dim",
+        "bucket",
+        "n_a",
+        "n_b",
+        F.round(F.col("n_a") / F.col("__ta"), 6).alias("share_a"),
+        F.round(F.col("n_b") / F.col("__tb"), 6).alias("share_b"),
+        F.round((sa - sb) * F.log(sa / sb), 6).alias("psi"),
     )

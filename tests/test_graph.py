@@ -1,9 +1,16 @@
-"""Integer-exact PageRank (operators/graph.py)."""
+"""Graph operators: integer-exact PageRank, components, triangles."""
+
+from itertools import combinations
 
 import pytest
 from pyspark.sql import functions as F
 
-from oaxaca_blinder_rs_spark.operators.graph import SCALE, pagerank
+from oaxaca_blinder_rs_spark.operators.graph import (
+    SCALE,
+    connected_components,
+    pagerank,
+    triangle_count,
+)
 
 
 def _reference_pagerank(edge_list, iters, d=85):
@@ -77,3 +84,51 @@ def test_pagerank_validates_args(spark):
         pagerank(edges, iters=-1)
     with pytest.raises(ValueError):
         pagerank(edges, damping_pct=101)
+
+
+def test_connected_components_string_nodes_and_diameter(spark):
+    """Two components (one a 6-hop chain, stressing multi-sweep propagation),
+    labels = lexicographic min reachable node."""
+    chain = [(f"n{i}", f"n{i+1}") for i in range(6)]  # n0..n6, min label n0
+    other = [("zz", "za"), ("za", "zm")]              # min label za
+    edges = spark.createDataFrame(chain + other, "src string, dst string")
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {**{f"n{i}": "n0" for i in range(7)},
+                   **{x: "za" for x in ("zz", "za", "zm")}}
+
+
+def _brute_triangles(pairs):
+    """Per-node triangle counts by triple enumeration."""
+    nodes = sorted({x for p in pairs for x in p})
+    es = {frozenset(p) for p in pairs}
+    cnt = {v: 0 for v in nodes}
+    for a, b, c in combinations(nodes, 3):
+        if {frozenset((a, b)), frozenset((b, c)), frozenset((a, c))} <= es:
+            cnt[a] += 1; cnt[b] += 1; cnt[c] += 1
+    deg = {v: sum(1 for e in es if v in e) for v in nodes}
+    return {v: (deg[v], cnt[v]) for v in nodes}
+
+
+def test_triangle_count_k4_plus_tail(spark):
+    """K4 (4 triangles, 3 per node) plus a tail node with none; input has
+    duplicate and reversed edges plus a self-loop, all of which must be
+    ignored."""
+    k4 = [(a, b) for a, b in combinations("ABCD", 2)]
+    raw = k4 + [("B", "A"), ("A", "B"), ("E", "E"), ("D", "E")]
+    edges = spark.createDataFrame(raw, "src string, dst string")
+    got = {r["node"]: (r["degree"], r["triangles"]) for r in triangle_count(edges).collect()}
+    assert got == _brute_triangles(k4 + [("D", "E")])
+
+
+def test_triangle_count_backward_closing_edge(spark):
+    """A triangle whose closing edge is oriented AGAINST raw-id order:
+    in {B, C, Z} the pivot is Z (degree 2 < others), and the closing edge
+    B--C is oriented C -> B because deg(C) < deg(B) despite B < C. A
+    wedge join that orders endpoints by raw id instead of (degree, id)
+    drops this triangle; the brute-force reference keeps it honest."""
+    pairs = [("B", "C"), ("B", "Z"), ("C", "Z"),
+             ("B", "p"), ("B", "q"), ("B", "r"), ("C", "s"), ("C", "t")]
+    edges = spark.createDataFrame(pairs, "src string, dst string")
+    got = {r["node"]: (r["degree"], r["triangles"]) for r in triangle_count(edges).collect()}
+    assert got == _brute_triangles(pairs)
+    assert got["Z"] == (2, 1)

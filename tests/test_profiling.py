@@ -73,3 +73,53 @@ def test_histogram_quantiles_error_bound_and_merge(spark):
     assert h == {b: h1[b] + h2[b] for b in h}
     with pytest.raises(ValueError):
         histogram_quantiles(df, "x", [0.0])
+
+
+def test_drift_report_hand_case(spark):
+    """Categorical PSI against a hand computation, including a bucket absent
+    from one side (eps-clamped share) and a null bucket."""
+    import math
+
+    from oaxaca_blinder_rs_spark.operators.profiling import drift_report
+
+    a = spark.createDataFrame(
+        [("x",)] * 6 + [("y",)] * 3 + [(None,)], "c string"
+    )
+    b = spark.createDataFrame([("x",)] * 5 + [("z",)] * 5, "c string")
+    got = {r.bucket: r for r in drift_report(a, b, cat_cols=["c"]).collect()}
+    assert set(got) == {"x", "y", "z", "(null)"}
+    assert (got["x"].n_a, got["x"].n_b) == (6, 5)
+    # hand PSI for x: (0.6 - 0.5) * ln(0.6/0.5)
+    assert got["x"].psi == round(0.1 * math.log(0.6 / 0.5), 6)
+    # y absent from b: share_b clamps to 1e-6
+    assert got["y"].psi == round((0.3 - 1e-6) * math.log(0.3 / 1e-6), 6)
+    assert got["(null)"].n_a == 1 and got["(null)"].n_b == 0
+
+
+def test_drift_report_numeric_bins_shared_edges(spark):
+    """Numeric dims bin over the GLOBAL [min,max] of both snapshots: a value
+    present only in b stretches the range a's buckets use; identical
+    distributions give psi == 0 for every bucket."""
+    from oaxaca_blinder_rs_spark.operators.profiling import drift_report
+
+    a = spark.createDataFrame([(float(i),) for i in range(10)], "x double")
+    rows = drift_report(a, a, num_cols=["x"], bins=5).collect()
+    assert all(r.psi == 0.0 and r.n_a == r.n_b for r in rows)
+    assert {r.bucket for r in rows} == {"0", "1", "2", "3", "4"}
+    b = spark.createDataFrame([(float(i),) for i in range(20)], "x double")
+    got = {r.bucket: r for r in drift_report(a, b, num_cols=["x"], bins=2).collect()}
+    # global range [0, 19]; all of a lands in bin 0, b splits roughly in half
+    assert got["0"].n_a == 10 and got["1"].n_a == 0
+    assert got["0"].n_b == 10 and got["1"].n_b == 10
+
+
+def test_drift_report_validates(spark):
+    import pytest as _pytest
+
+    from oaxaca_blinder_rs_spark.operators.profiling import drift_report
+
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with _pytest.raises(ValueError):
+        drift_report(df, df)
+    with _pytest.raises(ValueError):
+        drift_report(df, df, num_cols=["x"], bins=0)
