@@ -365,3 +365,38 @@ def test_scd2_build_single_exchange(spark, sf_dir):
     # count the "(n) Exchange" detail headers
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
     assert "CartesianProduct" not in plan
+
+
+def test_triangle_count_keyed_joins_only(spark, sf_dir):
+    """triangle_count is the degree-orientation wedge join: every join in
+    the plan must be an equi-join (wedge pivot, closing-edge key) — no
+    cartesian, no nested loop — or the operator cannot survive a dense
+    100 TB co-purchase graph."""
+    from oaxaca_blinder_rs_spark.operators.graph import triangle_count
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    edges = ev.select(
+        F.col("user_id").alias("src"), F.xxhash64("event_type").alias("dst")
+    )
+    plan = _plan(triangle_count(edges))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+
+
+def test_drift_report_single_agg_no_window(spark, sf_dir):
+    """drift_report is ONE long-form aggregation over (dim, bucket, snap)
+    with partial (map-side) aggregation, plus a broadcast of per-dim
+    totals: no window operator, no sort, no nested loop. The two snapshot
+    scans are the only row-count-sized work."""
+    from oaxaca_blinder_rs_spark.operators.profiling import drift_report
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = ev.filter(F.col("ts") < "2024-01-16")
+    b = ev.filter(F.col("ts") >= "2024-01-16")
+    plan = _plan(drift_report(a, b, cat_cols=["event_type"], num_cols=["value"]))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # partial aggregation must appear before the exchange (map-side combine)
+    assert "partial_" in plan.lower() or "HashAggregate" in plan
