@@ -15,6 +15,8 @@ __all__ = [
     "profile_columns",
     "histogram_quantiles",
     "drift_report",
+    "drift_bucket_counts",
+    "psi_from_counts",
 ]
 
 
@@ -178,6 +180,152 @@ def histogram_quantiles(
     )
 
 
+def _drift_long_form(
+    df: DataFrame,
+    cat_cols: list[str],
+    num_cols: list[str],
+    bins: int,
+    edges: dict[str, tuple[float, float]],
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Shared (dim, bucket) projection behind every drift face: categorical
+    columns bucket by value (nulls -> "(null)"); numeric columns by `bins`
+    equi-width bins over `edges[col]` with the closed-right-edge
+    convention, out-of-range and null values dropped. `extra_cols` pass
+    through untouched (the streaming face keeps its event-time column).
+    One map-side projection per dim, unioned — no shuffle here."""
+    parts = []
+    passthrough = [F.col(c) for c in extra_cols]
+    for c in cat_cols:
+        parts.append(
+            df.select(
+                F.lit(c).alias("dim"),
+                F.coalesce(F.col(c).cast("string"), F.lit("(null)")).alias("bucket"),
+                *passthrough,
+            )
+        )
+    for c in num_cols:
+        lo, hi = edges[c]
+        width = (hi - lo) / bins
+        col = F.col(c).cast("double")
+        bin_expr = F.least(
+            F.floor((col - F.lit(lo)) / F.lit(width)).cast("long"),
+            F.lit(bins - 1),
+        )
+        parts.append(
+            df.filter(col.isNotNull() & (col >= lo) & (col <= hi)).select(
+                F.lit(c).alias("dim"),
+                bin_expr.cast("string").alias("bucket"),
+                *passthrough,
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _drift_edges(
+    num_cols: list[str],
+    bounds: dict[str, tuple[float, float]] | None,
+    frames: list[DataFrame],
+) -> dict[str, tuple[float, float]]:
+    """Resolve per-column bin bounds: explicit `bounds` win (the fixed
+    a-priori range a stream requires and a stable serving contract wants);
+    otherwise the global [min, max] across all `frames` (one tiny
+    pre-aggregate each), so bucket edges are identical on every side by
+    construction."""
+    edges: dict[str, tuple[float, float]] = {}
+    for c in num_cols:
+        if bounds and c in bounds:
+            lo, hi = float(bounds[c][0]), float(bounds[c][1])
+        else:
+            col = F.col(c).cast("double")
+            los, his = [], []
+            for df in frames:
+                l, h = df.agg(F.min(col), F.max(col)).collect()[0]
+                los.append(l)
+                his.append(h)
+            lo, hi = float(min(los)), float(max(his))
+        if not hi > lo:
+            raise ValueError(f"need hi > lo for {c}, got [{lo}, {hi}]")
+        edges[c] = (lo, hi)
+    return edges
+
+
+def drift_bucket_counts(
+    df: DataFrame,
+    cat_cols: list[str] | None = None,
+    num_cols: list[str] | None = None,
+    bins: int = 10,
+    bounds: dict[str, tuple[float, float]] | None = None,
+) -> DataFrame:
+    """One snapshot's (dim, bucket, n) count table — the mergeable half of
+    the PSI computation: counts merge by per-(dim, bucket) SUM across
+    shards, days or streaming windows, so a reference distribution is
+    computed once and compared against any number of serving windows via
+    psi_from_counts. Numeric dims need `bounds` (or they default to this
+    one snapshot's [min, max], which only matches another snapshot's
+    buckets if you pass the same bounds there)."""
+    cat_cols = cat_cols or []
+    num_cols = num_cols or []
+    if not cat_cols and not num_cols:
+        raise ValueError("need at least one of cat_cols / num_cols")
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    edges = _drift_edges(num_cols, bounds, [df])
+    return (
+        _drift_long_form(df, cat_cols, num_cols, bins, edges)
+        .groupBy("dim", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def psi_from_counts(
+    ref_counts: DataFrame,
+    live_counts: DataFrame,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """PSI report from two (dim, bucket, n) count tables (reference = the
+    'a' side, live = 'b'): full-outer join on (dim, bucket) with zero
+    fill, per-dim totals broadcast back, shares clamped at `eps` before
+    the log. Output schema matches drift_report exactly, so batch and
+    streaming drift pipelines share one downstream contract. Both inputs
+    are bins x dims-sized tables — this step is O(buckets), not O(rows)."""
+    ref = ref_counts.select("dim", "bucket", F.col("n").cast("long").alias("n_a"))
+    live = live_counts.select("dim", "bucket", F.col("n").cast("long").alias("n_b"))
+    counts = (
+        ref.join(live, ["dim", "bucket"], "full_outer")
+        .select(
+            "dim",
+            "bucket",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        )
+    )
+    return _psi_finish(counts, eps)
+
+
+def _psi_finish(counts: DataFrame, eps: float) -> DataFrame:
+    """Totals + clamped-share PSI over a (dim, bucket, n_a, n_b) table —
+    the single arithmetic tail every drift face ends in (the DuckDB
+    oracle replays exactly these expressions)."""
+    totals = counts.groupBy("dim").agg(
+        F.sum("n_a").alias("__ta"), F.sum("n_b").alias("__tb")
+    )
+    sa = F.greatest(F.col("n_a") / F.col("__ta"), F.lit(float(eps)))
+    sb = F.greatest(F.col("n_b") / F.col("__tb"), F.lit(float(eps)))
+    return counts.join(F.broadcast(totals), "dim").select(
+        "dim",
+        "bucket",
+        "n_a",
+        "n_b",
+        F.round(F.col("n_a") / F.col("__ta"), 6).alias("share_a"),
+        F.round(F.col("n_b") / F.col("__tb"), 6).alias("share_b"),
+        F.round((sa - sb) * F.log(sa / sb), 6).alias("psi"),
+    )
+
+
 def drift_report(
     a: DataFrame,
     b: DataFrame,
@@ -185,6 +333,7 @@ def drift_report(
     num_cols: list[str] | None = None,
     bins: int = 10,
     eps: float = 1e-6,
+    bounds: dict[str, tuple[float, float]] | None = None,
 ) -> DataFrame:
     """Population Stability Index report between two snapshots of the same
     table (training corpus last week vs this week, reference vs serving
@@ -196,7 +345,9 @@ def drift_report(
     columns by `bins` equi-width bins over the GLOBAL [min, max] of BOTH
     snapshots (one tiny pre-aggregate; same closed-right-edge convention
     as equi_width_histogram), so bucket edges are identical on both sides
-    by construction. Shares are clamped at `eps` before the log so
+    by construction — or over explicit `bounds[col] = (lo, hi)` when a
+    pipeline pins the range up front (required to compare against
+    streaming_drift_cells, where no global min/max exists yet). Shares are clamped at `eps` before the log so
     empty-on-one-side buckets contribute a large finite term, the standard
     PSI convention. psi = (share_a - share_b) * ln(share_a / share_b).
 
@@ -212,65 +363,16 @@ def drift_report(
         raise ValueError("need at least one of cat_cols / num_cols")
     if bins < 1:
         raise ValueError("bins must be >= 1")
-    edges: dict[str, tuple[float, float]] = {}
-    for c in num_cols:
-        col = F.col(c).cast("double")
-        lo_a, hi_a = a.agg(F.min(col), F.max(col)).collect()[0]
-        lo_b, hi_b = b.agg(F.min(col), F.max(col)).collect()[0]
-        lo, hi = min(lo_a, lo_b), max(hi_a, hi_b)
-        if not hi > lo:
-            raise ValueError(f"need hi > lo for {c}, got [{lo}, {hi}]")
-        edges[c] = (float(lo), float(hi))
-
-    def long_form(df: DataFrame, snap: str) -> DataFrame:
-        parts = []
-        for c in cat_cols:
-            parts.append(
-                df.select(
-                    F.lit(c).alias("dim"),
-                    F.coalesce(F.col(c).cast("string"), F.lit("(null)")).alias("bucket"),
-                    F.lit(snap).alias("__snap"),
-                )
-            )
-        for c in num_cols:
-            lo, hi = edges[c]
-            width = (hi - lo) / bins
-            col = F.col(c).cast("double")
-            bin_expr = F.least(
-                F.floor((col - F.lit(lo)) / F.lit(width)).cast("long"),
-                F.lit(bins - 1),
-            )
-            parts.append(
-                df.filter(col.isNotNull() & (col >= lo) & (col <= hi)).select(
-                    F.lit(c).alias("dim"),
-                    bin_expr.cast("string").alias("bucket"),
-                    F.lit(snap).alias("__snap"),
-                )
-            )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
-
+    edges = _drift_edges(num_cols, bounds, [a, b])
+    tag = lambda df, s: _drift_long_form(  # noqa: E731
+        df, cat_cols, num_cols, bins, edges
+    ).withColumn("__snap", F.lit(s))
     counts = (
-        long_form(a, "a").unionByName(long_form(b, "b"))
+        tag(a, "a").unionByName(tag(b, "b"))
         .groupBy("dim", "bucket")
         .agg(
             F.sum((F.col("__snap") == "a").cast("long")).alias("n_a"),
             F.sum((F.col("__snap") == "b").cast("long")).alias("n_b"),
         )
     )
-    totals = counts.groupBy("dim").agg(
-        F.sum("n_a").alias("__ta"), F.sum("n_b").alias("__tb")
-    )
-    sa = F.greatest(F.col("n_a") / F.col("__ta"), F.lit(float(eps)))
-    sb = F.greatest(F.col("n_b") / F.col("__tb"), F.lit(float(eps)))
-    return counts.join(F.broadcast(totals), "dim").select(
-        "dim",
-        "bucket",
-        "n_a",
-        "n_b",
-        F.round(F.col("n_a") / F.col("__ta"), 6).alias("share_a"),
-        F.round(F.col("n_b") / F.col("__tb"), 6).alias("share_b"),
-        F.round((sa - sb) * F.log(sa / sb), 6).alias("psi"),
-    )
+    return _psi_finish(counts, eps)

@@ -23,6 +23,7 @@ __all__ = [
     "streaming_hll_registers",
     "streaming_cms_cells",
     "streaming_histogram_cells",
+    "streaming_drift_cells",
     "streaming_group_stats",
     "sessionize",
     "streaming_decomposition_stats",
@@ -514,6 +515,62 @@ def streaming_histogram_cells(
             F.col("wnd.start").alias("window_start"),
             F.col("wnd.end").alias("window_end"),
             "bin",
+            "n",
+        )
+    )
+
+
+def streaming_drift_cells(
+    events: DataFrame,
+    cat_cols: list[str] | None = None,
+    num_cols: list[str] | None = None,
+    bins: int = 10,
+    bounds: dict[str, tuple[float, float]] | None = None,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming drift monitor feed: per tumbling window, the
+    (dim, bucket, n) count table over the SAME bucketing as the batch
+    drift operators (operators/profiling._drift_long_form — categorical by
+    value with "(null)", numeric by equi-width bins over fixed `bounds`).
+    Numeric dims REQUIRE explicit bounds: a stream has no global min/max
+    yet, the same reason streaming_histogram_cells takes fixed [lo, hi].
+
+    Downstream, each window's cells (or any SUM-merge of windows) feed
+    profiling.psi_from_counts against a reference snapshot's
+    drift_bucket_counts — continuous PSI against the training
+    distribution without rescanning the reference. State is bounded at
+    dims x buckets rows per open window; the watermark expires closed
+    windows.
+    """
+    from ..operators.profiling import _drift_edges, _drift_long_form
+
+    cat_cols = cat_cols or []
+    num_cols = num_cols or []
+    if not cat_cols and not num_cols:
+        raise ValueError("need at least one of cat_cols / num_cols")
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    if num_cols and not (bounds and all(c in bounds for c in num_cols)):
+        raise ValueError("streaming numeric dims require explicit bounds")
+    edges = _drift_edges(num_cols, bounds, [])
+    long = _drift_long_form(
+        _event_time(events, ts_col).withWatermark(ts_col, watermark),
+        cat_cols,
+        num_cols,
+        bins,
+        edges,
+        extra_cols=(ts_col,),
+    )
+    return (
+        long.groupBy(F.window(ts_col, window_duration).alias("wnd"), "dim", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("wnd.start").alias("window_start"),
+            F.col("wnd.end").alias("window_end"),
+            "dim",
+            "bucket",
             "n",
         )
     )

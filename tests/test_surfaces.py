@@ -782,3 +782,72 @@ def test_streaming_histogram_cells_matches_batch(spark, sf_dir, tmp_path):
                  F.col("n") > 0
              ).collect()}
     assert merged == batch
+
+
+def test_streaming_drift_cells_matches_batch_psi(spark, sf_dir, tmp_path):
+    """Streaming drift (r7): per-window (dim, bucket) cells merged across
+    windows by SUM, fed through psi_from_counts against the reference
+    snapshot's drift_bucket_counts, must equal the batch drift_report of
+    the same split over the same fixed bounds — the continuous-PSI
+    pipeline, end-to-end through a real availableNow query."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from oaxaca_blinder_rs_spark.operators.profiling import (
+        drift_bucket_counts,
+        drift_report,
+        psi_from_counts,
+    )
+
+    static = ob.load_table(spark, sf_dir, "events")
+    cut = "2024-01-16"
+    ref = static.filter(F.col("ts") < cut)
+    live = static.filter(F.col("ts") >= cut)
+    lo, hi = static.agg(F.min("value"), F.max("value")).collect()[0]
+    bounds = {"value": (float(lo), float(hi))}
+
+    src = str(tmp_path / "events_drift")
+    live.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(live.schema).format("parquet").load(src)
+    cells = streaming_events.streaming_drift_cells(
+        stream, cat_cols=["event_type"], num_cols=["value"],
+        bins=10, bounds=bounds, watermark="0 seconds",
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            cells.writeStream.format("memory")
+            .queryName("drift_cells")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    live_counts = spark.sql(
+        "SELECT dim, bucket, SUM(n) AS n FROM drift_cells GROUP BY 1, 2"
+    )
+    ref_counts = drift_bucket_counts(
+        ref, cat_cols=["event_type"], num_cols=["value"], bins=10, bounds=bounds
+    )
+    got = {
+        (r.dim, r.bucket): (r.n_a, r.n_b, r.share_a, r.share_b, r.psi)
+        for r in psi_from_counts(ref_counts, live_counts).collect()
+    }
+    want = {
+        (r.dim, r.bucket): (r.n_a, r.n_b, r.share_a, r.share_b, r.psi)
+        for r in drift_report(
+            ref, live, cat_cols=["event_type"], num_cols=["value"],
+            bins=10, bounds=bounds,
+        ).collect()
+    }
+    assert got == want
+
+
+def test_streaming_drift_cells_requires_bounds(spark, sf_dir):
+    import pytest as _pytest
+
+    static = ob.load_table(spark, sf_dir, "events")
+    stream_like = static  # validation happens before any streaming API call
+    with _pytest.raises(ValueError):
+        streaming_events.streaming_drift_cells(stream_like, num_cols=["value"])
