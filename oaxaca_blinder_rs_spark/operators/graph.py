@@ -60,9 +60,10 @@ def pagerank(
     iteration shuffles contributions on dst only; the dangling mass D is a
     single scalar aggregate per iteration (k-sized driver pull, the same
     contract as the budget optimizer's threshold scan). Node ranks are
-    persisted per iteration, so the plan depth stays O(1) per iteration
-    rather than O(iters) — and skewed in-degree (a celebrity node) only
-    concentrates ONE reduce key, which AQE skew splitting handles.
+    localCheckpoint-ed per iteration, so the plan depth stays O(1) per
+    iteration rather than O(iters) — and skewed in-degree (a celebrity
+    node) only concentrates ONE reduce key, which AQE skew splitting
+    handles.
     """
     if iters < 0:
         raise ValueError("iters must be >= 0")
@@ -76,19 +77,26 @@ def pagerank(
         e.select(F.col("__src").alias("node"))
         .unionByName(e.select(F.col("__dst").alias("node")))
         .distinct()
-    ).persist()
+    ).localCheckpoint()
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank_int", F.lit(0).cast("long"))
     out_w = e.groupBy(F.col("__src").alias("node")).agg(
         F.sum("__w").alias("__out")
-    ).persist()
+    ).localCheckpoint()
     d = int(damping_pct)
     teleport = (100 - d) * SCALE // (100 * n)
     ranks = nodes.withColumn("rank_int", F.lit(SCALE // n).cast("long"))
-    contrib_e = e.join(out_w.withColumnRenamed("node", "__src"), "__src")
+    # The weighted out-edge table is iteration-invariant: checkpoint it ONCE
+    # so each iteration re-reads the materialized (src, dst, w, out) rows
+    # instead of re-scanning + re-joining the raw edge list `iters` times.
+    # localCheckpoint (not persist) is deliberate throughout: it truncates
+    # lineage so plan depth stays O(1) per iteration, and superseded rank
+    # tables are GC'd when the loop drops its reference — no `iters`-fold
+    # storage leak of node-count-sized tables.
+    contrib_e = e.join(out_w.withColumnRenamed("node", "__src"), "__src").localCheckpoint()
     for _ in range(int(iters)):
-        ranks = ranks.persist()
+        ranks = ranks.localCheckpoint()
         dangling = (
             ranks.join(out_w, "node", "left_anti")
             .agg(F.coalesce(F.sum("rank_int"), F.lit(0)).cast("long"))
