@@ -94,7 +94,10 @@ def pagerank(
     # lineage so plan depth stays O(1) per iteration, and superseded rank
     # tables are GC'd when the loop drops its reference — no `iters`-fold
     # storage leak of node-count-sized tables.
-    contrib_e = e.join(out_w.withColumnRenamed("node", "__src"), "__src").localCheckpoint()
+    if int(iters) > 0:
+        contrib_e = e.join(
+            out_w.withColumnRenamed("node", "__src"), "__src"
+        ).localCheckpoint()
     for _ in range(int(iters)):
         ranks = ranks.localCheckpoint()
         dangling = (
