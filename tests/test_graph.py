@@ -132,3 +132,53 @@ def test_triangle_count_backward_closing_edge(spark):
     got = {r["node"]: (r["degree"], r["triangles"]) for r in triangle_count(edges).collect()}
     assert got == _brute_triangles(pairs)
     assert got["Z"] == (2, 1)
+
+
+def test_graph_ops_random_parity(spark):
+    """Seeded random graphs vs pure-Python references: union-find for
+    components, triple enumeration for triangles. Catches anything the
+    crafted cases miss (degree ties, isolated-ish nodes, dense pockets)."""
+    import random
+
+    rng = random.Random(42)
+    for trial in range(4):
+        n = rng.randint(8, 24)
+        m = rng.randint(n // 2, 3 * n)
+        pairs = sorted(
+            {
+                tuple(sorted((f"v{rng.randrange(n)}", f"v{rng.randrange(n)}")))
+                for _ in range(m)
+            }
+        )
+        pairs = [(u, v) for u, v in pairs if u != v]
+        if not pairs:
+            continue
+        edges = spark.createDataFrame(pairs, "src string, dst string")
+
+        got_t = {
+            r["node"]: (r["degree"], r["triangles"])
+            for r in triangle_count(edges).collect()
+        }
+        assert got_t == _brute_triangles(pairs), f"triangles trial {trial}"
+
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in pairs:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[ru] = rv
+        comp = {}
+        for x in parent:
+            comp.setdefault(find(x), []).append(x)
+        want_c = {x: min(members) for members in comp.values() for x in members}
+        got_c = {
+            r["node"]: r["component"] for r in connected_components(edges).collect()
+        }
+        assert got_c == want_c, f"components trial {trial}"
