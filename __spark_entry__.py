@@ -969,6 +969,29 @@ def q_events_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_drift_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension drift summary (profiling.drift_metrics) over the same
+    split/buckets as events_drift: PSI (clamped), Jensen-Shannon
+    divergence (nats, 0*ln0=0 convention) and — for the ordered numeric
+    dim only — the KS statistic max|CDF_a - CDF_b|. All O(buckets)
+    arithmetic from the two mergeable count tables."""
+    from oaxaca_blinder_rs_spark.operators.profiling import (
+        drift_bucket_counts,
+        drift_metrics,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    cut = "2024-01-16"
+    lo, hi = ev.agg(F.min("value"), F.max("value")).collect()[0]
+    bounds = {"value": (float(lo), float(hi))}
+    kw = dict(cat_cols=["event_type"], num_cols=["value"], bins=10, bounds=bounds)
+    return drift_metrics(
+        drift_bucket_counts(ev.filter(F.col("ts") < cut), **kw),
+        drift_bucket_counts(ev.filter(F.col("ts") >= cut), **kw),
+        ordered_dims=["value"],
+    )
+
+
 def q_scd2_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 dimension build (cdc.scd2_build): collapse the event feed
     into effective-dated intervals of constant event_type per user —
@@ -1858,7 +1881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top3": q_tfidf_top3,
         "akm_demeaned_check": q_akm_demeaned_check,
         "heckman_decomposition": q_heckman_decomposition,
-        # -- rows 50-52: declared LATE in r7 (after the window filled with
+        # -- rows 50-53: declared LATE in r7 (after the window filled with
         # this round's earlier new rows + the 42 r5-cadence rows). Each is
         # hash-verified locally at sf0.001/0.01/0.1 this session
         # (tools/check_oracle.py); they take the head of the r8 window for
@@ -1867,6 +1890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components_geo": q_connected_components_geo,
         "part_triangles": q_part_triangles,
         "events_drift": q_events_drift,
+        "events_drift_metrics": q_events_drift_metrics,
         # -- remaining rows past the window: four companion/diagnostic rows
         # exceeding the 2x50 two-round cadence. The four exceptions are all
         # companion/diagnostic rows whose PRIMARY rows are fully hash-matched
@@ -3895,6 +3919,56 @@ def oracle_sql() -> dict[str, str]:
                          * LN(GREATEST(CAST(c.n_a AS DOUBLE) / t.ta, 1e-6)
                               / GREATEST(CAST(c.n_b AS DOUBLE) / t.tb, 1e-6)), 6) AS psi
             FROM counts c JOIN tot t USING (dim)
+        """,
+        # drift_metrics twin: same counts construction, then per-dim PSI
+        # (clamped), JSD (0*ln0=0, midpoint mixture) and KS (cumulative
+        # share gap over integer bucket order; NULL for the categorical
+        # dim — TRY_CAST mirrors Spark's null-on-bad-cast).
+        "events_drift_metrics": """
+            WITH bounds AS MATERIALIZED (
+              SELECT CAST(MIN(value) AS DOUBLE) AS lo, CAST(MAX(value) AS DOUBLE) AS hi
+              FROM events WHERE value IS NOT NULL
+            ), longf AS MATERIALIZED (
+              SELECT 'event_type' AS dim,
+                     COALESCE(CAST(event_type AS VARCHAR), '(null)') AS bucket,
+                     CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'a' ELSE 'b' END AS snap
+              FROM events
+              UNION ALL
+              SELECT 'value',
+                     CAST(CAST(LEAST(FLOOR((CAST(value AS DOUBLE) - b.lo) / ((b.hi - b.lo) / 10)), 9) AS BIGINT) AS VARCHAR),
+                     CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'a' ELSE 'b' END
+              FROM events, bounds b
+              WHERE value IS NOT NULL AND value >= b.lo AND value <= b.hi
+            ), counts AS MATERIALIZED (
+              SELECT dim, bucket,
+                     CAST(SUM(CASE WHEN snap = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                     CAST(SUM(CASE WHEN snap = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+              FROM longf GROUP BY 1, 2
+            ), tot AS MATERIALIZED (
+              SELECT dim, CAST(SUM(n_a) AS BIGINT) AS ta, CAST(SUM(n_b) AS BIGINT) AS tb
+              FROM counts GROUP BY 1
+            ), shares AS MATERIALIZED (
+              SELECT c.dim, c.bucket,
+                     CAST(c.n_a AS DOUBLE) / t.ta AS sa,
+                     CAST(c.n_b AS DOUBLE) / t.tb AS sb
+              FROM counts c JOIN tot t USING (dim)
+            ), terms AS MATERIALIZED (
+              SELECT dim,
+                     (GREATEST(sa, 1e-6) - GREATEST(sb, 1e-6))
+                       * LN(GREATEST(sa, 1e-6) / GREATEST(sb, 1e-6)) AS psi_t,
+                     (CASE WHEN sa > 0 THEN sa * LN(sa / ((sa + sb) / 2)) ELSE 0 END) / 2
+                     + (CASE WHEN sb > 0 THEN sb * LN(sb / ((sa + sb) / 2)) ELSE 0 END) / 2 AS jsd_t,
+                     CASE WHEN dim = 'value' THEN ABS(
+                       SUM(sa) OVER (PARTITION BY dim ORDER BY TRY_CAST(bucket AS BIGINT))
+                       - SUM(sb) OVER (PARTITION BY dim ORDER BY TRY_CAST(bucket AS BIGINT))
+                     ) END AS ks_t
+              FROM shares
+            )
+            SELECT dim,
+                   ROUND(SUM(psi_t), 6) AS psi,
+                   ROUND(SUM(jsd_t), 6) AS jsd,
+                   ROUND(MAX(ks_t), 6) AS ks
+            FROM terms GROUP BY dim
         """,
         "scd2_user_segments": """
             WITH ordered AS (

@@ -17,6 +17,7 @@ __all__ = [
     "drift_report",
     "drift_bucket_counts",
     "psi_from_counts",
+    "drift_metrics",
 ]
 
 
@@ -292,18 +293,80 @@ def psi_from_counts(
     the log. Output schema matches drift_report exactly, so batch and
     streaming drift pipelines share one downstream contract. Both inputs
     are bins x dims-sized tables — this step is O(buckets), not O(rows)."""
+    return _psi_finish(_aligned_counts(ref_counts, live_counts), eps)
+
+
+def _aligned_counts(ref_counts: DataFrame, live_counts: DataFrame) -> DataFrame:
+    """Full-outer align two (dim, bucket, n) tables into
+    (dim, bucket, n_a, n_b) with zero fill — O(buckets) work."""
     ref = ref_counts.select("dim", "bucket", F.col("n").cast("long").alias("n_a"))
     live = live_counts.select("dim", "bucket", F.col("n").cast("long").alias("n_b"))
-    counts = (
-        ref.join(live, ["dim", "bucket"], "full_outer")
-        .select(
-            "dim",
-            "bucket",
-            F.coalesce("n_a", F.lit(0)).alias("n_a"),
-            F.coalesce("n_b", F.lit(0)).alias("n_b"),
-        )
+    return ref.join(live, ["dim", "bucket"], "full_outer").select(
+        "dim",
+        "bucket",
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
     )
-    return _psi_finish(counts, eps)
+
+
+def drift_metrics(
+    ref_counts: DataFrame,
+    live_counts: DataFrame,
+    ordered_dims: list[str] | None = None,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Per-dimension drift summary from two (dim, bucket, n) count tables:
+    (dim, psi, jsd, ks) — the three standard drift statistics from ONE
+    bucket alignment.
+
+    - psi: sum of the eps-clamped per-bucket PSI terms (psi_from_counts
+      semantics, collapsed per dim).
+    - jsd: Jensen-Shannon divergence in nats, 0.5*KL(a||m) + 0.5*KL(b||m)
+      with m the midpoint mixture; zero-share buckets contribute 0 by the
+      0*ln(0)=0 convention (no clamp needed — m > 0 wherever a bucket
+      exists). Bounded by ln(2), symmetric, the better-behaved cousin of
+      PSI when many buckets are empty on one side.
+    - ks: Kolmogorov-Smirnov statistic max |CDF_a - CDF_b|, defined only
+      for dims in `ordered_dims` (numeric dims whose buckets are bin
+      indexes; buckets order by their integer value) — NULL otherwise.
+
+    Everything is O(buckets): the KS window partitions by dim over a
+    bins-sized table, never over rows.
+    """
+    ordered = list(ordered_dims or [])
+    counts = _aligned_counts(ref_counts, live_counts)
+    totals = counts.groupBy("dim").agg(
+        F.sum("n_a").alias("__ta"), F.sum("n_b").alias("__tb")
+    )
+    t = counts.join(F.broadcast(totals), "dim").select(
+        "dim",
+        "bucket",
+        (F.col("n_a") / F.col("__ta")).alias("sa"),
+        (F.col("n_b") / F.col("__tb")).alias("sb"),
+    )
+    ca = F.greatest(F.col("sa"), F.lit(float(eps)))
+    cb = F.greatest(F.col("sb"), F.lit(float(eps)))
+    m = (F.col("sa") + F.col("sb")) / 2
+    kl = lambda s: F.when(  # noqa: E731
+        F.col(s) > 0, F.col(s) * F.log(F.col(s) / m)
+    ).otherwise(F.lit(0.0))
+    # try_cast, not cast: categorical buckets share the window expression
+    # and ANSI mode would throw on them (their KS is NULL-gated anyway)
+    w = Window.partitionBy("dim").orderBy(F.col("bucket").try_cast("long"))
+    t = t.select(
+        "dim",
+        ((ca - cb) * F.log(ca / cb)).alias("__psi"),
+        (kl("sa") / 2 + kl("sb") / 2).alias("__jsd"),
+        F.when(
+            F.col("dim").isin(ordered) if ordered else F.lit(False),
+            F.abs(F.sum("sa").over(w) - F.sum("sb").over(w)),
+        ).alias("__ks"),
+    )
+    return t.groupBy("dim").agg(
+        F.round(F.sum("__psi"), 6).alias("psi"),
+        F.round(F.sum("__jsd"), 6).alias("jsd"),
+        F.round(F.max("__ks"), 6).alias("ks"),
+    )
 
 
 def _psi_finish(counts: DataFrame, eps: float) -> DataFrame:

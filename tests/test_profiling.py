@@ -123,3 +123,54 @@ def test_drift_report_validates(spark):
         drift_report(df, df)
     with _pytest.raises(ValueError):
         drift_report(df, df, num_cols=["x"], bins=0)
+
+
+def test_drift_metrics_hand_case(spark):
+    """psi collapses the per-bucket terms of psi_from_counts; jsd and ks
+    match hand computations; ks is NULL for unordered (categorical) dims."""
+    import math
+
+    from oaxaca_blinder_rs_spark.operators.profiling import (
+        drift_bucket_counts,
+        drift_metrics,
+        psi_from_counts,
+    )
+
+    a = spark.createDataFrame([(float(i % 4),) for i in range(8)], "x double")
+    b = spark.createDataFrame([(float(i % 2),) for i in range(8)], "x double")
+    bounds = {"x": (0.0, 3.0)}
+    ca = drift_bucket_counts(a, num_cols=["x"], bins=3, bounds=bounds)
+    cb = drift_bucket_counts(b, num_cols=["x"], bins=3, bounds=bounds)
+    row = drift_metrics(ca, cb, ordered_dims=["x"]).collect()[0]
+    # shares: a = (1/4, 1/4, 1/2) over bins {0,1,2}; b = (1/2, 1/2, 0)
+    sa, sb = [0.25, 0.25, 0.5], [0.5, 0.5, 0.0]
+    psi = sum(
+        (max(x, 1e-6) - max(y, 1e-6)) * math.log(max(x, 1e-6) / max(y, 1e-6))
+        for x, y in zip(sa, sb)
+    )
+    jsd = sum(
+        (x * math.log(2 * x / (x + y)) if x else 0.0) / 2
+        + (y * math.log(2 * y / (x + y)) if y else 0.0) / 2
+        for x, y in zip(sa, sb)
+    )
+    ks = max(abs(sum(sa[: i + 1]) - sum(sb[: i + 1])) for i in range(3))
+    assert (row.psi, row.jsd, row.ks) == (round(psi, 6), round(jsd, 6), round(ks, 6))
+    # psi equals the collapsed psi_from_counts column up to per-bucket
+    # rounding (psi_from_counts rounds each term to 6dp before this sum)
+    psi_rows = psi_from_counts(ca, cb).collect()
+    assert abs(row.psi - sum(r.psi for r in psi_rows)) <= len(psi_rows) * 5e-7
+    # MIXED dims with ordered_dims set: the categorical buckets share the
+    # KS window's ordering cast (ANSI mode throws on a plain cast — the
+    # try_cast regression), ks NULL for the cat dim, defined for numeric
+    c = spark.createDataFrame([("u", 1.0), ("v", 2.0)], "c string, x double")
+    kw = dict(cat_cols=["c"], num_cols=["x"], bins=2, bounds={"x": (0.0, 2.0)})
+    r2 = {
+        r.dim: r
+        for r in drift_metrics(
+            drift_bucket_counts(c, **kw),
+            drift_bucket_counts(c, **kw),
+            ordered_dims=["x"],
+        ).collect()
+    }
+    assert r2["c"].ks is None and r2["c"].psi == 0.0 and r2["c"].jsd == 0.0
+    assert r2["x"].ks == 0.0 and r2["x"].psi == 0.0
