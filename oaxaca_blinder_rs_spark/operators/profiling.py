@@ -194,15 +194,19 @@ def _drift_long_form(
     equi-width bins over `edges[col]` with the closed-right-edge
     convention, out-of-range and null values dropped. `extra_cols` pass
     through untouched (the streaming face keeps its event-time column).
-    One map-side projection per dim, unioned — no shuffle here."""
-    parts = []
-    passthrough = [F.col(c) for c in extra_cols]
+
+    ONE scan: every dim's (dim, bucket) struct is built in a single
+    projection — numeric entries null out when the value is null or out
+    of range and are filtered from the array — then exploded. A
+    union-of-projections shape would scan the input once PER DIM; at
+    100 TB the scan dominates, so the generate form is the right one
+    (still pure codegen, no shuffle)."""
+    entries = []
     for c in cat_cols:
-        parts.append(
-            df.select(
+        entries.append(
+            F.struct(
                 F.lit(c).alias("dim"),
                 F.coalesce(F.col(c).cast("string"), F.lit("(null)")).alias("bucket"),
-                *passthrough,
             )
         )
     for c in num_cols:
@@ -213,17 +217,18 @@ def _drift_long_form(
             F.floor((col - F.lit(lo)) / F.lit(width)).cast("long"),
             F.lit(bins - 1),
         )
-        parts.append(
-            df.filter(col.isNotNull() & (col >= lo) & (col <= hi)).select(
-                F.lit(c).alias("dim"),
-                bin_expr.cast("string").alias("bucket"),
-                *passthrough,
+        entries.append(
+            F.when(
+                col.isNotNull() & (col >= lo) & (col <= hi),
+                F.struct(F.lit(c).alias("dim"), bin_expr.cast("string").alias("bucket")),
             )
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    arr = F.filter(F.array(*entries), lambda x: x.isNotNull())
+    return df.select(F.explode(arr).alias("__e"), *[F.col(c) for c in extra_cols]).select(
+        F.col("__e.dim").alias("dim"),
+        F.col("__e.bucket").alias("bucket"),
+        *[F.col(c) for c in extra_cols],
+    )
 
 
 def _drift_edges(

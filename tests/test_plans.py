@@ -400,3 +400,18 @@ def test_drift_report_single_agg_no_window(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     # partial aggregation must appear before the exchange (map-side combine)
     assert "partial_" in plan.lower() or "HashAggregate" in plan
+    # ONE scan per snapshot in the long-form subtree: every dim's bucket
+    # struct is built in a single generate projection (a union-of-
+    # projections shape would scan once PER DIM), and the totals branch
+    # must reuse the counts exchange at runtime rather than re-executing
+    # the scans — AQE stage reuse, visible only in the executed plan
+    df = drift_report(a, b, cat_cols=["event_type"], num_cols=["value"])
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed
+    # 4 scan nodes = 2 counts subtrees x 2 snapshots (the one remaining
+    # Union is the a/b snapshot union); a union-of-projections long form
+    # would add one scan PER DIM and double this
+    import re
+
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 4
