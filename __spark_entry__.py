@@ -992,6 +992,28 @@ def q_events_drift_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lineitem_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint suite (quality.check_constraints) on
+    lineitem: null checks, value range, accepted set, SQL predicate,
+    compound-key uniqueness and referential integrity against orders —
+    exact integer violation counts per rule (row rules share ONE
+    aggregation pass; unique is one keyed shuffle; the FK check is one
+    anti-join against the deduplicated key set)."""
+    from oaxaca_blinder_rs_spark.operators.quality import check_constraints
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    rules = [
+        {"type": "not_null", "col": "l_orderkey"},
+        {"type": "range", "col": "l_discount", "lo": 0.0, "hi": 0.05},
+        {"type": "in_set", "col": "l_returnflag", "values": ["A", "N"]},
+        {"type": "predicate", "expr": "l_quantity >= 1"},
+        {"type": "unique", "cols": ["l_orderkey", "l_linenumber"]},
+        {"type": "foreign_key", "col": "l_orderkey", "ref": o, "ref_col": "o_orderkey"},
+    ]
+    return check_constraints(li, rules)
+
+
 def q_scd2_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 dimension build (cdc.scd2_build): collapse the event feed
     into effective-dated intervals of constant event_type per user —
@@ -1881,7 +1903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top3": q_tfidf_top3,
         "akm_demeaned_check": q_akm_demeaned_check,
         "heckman_decomposition": q_heckman_decomposition,
-        # -- rows 50-53: declared LATE in r7 (after the window filled with
+        # -- rows 50-54: declared LATE in r7 (after the window filled with
         # this round's earlier new rows + the 42 r5-cadence rows). Each is
         # hash-verified locally at sf0.001/0.01/0.1 this session
         # (tools/check_oracle.py); they take the head of the r8 window for
@@ -1891,6 +1913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_triangles": q_part_triangles,
         "events_drift": q_events_drift,
         "events_drift_metrics": q_events_drift_metrics,
+        "lineitem_constraints": q_lineitem_constraints,
         # -- remaining rows past the window: four companion/diagnostic rows
         # exceeding the 2x50 two-round cadence. The four exceptions are all
         # companion/diagnostic rows whose PRIMARY rows are fully hash-matched
@@ -3969,6 +3992,56 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(jsd_t), 6) AS jsd,
                    ROUND(MAX(ks_t), 6) AS ks
             FROM terms GROUP BY dim
+        """,
+        # check_constraints twin: one UNION ALL arm per rule with exact
+        # integer violation counts; null fails range/in_set/predicate
+        # (the strict gate reading); unique counts ROWS in duplicated
+        # keys; FK counts non-null orphans.
+        "lineitem_constraints": """
+            WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem)
+            SELECT 'not_null' AS constraint, 'l_orderkey' AS detail,
+                   CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+                   (SELECT n FROM nn) AS n,
+                   SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) = 0 AS ok
+            FROM lineitem
+            UNION ALL
+            SELECT 'range', 'l_discount in [0.0, 0.05]',
+                   CAST(SUM(CASE WHEN l_discount IS NOT NULL AND l_discount >= 0.0 AND l_discount <= 0.05 THEN 0 ELSE 1 END) AS BIGINT),
+                   (SELECT n FROM nn),
+                   SUM(CASE WHEN l_discount IS NOT NULL AND l_discount >= 0.0 AND l_discount <= 0.05 THEN 0 ELSE 1 END) = 0
+            FROM lineitem
+            UNION ALL
+            SELECT 'in_set', 'l_returnflag in {A,N}',
+                   CAST(SUM(CASE WHEN l_returnflag IN ('A', 'N') THEN 0 ELSE 1 END) AS BIGINT),
+                   (SELECT n FROM nn),
+                   SUM(CASE WHEN l_returnflag IN ('A', 'N') THEN 0 ELSE 1 END) = 0
+            FROM lineitem
+            UNION ALL
+            SELECT 'predicate', 'l_quantity >= 1',
+                   CAST(SUM(CASE WHEN l_quantity >= 1 THEN 0 ELSE 1 END) AS BIGINT),
+                   (SELECT n FROM nn),
+                   SUM(CASE WHEN l_quantity >= 1 THEN 0 ELSE 1 END) = 0
+            FROM lineitem
+            UNION ALL
+            SELECT 'unique', 'l_orderkey,l_linenumber',
+                   CAST(COALESCE((SELECT SUM(c) FROM (
+                     SELECT COUNT(*) AS c FROM lineitem
+                     GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1
+                   )), 0) AS BIGINT),
+                   (SELECT n FROM nn),
+                   COALESCE((SELECT SUM(c) FROM (
+                     SELECT COUNT(*) AS c FROM lineitem
+                     GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1
+                   )), 0) = 0
+            UNION ALL
+            SELECT 'foreign_key', 'l_orderkey -> o_orderkey',
+                   CAST((SELECT COUNT(*) FROM lineitem l
+                         WHERE l.l_orderkey IS NOT NULL
+                           AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT),
+                   (SELECT n FROM nn),
+                   (SELECT COUNT(*) FROM lineitem l
+                    WHERE l.l_orderkey IS NOT NULL
+                      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) = 0
         """,
         "scd2_user_segments": """
             WITH ordered AS (

@@ -1,0 +1,47 @@
+"""Constraint checking (operators/quality.py)."""
+
+import pytest
+
+from oaxaca_blinder_rs_spark.operators.quality import check_constraints
+
+
+def test_check_constraints_hand_case(spark):
+    """Every rule type against a frame with known violations, including the
+    strict null semantics: null fails range/in_set/predicate too."""
+    df = spark.createDataFrame(
+        [
+            (1, "a", 5.0, 10),
+            (2, "b", 50.0, 20),
+            (2, "c", None, 30),   # dup id; null value
+            (None, "d", -1.0, 99),  # null id; below range; orphan ref
+        ],
+        "id long, name string, value double, fk long",
+    )
+    ref = spark.createDataFrame([(10,), (20,), (30,)], "k long")
+    rules = [
+        {"type": "not_null", "col": "id"},
+        {"type": "range", "col": "value", "lo": 0.0, "hi": 100.0},
+        {"type": "in_set", "col": "name", "values": ["a", "b", "c"]},
+        {"type": "predicate", "expr": "value > 0"},
+        {"type": "unique", "cols": ["id"]},
+        {"type": "foreign_key", "col": "fk", "ref": ref, "ref_col": "k"},
+    ]
+    got = {r.constraint: r for r in check_constraints(df, rules).collect()}
+    assert got["not_null"].violations == 1
+    assert got["range"].violations == 2          # null + (-1.0)
+    assert got["in_set"].violations == 1         # "d"
+    assert got["predicate"].violations == 2      # null + (-1.0)
+    assert got["unique"].violations == 2         # both rows of the dup key
+    assert got["foreign_key"].violations == 1    # fk=99
+    assert all(r.n == 4 for r in got.values())
+    assert not any(r.ok for r in got.values())
+    clean = check_constraints(ref, [{"type": "unique", "cols": ["k"]}]).collect()[0]
+    assert clean.ok and clean.violations == 0
+
+
+def test_check_constraints_validates(spark):
+    df = spark.createDataFrame([(1,)], "x long")
+    with pytest.raises(ValueError):
+        check_constraints(df, [])
+    with pytest.raises(ValueError):
+        check_constraints(df, [{"type": "nope"}])
