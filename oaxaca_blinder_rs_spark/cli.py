@@ -67,6 +67,24 @@ def build_parser() -> argparse.ArgumentParser:
         "--pack-budget", type=int, default=0,
         help="tokens per training shard; 0 writes the keep-list only",
     )
+
+    # net-new surface: data-quality gate as a CLI verb
+    q = sub.add_parser(
+        "quality",
+        help="Check declarative data-quality constraints against a table",
+    )
+    q.add_argument("--input", required=True, help="Input table (parquet dir/file)")
+    q.add_argument(
+        "--rules", required=True,
+        help="JSON rules file: a list of rule objects as accepted by "
+        "operators.quality.check_constraints; foreign_key rules use "
+        '{"ref_path": "<parquet>", "ref_col": ...} instead of a DataFrame',
+    )
+    q.add_argument("--output-json", default=None, help="Write results as JSON")
+    q.add_argument(
+        "--fail-on-violation", action="store_true",
+        help="exit 1 if any constraint fails (the CI-gate mode)",
+    )
     return p
 
 
@@ -124,6 +142,31 @@ def _run_corpus(spark, args) -> int:
     return 0
 
 
+def _run_quality(spark, args) -> int:
+    """quality verb: table + JSON rules in -> one result line per rule on
+    stdout (and optionally a JSON file); --fail-on-violation makes it a
+    CI gate."""
+    from .operators.quality import check_constraints
+
+    df = spark.read.parquet(args.input)
+    with open(args.rules) as f:
+        rules = json.load(f)
+    for r in rules:
+        if r.get("type") == "foreign_key" and "ref_path" in r:
+            r["ref"] = spark.read.parquet(r.pop("ref_path"))
+    rows = [r.asDict() for r in check_constraints(df, rules).collect()]
+    for r in rows:
+        mark = "OK  " if r["ok"] else "FAIL"
+        print(f"[{mark}] {r['constraint']}({r['detail']}): "
+              f"{r['violations']}/{r['n']} violations")
+    if args.output_json:
+        with open(args.output_json, "w") as f:
+            json.dump(rows, f, indent=1)
+    if args.fail_on_violation and any(not r["ok"] for r in rows):
+        return 1
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     from pyspark.sql import SparkSession
@@ -135,9 +178,11 @@ def main(argv=None) -> int:
     spark = get_spark("oaxaca-cli")
     spark.sparkContext.setLogLevel("ERROR")
 
-    if args.command == "corpus":
+    if args.command in ("corpus", "quality"):
         try:
-            return _run_corpus(spark, args)
+            if args.command == "corpus":
+                return _run_corpus(spark, args)
+            return _run_quality(spark, args)
         finally:
             if owns_session:
                 spark.stop()

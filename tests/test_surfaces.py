@@ -851,3 +851,45 @@ def test_streaming_drift_cells_requires_bounds(spark, sf_dir):
     stream_like = static  # validation happens before any streaming API call
     with _pytest.raises(ValueError):
         streaming_events.streaming_drift_cells(stream_like, num_cols=["value"])
+
+
+def test_cli_quality_verb(spark, sf_dir, tmp_path, capsys):
+    """The quality CLI verb: JSON rules in, one line per rule out, JSON
+    results file, and --fail-on-violation as the CI-gate exit code."""
+    import json as _json
+
+    from oaxaca_blinder_rs_spark.cli import main
+
+    rules = [
+        {"type": "not_null", "col": "l_orderkey"},
+        {"type": "unique", "cols": ["l_orderkey", "l_linenumber"]},
+        {"type": "foreign_key", "col": "l_orderkey",
+         "ref_path": f"{sf_dir}/orders.parquet", "ref_col": "o_orderkey"},
+        {"type": "range", "col": "l_discount", "lo": 0.0, "hi": 0.01},
+    ]
+    rp = tmp_path / "rules.json"
+    rp.write_text(_json.dumps(rules))
+    outj = tmp_path / "quality.json"
+    rc = main([
+        "quality", "--input", f"{sf_dir}/lineitem.parquet",
+        "--rules", str(rp), "--output-json", str(outj),
+        "--fail-on-violation",
+    ])
+    assert rc == 1  # the tight discount range must fail
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("[")]
+    assert len(lines) == 4
+    rows = {r["constraint"]: r for r in _json.loads(outj.read_text())}
+    assert rows["not_null"]["ok"] and rows["foreign_key"]["ok"]
+    # the driver's synthetic lineitem genuinely repeats (orderkey,
+    # linenumber) pairs (see NOTES_r7 rank-pinning) — the unique rule
+    # must surface that, not mask it
+    assert not rows["unique"]["ok"] and rows["unique"]["violations"] > 0
+    assert not rows["range"]["ok"] and rows["range"]["violations"] > 0
+
+    # gate passes (rc 0) when every rule holds
+    rp2 = tmp_path / "rules2.json"
+    rp2.write_text(_json.dumps([{"type": "not_null", "col": "l_orderkey"}]))
+    assert main([
+        "quality", "--input", f"{sf_dir}/lineitem.parquet",
+        "--rules", str(rp2), "--fail-on-violation",
+    ]) == 0
