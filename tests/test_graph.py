@@ -182,3 +182,14 @@ def test_graph_ops_random_parity(spark):
             r["node"]: r["component"] for r in connected_components(edges).collect()
         }
         assert got_c == want_c, f"components trial {trial}"
+
+
+def test_graph_ops_degenerate_inputs(spark):
+    """Empty edge lists and all-self-loop inputs return empty results
+    instead of crashing (the guard paths a pipeline composes against)."""
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(empty, iters=3).count() == 0
+    assert connected_components(empty).count() == 0
+    assert triangle_count(empty).count() == 0
+    loops = spark.createDataFrame([("A", "A"), ("B", "B")], "src string, dst string")
+    assert triangle_count(loops).count() == 0
