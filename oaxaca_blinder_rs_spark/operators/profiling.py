@@ -117,6 +117,7 @@ def histogram_quantiles(
     bins: int = 128,
     lo: float | None = None,
     hi: float | None = None,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Approximate quantiles from an equi-width histogram: (q, est, bin,
     bin_lo, bin_hi, n_bin) per requested quantile, with the TRUE quantile
@@ -132,11 +133,19 @@ def histogram_quantiles(
     est = lo + (bin + (r - cum_prev)/n_bin) * width. Deterministic pure
     arithmetic over integer counts, replayed exactly by the DuckDB oracle
     (histogram_quantiles row). qs must lie in (0, 1].
+
+    With `group_cols`, everything runs per group over SHARED bounds (one
+    extra row per group per q): counts key on (group, bin) — still one
+    keyed groupBy — and the cumulative window partitions by group, so a
+    per-key p99 over a 100 TB table is a (groups x bins)-key aggregation,
+    never a per-key sort. Shared bounds keep the per-group tables
+    mergeable with each other and with the global one.
     """
     if bins < 1:
         raise ValueError("bins must be >= 1")
     if not qs or not all(0.0 < q <= 1.0 for q in qs):
         raise ValueError("each q must be in (0, 1]")
+    groups = list(group_cols or [])
     c = F.col(col).cast("double")
     if lo is None or hi is None:
         row = df.agg(F.min(c).alias("lo"), F.max(c).alias("hi")).collect()[0]
@@ -150,13 +159,18 @@ def histogram_quantiles(
     )
     counts = (
         df.filter(c.isNotNull() & (c >= lo) & (c <= hi))
-        .groupBy(bin_expr.alias("bin"))
+        .groupBy(*[F.col(g) for g in groups], bin_expr.alias("bin"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w_all = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
-    w_tot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w_all = (
+        Window.partitionBy(*groups).orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy(*groups).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     cum = counts.select(
-        "bin", "n",
+        *groups, "bin", "n",
         F.sum("n").over(w_all).alias("cum"),
         (F.sum("n").over(w_all) - F.col("n")).alias("cum_prev"),
         F.sum("n").over(w_tot).alias("total"),
@@ -167,6 +181,7 @@ def histogram_quantiles(
         spine.crossJoin(cum)
         .filter((r > F.col("cum_prev")) & (r <= F.col("cum")))
         .select(
+            *groups,
             "q",
             F.round(
                 F.lit(lo)

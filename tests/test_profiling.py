@@ -174,3 +174,31 @@ def test_drift_metrics_hand_case(spark):
     }
     assert r2["c"].ks is None and r2["c"].psi == 0.0 and r2["c"].jsd == 0.0
     assert r2["x"].ks == 0.0 and r2["x"].psi == 0.0
+
+
+def test_histogram_quantiles_per_group(spark):
+    """group_cols: per-group quantiles over SHARED bounds equal running the
+    global operator on each group's slice with those bounds pinned."""
+    from oaxaca_blinder_rs_spark.operators.profiling import histogram_quantiles
+
+    rows = [("g1", float(i)) for i in range(100)] + [
+        ("g2", float(i * 3)) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "g string, x double")
+    qs = [0.5, 0.9]
+    got = {
+        (r.g, r.q): (r.est, r.bin, r.n_bin)
+        for r in histogram_quantiles(
+            df, "x", qs, bins=32, lo=0.0, hi=297.0, group_cols=["g"]
+        ).collect()
+    }
+    assert len(got) == 4
+    for g in ("g1", "g2"):
+        want = {
+            r.q: (r.est, r.bin, r.n_bin)
+            for r in histogram_quantiles(
+                df.filter(f"g = '{g}'"), "x", qs, bins=32, lo=0.0, hi=297.0
+            ).collect()
+        }
+        for q in qs:
+            assert got[(g, q)] == want[q], (g, q)
