@@ -3267,10 +3267,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(lower(trim(regexp_replace(
                          regexp_replace(text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
-                         '\s+', ' ', 'g')))) AS norm_md5,
+                         '\\s+', ' ', 'g')))) AS norm_md5,
                    length(trim(regexp_replace(
                          regexp_replace(text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
-                         '\s+', ' ', 'g'))) AS norm_len
+                         '\\s+', ' ', 'g'))) AS norm_len
             FROM documents
         """,
         "skew_report_custkey": """
@@ -3289,7 +3289,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25_ranking": """
             WITH toks AS (
-              SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+              SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
             ), n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM documents),
             dl AS (SELECT doc_id, len(t) AS dlen FROM toks),
             avgdl AS (SELECT avg(dlen) AS ad FROM dl),
@@ -3886,7 +3886,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "chunk_documents": r"""
             WITH t AS (
-              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
               FROM documents
             ), s AS (
               -- starts 0..ub by stride, ub = first start whose 64-token
@@ -4061,7 +4061,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "span_dedup": r"""
             WITH t AS (
-              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
               FROM documents
             ), b AS (
               SELECT doc_id, toks,
@@ -4210,7 +4210,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram_contamination": """
             WITH toks AS (
-              SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+              SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
               FROM documents
             ), sh AS (
               SELECT doc_id, CASE WHEN len(t) >= 5
