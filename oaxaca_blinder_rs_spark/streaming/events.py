@@ -24,6 +24,7 @@ __all__ = [
     "streaming_cms_cells",
     "streaming_histogram_cells",
     "streaming_drift_cells",
+    "streaming_constraint_cells",
     "streaming_group_stats",
     "sessionize",
     "streaming_decomposition_stats",
@@ -573,4 +574,69 @@ def streaming_drift_cells(
             "bucket",
             "n",
         )
+    )
+
+
+def streaming_constraint_cells(
+    events: DataFrame,
+    rules: list[dict],
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming face of quality.check_constraints for the ROW-LEVEL rules
+    (not_null / range / in_set / predicate): per tumbling window, one row
+    per rule with exact violation and total counts — the CI gate run
+    continuously over an ingest stream. Stateful rules (unique,
+    foreign_key) need cross-window memory and are rejected here; run them
+    batch-side over the landed table.
+
+    One windowed aggregation evaluates EVERY rule as a conditional count
+    column — state per open window is one row of k+1 longs, and cells
+    merge downstream by per-rule SUM across windows (violations and n are
+    both additive), so a day-level report is a k-key rollup of the hourly
+    cells.
+    """
+    from ..operators.quality import _ROW_RULES, _rule_detail, _violation_expr
+
+    if not rules:
+        raise ValueError("rules must be non-empty")
+    bad = [r["type"] for r in rules if r["type"] not in _ROW_RULES]
+    if bad:
+        raise ValueError(
+            f"stateful rules not streamable: {bad}; run unique/foreign_key batch-side"
+        )
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    for i, r in enumerate(rules):
+        aggs.append(
+            F.sum(_violation_expr(r).cast("long")).cast("long").alias(f"__v{i}")
+        )
+    wide = (
+        _event_time(events, ts_col).withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window_duration).alias("wnd"))
+        .agg(*aggs)
+    )
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(r["type"]).alias("constraint"),
+                F.lit(_rule_detail(r)).alias("detail"),
+                F.col(f"__v{i}").alias("violations"),
+            )
+            for i, r in enumerate(rules)
+        ]
+    )
+    return wide.select(
+        F.col("wnd.start").alias("window_start"),
+        F.col("wnd.end").alias("window_end"),
+        F.explode(entries).alias("__e"),
+        F.col("__n"),
+    ).select(
+        "window_start",
+        "window_end",
+        F.col("__e.constraint").alias("constraint"),
+        F.col("__e.detail").alias("detail"),
+        F.col("__e.violations").alias("violations"),
+        F.col("__n").alias("n"),
+        (F.col("__e.violations") == 0).alias("ok"),
     )

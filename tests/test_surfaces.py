@@ -893,3 +893,55 @@ def test_cli_quality_verb(spark, sf_dir, tmp_path, capsys):
         "quality", "--input", f"{sf_dir}/lineitem.parquet",
         "--rules", str(rp2), "--fail-on-violation",
     ]) == 0
+
+
+def test_streaming_constraint_cells_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming constraints (r7): per-window violation cells merged across
+    windows by SUM equal the batch check_constraints counts over the same
+    data; stateful rules are rejected with a clear error."""
+    import tempfile
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from oaxaca_blinder_rs_spark.operators.quality import check_constraints
+
+    static = ob.load_table(spark, sf_dir, "events")
+    rules = [
+        {"type": "not_null", "col": "user_id"},
+        {"type": "range", "col": "value", "lo": 0.0, "hi": 100.0},
+        {"type": "in_set", "col": "event_type", "values": ["click", "view"]},
+        {"type": "predicate", "expr": "value >= 0"},
+    ]
+    src = str(tmp_path / "events_cc")
+    static.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(static.schema).format("parquet").load(src)
+    cells = streaming_events.streaming_constraint_cells(
+        stream, rules, watermark="0 seconds"
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            cells.writeStream.format("memory")
+            .queryName("cc_cells")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    merged = {
+        (r.constraint, r.detail): (r.violations, r.n)
+        for r in spark.sql(
+            "SELECT constraint, detail, SUM(violations) AS violations, SUM(n) AS n "
+            "FROM cc_cells GROUP BY 1, 2"
+        ).collect()
+    }
+    batch = {
+        (r.constraint, r.detail): (r.violations, r.n)
+        for r in check_constraints(static, rules).collect()
+    }
+    assert merged == batch
+    with _pytest.raises(ValueError, match="not streamable"):
+        streaming_events.streaming_constraint_cells(
+            static, [{"type": "unique", "cols": ["event_id"]}]
+        )
