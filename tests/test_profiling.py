@@ -202,3 +202,44 @@ def test_histogram_quantiles_per_group(spark):
         }
         for q in qs:
             assert got[(g, q)] == want[q], (g, q)
+
+
+def test_drift_properties_random(spark):
+    """Seeded-random property sweep: psi >= 0 with equality iff identical
+    shares; jsd in [0, ln 2]; ks in [0, 1]; bucket counts merge by SUM
+    across arbitrary row splits (the mergeable-halves claim)."""
+    import math
+    import random
+
+    from oaxaca_blinder_rs_spark.operators.profiling import (
+        drift_bucket_counts,
+        drift_metrics,
+    )
+
+    rng = random.Random(11)
+    for trial in range(3):
+        n_a, n_b = rng.randint(40, 120), rng.randint(40, 120)
+        rows_a = [(rng.choice("pqrst"), rng.uniform(0, 50)) for _ in range(n_a)]
+        rows_b = [(rng.choice("pqrs"), rng.uniform(0, 80)) for _ in range(n_b)]
+        a = spark.createDataFrame(rows_a, "c string, x double")
+        b = spark.createDataFrame(rows_b, "c string, x double")
+        kw = dict(cat_cols=["c"], num_cols=["x"], bins=6, bounds={"x": (0.0, 80.0)})
+        ca, cb = drift_bucket_counts(a, **kw), drift_bucket_counts(b, **kw)
+        for r in drift_metrics(ca, cb, ordered_dims=["x"]).collect():
+            assert r.psi >= 0.0, (trial, r)
+            assert 0.0 <= r.jsd <= math.log(2) + 1e-9, (trial, r)
+            if r.dim == "x":
+                assert 0.0 <= r.ks <= 1.0
+        # self-drift is exactly zero on every metric
+        for r in drift_metrics(ca, ca, ordered_dims=["x"]).collect():
+            assert (r.psi, r.jsd) == (0.0, 0.0)
+            assert r.ks in (0.0, None)
+        # counts merge by SUM over an arbitrary split of a's rows
+        cut = rng.randint(1, n_a - 1)
+        c1 = drift_bucket_counts(spark.createDataFrame(rows_a[:cut], "c string, x double"), **kw)
+        c2 = drift_bucket_counts(spark.createDataFrame(rows_a[cut:], "c string, x double"), **kw)
+        whole = {(r.dim, r.bucket): r.n for r in ca.collect()}
+        merged = {}
+        for r in c1.collect() + c2.collect():
+            merged[(r.dim, r.bucket)] = merged.get((r.dim, r.bucket), 0) + r.n
+        assert merged == whole, trial
