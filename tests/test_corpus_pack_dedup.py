@@ -420,3 +420,54 @@ def test_span_dedup_reassembly_is_lossless_without_duplicates(spark, sf_dir):
         | (F.col("n_dropped") != 0)
     )
     assert bad.count() == 0
+
+
+def test_ingest_increment_equals_rebuild(spark, sf_dir):
+    """Daily-append contract: preparing batch 1, then ingesting batch 2
+    against the full batch-1 history, keeps exactly the documents a full
+    prepare_corpus over batch1+batch2 keeps (batch ids are larger than all
+    existing ids — the natural append ordering, so lowest-id-wins and
+    existing-wins coincide)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    b1 = docs.filter("doc_id < 250")
+    b2 = docs.filter("doc_id >= 250")
+    kept1 = {r["doc_id"] for r in corpus.prepare_corpus(b1).collect()}
+    appended = {
+        r["doc_id"] for r in corpus.ingest_increment(b1, b2).collect()
+    }
+    rebuild = {r["doc_id"] for r in corpus.prepare_corpus(docs).collect()}
+    assert kept1 | appended == rebuild
+    assert kept1.isdisjoint(appended)
+
+
+def test_ingest_increment_bridge_divergence(spark):
+    """The documented incremental-dedup caveat: a new 'bridge' document
+    within threshold of two existing documents that are NOT within
+    threshold of each other merges their clusters in a full rebuild (one
+    survivor) but cannot retro-drop in incremental mode (both existing
+    docs stay; the bridge is dropped) — incremental keeps a superset
+    along bridged chains."""
+    from pyspark.sql import functions as F
+
+    w = ("the and of to in is was for on with as at by it be are".split())
+    mk = lambda lo, hi: " ".join(w[lo:hi])  # noqa: E731
+    # word windows chosen so all three 5-token PREFIXES differ (else the
+    # exact prefix-dedup stage absorbs the bridge before near-clustering):
+    # jaccard(a,x)=6/12=0.5, jaccard(a2,x)=7/11≈0.64, jaccard(a,a2)=3/13≈0.23
+    a, a2, x = mk(0, 10), mk(5, 15), mk(2, 14)
+    b1 = spark.createDataFrame([(1, a), (2, a2)], "doc_id long, text string")
+    b2 = spark.createDataFrame([(3, x)], "doc_id long, text string")
+    kw = dict(min_quality=0.0, jaccard_threshold=0.5)
+    kept1 = {r["doc_id"] for r in corpus.prepare_corpus(b1, **kw).collect()}
+    assert kept1 == {1, 2}  # A !~ A' at 0.5
+    appended = {
+        r["doc_id"]
+        for r in corpus.ingest_increment(b1, b2, **kw).collect()
+    }
+    assert appended == set()  # the bridge duplicates existing content
+    rebuild = {
+        r["doc_id"]
+        for r in corpus.prepare_corpus(b1.unionByName(b2), **kw).collect()
+    }
+    assert rebuild == {1}  # bridge merges the clusters in a full rebuild
+    assert rebuild < (kept1 | appended)
