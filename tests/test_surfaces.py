@@ -945,3 +945,67 @@ def test_streaming_constraint_cells_matches_batch(spark, sf_dir, tmp_path):
         streaming_events.streaming_constraint_cells(
             static, [{"type": "unique", "cols": ["event_id"]}]
         )
+
+
+def test_streaming_drift_cells_checkpoint_recovery(spark, sf_dir, tmp_path):
+    """Drift cells survive a stop/restart: run 1 processes the first
+    half-month, run 2 (same checkpoint) sees ONLY the appended second half
+    — no window is double-counted, the boundary window's partial counts
+    carry in state across the restart, and every emitted (window, dim,
+    bucket) row equals the batch bucketing of the same data. Append mode
+    may hold back only the final (never-closed) window."""
+    from pyspark.sql import functions as F
+
+    from oaxaca_blinder_rs_spark.operators.profiling import drift_bucket_counts
+
+    static = ob.load_table(spark, sf_dir, "events")
+    lo, hi = static.agg(F.min("value"), F.max("value")).collect()[0]
+    bounds = {"value": (float(lo), float(hi))}
+    cut = "2024-01-16"
+    src = str(tmp_path / "drift_src")
+    ckpt = str(tmp_path / "drift_ckpt")
+    out_dir = str(tmp_path / "drift_out")
+    static.filter(F.col("ts") < cut).coalesce(1).write.mode("overwrite").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(static.schema).format("parquet").load(src)
+        cells = streaming_events.streaming_drift_cells(
+            stream, cat_cols=["event_type"], num_cols=["value"],
+            bins=10, bounds=bounds, window_duration="1 day", watermark="0 seconds",
+        )
+        q = (
+            cells.writeStream.format("parquet").option("path", out_dir)
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    n_first = spark.read.parquet(out_dir).count()
+    static.filter(F.col("ts") >= cut).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    got = spark.read.parquet(out_dir)
+    # no duplicated (window, dim, bucket) across the two runs
+    assert got.count() == got.select("window_start", "dim", "bucket").distinct().count()
+    assert got.count() > n_first
+    # every emitted window matches the batch bucketing of that window's rows
+    emitted = [r["window_start"] for r in got.select("window_start").distinct().collect()]
+    for ws in emitted:
+        we = {r["window_start"] for r in got.collect() if r["window_start"] == ws}
+        day = static.filter(
+            (F.col("ts") >= F.lit(ws)) & (F.col("ts") < F.date_add(F.lit(ws), 1))
+        )
+        want = {
+            (r.dim, r.bucket): r.n
+            for r in drift_bucket_counts(
+                day, cat_cols=["event_type"], num_cols=["value"], bins=10, bounds=bounds
+            ).collect()
+        }
+        have = {
+            (r.dim, r.bucket): r.n
+            for r in got.filter(F.col("window_start") == ws).collect()
+        }
+        assert have == want, ws
+    # only the final never-closed window may be withheld
+    n_days = static.select(F.countDistinct(F.to_date("ts"))).collect()[0][0]
+    assert len(emitted) >= n_days - 1
