@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["gap_fill_hourly", "rolling_window"]
+__all__ = ["gap_fill_hourly", "rolling_window", "flag_anomalies"]
 
 
 def gap_fill_hourly(
@@ -90,4 +90,60 @@ def rolling_window(
         "*",
         F.count(F.lit(1)).over(w).alias(f"{prefix}count"),
         F.round(F.sum(F.col(value_col)).over(w), 6).alias(f"{prefix}sum"),
+    )
+
+
+def flag_anomalies(
+    events: DataFrame,
+    window_seconds: int,
+    k: float = 3.0,
+    min_baseline: int = 5,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Rolling z-score anomaly flags per event: every input row plus
+    (baseline_n, baseline_mean, baseline_std, zscore, is_anomaly) computed
+    against the SAME key's rows in the preceding ``window_seconds``
+    STRICTLY BEFORE the current row — the current value never contaminates
+    its own baseline, so a lone spike scores against clean history.
+
+    is_anomaly = |x - mean| > k * std over a baseline of at least
+    ``min_baseline`` rows with positive std (too-short or constant
+    baselines flag nothing — the standard cold-start rule). std is
+    derived from trailing SUM and SUM(x^2) in one RANGE frame (n-1
+    denominator), not a windowed stddev aggregate, so the arithmetic is
+    two deterministic frame sums. One shuffle on the key, no self-join —
+    the same scale shape as rolling_window.
+    """
+    if window_seconds <= 0:
+        raise ValueError(f"window_seconds must be positive, got {window_seconds}")
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    epoch = F.col(ts_col).cast("timestamp").cast("double")
+    v = F.col(value_col).cast("double")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(epoch)
+        .rangeBetween(-int(window_seconds), -1)
+    )
+    n = F.count(v).over(w)
+    s1 = F.sum(v).over(w)
+    s2 = F.sum(v * v).over(w)
+    # guard the empty/singleton baseline explicitly: ANSI mode makes the
+    # bare divisions throw on the first rows of every key
+    mean = F.when(n > 0, s1 / n)
+    var = F.when(n > 1, (s2 - s1 * s1 / n) / (n - 1))
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    z = F.when(std > 0, (v - mean) / std)
+    return events.select(
+        "*",
+        n.cast("long").alias("baseline_n"),
+        F.round(mean, 6).alias("baseline_mean"),
+        F.round(std, 6).alias("baseline_std"),
+        F.round(z, 6).alias("zscore"),
+        F.coalesce(
+            (n >= int(min_baseline)) & (std > 0) & (F.abs(z) > float(k)),
+            F.lit(False),
+        ).alias("is_anomaly"),
     )

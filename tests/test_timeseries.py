@@ -192,3 +192,68 @@ def test_path_transitions_hand_case(spark):
     inner = {(r["from_type"], r["to_type"]): r["transitions"]
              for r in path_transitions(ev, include_endpoints=False).collect()}
     assert inner == {("A", "B"): 1, ("B", "B"): 1}
+
+
+def test_flag_anomalies_spike_detection(spark):
+    """A stable series with one injected spike: only the spike flags, its
+    baseline excludes the spike itself (strict-before frame), and a
+    too-short or constant baseline never flags."""
+    from datetime import datetime
+
+    from oaxaca_blinder_rs_spark.operators.timeseries import flag_anomalies
+
+    def ts(s):
+        return datetime(2026, 1, 1, 0, 0, s)
+
+    base = [(1, ts(i), 10.0 + (i % 2)) for i in range(10)]  # mean ~10.5, small std
+    rows = base + [(1, ts(10), 100.0), (1, ts(11), 10.0)]
+    # key 2: constant series (std 0) and key 3: short series -> never flag
+    rows += [(2, ts(i), 5.0) for i in range(8)]
+    rows += [(3, ts(i), float(i * 40)) for i in range(3)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {
+        (r.user_id, r.ts): r
+        for r in flag_anomalies(df, window_seconds=3600, k=3.0).collect()
+    }
+    spike = out[(1, ts(10))]
+    assert spike.is_anomaly and spike.zscore > 3.0
+    assert spike.baseline_n == 10 and abs(spike.baseline_mean - 10.5) < 1e-9
+    # the row after the spike scores against a baseline CONTAINING the
+    # spike (inflated std) and must not flag
+    assert not out[(1, ts(11))].is_anomaly
+    assert all(not out[(1, ts(i))].is_anomaly for i in range(10))
+    assert all(not out[(2, ts(i))].is_anomaly for i in range(8))
+    assert all(not out[(3, ts(i))].is_anomaly for i in range(3))
+    # hand z-score: baseline of 10 alternating values
+    import statistics
+
+    vals = [10.0 + (i % 2) for i in range(10)]
+    want_z = (100.0 - statistics.mean(vals)) / statistics.stdev(vals)
+    assert abs(spike.zscore - round(want_z, 6)) < 1e-9
+
+
+def test_flag_anomalies_validates(spark):
+    import pytest as _pytest
+
+    from oaxaca_blinder_rs_spark.operators.timeseries import flag_anomalies
+
+    df = spark.createDataFrame([(1, "2026-01-01 00:00:00", 1.0)],
+                               "user_id long, ts string, value double")
+    with _pytest.raises(ValueError):
+        flag_anomalies(df, 0)
+    with _pytest.raises(ValueError):
+        flag_anomalies(df, 60, k=0)
+
+
+def test_flag_anomalies_boolean_never_null(spark):
+    """is_anomaly is a real boolean on every row — empty/constant baselines
+    give False, not NULL (a NULL flag silently passes `not r.is_anomaly`
+    style checks downstream)."""
+    from datetime import datetime
+
+    from oaxaca_blinder_rs_spark.operators.timeseries import flag_anomalies
+
+    rows = [(1, datetime(2026, 1, 1, 0, 0, i), 5.0) for i in range(4)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = flag_anomalies(df, 3600).collect()
+    assert all(r.is_anomaly is False for r in out)
