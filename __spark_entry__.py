@@ -1014,6 +1014,28 @@ def q_lineitem_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return check_constraints(li, rules)
 
 
+def q_events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags (timeseries.flag_anomalies) per user
+    over a trailing 3-day baseline STRICTLY before each event (the spike
+    never contaminates its own baseline). One RANGE frame per key — both
+    engines evaluate the identical [t-259200, t-1] window over
+    microsecond-exact epoch doubles; stats rounded 6dp."""
+    from oaxaca_blinder_rs_spark.operators.timeseries import flag_anomalies
+
+    ev = _t(spark, sf_dir, "events")
+    return flag_anomalies(
+        ev, window_seconds=3 * 86400, k=3.0, min_baseline=5
+    ).select(
+        "event_id",
+        "user_id",
+        "baseline_n",
+        "baseline_mean",
+        "baseline_std",
+        "zscore",
+        "is_anomaly",
+    )
+
+
 def q_scd2_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 dimension build (cdc.scd2_build): collapse the event feed
     into effective-dated intervals of constant event_type per user —
@@ -1903,7 +1925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top3": q_tfidf_top3,
         "akm_demeaned_check": q_akm_demeaned_check,
         "heckman_decomposition": q_heckman_decomposition,
-        # -- rows 50-54: declared LATE in r7 (after the window filled with
+        # -- rows 50-55: declared LATE in r7 (after the window filled with
         # this round's earlier new rows + the 42 r5-cadence rows). Each is
         # hash-verified locally at sf0.001/0.01/0.1 this session
         # (tools/check_oracle.py); they take the head of the r8 window for
@@ -1914,6 +1936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_drift": q_events_drift,
         "events_drift_metrics": q_events_drift_metrics,
         "lineitem_constraints": q_lineitem_constraints,
+        "events_anomalies": q_events_anomalies,
         # -- remaining rows past the window: four companion/diagnostic rows
         # exceeding the 2x50 two-round cadence. The four exceptions are all
         # companion/diagnostic rows whose PRIMARY rows are fully hash-matched
@@ -3992,6 +4015,40 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(jsd_t), 6) AS jsd,
                    ROUND(MAX(ks_t), 6) AS ks
             FROM terms GROUP BY dim
+        """,
+        # flag_anomalies twin: the strict-before trailing frame replayed as
+        # RANGE BETWEEN w PRECEDING AND 1 PRECEDING over the SAME
+        # microsecond-exact epoch double both engines compute; n<=1 guards
+        # mirror the engine's ANSI-safe whens, 6dp rounds, flag coalesced.
+        "events_anomalies": """
+            WITH base AS (
+              SELECT event_id, user_id, CAST(value AS DOUBLE) AS v,
+                     CAST(epoch_us(ts) AS DOUBLE) / 1000000 AS ep
+              FROM events
+            ), stats AS (
+              SELECT event_id, user_id, v,
+                     CAST(COUNT(v) OVER w AS BIGINT) AS n,
+                     SUM(v) OVER w AS s1,
+                     SUM(v * v) OVER w AS s2
+              FROM base
+              WINDOW w AS (PARTITION BY user_id ORDER BY ep
+                           RANGE BETWEEN 259200 PRECEDING AND 1 PRECEDING)
+            ), z AS (
+              SELECT event_id, user_id, n, v,
+                     CASE WHEN n > 0 THEN s1 / n END AS mean,
+                     CASE WHEN n > 1 THEN
+                       SQRT(GREATEST((s2 - s1 * s1 / n) / (n - 1), 0.0))
+                     END AS std
+              FROM stats
+            )
+            SELECT event_id, user_id, n AS baseline_n,
+                   ROUND(mean, 6) AS baseline_mean,
+                   ROUND(std, 6) AS baseline_std,
+                   ROUND(CASE WHEN std > 0 THEN (v - mean) / std END, 6) AS zscore,
+                   COALESCE(n >= 5 AND std > 0
+                            AND ABS(CASE WHEN std > 0 THEN (v - mean) / std END) > 3.0,
+                            FALSE) AS is_anomaly
+            FROM z
         """,
         # check_constraints twin: one UNION ALL arm per rule with exact
         # integer violation counts; null fails range/in_set/predicate

@@ -134,7 +134,9 @@ def flag_anomalies(
     # bare divisions throw on the first rows of every key
     mean = F.when(n > 0, s1 / n)
     var = F.when(n > 1, (s2 - s1 * s1 / n) / (n - 1))
-    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    # keep std NULL (undefined) for n <= 1 rather than 0.0: greatest()
+    # ignores nulls, so the clamp must stay inside the n > 1 gate
+    std = F.when(n > 1, F.sqrt(F.greatest(var, F.lit(0.0))))
     z = F.when(std > 0, (v - mean) / std)
     return events.select(
         "*",
