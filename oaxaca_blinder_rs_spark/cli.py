@@ -85,6 +85,22 @@ def build_parser() -> argparse.ArgumentParser:
         "--fail-on-violation", action="store_true",
         help="exit 1 if any constraint fails (the CI-gate mode)",
     )
+
+    # net-new surface: distribution-drift gate as a CLI verb
+    dr = sub.add_parser(
+        "drift",
+        help="PSI/JSD/KS drift of a table against a reference snapshot",
+    )
+    dr.add_argument("--input", required=True, help="Serving table (parquet)")
+    dr.add_argument("--reference", required=True, help="Reference snapshot (parquet)")
+    dr.add_argument("--cat-cols", default="", help="comma-separated categorical dims")
+    dr.add_argument("--num-cols", default="", help="comma-separated numeric dims")
+    dr.add_argument("--bins", type=int, default=10)
+    dr.add_argument("--output-json", default=None)
+    dr.add_argument(
+        "--max-psi", type=float, default=None,
+        help="exit 1 if any dim's PSI exceeds this (0.25 = the standard 'drifted' bar)",
+    )
     return p
 
 
@@ -167,6 +183,46 @@ def _run_quality(spark, args) -> int:
     return 0
 
 
+def _run_drift(spark, args) -> int:
+    """drift verb: serving table vs reference snapshot -> one line per
+    dimension (PSI/JSD/KS); --max-psi makes it a CI gate."""
+    from .operators.profiling import drift_bucket_counts, drift_metrics
+
+    cats, nums = _csv_list(args.cat_cols), _csv_list(args.num_cols)
+    ref = spark.read.parquet(args.reference)
+    live = spark.read.parquet(args.input)
+    bounds = {}
+    if nums:
+        from pyspark.sql import functions as F
+
+        for c in nums:
+            col = F.col(c).cast("double")
+            lr, hr = ref.agg(F.min(col), F.max(col)).collect()[0]
+            ll, hl = live.agg(F.min(col), F.max(col)).collect()[0]
+            bounds[c] = (float(min(lr, ll)), float(max(hr, hl)))
+    kw = dict(cat_cols=cats, num_cols=nums, bins=args.bins, bounds=bounds)
+    rows = [
+        r.asDict()
+        for r in drift_metrics(
+            drift_bucket_counts(ref, **kw),
+            drift_bucket_counts(live, **kw),
+            ordered_dims=nums,
+        ).collect()
+    ]
+    worst = 0.0
+    for r in sorted(rows, key=lambda r: -r["psi"]):
+        ks = f" ks={r['ks']:.4f}" if r["ks"] is not None else ""
+        print(f"{r['dim']}: psi={r['psi']:.4f} jsd={r['jsd']:.4f}{ks}")
+        worst = max(worst, r["psi"])
+    if args.output_json:
+        with open(args.output_json, "w") as f:
+            json.dump(rows, f, indent=1)
+    if args.max_psi is not None and worst > args.max_psi:
+        print(f"DRIFT: worst psi {worst:.4f} > {args.max_psi}")
+        return 1
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     from pyspark.sql import SparkSession
@@ -178,11 +234,13 @@ def main(argv=None) -> int:
     spark = get_spark("oaxaca-cli")
     spark.sparkContext.setLogLevel("ERROR")
 
-    if args.command in ("corpus", "quality"):
+    if args.command in ("corpus", "quality", "drift"):
         try:
             if args.command == "corpus":
                 return _run_corpus(spark, args)
-            return _run_quality(spark, args)
+            if args.command == "quality":
+                return _run_quality(spark, args)
+            return _run_drift(spark, args)
         finally:
             if owns_session:
                 spark.stop()

@@ -1009,3 +1009,37 @@ def test_streaming_drift_cells_checkpoint_recovery(spark, sf_dir, tmp_path):
     # only the final never-closed window may be withheld
     n_days = static.select(F.countDistinct(F.to_date("ts"))).collect()[0][0]
     assert len(emitted) >= n_days - 1
+
+
+def test_cli_drift_verb(spark, sf_dir, tmp_path, capsys):
+    """The drift CLI verb: per-dim PSI/JSD/KS lines, JSON output, and
+    --max-psi as the CI gate (a self-comparison passes any bar; a skewed
+    serving slice trips a tight one)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from oaxaca_blinder_rs_spark.cli import main
+
+    static = ob.load_table(spark, sf_dir, "events")
+    ref = str(tmp_path / "ref")
+    static.filter(F.col("ts") < "2024-01-16").write.parquet(ref)
+    live = str(tmp_path / "live")
+    # a deliberately skewed serving slice: only the highest-value events
+    static.filter("value > 300").write.parquet(live)
+    outj = tmp_path / "drift.json"
+    rc = main([
+        "drift", "--input", live, "--reference", ref,
+        "--cat-cols", "event_type", "--num-cols", "value",
+        "--output-json", str(outj), "--max-psi", "0.25",
+    ])
+    assert rc == 1  # the value dim must read as drifted
+    rows = {r["dim"]: r for r in _json.loads(outj.read_text())}
+    assert rows["value"]["psi"] > 0.25 and rows["value"]["ks"] is not None
+    out = capsys.readouterr().out
+    assert "DRIFT: worst psi" in out
+    # self-comparison: zero drift, gate passes
+    assert main([
+        "drift", "--input", ref, "--reference", ref,
+        "--cat-cols", "event_type", "--num-cols", "value", "--max-psi", "0.01",
+    ]) == 0
