@@ -3909,7 +3909,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "chunk_documents": r"""
             WITH t AS (
-              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
               FROM documents
             ), s AS (
               -- starts 0..ub by stride, ub = first start whose 64-token
@@ -4118,7 +4118,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "span_dedup": r"""
             WITH t AS (
-              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
               FROM documents
             ), b AS (
               SELECT doc_id, toks,
