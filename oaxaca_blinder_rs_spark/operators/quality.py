@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 __all__ = ["check_constraints"]
 
 _ROW_RULES = ("not_null", "range", "in_set", "predicate")
+_TABLE_RULES = ("min_rows", "freshness")
 
 
 def _rule_detail(rule: dict) -> str:
@@ -42,6 +43,10 @@ def _rule_detail(rule: dict) -> str:
         return ",".join(rule["cols"])
     if kind == "foreign_key":
         return f"{rule['col']} -> {rule['ref_col']}"
+    if kind == "min_rows":
+        return f"n >= {rule['n']}"
+    if kind == "freshness":
+        return f"max({rule['col']}) >= {rule['as_of']} - {rule['max_age_hours']}h"
     raise ValueError(f"unknown constraint type: {kind}")
 
 
@@ -79,9 +84,16 @@ def check_constraints(df: DataFrame, rules: list[dict]) -> DataFrame:
     - {"type": "unique", "cols": [c, ...]}            (rows in duplicated keys)
     - {"type": "foreign_key", "col": c, "ref": DataFrame, "ref_col": r}
       (non-null orphans; nulls are not_null's job)
+    - {"type": "min_rows", "n": N}                    (table-level: row floor)
+    - {"type": "freshness", "col": ts, "max_age_hours": H,
+       "as_of": "<ISO timestamp>"}  (table-level: newest row no older than
+      H hours before the caller-pinned as_of — an explicit as_of keeps the
+      check deterministic/replayable instead of reading the wall clock)
 
-    All row-level rules share ONE aggregation over a single scan; unique
-    and foreign_key each add one keyed shuffle/anti-join. `violations`
+    Table-level rules report violations = 1 when the table fails (n holds
+    the measured quantity: row count / hours of staleness, ceil'd).
+    All row-level AND table-level rules share ONE aggregation over a
+    single scan; unique and foreign_key each add one keyed shuffle/anti-join. `violations`
     for unique counts the rows involved (group size) in keys with
     multiplicity > 1, the actionable number for a dedup step.
     """
@@ -89,17 +101,40 @@ def check_constraints(df: DataFrame, rules: list[dict]) -> DataFrame:
         raise ValueError("rules must be non-empty")
     spark = df.sparkSession
     row_rules = [r for r in rules if r["type"] in _ROW_RULES]
+    table_rules = [r for r in rules if r["type"] in _TABLE_RULES]
     aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
     for i, r in enumerate(row_rules):
         aggs.append(
             F.sum(_violation_expr(r).cast("long")).cast("long").alias(f"__v{i}")
         )
+    for i, r in enumerate(table_rules):
+        if r["type"] == "freshness":
+            aggs.append(F.max(F.col(r["col"]).cast("timestamp")).alias(f"__t{i}"))
     totals = df.agg(*aggs).collect()[0]
     n = int(totals["__n"])
     out_rows = []
     for i, r in enumerate(row_rules):
         v = int(totals[f"__v{i}"] or 0)
         out_rows.append((r["type"], _rule_detail(r), v, n, v == 0))
+    for i, r in enumerate(table_rules):
+        if r["type"] == "min_rows":
+            ok = n >= int(r["n"])
+            out_rows.append((r["type"], _rule_detail(r), int(not ok), n, ok))
+        else:  # freshness
+            import math
+            from datetime import datetime
+
+            as_of = datetime.fromisoformat(str(r["as_of"]))
+            newest = totals[f"__t{i}"]
+            if newest is None:
+                out_rows.append((r["type"], _rule_detail(r), 1, 0, False))
+            else:
+                age_h = (as_of - newest).total_seconds() / 3600.0
+                ok = age_h <= float(r["max_age_hours"])
+                out_rows.append(
+                    (r["type"], _rule_detail(r), int(not ok),
+                     max(int(math.ceil(age_h)), 0), ok)
+                )
     for r in rules:
         if r["type"] == "unique":
             v = int(
@@ -119,7 +154,7 @@ def check_constraints(df: DataFrame, rules: list[dict]) -> DataFrame:
                 .count()
             )
             out_rows.append((r["type"], _rule_detail(r), v, n, v == 0))
-        elif r["type"] not in _ROW_RULES:
+        elif r["type"] not in _ROW_RULES + _TABLE_RULES:
             raise ValueError(f"unknown constraint type: {r['type']}")
     return spark.createDataFrame(
         out_rows, "constraint string, detail string, violations long, n long, ok boolean"

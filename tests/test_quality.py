@@ -45,3 +45,39 @@ def test_check_constraints_validates(spark):
         check_constraints(df, [])
     with pytest.raises(ValueError):
         check_constraints(df, [{"type": "nope"}])
+
+
+def test_table_level_rules(spark):
+    """min_rows and freshness: table-level rules with a caller-pinned as_of
+    (deterministic — no wall clock). n reports the measured quantity: row
+    count / hours of staleness."""
+    from datetime import datetime
+
+    df = spark.createDataFrame(
+        [(1, datetime(2026, 1, 1, 0, 0, 0)), (2, datetime(2026, 1, 2, 12, 0, 0))],
+        "id long, ts timestamp",
+    )
+    rules = [
+        {"type": "min_rows", "n": 2},
+        {"type": "min_rows", "n": 3},
+        {"type": "freshness", "col": "ts", "max_age_hours": 24,
+         "as_of": "2026-01-03T00:00:00"},
+        {"type": "freshness", "col": "ts", "max_age_hours": 6,
+         "as_of": "2026-01-03T00:00:00"},
+    ]
+    rows = check_constraints(df, rules).collect()
+    by_detail = {r.detail: r for r in rows}
+    assert by_detail["n >= 2"].ok and by_detail["n >= 2"].violations == 0
+    assert not by_detail["n >= 3"].ok and by_detail["n >= 3"].violations == 1
+    fresh_ok = by_detail["max(ts) >= 2026-01-03T00:00:00 - 24h"]
+    assert fresh_ok.ok and fresh_ok.n == 12  # 12h stale, within 24
+    fresh_bad = by_detail["max(ts) >= 2026-01-03T00:00:00 - 6h"]
+    assert not fresh_bad.ok and fresh_bad.violations == 1
+    # empty table: freshness fails with staleness unknown (n = 0)
+    empty = spark.createDataFrame([], "id long, ts timestamp")
+    r = check_constraints(
+        empty,
+        [{"type": "freshness", "col": "ts", "max_age_hours": 1,
+          "as_of": "2026-01-03T00:00:00"}],
+    ).collect()[0]
+    assert not r.ok and r.n == 0
