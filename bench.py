@@ -240,6 +240,20 @@ def bench_corpus_filters(spark) -> float:
     return time.time() - t0
 
 
+def bench_corpus_prepare(spark) -> float:
+    """LLM-pipeline headliner: the composite corpus preparation path
+    (quality/lang gates -> exact dedup -> MinHash-LSH near-dup clustering ->
+    lowest-id representative) over the full documents table (corpus.py:34).
+    This is the pipeline a pre-training data run would execute per shard."""
+    from oaxaca_blinder_rs_spark.operators.corpus import prepare_corpus
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    t0 = time.time()
+    keep = prepare_corpus(docs, min_quality=0.3, jaccard_threshold=0.8)
+    assert keep.count() > 0
+    return time.time() - t0
+
+
 def bench_embedding_cov(spark) -> float:
     """Tracking entry: one-pass 64x64 embedding covariance + 8-component PCA
     whitening projection count."""
@@ -250,6 +264,24 @@ def bench_embedding_cov(spark) -> float:
     w = embx.pca_whiten(emb, n_components=8)
     assert w.count() > 0
     return time.time() - t0
+
+
+def suspect_queries(samples: dict[str, list[float]], cal_ratio: float, spread: float = 3.0) -> list[str]:
+    """Names of queries whose recorded samples spread more than ``spread``x
+    (max/min) even though the calibration job ran clean (ratio <= 1.2) —
+    i.e. the best-of-N for that query was probably taken against transient
+    external load, and the contract number should be read with its DETAIL
+    audit trail. When calibration itself is dirty the WHOLE file is suspect
+    and per-query flags would be noise, so every timed query is listed."""
+    timed = [k for k in samples if not k.startswith("calibration")]
+    if cal_ratio > 1.2:
+        return timed
+    out = []
+    for k in timed:
+        ts = [t for t in samples[k] if t > 0.05]  # sub-50ms jitter is not load
+        if len(ts) >= 2 and max(ts) / min(ts) > spread:
+            out.append(k)
+    return out
 
 
 def bench_calibration(spark) -> float:
@@ -346,6 +378,7 @@ def main():
     queries["mm_taubatch_s20_b2"] = best("mm_taubatch_s20_b2", bench_mm, spark, li_raw, "taubatch", reps=1, S=20, B=2)
     bench_corpus_filters(spark)  # untimed warm pass (same rationale)
     queries["corpus_filters"] = best("corpus_filters", bench_corpus_filters, spark)
+    queries["corpus_prepare"] = best("corpus_prepare", bench_corpus_prepare, spark)
     queries["embedding_cov"] = best("embedding_cov", bench_embedding_cov, spark)
     queries["calibration_post"] = best("calibration_post", bench_calibration, spark)
 
@@ -364,6 +397,7 @@ def main():
 
     cal_best = min(queries["calibration_pre"], queries["calibration_post"])
     total = sum(v for k, v in queries.items() if not k.startswith("calibration"))
+    suspect = suspect_queries(samples, cal_best / CAL_REF_SEC)
     out = {
         "metric": "oaxaca_bench_total",
         "value": round(total, 3),
@@ -381,6 +415,9 @@ def main():
             "best_sec": round(cal_best, 3),
             "ratio_vs_ref": round(cal_best / CAL_REF_SEC, 3),
         },
+        # queries whose own samples swung >3x despite a clean calibration —
+        # their contract numbers self-identify as contention-polluted
+        "suspect": suspect,
     }
     # Diagnostics (per-query samples + loadavg audit trail) go to a side
     # file and a PRECEDING stdout line: the driver records only the last

@@ -116,53 +116,61 @@ class MatchingEngine:
                 import pandas as pd
 
                 c_ids, c_X = bc.value
+                c_X_t = np.ascontiguousarray(c_X.T)
+                c_sq = np.einsum("ij,ij->i", c_X, c_X)
+                c_sq_max = c_sq.max() if len(c_sq) else 0.0
+                tol_scale = 16.0 * (c_X.shape[1] + 4) * np.finfo(np.float64).eps
                 for pdf in it:
                     if len(pdf) == 0:
                         continue
                     T = pdf[covs].to_numpy(dtype=np.float64)
                     if Lb is not None:
                         T = T @ Lb
-                    # squared euclidean distances treated x control, as the
-                    # EXACT per-pair form sum_j (t_j - c_j)^2 — not the
-                    # expanded |t|^2 - 2tc + |c|^2. The expanded form's
-                    # rounding breaks the exact symmetry of true ties
-                    # (t-c1 = -(t-c2) gives bitwise-equal d2 here, but
-                    # 1-ulp-different values there), which silently flips
-                    # the lowest-id tie contract against the SQL oracle —
-                    # caught at sf0.1 where duplicate covariate values make
-                    # real ties. Same peak memory (one n_t x n_ctl temp per
-                    # covariate, accumulated in fixed j order); covariate
-                    # counts are small so the lost BLAS matmul is noise.
-                    d2 = np.zeros((T.shape[0], c_X.shape[0]))
-                    for j in range(c_X.shape[1]):
-                        diff = T[:, j][:, None] - c_X[:, j][None, :]
-                        d2 += diff * diff
-                    # selection contract (== ORDER BY (dist, id) in the SQL
-                    # oracle): k smallest distances, exact ties by lowest
-                    # control id (controls are id-sorted, so positional order
-                    # IS id order). argpartition instead of a full stable
-                    # argsort of every control per treated row — O(n_ctl)
-                    # select vs O(n_ctl log n_ctl) sort in the hot loop.
+                    # Two-phase selection (GEMM candidates + exact recheck).
+                    # The selection contract is "k smallest EXACT per-pair
+                    # distances sum_j (t_j - c_j)^2, exact ties by lowest
+                    # control id" (== ORDER BY (dist, id) in the SQL oracle);
+                    # computing every pair in that exact form needs a Python
+                    # loop per covariate over the full n_t x n_ctl matrix and
+                    # cost matching_1nn ~1.8x in r7. Instead: (1) the expanded
+                    # form |t|^2 - 2tc + |c|^2 via one BLAS GEMM as a
+                    # CANDIDATE metric, (2) a per-row rounding bound widens
+                    # the cut so no exact top-k member can be missed, (3) the
+                    # exact per-pair form is recomputed only for candidate
+                    # pairs (~k + ties per row), whose bitwise tie symmetry
+                    # (t-c1 = -(t-c2) gives equal d2) decides the final set.
                     if kk >= n_ctl:
-                        nearest = np.broadcast_to(np.arange(n_ctl), (len(T), n_ctl))
-                    elif kk == 1:
-                        # argmin returns the FIRST minimum -> lowest-id tie
-                        nearest = np.argmin(d2, axis=1)[:, None]
+                        counts = np.full(n_ctl, float(len(T)))
+                        yield pd.DataFrame({"ctl_idx": np.arange(n_ctl), "cnt": counts})
+                        continue
+                    t_sq = np.einsum("ij,ij->i", T, T)
+                    d2a = t_sq[:, None] - 2.0 * (T @ c_X_t) + c_sq[None, :]
+                    # k-th smallest approx value per row, then widen by the
+                    # expanded-form rounding bound: each pair's error is
+                    # O(eps * (|t|^2 + |c|^2)) — 16*(d+4) covers the GEMM
+                    # accumulation and the three-term combination with slack.
+                    if kk == 1:
+                        kth = d2a.min(axis=1)
                     else:
-                        part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
-                        part.sort(axis=1)  # id order within the selection
-                        rows_ix = np.arange(len(T))[:, None]
-                        dsub = d2[rows_ix, part]
-                        order = np.argsort(dsub, axis=1, kind="stable")
-                        nearest = part[rows_ix, order]
-                        # boundary ties: if the k-th smallest VALUE also
-                        # occurs outside the selection, argpartition may have
-                        # kept a higher-id tied control — redo those rows with
-                        # the exact stable sort (rare on float data)
-                        kth = dsub.max(axis=1)
-                        suspect = np.where((d2 <= kth[:, None]).sum(axis=1) > kk)[0]
-                        for ri in suspect:
-                            nearest[ri] = np.argsort(d2[ri], kind="stable")[:kk]
+                        kth = np.partition(d2a, kk - 1, axis=1)[:, kk - 1]
+                    tol = tol_scale * (t_sq + c_sq_max) + 1e-300
+                    rows_ix, cols_ix = np.where(d2a <= (kth + tol)[:, None])
+                    # exact per-pair distances for candidates only, summed in
+                    # fixed covariate order (bitwise-stable tie symmetry)
+                    d2e = np.zeros(len(rows_ix))
+                    for j in range(c_X.shape[1]):
+                        dj = T[rows_ix, j] - c_X[cols_ix, j]
+                        d2e += dj * dj
+                    # per-row top-k under (exact dist, control id): np.where
+                    # yields rows_ix ascending with cols_ix ascending within a
+                    # row, so a stable lexsort on (d2e) within row groups
+                    # preserves id order among exact ties.
+                    order = np.lexsort((cols_ix, d2e, rows_ix))
+                    sorted_cols = cols_ix[order]
+                    cnt_per_row = np.bincount(rows_ix, minlength=len(T))
+                    starts = np.concatenate(([0], np.cumsum(cnt_per_row[:-1])))
+                    take = starts[:, None] + np.arange(kk)[None, :]
+                    nearest = sorted_cols[take]
                     counts = np.bincount(nearest.ravel(), minlength=n_ctl).astype(np.float64)
                     yield pd.DataFrame({"ctl_idx": np.arange(n_ctl), "cnt": counts})
 
