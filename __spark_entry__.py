@@ -3942,12 +3942,13 @@ def oracle_sql() -> dict[str, str]:
                      COALESCE(CAST(event_type AS VARCHAR), '(null)') AS bucket,
                      CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'a' ELSE 'b' END AS snap
               FROM events
+              WHERE ts IS NOT NULL
               UNION ALL
               SELECT 'value',
                      CAST(CAST(LEAST(FLOOR((CAST(value AS DOUBLE) - b.lo) / ((b.hi - b.lo) / 10)), 9) AS BIGINT) AS VARCHAR),
                      CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'a' ELSE 'b' END
               FROM events, bounds b
-              WHERE value IS NOT NULL AND value >= b.lo AND value <= b.hi
+              WHERE ts IS NOT NULL AND value IS NOT NULL AND value >= b.lo AND value <= b.hi
             ), counts AS MATERIALIZED (
               SELECT dim, bucket,
                      CAST(SUM(CASE WHEN snap = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
@@ -3979,12 +3980,13 @@ def oracle_sql() -> dict[str, str]:
                      COALESCE(CAST(event_type AS VARCHAR), '(null)') AS bucket,
                      CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'a' ELSE 'b' END AS snap
               FROM events
+              WHERE ts IS NOT NULL
               UNION ALL
               SELECT 'value',
                      CAST(CAST(LEAST(FLOOR((CAST(value AS DOUBLE) - b.lo) / ((b.hi - b.lo) / 10)), 9) AS BIGINT) AS VARCHAR),
                      CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'a' ELSE 'b' END
               FROM events, bounds b
-              WHERE value IS NOT NULL AND value >= b.lo AND value <= b.hi
+              WHERE ts IS NOT NULL AND value IS NOT NULL AND value >= b.lo AND value <= b.hi
             ), counts AS MATERIALIZED (
               SELECT dim, bucket,
                      CAST(SUM(CASE WHEN snap = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,

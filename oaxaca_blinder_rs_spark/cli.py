@@ -199,6 +199,15 @@ def _run_drift(spark, args) -> int:
             col = F.col(c).cast("double")
             lr, hr = ref.agg(F.min(col), F.max(col)).collect()[0]
             ll, hl = live.agg(F.min(col), F.max(col)).collect()[0]
+            # Spark's min/max return None for an empty table or an all-NULL
+            # column; a bare min(None, float) TypeError names nothing
+            if None in (lr, hr, ll, hl):
+                side = "reference" if None in (lr, hr) else "input"
+                print(
+                    f"drift: numeric column {c!r} has no non-null values in "
+                    f"the {side} table; cannot build histogram bounds"
+                )
+                return 2
             bounds[c] = (float(min(lr, ll)), float(max(hr, hl)))
     kw = dict(cat_cols=cats, num_cols=nums, bins=args.bins, bounds=bounds)
     rows = [

@@ -198,9 +198,13 @@ def cross_corpus_dedup(
     design threshold, weaker for moderate jaccard), ``"shingle"`` (EXACT
     recall: inverted shingle join — every pair sharing >= 1 shingle is
     verified; a keyed shuffle whose cost follows shingle document
-    frequency, right for modest batches and mandatory when the threshold
-    is far below 0.9), or ``"auto"`` (shingle when the NEW batch has at
-    most ``lsh_threshold`` docs, else lsh — mirroring prepare_corpus).
+    frequency, right for modest corpora and mandatory when the threshold
+    is far below 0.9), or ``"auto"`` (shingle only when BOTH sides have at
+    most ``lsh_threshold`` docs, else lsh). The shingle join explodes and
+    distincts the REFERENCE corpus's shingles too, so auto must gate on
+    both sides: a small daily batch against a large reference corpus would
+    otherwise silently pay a corpus-sized explode+shuffle every ingest
+    (r7 advisory).
     """
     t = F.col(text_col)
     new_fp = new_docs.select(F.col(id_col), F.md5(t).alias("__fp"))
@@ -216,7 +220,15 @@ def cross_corpus_dedup(
         raise ValueError(f"candidates must be auto|lsh|shingle, got {candidates!r}")
     mode = candidates
     if mode == "auto":
-        mode = "shingle" if new_docs.count() <= int(lsh_threshold) else "lsh"
+        # both counts are cheap single-column scans; short-circuit on the
+        # new batch so the common small-batch-vs-big-corpus case pays the
+        # reference count only when the batch side already qualified
+        mode = (
+            "shingle"
+            if new_docs.count() <= int(lsh_threshold)
+            and ref_docs.count() <= int(lsh_threshold)
+            else "lsh"
+        )
     if mode == "lsh":
         nb = dedup.minhash_bands(
             new_docs, text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands, k=shingle_k
@@ -365,6 +377,7 @@ def ingest_increment(
     langs: tuple[str, ...] = ("en",),
     jaccard_threshold: float = 0.9,
     shingle_k: int = 3,
+    cross_candidates: str = "auto",
     **prepare_kwargs,
 ) -> DataFrame:
     """Incremental corpus ingestion: gate + dedup a NEW batch against itself
@@ -378,9 +391,18 @@ def ingest_increment(
     Stage 1 runs prepare_corpus on the batch alone (quality/lang gates,
     exact + near dedup within the batch); stage 2 drops survivors that
     duplicate the existing corpus via cross_corpus_dedup (exact md5 join +
-    banded MinHash near-dup, never all-pairs across corpora). Cost scales
-    with the BATCH, not the corpus: the existing side contributes one
-    md5-keyed join plus its banded signatures.
+    banded MinHash near-dup, never all-pairs across corpora).
+
+    Cost contract: with ``cross_candidates`` left at ``"auto"``, the
+    cross-corpus stage uses the exact-recall shingle join only while BOTH
+    the batch and the existing corpus are small (<= cross_corpus_dedup's
+    ``lsh_threshold``); once the corpus outgrows it, auto switches to
+    banded LSH and per-ingest cost scales with the BATCH — the existing
+    side then contributes one md5-keyed join plus its banded signatures
+    (one linear signature pass, no shingle explode). Pass
+    ``cross_candidates="shingle"`` to keep exact recall regardless of
+    corpus size (paying a corpus-sized shingle shuffle each ingest), or
+    ``"lsh"`` to force the scale path even for small corpora.
 
     Equivalence contract: with batch ids larger than all existing ids (the
     natural append ordering), incremental ingestion keeps exactly the same
@@ -413,11 +435,13 @@ def ingest_increment(
         id_col=id_col,
         jaccard_threshold=jaccard_threshold,
         shingle_k=shingle_k,
-        # auto: exact-recall shingle join for modest batches (the same
-        # recall the within-batch stage has), banded LSH at scale — the
-        # equivalence contract above assumes the candidate generator
-        # reaches every >= threshold pair, which LSH only guarantees near
-        # the 0.9 design point
-        candidates="auto",
+        # default auto: exact-recall shingle join while both sides are
+        # modest (the same recall the within-batch stage has), banded LSH
+        # once either side outgrows the threshold — the equivalence
+        # contract above assumes the candidate generator reaches every
+        # >= threshold pair, which LSH only guarantees near the 0.9
+        # design point; callers needing exact recall against a large
+        # corpus pass cross_candidates="shingle" explicitly
+        candidates=cross_candidates,
     )
     return keep.join(matches.select(id_col).distinct(), id_col, "left_anti")

@@ -507,7 +507,11 @@ def span_dedup(
     if block_tokens < 1:
         raise ValueError("block_tokens must be >= 1")
     b = int(block_tokens)
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # NULL text would make `pieces` NULL and posexplode would emit no rows —
+    # the doc then falls out of the blocks->stats join and vanishes from the
+    # output, breaking the one-row-per-document contract (r7 advisory).
+    # Treat NULL as the empty document instead.
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
     n_blocks = F.greatest(
         ((F.size(toks) + (b - 1)) / b).cast("int"), F.lit(1)
     )

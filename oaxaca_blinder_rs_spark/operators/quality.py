@@ -122,9 +122,16 @@ def check_constraints(df: DataFrame, rules: list[dict]) -> DataFrame:
             out_rows.append((r["type"], _rule_detail(r), int(not ok), n, ok))
         else:  # freshness
             import math
-            from datetime import datetime
+            from datetime import datetime, timezone
 
             as_of = datetime.fromisoformat(str(r["as_of"]))
+            # Spark returns MAX(timestamp) as a NAIVE datetime in the
+            # session timezone; an aware as_of (e.g. '...T00:00:00+00:00')
+            # would make the subtraction below raise TypeError. Convert an
+            # aware as_of to naive UTC and document the assumption that the
+            # session timezone is UTC (the library default session sets it).
+            if as_of.tzinfo is not None:
+                as_of = as_of.astimezone(timezone.utc).replace(tzinfo=None)
             newest = totals[f"__t{i}"]
             if newest is None:
                 out_rows.append((r["type"], _rule_detail(r), 1, 0, False))

@@ -30,6 +30,10 @@ def get_spark(app_name: str = "oaxaca-blinder-spark", shuffle_partitions: int | 
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # pin the session timezone so timestamp semantics (freshness rules,
+        # drift snapshot cuts, session windows) don't drift with the JVM
+        # default across deployments; quality.freshness documents this
+        .config("spark.sql.session.timeZone", "UTC")
     )
     spark = builder.getOrCreate()
     _ship_package(spark)

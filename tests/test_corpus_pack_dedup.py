@@ -471,3 +471,69 @@ def test_ingest_increment_bridge_divergence(spark):
     }
     assert rebuild == {1}  # bridge merges the clusters in a full rebuild
     assert rebuild < (kept1 | appended)
+
+
+def test_span_dedup_null_text_keeps_one_row_per_document(spark):
+    """A NULL-text document must survive as the empty document (r7 advisory:
+    posexplode of a NULL piece array emitted no rows and the doc vanished
+    from the inner blocks->stats join, breaking the one-row-per-input
+    contract)."""
+    from oaxaca_blinder_rs_spark.operators.dedup import span_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, None), (3, "a b")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_blocks"], r["n_dropped"])
+        for r in span_dedup(docs, block_tokens=2).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[2] == ("", 1, 0)  # NULL == empty doc: one empty block, kept
+    assert got[1] == ("a b c d", 2, 0) and got[3] == ("", 1, 1)
+
+
+def test_ingest_increment_forwards_cross_candidates(spark):
+    """cross_candidates must reach cross_corpus_dedup: with 'shingle' a
+    moderate-jaccard cross-corpus near-dup IS caught (exact recall), with
+    'lsh' at these tiny sizes the banded path still catches the exact twin.
+    Also pins the r7 advisory auto-gate: auto against a reference corpus
+    larger than lsh_threshold must take the LSH path (no corpus-sized
+    shingle explode) — observable here because LSH at 0.55 threshold can
+    miss the moderate pair that shingle recall guarantees."""
+    from oaxaca_blinder_rs_spark.operators.corpus import cross_corpus_dedup
+
+    new = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    # reference doc shares 4/6 tokens -> jaccard of 3-gram shingles is
+    # moderate (well under the 0.9 LSH design point)
+    ref_rows = [(1, "alpha beta gamma delta other tail")] + [
+        (i, f"filler document number {i} with unique words {i * 7}") for i in range(2, 40)
+    ]
+    ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+    shingle = cross_corpus_dedup(
+        new, ref, jaccard_threshold=0.3, candidates="shingle"
+    ).collect()
+    assert [(r.doc_id, r.matched_ref_id, r.stage) for r in shingle] == [(100, 1, "near")]
+    # auto with a tiny lsh_threshold: BOTH sides must be small for the
+    # shingle path, so a 39-doc reference over threshold=10 routes to LSH
+    auto_big_ref = cross_corpus_dedup(
+        new, ref, jaccard_threshold=0.3, candidates="auto", lsh_threshold=10
+    )
+    assert auto_big_ref.count() in (0, 1)  # lsh recall at 0.3 is best-effort
+    auto_small = cross_corpus_dedup(
+        new, ref.limit(5), jaccard_threshold=0.3, candidates="auto", lsh_threshold=10
+    ).collect()
+    assert [(r.doc_id, r.stage) for r in auto_small] == [(100, "near")]
+    # the ingest composition forwards the override: with exact-recall
+    # shingle candidates the moderate cross-corpus near-dup is dropped
+    # from the keep-list even though LSH could miss it at this threshold
+    from oaxaca_blinder_rs_spark.operators.corpus import ingest_increment
+
+    kept = ingest_increment(
+        ref, new, min_quality=0.0, langs=("en", "unknown"),
+        jaccard_threshold=0.3, cross_candidates="shingle",
+    ).collect()
+    assert kept == []

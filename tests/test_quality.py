@@ -81,3 +81,28 @@ def test_table_level_rules(spark):
           "as_of": "2026-01-03T00:00:00"}],
     ).collect()[0]
     assert not r.ok and r.n == 0
+
+
+def test_freshness_accepts_timezone_aware_as_of(spark):
+    """An as_of carrying a UTC offset must not TypeError against the naive
+    datetime Spark returns for MAX(timestamp) (r7 advisory): aware as_of is
+    normalized to naive UTC, so '+00:00' gives the same verdicts as naive,
+    and a '+06:00' as_of is evaluated at its UTC instant."""
+    from datetime import datetime
+
+    df = spark.createDataFrame(
+        [(1, datetime(2026, 1, 2, 12, 0, 0))], "id long, ts timestamp"
+    )
+    r = check_constraints(
+        df,
+        [{"type": "freshness", "col": "ts", "max_age_hours": 24,
+          "as_of": "2026-01-03T00:00:00+00:00"}],
+    ).collect()[0]
+    assert r.ok and r.n == 12
+    # 2026-01-03T06:00+06:00 IS 2026-01-03T00:00 UTC: same 12h staleness
+    r6 = check_constraints(
+        df,
+        [{"type": "freshness", "col": "ts", "max_age_hours": 6,
+          "as_of": "2026-01-03T06:00:00+06:00"}],
+    ).collect()[0]
+    assert not r6.ok and r6.n == 12

@@ -1043,3 +1043,20 @@ def test_cli_drift_verb(spark, sf_dir, tmp_path, capsys):
         "drift", "--input", ref, "--reference", ref,
         "--cat-cols", "event_type", "--num-cols", "value", "--max-psi", "0.01",
     ]) == 0
+
+
+def test_cli_drift_all_null_numeric_column_errors_cleanly(spark, tmp_path, capsys):
+    """r7 advisory: an all-NULL numeric column made _run_drift's
+    min/max-None comparison raise a bare TypeError; it must instead name
+    the column and the offending side and exit 2."""
+    from oaxaca_blinder_rs_spark.cli import main
+
+    ref = spark.createDataFrame([(1, None), (2, None)], "id long, v double")
+    live = spark.createDataFrame([(1, 1.0)], "id long, v double")
+    ref_p, live_p = str(tmp_path / "refp"), str(tmp_path / "livep")
+    ref.write.parquet(ref_p)
+    live.write.parquet(live_p)
+    rc = main(["drift", "--input", live_p, "--reference", ref_p, "--num-cols", "v"])
+    assert rc == 2
+    out = capsys.readouterr().out
+    assert "'v'" in out and "reference" in out
