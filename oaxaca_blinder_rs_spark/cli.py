@@ -322,8 +322,17 @@ def main(argv=None) -> int:
             w = eng.match_psm(args.k_neighbors)
         else:
             w = eng.run_matching(args.k_neighbors, args.matching_method == "mahalanobis")
-        stats = w.agg({"weight": "sum"}).collect()[0][0]
-        print(json.dumps({"rows": w.count(), "total_weight": stats}))
+        # main.rs:306-310 parity: --output-json writes the weights VECTOR in
+        # input-row order (the reference serializes its positional Vec<f64>;
+        # __ob_row_id__ is the CSV row index, so row_id order IS file order);
+        # without it, print the count + first-10 preview the reference prints
+        weights = eng.weights_list(w)
+        if args.output_json:
+            with open(args.output_json, "w") as f:
+                json.dump(weights, f)
+        else:
+            print(f"Matching completed. Generated {len(weights)} weights.")
+            print(f"First 10 weights: {weights[:10]}")
     if owns_session:
         spark.stop()
     return 0

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from .errors import OaxacaError
+from .errors import InvalidGroupVariable, OaxacaError
 
 
 @dataclass
@@ -42,4 +42,8 @@ class Formula:
                     break
             else:
                 predictors.append(term)
+        if not predictors and not categoricals:
+            # formula.rs:49-53 parity (tests/formula_test.rs): an RHS with
+            # no usable terms is an error, not an intercept-only model
+            raise InvalidGroupVariable("No predictors specified")
         return cls(outcome=outcome, predictors=predictors, categorical_predictors=categoricals)

@@ -1060,3 +1060,63 @@ def test_cli_drift_all_null_numeric_column_errors_cleanly(spark, tmp_path, capsy
     assert rc == 2
     out = capsys.readouterr().out
     assert "'v'" in out and "reference" in out
+
+
+def test_cli_match_output_json_weights_vector(spark, tmp_path, capsys):
+    """main.rs:306-310 parity: `--analysis-type match --output-json` writes
+    the weights VECTOR in input-row order; without --output-json the CLI
+    prints the count + first-10 preview. Covers euclidean and psm."""
+    import json as _json
+
+    from oaxaca_blinder_rs_spark.cli import main
+
+    csv = tmp_path / "treat.csv"
+    csv.write_text(
+        "y,x1,treated\n"
+        "10.0,1.0,1\n10.5,1.1,1\n20.0,5.0,1\n"
+        "10.1,1.05,0\n19.5,4.9,0\n30.0,9.0,0\n"
+    )
+    out = tmp_path / "w_euclid.json"
+    rc = main([
+        "run", "--data", str(csv), "--outcome", "y", "--group", "treated",
+        "--reference", "0", "--analysis-type", "match", "--predictors", "x1",
+        "--k-neighbors", "1", "--output-json", str(out),
+    ])
+    assert rc == 0
+    weights = _json.loads(out.read_text())
+    # rows 0-2 treated (weight 1.0); controls: row 3 matches rows 0+1
+    # (x1 nearest), row 4 matches row 2, row 5 unmatched
+    assert weights == [1.0, 1.0, 1.0, 2.0, 1.0, 0.0]
+
+    out_psm = tmp_path / "w_psm.json"
+    rc = main([
+        "run", "--data", str(csv), "--outcome", "y", "--group", "treated",
+        "--reference", "0", "--analysis-type", "match", "--predictors", "x1",
+        "--matching-method", "psm", "--k-neighbors", "1",
+        "--output-json", str(out_psm),
+    ])
+    assert rc == 0
+    w_psm = _json.loads(out_psm.read_text())
+    assert len(w_psm) == 6 and w_psm[:3] == [1.0, 1.0, 1.0]
+    assert sum(w_psm[3:]) == pytest.approx(3.0)  # 3 treated, k=1 -> 3 units
+
+    rc = main([
+        "run", "--data", str(csv), "--outcome", "y", "--group", "treated",
+        "--reference", "0", "--analysis-type", "match", "--predictors", "x1",
+    ])
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "Matching completed. Generated 6 weights." in printed
+    assert "First 10 weights:" in printed
+
+
+def test_formula_requires_predictors():
+    """formula.rs:49-53 parity: an RHS with no usable terms raises
+    InvalidGroupVariable('No predictors specified')."""
+    from oaxaca_blinder_rs_spark.errors import InvalidGroupVariable
+    from oaxaca_blinder_rs_spark.formula import Formula
+
+    with pytest.raises(InvalidGroupVariable, match="No predictors specified"):
+        Formula.parse("wage ~ ")
+    # still fine with at least one term of either kind
+    assert Formula.parse("wage ~ C(sector)").categorical_predictors == ["sector"]
