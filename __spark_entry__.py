@@ -1053,24 +1053,35 @@ def q_scd2_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_machado_mata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M13: MM quantile decomposition at production scale (full-data
-    distributed engine, S=100 random taus — rows-only check). Every piece
-    of its arithmetic carries a hash-matched record elsewhere: the FULL
-    composition via mm_small_exact (fixed small contract, r7), the tau
-    entropy via mm_tau_stream, the solver via mm_qr_vertex, the init via
-    mm_ols_start; the smoothed Gram-Newton scale engine is additionally
-    pinned by the suite's exact-LP parity oracle."""
+    """M13: MM quantile decomposition, promoted in r8 from a rows-only
+    production-scale row to a HASH-MATCHED mid-size contract (r7 verdict
+    ask #8): l_orderkey <= 400 slice (~1050 A/R rows — scale-factor-
+    invariant, the same slice at every SF), S=30 simulations, B=0,
+    taubatch/exact-LP engine, seed 42. The full composition — tau draws,
+    per-tau exact quantile regressions, PCG64/Lemire covariate picks,
+    counterfactual prediction, floor-index empirical quantiles, three-
+    effect decomposition — is replayed by a zero-shared-code DuckDB
+    oracle (_mm_mid_oracle_sql) at ~4x the rows and 2.5x the sims of
+    mm_small_exact, made tractable by factoring tau out of the vertex-
+    enumeration loss scan. The PRODUCTION-scale distributed Gram-Newton
+    engine remains pinned by the suite's exact-LP parity oracle
+    (test_numpy_oracle) and tracked by bench.py's mm_gram entry.
+    Reference semantics: quantile_decomposition.rs:96-279."""
     from oaxaca_blinder_rs_spark.quantile_builder import QuantileDecompositionBuilder
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter((F.col("l_orderkey") <= 400) & F.col("l_returnflag").isin(["A", "R"]))
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
     res = (
         QuantileDecompositionBuilder(li, "l_extendedprice", "l_returnflag", "R")
         .predictors(["l_quantity"])
         .quantiles([0.25, 0.5, 0.75])
-        .simulations(100)
+        .simulations(30)
         .bootstrap_reps(0)
         .seed(42)
-        .fit_engine("distributed")
+        .fit_engine("taubatch")
         .run()
     )
     rows = []
@@ -1861,99 +1872,37 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declared contract queries, ordered for the driver's verification window.
 
-    The driver hash-checks the FIRST 50 entries in declaration order, so the
-    order is deliberate: (1) the rows that have never had a driver
-    correctness row (the round-4 continuation surface), (2) rows whose query
-    or oracle changed this round plus the rows-only iterative ops, then
-    (3) long-stable rows that have been driver-green for multiple rounds.
+    The driver hash-checks the FIRST 50 entries in declaration order.
+    Round-8 window (NOTES_r7 rotation plan + this round's changes):
+    (1) the 4 rows whose query, oracle, or engine kernel changed in r8
+    (machado_mata promoted to a hash contract; matching GEMM kernel;
+    span_dedup null-text; cross_corpus auto-gate), (2) the 6 rows
+    declared late in r7 taking their first driver record, (3) the 4
+    companion rows whose latest record is r5, (4) 36 of the 50
+    r6-green rows (records 2 rounds old). Past the window: the 46
+    r7-green rows (fresh records), then the 14 r6-green rows that
+    slip to the r9 window head (2-round-old records, within the
+    2x50 cadence; they rotate first next round).
     """
     return {
-        # Window-rotation policy (NOTES_r5/r6/r7): the driver hash-checks
-        # the FIRST 50 entries. Round-7 ordering: (1) the two rows new this
-        # round (mm_small_exact, pca_whiten_2d), (2) the 46 rows whose
-        # latest driver record is r5 (out of the r6 window), (3) the 50
-        # r6-green rows, freshest records last. Every declared row keeps a
-        # driver record at most 2 rounds old.
-        "mm_small_exact": q_mm_small_exact,
-        "pca_whiten_2d": q_pca_whiten_2d,
-        "chunk_documents": q_chunk_documents,
-        "histogram_quantiles": q_histogram_quantiles,
-        "priority_sample": q_priority_sample,
-        "span_dedup": q_span_dedup,
-        "scd2_user_segments": q_scd2_user_segments,
-        "pagerank_copurchase": q_pagerank_copurchase,
-        # -- (2) r5-record rows rotating back into the window ---------------
-        "event_funnel": q_event_funnel,
-        "cohort_retention": q_cohort_retention,
+        # -- r8 window rows 0-3: changed this round ------------------------
         "machado_mata": q_machado_mata,
-        "events_pivot": q_events_pivot,
-        "events_melt": q_events_melt,
-        "revenue_rollup": q_revenue_rollup,
-        "rolling_events": q_rolling_events,
-        "range_join_events": q_range_join_events,
-        "salted_join_check": q_salted_join_check,
-        "events_props_stats": q_events_props_stats,
-        "user_sessions": q_user_sessions,
-        "sample_fraction": q_sample_fraction,
-        "sample_stratified": q_sample_stratified,
-        "corpus_mixture": q_corpus_mixture,
-        "corpus_split": q_corpus_split,
-        "regional_revenue": q_regional_revenue,
-        "segment_revenue_top10": q_segment_revenue_top10,
-        "oaxaca_mean_2pred": q_oaxaca_mean_2pred,
-        "oaxaca_categorical": q_oaxaca_categorical,
-        "oaxaca_wls": q_oaxaca_wls,
-        "embedding_cosine_dups": q_embedding_cosine_dups,
-        "embedding_cosine_dups_lsh": q_embedding_cosine_dups_lsh,
-        "quality_score": q_quality_score,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "adaptive_logprob_keep": q_adaptive_logprob_keep,
-        "dfl_densities": q_dfl_densities,
-        "kmeans_clusters": q_kmeans_clusters,
-        "oaxaca_mean_groupb": q_oaxaca_mean_groupb,
-        "oaxaca_mean_pooled": q_oaxaca_mean_pooled,
-        "oaxaca_mean_weighted": q_oaxaca_mean_weighted,
-        "rif_q90_groupb": q_rif_q90_groupb,
-        "budget_allocation": q_budget_allocation,
-        "vif_lineitem": q_vif_lineitem,
         "matching_weights": q_matching_weights,
-        "ngram_jaccard": q_ngram_jaccard,
-        "dedup_clusters": q_dedup_clusters,
-        "corpus_prepare": q_corpus_prepare,
-        "corpus_pack": q_corpus_pack,
+        "span_dedup": q_span_dedup,
         "cross_corpus_dedup": q_cross_corpus_dedup,
-        "tfidf_top3": q_tfidf_top3,
-        "akm_demeaned_check": q_akm_demeaned_check,
-        "heckman_decomposition": q_heckman_decomposition,
-        # -- rows 50-55: declared LATE in r7 (after the window filled with
-        # this round's earlier new rows + the 42 r5-cadence rows). Each is
-        # hash-verified locally at sf0.001/0.01/0.1 this session
-        # (tools/check_oracle.py); they take the head of the r8 window for
-        # their first driver record rather than displace r5-record rows
-        # into a 3-round cadence gap.
+        # -- rows 4-9: late-r7 rows, first driver record -------------------
         "connected_components_geo": q_connected_components_geo,
         "part_triangles": q_part_triangles,
         "events_drift": q_events_drift,
         "events_drift_metrics": q_events_drift_metrics,
         "lineitem_constraints": q_lineitem_constraints,
         "events_anomalies": q_events_anomalies,
-        # -- remaining rows past the window: four companion/diagnostic rows
-        # exceeding the 2x50 two-round cadence. The four exceptions are all
-        # companion/diagnostic rows whose PRIMARY rows are fully hash-matched
-        # and sit inside this round's window, so their semantics cannot drift
-        # unverified: dfl_design_check / heckman_probit_design pin the design
-        # matrices that dfl_densities (row 33) and heckman_decomposition
-        # (row 49) consume end-to-end; mm_ols_start pins the OLS init that
-        # mm_small_exact (row 0) now verifies inside the full composition;
-        # simhash_shingle_check is a tokenizer diagnostic superseded by the
-        # fully-oracled simhash row and chunk_documents (token TEXT). All
-        # four were green in this session's full sf0.01 + sf0.1 sweeps; they
-        # rotate first in r8.
+        # -- rows 10-13: companion rows, r5 records (oldest) ---------------
         "dfl_design_check": q_dfl_design_check,
         "heckman_probit_design": q_heckman_probit_design,
         "mm_ols_start": q_mm_ols_start,
         "simhash_shingle_check": q_simhash_shingle_check,
-        # -- (3) r6-green rows (records 1 round old) ------------------------
+        # -- rows 14-49: r6-green rows rotating back in --------------------
         "mm_qr_vertex": q_mm_qr_vertex,
         "mm_tau_stream": q_mm_tau_stream,
         "optimizer_greedy": q_optimizer_greedy,
@@ -1990,6 +1939,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_transitions": q_path_transitions,
         "zorder_customers": q_zorder_customers,
         "bloom_membership": q_bloom_membership,
+        # -- past the window: r7-green rows (records 1 round old) ----------
+        "mm_small_exact": q_mm_small_exact,
+        "pca_whiten_2d": q_pca_whiten_2d,
+        "chunk_documents": q_chunk_documents,
+        "histogram_quantiles": q_histogram_quantiles,
+        "priority_sample": q_priority_sample,
+        "scd2_user_segments": q_scd2_user_segments,
+        "pagerank_copurchase": q_pagerank_copurchase,
+        "event_funnel": q_event_funnel,
+        "cohort_retention": q_cohort_retention,
+        "events_pivot": q_events_pivot,
+        "events_melt": q_events_melt,
+        "revenue_rollup": q_revenue_rollup,
+        "rolling_events": q_rolling_events,
+        "range_join_events": q_range_join_events,
+        "salted_join_check": q_salted_join_check,
+        "events_props_stats": q_events_props_stats,
+        "user_sessions": q_user_sessions,
+        "sample_fraction": q_sample_fraction,
+        "sample_stratified": q_sample_stratified,
+        "corpus_mixture": q_corpus_mixture,
+        "corpus_split": q_corpus_split,
+        "regional_revenue": q_regional_revenue,
+        "segment_revenue_top10": q_segment_revenue_top10,
+        "oaxaca_mean_2pred": q_oaxaca_mean_2pred,
+        "oaxaca_categorical": q_oaxaca_categorical,
+        "oaxaca_wls": q_oaxaca_wls,
+        "embedding_cosine_dups": q_embedding_cosine_dups,
+        "embedding_cosine_dups_lsh": q_embedding_cosine_dups_lsh,
+        "quality_score": q_quality_score,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "adaptive_logprob_keep": q_adaptive_logprob_keep,
+        "dfl_densities": q_dfl_densities,
+        "kmeans_clusters": q_kmeans_clusters,
+        "oaxaca_mean_groupb": q_oaxaca_mean_groupb,
+        "oaxaca_mean_pooled": q_oaxaca_mean_pooled,
+        "oaxaca_mean_weighted": q_oaxaca_mean_weighted,
+        "rif_q90_groupb": q_rif_q90_groupb,
+        "budget_allocation": q_budget_allocation,
+        "vif_lineitem": q_vif_lineitem,
+        "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
+        "corpus_prepare": q_corpus_prepare,
+        "corpus_pack": q_corpus_pack,
+        "tfidf_top3": q_tfidf_top3,
+        "akm_demeaned_check": q_akm_demeaned_check,
+        "heckman_decomposition": q_heckman_decomposition,
+        # -- r6-green rows slipping to the r9 window head ------------------
         "hll_users_by_type": q_hll_users_by_type,
         "hll_intersection_users": q_hll_intersection_users,
         "bm25_ranking": q_bm25_ranking,
@@ -2005,7 +2002,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dups": q_simhash_dups,
         "asof_join_events": q_asof_join_events,
     }
-
 
 # --------------------------------------------------------------------------
 # oracle SQL (DuckDB side)
@@ -2786,6 +2782,111 @@ cand AS MATERIALIZED (
 
 
 _MM_SMALL_ORACLE = _mm_small_oracle_sql()
+
+
+def _mm_mid_oracle_sql(seed: int = 42, S: int = 30, cutoff: int = 400) -> str:
+    """Mid-size full-composition Machado-Mata oracle (q_machado_mata, r8):
+    the same zero-shared-code construction as _mm_small_oracle_sql — one
+    PCG64 chain for taus + Lemire covariate picks, LP-vertex enumeration
+    per tau, floor-index empirical quantiles — made tractable at ~4x the
+    rows and 2.5x the simulations by FACTORING tau out of the loss scan:
+    sum_i rho_tau(r_i) = tau * sum_{r>=0} r + (tau - 1) * sum_{r<0} r, so
+    the O(candidates x rows) residual aggregation runs ONCE and each
+    (candidate, tau) loss is O(1) arithmetic on the two sums — the old
+    form's O(candidates x rows x taus) scan is what capped the r7 contract
+    at l_orderkey <= 100. The cutoff slice is scale-factor-invariant
+    (orderkeys 1..2500 exist at every SF), so the same contract verifies
+    identically at sf0.001/0.01/0.1."""
+    from oaxaca_blinder_rs_spark.functions.pcg64_sql import pcg64_raw_sql
+
+    M = S  # B=0 and no fit failures on this slice: m = min(|ba|, |bb|) = S
+    idx = {q: min(int(M * q), M - 1) + 1 for q in (0.25, 0.5, 0.75)}  # 1-based
+    union = "\nUNION ALL\n".join(
+        f"""SELECT 'q{int(q * 100)}' AS quantile,
+       round((SELECT y_aa FROM rsims WHERE raa={idx[q]}) - (SELECT y_bb FROM rsims WHERE rbb={idx[q]}), 4) AS gap,
+       round((SELECT y_ab FROM rsims WHERE rab={idx[q]}) - (SELECT y_bb FROM rsims WHERE rbb={idx[q]}), 4) AS characteristics,
+       round((SELECT y_aa FROM rsims WHERE raa={idx[q]}) - (SELECT y_ab FROM rsims WHERE rab={idx[q]}), 4) AS coefficients"""
+        for q in (0.25, 0.5, 0.75)
+    )
+    # chain budget: S whole draws (taus) + 2S halves (S picks per side)
+    # = 2S draws, plus slack for Lemire rejections (P(reject) < n/2^32
+    # per half at these group sizes — 8 spare draws is orders of margin)
+    return f"""
+WITH slice AS MATERIALIZED (
+  SELECT l_returnflag AS grp, CAST(l_quantity AS DOUBLE) AS x,
+         CAST(l_extendedprice AS DOUBLE) AS y,
+         row_number() OVER (PARTITION BY l_returnflag
+           ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice) - 1 AS rn
+  FROM lineitem WHERE l_orderkey <= {cutoff} AND l_returnflag IN ('A','R')
+), counts AS MATERIALIZED (
+  SELECT count(*) FILTER (WHERE grp = 'A') AS na,
+         count(*) FILTER (WHERE grp = 'R') AS nb FROM slice
+), raw AS MATERIALIZED ({pcg64_raw_sql(seed, 2 * S + 8).strip()}
+), taus AS MATERIALIZED (
+  SELECT i AS ti, 0.01 + 0.98 * (CAST(out // 2048 AS DOUBLE) * (1.0/9007199254740992.0)) AS tau
+  FROM raw WHERE i <= {S}
+), half AS MATERIALIZED (
+  SELECT (i - {S + 1}) * 2 + h.h + 1 AS p,
+         CASE WHEN h.h = 0 THEN out % 4294967296 ELSE out // 4294967296 END AS v
+  FROM raw, (SELECT unnest([0, 1]) AS h) h WHERE i >= {S + 1}
+), ca AS MATERIALIZED (
+  SELECT p, (v * na) // 4294967296 AS val, acc,
+         sum(CASE WHEN acc THEN 1 ELSE 0 END) OVER (ORDER BY p) AS cnt
+  FROM (SELECT p, v, na, ((v * na) % 4294967296) >= ((4294967296 - na) % na) AS acc
+        FROM half, counts)
+), cutpos AS MATERIALIZED (SELECT min(p) AS cpos FROM ca WHERE acc AND cnt = {M}),
+idx_a AS MATERIALIZED (
+  SELECT cnt AS i, CAST(val AS BIGINT) AS r FROM ca WHERE acc AND cnt <= {M}
+), cb AS MATERIALIZED (
+  SELECT p, (v * nb) // 4294967296 AS val, acc,
+         sum(CASE WHEN acc THEN 1 ELSE 0 END) OVER (ORDER BY p) AS cnt
+  FROM (SELECT h.p, h.v, c.nb, ((h.v * c.nb) % 4294967296) >= ((4294967296 - c.nb) % c.nb) AS acc
+        FROM half h, counts c, cutpos WHERE h.p > cpos)
+), idx_b AS MATERIALIZED (
+  SELECT cnt AS i, CAST(val AS BIGINT) AS r FROM cb WHERE acc AND cnt <= {M}
+), pts AS MATERIALIZED (SELECT DISTINCT grp, x, y FROM slice),
+cand AS MATERIALIZED (
+  SELECT a.grp, (b.y - a.y)/(b.x - a.x) AS slope,
+         a.y - (b.y - a.y)/(b.x - a.x) * a.x AS b0
+  FROM pts a JOIN pts b ON a.grp = b.grp AND a.x < b.x
+), resid AS MATERIALIZED (
+  SELECT c.grp, c.b0, c.slope,
+         sum(CASE WHEN d.y - (c.b0 + c.slope*d.x) >= 0
+                  THEN d.y - (c.b0 + c.slope*d.x) ELSE 0 END) AS sp,
+         sum(CASE WHEN d.y - (c.b0 + c.slope*d.x) < 0
+                  THEN d.y - (c.b0 + c.slope*d.x) ELSE 0 END) AS sn
+  FROM cand c JOIN slice d ON d.grp = c.grp
+  GROUP BY c.grp, c.b0, c.slope
+), fit AS MATERIALIZED (
+  SELECT grp, ti, b0, slope FROM (
+    SELECT r.grp, t.ti, r.b0, r.slope,
+           row_number() OVER (PARTITION BY r.grp, t.ti
+             ORDER BY t.tau * r.sp + (t.tau - 1.0) * r.sn, r.b0, r.slope) AS rnk
+    FROM resid r CROSS JOIN taus t) WHERE rnk = 1
+), sims AS MATERIALIZED (
+  SELECT t.ti,
+         fa.b0 + fa.slope * xa.x AS y_aa,
+         fb.b0 + fb.slope * xb.x AS y_bb,
+         fb.b0 + fb.slope * xa.x AS y_ab
+  FROM taus t
+  JOIN idx_a ia ON ia.i = t.ti
+  JOIN idx_b ib ON ib.i = t.ti
+  JOIN slice xa ON xa.grp = 'A' AND xa.rn = ia.r
+  JOIN slice xb ON xb.grp = 'R' AND xb.rn = ib.r
+  JOIN fit fa ON fa.grp = 'A' AND fa.ti = t.ti
+  JOIN fit fb ON fb.grp = 'R' AND fb.ti = t.ti
+), rsims AS MATERIALIZED (
+  SELECT ti, y_aa, y_bb, y_ab,
+         row_number() OVER (ORDER BY y_aa) AS raa,
+         row_number() OVER (ORDER BY y_bb) AS rbb,
+         row_number() OVER (ORDER BY y_ab) AS rab
+  FROM sims
+)
+{union}
+"""
+
+
+_MM_MID_ORACLE = _mm_mid_oracle_sql()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3871,6 +3972,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "mm_tau_stream": _PCG64_TAU_ORACLE,
         "mm_small_exact": _MM_SMALL_ORACLE,
+        # r8: machado_mata promoted to a hash-matched mid-size contract
+        # (orderkey <= 400, S=30) — tau-factored vertex enumeration; see
+        # _mm_mid_oracle_sql for the cost math that makes it tractable
+        "machado_mata": _MM_MID_ORACLE,
         "priority_sample": """
             SELECT doc_id, w, round(pri, 6) AS priority FROM (
               SELECT doc_id, CAST(n_chars AS DOUBLE) w,
