@@ -512,6 +512,21 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigns
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (embeddings.semantic_dedup, r8): semantic dedup by cosine
+    WITHIN integer-exact k-means clusters (k=6, 2 Lloyd iterations,
+    threshold 0.5) — clustering as the blocking structure, so candidate
+    volume is sum-of-cluster-squares, never the n^2 all-pairs join. One
+    row per vector: (vec_id, cluster, keep, dup_of = min lower-id
+    in-cluster neighbor at round(cosine,6) >= 0.5, NULL when kept). The
+    oracle composes the unrolled Lloyd CTE with the per-cluster pair join
+    and the same 6-dp cosine convention as embedding_cosine_dups."""
+    from oaxaca_blinder_rs_spark.operators import embeddings as embx
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embx.semantic_dedup(e, k=6, iters=2, threshold=0.5)
+
+
 def q_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-quota diversity subsample (embeddings.diversity_sample):
     k-means clusters (k=6, 2 iters) then the 20 smallest (md5-uniform, id)
@@ -1885,7 +1900,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     2x50 cadence; they rotate first next round).
     """
     return {
-        # -- r8 window rows 0-3: changed this round ------------------------
+        # -- r8 window rows 0-4: new or changed this round ------------------
+        "semantic_dedup": q_semantic_dedup,
         "machado_mata": q_machado_mata,
         "matching_weights": q_matching_weights,
         "span_dedup": q_span_dedup,
@@ -1938,7 +1954,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_user_counts": q_cms_user_counts,
         "path_transitions": q_path_transitions,
         "zorder_customers": q_zorder_customers,
-        "bloom_membership": q_bloom_membership,
         # -- past the window: r7-green rows (records 1 round old) ----------
         "mm_small_exact": q_mm_small_exact,
         "pca_whiten_2d": q_pca_whiten_2d,
@@ -1987,6 +2002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "akm_demeaned_check": q_akm_demeaned_check,
         "heckman_decomposition": q_heckman_decomposition,
         # -- r6-green rows slipping to the r9 window head ------------------
+        "bloom_membership": q_bloom_membership,
         "hll_users_by_type": q_hll_users_by_type,
         "hll_intersection_users": q_hll_intersection_users,
         "bm25_ranking": q_bm25_ranking,
@@ -2183,10 +2199,10 @@ FROM deg d LEFT JOIN corner c ON c.node = d.node
 """
 
 
-def _kmeans_sql(k: int = 6, iters: int = 2) -> str:
-    """DuckDB twin of embeddings.kmeans_quantized: the Lloyd loop unrolled
-    (exact int64 distances, floor-div centroids, empty clusters keep the
-    previous centroid)."""
+def _kmeans_parts(k: int, iters: int) -> tuple[list, str, str]:
+    """Shared CTE builder for the quantized-Lloyd oracles: returns
+    (cte_parts, dist_expr, last_centroid_cte). Used by _kmeans_sql
+    (kmeans_clusters / diversity_sample) and _semantic_dedup_sql."""
     dist = (
         "list_sum(list_transform(range(1,65), "
         "i -> (v.qv[i]-c.cqv[i])*(v.qv[i]-c.cqv[i])))"
@@ -2232,12 +2248,53 @@ def _kmeans_sql(k: int = 6, iters: int = 2) -> str:
             )""",
         )
         prev = f"c{t}"
+    return parts, dist, prev
+
+
+def _kmeans_sql(k: int = 6, iters: int = 2) -> str:
+    """DuckDB twin of embeddings.kmeans_quantized: the Lloyd loop unrolled
+    (exact int64 distances, floor-div centroids, empty clusters keep the
+    previous centroid)."""
+    parts, dist, prev = _kmeans_parts(k, iters)
     final = f"""SELECT vec_id, cid AS "cluster" FROM (
           SELECT v.vec_id, c.cid,
                  row_number() OVER (PARTITION BY v.vec_id
                    ORDER BY {dist} ASC, c.cid ASC) rk
           FROM v, {prev} c
         ) WHERE rk = 1"""
+    return "WITH " + ",\n".join(parts) + "\n" + final
+
+
+def _semantic_dedup_sql(k: int = 6, iters: int = 2, threshold: float = 0.5) -> str:
+    """DuckDB twin of embeddings.semantic_dedup (SemDeDup): the unrolled
+    integer Lloyd assignment as the blocking structure, then per-cluster
+    id_a < id_b pairs at round(cosine, 6) >= threshold resolved to the
+    minimum lower-id duplicate per vector."""
+    parts, dist, prev = _kmeans_parts(k, iters)
+    parts.append(
+        f"""af AS (
+          SELECT vec_id, cid FROM (
+            SELECT v.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY v.vec_id
+                     ORDER BY {dist} ASC, c.cid ASC) rk
+            FROM v, {prev} c
+          ) WHERE rk = 1
+        )""",
+    )
+    parts.append(
+        f"""dup AS (
+          SELECT b.vec_id vid, min(a.vec_id) dup_of
+          FROM af aa, af ab, embeddings a, embeddings b
+          WHERE a.vec_id = aa.vec_id AND b.vec_id = ab.vec_id
+            AND aa.cid = ab.cid AND a.vec_id < b.vec_id
+            AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                             CAST(b.embedding AS DOUBLE[])), 6) >= {threshold}
+          GROUP BY b.vec_id
+        )""",
+    )
+    final = """SELECT af.vec_id, af.cid AS "cluster",
+          d.dup_of IS NULL AS keep, d.dup_of
+        FROM af LEFT JOIN dup d ON d.vid = af.vec_id"""
     return "WITH " + ",\n".join(parts) + "\n" + final
 
 
@@ -4614,6 +4671,7 @@ def oracle_sql() -> dict[str, str]:
             FROM t
         """,
         "kmeans_clusters": _kmeans_sql(k=6, iters=2),
+        "semantic_dedup": _semantic_dedup_sql(k=6, iters=2, threshold=0.5),
         "diversity_sample": f"""
             WITH assigns AS ({_kmeans_sql(k=6, iters=2)})
             SELECT vec_id, "cluster" FROM (

@@ -260,6 +260,74 @@ def diversity_sample(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by embedding cosine WITHIN k-means clusters only.
+
+    Returns one row per input vector: (id, cluster, keep, dup_of) — a
+    vector is dropped (keep = false) iff some LOWER-id vector in the SAME
+    cluster has cosine similarity >= ``threshold`` with it (6-dp rounded,
+    the repo-wide oracle-comparable convention); ``dup_of`` is the minimum
+    such id (NULL for kept rows). Keeping the lowest id per near-dup
+    neighborhood is the deterministic stand-in for SemDeDup's
+    "keep the point farthest from the centroid" (any fixed representative
+    rule dedups equally; lowest-id is order-free and replayable).
+
+    Scale shape: clustering is the blocking structure — the pair join is
+    per-cluster (cluster key equi-join, id_a < id_b), so candidate volume
+    is sum over clusters of |c|^2 / 2, NEVER the n^2 all-pairs join; at
+    corpus scale k grows ~ n / target_cluster_size to bound per-cluster
+    work, exactly how the paper scales to LAION/The Pile. Assignments are
+    the integer-exact ``kmeans_quantized`` (partition-order invariant),
+    so the full composition — Lloyd iterations, per-cluster pairs, cosine
+    threshold, min-id resolution — replays in an independent SQL engine.
+    Reference dedup contract: whole-doc exact only (engine/src/dedup.rs
+    analogue); this operator is net-new LLM-pipeline surface.
+    """
+    from pyspark.sql import functions as FF
+
+    from .similarity import cosine_sim_expr, with_norm
+
+    assigns, _ = kmeans_quantized(
+        df, k=k, iters=iters, vec_col=vec_col, id_col=id_col, scale=scale
+    )
+    base = with_norm(df, vec_col, id_col).join(assigns, id_col)
+    a = base.select(
+        FF.col(id_col).alias("id_a"), FF.col("cluster").alias("__ca"),
+        FF.col("__vec").alias("__va"), FF.col("__norm").alias("__na"),
+    )
+    b = base.select(
+        FF.col(id_col).alias("id_b"), FF.col("cluster").alias("__cb"),
+        FF.col("__vec").alias("__vb"), FF.col("__norm").alias("__nb"),
+    )
+    dup_edges = (
+        a.join(b, (FF.col("__ca") == FF.col("__cb")) & (FF.col("id_a") < FF.col("id_b")))
+        .filter(
+            FF.round(cosine_sim_expr("__va", "__vb", "__na", "__nb"), 6)
+            >= FF.lit(float(threshold))
+        )
+        .groupBy("id_b")
+        .agg(FF.min("id_a").alias("dup_of"))
+    )
+    return (
+        assigns.join(dup_edges, assigns[id_col] == dup_edges["id_b"], "left")
+        .select(
+            FF.col(id_col),
+            FF.col("cluster"),
+            FF.col("dup_of").isNull().alias("keep"),
+            FF.col("dup_of"),
+        )
+    )
+
+
 def pca_whiten(
     df: DataFrame,
     n_components: int,

@@ -142,3 +142,43 @@ def test_diversity_sample_quota_and_determinism(spark, vecs):
     again = {(r["vec_id"], r["cluster"]) for r in
              emb.diversity_sample(df.repartition(9), n_per_cluster=5, k=4, iters=2).collect()}
     assert {(r["vec_id"], r["cluster"]) for r in rows} == again
+
+
+def test_semantic_dedup_blocks_by_cluster_and_keeps_lowest_id(spark):
+    """SemDeDup semantics on a hand case: two tight groups far apart.
+    Within a cluster, every vector with a lower-id neighbor at cosine >=
+    threshold is dropped with dup_of = the MINIMUM such id; near-dups that
+    land in DIFFERENT clusters are NOT compared (clustering is the blocking
+    structure — the documented recall trade of the paper's design)."""
+    from oaxaca_blinder_rs_spark.operators import embeddings as emb
+
+    # group 1 around +e1, group 2 around +e2; ids interleaved to make the
+    # lowest-id rule observable; 64-dim to match the kmeans oracle shape
+    def vec(axis, eps, j):
+        v = [0.0] * 64
+        v[axis] = 1.0
+        v[(axis + 2 + j) % 64] = eps
+        return v
+
+    rows = [
+        (0, vec(0, 0.00, 0)),   # g1 representative
+        (1, vec(1, 0.00, 0)),   # g2 representative
+        (2, vec(0, 0.01, 1)),   # ~cos 0.99995 with id 0 -> dropped, dup_of 0
+        (3, vec(1, 0.01, 1)),   # dup of id 1 -> dropped, dup_of 1
+        (4, vec(0, 0.30, 2)),   # cos ~0.958 with id 0: kept at thr 0.99
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in emb.semantic_dedup(df, k=2, iters=2, threshold=0.99).collect()}
+    assert len(out) == 5  # one row per input
+    assert out[0]["keep"] and out[0]["dup_of"] is None
+    assert out[1]["keep"] and out[1]["dup_of"] is None
+    assert not out[2]["keep"] and out[2]["dup_of"] == 0
+    assert not out[3]["keep"] and out[3]["dup_of"] == 1
+    assert out[4]["keep"]
+    # same-cluster co-membership for the dup pairs (blocking sanity)
+    assert out[2]["cluster"] == out[0]["cluster"]
+    assert out[3]["cluster"] == out[1]["cluster"]
+    # determinism across partitionings (integer kmeans + pure expressions)
+    again = {r["vec_id"]: (r["cluster"], r["keep"], r["dup_of"])
+             for r in emb.semantic_dedup(df.repartition(7), k=2, iters=2, threshold=0.99).collect()}
+    assert again == {i: (out[i]["cluster"], out[i]["keep"], out[i]["dup_of"]) for i in out}
