@@ -200,6 +200,17 @@ def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary health report (textops.vocab_stats, r8):
+    token/type counts, type-token ratio, hapax fraction (Zipf tail mass),
+    and the deterministic top token + its corpus share (Zipf head). One
+    explode + two keyed partial-agg groupBys; the oracle replays the
+    identical lowercased whitespace tokenization and (count desc, token
+    asc) top pick."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.vocab_stats(docs, by="source")
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + punctuation/stopword quality signals per document."""
     docs = _t(spark, sf_dir, "documents")
@@ -1902,6 +1913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- r8 window rows 0-4: new or changed this round ------------------
         "semantic_dedup": q_semantic_dedup,
+        "vocab_stats": q_vocab_stats,
         "machado_mata": q_machado_mata,
         "matching_weights": q_matching_weights,
         "span_dedup": q_span_dedup,
@@ -1953,7 +1965,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_last_touch": q_attribution_last_touch,
         "cms_user_counts": q_cms_user_counts,
         "path_transitions": q_path_transitions,
-        "zorder_customers": q_zorder_customers,
         # -- past the window: r7-green rows (records 1 round old) ----------
         "mm_small_exact": q_mm_small_exact,
         "pca_whiten_2d": q_pca_whiten_2d,
@@ -2002,6 +2013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "akm_demeaned_check": q_akm_demeaned_check,
         "heckman_decomposition": q_heckman_decomposition,
         # -- r6-green rows slipping to the r9 window head ------------------
+        "zorder_customers": q_zorder_customers,
         "bloom_membership": q_bloom_membership,
         "hll_users_by_type": q_hll_users_by_type,
         "hll_intersection_users": q_hll_intersection_users,
@@ -3052,6 +3064,32 @@ def oracle_sql() -> dict[str, str]:
               FROM sh
             )
             SELECT doc_id, mh_0, mh_7, md5(mh_0 || '|' || mh_1) band0_key FROM sig
+        """,
+        "vocab_stats": """
+            WITH tk AS MATERIALIZED (
+              SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+              FROM documents
+            ), tf AS MATERIALIZED (
+              SELECT source, tok, CAST(count(*) AS BIGINT) cnt
+              FROM tk WHERE tok <> '' GROUP BY source, tok
+            ), stats AS MATERIALIZED (
+              SELECT source,
+                     CAST(sum(cnt) AS BIGINT) n_tokens,
+                     CAST(count(*) AS BIGINT) n_types,
+                     round(CAST(count(*) AS DOUBLE) / sum(cnt), 6) type_token_ratio,
+                     round(CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                           / count(*), 6) hapax_frac
+              FROM tf GROUP BY source
+            ), top AS MATERIALIZED (
+              SELECT source, tok top_token, cnt top_cnt,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY cnt DESC, tok ASC) rk
+              FROM tf
+            )
+            SELECT s.source, s.n_tokens, s.n_types, s.type_token_ratio,
+                   s.hapax_frac, t.top_token,
+                   round(CAST(t.top_cnt AS DOUBLE) / s.n_tokens, 6) top_frac
+            FROM stats s JOIN top t ON t.source = s.source AND t.rk = 1
         """,
         "text_stats": f"""
             SELECT doc_id,

@@ -492,6 +492,64 @@ def ngram_doc_freq(
     )
 
 
+def vocab_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    by: str = "source",
+) -> DataFrame:
+    """Per-group vocabulary health report: the corpus-analysis stage a
+    training-data pipeline runs per source/shard before mixing.
+
+    One row per ``by`` value: n_tokens (total whitespace tokens), n_types
+    (distinct lowercased tokens), type_token_ratio, hapax_frac (share of
+    types occurring exactly once — the Zipf tail mass; mojibake and
+    boilerplate shift it in opposite directions), top_token (most frequent,
+    ties by token ascending) and top_frac (its share of all tokens — the
+    Zipf head; a degenerate source shows top_frac >> 1/rank expectations).
+
+    Scale shape: one codegen explode + two keyed groupBys — (by, token)
+    counts then per-``by`` aggregates — both partial-aggregated map-side;
+    the (by, token) key is near-uniform so no skew handling is needed.
+    Mergeable across shards at the (by, token) level. No reference
+    analogue (net-new LLM-pipeline surface).
+    """
+    tok = F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("__tok")
+    counts = (
+        df.select(F.col(by), tok)
+        .filter(F.col("__tok") != "")
+        .groupBy(by, "__tok")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    return (
+        counts.groupBy(by)
+        .agg(
+            F.sum("__cnt").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum((F.col("__cnt") == 1).cast("long")).alias("hapax_types"),
+            # top token = lexicographically-first among max-count tokens:
+            # min over (-cnt, token) structs, one aggregate, no window
+            F.min(
+                F.struct((-F.col("__cnt")).alias("nc"), F.col("__tok").alias("t"))
+            ).alias("__top"),
+        )
+        .select(
+            F.col(by),
+            F.col("n_tokens"),
+            F.col("n_types"),
+            F.round(F.col("n_types").cast("double") / F.col("n_tokens"), 6).alias(
+                "type_token_ratio"
+            ),
+            F.round(
+                F.col("hapax_types").cast("double") / F.col("n_types"), 6
+            ).alias("hapax_frac"),
+            F.col("__top.t").alias("top_token"),
+            F.round((-F.col("__top.nc")).cast("double") / F.col("n_tokens"), 6).alias(
+                "top_frac"
+            ),
+        )
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     text_col: str = "text",

@@ -438,3 +438,19 @@ def test_hive_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     # and the values really are one day's worth
     n_day = ev.filter(F.col("day") == "2024-01-05").count()
     assert back.count() == n_day > 0
+
+
+def test_semantic_dedup_pair_join_is_cluster_keyed(spark, sf_dir):
+    """semantic_dedup's pair stage must equi-join on the CLUSTER key (hash /
+    sort-merge / broadcast-hash with the id inequality as a residual
+    condition), never a cartesian or pure nested-loop product — clustering
+    is the blocking structure that keeps candidate volume at
+    sum-of-cluster-squares instead of n^2."""
+    import __spark_entry__ as e
+
+    df = e.queries()["semantic_dedup"](spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    join_lines = [l for l in plan.splitlines() if "Join" in l and "BroadcastNestedLoop" not in l]
+    assert any("SortMergeJoin" in l or "ShuffledHashJoin" in l or "BroadcastHashJoin" in l
+               for l in join_lines), plan

@@ -438,3 +438,32 @@ def test_skew_report_hand_case(spark):
     rows = {r["rank"]: (r["key"], r["n"], r["share"], r["cum_share"])
             for r in skew_report(df, "k", top_k=2).collect()}
     assert rows == {1: ("a", 6, 0.6, 0.6), 2: ("b", 3, 0.3, 0.9)}
+
+
+def test_vocab_stats_hand_case(spark):
+    """Hand-computed vocabulary report: counts, TTR, hapax fraction, and the
+    deterministic (count desc, token asc) top pick; NULL/whitespace-only
+    texts contribute nothing; tokens lowercase before counting."""
+    from oaxaca_blinder_rs_spark.operators.textops import vocab_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a A b c", "s1"),       # tokens: a a b c
+            (2, "b B  b", "s1"),        # tokens: b b b
+            (3, None, "s1"),            # nothing
+            (4, "  ", "s1"),            # nothing
+            (5, "x y", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {r["source"]: r for r in vocab_stats(docs).collect()}
+    s1 = got["s1"]
+    # s1: a:2 b:4 c:1 -> 7 tokens, 3 types, hapax {c}, top b (4/7)
+    assert (s1["n_tokens"], s1["n_types"]) == (7, 3)
+    assert s1["type_token_ratio"] == round(3 / 7, 6)
+    assert s1["hapax_frac"] == round(1 / 3, 6)
+    assert (s1["top_token"], s1["top_frac"]) == ("b", round(4 / 7, 6))
+    s2 = got["s2"]
+    # s2: x:1 y:1 — tie at count 1 -> lexicographically first token wins
+    assert (s2["n_tokens"], s2["n_types"], s2["top_token"]) == (2, 2, "x")
+    assert s2["hapax_frac"] == 1.0
