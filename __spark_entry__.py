@@ -200,6 +200,22 @@ def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_classifier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (corpus.seed_classifier_scores, r8):
+    ridge-1e-6 Newton logit of the seed label (lang == 'en') on
+    (stopword ratio, log(1 + token count)), then per-doc membership
+    scores and a 0.5 keep cut. The oracle unrolls the Newton iteration
+    as explicit CTE stages with 3x3 Cramer solves — the dfl oracle
+    construction with the ridge term on the Hessian diagonal — and
+    replays the feature expressions verbatim."""
+    from oaxaca_blinder_rs_spark.operators.corpus import seed_classifier_scores
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "__seed", (F.col("lang") == "en").cast("double")
+    )
+    return seed_classifier_scores(docs, "__seed")
+
+
 def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source vocabulary health report (textops.vocab_stats, r8):
     token/type counts, type-token ratio, hapax fraction (Zipf tail mass),
@@ -1914,6 +1930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r8 window rows 0-4: new or changed this round ------------------
         "semantic_dedup": q_semantic_dedup,
         "vocab_stats": q_vocab_stats,
+        "classifier_quality": q_classifier_quality,
         "machado_mata": q_machado_mata,
         "matching_weights": q_matching_weights,
         "span_dedup": q_span_dedup,
@@ -1964,7 +1981,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_weighted": q_sample_weighted,
         "attribution_last_touch": q_attribution_last_touch,
         "cms_user_counts": q_cms_user_counts,
-        "path_transitions": q_path_transitions,
         # -- past the window: r7-green rows (records 1 round old) ----------
         "mm_small_exact": q_mm_small_exact,
         "pca_whiten_2d": q_pca_whiten_2d,
@@ -2013,6 +2029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "akm_demeaned_check": q_akm_demeaned_check,
         "heckman_decomposition": q_heckman_decomposition,
         # -- r6-green rows slipping to the r9 window head ------------------
+        "path_transitions": q_path_transitions,
         "zorder_customers": q_zorder_customers,
         "bloom_membership": q_bloom_membership,
         "hll_users_by_type": q_hll_users_by_type,
@@ -2320,6 +2337,57 @@ _BANDS_UNION = "\n              UNION ALL\n".join(
     f"md5(mh_{4 * b} || '|' || mh_{4 * b + 1} || '|' || mh_{4 * b + 2} || '|' || mh_{4 * b + 3}) band_key FROM sig"
     for b in range(4)
 )
+
+
+def _classifier_oracle_sql(newton_iters: int = 6, ridge: float = 1e-6) -> str:
+    """DuckDB twin of q_classifier_quality: the seed-label ridge logit
+    unrolled as explicit Newton CTE stages (the _dfl_oracle_sql
+    construction) with the ridge term on the Hessian diagonal — the
+    engine adds ridge*I to the information matrix only (glm._newton_step;
+    matching/logistic.rs:87-91 semantics), so the gradient stays
+    X'(y - p_clamped). Features replayed verbatim: x1 = English stopword
+    ratio over lowered whitespace tokens (0 when empty), x2 =
+    ln(1 + token count). The engine converges (||step||_2 < 1e-6) in ~4
+    iterations at every SF; 6 stages leave the oracle beta ~1e-12 from
+    the shared fixed point, inside the 6-dp score rounding quantum."""
+    sw = ("CAST(len(list_filter(list_transform(regexp_split_to_array(trim(text), '\\s+'), t -> lower(t)), "
+          "t -> t IN ({stop}))) AS DOUBLE) / len(regexp_split_to_array(trim(text), '\\s+'))").format(stop=_STOP_EN)
+    parts = [f"""
+WITH d AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) > 0
+              THEN {sw} ELSE 0.0 END x1,
+         ln(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) + 1.0) x2,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END cls
+  FROM documents
+), b0 AS (SELECT CAST(0 AS DOUBLE) b0, CAST(0 AS DOUBLE) b1, CAST(0 AS DOUBLE) b2)"""]
+    for t in range(1, newton_iters + 1):
+        parts.append(f""", p{t} AS MATERIALIZED (
+  SELECT d.cls, d.x1, d.x2,
+         least(greatest(1.0/(1.0+exp(-(b.b0 + b.b1*d.x1 + b.b2*d.x2))), 1e-10), 1.0-1e-10) p
+  FROM d, b{t-1} b
+), h{t} AS MATERIALIZED (
+  SELECT sum(p*(1.0-p)) + {ridge} h00, sum(p*(1.0-p)*x1) h01, sum(p*(1.0-p)*x2) h02,
+         sum(p*(1.0-p)*x1*x1) + {ridge} h11, sum(p*(1.0-p)*x1*x2) h12,
+         sum(p*(1.0-p)*x2*x2) + {ridge} h22,
+         sum(cls-p) g0, sum(x1*(cls-p)) g1, sum(x2*(cls-p)) g2
+  FROM p{t}
+), hh{t} AS MATERIALIZED (
+  SELECT *, h00*(h11*h22-h12*h12) - h01*(h01*h22-h12*h02) + h02*(h01*h12-h11*h02) det
+  FROM h{t}
+), b{t} AS MATERIALIZED (
+  SELECT pb.b0 + ((h11*h22-h12*h12)*g0 + (h02*h12-h01*h22)*g1 + (h01*h12-h02*h11)*g2)/det b0,
+         pb.b1 + ((h02*h12-h01*h22)*g0 + (h00*h22-h02*h02)*g1 + (h02*h01-h00*h12)*g2)/det b1,
+         pb.b2 + ((h01*h12-h02*h11)*g0 + (h02*h01-h00*h12)*g1 + (h00*h11-h01*h01)*g2)/det b2
+  FROM hh{t}, b{t-1} pb
+)""")
+    fin = f"b{newton_iters}"
+    parts.append(f"""
+SELECT d.doc_id,
+       round(least(greatest(1.0/(1.0+exp(-(b.b0 + b.b1*d.x1 + b.b2*d.x2))), 1e-10), 1.0-1e-10), 6) score,
+       round(least(greatest(1.0/(1.0+exp(-(b.b0 + b.b1*d.x1 + b.b2*d.x2))), 1e-10), 1.0-1e-10), 6) >= 0.5 keep
+FROM d, {fin} b""")
+    return "".join(parts)
 
 
 def _dfl_oracle_sql(newton_iters: int = 6) -> str:
@@ -3065,6 +3133,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, mh_0, mh_7, md5(mh_0 || '|' || mh_1) band0_key FROM sig
         """,
+        "classifier_quality": _classifier_oracle_sql(),
         "vocab_stats": """
             WITH tk AS MATERIALIZED (
               SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok

@@ -28,6 +28,7 @@ __all__ = [
     "ngram_contamination",
     "chunk_documents",
     "ingest_increment",
+    "seed_classifier_scores",
 ]
 
 
@@ -365,6 +366,58 @@ def chunk_documents(
         "chunk_idx",
         F.size("__c").alias("n_tokens"),
         F.array_join("__c", " ").alias("chunk_text"),
+    )
+
+
+def seed_classifier_scores(
+    docs: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    ridge: float = 1e-6,
+    max_iter: int = 100,
+    tol: float = 1e-6,
+) -> DataFrame:
+    """Model-based quality filtering (the CCNet / fastText-classifier
+    pipeline stage): fit a ridge logistic regression of a SEED LABEL
+    column (1.0 = looks like the target distribution — e.g. "is my
+    curated reference corpus" or a heuristic proxy) on two cheap text
+    features — English stopword ratio and log(1 + token count) — then
+    score every document with the fitted membership probability.
+
+    Returns one row per document: (id, score, keep = score >= threshold,
+    6-dp rounded score — the repo's oracle-comparable convention).
+
+    The fit is the reference-semantics Newton logit (glm.logit, ridge on
+    the Hessian as in matching/logistic.rs:87-91): each iteration is ONE
+    keyed aggregation pass collecting k(k+1)/2 + k Gram/score sums — at
+    100 TB the per-pass shuffle is O(partitions x k^2), never a row
+    collect — and scoring is a pure codegen expression over the same
+    projection. k = 3 here, so the entire composition (feature exprs ->
+    Newton stages -> sigmoid scores) replays in an independent SQL engine
+    as unrolled CTE stages (the dfl oracle construction). No reference
+    analogue (net-new LLM-pipeline surface).
+    """
+    from pyspark.sql import functions as FF
+
+    from .glm import logit
+
+    t = FF.col(text_col)
+    design = docs.select(
+        FF.col(id_col),
+        FF.lit(1.0).alias("__icpt"),
+        textops.stopword_ratio(t).alias("__stop"),
+        FF.log(textops.token_count(t).cast("double") + FF.lit(1.0)).alias("__ltok"),
+        FF.col(label_col).cast("double").alias("__y"),
+    )
+    xcols = ["__icpt", "__stop", "__ltok"]
+    fit = logit(design, xcols, "__y", max_iter=max_iter, tol=tol, ridge=ridge)
+    scored = design.withColumn("score", FF.round(fit.prob_expr(xcols, "logit"), 6))
+    return scored.select(
+        FF.col(id_col),
+        "score",
+        (FF.col("score") >= FF.lit(float(threshold))).alias("keep"),
     )
 
 

@@ -537,3 +537,27 @@ def test_ingest_increment_forwards_cross_candidates(spark):
         jaccard_threshold=0.3, cross_candidates="shingle",
     ).collect()
     assert kept == []
+
+
+def test_seed_classifier_scores_orders_by_seed_likeness(spark):
+    """Model-based quality filter: docs that look like the seed class
+    (stopword-dense English) score above docs that don't; one row per doc;
+    keep == (score >= threshold); scores are valid probabilities."""
+    from oaxaca_blinder_rs_spark.operators.corpus import seed_classifier_scores
+
+    en = "the cat is on the mat and it is a fine day for the cat"
+    xx = "zzz qqq www kkk vvv mmm zzz qqq www kkk vvv mmm nnn ppp"
+    docs = spark.createDataFrame(
+        # labels carry noise (doc 5 mislabeled) so the fit is not separable
+        [(1, en, 1.0), (2, en + " of it", 1.0), (3, xx, 0.0),
+         (4, xx + " rrr", 0.0), (5, en, 0.0), (6, xx, 1.0)],
+        "doc_id long, text string, seed double",
+    )
+    out = {r["doc_id"]: r for r in seed_classifier_scores(docs, "seed").collect()}
+    assert len(out) == 6
+    for r in out.values():
+        assert 0.0 <= r["score"] <= 1.0
+        assert r["keep"] == (r["score"] >= 0.5)
+    # stopword-dense docs outscore the stopword-free ones regardless of label
+    assert out[1]["score"] > out[3]["score"]
+    assert out[5]["score"] > out[6]["score"] or out[5]["score"] == out[6]["score"] == 0.5
