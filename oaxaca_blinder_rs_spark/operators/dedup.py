@@ -417,6 +417,11 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_i
     half = pairs.select(a, b)
     edges = half.unionByName(half.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     edges = edges.localCheckpoint()
+    if edges.isEmpty():
+        # no duplicate pairs: every doc is its own representative — skip
+        # the sweep machinery (two checkpoints + a propagation job of pure
+        # overhead on an empty graph)
+        return edges.sparkSession.createDataFrame([], "doc_id long, cluster_id long")
     labels = edges.select(F.col("a").alias("id")).distinct().withColumn("lab", F.col("id"))
     labels = labels.localCheckpoint()
     for _ in range(max_iters):
