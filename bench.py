@@ -364,6 +364,16 @@ def main():
     # BASELINE.md resident-process protocol
     bench_matching(spark)
     queries["matching_1nn"] = best("matching_1nn", bench_matching, spark)
+    # LLM-pipeline entries run BEFORE the MM engines: the r8 idle run showed
+    # the corpus entries crawling 5-15x (tasks at ~300 ms vs ~20 ms fresh,
+    # samples [1.2, 5.6, 20.9] for identical code) when they followed the
+    # allocation-heavy MM passes in the same JVM — session heap debt, not
+    # operator cost. Entry order is free; measuring each operator against a
+    # healthy heap is the honest number.
+    bench_corpus_filters(spark)  # untimed warm pass (codegen + worker spin-up)
+    queries["corpus_filters"] = best("corpus_filters", bench_corpus_filters, spark)
+    queries["corpus_prepare"] = best("corpus_prepare", bench_corpus_prepare, spark)
+    queries["embedding_cov"] = best("embedding_cov", bench_embedding_cov, spark)
     # MM engines: fewer retakes — each run is already a long multi-pass job
     li_raw = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).filter(
         F.col("l_returnflag").isin(["A", "R"])
@@ -383,10 +393,6 @@ def main():
     # ~31 s even idle). Parity with the Gram engine, including the
     # bootstrap path, stays covered by the pytest suite.
     queries["mm_taubatch_s20_b2"] = best("mm_taubatch_s20_b2", bench_mm, spark, li_raw, "taubatch", reps=1, S=20, B=2)
-    bench_corpus_filters(spark)  # untimed warm pass (same rationale)
-    queries["corpus_filters"] = best("corpus_filters", bench_corpus_filters, spark)
-    queries["corpus_prepare"] = best("corpus_prepare", bench_corpus_prepare, spark)
-    queries["embedding_cov"] = best("embedding_cov", bench_embedding_cov, spark)
     queries["calibration_post"] = best("calibration_post", bench_calibration, spark)
 
     # explicit baseline comparison: raw ratio at matched scale, and per-row
