@@ -372,6 +372,9 @@ def main():
     # healthy heap is the honest number.
     bench_corpus_filters(spark)  # untimed warm pass (codegen + worker spin-up)
     queries["corpus_filters"] = best("corpus_filters", bench_corpus_filters, spark)
+    bench_corpus_prepare(spark)  # untimed warm: its minhash/cluster plans are
+    # distinct from corpus_filters' and the first execution carries ~14 s of
+    # codegen (r8 samples [22.2, 24.7, 9.0] -> warm steady ~9)
     queries["corpus_prepare"] = best("corpus_prepare", bench_corpus_prepare, spark)
     queries["embedding_cov"] = best("embedding_cov", bench_embedding_cov, spark)
     # MM engines: fewer retakes — each run is already a long multi-pass job
