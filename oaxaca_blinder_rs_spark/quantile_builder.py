@@ -47,6 +47,10 @@ COLLECT_LIMIT_CELLS = 50_000_000
 # converged answer (the unique optimum of the target-h loss) doesn't move.
 GRAM_H_FRAC = 0.01
 GRAM_H0_FRAC = 0.5
+# r8: SHRINK 0.125 (target h one pass earlier) was tried and reverted —
+# the tied parity fixture's flat faces need the gentler 0.25 homotopy
+# (the 8x per-pass h jump overshoots the moving optimum and the damped
+# iterate lands on a different face vertex than taubatch's LP solution)
 GRAM_SHRINK = 0.25
 
 
