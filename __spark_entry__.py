@@ -200,6 +200,20 @@ def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (textops.bpe_train_merges, r8):
+    the first 6 merge rules over the documents corpus — word-frequency
+    table once (the vocabulary, not the corpus, iterates), then per merge
+    one pair-count shuffle + a 1-row driver argmax + a codegen fold. The
+    oracle unrolls all 6 merges with an INDEPENDENT merge construction
+    (position-parity run splitting instead of the engine's left-to-right
+    fold) — the two agree exactly because overlap is only possible for
+    l == r runs, where odd offsets are the greedy choice. Matches the
+    classic Sennrich fixture exactly in the suite."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.bpe_train_merges(docs, k_merges=6)
+
+
 def q_classifier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filtering (corpus.seed_classifier_scores, r8):
     ridge-1e-6 Newton logit of the seed label (lang == 'en') on
@@ -1931,6 +1945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "vocab_stats": q_vocab_stats,
         "classifier_quality": q_classifier_quality,
+        "bpe_merges": q_bpe_merges,
         "machado_mata": q_machado_mata,
         "matching_weights": q_matching_weights,
         "span_dedup": q_span_dedup,
@@ -1980,7 +1995,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_contamination": q_ngram_contamination,
         "sample_weighted": q_sample_weighted,
         "attribution_last_touch": q_attribution_last_touch,
-        "cms_user_counts": q_cms_user_counts,
         # -- past the window: r7-green rows (records 1 round old) ----------
         "mm_small_exact": q_mm_small_exact,
         "pca_whiten_2d": q_pca_whiten_2d,
@@ -2029,6 +2043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "akm_demeaned_check": q_akm_demeaned_check,
         "heckman_decomposition": q_heckman_decomposition,
         # -- r6-green rows slipping to the r9 window head ------------------
+        "cms_user_counts": q_cms_user_counts,
         "path_transitions": q_path_transitions,
         "zorder_customers": q_zorder_customers,
         "bloom_membership": q_bloom_membership,
@@ -2337,6 +2352,65 @@ _BANDS_UNION = "\n              UNION ALL\n".join(
     f"md5(mh_{4 * b} || '|' || mh_{4 * b + 1} || '|' || mh_{4 * b + 2} || '|' || mh_{4 * b + 3}) band_key FROM sig"
     for b in range(4)
 )
+
+
+def _bpe_oracle_sql(k_merges: int = 6) -> str:
+    """DuckDB twin of q_bpe_merges: BPE tokenizer training unrolled as CTE
+    stages. The merge APPLICATION uses an independent construction from the
+    engine's left-to-right fold: exploded (word, pos, sym) rows, pair
+    matches via lead(), non-overlap resolution by POSITION PARITY within
+    maximal match runs (gaps-and-islands row_number; for l != r runs have
+    length 1 so every match merges — overlap is only possible when l == r,
+    where odd run offsets win, exactly the greedy fold's choice), then
+    consumed positions dropped and sequences rebuilt with
+    list(... ORDER BY pos). Tie rule everywhere: freq DESC, (l, r) ASC in
+    binary collation — the same total order Spark's UTF8 sort uses."""
+    parts = ["""
+WITH wt AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) cnt FROM (
+    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) w FROM documents
+  ) WHERE w <> '' GROUP BY w
+), s0 AS MATERIALIZED (
+  SELECT w, cnt,
+         list_append(list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)), '</w>') syms
+  FROM wt
+)"""]
+    for t in range(1, k_merges + 1):
+        prev = f"s{t-1}"
+        parts.append(f""", p{t} AS MATERIALIZED (
+  SELECT l, r, CAST(sum(cnt) AS BIGINT) freq FROM (
+    SELECT s.cnt, s.syms[u.i] l, s.syms[u.i + 1] r
+    FROM {prev} s, unnest(range(1, len(s.syms))) u(i)
+  ) GROUP BY l, r
+), m{t} AS MATERIALIZED (
+  SELECT l, r, freq FROM p{t} ORDER BY freq DESC, l ASC, r ASC LIMIT 1
+), e{t} AS MATERIALIZED (
+  SELECT s.w, s.cnt, CAST(u.i AS BIGINT) pos, s.syms[u.i] sym, m.l ml, m.r mr
+  FROM {prev} s, unnest(range(1, len(s.syms) + 1)) u(i), m{t} m
+), x{t} AS MATERIALIZED (
+  SELECT *, coalesce(sym = ml AND lead(sym) OVER (PARTITION BY w ORDER BY pos) = mr, false) ismatch
+  FROM e{t}
+), y{t} AS MATERIALIZED (
+  SELECT *, row_number() OVER (PARTITION BY w, ismatch ORDER BY pos) seq FROM x{t}
+), z{t} AS MATERIALIZED (
+  SELECT *, CASE WHEN ismatch THEN row_number() OVER (PARTITION BY w, ismatch, pos - seq ORDER BY pos) END runpos
+  FROM y{t}
+), f{t} AS MATERIALIZED (
+  SELECT w, cnt, pos,
+         CASE WHEN ismatch AND runpos % 2 = 1 THEN ml || mr ELSE sym END out_sym,
+         (ismatch AND runpos % 2 = 1) merge_start,
+         coalesce(lag(ismatch AND runpos % 2 = 1) OVER (PARTITION BY w ORDER BY pos), false) consumed
+  FROM z{t}
+), s{t} AS MATERIALIZED (
+  SELECT w, cnt, list(out_sym ORDER BY pos) syms
+  FROM f{t} WHERE NOT consumed GROUP BY w, cnt
+)""")
+    union = "\nUNION ALL\n".join(
+        f"""SELECT CAST({t} AS INTEGER) AS "rank", l AS "left", r AS "right", freq FROM m{t}"""
+        for t in range(1, k_merges + 1)
+    )
+    parts.append("\n" + union)
+    return "".join(parts)
 
 
 def _classifier_oracle_sql(newton_iters: int = 6, ridge: float = 1e-6) -> str:
@@ -3134,6 +3208,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, mh_0, mh_7, md5(mh_0 || '|' || mh_1) band0_key FROM sig
         """,
         "classifier_quality": _classifier_oracle_sql(),
+        "bpe_merges": _bpe_oracle_sql(k_merges=6),
         "vocab_stats": """
             WITH tk AS MATERIALIZED (
               SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok

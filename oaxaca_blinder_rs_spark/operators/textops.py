@@ -666,3 +666,104 @@ def normalize_text(
     if lowercase:
         out = F.lower(out)
     return out
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    k_merges: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Distributed BPE tokenizer training: learn the first ``k_merges``
+    merge rules (Sennrich et al. 2016) over a corpus.
+
+    Returns the merge table — (rank, left, right, freq) — the artifact a
+    tokenizer-training pipeline ships: rank r is the r-th most frequent
+    adjacent symbol pair (ties by (left, right) ascending, so the rule
+    sequence is deterministic and oracle-comparable), learned greedily
+    with each word's symbol sequence re-segmented after every merge.
+
+    Algorithm (the standard one, distributed): (1) ONE pass builds the
+    word-frequency table — lowercased whitespace words with counts and an
+    appended end-of-word marker '</w>'; every later stage runs on this
+    DISTINCT-WORD table, whose size is the vocabulary, not the corpus, so
+    a 100 TB corpus pays one token-count shuffle and then iterates over
+    megabytes. (2) Per merge: adjacent pairs via one codegen
+    transform+explode, count-weighted groupBy (partial-agg map-side),
+    a 1-row driver argmax — O(1) driver traffic per merge — and a
+    codegen left-to-right fold (F.aggregate) applying the new rule to
+    every sequence ("aaa" + (a,a) -> "(aa)a", the standard greedy
+    non-overlap). Pair counting is the standard overlapping zip
+    (s[i], s[i+1]).
+
+    The reference engine has no tokenizer surface (net-new LLM-pipeline
+    op); the DuckDB oracle replays every stage with an independent
+    merge construction (position-parity run splitting instead of a fold).
+    """
+    if k_merges < 1:
+        raise ValueError(f"k_merges must be >= 1, got {k_merges}")
+    spark = df.sparkSession
+
+    word = F.explode(tokens(F.lower(F.trim(F.col(text_col))))).alias("w")
+    words = (
+        df.select(word)
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # symbol sequence: characters plus the end-of-word marker
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")), lambda i: F.col("w").substr(i, F.lit(1))
+    )
+    seqs = words.select(
+        "cnt", F.concat(chars, F.array(F.lit("</w>"))).alias("syms")
+    ).persist()
+    seqs.count()
+
+    merges = []
+    try:
+        for rank in range(1, int(k_merges) + 1):
+            pairs = seqs.select(
+                "cnt",
+                F.explode(
+                    F.zip_with(
+                        F.slice("syms", 1, F.size("syms") - 1),
+                        F.slice("syms", 2, F.size("syms") - 1),
+                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                    )
+                ).alias("p"),
+            )
+            top = (
+                pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+                .agg(F.sum("cnt").alias("freq"))
+                .orderBy(F.col("freq").desc(), F.col("l").asc(), F.col("r").asc())
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            l, r, freq = top[0]["l"], top[0]["r"], int(top[0]["freq"])
+            merges.append((rank, l, r, freq))
+            merged = l + r
+            # greedy left-to-right application: fold each sequence, merging
+            # (l, r) whenever the accumulator's tail is an UNCONSUMED l
+            folded = F.aggregate(
+                "syms",
+                F.array().cast("array<string>"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(l))
+                    & (x == F.lit(r)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            )
+            nxt = seqs.select("cnt", folded.alias("syms")).persist()
+            nxt.count()
+            seqs.unpersist()
+            seqs = nxt
+    finally:
+        seqs.unpersist()
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, freq long"
+    )

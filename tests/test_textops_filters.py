@@ -467,3 +467,47 @@ def test_vocab_stats_hand_case(spark):
     # s2: x:1 y:1 — tie at count 1 -> lexicographically first token wins
     assert (s2["n_tokens"], s2["n_types"], s2["top_token"]) == (2, 2, "x")
     assert s2["hapax_frac"] == 1.0
+
+
+def test_bpe_train_merges_sennrich_fixture(spark):
+    """The classic BPE corpus (low/lower/newest/widest, Sennrich et al.
+    2016): the first six learned rules with exact frequencies — including
+    the freq ties at rank 1-3 (9,9,9) resolved by (left, right) ascending —
+    and the end-of-word marker participating as a symbol."""
+    from oaxaca_blinder_rs_spark.operators.textops import bpe_train_merges
+
+    docs = spark.createDataFrame(
+        [(1, "low low low low low lower lower newest newest newest"),
+         (2, "newest newest newest widest widest widest")],
+        "doc_id long, text string",
+    )
+    got = [(r["rank"], r["left"], r["right"], r["freq"])
+           for r in bpe_train_merges(docs, k_merges=6).orderBy("rank").collect()]
+    assert got == [
+        (1, "e", "s", 9), (2, "es", "t", 9), (3, "est", "</w>", 9),
+        (4, "l", "o", 7), (5, "lo", "w", 7), (6, "e", "w", 6),
+    ]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bpe_train_merges(docs, k_merges=0)
+
+
+def test_bpe_train_merges_equal_symbol_runs(spark):
+    """Greedy non-overlap on runs of equal symbols: 'aaaa' merges to
+    (aa)(aa) — the (a,a) pair counts 3 overlapping occurrences but only
+    every other position merges, and the next round learns (aa, aa)."""
+    from oaxaca_blinder_rs_spark.operators.textops import bpe_train_merges
+
+    docs = spark.createDataFrame([(1, "aaaa aaaa aaaa")], "doc_id long, text string")
+    got = [(r["rank"], r["left"], r["right"], r["freq"])
+           for r in bpe_train_merges(docs, k_merges=3).orderBy("rank").collect()]
+    # word 'aaaa' (cnt 3): pairs (a,a) x3 -> merge 1 = (a,a) freq 9
+    # after: [aa, aa, </w>] -> merge 2 candidates (aa,aa) freq 3, (aa,</w>) freq 3
+    # tie -> left '</w>' < 'aa'? binary: '<' (0x3c) < 'a' (0x61) so (aa,</w>)
+    # has left 'aa' and right '</w>'; compare (aa,aa) vs (aa,</w>): left equal,
+    # right '</w>' < 'aa' -> (aa, </w>) wins rank 2.
+    assert got[0] == (1, "a", "a", 9)
+    assert got[1] == (2, "aa", "</w>", 3)
+    # after: [aa, aa</w>] -> only pair (aa, aa</w>) freq 3
+    assert got[2] == (3, "aa", "aa</w>", 3)
