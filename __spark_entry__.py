@@ -214,6 +214,18 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.bpe_train_merges(docs, k_merges=6)
 
 
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The apply-side BPE artifact (bpe_train_merges return_vocab, r8):
+    the corpus vocabulary segmented by the 6 learned merge rules — one
+    row per distinct word (w, cnt, tokens). The oracle emits the final
+    unrolled merge stage's sequences directly, so the engine's
+    left-to-right fold and the oracle's position-parity construction are
+    compared on EVERY word, not just through the learned rule table."""
+    docs = _t(spark, sf_dir, "documents")
+    _, vocab = textops.bpe_train_merges(docs, k_merges=6, return_vocab=True)
+    return vocab
+
+
 def q_classifier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filtering (corpus.seed_classifier_scores, r8):
     ridge-1e-6 Newton logit of the seed label (lang == 'en') on
@@ -1946,6 +1958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_stats": q_vocab_stats,
         "classifier_quality": q_classifier_quality,
         "bpe_merges": q_bpe_merges,
+        "bpe_vocab": q_bpe_vocab,
         "machado_mata": q_machado_mata,
         "matching_weights": q_matching_weights,
         "span_dedup": q_span_dedup,
@@ -1994,7 +2007,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_doc_freq": q_ngram_doc_freq,
         "ngram_contamination": q_ngram_contamination,
         "sample_weighted": q_sample_weighted,
-        "attribution_last_touch": q_attribution_last_touch,
         # -- past the window: r7-green rows (records 1 round old) ----------
         "mm_small_exact": q_mm_small_exact,
         "pca_whiten_2d": q_pca_whiten_2d,
@@ -2043,6 +2055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "akm_demeaned_check": q_akm_demeaned_check,
         "heckman_decomposition": q_heckman_decomposition,
         # -- r6-green rows slipping to the r9 window head ------------------
+        "attribution_last_touch": q_attribution_last_touch,
         "cms_user_counts": q_cms_user_counts,
         "path_transitions": q_path_transitions,
         "zorder_customers": q_zorder_customers,
@@ -2354,7 +2367,7 @@ _BANDS_UNION = "\n              UNION ALL\n".join(
 )
 
 
-def _bpe_oracle_sql(k_merges: int = 6) -> str:
+def _bpe_oracle_sql(k_merges: int = 6, face: str = "merges") -> str:
     """DuckDB twin of q_bpe_merges: BPE tokenizer training unrolled as CTE
     stages. The merge APPLICATION uses an independent construction from the
     engine's left-to-right fold: exploded (word, pos, sym) rows, pair
@@ -2405,6 +2418,11 @@ WITH wt AS MATERIALIZED (
   SELECT w, cnt, list(out_sym ORDER BY pos) syms
   FROM f{t} WHERE NOT consumed GROUP BY w, cnt
 )""")
+    if face == "vocab":
+        # the segmented vocabulary after all k merges — s{k} is already the
+        # engine's (w, cnt, tokens) artifact (bpe_train_merges return_vocab)
+        parts.append(f"\nSELECT w, cnt, syms AS tokens FROM s{k_merges}")
+        return "".join(parts)
     union = "\nUNION ALL\n".join(
         f"""SELECT CAST({t} AS INTEGER) AS "rank", l AS "left", r AS "right", freq FROM m{t}"""
         for t in range(1, k_merges + 1)
@@ -3209,6 +3227,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "classifier_quality": _classifier_oracle_sql(),
         "bpe_merges": _bpe_oracle_sql(k_merges=6),
+        "bpe_vocab": _bpe_oracle_sql(k_merges=6, face="vocab"),
         "vocab_stats": """
             WITH tk AS MATERIALIZED (
               SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok

@@ -672,7 +672,8 @@ def bpe_train_merges(
     df: DataFrame,
     k_merges: int = 4,
     text_col: str = "text",
-) -> DataFrame:
+    return_vocab: bool = False,
+):
     """Distributed BPE tokenizer training: learn the first ``k_merges``
     merge rules (Sennrich et al. 2016) over a corpus.
 
@@ -695,6 +696,10 @@ def bpe_train_merges(
     non-overlap). Pair counting is the standard overlapping zip
     (s[i], s[i+1]).
 
+    With ``return_vocab=True`` returns ``(merges, vocab)`` where vocab is
+    the segmented vocabulary after all learned merges — one row per
+    distinct word: (w, cnt, tokens array<string>), the apply-side artifact.
+
     The reference engine has no tokenizer surface (net-new LLM-pipeline
     op); the DuckDB oracle replays every stage with an independent
     merge construction (position-parity run splitting instead of a fold).
@@ -715,7 +720,7 @@ def bpe_train_merges(
         F.sequence(F.lit(1), F.length("w")), lambda i: F.col("w").substr(i, F.lit(1))
     )
     seqs = words.select(
-        "cnt", F.concat(chars, F.array(F.lit("</w>"))).alias("syms")
+        "w", "cnt", F.concat(chars, F.array(F.lit("</w>"))).alias("syms")
     ).persist()
     seqs.count()
 
@@ -758,12 +763,20 @@ def bpe_train_merges(
                     ),
                 ).otherwise(F.concat(acc, F.array(x))),
             )
-            nxt = seqs.select("cnt", folded.alias("syms")).persist()
+            nxt = seqs.select("w", "cnt", folded.alias("syms")).persist()
             nxt.count()
             seqs.unpersist()
             seqs = nxt
+        merges_df = spark.createDataFrame(
+            merges, "rank int, left string, right string, freq long"
+        )
+        if return_vocab:
+            # the segmented vocabulary after all learned merges — the
+            # train->apply artifact pair a tokenizer pipeline ships
+            # (vocabulary-sized; checkpoint eagerly so the iteration cache
+            # can be released)
+            vocab = seqs.select("w", "cnt", F.col("syms").alias("tokens")).localCheckpoint()
+            return merges_df, vocab
+        return merges_df
     finally:
         seqs.unpersist()
-    return spark.createDataFrame(
-        merges, "rank int, left string, right string, freq long"
-    )

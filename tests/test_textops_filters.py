@@ -487,6 +487,15 @@ def test_bpe_train_merges_sennrich_fixture(spark):
         (1, "e", "s", 9), (2, "es", "t", 9), (3, "est", "</w>", 9),
         (4, "l", "o", 7), (5, "lo", "w", 7), (6, "e", "w", 6),
     ]
+    # the apply-side artifact: the vocabulary segmented by the learned rules
+    _, vocab = bpe_train_merges(docs, k_merges=6, return_vocab=True)
+    seg = {r["w"]: list(r["tokens"]) for r in vocab.collect()}
+    assert seg == {
+        "low": ["low", "</w>"],
+        "lower": ["low", "e", "r", "</w>"],
+        "newest": ["n", "ew", "est</w>"],
+        "widest": ["w", "i", "d", "est</w>"],
+    }
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
