@@ -520,3 +520,58 @@ def test_bpe_train_merges_equal_symbol_runs(spark):
     assert got[1] == (2, "aa", "</w>", 3)
     # after: [aa, aa</w>] -> only pair (aa, aa</w>) freq 3
     assert got[2] == (3, "aa", "aa</w>", 3)
+
+
+def test_bpe_train_merges_matches_pure_python_reference(spark):
+    """Randomized corpora vs an independent pure-Python Sennrich
+    implementation: merge rules (with the (freq desc, pair asc) tie rule)
+    AND every word's final segmentation must agree — covers repeated-char
+    runs, single-char words, and words that fully merge. Few examples
+    because each run is a full distributed training (6 Spark jobs), but
+    the generator is seeded for reproducibility."""
+    import collections
+    import random
+
+    def ref_bpe(words, k):
+        vocab = collections.Counter(words)
+        seqs = {w: list(w) + ["</w>"] for w in vocab}
+        rules = []
+        for rank in range(1, k + 1):
+            pc = collections.Counter()
+            for w, c in vocab.items():
+                s = seqs[w]
+                for i in range(len(s) - 1):
+                    pc[(s[i], s[i + 1])] += c
+            if not pc:
+                break
+            m = max(pc.values())
+            l, r = sorted(p for p, c in pc.items() if c == m)[0]
+            rules.append((rank, l, r, m))
+            for w in seqs:
+                acc = []
+                for x in seqs[w]:
+                    if acc and acc[-1] == l and x == r:
+                        acc[-1] = l + r
+                    else:
+                        acc.append(x)
+                seqs[w] = acc
+        return rules, seqs
+
+    from oaxaca_blinder_rs_spark.operators.textops import bpe_train_merges
+
+    rng = random.Random(42)
+    alphabet = "abz"  # tiny alphabet forces runs, ties and full merges
+    for case in range(4):
+        words = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6)))
+            for _ in range(rng.randint(3, 12))
+        ]
+        text = " ".join(words)
+        docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        m_df, v_df = bpe_train_merges(docs, k_merges=3, return_vocab=True)
+        got_rules = [(r["rank"], r["left"], r["right"], r["freq"])
+                     for r in m_df.orderBy("rank").collect()]
+        got_seqs = {r["w"]: list(r["tokens"]) for r in v_df.collect()}
+        want_rules, want_seqs = ref_bpe(words, 3)
+        assert got_rules == want_rules, (case, text, got_rules, want_rules)
+        assert got_seqs == want_seqs, (case, text, got_seqs, want_seqs)
