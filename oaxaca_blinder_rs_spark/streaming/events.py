@@ -577,6 +577,46 @@ def streaming_drift_cells(
     )
 
 
+def streaming_vocab_cells(
+    docs: DataFrame,
+    text_col: str = "text",
+    by: str = "source",
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming vocabulary monitor feed: per tumbling window, the
+    (group, token, n) count cells over the SAME lowercased whitespace
+    tokenization as the batch textops.vocab_stats. Cells from any set of
+    windows SUM-merge into exactly the batch (by, token) count table, so
+    type counts / TTR / hapax fraction / top token are computable over
+    any horizon without rescanning the stream — the same
+    mergeable-cells contract as the histogram/CMS/drift faces. State is
+    bounded at (groups x distinct tokens) rows per open window; the
+    watermark expires closed windows.
+    """
+    toks = F.explode(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    ).alias("__tok")
+    long = (
+        _event_time(docs, ts_col)
+        .withWatermark(ts_col, watermark)
+        .select(F.col(ts_col), F.col(by), toks)
+        .filter(F.col("__tok") != "")
+    )
+    return (
+        long.groupBy(F.window(ts_col, window_duration).alias("wnd"), by, "__tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("wnd.start").alias("window_start"),
+            F.col("wnd.end").alias("window_end"),
+            F.col(by),
+            F.col("__tok").alias("token"),
+            "n",
+        )
+    )
+
+
 def streaming_constraint_cells(
     events: DataFrame,
     rules: list[dict],

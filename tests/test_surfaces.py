@@ -1120,3 +1120,59 @@ def test_formula_requires_predictors():
         Formula.parse("wage ~ ")
     # still fine with at least one term of either kind
     assert Formula.parse("wage ~ C(sector)").categorical_predictors == ["sector"]
+
+
+def test_streaming_vocab_cells_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming vocabulary cells (r8): per-window (source, token) counts
+    SUM-merged across windows must equal the batch vocab_stats (by, token)
+    count table — so TTR / hapax / top-token computed from merged cells
+    equal the batch report, end-to-end through a real availableNow query."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from oaxaca_blinder_rs_spark.operators.textops import vocab_stats
+
+    docs = ob.load_table(spark, sf_dir, "documents").withColumn(
+        "ts",
+        F.to_timestamp(
+            F.concat(F.lit("2024-01-01 00:"), F.lpad(F.col("doc_id") % 50, 2, "0"), F.lit(":00"))
+        ),
+    )
+    src = str(tmp_path / "vocab_docs")
+    docs.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(docs.schema).format("parquet").load(src)
+    cells = streaming_events.streaming_vocab_cells(
+        stream, window_duration="10 minutes", watermark="0 seconds"
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            cells.writeStream.format("memory")
+            .queryName("vocab_cells")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    merged = spark.sql(
+        "SELECT source, token, SUM(n) AS cnt FROM vocab_cells GROUP BY 1, 2"
+    )
+    got = {
+        r["source"]: r
+        for r in merged.groupBy("source")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.round(F.count(F.lit(1)).cast("double") / F.sum("cnt"), 6).alias("ttr"),
+        )
+        .collect()
+    }
+    want = {r["source"]: r for r in vocab_stats(docs.drop("ts")).collect()}
+    assert set(got) == set(want)
+    for s_ in want:
+        assert got[s_]["n_tokens"] == want[s_]["n_tokens"], s_
+        assert got[s_]["n_types"] == want[s_]["n_types"], s_
+        assert got[s_]["ttr"] == want[s_]["type_token_ratio"], s_
+    # multiple windows actually occurred (the merge is doing real work)
+    assert spark.sql("SELECT COUNT(DISTINCT window_start) c FROM vocab_cells").first()["c"] > 1
