@@ -565,6 +565,19 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigns
 
 
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier ranking (embeddings.embedding_outliers, r8):
+    exact int64 squared distance to the assigned k-means centroid (k=6,
+    2 Lloyd iterations) with the within-cluster (dist2 DESC, id ASC) rank
+    — the far-from-centroid quality gate. Rank runs through the
+    distributed grouped-rank primitive (no single-task cluster window);
+    the oracle replays assignment, distance, and rank bit-for-bit."""
+    from oaxaca_blinder_rs_spark.operators import embeddings as embx
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embx.embedding_outliers(e, k=6, iters=2)
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (embeddings.semantic_dedup, r8): semantic dedup by cosine
     WITHIN integer-exact k-means clusters (k=6, 2 Lloyd iterations,
@@ -1959,6 +1972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_quality": q_classifier_quality,
         "bpe_merges": q_bpe_merges,
         "bpe_vocab": q_bpe_vocab,
+        "embedding_outliers": q_embedding_outliers,
         "machado_mata": q_machado_mata,
         "matching_weights": q_matching_weights,
         "span_dedup": q_span_dedup,
@@ -2006,7 +2020,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_kde_grid": q_weighted_kde_grid,
         "ngram_doc_freq": q_ngram_doc_freq,
         "ngram_contamination": q_ngram_contamination,
-        "sample_weighted": q_sample_weighted,
         # -- past the window: r7-green rows (records 1 round old) ----------
         "mm_small_exact": q_mm_small_exact,
         "pca_whiten_2d": q_pca_whiten_2d,
@@ -2055,6 +2068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "akm_demeaned_check": q_akm_demeaned_check,
         "heckman_decomposition": q_heckman_decomposition,
         # -- r6-green rows slipping to the r9 window head ------------------
+        "sample_weighted": q_sample_weighted,
         "attribution_last_touch": q_attribution_last_touch,
         "cms_user_counts": q_cms_user_counts,
         "path_transitions": q_path_transitions,
@@ -2319,6 +2333,36 @@ def _kmeans_sql(k: int = 6, iters: int = 2) -> str:
                    ORDER BY {dist} ASC, c.cid ASC) rk
           FROM v, {prev} c
         ) WHERE rk = 1"""
+    return "WITH " + ",\n".join(parts) + "\n" + final
+
+
+def _embedding_outliers_sql(k: int = 6, iters: int = 2) -> str:
+    """DuckDB twin of embeddings.embedding_outliers: the unrolled integer
+    Lloyd assignment, exact int64 squared distance to the assigned
+    centroid, and the (dist2 DESC, id ASC) within-cluster rank."""
+    parts, dist, prev = _kmeans_parts(k, iters)
+    parts.append(
+        f"""af AS (
+          SELECT vec_id, cid FROM (
+            SELECT v.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY v.vec_id
+                     ORDER BY {dist} ASC, c.cid ASC) rk
+            FROM v, {prev} c
+          ) WHERE rk = 1
+        )""",
+    )
+    parts.append(
+        f"""d2 AS (
+          SELECT af.vec_id, af.cid,
+                 CAST(list_sum(list_transform(range(1,65),
+                        i -> (v.qv[i]-c.cqv[i])*(v.qv[i]-c.cqv[i]))) AS BIGINT) dist2
+          FROM af JOIN v USING (vec_id) JOIN {prev} c ON c.cid = af.cid
+        )""",
+    )
+    final = """SELECT vec_id, cid AS "cluster", dist2,
+          CAST(row_number() OVER (PARTITION BY cid
+            ORDER BY dist2 DESC, vec_id ASC) AS INTEGER) cluster_rank
+        FROM d2"""
     return "WITH " + ",\n".join(parts) + "\n" + final
 
 
@@ -4873,6 +4917,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans_clusters": _kmeans_sql(k=6, iters=2),
         "semantic_dedup": _semantic_dedup_sql(k=6, iters=2, threshold=0.5),
+        "embedding_outliers": _embedding_outliers_sql(k=6, iters=2),
         "diversity_sample": f"""
             WITH assigns AS ({_kmeans_sql(k=6, iters=2)})
             SELECT vec_id, "cluster" FROM (

@@ -328,6 +328,79 @@ def semantic_dedup(
     )
 
 
+def embedding_outliers(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1000,
+) -> DataFrame:
+    """Embedding-space outlier ranking: each vector's EXACT integer squared
+    distance to its assigned k-means centroid, ranked within its cluster
+    (rank 1 = farthest, ties by id ascending).
+
+    The quality gate an embedding pipeline runs before training: far-from-
+    centroid vectors are the mis-embedded / off-distribution tail (the same
+    centroid-distance signal SemDeDup uses to pick representatives); a
+    caller drops rank <= n or dist2 above a quantile per cluster.
+
+    Every quantity is integer-exact (the kmeans_quantized trick: floor(x *
+    scale) int64 vectors, int64 centroid coordinates, int64 squared
+    distances), so results are partition-order invariant and the DuckDB
+    oracle replays assignment, distance, and rank bit-for-bit. Shape: the
+    Lloyd passes plus one broadcast join of the k centroids, then the rank
+    through the distributed grouped rank primitive (scan.py) on a tie-free
+    composite key — no single-task per-cluster window even when k is small
+    relative to the data, no all-pairs stage.
+    """
+    from pyspark.sql import functions as FF
+
+    from .scan import grouped_dense_rank
+
+    assigns, centroids = kmeans_quantized(
+        df, k=k, iters=iters, vec_col=vec_col, id_col=id_col, scale=scale
+    )
+    spark = df.sparkSession
+    cent = spark.createDataFrame(
+        [(ci, list(map(int, cv))) for ci, cv in enumerate(centroids)],
+        "cluster long, __cqv array<long>",
+    )
+    qv = FF.transform(
+        FF.col(vec_col),
+        lambda x: FF.floor(x.cast("double") * FF.lit(float(scale))).cast("long"),
+    )
+    joined = (
+        df.select(FF.col(id_col), qv.alias("__qv"))
+        .join(assigns, id_col)
+        .join(FF.broadcast(cent), "cluster")
+    )
+    dist2 = FF.aggregate(
+        FF.zip_with(FF.col("__qv"), FF.col("__cqv"), lambda a, b: (a - b) * (a - b)),
+        FF.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    # tie-free ascending key == (dist2 DESC, id ASC): int64 dist2 inverted
+    # against 10^18 (>= any 64-dim quantized distance by ~9 orders), both
+    # halves zero-padded fixed-width
+    key = FF.concat(
+        FF.lpad((FF.lit(10**18) - FF.col("dist2")).cast("string"), 19, "0"),
+        FF.lpad(FF.col(id_col).cast("string"), 18, "0"),
+    )
+    ranked = grouped_dense_rank(
+        joined.withColumn("dist2", dist2).withColumn("__ok", key),
+        "cluster",
+        "__ok",
+        "__orank",
+    )
+    return ranked.select(
+        FF.col(id_col),
+        "cluster",
+        "dist2",
+        (FF.col("__orank") + 1).cast("int").alias("cluster_rank"),
+    )
+
+
 def pca_whiten(
     df: DataFrame,
     n_components: int,

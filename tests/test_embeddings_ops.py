@@ -182,3 +182,44 @@ def test_semantic_dedup_blocks_by_cluster_and_keeps_lowest_id(spark):
     again = {r["vec_id"]: (r["cluster"], r["keep"], r["dup_of"])
              for r in emb.semantic_dedup(df.repartition(7), k=2, iters=2, threshold=0.99).collect()}
     assert again == {i: (out[i]["cluster"], out[i]["keep"], out[i]["dup_of"]) for i in out}
+
+
+def test_embedding_outliers_rank_and_invariance(spark):
+    """Centroid-distance outlier ranks: rank 1 is the farthest vector in
+    its cluster (ties by id), every row is ranked 1..|cluster| exactly
+    once, dist2 is the exact integer distance, and results are identical
+    across partitionings (integer arithmetic + distributed grouped rank)."""
+    from oaxaca_blinder_rs_spark.operators import embeddings as emb
+
+    def vec(axis, eps, j):
+        v = [0.0] * 64
+        v[axis] = 1.0
+        v[(axis + 2 + j) % 64] = eps
+        return v
+
+    rows = [
+        (0, vec(0, 0.00, 0)), (1, vec(1, 0.00, 0)),
+        (2, vec(0, 0.01, 1)), (3, vec(1, 0.01, 1)),
+        (4, vec(0, 0.30, 2)),  # clearly farthest from the axis-0 centroid
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in emb.embedding_outliers(df, k=2, iters=2).collect()}
+    assert len(out) == 5
+    # per-cluster ranks are a permutation of 1..|cluster|
+    by_cluster = {}
+    for r in out.values():
+        by_cluster.setdefault(r["cluster"], []).append(r["cluster_rank"])
+    for c, ranks in by_cluster.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), (c, ranks)
+    # id 4 (eps 0.30) is the farthest member of id 0's cluster
+    c0 = out[0]["cluster"]
+    assert out[4]["cluster"] == c0
+    farthest = max(
+        (r for r in out.values() if r["cluster"] == c0),
+        key=lambda r: (r["dist2"], -r["vec_id"]),
+    )
+    assert farthest["vec_id"] == 4 and out[4]["cluster_rank"] == 1
+    # exact-integer determinism across partitionings
+    again = {r["vec_id"]: (r["cluster"], r["dist2"], r["cluster_rank"])
+             for r in emb.embedding_outliers(df.repartition(7), k=2, iters=2).collect()}
+    assert again == {i: (out[i]["cluster"], out[i]["dist2"], out[i]["cluster_rank"]) for i in out}
