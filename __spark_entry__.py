@@ -220,10 +220,16 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per distinct word (w, cnt, tokens). The oracle emits the final
     unrolled merge stage's sequences directly, so the engine's
     left-to-right fold and the oracle's position-parity construction are
-    compared on EVERY word, not just through the learned rule table."""
+    compared on EVERY word, not just through the learned rule table.
+
+    r9: the contract projection flattens the token array to a
+    space-joined scalar (symbols are whitespace-split word fragments, so
+    ' ' never occurs inside one) — the driver's pandas canonicalizer
+    cannot sort/hash array cells (CORRECTNESS_r08 TypeError), while the
+    operator API keeps the array."""
     docs = _t(spark, sf_dir, "documents")
     _, vocab = textops.bpe_train_merges(docs, k_merges=6, return_vocab=True)
-    return vocab
+    return vocab.select("w", "cnt", F.array_join("tokens", " ").alias("tokens"))
 
 
 def q_classifier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -233,13 +239,19 @@ def q_classifier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores and a 0.5 keep cut. The oracle unrolls the Newton iteration
     as explicit CTE stages with 3x3 Cramer solves — the dfl oracle
     construction with the ridge term on the Hessian diagonal — and
-    replays the feature expressions verbatim."""
+    replays the feature expressions verbatim.
+
+    r9 (ADVICE): tol tightened to 1e-9 for THIS contract row so the
+    engine sits ~1e-18 from the shared fixed point — the measured
+    sf0.01 margin to the nearest 6-dp rounding boundary is only
+    ~5.8e-10, and the e2e suite now asserts margin > 100x the actual
+    6-stage-vs-converged divergence instead of assuming it."""
     from oaxaca_blinder_rs_spark.operators.corpus import seed_classifier_scores
 
     docs = _t(spark, sf_dir, "documents").withColumn(
         "__seed", (F.col("lang") == "en").cast("double")
     )
-    return seed_classifier_scores(docs, "__seed")
+    return seed_classifier_scores(docs, "__seed", tol=1e-9)
 
 
 def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2463,9 +2475,13 @@ WITH wt AS MATERIALIZED (
   FROM f{t} WHERE NOT consumed GROUP BY w, cnt
 )""")
     if face == "vocab":
-        # the segmented vocabulary after all k merges — s{k} is already the
-        # engine's (w, cnt, tokens) artifact (bpe_train_merges return_vocab)
-        parts.append(f"\nSELECT w, cnt, syms AS tokens FROM s{k_merges}")
+        # the segmented vocabulary after all k merges — s{k} is the engine's
+        # (w, cnt, tokens) artifact (bpe_train_merges return_vocab), with the
+        # token list space-joined to a scalar for the driver's hasher
+        # (mirrors q_bpe_vocab's array_join projection)
+        parts.append(
+            f"\nSELECT w, cnt, array_to_string(syms, ' ') AS tokens FROM s{k_merges}"
+        )
         return "".join(parts)
     union = "\nUNION ALL\n".join(
         f"""SELECT CAST({t} AS INTEGER) AS "rank", l AS "left", r AS "right", freq FROM m{t}"""

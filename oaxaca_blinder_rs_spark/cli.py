@@ -325,14 +325,20 @@ def main(argv=None) -> int:
         # main.rs:306-310 parity: --output-json writes the weights VECTOR in
         # input-row order (the reference serializes its positional Vec<f64>;
         # __ob_row_id__ is the CSV row index, so row_id order IS file order);
-        # without it, print the count + first-10 preview the reference prints
-        weights = eng.weights_list(w)
+        # without it, print the count + first-10 preview the reference
+        # prints — via count() + an ordered limit(10), so the preview path
+        # never collects the full vector to the driver
         if args.output_json:
+            weights = eng.weights_list(w)
             with open(args.output_json, "w") as f:
                 json.dump(weights, f)
         else:
-            print(f"Matching completed. Generated {len(weights)} weights.")
-            print(f"First 10 weights: {weights[:10]}")
+            n_weights = w.count()
+            first10 = [
+                float(r["weight"]) for r in w.orderBy("row_id").limit(10).collect()
+            ]
+            print(f"Matching completed. Generated {n_weights} weights.")
+            print(f"First 10 weights: {first10}")
     if owns_session:
         spark.stop()
     return 0

@@ -107,6 +107,10 @@ def prepare_corpus(
     reps = kept.groupBy("__fp").agg(F.min(id_col).alias(id_col))
     kept = kept.join(reps, ["__fp", id_col]).drop("__fp")
 
+    # validate BEFORE the persist below so a bad argument cannot leak the cache
+    if candidate_pairs is None and candidates not in ("auto", "allpairs", "lsh"):
+        raise ValueError(f"candidates must be auto|allpairs|lsh, got {candidates!r}")
+
     # The gated+exact-deduped projection feeds MANY downstream actions
     # (the auto-mode count, candidate generation, BOTH sides of the
     # jaccard verify join, the survivor anti-join) — without persistence
@@ -115,42 +119,41 @@ def prepare_corpus(
     # the r8 corpus_prepare bench entry). MEMORY_AND_DISK cache here,
     # released after the result is checkpointed below; at 100 TB the
     # survivors are the small end of the funnel, exactly what you want
-    # materialized once.
+    # materialized once. try/finally so a mid-pipeline failure (candidate
+    # generation, the verify join) cannot leak the cache for the session.
     kept = kept.persist()
-
-    # near-dup clustering among survivors
-    if candidate_pairs is None:
-        if candidates not in ("auto", "allpairs", "lsh"):
-            raise ValueError(f"candidates must be auto|allpairs|lsh, got {candidates!r}")
-        mode = candidates
-        if mode == "auto":
-            mode = "lsh" if kept.count() > int(lsh_threshold) else "allpairs"
-        if mode == "allpairs":
-            candidate_pairs = dedup.size_pruned_pairs(
-                kept, text_col="__text", id_col=id_col, k=shingle_k, threshold=jaccard_threshold
-            )
-        else:
-            candidate_pairs = dedup.minhash_lsh_candidates(
-                kept, text_col="__text", id_col=id_col, k=shingle_k
-            )
-    edges = dedup.ngram_jaccard(
-        kept, candidate_pairs, text_col="__text", id_col=id_col, k=shingle_k
-    ).filter(F.round("jaccard", 6) >= float(jaccard_threshold))
-    clusters = dedup.dup_clusters(edges.select("id_a", "id_b"))
-    dropped = clusters.filter(F.col("cluster_id") != F.col("doc_id")).select(
-        F.col("doc_id").alias(id_col)
-    )
-    survivors = kept.join(dropped, id_col, "left_anti")
-    cols = [id_col, "n_tokens", "quality", "lang"]
-    if scrub_pii:
-        survivors = survivors.withColumn("text", textops.pii_scrub(t))
-        cols.append("text")
-    # materialize the keep-list eagerly (it is the small funnel end) so the
-    # intermediate cache can be released and callers' repeated actions on
-    # the result cost nothing
-    out = survivors.select(*cols).localCheckpoint()
-    kept.unpersist()
-    return out
+    try:
+        # near-dup clustering among survivors
+        if candidate_pairs is None:
+            mode = candidates
+            if mode == "auto":
+                mode = "lsh" if kept.count() > int(lsh_threshold) else "allpairs"
+            if mode == "allpairs":
+                candidate_pairs = dedup.size_pruned_pairs(
+                    kept, text_col="__text", id_col=id_col, k=shingle_k, threshold=jaccard_threshold
+                )
+            else:
+                candidate_pairs = dedup.minhash_lsh_candidates(
+                    kept, text_col="__text", id_col=id_col, k=shingle_k
+                )
+        edges = dedup.ngram_jaccard(
+            kept, candidate_pairs, text_col="__text", id_col=id_col, k=shingle_k
+        ).filter(F.round("jaccard", 6) >= float(jaccard_threshold))
+        clusters = dedup.dup_clusters(edges.select("id_a", "id_b"))
+        dropped = clusters.filter(F.col("cluster_id") != F.col("doc_id")).select(
+            F.col("doc_id").alias(id_col)
+        )
+        survivors = kept.join(dropped, id_col, "left_anti")
+        cols = [id_col, "n_tokens", "quality", "lang"]
+        if scrub_pii:
+            survivors = survivors.withColumn("text", textops.pii_scrub(t))
+            cols.append("text")
+        # materialize the keep-list eagerly (it is the small funnel end) so
+        # the intermediate cache can be released and callers' repeated
+        # actions on the result cost nothing
+        return survivors.select(*cols).localCheckpoint()
+    finally:
+        kept.unpersist()
 
 
 def pack_token_shards(

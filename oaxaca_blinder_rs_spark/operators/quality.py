@@ -122,16 +122,28 @@ def check_constraints(df: DataFrame, rules: list[dict]) -> DataFrame:
             out_rows.append((r["type"], _rule_detail(r), int(not ok), n, ok))
         else:  # freshness
             import math
-            from datetime import datetime, timezone
+            from datetime import datetime
 
             as_of = datetime.fromisoformat(str(r["as_of"]))
             # Spark returns MAX(timestamp) as a NAIVE datetime in the
-            # session timezone; an aware as_of (e.g. '...T00:00:00+00:00')
+            # SESSION timezone; an aware as_of (e.g. '...T00:00:00+00:00')
             # would make the subtraction below raise TypeError. Convert an
-            # aware as_of to naive UTC and document the assumption that the
-            # session timezone is UTC (the library default session sets it).
+            # aware as_of into the ACTUAL session zone (not an assumed UTC —
+            # on a user-supplied non-UTC session that assumption silently
+            # shifts every staleness verdict) and drop the tzinfo so both
+            # sides of the subtraction live on the same clock.
             if as_of.tzinfo is not None:
-                as_of = as_of.astimezone(timezone.utc).replace(tzinfo=None)
+                from zoneinfo import ZoneInfo
+
+                tz_name = spark.conf.get("spark.sql.session.timeZone")
+                try:
+                    sess_tz = ZoneInfo(str(tz_name))
+                except Exception as exc:
+                    raise ValueError(
+                        "freshness rule with a timezone-aware as_of needs an "
+                        f"IANA spark.sql.session.timeZone; got {tz_name!r}"
+                    ) from exc
+                as_of = as_of.astimezone(sess_tz).replace(tzinfo=None)
             newest = totals[f"__t{i}"]
             if newest is None:
                 out_rows.append((r["type"], _rule_detail(r), 1, 0, False))

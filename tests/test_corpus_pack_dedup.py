@@ -561,3 +561,70 @@ def test_seed_classifier_scores_orders_by_seed_likeness(spark):
     # stopword-dense docs outscore the stopword-free ones regardless of label
     assert out[1]["score"] > out[3]["score"]
     assert out[5]["score"] > out[6]["score"] or out[5]["score"] == out[6]["score"] == 0.5
+
+
+def test_classifier_quality_scores_clear_rounding_boundaries(spark, sf_dir):
+    """The classifier_quality hash contract compares 6-dp-rounded sigmoid
+    scores between a tol-converged engine fit and a fixed-6-stage oracle
+    unroll; the contract is safe only while every document's distance to
+    the nearest 0.5e-6 rounding boundary EXCEEDS the divergence between
+    those two estimates (r8 ADVICE: a data-dependent assumption previously
+    stated but never checked — and rightly so: at sf0.01 the tightest
+    margin measures ~5.8e-10, under the ADVICE's suggested 1e-9 yardstick
+    but still ~500x the actual 6-stage-vs-fixed-point divergence). This
+    e2e measures BOTH quantities on the real contract data — at the suite
+    SF and, when present, at the driver's sf0.01 — via an INDEPENDENT
+    NumPy replica of the ridge-logit, and requires margin > 100x
+    divergence, so a boundary drift fails loudly here instead of as an
+    unexplained driver hash mismatch."""
+    import os
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from oaxaca_blinder_rs_spark.operators import textops
+    from oaxaca_blinder_rs_spark.operators.corpus import seed_classifier_scores
+
+    dirs = [sf_dir]
+    if os.path.isdir("/root/testdata/sf0.01") and sf_dir != "/root/testdata/sf0.01":
+        dirs.append("/root/testdata/sf0.01")
+    for d in dirs:
+        docs = spark.read.parquet(os.path.join(d, "documents.parquet")).withColumn(
+            "__seed", (F.col("lang") == "en").cast("double")
+        )
+        t = F.col("text")
+        feats = docs.select(
+            "doc_id",
+            textops.stopword_ratio(t).alias("x1"),
+            F.log(textops.token_count(t).cast("double") + F.lit(1.0)).alias("x2"),
+            F.col("__seed").alias("y"),
+        ).collect()
+        X = np.column_stack(
+            [np.ones(len(feats)), [r["x1"] for r in feats], [r["x2"] for r in feats]]
+        )
+        y = np.array([r["y"] for r in feats])
+
+        # reference-semantics Newton: ridge*I on the information matrix only
+        def newton(iters, tol):
+            beta = np.zeros(3)
+            for _ in range(iters):
+                p = np.clip(1.0 / (1.0 + np.exp(-(X @ beta))), 1e-10, 1.0 - 1e-10)
+                w = p * (1.0 - p)
+                h = X.T @ (X * w[:, None]) + 1e-6 * np.eye(3)
+                step = np.linalg.solve(h, X.T @ (y - p))
+                beta += step
+                if np.linalg.norm(step) < tol:
+                    break
+            return np.clip(1.0 / (1.0 + np.exp(-(X @ beta))), 1e-10, 1.0 - 1e-10)
+
+        p6 = newton(6, 0.0)  # the oracle's fixed 6 unrolled stages
+        p = newton(100, 1e-12)  # the converged fixed point (engine side)
+        divergence = float(np.abs(p6 - p).max())
+        # distance from each score to the nearest 0.5e-6 rounding boundary
+        frac = np.abs((p * 1e6) % 1.0 - 0.5)
+        margin = float(frac.min()) * 1e-6
+        assert margin > 100 * max(divergence, 1e-15), (d, margin, divergence)
+        # and the engine's rounded scores agree with this independent fit
+        got = {r["doc_id"]: r["score"] for r in seed_classifier_scores(docs, "__seed").collect()}
+        want = dict(zip((r["doc_id"] for r in feats), np.round(p, 6)))
+        assert got == {k: float(v) for k, v in want.items()}, d

@@ -184,6 +184,39 @@ def test_semantic_dedup_blocks_by_cluster_and_keeps_lowest_id(spark):
     assert again == {i: (out[i]["cluster"], out[i]["keep"], out[i]["dup_of"]) for i in out}
 
 
+def test_semantic_dedup_derived_k_blocking_bound(spark):
+    """k=None derives k = ceil(n / target_cluster_size) — the SemDeDup
+    scaling rule the r8 verdict asked to move from the docstring into the
+    default: a forgotten k can no longer leave 8 blocks over an arbitrarily
+    large corpus. The derived path must (a) equal the explicit-k run
+    row-for-row, (b) keep every cluster id inside [0, k), the blocking
+    bound the candidate-volume argument rests on."""
+    from oaxaca_blinder_rs_spark.operators import embeddings as emb
+
+    def vec(axis, eps, j):
+        v = [0.0] * 64
+        v[axis] = 1.0
+        v[(axis + 2 + j) % 64] = eps
+        return v
+
+    rows = [(i, vec(i % 3, 0.01 * (i % 5), i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # n=10, target 3 -> derived k = ceil(10/3) = 4
+    derived = emb.semantic_dedup(df, threshold=0.99, target_cluster_size=3)
+    explicit = emb.semantic_dedup(df, k=4, threshold=0.99)
+    d = {r["vec_id"]: (r["cluster"], r["keep"], r["dup_of"]) for r in derived.collect()}
+    e = {r["vec_id"]: (r["cluster"], r["keep"], r["dup_of"]) for r in explicit.collect()}
+    assert d == e
+    assert all(0 <= c < 4 for c, _, _ in d.values())
+    # target >= n collapses to k=1 (single block), never k=0
+    one = emb.semantic_dedup(df, threshold=0.99, target_cluster_size=100)
+    assert {r["cluster"] for r in one.collect()} == {0}
+    import pytest
+
+    with pytest.raises(ValueError, match="target_cluster_size"):
+        emb.semantic_dedup(df, threshold=0.99, target_cluster_size=0)
+
+
 def test_embedding_outliers_rank_and_invariance(spark):
     """Centroid-distance outlier ranks: rank 1 is the farthest vector in
     its cluster (ties by id), every row is ranked 1..|cluster| exactly
@@ -223,3 +256,36 @@ def test_embedding_outliers_rank_and_invariance(spark):
     again = {r["vec_id"]: (r["cluster"], r["dist2"], r["cluster_rank"])
              for r in emb.embedding_outliers(df.repartition(7), k=2, iters=2).collect()}
     assert again == {i: (out[i]["cluster"], out[i]["dist2"], out[i]["cluster_rank"]) for i in out}
+
+
+def test_embedding_outliers_rank_key_range_guard(spark):
+    """The fixed-width rank key is an order-embedding only on
+    [0, 1e18) x [0, 1e18); out-of-range inputs (negative ids, or a huge
+    `scale` overflowing dist2) must raise loudly instead of silently
+    corrupting cluster_rank (r8 ADVICE item)."""
+    import pytest
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+    from py4j.protocol import Py4JJavaError  # noqa: F401
+
+    from oaxaca_blinder_rs_spark.operators import embeddings as emb
+
+    def vec(axis):
+        v = [0.0] * 8
+        v[axis] = 1.0
+        return v
+
+    bad_ids = spark.createDataFrame(
+        [(-1, vec(0)), (2, vec(1)), (3, vec(0))],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(Exception, match="rank key out of range"):
+        emb.embedding_outliers(bad_ids, k=2, iters=1).collect()
+    # a scale large enough to push a unit-vector distance past 1e18 while
+    # staying under Long.MAX (with k=1 the centroid is the midpoint, so
+    # dist2 = 2 * (scale/2 * 2)^2 ... = 2e18 at scale 2e9; anything larger trips
+    # Spark's ANSI int64-overflow ArithmeticException even earlier, also loud)
+    big = spark.createDataFrame(
+        [(0, vec(0)), (1, vec(1))], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="rank key out of range"):
+        emb.embedding_outliers(big, k=1, iters=1, scale=2 * 10**9).collect()
