@@ -523,9 +523,11 @@ def q_embedding_cov_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pca_whiten_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA whitening (embeddings.pca_whiten): first two whitened coordinates
     per vector. At d=64 the driver eigensolve is not SQL-expressible
-    (COVERAGE.md impossibility bound — rows-only check); the operator path
-    itself is hash-matched by pca_whiten_2d (closed-form 2x2 eigh oracle),
-    its inputs by embedding_cov_check, and the d=64 numerics by the suite's
+    (COVERAGE.md impossibility bound — rows-only check on the raw
+    coordinates); the d=64 OUTPUT is hash-pinned by pca_whiten_invariants
+    (r9: centering/unit-variance/orthogonality/eigen-residual at 6 dp),
+    the operator path by pca_whiten_2d (closed-form 2x2 eigh oracle), its
+    inputs by embedding_cov_check, and the d=64 numerics by the suite's
     NumPy parity + identity-covariance oracles."""
     from oaxaca_blinder_rs_spark.operators import embeddings as embx
 
@@ -535,6 +537,79 @@ def q_pca_whiten_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round(F.col("whitened")[0], 4).alias("w0"),
         F.round(F.col("whitened")[1], 4).alias("w1"),
+    )
+
+
+def q_pca_whiten_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariant hash contract for the d=64 PCA whitening (r9, verdict
+    item 4): the eigensolve itself is not SQL-expressible (the documented
+    COVERAGE.md bound behind pca_whiten_top2's rows-only record), but the
+    OUTPUT satisfies exact, SQL-statable invariants whose values an
+    independent engine knows a priori. Per whitened component j in {0,1}:
+
+      mean_abs      |mean(w_j)|           == 0  (centering)
+      var_w         var_samp(w_j)         == 1  (unit whitened variance,
+                                                 ddof=1 matching the fit)
+      cross_abs     |cov(w_0, w_1)|       == 0  (orthogonal scores)
+      eig_resid_rel ||C u_j - l_j u_j||_inf / l_j
+                                          == 0  (u_j = cov(w_j, x) is an
+                                                 eigenvector of the data
+                                                 covariance C with
+                                                 l_j = ||u_j||^2 — pins w_j
+                                                 to a true eigen-direction
+                                                 with the right scaling)
+      top2_ordered  l_0 >= l_1            (descending eigenvalue order)
+      lam0_ge_mean  l_0 >= trace(C)/64    (the top component explains at
+                                           least the average variance)
+
+    all rounded at the repo's 6-dp quantum (measured slack ~1e-13 vs the
+    5e-7 quantum). Every statistic comes from ONE extra pass of the
+    hash-verified ``embedding_covariance`` reduction over the
+    concatenated (w0, w1, x_0..x_63) vector — cov(w,w), cov(w,x) and
+    cov(x,x) fall out of the same 66x66 partial-Gram matrix, so the check
+    costs one scan at any corpus size. Retires the registry's last
+    no-oracle row (pca_whiten_top2 keeps its rows-only record for the raw
+    coordinates; this row hash-pins them)."""
+    import numpy as np
+
+    from oaxaca_blinder_rs_spark.operators import embeddings as embx
+
+    e = _t(spark, sf_dir, "embeddings")
+    w = embx.pca_whiten(e, n_components=2)
+    comb = w.join(e, "vec_id").select(
+        F.concat(
+            F.col("whitened"),
+            F.transform(F.col("embedding"), lambda x: x.cast("double")),
+        ).alias("embedding")
+    )
+    cov66, _, _ = embx.embedding_covariance(comb)
+    cw, u, c = cov66[:2, :2], cov66[:2, 2:], cov66[2:, 2:]
+    # mean of w via a tiny second aggregate on the joined frame (the 66-pass
+    # mean is of the concatenated vector; w's mean is its first two entries)
+    mean_w = (
+        w.agg(
+            F.avg(F.col("whitened")[0]).alias("m0"),
+            F.avg(F.col("whitened")[1]).alias("m1"),
+        ).collect()[0]
+    )
+    lam = (u * u).sum(axis=1)  # ||u_j||^2 == lambda_j when w is whitened
+    resid = c @ u.T - u.T * lam  # eigen-equation residual, (64, 2)
+    rows = [
+        (
+            j,
+            float(round(abs(mean_w[f"m{j}"]), 6)),
+            float(round(cw[j, j], 6)),
+            float(round(abs(cw[0, 1]), 6)),
+            float(round(float(np.abs(resid[:, j]).max()) / max(float(lam[j]), 1e-300), 6)),
+            bool(lam[0] >= lam[1]),
+            bool(lam[0] >= float(np.trace(c)) / c.shape[0]),
+        )
+        for j in (0, 1)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "comp int, mean_abs double, var_w double, cross_abs double, "
+        "eig_resid_rel double, top2_ordered boolean, lam0_ge_mean boolean",
     )
 
 
@@ -1966,42 +2041,112 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declared contract queries, ordered for the driver's verification window.
 
     The driver hash-checks the FIRST 50 entries in declaration order.
-    Round-8 window (NOTES_r7 rotation plan + this round's changes):
-    (1) the 4 rows whose query, oracle, or engine kernel changed in r8
-    (machado_mata promoted to a hash contract; matching GEMM kernel;
-    span_dedup null-text; cross_corpus auto-gate), (2) the 6 rows
-    declared late in r7 taking their first driver record, (3) the 4
-    companion rows whose latest record is r5, (4) 36 of the 50
-    r6-green rows (records 2 rounds old). Past the window: the 46
-    r7-green rows (fresh records), then the 14 r6-green rows that
-    slip to the r9 window head (2-round-old records, within the
-    2x50 cadence; they rotate first next round).
+    Round-9 window (NOTES_r8 rotation plan + this round's changes):
+    (1) rows new or changed in r9 — pca_whiten_invariants (new contract,
+    retires the last no-oracle row), bpe_vocab (driver-hashable
+    projection), bpe_merges (batched merge rounds), classifier_quality
+    (tol 1e-9) — plus the rest of the seven r8 first-record rows kept
+    near the head per the r8 verdict (semantic_dedup, embedding_outliers,
+    vocab_stats, machado_mata); (2) the 20 r6-green rows whose records
+    turn 3 rounds old this round — they rotate FIRST per the <=2-round
+    policy; (3) 22 of the 46 r7-green rows (records 2 rounds old — the
+    head of the r10 rotation). Past the window: the remaining 24
+    r7-green rows (they rotate in r10), then the 43 r8-green rows
+    (fresh records).
     """
     return {
-        # -- r8 window rows 0-4: new or changed this round ------------------
-        "semantic_dedup": q_semantic_dedup,
-        "vocab_stats": q_vocab_stats,
-        "classifier_quality": q_classifier_quality,
-        "bpe_merges": q_bpe_merges,
+        # -- r9 window rows 0-7: new/changed in r9 + young r8 contracts ----
+        "pca_whiten_invariants": q_pca_whiten_invariants,
         "bpe_vocab": q_bpe_vocab,
+        "bpe_merges": q_bpe_merges,
+        "classifier_quality": q_classifier_quality,
+        "semantic_dedup": q_semantic_dedup,
         "embedding_outliers": q_embedding_outliers,
+        "vocab_stats": q_vocab_stats,
         "machado_mata": q_machado_mata,
+        # -- rows 8-27: r6-green rows, records 3 rounds old — rotate first --
+        "sample_weighted": q_sample_weighted,
+        "attribution_last_touch": q_attribution_last_touch,
+        "cms_user_counts": q_cms_user_counts,
+        "path_transitions": q_path_transitions,
+        "zorder_customers": q_zorder_customers,
+        "bloom_membership": q_bloom_membership,
+        "hll_users_by_type": q_hll_users_by_type,
+        "hll_intersection_users": q_hll_intersection_users,
+        "bm25_ranking": q_bm25_ranking,
+        "normalized_text": q_normalized_text,
+        "histogram_extendedprice": q_histogram_extendedprice,
+        "profile_lineitem": q_profile_lineitem,
+        "skew_report_custkey": q_skew_report_custkey,
+        "attribution_linear": q_attribution_linear,
+        "hll_registers": q_hll_registers,
+        "hll_count_users": q_hll_count_users,
+        "akm_effects": q_akm_effects,
+        "simhash": q_simhash,
+        "simhash_dups": q_simhash_dups,
+        "asof_join_events": q_asof_join_events,
+        # -- rows 28-49: oldest r7-green rows (2-round-old records) --------
+        "mm_small_exact": q_mm_small_exact,
+        "pca_whiten_2d": q_pca_whiten_2d,
+        "chunk_documents": q_chunk_documents,
+        "histogram_quantiles": q_histogram_quantiles,
+        "priority_sample": q_priority_sample,
+        "scd2_user_segments": q_scd2_user_segments,
+        "pagerank_copurchase": q_pagerank_copurchase,
+        "event_funnel": q_event_funnel,
+        "cohort_retention": q_cohort_retention,
+        "events_pivot": q_events_pivot,
+        "events_melt": q_events_melt,
+        "revenue_rollup": q_revenue_rollup,
+        "rolling_events": q_rolling_events,
+        "range_join_events": q_range_join_events,
+        "salted_join_check": q_salted_join_check,
+        "events_props_stats": q_events_props_stats,
+        "user_sessions": q_user_sessions,
+        "sample_fraction": q_sample_fraction,
+        "sample_stratified": q_sample_stratified,
+        "corpus_mixture": q_corpus_mixture,
+        "corpus_split": q_corpus_split,
+        "regional_revenue": q_regional_revenue,
+        # -- past the window: remaining r7-green rows (rotate in r10) ------
+        "segment_revenue_top10": q_segment_revenue_top10,
+        "oaxaca_mean_2pred": q_oaxaca_mean_2pred,
+        "oaxaca_categorical": q_oaxaca_categorical,
+        "oaxaca_wls": q_oaxaca_wls,
+        "embedding_cosine_dups": q_embedding_cosine_dups,
+        "embedding_cosine_dups_lsh": q_embedding_cosine_dups_lsh,
+        "quality_score": q_quality_score,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "adaptive_logprob_keep": q_adaptive_logprob_keep,
+        "dfl_densities": q_dfl_densities,
+        "kmeans_clusters": q_kmeans_clusters,
+        "oaxaca_mean_groupb": q_oaxaca_mean_groupb,
+        "oaxaca_mean_pooled": q_oaxaca_mean_pooled,
+        "oaxaca_mean_weighted": q_oaxaca_mean_weighted,
+        "rif_q90_groupb": q_rif_q90_groupb,
+        "budget_allocation": q_budget_allocation,
+        "vif_lineitem": q_vif_lineitem,
+        "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
+        "corpus_prepare": q_corpus_prepare,
+        "corpus_pack": q_corpus_pack,
+        "tfidf_top3": q_tfidf_top3,
+        "akm_demeaned_check": q_akm_demeaned_check,
+        "heckman_decomposition": q_heckman_decomposition,
+        # -- r8-green rows (fresh records) ----------------------------------
         "matching_weights": q_matching_weights,
         "span_dedup": q_span_dedup,
         "cross_corpus_dedup": q_cross_corpus_dedup,
-        # -- rows 4-9: late-r7 rows, first driver record -------------------
         "connected_components_geo": q_connected_components_geo,
         "part_triangles": q_part_triangles,
         "events_drift": q_events_drift,
         "events_drift_metrics": q_events_drift_metrics,
         "lineitem_constraints": q_lineitem_constraints,
         "events_anomalies": q_events_anomalies,
-        # -- rows 10-13: companion rows, r5 records (oldest) ---------------
         "dfl_design_check": q_dfl_design_check,
         "heckman_probit_design": q_heckman_probit_design,
         "mm_ols_start": q_mm_ols_start,
         "simhash_shingle_check": q_simhash_shingle_check,
-        # -- rows 14-49: r6-green rows rotating back in --------------------
         "mm_qr_vertex": q_mm_qr_vertex,
         "mm_tau_stream": q_mm_tau_stream,
         "optimizer_greedy": q_optimizer_greedy,
@@ -2032,74 +2177,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_kde_grid": q_weighted_kde_grid,
         "ngram_doc_freq": q_ngram_doc_freq,
         "ngram_contamination": q_ngram_contamination,
-        # -- past the window: r7-green rows (records 1 round old) ----------
-        "mm_small_exact": q_mm_small_exact,
-        "pca_whiten_2d": q_pca_whiten_2d,
-        "chunk_documents": q_chunk_documents,
-        "histogram_quantiles": q_histogram_quantiles,
-        "priority_sample": q_priority_sample,
-        "scd2_user_segments": q_scd2_user_segments,
-        "pagerank_copurchase": q_pagerank_copurchase,
-        "event_funnel": q_event_funnel,
-        "cohort_retention": q_cohort_retention,
-        "events_pivot": q_events_pivot,
-        "events_melt": q_events_melt,
-        "revenue_rollup": q_revenue_rollup,
-        "rolling_events": q_rolling_events,
-        "range_join_events": q_range_join_events,
-        "salted_join_check": q_salted_join_check,
-        "events_props_stats": q_events_props_stats,
-        "user_sessions": q_user_sessions,
-        "sample_fraction": q_sample_fraction,
-        "sample_stratified": q_sample_stratified,
-        "corpus_mixture": q_corpus_mixture,
-        "corpus_split": q_corpus_split,
-        "regional_revenue": q_regional_revenue,
-        "segment_revenue_top10": q_segment_revenue_top10,
-        "oaxaca_mean_2pred": q_oaxaca_mean_2pred,
-        "oaxaca_categorical": q_oaxaca_categorical,
-        "oaxaca_wls": q_oaxaca_wls,
-        "embedding_cosine_dups": q_embedding_cosine_dups,
-        "embedding_cosine_dups_lsh": q_embedding_cosine_dups_lsh,
-        "quality_score": q_quality_score,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "adaptive_logprob_keep": q_adaptive_logprob_keep,
-        "dfl_densities": q_dfl_densities,
-        "kmeans_clusters": q_kmeans_clusters,
-        "oaxaca_mean_groupb": q_oaxaca_mean_groupb,
-        "oaxaca_mean_pooled": q_oaxaca_mean_pooled,
-        "oaxaca_mean_weighted": q_oaxaca_mean_weighted,
-        "rif_q90_groupb": q_rif_q90_groupb,
-        "budget_allocation": q_budget_allocation,
-        "vif_lineitem": q_vif_lineitem,
-        "ngram_jaccard": q_ngram_jaccard,
-        "dedup_clusters": q_dedup_clusters,
-        "corpus_prepare": q_corpus_prepare,
-        "corpus_pack": q_corpus_pack,
-        "tfidf_top3": q_tfidf_top3,
-        "akm_demeaned_check": q_akm_demeaned_check,
-        "heckman_decomposition": q_heckman_decomposition,
-        # -- r6-green rows slipping to the r9 window head ------------------
-        "sample_weighted": q_sample_weighted,
-        "attribution_last_touch": q_attribution_last_touch,
-        "cms_user_counts": q_cms_user_counts,
-        "path_transitions": q_path_transitions,
-        "zorder_customers": q_zorder_customers,
-        "bloom_membership": q_bloom_membership,
-        "hll_users_by_type": q_hll_users_by_type,
-        "hll_intersection_users": q_hll_intersection_users,
-        "bm25_ranking": q_bm25_ranking,
-        "normalized_text": q_normalized_text,
-        "histogram_extendedprice": q_histogram_extendedprice,
-        "profile_lineitem": q_profile_lineitem,
-        "skew_report_custkey": q_skew_report_custkey,
-        "attribution_linear": q_attribution_linear,
-        "hll_registers": q_hll_registers,
-        "hll_count_users": q_hll_count_users,
-        "akm_effects": q_akm_effects,
-        "simhash": q_simhash,
-        "simhash_dups": q_simhash_dups,
-        "asof_join_events": q_asof_join_events,
     }
 
 # --------------------------------------------------------------------------
@@ -4970,6 +5047,22 @@ def oracle_sql() -> dict[str, str]:
                                     CAST(e.embedding[p.j + 1] AS DOUBLE)), 6) cov
             FROM pairs p, embeddings e
             GROUP BY p.i, p.j
+        """,
+        "pca_whiten_invariants": """
+            -- invariant contract for the d=64 whitening: the eigensolve is
+            -- not SQL-expressible, but a correct whitened output has these
+            -- EXACT values by construction (centering, unit variance,
+            -- orthogonality, the eigen-equation residual on the data
+            -- covariance, descending top-2 order, top >= average variance)
+            -- — all measured engine-side at 6 dp, where the observed
+            -- floating-point slack is ~1e-13 against the 5e-7 quantum
+            SELECT CAST(0 AS INTEGER) AS comp, CAST(0.0 AS DOUBLE) AS mean_abs,
+                   CAST(1.0 AS DOUBLE) AS var_w, CAST(0.0 AS DOUBLE) AS cross_abs,
+                   CAST(0.0 AS DOUBLE) AS eig_resid_rel,
+                   true AS top2_ordered, true AS lam0_ge_mean
+            UNION ALL
+            SELECT CAST(1 AS INTEGER), CAST(0.0 AS DOUBLE), CAST(1.0 AS DOUBLE),
+                   CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), true, true
         """,
         "pca_whiten_2d": """
             -- closed-form 2x2 symmetric eigendecomposition replaying

@@ -289,3 +289,23 @@ def test_embedding_outliers_rank_key_range_guard(spark):
     )
     with pytest.raises(Exception, match="rank key out of range"):
         emb.embedding_outliers(big, k=1, iters=1, scale=2 * 10**9).collect()
+
+
+def test_pca_whiten_invariants_contract_row(spark, sf_dir):
+    """The r9 invariant contract for the d=64 whitening: the 66x66
+    combined-covariance pass must report exactly (0, 1, 0, 0, true, true)
+    per component at 6 dp on the real embeddings table — the values an
+    independent engine knows a priori (see q_pca_whiten_invariants)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry_mod
+
+    rows = sorted(
+        entry_mod.q_pca_whiten_invariants(spark, sf_dir).collect(),
+        key=lambda r: r["comp"],
+    )
+    assert [tuple(r) for r in rows] == [
+        (0, 0.0, 1.0, 0.0, 0.0, True, True),
+        (1, 0.0, 1.0, 0.0, 0.0, True, True),
+    ]
