@@ -668,11 +668,75 @@ def normalize_text(
     return out
 
 
+def _select_merge_batch(cands, f_floor, limit):
+    """Maximal prefix of the sorted pair-candidate list that provably
+    matches one-merge-at-a-time greedy BPE when applied as a single batch.
+
+    ``cands`` is the top of the pair-count table in greedy order
+    (freq DESC, left ASC, right ASC); ``f_floor`` is an upper bound on the
+    frequency of every pair NOT in the list (the last listed freq when the
+    list was truncated, else 0). The batch takes candidates in order and
+    stops at the first that violates either safety condition:
+
+    1. *Symbol disjointness* (including merged tokens): candidate symbols
+       {l, r, l+r} must not intersect any earlier member's. Disjoint rules
+       can neither create nor destroy each other's matches, so their
+       counts and their one-fold application are exactly sequential.
+    2. *Creation ceiling*: the candidate's freq must strictly exceed an
+       upper bound on the updated count of ANY pair an earlier member's
+       application can touch. For member (l, r, f) with t = l+r, every
+       touched pair involves a symbol of {l, r, t}; its original count is
+       at most c = max(freq of any listed pair sharing one of those
+       symbols, f_floor) — nothing ranked above an accepted member can
+       conflict with it, because the batch is a *prefix* (it would have
+       been accepted or would have ended the batch). Creation is bounded
+       by consumption: new (x,t)/(t,y) adjacencies each replace an
+       (x,l)/(r,y) adjacency (count <= c), and (t,t) adjacencies each
+       consume an (r,l) bridge (count <= c; for l == r the bridge is the
+       member itself, count <= ceil(f/2) by run parity). So updated
+       counts are <= 2c, or <= c + ceil(f/2) when l == r. Pairs members
+       only *destroy* can't climb the order, and the members themselves
+       fold to count 0.
+
+    Under 1+2 the i-th member is exactly what step-i greedy would pick:
+    everything ranked above it is an earlier member (count now 0), its
+    own count is untouched, unmodified pairs keep their original rank
+    below it, and every modified count sits strictly under its freq.
+    Ties with modified pairs are impossible because condition 2 is
+    strict, and pairs outside the list rank below the whole list.
+    """
+    batch: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    ceiling = -1
+    for l, r, f in cands:
+        if len(batch) >= limit:
+            break
+        t = l + r
+        if batch:
+            if used & {l, r, t}:
+                break
+            if f <= ceiling:
+                break
+        batch.append((l, r, f))
+        syms = {l, r, t}
+        used |= syms
+        c = f_floor
+        for l2, r2, f2 in cands:
+            if (l2, r2) != (l, r) and (l2 in syms or r2 in syms):
+                c = max(c, f2)
+        bound = 2 * c
+        if l == r:
+            bound = max(bound, c + (f + 1) // 2)
+        ceiling = max(ceiling, bound)
+    return batch
+
+
 def bpe_train_merges(
     df: DataFrame,
     k_merges: int = 4,
     text_col: str = "text",
     return_vocab: bool = False,
+    candidate_window: int = 512,
 ):
     """Distributed BPE tokenizer training: learn the first ``k_merges``
     merge rules (Sennrich et al. 2016) over a corpus.
@@ -688,13 +752,21 @@ def bpe_train_merges(
     appended end-of-word marker '</w>'; every later stage runs on this
     DISTINCT-WORD table, whose size is the vocabulary, not the corpus, so
     a 100 TB corpus pays one token-count shuffle and then iterates over
-    megabytes. (2) Per merge: adjacent pairs via one codegen
-    transform+explode, count-weighted groupBy (partial-agg map-side),
-    a 1-row driver argmax — O(1) driver traffic per merge — and a
-    codegen left-to-right fold (F.aggregate) applying the new rule to
-    every sequence ("aaa" + (a,a) -> "(aa)a", the standard greedy
-    non-overlap). Pair counting is the standard overlapping zip
-    (s[i], s[i+1]).
+    megabytes. (2) Per ROUND (r9: batched rounds — the real-vocab scale
+    axis, where k is 32k merges and one Spark job per merge is the
+    bottleneck): adjacent pairs via one codegen transform+explode, a
+    count-weighted groupBy (partial-agg map-side), ONE driver collect of
+    the top ``candidate_window`` candidates in greedy order, a
+    driver-side selection of the maximal batch that PROVABLY matches
+    one-at-a-time greedy (symbol-disjoint prefix under a strict creation
+    ceiling — the full argument is on ``_select_merge_batch``), and one
+    codegen left-to-right fold (F.aggregate) applying the whole batch
+    ("aaa" + (a,a) -> "(aa)a", the standard greedy non-overlap; disjoint
+    rules in one fold are exactly sequential application). Job count
+    drops from k to ~k/batch with bit-identical output; a batch is never
+    empty (the head candidate is always safe), so progress is guaranteed
+    and the worst case degrades to the r8 one-merge-per-job behavior.
+    Pair counting is the standard overlapping zip (s[i], s[i+1]).
 
     With ``return_vocab=True`` returns ``(merges, vocab)`` where vocab is
     the segmented vocabulary after all learned merges — one row per
@@ -721,62 +793,81 @@ def bpe_train_merges(
     )
     seqs = words.select(
         "w", "cnt", F.concat(chars, F.array(F.lit("</w>"))).alias("syms")
-    ).persist()
-    seqs.count()
+    ).localCheckpoint()
 
+    if candidate_window < 1:
+        raise ValueError(f"candidate_window must be >= 1, got {candidate_window}")
     merges = []
-    try:
-        for rank in range(1, int(k_merges) + 1):
-            pairs = seqs.select(
-                "cnt",
-                F.explode(
-                    F.zip_with(
-                        F.slice("syms", 1, F.size("syms") - 1),
-                        F.slice("syms", 2, F.size("syms") - 1),
-                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
-                    )
-                ).alias("p"),
-            )
-            top = (
-                pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-                .agg(F.sum("cnt").alias("freq"))
-                .orderBy(F.col("freq").desc(), F.col("l").asc(), F.col("r").asc())
-                .limit(1)
-                .collect()
-            )
-            if not top:
-                break
-            l, r, freq = top[0]["l"], top[0]["r"], int(top[0]["freq"])
-            merges.append((rank, l, r, freq))
-            merged = l + r
-            # greedy left-to-right application: fold each sequence, merging
-            # (l, r) whenever the accumulator's tail is an UNCONSUMED l
-            folded = F.aggregate(
-                "syms",
-                F.array().cast("array<string>"),
-                lambda acc, x: F.when(
-                    (F.size(acc) > 0)
-                    & (F.element_at(acc, -1) == F.lit(l))
-                    & (x == F.lit(r)),
-                    F.concat(
-                        F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
-                    ),
-                ).otherwise(F.concat(acc, F.array(x))),
-            )
-            nxt = seqs.select("w", "cnt", folded.alias("syms")).persist()
-            nxt.count()
-            seqs.unpersist()
-            seqs = nxt
-        merges_df = spark.createDataFrame(
-            merges, "rank int, left string, right string, freq long"
+    while len(merges) < int(k_merges):
+        pairs = seqs.select(
+            "cnt",
+            F.explode(
+                F.zip_with(
+                    F.slice("syms", 1, F.size("syms") - 1),
+                    F.slice("syms", 2, F.size("syms") - 1),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
         )
-        if return_vocab:
-            # the segmented vocabulary after all learned merges — the
-            # train->apply artifact pair a tokenizer pipeline ships
-            # (vocabulary-sized; checkpoint eagerly so the iteration cache
-            # can be released)
-            vocab = seqs.select("w", "cnt", F.col("syms").alias("tokens")).localCheckpoint()
-            return merges_df, vocab
-        return merges_df
-    finally:
-        seqs.unpersist()
+        top = (
+            pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").alias("freq"))
+            .orderBy(F.col("freq").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(int(candidate_window))
+            .collect()
+        )
+        if not top:
+            break
+        cands = [(row["l"], row["r"], int(row["freq"])) for row in top]
+        # pairs beyond a truncated list are bounded by the last listed
+        # freq; a complete list bounds them at 0
+        f_floor = cands[-1][2] if len(cands) == int(candidate_window) else 0
+        batch = _select_merge_batch(
+            cands, f_floor, limit=int(k_merges) - len(merges)
+        )
+        base = len(merges)
+        merges.extend(
+            (base + i + 1, l, r, f) for i, (l, r, f) in enumerate(batch)
+        )
+        # greedy left-to-right application of the WHOLE batch in one
+        # fold: merge rule i whenever the accumulator's tail is an
+        # UNCONSUMED l_i; rules are symbol-disjoint, so at most one
+        # branch can fire per step and the fold equals sequential
+        # per-rule application
+        def make_fold_step(rules):
+            def fold_step(acc, x):
+                expr = F.concat(acc, F.array(x))
+                for l, r, _ in rules:
+                    expr = F.when(
+                        (F.size(acc) > 0)
+                        & (F.element_at(acc, -1) == F.lit(l))
+                        & (x == F.lit(r)),
+                        F.concat(
+                            F.slice(acc, 1, F.size(acc) - 1),
+                            F.array(F.lit(l + r)),
+                        ),
+                    ).otherwise(expr)
+                return expr
+
+            return fold_step
+
+        folded = F.aggregate(
+            "syms", F.array().cast("array<string>"), make_fold_step(batch)
+        )
+        # localCheckpoint (eager), not persist: it BOTH materializes the
+        # round's result and TRUNCATES the logical plan — with hundreds
+        # of rounds of nested fold expressions an un-truncated lineage
+        # grows superlinearly and the analyzer/plan-string work ends in
+        # driver OOM long before 32k merges (observed at k=64 in the
+        # suite). Old checkpoint blocks are released by the context
+        # cleaner once unreferenced.
+        seqs = seqs.select("w", "cnt", folded.alias("syms")).localCheckpoint()
+    merges_df = spark.createDataFrame(
+        merges, "rank int, left string, right string, freq long"
+    )
+    if return_vocab:
+        # the segmented vocabulary after all learned merges — the
+        # train->apply artifact pair a tokenizer pipeline ships
+        vocab = seqs.select("w", "cnt", F.col("syms").alias("tokens"))
+        return merges_df, vocab
+    return merges_df

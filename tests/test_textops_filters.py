@@ -575,3 +575,104 @@ def test_bpe_train_merges_matches_pure_python_reference(spark):
         want_rules, want_seqs = ref_bpe(words, 3)
         assert got_rules == want_rules, (case, text, got_rules, want_rules)
         assert got_seqs == want_seqs, (case, text, got_seqs, want_seqs)
+
+
+def test_bpe_select_merge_batch_safety_rules():
+    """Driver-side unit test of the batched-greedy selection invariants
+    (no Spark): the batch is a maximal prefix, stops on shared symbols
+    (including merged tokens), stops at the strict creation ceiling, and
+    always accepts the head candidate."""
+    from oaxaca_blinder_rs_spark.operators.textops import _select_merge_batch
+
+    # symbol-disjoint, fast-decaying freqs: all three batch together
+    # (for ('a','b'): touching pairs are absent from the list, so c = floor
+    # = 0 -> ceiling 0; every later freq > 0)
+    cands = [("a", "b", 100), ("c", "d", 10), ("e", "f", 1)]
+    assert _select_merge_batch(cands, 0, limit=10) == cands
+    # limit truncates
+    assert _select_merge_batch(cands, 0, limit=2) == cands[:2]
+    # shared symbol stops the batch ('b' reused as a left)
+    cands = [("a", "b", 100), ("b", "c", 90), ("e", "f", 1)]
+    assert _select_merge_batch(cands, 0, limit=10) == [("a", "b", 100)]
+    # merged-token collision stops the batch ('ab' appears as a left)
+    cands = [("a", "b", 100), ("ab", "c", 90)]
+    assert _select_merge_batch(cands, 0, limit=10) == [("a", "b", 100)]
+    # creation ceiling: ('x','a') touches member symbol 'a' with freq 60,
+    # so any pair the member's application touches may reach 2*60 = 120;
+    # a 110-freq disjoint candidate may no longer be the true argmax
+    cands = [("a", "b", 200), ("x", "a", 60), ("c", "d", 110)]
+    assert _select_merge_batch(cands, 0, limit=10) == [("a", "b", 200)]
+    # ...but a candidate strictly above the ceiling still batches
+    cands = [("a", "b", 200), ("c", "d", 130), ("x", "a", 60)]
+    assert _select_merge_batch(cands, 0, limit=10) == [("a", "b", 200), ("c", "d", 130)]
+    # l == r adds the run-parity bound: ceil(100/2) + c
+    cands = [("a", "a", 100), ("c", "d", 49)]
+    assert _select_merge_batch(cands, 0, limit=10) == [("a", "a", 100)]
+    cands = [("a", "a", 100), ("c", "d", 51)]
+    assert _select_merge_batch(cands, 0, limit=10) == [("a", "a", 100), ("c", "d", 51)]
+    # truncated list: f_floor raises the ceiling for unseen pairs
+    cands = [("a", "b", 100), ("c", "d", 90)]
+    assert _select_merge_batch(cands, 50, limit=10) == [("a", "b", 100)]
+
+
+def test_bpe_train_merges_batched_matches_reference_k64(spark):
+    """r9 scale axis (verdict item 5): batched merge rounds must stay
+    BIT-IDENTICAL to one-at-a-time greedy at real-vocab merge counts.
+    Randomized corpora, k=64, vs the same independent pure-Python Sennrich
+    reference as the small-k fuzz — rules and every word's segmentation —
+    plus a candidate_window=1 run (forced one-merge batches, the r8
+    behavior) on the first corpus to pin window-size invariance."""
+    import collections
+    import random
+
+    def ref_bpe(words, k):
+        vocab = collections.Counter(words)
+        seqs = {w: list(w) + ["</w>"] for w in vocab}
+        rules = []
+        for rank in range(1, k + 1):
+            pc = collections.Counter()
+            for w, c in vocab.items():
+                s = seqs[w]
+                for i in range(len(s) - 1):
+                    pc[(s[i], s[i + 1])] += c
+            if not pc:
+                break
+            m = max(pc.values())
+            l, r = sorted(p for p, c in pc.items() if c == m)[0]
+            rules.append((rank, l, r, m))
+            for w in seqs:
+                acc = []
+                for x in seqs[w]:
+                    if acc and acc[-1] == l and x == r:
+                        acc[-1] = l + r
+                    else:
+                        acc.append(x)
+                seqs[w] = acc
+        return rules, seqs
+
+    from oaxaca_blinder_rs_spark.operators.textops import bpe_train_merges
+
+    rng = random.Random(7)
+    for case in range(2):
+        # Zipf-ish repetition over a 6-letter alphabet: enough mass for 64
+        # merges, with heavy ties and repeated-char runs
+        base = [
+            "".join(rng.choice("abcdez") for _ in range(rng.randint(1, 10)))
+            for _ in range(30)
+        ]
+        words = [rng.choice(base) for _ in range(300)] + base
+        text = " ".join(words)
+        docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        m_df, v_df = bpe_train_merges(docs, k_merges=64, return_vocab=True)
+        got_rules = [(r["rank"], r["left"], r["right"], r["freq"])
+                     for r in m_df.orderBy("rank").collect()]
+        got_seqs = {r["w"]: list(r["tokens"]) for r in v_df.collect()}
+        want_rules, want_seqs = ref_bpe(words, 64)
+        assert got_rules == want_rules, (case, got_rules[:8], want_rules[:8])
+        assert got_seqs == want_seqs, case
+        if case == 0:
+            # window-size invariance: forced single-merge batches agree
+            m1 = bpe_train_merges(docs, k_merges=16, candidate_window=1)
+            got1 = [(r["rank"], r["left"], r["right"], r["freq"])
+                    for r in m1.orderBy("rank").collect()]
+            assert got1 == want_rules[:16]
