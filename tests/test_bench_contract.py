@@ -49,3 +49,35 @@ def test_sub_50ms_jitter_is_not_load():
     # kernel-scale entries time in hundredths; 0.01 vs 0.09 is timer noise
     samples = {"mean_reps1_100k_kernel": [0.01, 0.09, 0.087]}
     assert suspect_queries(samples, cal_ratio=1.0) == []
+
+
+def test_single_sample_under_load_is_flagged():
+    """r9 (verdict item 3): the r8 failure mode — mm_taubatch recorded one
+    32.1 s sample against loadavg 18-23 (idle truth: 13.8 s) and the
+    spread rule had nothing to spread against. A lone usable sample whose
+    loadavg trail exceeds the limit must self-identify as suspect."""
+    samples = {
+        "calibration_pre": [0.3],
+        "mm_taubatch_s20_b2": [32.143],
+        "embedding_cov": [0.48, 0.43, 0.39],
+    }
+    loadavg = {
+        "calibration_pre": [1.0, 1.0],
+        "mm_taubatch_s20_b2": [23.3, 18.56],
+        "embedding_cov": [2.0, 2.0, 2.0, 2.0],
+    }
+    assert suspect_queries(samples, cal_ratio=1.0, loadavg=loadavg) == [
+        "mm_taubatch_s20_b2"
+    ]
+
+
+def test_single_sample_on_quiet_box_is_not_flagged():
+    samples = {"calibration_pre": [0.3], "mm_taubatch_s20_b2": [13.8]}
+    loadavg = {"mm_taubatch_s20_b2": [1.2, 2.5]}
+    assert suspect_queries(samples, cal_ratio=1.0, loadavg=loadavg) == []
+
+
+def test_single_sample_without_loadavg_trail_keeps_old_behavior():
+    # loadavg=None (old callers) stays purely spread-based
+    samples = {"mm_taubatch_s20_b2": [32.143]}
+    assert suspect_queries(samples, cal_ratio=1.0) == []
