@@ -232,6 +232,39 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab.select("w", "cnt", F.array_join("tokens", " ").alias("tokens"))
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus encoding with the trained tokenizer (textops.bpe_encode,
+    r9): every document re-expressed as its BPE token sequence under the
+    6 learned merges — the apply face that feeds pack_token_shards.
+    Broadcast vocabulary join + one groupBy(doc) re-assembly; training
+    corpus == encode corpus, so oov='skip' is exact (zero OOV by
+    construction) and schedules no merge-replay jobs. The oracle joins
+    the documents' positioned words against the unrolled s6 segmentation
+    and flattens in word order — engine fold vs oracle position-parity
+    construction compared on every DOCUMENT, not just every word. Token
+    array space-joined to a scalar for the driver's hasher (symbols are
+    whitespace-split fragments, ' ' never occurs inside one)."""
+    docs = _t(spark, sf_dir, "documents")
+    _, vocab = textops.bpe_train_merges(docs, k_merges=6, return_vocab=True)
+    enc = textops.bpe_encode(docs, vocab, oov="skip")
+    return enc.select(
+        "doc_id",
+        F.array_join("tokens", " ").alias("tokens"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+def q_bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer id table (textops.bpe_token_ids, r9): contiguous ids
+    0..V-1 over the distinct segment tokens of the 6-merge vocabulary,
+    ordered (corpus freq DESC, token ASC). The rank is the distributed
+    prefix scan (scan.ordered_prev_cumsum — no single-task global
+    window); the oracle replays it as a plain row_number."""
+    docs = _t(spark, sf_dir, "documents")
+    _, vocab = textops.bpe_train_merges(docs, k_merges=6, return_vocab=True)
+    return textops.bpe_token_ids(vocab)
+
+
 def q_classifier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filtering (corpus.seed_classifier_scores, r8):
     ridge-1e-6 Newton logit of the seed label (lang == 'en') on
@@ -2043,27 +2076,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     The driver hash-checks the FIRST 50 entries in declaration order.
     Round-9 window (NOTES_r8 rotation plan + this round's changes):
     (1) rows new or changed in r9 — pca_whiten_invariants (new contract,
-    retires the last no-oracle row), bpe_vocab (driver-hashable
+    retires the last no-oracle row), bpe_encode + bpe_token_ids (NEW
+    r9 tokenizer-apply contracts), bpe_vocab (driver-hashable
     projection), bpe_merges (batched merge rounds), classifier_quality
-    (tol 1e-9) — plus the rest of the seven r8 first-record rows kept
-    near the head per the r8 verdict (semantic_dedup, embedding_outliers,
-    vocab_stats, machado_mata); (2) the 20 r6-green rows whose records
-    turn 3 rounds old this round — they rotate FIRST per the <=2-round
-    policy; (3) 22 of the 46 r7-green rows (records 2 rounds old — the
-    head of the r10 rotation). Past the window: the remaining 24
-    r7-green rows (they rotate in r10), then the 43 r8-green rows
-    (fresh records).
+    (tol 1e-9) — plus two of the seven r8 first-record rows
+    (semantic_dedup, embedding_outliers; vocab_stats and machado_mata
+    defer to the r10 head — their r8 records stay inside the <=2-round
+    policy); (2) the 20 r6-green rows whose records turn 3 rounds old
+    this round — they rotate FIRST per the <=2-round policy; (3) 22 of
+    the 46 r7-green rows (records 2 rounds old — the head of the r10
+    rotation). Past the window: vocab_stats + machado_mata, then the
+    remaining 24 r7-green rows (they rotate in r10), then the 43
+    r8-green rows (fresh records).
     """
     return {
-        # -- r9 window rows 0-7: new/changed in r9 + young r8 contracts ----
+        # -- r9 window rows 0-9: new/changed in r9 + young r8 contracts ----
         "pca_whiten_invariants": q_pca_whiten_invariants,
+        "bpe_encode": q_bpe_encode,
+        "bpe_token_ids": q_bpe_token_ids,
         "bpe_vocab": q_bpe_vocab,
         "bpe_merges": q_bpe_merges,
         "classifier_quality": q_classifier_quality,
         "semantic_dedup": q_semantic_dedup,
         "embedding_outliers": q_embedding_outliers,
-        "vocab_stats": q_vocab_stats,
-        "machado_mata": q_machado_mata,
         # -- rows 8-27: r6-green rows, records 3 rounds old — rotate first --
         "sample_weighted": q_sample_weighted,
         "attribution_last_touch": q_attribution_last_touch,
@@ -2108,7 +2143,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mixture": q_corpus_mixture,
         "corpus_split": q_corpus_split,
         "regional_revenue": q_regional_revenue,
-        # -- past the window: remaining r7-green rows (rotate in r10) ------
+        # -- past the window: r10 rotation head --------------------------
+        # vocab_stats/machado_mata: r8 records (1 round old) — deferred to
+        # make room for the two new r9 BPE faces; they rotate FIRST in r10
+        # alongside the remaining r7-green rows (records then 2 rounds old,
+        # inside the <=2-round policy either way)
+        "vocab_stats": q_vocab_stats,
+        "machado_mata": q_machado_mata,
         "segment_revenue_top10": q_segment_revenue_top10,
         "oaxaca_mean_2pred": q_oaxaca_mean_2pred,
         "oaxaca_categorical": q_oaxaca_categorical,
@@ -2559,6 +2600,36 @@ WITH wt AS MATERIALIZED (
         parts.append(
             f"\nSELECT w, cnt, array_to_string(syms, ' ') AS tokens FROM s{k_merges}"
         )
+        return "".join(parts)
+    if face == "encode":
+        # per-document encoding: positioned words joined against the s{k}
+        # segmentation, per-word token lists flattened in word order —
+        # the oracle twin of bpe_encode(oov='skip') on the training corpus
+        parts.append(f""", dw AS MATERIALIZED (
+  SELECT d.doc_id, CAST(u.i AS BIGINT) i, d.ws[u.i] w
+  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') ws
+        FROM documents) d,
+       unnest(range(1, len(d.ws) + 1)) u(i)
+  WHERE d.ws[u.i] <> ''
+)
+SELECT dw.doc_id,
+       array_to_string(flatten(list(s.syms ORDER BY dw.i)), ' ') AS tokens,
+       CAST(sum(len(s.syms)) AS BIGINT) AS n_tokens
+FROM dw JOIN s{k_merges} s ON s.w = dw.w
+GROUP BY dw.doc_id""")
+        return "".join(parts)
+    if face == "ids":
+        # tokenizer id table: corpus frequency per distinct segment token
+        # (word counts weight each occurrence), ids 0..V-1 by
+        # (freq DESC, token ASC) — the oracle twin of bpe_token_ids
+        parts.append(f"""
+SELECT CAST(row_number() OVER (ORDER BY freq DESC, token ASC) - 1 AS BIGINT) token_id,
+       token, freq
+FROM (
+  SELECT t.token, CAST(sum(s.cnt) AS BIGINT) freq
+  FROM s{k_merges} s, unnest(s.syms) t(token)
+  GROUP BY t.token
+)""")
         return "".join(parts)
     union = "\nUNION ALL\n".join(
         f"""SELECT CAST({t} AS INTEGER) AS "rank", l AS "left", r AS "right", freq FROM m{t}"""
@@ -3365,6 +3436,8 @@ def oracle_sql() -> dict[str, str]:
         "classifier_quality": _classifier_oracle_sql(),
         "bpe_merges": _bpe_oracle_sql(k_merges=6),
         "bpe_vocab": _bpe_oracle_sql(k_merges=6, face="vocab"),
+        "bpe_encode": _bpe_oracle_sql(k_merges=6, face="encode"),
+        "bpe_token_ids": _bpe_oracle_sql(k_merges=6, face="ids"),
         "vocab_stats": """
             WITH tk AS MATERIALIZED (
               SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok

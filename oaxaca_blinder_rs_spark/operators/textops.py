@@ -36,6 +36,9 @@ __all__ = [
     "script_id",
     "vocab_sketches",
     "vocab_estimate",
+    "bpe_train_merges",
+    "bpe_encode",
+    "bpe_token_ids",
     "SCRIPTS",
     "EN_STOPWORDS",
     "STOPSETS",
@@ -668,6 +671,34 @@ def normalize_text(
     return out
 
 
+def _merge_fold_step(rules):
+    """Fold step for greedy left-to-right application of a SYMBOL-DISJOINT
+    merge-rule batch: append x, except when the accumulator tail is an
+    unconsumed l_i and x == r_i, in which case replace the tail with the
+    merged token. Disjoint rules can neither create nor consume each
+    other's symbols, so at most one branch fires per step and one fold
+    pass equals sequential per-rule passes (the argument on
+    ``_select_merge_batch`` / ``_apply_merges``). ``rules`` items are
+    (l, r, ...) — extra fields ignored."""
+
+    def fold_step(acc, x):
+        expr = F.concat(acc, F.array(x))
+        for rule in rules:
+            l, r = rule[0], rule[1]
+            expr = F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(l))
+                & (x == F.lit(r)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.lit(l + r)),
+                ),
+            ).otherwise(expr)
+        return expr
+
+    return fold_step
+
+
 def _select_merge_batch(cands, f_floor, limit):
     """Maximal prefix of the sorted pair-candidate list that provably
     matches one-merge-at-a-time greedy BPE when applied as a single batch.
@@ -834,25 +865,8 @@ def bpe_train_merges(
         # UNCONSUMED l_i; rules are symbol-disjoint, so at most one
         # branch can fire per step and the fold equals sequential
         # per-rule application
-        def make_fold_step(rules):
-            def fold_step(acc, x):
-                expr = F.concat(acc, F.array(x))
-                for l, r, _ in rules:
-                    expr = F.when(
-                        (F.size(acc) > 0)
-                        & (F.element_at(acc, -1) == F.lit(l))
-                        & (x == F.lit(r)),
-                        F.concat(
-                            F.slice(acc, 1, F.size(acc) - 1),
-                            F.array(F.lit(l + r)),
-                        ),
-                    ).otherwise(expr)
-                return expr
-
-            return fold_step
-
         folded = F.aggregate(
-            "syms", F.array().cast("array<string>"), make_fold_step(batch)
+            "syms", F.array().cast("array<string>"), _merge_fold_step(batch)
         )
         # localCheckpoint (eager), not persist: it BOTH materializes the
         # round's result and TRUNCATES the logical plan — with hundreds
@@ -871,3 +885,159 @@ def bpe_train_merges(
         vocab = seqs.select("w", "cnt", F.col("syms").alias("tokens"))
         return merges_df, vocab
     return merges_df
+
+
+def _apply_merges(seqs: DataFrame, rules: list) -> DataFrame:
+    """Apply an ordered BPE merge-rule list to a word table carrying a
+    ``syms array<string>`` column — the Sennrich APPLY side: one greedy
+    left-to-right pass per rule, in rank order.
+
+    Consecutive rules whose symbol sets {l, r, l+r} are pairwise disjoint
+    batch into a single codegen fold: a disjoint rule can neither create
+    nor destroy another's (l, r) adjacency (merging replaces two tokens
+    with one, so outside neighbours never become adjacent), and rank order
+    guarantees an earlier rule never mentions a later rule's merged token
+    (in training, a token exists only after its rule), so one fold pass
+    over the batch is exactly the sequential passes. The plan is truncated
+    per batch (localCheckpoint) — same lineage discipline as training.
+
+    ``rules`` items are (l, r) or (rank, l, r, ...) rows/tuples.
+    """
+    norm = []
+    for it in rules:
+        vals = list(it)
+        if len(vals) >= 3 and isinstance(vals[0], int):
+            norm.append((vals[1], vals[2]))
+        else:
+            norm.append((vals[0], vals[1]))
+    other = [c for c in seqs.columns if c != "syms"]
+    i, n = 0, len(norm)
+    while i < n:
+        batch: list = []
+        used: set = set()
+        while i < n:
+            l, r = norm[i]
+            t = l + r
+            if batch and used & {l, r, t}:
+                break
+            batch.append((l, r))
+            used |= {l, r, t}
+            i += 1
+        folded = F.aggregate(
+            "syms", F.array().cast("array<string>"), _merge_fold_step(batch)
+        )
+        seqs = seqs.select(*other, folded.alias("syms")).localCheckpoint()
+    return seqs
+
+
+def bpe_encode(
+    df: DataFrame,
+    vocab: DataFrame,
+    merges: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    oov: str = "apply",
+) -> DataFrame:
+    """Encode documents with a trained BPE tokenizer — the APPLY side of
+    ``bpe_train_merges`` (net-new LLM-pipeline op; the reference engine has
+    no tokenizer surface). Completes the train -> encode -> pack story:
+    the output's ``n_tokens`` feeds ``corpus.pack_token_shards`` directly.
+
+    ``vocab`` is the segmented vocabulary (w, cnt, tokens) from
+    ``bpe_train_merges(return_vocab=True)``. Each document lowercases and
+    whitespace-splits exactly like training, looks every word up in the
+    vocabulary, and concatenates the per-word token lists in word order.
+
+    Out-of-vocabulary words (encoding NEW text with a frozen tokenizer):
+      - ``oov='apply'`` (default): char-split + '</w>' then the learned
+        ``merges`` applied in rank order (``_apply_merges``) — the exact
+        Sennrich apply; requires ``merges``. The OOV table is DISTINCT
+        words, so the merge replay costs vocabulary-scale jobs, not
+        corpus-scale.
+      - ``oov='chars'``: char-split + '</w>' with no merges (a documented
+        degradation when the merge table wasn't shipped).
+      - ``oov='skip'``: inner-join semantics — unknown words drop. The
+        right mode when encode corpus == training corpus (zero OOV by
+        construction) since it schedules no OOV jobs at all.
+
+    Returns (id_col, tokens array<string>, n_tokens int); documents whose
+    text contains no words are absent (no token rows to aggregate — the
+    convention every explode-based text operator here shares).
+
+    Scale shape: the vocabulary is broadcast (vocabulary-sized — megabytes
+    against a 100 TB corpus); the only corpus-sized shuffle is the final
+    groupBy(doc) re-assembly of per-word segments, the same cost class as
+    chunk_documents. Everything else is codegen map work.
+    """
+    if oov not in ("apply", "chars", "skip"):
+        raise ValueError(f"oov must be 'apply', 'chars' or 'skip', got {oov!r}")
+    pos_words = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(tokens(F.lower(F.trim(F.col(text_col))))).alias("pos", "w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    seg = vocab.select("w", F.col("tokens").alias("__toks"))
+    if oov != "skip":
+        oov_words = (
+            pos_words.select("w").distinct().join(seg.select("w"), "w", "left_anti")
+        )
+        chars = F.transform(
+            F.sequence(F.lit(1), F.length("w")),
+            lambda i: F.col("w").substr(i, F.lit(1)),
+        )
+        oov_seqs = oov_words.select(
+            "w", F.concat(chars, F.array(F.lit("</w>"))).alias("syms")
+        )
+        if oov == "apply":
+            if merges is None:
+                raise ValueError("oov='apply' requires the merges table")
+            rules = [
+                (r["left"], r["right"])
+                for r in merges.orderBy("rank").collect()
+            ]
+            if rules:
+                oov_seqs = _apply_merges(oov_seqs, rules)
+        seg = seg.unionByName(oov_seqs.select("w", F.col("syms").alias("__toks")))
+    joined = pos_words.join(F.broadcast(seg), "w")
+    enc = joined.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("pos", "__toks"))).alias("__st")
+    )
+    return enc.select(
+        F.col(id_col),
+        F.flatten(F.transform("__st", lambda s: s["__toks"])).alias("tokens"),
+    ).withColumn("n_tokens", F.size("tokens"))
+
+
+def bpe_token_ids(vocab: DataFrame) -> DataFrame:
+    """Contiguous token-id table from a segmented vocabulary — the id
+    assignment a tokenizer artifact ships next to its merge rules.
+
+    Explodes each word's token list weighted by the word's corpus count,
+    aggregates corpus frequency per distinct token, and assigns ids
+    0..V-1 ordered (freq DESC, token ASC) — deterministic and
+    oracle-comparable. The rank comes from the distributed prefix scan
+    (``scan.ordered_prev_cumsum``), never a single-task global window: the
+    token table is vocabulary-sized, but the no-SinglePartition discipline
+    is uniform across the repo so the same code survives a 10M-entry
+    vocabulary.
+
+    Returns (token_id long, token string, freq long).
+    """
+    from .scan import ordered_prev_cumsum
+
+    freqs = (
+        vocab.select(F.explode("tokens").alias("token"), F.col("cnt"))
+        .groupBy("token")
+        .agg(F.sum("cnt").alias("freq"))
+    )
+    ranked = ordered_prev_cumsum(
+        freqs,
+        order=[F.col("freq").desc(), F.col("token").asc()],
+        value=F.lit(1.0),
+        out_col="__rk",
+    )
+    return ranked.select(
+        F.col("__rk").cast("long").alias("token_id"), "token", "freq"
+    )

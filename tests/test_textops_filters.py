@@ -676,3 +676,126 @@ def test_bpe_train_merges_batched_matches_reference_k64(spark):
             got1 = [(r["rank"], r["left"], r["right"], r["freq"])
                     for r in m1.orderBy("rank").collect()]
             assert got1 == want_rules[:16]
+
+
+def test_bpe_encode_matches_pure_python_apply(spark):
+    """r9 encode face: documents encoded with the trained vocabulary must be
+    the in-order concatenation of the pure-Python reference segmentations —
+    on the TRAINING corpus (skip path, zero OOV by construction) AND on
+    held-out text (apply path: char-split + merge rules in rank order). The
+    pure-Python apply is one greedy left-to-right pass per rule — the same
+    reference as the training fuzz tests."""
+    import collections
+    import random
+
+    def ref_bpe(words, k):
+        vocab = collections.Counter(words)
+        seqs = {w: list(w) + ["</w>"] for w in vocab}
+        rules = []
+        for rank in range(1, k + 1):
+            pc = collections.Counter()
+            for w, c in vocab.items():
+                s = seqs[w]
+                for i in range(len(s) - 1):
+                    pc[(s[i], s[i + 1])] += c
+            if not pc:
+                break
+            m = max(pc.values())
+            l, r = sorted(p for p, c in pc.items() if c == m)[0]
+            rules.append((rank, l, r, m))
+            for w in seqs:
+                seqs[w] = ref_apply_one(seqs[w], l, r)
+        return rules, seqs
+
+    def ref_apply_one(s, l, r):
+        acc = []
+        for x in s:
+            if acc and acc[-1] == l and x == r:
+                acc[-1] = l + r
+            else:
+                acc.append(x)
+        return acc
+
+    def ref_apply(word, rules):
+        s = list(word) + ["</w>"]
+        for _rank, l, r, _f in rules:
+            s = ref_apply_one(s, l, r)
+        return s
+
+    from oaxaca_blinder_rs_spark.operators.textops import bpe_encode, bpe_train_merges
+
+    rng = random.Random(99)
+    alphabet = "abcz"
+    train_words = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 7)))
+        for _ in range(40)
+    ]
+    docs = spark.createDataFrame(
+        [(i, " ".join(train_words[i * 8:(i + 1) * 8])) for i in range(5)],
+        "doc_id long, text string",
+    )
+    m_df, v_df = bpe_train_merges(docs, k_merges=8, return_vocab=True)
+    rules, seqs = ref_bpe(train_words, 8)
+
+    got = {
+        r["doc_id"]: (list(r["tokens"]), r["n_tokens"])
+        for r in bpe_encode(docs, v_df, oov="skip").collect()
+    }
+    for i in range(5):
+        want = [t for w in train_words[i * 8:(i + 1) * 8] for t in seqs[w]]
+        assert got[i] == (want, len(want)), i
+
+    # held-out corpus: unseen words exercise the merge-replay OOV path,
+    # seen words the vocabulary join — mixed in one document
+    held = ["".join(rng.choice(alphabet) for _ in range(rng.randint(1, 9)))
+            for _ in range(12)] + train_words[:4]
+    rng.shuffle(held)
+    new_docs = spark.createDataFrame(
+        [(0, " ".join(held))], "doc_id long, text string"
+    )
+    out = bpe_encode(new_docs, v_df, merges=m_df, oov="apply").collect()[0]
+    want = [t for w in held for t in (seqs[w] if w in seqs else ref_apply(w, rules))]
+    assert list(out["tokens"]) == want
+    assert out["n_tokens"] == len(want)
+
+    # chars fallback: OOV words stay char+'</w>'
+    out_c = bpe_encode(new_docs, v_df, oov="chars").collect()[0]
+    want_c = [
+        t for w in held
+        for t in (seqs[w] if w in seqs else list(w) + ["</w>"])
+    ]
+    assert list(out_c["tokens"]) == want_c
+
+    import pytest
+
+    with pytest.raises(ValueError, match="merges"):
+        bpe_encode(new_docs, v_df, oov="apply").collect()
+    with pytest.raises(ValueError, match="oov"):
+        bpe_encode(new_docs, v_df, oov="bogus")
+
+
+def test_bpe_token_ids_deterministic_and_complete(spark):
+    """Token ids cover exactly the distinct segment tokens, are contiguous
+    from 0, and order by (corpus freq DESC, token ASC) — the deterministic
+    assignment the oracle replays."""
+    import collections
+
+    from oaxaca_blinder_rs_spark.operators.textops import bpe_token_ids, bpe_train_merges
+
+    docs = spark.createDataFrame(
+        [(1, "aa ab aa ba ab aa"), (2, "ab ba aa aa b a")],
+        "doc_id long, text string",
+    )
+    _, v_df = bpe_train_merges(docs, k_merges=3, return_vocab=True)
+    vocab = {r["w"]: (r["cnt"], list(r["tokens"])) for r in v_df.collect()}
+    freq = collections.Counter()
+    for _w, (cnt, toks) in vocab.items():
+        for t in toks:
+            freq[t] += cnt
+    want = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))
+    got = [
+        (r["token"], r["freq"], r["token_id"])
+        for r in bpe_token_ids(v_df).orderBy("token_id").collect()
+    ]
+    assert [(t, f) for t, f, _ in got] == want
+    assert [i for _, _, i in got] == list(range(len(want)))
