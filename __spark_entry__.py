@@ -232,6 +232,24 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab.select("w", "cnt", F.array_join("tokens", " ").alias("tokens"))
 
 
+def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (corpus.dsir_importance, r9; Xie et al. 2023):
+    every document scored by hashed-unigram importance against the
+    English subset as the target corpus (the same trusted-seed framing
+    as classifier_quality), keep = top-100 by (score DESC, id ASC).
+    Arithmetic is int64-exact — the 64 per-bucket log-ratios quantize
+    once to micro-units and each doc score is an integer dot product —
+    so the hash contract is partitioning- and summation-order-free; the
+    only float step the oracle must reproduce is 64 ln-ratio roundings,
+    each parked ~1e-10 deep inside its quantum (asserted in the e2e
+    suite). Rank via the distributed prefix scan."""
+    from oaxaca_blinder_rs_spark.operators import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    return corpus.dsir_importance(docs, target, n_buckets=64, top_k=100)
+
+
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus encoding with the trained tokenizer (textops.bpe_encode,
     r9): every document re-expressed as its BPE token sequence under the
@@ -2076,18 +2094,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     The driver hash-checks the FIRST 50 entries in declaration order.
     Round-9 window (NOTES_r8 rotation plan + this round's changes):
     (1) rows new or changed in r9 — pca_whiten_invariants (new contract,
-    retires the last no-oracle row), bpe_encode + bpe_token_ids (NEW
-    r9 tokenizer-apply contracts), bpe_vocab (driver-hashable
+    retires the last no-oracle row), bpe_encode + bpe_token_ids +
+    dsir_selection (NEW r9 contracts), bpe_vocab (driver-hashable
     projection), bpe_merges (batched merge rounds), classifier_quality
-    (tol 1e-9) — plus two of the seven r8 first-record rows
-    (semantic_dedup, embedding_outliers; vocab_stats and machado_mata
+    (tol 1e-9) — plus one of the seven r8 first-record rows
+    (semantic_dedup; vocab_stats, machado_mata and embedding_outliers
     defer to the r10 head — their r8 records stay inside the <=2-round
     policy); (2) the 20 r6-green rows whose records turn 3 rounds old
     this round — they rotate FIRST per the <=2-round policy; (3) 22 of
     the 46 r7-green rows (records 2 rounds old — the head of the r10
-    rotation). Past the window: vocab_stats + machado_mata, then the
-    remaining 24 r7-green rows (they rotate in r10), then the 43
-    r8-green rows (fresh records).
+    rotation). Past the window: vocab_stats + machado_mata +
+    embedding_outliers, then the remaining 24 r7-green rows (they
+    rotate in r10), then the 43 r8-green rows (fresh records).
     """
     return {
         # -- r9 window rows 0-9: new/changed in r9 + young r8 contracts ----
@@ -2096,9 +2114,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_ids": q_bpe_token_ids,
         "bpe_vocab": q_bpe_vocab,
         "bpe_merges": q_bpe_merges,
+        "dsir_selection": q_dsir_selection,
         "classifier_quality": q_classifier_quality,
         "semantic_dedup": q_semantic_dedup,
-        "embedding_outliers": q_embedding_outliers,
         # -- rows 8-27: r6-green rows, records 3 rounds old — rotate first --
         "sample_weighted": q_sample_weighted,
         "attribution_last_touch": q_attribution_last_touch,
@@ -2144,12 +2162,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": q_corpus_split,
         "regional_revenue": q_regional_revenue,
         # -- past the window: r10 rotation head --------------------------
-        # vocab_stats/machado_mata: r8 records (1 round old) — deferred to
-        # make room for the two new r9 BPE faces; they rotate FIRST in r10
-        # alongside the remaining r7-green rows (records then 2 rounds old,
-        # inside the <=2-round policy either way)
+        # vocab_stats/machado_mata/embedding_outliers: r8 records (1 round
+        # old) — deferred to make room for the three new r9 contracts
+        # (bpe_encode, bpe_token_ids, dsir_selection); they rotate FIRST
+        # in r10 alongside the remaining r7-green rows (records then 2
+        # rounds old, inside the <=2-round policy either way)
         "vocab_stats": q_vocab_stats,
         "machado_mata": q_machado_mata,
+        "embedding_outliers": q_embedding_outliers,
         "segment_revenue_top10": q_segment_revenue_top10,
         "oaxaca_mean_2pred": q_oaxaca_mean_2pred,
         "oaxaca_categorical": q_oaxaca_categorical,
@@ -3438,6 +3458,44 @@ def oracle_sql() -> dict[str, str]:
         "bpe_vocab": _bpe_oracle_sql(k_merges=6, face="vocab"),
         "bpe_encode": _bpe_oracle_sql(k_merges=6, face="encode"),
         "bpe_token_ids": _bpe_oracle_sql(k_merges=6, face="ids"),
+        # DSIR (Xie et al. 2023): hashed-unigram importance of every doc
+        # against the English subset; integer micro-unit scores make the
+        # per-doc sum order-free — the only float step is 64 ln-ratio
+        # roundings, replayed here bit-for-bit from the same counts
+        "dsir_selection": """
+            WITH tok AS MATERIALIZED (
+              SELECT doc_id,
+                     ('0x' || substr(md5('b42:' || w), 1, 8))::BIGINT % 64 AS b
+              FROM (SELECT doc_id,
+                           unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) w
+                    FROM documents)
+              WHERE w <> ''
+            ), ttok AS MATERIALIZED (
+              SELECT ('0x' || substr(md5('b42:' || w), 1, 8))::BIGINT % 64 AS b
+              FROM (SELECT lang,
+                           unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) w
+                    FROM documents WHERE lang = 'en')
+              WHERE w <> ''
+            ), cnts AS MATERIALIZED (
+              SELECT u.b, coalesce(t.ct, 0) ct, coalesce(r.cr, 0) cr
+              FROM (SELECT unnest(range(0, 64)) b) u
+              LEFT JOIN (SELECT b, count(*) ct FROM ttok GROUP BY b) t USING (b)
+              LEFT JOIN (SELECT b, count(*) cr FROM tok GROUP BY b) r USING (b)
+            ), ratio AS MATERIALIZED (
+              SELECT b,
+                     CAST(round((ln((ct + 1.0) / ((SELECT sum(ct) FROM cnts) + 64.0))
+                               - ln((cr + 1.0) / ((SELECT sum(cr) FROM cnts) + 64.0))) * 1e6)
+                          AS BIGINT) r
+              FROM cnts
+            ), sc AS MATERIALIZED (
+              SELECT tok.doc_id, CAST(sum(ratio.r) AS BIGINT) score_micro
+              FROM tok JOIN ratio ON tok.b = ratio.b
+              GROUP BY tok.doc_id
+            )
+            SELECT doc_id, score_micro,
+                   row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) <= 100 AS keep
+            FROM sc
+        """,
         "vocab_stats": """
             WITH tk AS MATERIALIZED (
               SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok

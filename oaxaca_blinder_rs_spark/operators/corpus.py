@@ -29,6 +29,7 @@ __all__ = [
     "chunk_documents",
     "ingest_increment",
     "seed_classifier_scores",
+    "dsir_importance",
 ]
 
 
@@ -526,3 +527,121 @@ def ingest_increment(
         candidates=cross_candidates,
     )
     return keep.join(matches.select(id_col).distinct(), id_col, "left_anti")
+
+
+def dsir_importance(
+    raw: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 1024,
+    alpha: float = 1.0,
+    seed: int = 42,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int | None = None,
+) -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al. 2023, DSIR):
+    score every raw document by how target-like its hashed bag-of-words
+    looks, for selecting pretraining data that matches a trusted corpus.
+
+    Features are unigram counts hashed into ``n_buckets`` buckets with the
+    repo's md5 convention (int(md5("b{seed}:" + token)[:8], 16) % B —
+    bit-reproducible in Spark and DuckDB). Bucket unigram distributions
+    p (target) and q (raw) get add-``alpha`` smoothing over the bucket
+    universe; a document's importance log-weight is
+
+        sum over tokens t of  ln p[bucket(t)] - ln q[bucket(t)].
+
+    Arithmetic is int64-exact in the house style: the B per-bucket
+    log-ratios quantize once to micro-units (round(ln-ratio * 1e6) as
+    BIGINT — B values, each a ln of a ratio of exact integers), and each
+    document's score is an exact integer dot product of its bucket counts
+    with that table, so the result is independent of partitioning and
+    summation order. With ``top_k`` the ``keep`` flag marks the k highest
+    (score DESC, id ASC), ranked by the distributed prefix scan — never a
+    single-task global window.
+
+    Scale shape: two corpus explodes (raw + target) into B-bounded
+    partial-agg groupBys, a B-row broadcast of the ratio table back onto
+    the raw tokens, one groupBy(doc) integer sum. The target corpus is
+    typically small and trusted (wiki/books); the raw side is the 100 TB
+    axis and pays exactly one explode + one keyed shuffle.
+
+    Returns (id_col, score_micro long[, keep boolean]).
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    B = int(n_buckets)
+    spark = raw.sparkSession
+
+    def bucketed(df: DataFrame, with_id: bool) -> DataFrame:
+        cols = [F.col(id_col)] if with_id else []
+        tok = df.select(
+            *cols,
+            F.explode(textops.tokens(F.lower(F.trim(F.col(text_col))))).alias("__w"),
+        ).filter(F.col("__w") != "")
+        bucket = (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"b{seed}:"), F.col("__w"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % B
+        )
+        return tok.select(*cols, bucket.alias("__b"))
+
+    universe = spark.range(B).select(F.col("id").alias("__b"))
+    tgt = (
+        bucketed(target, with_id=False)
+        .groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__ct"))
+    )
+    rawb = bucketed(raw, with_id=True)
+    rawc = rawb.groupBy("__b").agg(F.count(F.lit(1)).alias("__cr"))
+    counts = (
+        universe.join(tgt, "__b", "left")
+        .join(rawc, "__b", "left")
+        .select(
+            "__b",
+            F.coalesce("__ct", F.lit(0)).alias("__ct"),
+            F.coalesce("__cr", F.lit(0)).alias("__cr"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("__ct").alias("__nt"), F.sum("__cr").alias("__nr")
+    )
+    a = float(alpha)
+    ratio = counts.crossJoin(F.broadcast(totals)).select(
+        "__b",
+        F.round(
+            (
+                F.log((F.col("__ct") + a) / (F.col("__nt") + a * B))
+                - F.log((F.col("__cr") + a) / (F.col("__nr") + a * B))
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("__r"),
+    )
+    doc_b = rawb.groupBy(id_col, "__b").agg(F.count(F.lit(1)).alias("__n"))
+    scores = (
+        doc_b.join(F.broadcast(ratio), "__b")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("__n") * F.col("__r")).alias("score_micro"))
+    )
+    if top_k is None:
+        return scores
+    from .scan import ordered_prev_cumsum
+
+    ranked = ordered_prev_cumsum(
+        scores,
+        order=[F.col("score_micro").desc(), F.col(id_col).asc()],
+        value=F.lit(1.0),
+        out_col="__rk",
+    )
+    return ranked.select(
+        F.col(id_col),
+        "score_micro",
+        (F.col("__rk") < float(top_k)).alias("keep"),
+    )

@@ -628,3 +628,126 @@ def test_classifier_quality_scores_clear_rounding_boundaries(spark, sf_dir):
         got = {r["doc_id"]: r["score"] for r in seed_classifier_scores(docs, "__seed").collect()}
         want = dict(zip((r["doc_id"] for r in feats), np.round(p, 6)))
         assert got == {k: float(v) for k, v in want.items()}, d
+
+
+def test_dsir_importance_matches_pure_python_reference(spark):
+    """dsir_importance (Xie et al. 2023) vs an independent pure-Python
+    replica: md5 bucket hashing, add-alpha smoothed bucket distributions,
+    integer micro-unit log-ratio quantization, exact integer doc scores,
+    and the top-k keep flag with (score DESC, id ASC) tie-breaks."""
+    import collections
+    import hashlib
+    import math
+
+    import pytest
+
+    from oaxaca_blinder_rs_spark.operators.corpus import dsir_importance
+
+    raw_rows = [
+        (1, "the cat sat on the mat"),
+        (2, "der hund lief schnell weg"),
+        (3, "the quick brown fox jumps"),
+        (4, "le chat est sur le tapis"),
+        (5, "a cat and a dog play"),
+        (6, "   "),
+    ]
+    tgt_rows = [(10, "the cat and the dog"), (11, "a quick brown cat jumps")]
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    tgt = spark.createDataFrame(tgt_rows, "doc_id long, text string")
+    B, a, seed = 16, 1.0, 42
+
+    def bucket(w):
+        return int(hashlib.md5(f"b{seed}:{w}".encode()).hexdigest()[:8], 16) % B
+
+    def toks(t):
+        return [w for w in t.lower().strip().split() if w]
+
+    ct: collections.Counter = collections.Counter()
+    cr: collections.Counter = collections.Counter()
+    for _, t in tgt_rows:
+        for w in toks(t):
+            ct[bucket(w)] += 1
+    for _, t in raw_rows:
+        for w in toks(t):
+            cr[bucket(w)] += 1
+    nt, nr = sum(ct.values()), sum(cr.values())
+    ratio = {
+        b: round(
+            (math.log((ct[b] + a) / (nt + a * B)) - math.log((cr[b] + a) / (nr + a * B)))
+            * 1e6
+        )
+        for b in range(B)
+    }
+    want = {
+        i: sum(ratio[bucket(w)] for w in toks(t))
+        for i, t in raw_rows
+        if toks(t)  # whitespace-only docs have no token rows (house rule)
+    }
+    got = {
+        r["doc_id"]: r["score_micro"]
+        for r in dsir_importance(raw, tgt, n_buckets=B).collect()
+    }
+    assert got == want
+    order = sorted(want, key=lambda i: (-want[i], i))
+    kept = {
+        r["doc_id"]: r["keep"]
+        for r in dsir_importance(raw, tgt, n_buckets=B, top_k=2).collect()
+    }
+    assert kept == {i: (i in order[:2]) for i in want}
+    # partition-invariance: integer scores are summation-order-free
+    got8 = {
+        r["doc_id"]: r["score_micro"]
+        for r in dsir_importance(raw.repartition(8), tgt, n_buckets=B).collect()
+    }
+    assert got8 == want
+
+    with pytest.raises(ValueError, match="n_buckets"):
+        dsir_importance(raw, tgt, n_buckets=0)
+    with pytest.raises(ValueError, match="alpha"):
+        dsir_importance(raw, tgt, alpha=0.0)
+
+
+def test_dsir_selection_ratio_roundings_clear_boundaries(spark, sf_dir):
+    """The dsir_selection hash contract's only float step is the 64
+    per-bucket ln-ratio roundings (doc scores are exact integer dot
+    products after that); the contract is safe while every ln-ratio sits
+    far from a 0.5-micro-unit rounding boundary relative to cross-engine
+    libm divergence (~1e-16 relative). Measure the real margins at the
+    suite SF and, when present, the driver's sf0.01: require every
+    bucket's distance to its nearest boundary to exceed 1e-3 micro-units
+    (~1e-9 absolute in ln space, >1e6 times the libm divergence) so a
+    boundary drift fails loudly here instead of as a driver hash
+    mismatch."""
+    import collections
+    import hashlib
+    import math
+    import os
+
+    dirs = [sf_dir]
+    if os.path.isdir("/root/testdata/sf0.01") and sf_dir != "/root/testdata/sf0.01":
+        dirs.append("/root/testdata/sf0.01")
+    B, a, seed = 64, 1.0, 42
+    for d in dirs:
+        rows = (
+            spark.read.parquet(os.path.join(d, "documents.parquet"))
+            .select("text", "lang")
+            .collect()
+        )
+        ct: collections.Counter = collections.Counter()
+        cr: collections.Counter = collections.Counter()
+        for r in rows:
+            ws = [w for w in (r["text"] or "").lower().strip().split() if w]
+            for w in ws:
+                b = int(hashlib.md5(f"b{seed}:{w}".encode()).hexdigest()[:8], 16) % B
+                cr[b] += 1
+                if r["lang"] == "en":
+                    ct[b] += 1
+        nt, nr = sum(ct.values()), sum(cr.values())
+        for b in range(B):
+            v = (
+                math.log((ct[b] + a) / (nt + a * B))
+                - math.log((cr[b] + a) / (nr + a * B))
+            ) * 1e6
+            # distance to the nearest x.5 boundary, where round() flips
+            dist = abs((v - math.floor(v)) - 0.5)
+            assert dist > 1e-3, (d, b, v)
