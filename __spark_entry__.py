@@ -232,6 +232,18 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab.select("w", "cnt", F.array_join("tokens", " ").alias("tokens"))
 
 
+def q_dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stride-1 exact-substring dedup (dedup.dup_substring_spans, r9; the
+    Lee et al. 2022 semantics): every 8-token window keyed by its exact
+    text, globally-first occurrence survives, later occurrences merge
+    per-document into maximal duplicated spans. Offset-invariant — the
+    face span_dedup's aligned blocks cannot see. The oracle replays
+    windows via list slicing, first-occurrence via row_number, and the
+    interval merge as gaps-and-islands."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.dup_substring_spans(docs, window_tokens=8)
+
+
 def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR data selection (corpus.dsir_importance, r9; Xie et al. 2023):
     every document scored by hashed-unigram importance against the
@@ -2095,17 +2107,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Round-9 window (NOTES_r8 rotation plan + this round's changes):
     (1) rows new or changed in r9 — pca_whiten_invariants (new contract,
     retires the last no-oracle row), bpe_encode + bpe_token_ids +
-    dsir_selection (NEW r9 contracts), bpe_vocab (driver-hashable
-    projection), bpe_merges (batched merge rounds), classifier_quality
-    (tol 1e-9) — plus one of the seven r8 first-record rows
-    (semantic_dedup; vocab_stats, machado_mata and embedding_outliers
-    defer to the r10 head — their r8 records stay inside the <=2-round
-    policy); (2) the 20 r6-green rows whose records turn 3 rounds old
+    dsir_selection + dup_substring_spans (NEW r9 contracts), bpe_vocab
+    (driver-hashable projection), bpe_merges (batched merge rounds),
+    classifier_quality (tol 1e-9). The seven r8 first-record rows
+    (semantic_dedup, vocab_stats, machado_mata, embedding_outliers, the
+    bpe pair, classifier_quality) keep records <=1 round old; the four
+    not re-checked here defer to the r10 head — inside the <=2-round
+    policy; (2) the 20 r6-green rows whose records turn 3 rounds old
     this round — they rotate FIRST per the <=2-round policy; (3) 22 of
     the 46 r7-green rows (records 2 rounds old — the head of the r10
     rotation). Past the window: vocab_stats + machado_mata +
-    embedding_outliers, then the remaining 24 r7-green rows (they
-    rotate in r10), then the 43 r8-green rows (fresh records).
+    embedding_outliers + semantic_dedup, then the remaining 24 r7-green
+    rows (they rotate in r10), then the 43 r8-green rows (fresh
+    records).
     """
     return {
         # -- r9 window rows 0-9: new/changed in r9 + young r8 contracts ----
@@ -2114,9 +2128,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_ids": q_bpe_token_ids,
         "bpe_vocab": q_bpe_vocab,
         "bpe_merges": q_bpe_merges,
+        "dup_substring_spans": q_dup_substring_spans,
         "dsir_selection": q_dsir_selection,
         "classifier_quality": q_classifier_quality,
-        "semantic_dedup": q_semantic_dedup,
         # -- rows 8-27: r6-green rows, records 3 rounds old — rotate first --
         "sample_weighted": q_sample_weighted,
         "attribution_last_touch": q_attribution_last_touch,
@@ -2170,6 +2184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_stats": q_vocab_stats,
         "machado_mata": q_machado_mata,
         "embedding_outliers": q_embedding_outliers,
+        "semantic_dedup": q_semantic_dedup,
         "segment_revenue_top10": q_segment_revenue_top10,
         "oaxaca_mean_2pred": q_oaxaca_mean_2pred,
         "oaxaca_categorical": q_oaxaca_categorical,
@@ -3458,6 +3473,40 @@ def oracle_sql() -> dict[str, str]:
         "bpe_vocab": _bpe_oracle_sql(k_merges=6, face="vocab"),
         "bpe_encode": _bpe_oracle_sql(k_merges=6, face="encode"),
         "bpe_token_ids": _bpe_oracle_sql(k_merges=6, face="ids"),
+        # stride-1 exact-substring dedup (Lee et al. 2022 semantics):
+        # every 8-token window by exact text, first (doc, start) survives,
+        # later occurrences merge per doc into maximal spans
+        "dup_substring_spans": """
+            WITH t AS MATERIALIZED (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(coalesce(text, '')), '\\s+') arr
+              FROM documents
+            ), w AS MATERIALIZED (
+              SELECT doc_id, CAST(u.i AS BIGINT) strt,
+                     array_to_string(arr[u.i + 1 : u.i + 8], ' ') win
+              FROM t, unnest(range(0, len(arr) - 8 + 1)) u(i)
+              WHERE len(arr) >= 8
+            ), f AS MATERIALIZED (
+              SELECT doc_id, strt,
+                     row_number() OVER (PARTITION BY win ORDER BY doc_id, strt) rn
+              FROM w
+            ), d AS MATERIALIZED (
+              SELECT doc_id, strt, strt + 8 AS stop FROM f WHERE rn > 1
+            ), g AS MATERIALIZED (
+              SELECT *, CASE WHEN strt > coalesce(
+                       lag(stop) OVER (PARTITION BY doc_id ORDER BY strt), -1)
+                     THEN 1 ELSE 0 END brk
+              FROM d
+            ), gg AS MATERIALIZED (
+              SELECT *, sum(brk) OVER (PARTITION BY doc_id ORDER BY strt) grp
+              FROM g
+            )
+            SELECT doc_id,
+                   CAST(min(strt) AS BIGINT) span_start,
+                   CAST(max(stop) AS BIGINT) span_end,
+                   CAST(count(*) AS BIGINT) n_windows
+            FROM gg GROUP BY doc_id, grp
+        """,
         # DSIR (Xie et al. 2023): hashed-unigram importance of every doc
         # against the English subset; integer micro-unit scores make the
         # per-doc sum order-free — the only float step is 64 ln-ratio

@@ -38,6 +38,7 @@ __all__ = [
     "dup_clusters",
     "size_pruned_pairs",
     "span_dedup",
+    "dup_substring_spans",
 ]
 
 
@@ -550,3 +551,89 @@ def span_dedup(
         F.count(F.lit(1)).alias("n_blocks"),
         F.sum((~F.col("__keep")).cast("bigint")).alias("n_dropped"),
     )
+
+
+def dup_substring_spans(
+    docs: DataFrame,
+    window_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicate-substring detection at stride 1 — the
+    suffix-array-style dedup of Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better"), re-expressed for Spark: a
+    substring of >= ``window_tokens`` whitespace tokens that occurs
+    anywhere else in the corpus is detected at EVERY position (not just
+    block-aligned ones — the within-block sibling ``span_dedup`` misses
+    duplicates that straddle block boundaries or sit at a shifted offset).
+
+    Every length-``window_tokens`` token window (stride 1) is keyed by its
+    exact text — the span string itself, NOT a 64-bit hash: at corpus
+    scale (~1e12 windows) birthday collisions on 64-bit keys silently mark
+    innocent text as duplicated (the span_dedup exactness argument). The
+    globally FIRST occurrence of each window ((doc_id, start) order)
+    survives; every other occurrence is a duplicated window, and per
+    document the overlapping/adjacent duplicated windows merge into
+    maximal spans — exactly the regions an exact-substring dedup pass
+    would cut while keeping one copy corpus-wide.
+
+    Returns (doc_id, span_start, span_end, n_windows): token offsets
+    [span_start, span_end) of each maximal duplicated region, plus how
+    many duplicated windows merged into it. Documents shorter than the
+    window, and documents whose every window is globally first, emit no
+    rows.
+
+    Scale shape: windows are carved map-side in codegen
+    (transform+posexplode); first-occurrence stats are ONE keyed groupBy
+    on the window text (partial-agg map-side) joined back on the same key
+    (no broadcast — the stats table is corpus-sized); interval merging is
+    a per-document window pass (keys = documents, uniformly small — never
+    a single-task global window). Stride 1 costs ~window_tokens x the
+    blocks of span_dedup in exploded rows — the price of offset-invariant
+    detection; both stages shuffle on bounded keys and nothing is
+    quadratic.
+    """
+    if window_tokens < 1:
+        raise ValueError("window_tokens must be >= 1")
+    L = int(window_tokens)
+    from pyspark.sql import Window
+
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    nwin = F.size(toks) - L + 1
+    wins = F.when(
+        nwin >= 1,
+        F.transform(
+            F.sequence(F.lit(0), nwin - 1),
+            lambda i: F.array_join(F.slice(toks, i + 1, L), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    w = docs.select(F.col(id_col), F.posexplode(wins).alias("start", "__win"))
+    firsts = w.groupBy("__win").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("start").alias("p"))).alias(
+            "__first"
+        )
+    )
+    dups = (
+        w.join(firsts, "__win")
+        .filter(
+            (F.col(id_col) != F.col("__first.d"))
+            | (F.col("start") != F.col("__first.p"))
+        )
+        .select(
+            F.col(id_col),
+            F.col("start").cast("long").alias("start"),
+            (F.col("start") + L).cast("long").alias("stop"),
+        )
+    )
+    byid = Window.partitionBy(id_col).orderBy("start")
+    brk = F.when(
+        F.col("start") > F.coalesce(F.lag("stop").over(byid), F.lit(-1)), 1
+    ).otherwise(0)
+    grouped = dups.withColumn("__brk", brk).withColumn(
+        "__grp", F.sum("__brk").over(byid)
+    )
+    return grouped.groupBy(id_col, "__grp").agg(
+        F.min("start").alias("span_start"),
+        F.max("stop").alias("span_end"),
+        F.count(F.lit(1)).alias("n_windows"),
+    ).drop("__grp")

@@ -751,3 +751,77 @@ def test_dsir_selection_ratio_roundings_clear_boundaries(spark, sf_dir):
             # distance to the nearest x.5 boundary, where round() flips
             dist = abs((v - math.floor(v)) - 0.5)
             assert dist > 1e-3, (d, b, v)
+
+
+def test_dup_substring_spans_matches_pure_python_reference(spark):
+    """Stride-1 exact-substring dedup vs an independent pure-Python
+    replica: windows by exact text, global (doc, start) first-occurrence
+    keep, per-doc interval merge of overlapping/adjacent duplicated
+    windows. Covers shifted-offset cross-doc copies (invisible to aligned
+    block dedup), within-doc repeats, short docs, and a randomized corpus
+    with heavy phrase reuse."""
+    import random
+
+    import pytest
+
+    from oaxaca_blinder_rs_spark.operators.dedup import dup_substring_spans
+
+    def ref(rows, L):
+        wins = []  # (win_text, doc, start)
+        for i, t in rows:
+            toks = [w for w in (t or "").strip().split()]
+            # match F.split semantics: '' -> ['']
+            if toks == []:
+                toks = [""]
+            for s in range(len(toks) - L + 1):
+                wins.append((" ".join(toks[s:s + L]), i, s))
+        first = {}
+        for w, d, s in sorted(wins, key=lambda x: (x[1], x[2])):
+            first.setdefault(w, (d, s))
+        dups = sorted(
+            (d, s) for w, d, s in wins if first[w] != (d, s)
+        )
+        spans = {}
+        cur = None
+        for d, s in dups:
+            if cur and cur[0] == d and s <= cur[2]:
+                cur[2] = max(cur[2], s + L)
+                cur[3] += 1
+            else:
+                if cur:
+                    spans.setdefault(cur[0], []).append(tuple(cur[1:]))
+                cur = [d, s, s + L, 1]
+        if cur:
+            spans.setdefault(cur[0], []).append(tuple(cur[1:]))
+        return {
+            (d, a, b, n) for d, sp in spans.items() for a, b, n in sp
+        }
+
+    phrase = "alpha beta gamma delta epsilon zeta eta theta"
+    fixed = [
+        (1, "intro words here " + phrase + " trailing bits"),
+        (2, "x " + phrase + " y z"),
+        (3, "one two three four five six seven eight "
+            "one two three four five six seven eight"),
+        (4, "tiny doc"),
+        (5, "totally unique words that appear nowhere else in this corpus"),
+    ]
+    rng = random.Random(17)
+    vocab = [f"w{j}" for j in range(12)]
+    rand = [
+        (10 + i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 40))))
+        for i in range(12)
+    ]
+    for L, rows in [(8, fixed), (4, rand), (3, fixed + rand)]:
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+            for r in dup_substring_spans(docs, window_tokens=L).collect()
+        }
+        assert got == ref(rows, L), L
+
+    with pytest.raises(ValueError, match="window_tokens"):
+        dup_substring_spans(
+            spark.createDataFrame(fixed, "doc_id long, text string"),
+            window_tokens=0,
+        )
