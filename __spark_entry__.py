@@ -232,6 +232,17 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab.select("w", "cnt", F.array_join("tokens", " ").alias("tokens"))
 
 
+def q_pq_adc_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN (similarity.pq_topk, r9; Jegou et al. 2011):
+    the corpus compressed to m=4 codebook codes (k=8 per subspace,
+    integer-exact Lloyd), then exhaustive asymmetric-distance top-3 —
+    every distance is an int64 sum of query-subvector-to-centroid
+    squares, so the full train -> encode -> scan pipeline replays
+    bit-for-bit in the oracle's unrolled per-subspace Lloyd CTEs."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.pq_topk(e, e, k=3, m=4, k_codebook=8, iters=2)
+
+
 def q_dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stride-1 exact-substring dedup (dedup.dup_substring_spans, r9; the
     Lee et al. 2022 semantics): every 8-token window keyed by its exact
@@ -2128,6 +2139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_ids": q_bpe_token_ids,
         "bpe_vocab": q_bpe_vocab,
         "bpe_merges": q_bpe_merges,
+        "pq_adc_top3": q_pq_adc_top3,
         "dup_substring_spans": q_dup_substring_spans,
         "dsir_selection": q_dsir_selection,
         "classifier_quality": q_classifier_quality,
@@ -2174,8 +2186,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "corpus_mixture": q_corpus_mixture,
         "corpus_split": q_corpus_split,
-        "regional_revenue": q_regional_revenue,
         # -- past the window: r10 rotation head --------------------------
+        # regional_revenue: r7 record (2 rounds old at r9 close — still
+        # compliant) — displaced by pq_adc_top3; re-checks in r10
+        "regional_revenue": q_regional_revenue,
         # vocab_stats/machado_mata/embedding_outliers: r8 records (1 round
         # old) — deferred to make room for the three new r9 contracts
         # (bpe_encode, bpe_token_ids, dsir_selection); they rotate FIRST
@@ -2485,6 +2499,110 @@ def _kmeans_parts(k: int, iters: int) -> tuple[list, str, str]:
         )
         prev = f"c{t}"
     return parts, dist, prev
+
+
+def _pq_sql(
+    m: int = 4,
+    k_codebook: int = 8,
+    iters: int = 2,
+    top_k: int = 3,
+    dim: int = 64,
+    scale: int = 1000,
+) -> str:
+    """DuckDB twin of similarity.pq_topk: per-subspace quantized Lloyd
+    (the _kmeans_parts construction restricted to each d/m-dim slice),
+    final code assignment, and exhaustive ADC scoring — query subvector
+    vs the centroid of each neighbour's code, summed over subspaces,
+    ranked (adist ASC, neighbor ASC) per query. Every quantity is int64."""
+    sd = dim // m
+    parts = [
+        f"""v AS MATERIALIZED (
+          SELECT vec_id, list_transform(range(0,{dim}),
+                   j -> CAST(floor(CAST(embedding[j+1] AS DOUBLE)*{scale}) AS BIGINT)) qv
+          FROM embeddings
+        )"""
+    ]
+    score_ctes = []
+    for j in range(m):
+        lo = j * sd
+        dist = (
+            f"list_sum(list_transform(range(1,{sd + 1}), "
+            f"i -> (s.sv[i]-c.cqv[i])*(s.sv[i]-c.cqv[i])))"
+        )
+        parts.append(
+            f"""v{j} AS MATERIALIZED (
+              SELECT vec_id, qv[{lo + 1}:{lo + sd}] sv FROM v
+            )"""
+        )
+        parts.append(
+            f"""c{j}_0 AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 cid, sv cqv
+              FROM (SELECT vec_id, sv FROM v{j} ORDER BY vec_id LIMIT {k_codebook})
+            )"""
+        )
+        prev = f"c{j}_0"
+        for t in range(1, iters + 1):
+            parts.append(
+                f"""a{j}_{t} AS MATERIALIZED (
+                  SELECT vec_id, cid FROM (
+                    SELECT s.vec_id, c.cid,
+                           row_number() OVER (PARTITION BY s.vec_id
+                             ORDER BY {dist} ASC, c.cid ASC) rk
+                    FROM v{j} s, {prev} c
+                  ) WHERE rk = 1
+                )"""
+            )
+            parts.append(
+                f"""s{j}_{t} AS (
+                  SELECT a.cid, d.i, sum(s.sv[d.i]) smm, count(*) n
+                  FROM a{j}_{t} a JOIN v{j} s USING (vec_id), range(1,{sd + 1}) d(i)
+                  GROUP BY a.cid, d.i
+                )"""
+            )
+            parts.append(
+                f"""c{j}_{t} AS MATERIALIZED (
+                  SELECT p.cid, coalesce(n_.cqv, p.cqv) cqv
+                  FROM {prev} p LEFT JOIN (
+                    SELECT cid, list(CAST(floor(CAST(smm AS DOUBLE)/n) AS BIGINT) ORDER BY i) cqv
+                    FROM s{j}_{t} GROUP BY cid
+                  ) n_ USING (cid)
+                )"""
+            )
+            prev = f"c{j}_{t}"
+        parts.append(
+            f"""af{j} AS MATERIALIZED (
+              SELECT vec_id, cid FROM (
+                SELECT s.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY s.vec_id
+                         ORDER BY {dist} ASC, c.cid ASC) rk
+                FROM v{j} s, {prev} c
+              ) WHERE rk = 1
+            )"""
+        )
+        parts.append(
+            f"""sc{j} AS MATERIALIZED (
+              SELECT q.vec_id query_id, n.vec_id neighbor_id,
+                     list_sum(list_transform(range(1,{sd + 1}),
+                       i -> (q.sv[i]-c.cqv[i])*(q.sv[i]-c.cqv[i]))) d
+              FROM v{j} q
+              CROSS JOIN af{j} n
+              JOIN {prev} c ON c.cid = n.cid
+            )"""
+        )
+        score_ctes.append(f"sc{j}")
+    union = " UNION ALL ".join(f"SELECT * FROM {s}" for s in score_ctes)
+    parts.append(
+        f"""tot AS (
+          SELECT query_id, neighbor_id, CAST(sum(d) AS BIGINT) adist
+          FROM ({union}) GROUP BY query_id, neighbor_id
+        )"""
+    )
+    final = f"""SELECT query_id, neighbor_id, adist, CAST(rk AS INTEGER) AS "rank" FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY adist ASC, neighbor_id ASC) rk
+      FROM tot WHERE query_id <> neighbor_id
+    ) WHERE rk <= {top_k}"""
+    return "WITH " + ",\n".join(parts) + "\n" + final
 
 
 def _kmeans_sql(k: int = 6, iters: int = 2) -> str:
@@ -5189,6 +5307,7 @@ def oracle_sql() -> dict[str, str]:
             FROM t
         """,
         "kmeans_clusters": _kmeans_sql(k=6, iters=2),
+        "pq_adc_top3": _pq_sql(m=4, k_codebook=8, iters=2, top_k=3),
         "semantic_dedup": _semantic_dedup_sql(k=6, iters=2, threshold=0.5),
         "embedding_outliers": _embedding_outliers_sql(k=6, iters=2),
         "diversity_sample": f"""

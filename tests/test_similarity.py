@@ -378,3 +378,73 @@ def test_ivf_trained_centroids_deterministic_and_exact_at_full_probe(spark, sf_d
     assert key(a) == key(b)
     exact = similarity.brute_force_topk(q, emb, k=3)
     assert key(a) == key(exact)
+
+
+def test_pq_codes_and_adc_match_numpy_replica(spark):
+    """Product quantization (r9): per-subspace integer Lloyd codebooks,
+    code assignment, and the exhaustive ADC top-k must match an
+    independent NumPy replica bit-for-bit — codebooks, every code, every
+    asymmetric distance, and the (adist ASC, id ASC) ranking."""
+    import numpy as np
+
+    from oaxaca_blinder_rs_spark.operators.similarity import pq_codes, pq_topk
+
+    rng = np.random.default_rng(5)
+    n, d, m, kc, iters, scale = 30, 8, 2, 4, 2, 1000
+    X = rng.standard_normal((n, d))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+
+    Q = np.floor(X * scale).astype(np.int64)
+    sd = d // m
+
+    def lloyd(sub):
+        cents = sub[:kc].copy()
+        for _ in range(iters):
+            dist = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            a = dist.argmin(axis=1)
+            for c in range(kc):
+                sel = sub[a == c]
+                if len(sel):
+                    cents[c] = np.floor_divide(sel.sum(axis=0), len(sel))
+        dist = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        return dist.argmin(axis=1), cents
+
+    codes_ref, books_ref = [], []
+    for j in range(m):
+        a, c = lloyd(Q[:, j * sd:(j + 1) * sd])
+        codes_ref.append(a)
+        books_ref.append(c)
+    codes_ref = np.stack(codes_ref, axis=1)
+
+    codes, books = pq_codes(df, m=m, k_codebook=kc, iters=iters)
+    got_codes = {
+        r["vec_id"]: [r[f"code_{j}"] for j in range(m)] for r in codes.collect()
+    }
+    assert all(got_codes[i] == list(codes_ref[i]) for i in range(n))
+    assert all((np.array(books[j]) == books_ref[j]).all() for j in range(m))
+
+    adist = np.zeros((n, n), dtype=np.int64)
+    for j in range(m):
+        dt = ((Q[:, j * sd:(j + 1) * sd][:, None, :] - books_ref[j][None, :, :]) ** 2).sum(axis=2)
+        adist += dt[:, codes_ref[:, j]]
+    want = {
+        q: sorted((int(adist[q, c]), c) for c in range(n) if c != q)[:3]
+        for q in range(n)
+    }
+    got: dict = {}
+    for r in pq_topk(df, df, k=3, m=m, k_codebook=kc, iters=iters).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], int(r["adist"]), r["neighbor_id"])
+        )
+    for q in range(n):
+        assert sorted(got[q]) == [
+            (i + 1, a, c) for i, (a, c) in enumerate(want[q])
+        ], q
+
+    import pytest
+
+    with pytest.raises(ValueError, match="divide"):
+        pq_codes(df, m=3)
