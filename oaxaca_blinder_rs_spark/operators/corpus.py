@@ -30,6 +30,8 @@ __all__ = [
     "ingest_increment",
     "seed_classifier_scores",
     "dsir_importance",
+    "dsir_ratio_table",
+    "dsir_score_expr",
 ]
 
 
@@ -529,6 +531,109 @@ def ingest_increment(
     return keep.join(matches.select(id_col).distinct(), id_col, "left_anti")
 
 
+def _dsir_bucket_expr(word, n_buckets: int, seed: int):
+    """md5 bucket of a token — int(md5("b{seed}:" + w)[:8], 16) % B, the
+    engine-portable convention shared with sampling.md5_uniform."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"b{seed}:"), word)), 1, 8), 16, 10)
+        .cast("long")
+        % int(n_buckets)
+    )
+
+
+def _dsir_bucketed(df: DataFrame, B: int, seed: int, text_col: str, cols: list) -> DataFrame:
+    tok = df.select(
+        *cols,
+        F.explode(textops.tokens(F.lower(F.trim(F.col(text_col))))).alias("__w"),
+    ).filter(F.col("__w") != "")
+    return tok.select(*cols, _dsir_bucket_expr(F.col("__w"), B, seed).alias("__b"))
+
+
+def dsir_ratio_table(
+    raw: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 1024,
+    alpha: float = 1.0,
+    seed: int = 42,
+    text_col: str = "text",
+) -> DataFrame:
+    """The trained DSIR artifact: per-bucket importance log-ratios in int64
+    micro-units — (bucket long, r_micro long), one row per bucket. Train
+    once batch-side, then score anywhere: ``dsir_importance`` joins it
+    back over the raw corpus, ``dsir_score_expr`` folds it into a
+    stateless map-only expression (the streaming face's path)."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    B = int(n_buckets)
+    spark = raw.sparkSession
+    universe = spark.range(B).select(F.col("id").alias("__b"))
+    tgt = (
+        _dsir_bucketed(target, B, seed, text_col, [])
+        .groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__ct"))
+    )
+    rawc = (
+        _dsir_bucketed(raw, B, seed, text_col, [])
+        .groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__cr"))
+    )
+    counts = (
+        universe.join(tgt, "__b", "left")
+        .join(rawc, "__b", "left")
+        .select(
+            "__b",
+            F.coalesce("__ct", F.lit(0)).alias("__ct"),
+            F.coalesce("__cr", F.lit(0)).alias("__cr"),
+        )
+    )
+    totals = counts.agg(F.sum("__ct").alias("__nt"), F.sum("__cr").alias("__nr"))
+    a = float(alpha)
+    return counts.crossJoin(F.broadcast(totals)).select(
+        F.col("__b").alias("bucket"),
+        F.round(
+            (
+                F.log((F.col("__ct") + a) / (F.col("__nt") + a * B))
+                - F.log((F.col("__cr") + a) / (F.col("__nr") + a * B))
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("r_micro"),
+    )
+
+
+def dsir_score_expr(
+    ratio: dict[int, int],
+    n_buckets: int,
+    seed: int = 42,
+    text_col: str = "text",
+):
+    """Stateless per-row DSIR score from a FROZEN ratio table: the token
+    array folds through a B-entry map literal (bucket -> r_micro), so the
+    score is one codegen expression — no explode, no shuffle, no state.
+    This is the online-scoring shape: train the table batch-side
+    (``dsir_ratio_table``), broadcast it as a literal, score a stream or
+    a scan map-only. Exactly equal to ``dsir_importance``'s joined sum
+    (same integers). Docs with no tokens score 0 here (no rows exist to
+    aggregate in the batch face — the only shape difference)."""
+    B = int(n_buckets)
+    pairs: list = []
+    for b in range(B):
+        pairs.append(F.lit(b))
+        pairs.append(F.lit(int(ratio.get(b, 0))))
+    m = F.create_map(*pairs)
+    toks = F.filter(
+        textops.tokens(F.lower(F.trim(F.col(text_col)))), lambda w: w != ""
+    )
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + m[_dsir_bucket_expr(w, B, seed)],
+    )
+
+
 def dsir_importance(
     raw: DataFrame,
     target: DataFrame,
@@ -573,57 +678,10 @@ def dsir_importance(
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0, got {alpha}")
     B = int(n_buckets)
-    spark = raw.sparkSession
-
-    def bucketed(df: DataFrame, with_id: bool) -> DataFrame:
-        cols = [F.col(id_col)] if with_id else []
-        tok = df.select(
-            *cols,
-            F.explode(textops.tokens(F.lower(F.trim(F.col(text_col))))).alias("__w"),
-        ).filter(F.col("__w") != "")
-        bucket = (
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"b{seed}:"), F.col("__w"))), 1, 8),
-                16,
-                10,
-            ).cast("long")
-            % B
-        )
-        return tok.select(*cols, bucket.alias("__b"))
-
-    universe = spark.range(B).select(F.col("id").alias("__b"))
-    tgt = (
-        bucketed(target, with_id=False)
-        .groupBy("__b")
-        .agg(F.count(F.lit(1)).alias("__ct"))
-    )
-    rawb = bucketed(raw, with_id=True)
-    rawc = rawb.groupBy("__b").agg(F.count(F.lit(1)).alias("__cr"))
-    counts = (
-        universe.join(tgt, "__b", "left")
-        .join(rawc, "__b", "left")
-        .select(
-            "__b",
-            F.coalesce("__ct", F.lit(0)).alias("__ct"),
-            F.coalesce("__cr", F.lit(0)).alias("__cr"),
-        )
-    )
-    totals = counts.agg(
-        F.sum("__ct").alias("__nt"), F.sum("__cr").alias("__nr")
-    )
-    a = float(alpha)
-    ratio = counts.crossJoin(F.broadcast(totals)).select(
-        "__b",
-        F.round(
-            (
-                F.log((F.col("__ct") + a) / (F.col("__nt") + a * B))
-                - F.log((F.col("__cr") + a) / (F.col("__nr") + a * B))
-            )
-            * 1e6
-        )
-        .cast("long")
-        .alias("__r"),
-    )
+    ratio = dsir_ratio_table(
+        raw, target, n_buckets=B, alpha=alpha, seed=seed, text_col=text_col
+    ).select(F.col("bucket").alias("__b"), F.col("r_micro").alias("__r"))
+    rawb = _dsir_bucketed(raw, B, seed, text_col, [F.col(id_col)])
     doc_b = rawb.groupBy(id_col, "__b").agg(F.count(F.lit(1)).alias("__n"))
     scores = (
         doc_b.join(F.broadcast(ratio), "__b")

@@ -680,3 +680,39 @@ def streaming_constraint_cells(
         F.col("__n").alias("n"),
         (F.col("__e.violations") == 0).alias("ok"),
     )
+
+
+def streaming_dsir_scores(
+    docs: DataFrame,
+    ratio: dict[int, int],
+    n_buckets: int,
+    seed: int = 42,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    min_score_micro: int | None = None,
+) -> DataFrame:
+    """Streaming face of ``operators.corpus.dsir_importance``: online data
+    selection with a FROZEN importance table.
+
+    The DSIR ratio table is trained batch-side (``dsir_ratio_table``
+    against the trusted target corpus), collected once (B integer rows),
+    and folded into a stateless map-only score expression
+    (``dsir_score_expr``) — so the stream pays no explode, no shuffle and
+    holds NO state: each arriving document's score is one codegen fold
+    over its token array, bit-identical to the batch operator's joined
+    integer sum. ``min_score_micro`` filters to target-like documents at
+    ingest — the standard online shape: retrain the table periodically in
+    batch, redeploy the literal.
+
+    Output: (id_col, ts_col, score_micro [, kept rows only]).
+    """
+    from ..operators.corpus import dsir_score_expr
+
+    score = dsir_score_expr(ratio, n_buckets, seed=seed, text_col=text_col)
+    out = _event_time(docs, ts_col).select(
+        F.col(id_col), F.col(ts_col), score.alias("score_micro")
+    )
+    if min_score_micro is not None:
+        out = out.filter(F.col("score_micro") >= int(min_score_micro))
+    return out

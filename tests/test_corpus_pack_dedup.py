@@ -825,3 +825,81 @@ def test_dup_substring_spans_matches_pure_python_reference(spark):
             spark.createDataFrame(fixed, "doc_id long, text string"),
             window_tokens=0,
         )
+
+
+def test_dsir_score_expr_and_streaming_face_match_batch(spark, tmp_path):
+    """The frozen-table scoring path (dsir_score_expr map-literal fold) and
+    its streaming face must produce the batch dsir_importance integers
+    exactly: train the ratio table once, score the same corpus (a) via the
+    batch join, (b) via the stateless expression, (c) via an availableNow
+    stream — three identical integer score sets."""
+    import tempfile
+    from datetime import datetime
+
+    from oaxaca_blinder_rs_spark.operators.corpus import (
+        dsir_importance,
+        dsir_ratio_table,
+        dsir_score_expr,
+    )
+    from oaxaca_blinder_rs_spark.streaming import events as streaming_events
+
+    raw_rows = [
+        (1, "the cat sat on the mat", datetime(2026, 1, 1, 10)),
+        (2, "der hund lief schnell weg", datetime(2026, 1, 1, 11)),
+        (3, "the quick brown fox jumps", datetime(2026, 1, 1, 12)),
+        (4, "a cat and a dog play", datetime(2026, 1, 1, 13)),
+    ]
+    tgt_rows = [(10, "the cat and the dog"), (11, "a quick brown cat jumps")]
+    raw = spark.createDataFrame(
+        raw_rows, "doc_id long, text string, ts timestamp"
+    )
+    tgt = spark.createDataFrame(tgt_rows, "doc_id long, text string")
+    B = 16
+
+    want = {
+        r["doc_id"]: r["score_micro"]
+        for r in dsir_importance(raw, tgt, n_buckets=B).collect()
+    }
+    ratio = {
+        r["bucket"]: r["r_micro"]
+        for r in dsir_ratio_table(raw, tgt, n_buckets=B).collect()
+    }
+    got_expr = {
+        r["doc_id"]: r["s"]
+        for r in raw.select(
+            "doc_id", dsir_score_expr(ratio, B).alias("s")
+        ).collect()
+    }
+    assert got_expr == want
+
+    src = str(tmp_path / "dsir_stream")
+    raw.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(raw.schema).format("parquet").load(src)
+    scored = streaming_events.streaming_dsir_scores(stream, ratio, B)
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            scored.writeStream.format("memory").queryName("dsir_scores")
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+    got_stream = {
+        r["doc_id"]: r["score_micro"]
+        for r in spark.sql("SELECT * FROM dsir_scores").collect()
+    }
+    assert got_stream == want
+
+    # the ingest filter keeps exactly the >= threshold docs
+    thr = sorted(want.values())[len(want) // 2]
+    filtered = streaming_events.streaming_dsir_scores(
+        stream, ratio, B, min_score_micro=thr
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            filtered.writeStream.format("memory").queryName("dsir_kept")
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+    kept = {r["doc_id"] for r in spark.sql("SELECT * FROM dsir_kept").collect()}
+    assert kept == {i for i, s in want.items() if s >= thr}
