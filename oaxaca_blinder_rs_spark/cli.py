@@ -68,6 +68,22 @@ def build_parser() -> argparse.ArgumentParser:
         help="tokens per training shard; 0 writes the keep-list only",
     )
 
+    # net-new surface: the tokenizer pipeline as a CLI verb
+    tk = sub.add_parser(
+        "tokenize",
+        help="Train a BPE tokenizer on a corpus, encode it, and "
+        "(optionally) pack token shards",
+    )
+    tk.add_argument("--input", required=True, help="Input documents (parquet dir/file)")
+    tk.add_argument("--output", required=True, help="Output directory")
+    tk.add_argument("--text-col", default="text")
+    tk.add_argument("--id-col", default="doc_id")
+    tk.add_argument("--merges", type=int, default=64, help="number of BPE merge rules")
+    tk.add_argument(
+        "--pack-budget", type=int, default=0,
+        help="tokens per training shard; 0 writes encoded docs only",
+    )
+
     # net-new surface: data-quality gate as a CLI verb
     q = sub.add_parser(
         "quality",
@@ -158,6 +174,51 @@ def _run_corpus(spark, args) -> int:
     return 0
 
 
+def _run_tokenize(spark, args) -> int:
+    """tokenize verb: documents in -> merges.parquet + token_ids.parquet +
+    encoded docs (or token shards) under --output, one JSON stats line on
+    stdout. The full train -> encode -> pack pipeline."""
+    import os
+
+    from .operators.textops import bpe_encode, bpe_token_ids, bpe_train_merges
+
+    docs = spark.read.parquet(args.input)
+    merges, vocab = bpe_train_merges(
+        docs, k_merges=args.merges, text_col=args.text_col, return_vocab=True
+    )
+    merges.write.mode("overwrite").parquet(os.path.join(args.output, "merges"))
+    ids = bpe_token_ids(vocab)
+    ids.write.mode("overwrite").parquet(os.path.join(args.output, "token_ids"))
+    enc = bpe_encode(
+        docs, vocab, text_col=args.text_col, id_col=args.id_col, oov="skip"
+    )
+    stats = {
+        "docs_in": docs.count(),
+        "merges": merges.count(),
+        "vocab_tokens": ids.count(),
+    }
+    if args.pack_budget > 0:
+        from .sinks.parquet import write_token_shards
+
+        packed = docs.select(args.id_col, args.text_col).join(
+            enc.select(args.id_col, "n_tokens"), args.id_col
+        )
+        st = write_token_shards(
+            packed, os.path.join(args.output, "shards"),
+            budget=args.pack_budget, text_col=args.text_col,
+            id_col=args.id_col, token_col="n_tokens",
+        )
+        stats.update({"docs_encoded": st["rows"], "shards": st["shards"],
+                      "total_tokens": st["total_tokens"]})
+    else:
+        enc.write.mode("overwrite").parquet(os.path.join(args.output, "encoded"))
+        stats["docs_encoded"] = spark.read.parquet(
+            os.path.join(args.output, "encoded")
+        ).count()
+    print(json.dumps(stats))
+    return 0
+
+
 def _run_quality(spark, args) -> int:
     """quality verb: table + JSON rules in -> one result line per rule on
     stdout (and optionally a JSON file); --fail-on-violation makes it a
@@ -243,10 +304,12 @@ def main(argv=None) -> int:
     spark = get_spark("oaxaca-cli")
     spark.sparkContext.setLogLevel("ERROR")
 
-    if args.command in ("corpus", "quality", "drift"):
+    if args.command in ("corpus", "tokenize", "quality", "drift"):
         try:
             if args.command == "corpus":
                 return _run_corpus(spark, args)
+            if args.command == "tokenize":
+                return _run_tokenize(spark, args)
             if args.command == "quality":
                 return _run_quality(spark, args)
             return _run_drift(spark, args)

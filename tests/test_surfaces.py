@@ -1176,3 +1176,42 @@ def test_streaming_vocab_cells_matches_batch(spark, sf_dir, tmp_path):
         assert got[s_]["ttr"] == want[s_]["type_token_ratio"], s_
     # multiple windows actually occurred (the merge is doing real work)
     assert spark.sql("SELECT COUNT(DISTINCT window_start) c FROM vocab_cells").first()["c"] > 1
+
+
+def test_cli_tokenize_verb(spark, sf_dir, tmp_path, capsys):
+    """The tokenize CLI verb (r9): trains merges, writes the merge table +
+    token-id table + encoded docs (or shards), prints one JSON stats line,
+    and the artifacts are mutually consistent — encoded token totals equal
+    the id table's frequency mass."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from oaxaca_blinder_rs_spark.cli import main
+
+    src = f"{sf_dir}/documents.parquet"
+    out1 = str(tmp_path / "tok")
+    assert main([
+        "tokenize", "--input", src, "--output", out1, "--merges", "6",
+    ]) == 0
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["merges"] == 6 and stats["vocab_tokens"] > 0
+    assert stats["docs_encoded"] > 0
+    merges = spark.read.parquet(f"{out1}/merges")
+    assert merges.count() == 6
+    ids = spark.read.parquet(f"{out1}/token_ids")
+    enc = spark.read.parquet(f"{out1}/encoded")
+    total_enc = enc.agg(F.sum("n_tokens")).collect()[0][0]
+    total_freq = ids.agg(F.sum("freq")).collect()[0][0]
+    assert total_enc == total_freq > 0
+
+    out2 = str(tmp_path / "tok_shards")
+    assert main([
+        "tokenize", "--input", src, "--output", out2, "--merges", "4",
+        "--pack-budget", "2000",
+    ]) == 0
+    stats2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats2["shards"] > 1 and stats2["total_tokens"] > 0
+    back = spark.read.parquet(f"{out2}/shards")
+    assert back.count() == stats2["docs_encoded"] == stats2["docs_in"]
+    assert "shard_id" in back.columns
