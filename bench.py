@@ -317,6 +317,30 @@ def bench_calibration(spark) -> float:
     return time.time() - t0
 
 
+# r9: the JVM-arithmetic calibration stayed clean (0.25-0.33 s) in a run
+# where the numpy-kernel MM entries read ~25% over their r8 idle level with
+# zero code change — JVM arithmetic is cache-resident, while the Gram/BLAS
+# kernels are memory-bandwidth-bound and feel host-level bandwidth
+# contention the range-sum cannot. This second, driver-side numpy matmul
+# calibration pins that axis. Reference: best-of-4 measured 0.055 s on
+# this sandbox at near idle (r9; the same shape read 3.8 s mid-contention
+# during a Spark session spin-up — a ~70x swing the JVM calibration never
+# saw). Ratios well above ~2 mean BLAS-heavy entries (mm_*,
+# corpus_prepare, matching) are inflated by the environment, not by code.
+CAL_NP_REF_SEC = 0.055
+
+
+def bench_calibration_np() -> float:
+    """Fixed-shape numpy matmul (1500x1500 float64, ~6.8 GFLOP)."""
+    import numpy as np
+
+    x = np.random.default_rng(7).standard_normal((1500, 1500))
+    t0 = time.time()
+    y = x @ x
+    assert y[0, 0] == y[0, 0]
+    return time.time() - t0
+
+
 def settle(spark, seconds: float = 1.0) -> None:
     """Drain session heap debt between entry groups (r9, verdict item 7):
     the allocation-heavy entries leave the JVM with GC pressure that
@@ -390,6 +414,8 @@ def main():
 
     queries = {}
     queries["calibration_pre"] = best("calibration_pre", bench_calibration, spark)
+    bench_calibration_np()  # warm (BLAS/threadpool init is not the signal)
+    queries["calibration_np"] = best("calibration_np", bench_calibration_np)
     # the three gated headline entries get a 4th sample: they cost ~1-3 s
     # each while their best-of-3 swung 0.9-1.8 s for identical code across
     # this round's runs (JVM settle after the prep scans)
@@ -490,6 +516,11 @@ def main():
             "ref_sec": CAL_REF_SEC,
             "best_sec": round(cal_best, 3),
             "ratio_vs_ref": round(cal_best / CAL_REF_SEC, 3),
+            # the bandwidth axis (see bench_calibration_np): JVM arithmetic
+            # can be clean while BLAS-heavy entries are host-throttled
+            "np_ref_sec": CAL_NP_REF_SEC,
+            "np_best_sec": round(queries["calibration_np"], 3),
+            "np_ratio_vs_ref": round(queries["calibration_np"] / CAL_NP_REF_SEC, 3),
         },
         # queries whose own samples swung >3x despite a clean calibration —
         # their contract numbers self-identify as contention-polluted

@@ -81,3 +81,20 @@ def test_single_sample_without_loadavg_trail_keeps_old_behavior():
     # loadavg=None (old callers) stays purely spread-based
     samples = {"mm_taubatch_s20_b2": [32.143]}
     assert suspect_queries(samples, cal_ratio=1.0) == []
+
+
+def test_np_calibration_runs_and_is_excluded_from_totals():
+    """The numpy-kernel calibration (r9): measurable, fixed-shape, and —
+    like every calibration entry — excluded from the suspect rule by the
+    'calibration' name prefix."""
+    import bench
+
+    dt = bench.bench_calibration_np()
+    assert 0.0 < dt < 60.0
+    # name-prefix exclusion: a wildly-spread calibration_np entry must not
+    # appear in the suspect list
+    flagged = bench.suspect_queries(
+        {"calibration_np": [0.05, 5.0], "q": [1.0, 1.1]}, 1.0,
+        loadavg={"calibration_np": [1.0], "q": [1.0]},
+    )
+    assert flagged == []
