@@ -1805,6 +1805,24 @@ def q_zorder_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hilbert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout index (layout.hilbert_index, r9): customers
+    keyed by the Hilbert walk over the same quantized (acctbal,
+    nationkey) plane as the Morton row — the locality-superior clustering
+    key (unit steps only, so min-max zones prune strictly better than
+    Morton's quadrant jumps). The engine runs the classic xy2d walk as
+    one runtime fold; the oracle unrolls all 16 levels as CTE stages and
+    replays every rotate/flip/digit bit-for-bit."""
+    from oaxaca_blinder_rs_spark.operators.layout import hilbert_index
+
+    cust = _t(spark, sf_dir, "customer")
+    q_bal = F.pmod(F.round(F.col("c_acctbal") * 100).cast("long"), F.lit(1 << 16))
+    q_nat = F.pmod(F.col("c_nationkey").cast("long"), F.lit(1 << 16))
+    return cust.select(
+        "c_custkey", hilbert_index(q_bal, q_nat, bits=16).alias("hvalue")
+    )
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (rolling k-gram hash + window minima, exact
     int64) exploded to (doc_id, fp) rows — textops.winnow_fingerprints."""
@@ -2140,6 +2158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_vocab": q_bpe_vocab,
         "bpe_merges": q_bpe_merges,
         "pq_adc_top3": q_pq_adc_top3,
+        "hilbert_customers": q_hilbert_customers,
         "dup_substring_spans": q_dup_substring_spans,
         "dsir_selection": q_dsir_selection,
         "classifier_quality": q_classifier_quality,
@@ -2185,8 +2204,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_fraction": q_sample_fraction,
         "sample_stratified": q_sample_stratified,
         "corpus_mixture": q_corpus_mixture,
-        "corpus_split": q_corpus_split,
         # -- past the window: r10 rotation head --------------------------
+        # corpus_split: r7 record (2 rounds old at r9 close — compliant) —
+        # displaced by hilbert_customers; re-checks in r10
+        "corpus_split": q_corpus_split,
         # regional_revenue: r7 record (2 rounds old at r9 close — still
         # compliant) — displaced by pq_adc_top3; re-checks in r10
         "regional_revenue": q_regional_revenue,
@@ -2603,6 +2624,44 @@ def _pq_sql(
       FROM tot WHERE query_id <> neighbor_id
     ) WHERE rk <= {top_k}"""
     return "WITH " + ",\n".join(parts) + "\n" + final
+
+
+def _hilbert_sql(bits: int = 16) -> str:
+    """DuckDB twin of layout.hilbert_index over the customer plane: the
+    xy2d walk unrolled as one CTE stage per level (each stage computes the
+    quadrant bits rx/ry, adds the s^2-weighted digit, and applies the
+    flip-then-swap rotation) — integer arithmetic end to end."""
+    n = 1 << bits
+    parts = [
+        f"""h{bits} AS (
+          SELECT c_custkey,
+                 ((CAST(round(c_acctbal * 100) AS BIGINT) % {n}) + {n}) % {n} AS x,
+                 ((CAST(c_nationkey AS BIGINT) % {n}) + {n}) % {n} AS y,
+                 CAST(0 AS BIGINT) AS d
+          FROM customer
+        )"""
+    ]
+    for l in range(bits - 1, -1, -1):
+        s = 1 << l
+        parts.append(
+            f"""h{l} AS (
+              SELECT c_custkey,
+                     CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN {n - 1} - y ELSE y END)
+                          ELSE x END AS x,
+                     CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN {n - 1} - x ELSE x END)
+                          ELSE y END AS y,
+                     d + {s * s} * CAST(xor(3 * rx, ry) AS BIGINT) AS d
+              FROM (
+                SELECT c_custkey, x, y, d,
+                       CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END rx,
+                       CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END ry
+                FROM h{l + 1}
+              )
+            )"""
+        )
+    return (
+        "WITH " + ",\n".join(parts) + "\nSELECT c_custkey, d AS hvalue FROM h0"
+    )
 
 
 def _kmeans_sql(k: int = 6, iters: int = 2) -> str:
@@ -5308,6 +5367,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans_clusters": _kmeans_sql(k=6, iters=2),
         "pq_adc_top3": _pq_sql(m=4, k_codebook=8, iters=2, top_k=3),
+        "hilbert_customers": _hilbert_sql(bits=16),
         "semantic_dedup": _semantic_dedup_sql(k=6, iters=2, threshold=0.5),
         "embedding_outliers": _embedding_outliers_sql(k=6, iters=2),
         "diversity_sample": f"""

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["zorder_index", "zorder_repartition"]
+__all__ = ["zorder_index", "zorder_repartition", "hilbert_index", "hilbert_repartition"]
 
 
 def zorder_index(cols: list[Column], bits: int = 16) -> Column:
@@ -58,4 +58,65 @@ def zorder_repartition(
     with_z = df.withColumn(z_col, zorder_index(cols, bits))
     return with_z.repartitionByRange(num_partitions, F.col(z_col)).sortWithinPartitions(
         F.col(z_col)
+    )
+
+
+def hilbert_index(xcol: Column, ycol: Column, bits: int = 16) -> Column:
+    """Hilbert-curve index of two pre-quantized integer columns — the
+    locality-superior sibling of ``zorder_index`` (Morton): the Hilbert
+    walk takes only unit steps, so consecutive index values are ALWAYS
+    grid neighbours and min-max zones prune strictly better than Morton's
+    quadrant jumps (the layout Databricks liquid clustering moved to).
+
+    Inputs must already be integers in [0, 2^bits) — quantize upstream,
+    the zorder_index convention. The classic iterative xy2d walk (per-level
+    quadrant digit + rotate/flip) runs as ONE runtime fold
+    (``F.aggregate`` over the level sequence, the BPE-fold pattern): the
+    lambda is a single small expression evaluated bits times per row, so
+    the plan stays flat — no per-level expression nesting, no UDF, pure
+    codegen integer arithmetic the DuckDB oracle replays stage-by-stage.
+    """
+    if bits < 1 or 2 * bits > 62:
+        raise ValueError("bits must be in [1, 31]")
+    n = 1 << bits
+
+    def step(acc, s):
+        rx = F.when(acc["x"].bitwiseAND(s) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        ry = F.when(acc["y"].bitwiseAND(s) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        d2 = acc["d"] + s * s * ((rx * 3).bitwiseXOR(ry))
+        # rot: ry==0 -> (optional n-1-flip when rx==1) then swap x/y
+        fx = F.when(rx == 1, F.lit(n - 1) - acc["x"]).otherwise(acc["x"])
+        fy = F.when(rx == 1, F.lit(n - 1) - acc["y"]).otherwise(acc["y"])
+        nx = F.when(ry == 0, fy).otherwise(acc["x"])
+        ny = F.when(ry == 0, fx).otherwise(acc["y"])
+        return F.struct(nx.alias("x"), ny.alias("y"), d2.alias("d"))
+
+    init = F.struct(
+        xcol.cast("long").alias("x"),
+        ycol.cast("long").alias("y"),
+        F.lit(0).cast("long").alias("d"),
+    )
+    # the level sequence as s = 2^l literals, MSB first (shiftleft's Python
+    # wrapper only takes int literals, so fold directly over the s values)
+    levels = F.array(*[F.lit(1 << l).cast("long") for l in range(bits - 1, -1, -1)])
+    return F.aggregate(levels, init, step).getField("d")
+
+
+def hilbert_repartition(
+    df: DataFrame,
+    xcol: Column,
+    ycol: Column,
+    num_partitions: int,
+    bits: int = 16,
+    h_col: str = "__hilbert__",
+) -> DataFrame:
+    """Range-partition + sort by the Hilbert index — the write-side layout
+    op, mirroring ``zorder_repartition``."""
+    with_h = df.withColumn(h_col, hilbert_index(xcol, ycol, bits))
+    return with_h.repartitionByRange(num_partitions, F.col(h_col)).sortWithinPartitions(
+        F.col(h_col)
     )
