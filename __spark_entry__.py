@@ -243,6 +243,19 @@ def q_pq_adc_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_topk(e, e, k=3, m=4, k_codebook=8, iters=2)
 
 
+def q_ivfpq_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC-shaped ANN (similarity.ivfpq_topk, r9): the IVF coarse stage
+    (int-dot argmax lists, 3-probe candidates) composed with the PQ
+    asymmetric-distance rerank (m=4, k=8) — both stages int64-exact, so
+    list assignment, candidates, codes, distances and ranks replay
+    bit-for-bit. Queries = vec_id < 50, the ann_ivf_top3 convention."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 50)
+    return similarity.ivfpq_topk(
+        q, emb, k=3, n_lists=8, n_probe=3, m=4, k_codebook=8, iters=2
+    )
+
+
 def q_dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stride-1 exact-substring dedup (dedup.dup_substring_spans, r9; the
     Lee et al. 2022 semantics): every 8-token window keyed by its exact
@@ -2159,6 +2172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "pq_adc_top3": q_pq_adc_top3,
         "hilbert_customers": q_hilbert_customers,
+        "ivfpq_top3": q_ivfpq_top3,
         "dup_substring_spans": q_dup_substring_spans,
         "dsir_selection": q_dsir_selection,
         "classifier_quality": q_classifier_quality,
@@ -2203,10 +2217,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": q_user_sessions,
         "sample_fraction": q_sample_fraction,
         "sample_stratified": q_sample_stratified,
-        "corpus_mixture": q_corpus_mixture,
         # -- past the window: r10 rotation head --------------------------
-        # corpus_split: r7 record (2 rounds old at r9 close — compliant) —
-        # displaced by hilbert_customers; re-checks in r10
+        # corpus_mixture/corpus_split: r7 records (2 rounds old at r9
+        # close — compliant) — displaced by hilbert_customers and
+        # ivfpq_top3; they re-check in r10
+        "corpus_mixture": q_corpus_mixture,
         "corpus_split": q_corpus_split,
         # regional_revenue: r7 record (2 rounds old at r9 close — still
         # compliant) — displaced by pq_adc_top3; re-checks in r10
@@ -2522,19 +2537,14 @@ def _kmeans_parts(k: int, iters: int) -> tuple[list, str, str]:
     return parts, dist, prev
 
 
-def _pq_sql(
-    m: int = 4,
-    k_codebook: int = 8,
-    iters: int = 2,
-    top_k: int = 3,
-    dim: int = 64,
-    scale: int = 1000,
-) -> str:
-    """DuckDB twin of similarity.pq_topk: per-subspace quantized Lloyd
-    (the _kmeans_parts construction restricted to each d/m-dim slice),
-    final code assignment, and exhaustive ADC scoring — query subvector
-    vs the centroid of each neighbour's code, summed over subspaces,
-    ranked (adist ASC, neighbor ASC) per query. Every quantity is int64."""
+def _pq_subspace_parts(
+    m: int, k_codebook: int, iters: int, dim: int, scale: int
+) -> tuple[list, list]:
+    """Shared CTE builder for the PQ oracles: the quantized-vector base
+    ``v``, then per subspace j the slice v{j}, the unrolled Lloyd stages,
+    and the final code assignment af{j}. Returns (parts, [(af_j, cent_j,
+    sub_dim)]) — _pq_sql appends exhaustive ADC scoring, _ivfpq_sql the
+    IVF-candidate-restricted variant."""
     sd = dim // m
     parts = [
         f"""v AS MATERIALIZED (
@@ -2543,7 +2553,7 @@ def _pq_sql(
           FROM embeddings
         )"""
     ]
-    score_ctes = []
+    faces = []
     for j in range(m):
         lo = j * sd
         dist = (
@@ -2600,14 +2610,34 @@ def _pq_sql(
               ) WHERE rk = 1
             )"""
         )
+        faces.append((f"af{j}", prev, sd))
+    return parts, faces
+
+
+def _pq_sql(
+    m: int = 4,
+    k_codebook: int = 8,
+    iters: int = 2,
+    top_k: int = 3,
+    dim: int = 64,
+    scale: int = 1000,
+) -> str:
+    """DuckDB twin of similarity.pq_topk: per-subspace quantized Lloyd
+    (the _kmeans_parts construction restricted to each d/m-dim slice),
+    final code assignment, and exhaustive ADC scoring — query subvector
+    vs the centroid of each neighbour's code, summed over subspaces,
+    ranked (adist ASC, neighbor ASC) per query. Every quantity is int64."""
+    parts, faces = _pq_subspace_parts(m, k_codebook, iters, dim, scale)
+    score_ctes = []
+    for j, (af, cent, sd) in enumerate(faces):
         parts.append(
             f"""sc{j} AS MATERIALIZED (
               SELECT q.vec_id query_id, n.vec_id neighbor_id,
                      list_sum(list_transform(range(1,{sd + 1}),
                        i -> (q.sv[i]-c.cqv[i])*(q.sv[i]-c.cqv[i]))) d
               FROM v{j} q
-              CROSS JOIN af{j} n
-              JOIN {prev} c ON c.cid = n.cid
+              CROSS JOIN {af} n
+              JOIN {cent} c ON c.cid = n.cid
             )"""
         )
         score_ctes.append(f"sc{j}")
@@ -2622,6 +2652,80 @@ def _pq_sql(
       SELECT *, row_number() OVER (PARTITION BY query_id
                 ORDER BY adist ASC, neighbor_id ASC) rk
       FROM tot WHERE query_id <> neighbor_id
+    ) WHERE rk <= {top_k}"""
+    return "WITH " + ",\n".join(parts) + "\n" + final
+
+
+def _ivfpq_sql(
+    m: int = 4,
+    k_codebook: int = 8,
+    iters: int = 2,
+    top_k: int = 3,
+    n_lists: int = 8,
+    n_probe: int = 3,
+    query_limit: int = 50,
+    dim: int = 64,
+    scale: int = 1000,
+) -> str:
+    """DuckDB twin of similarity.ivfpq_topk: the ann_ivf_top3 coarse stage
+    (sampled int-dot quantizer, argmax assignment, n_probe probing,
+    list-keyed candidates) composed with the PQ subspace parts — ADC
+    distances computed only on the probed candidate pairs."""
+    parts, faces = _pq_subspace_parts(m, k_codebook, iters, dim, scale)
+    parts.append(
+        f"""icents AS (
+          SELECT vec_id icid, qv cqv FROM v ORDER BY vec_id LIMIT {n_lists}
+        )"""
+    )
+    parts.append(
+        f"""idots AS MATERIALIZED (
+          SELECT v.vec_id, c.icid,
+                 list_sum(list_transform(range(1,{dim + 1}), i -> v.qv[i]*c.cqv[i])) dot
+          FROM v, icents c
+        )"""
+    )
+    parts.append(
+        """iranked AS MATERIALIZED (
+          SELECT vec_id, icid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, icid ASC) rk
+          FROM idots
+        )"""
+    )
+    parts.append(
+        f"""cand AS MATERIALIZED (
+          SELECT DISTINCT p.vec_id query_id, a.vec_id neighbor_id
+          FROM (SELECT vec_id, icid FROM iranked
+                WHERE rk <= {n_probe} AND vec_id < {query_limit}) p
+          JOIN (SELECT vec_id, icid FROM iranked WHERE rk = 1) a
+            ON p.icid = a.icid
+          WHERE p.vec_id <> a.vec_id
+        )"""
+    )
+    score_ctes = []
+    for j, (af, cent, sd) in enumerate(faces):
+        parts.append(
+            f"""sc{j} AS MATERIALIZED (
+              SELECT cd.query_id, cd.neighbor_id,
+                     list_sum(list_transform(range(1,{sd + 1}),
+                       i -> (q.sv[i]-c.cqv[i])*(q.sv[i]-c.cqv[i]))) d
+              FROM cand cd
+              JOIN v{j} q ON q.vec_id = cd.query_id
+              JOIN {af} n ON n.vec_id = cd.neighbor_id
+              JOIN {cent} c ON c.cid = n.cid
+            )"""
+        )
+        score_ctes.append(f"sc{j}")
+    union = " UNION ALL ".join(f"SELECT * FROM {s}" for s in score_ctes)
+    parts.append(
+        f"""tot AS (
+          SELECT query_id, neighbor_id, CAST(sum(d) AS BIGINT) adist
+          FROM ({union}) GROUP BY query_id, neighbor_id
+        )"""
+    )
+    final = f"""SELECT query_id, neighbor_id, adist, CAST(rk AS INTEGER) AS "rank" FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY adist ASC, neighbor_id ASC) rk
+      FROM tot
     ) WHERE rk <= {top_k}"""
     return "WITH " + ",\n".join(parts) + "\n" + final
 
@@ -5368,6 +5472,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": _kmeans_sql(k=6, iters=2),
         "pq_adc_top3": _pq_sql(m=4, k_codebook=8, iters=2, top_k=3),
         "hilbert_customers": _hilbert_sql(bits=16),
+        "ivfpq_top3": _ivfpq_sql(m=4, k_codebook=8, iters=2, top_k=3, n_lists=8, n_probe=3),
         "semantic_dedup": _semantic_dedup_sql(k=6, iters=2, threshold=0.5),
         "embedding_outliers": _embedding_outliers_sql(k=6, iters=2),
         "diversity_sample": f"""

@@ -32,6 +32,7 @@ __all__ = [
     "ivf_topk",
     "pq_codes",
     "pq_topk",
+    "ivfpq_topk",
 ]
 
 
@@ -407,11 +408,40 @@ def pq_topk(
         corpus, m=m, k_codebook=k_codebook, iters=iters, vec_col=vec_col,
         id_col=id_col, scale=scale,
     )
-    spark = corpus.sparkSession
     first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
-    dim = int(first["d"])
-    sd = dim // m
+    sd = int(first["d"]) // m
+    codes_long, dtab = _pq_scoring_tables(
+        queries, codes, books, m, sd, vec_col, id_col, scale
+    )
+    scored = (
+        codes_long.join(F.broadcast(dtab), ["j", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("__d").alias("adist"))
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
 
+
+def _pq_scoring_tables(
+    queries: DataFrame,
+    codes: DataFrame,
+    books: list,
+    m: int,
+    sd: int,
+    vec_col: str,
+    id_col: str,
+    scale: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared ADC plumbing: (codes_long, dtab). codes_long reshapes the
+    per-vector code row to (neighbor_id, j, code); dtab is the broadcastable
+    (query_id, j, code, __d) integer distance table."""
+    spark = queries.sparkSession
     codes_long = codes.select(
         F.col(id_col).alias("neighbor_id"),
         F.posexplode(F.array(*[F.col(f"code_{j}") for j in range(m)])).alias(
@@ -421,9 +451,7 @@ def pq_topk(
     book_rows = [
         (j, c, books[j][c]) for j in range(m) for c in range(len(books[j]))
     ]
-    bdf = spark.createDataFrame(
-        book_rows, "j int, code long, cqv array<bigint>"
-    )
+    bdf = spark.createDataFrame(book_rows, "j int, code long, cqv array<bigint>")
     qv = F.transform(
         F.col(vec_col), lambda x: F.floor(x.cast("double") * scale).cast("long")
     )
@@ -446,13 +474,69 @@ def pq_topk(
             lambda acc, x: acc + x,
         ).alias("__d"),
     )
+    return codes_long, dtab
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_lists: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    k_codebook: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1000,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVFADC-shaped ANN (Jegou et al. 2011): coarse inverted-list pruning
+    composed with the PQ asymmetric-distance rerank — the full
+    memory-AND-compute scale shape. The candidate set shrinks by
+    ~n_probe/n_lists via the IVF stage, and each surviving candidate costs
+    an m-term integer table lookup instead of a d-term float dot.
+
+    Variant note: classic IVFADC PQ-encodes RESIDUALS (x - coarse
+    centroid); this implementation PQ-encodes the raw vectors — a
+    documented simplification ("IVF pruning + PQ compression") that keeps
+    every stage int64-exact, so list assignment, candidate generation,
+    codes, distances and ranks all replay bit-for-bit in the DuckDB
+    oracle. Recall < 1 by construction (both stages prune), identical
+    across engines.
+
+    Scale shape: list assignment is the existing int-dot argmax
+    (broadcast centroid table, map-side); candidates come from ONE
+    equi-join keyed on list id; ADC scoring joins the broadcast
+    (query x subspace x code) integer table — no candidate ever touches
+    a full vector after encoding.
+    """
+    cents = ivf_centroids(corpus, n_lists, vec_col, id_col, scale)
+    cb = _ivf_sided(corpus, "neighbor_id", cents, 1, vec_col, id_col, scale)
+    qb = _ivf_sided(queries, "query_id", cents, n_probe, vec_col, id_col, scale)
+    cand = (
+        qb.select("query_id", "b")
+        .join(cb.select("neighbor_id", "b"), "b")
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    if exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
+    codes, books = pq_codes(
+        corpus, m=m, k_codebook=k_codebook, iters=iters, vec_col=vec_col,
+        id_col=id_col, scale=scale,
+    )
+    first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+    sd = int(first["d"]) // m
+    codes_long, dtab = _pq_scoring_tables(
+        queries, codes, books, m, sd, vec_col, id_col, scale
+    )
     scored = (
-        codes_long.join(F.broadcast(dtab), ["j", "code"])
+        cand.join(codes_long, "neighbor_id")
+        .join(F.broadcast(dtab), ["query_id", "j", "code"])
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("__d").alias("adist"))
     )
-    if exclude_self:
-        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("adist").asc(), F.col("neighbor_id").asc()
     )

@@ -448,3 +448,75 @@ def test_pq_codes_and_adc_match_numpy_replica(spark):
 
     with pytest.raises(ValueError, match="divide"):
         pq_codes(df, m=3)
+
+
+def test_ivfpq_matches_numpy_composition(spark):
+    """ivfpq_topk (r9) vs an independent NumPy composition: int-dot IVF
+    assignment/probing, per-subspace Lloyd PQ, ADC distances restricted to
+    the probed candidates, (adist ASC, id ASC) ranking."""
+    import numpy as np
+
+    from oaxaca_blinder_rs_spark.operators.similarity import ivfpq_topk
+
+    rng = np.random.default_rng(11)
+    n, d, m, kc, iters, scale = 40, 8, 2, 4, 2, 1000
+    n_lists, n_probe, topk = 5, 2, 3
+    X = rng.standard_normal((n, d))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    Q = np.floor(X * scale).astype(np.int64)
+    sd = d // m
+
+    # coarse: sampled quantizer = n_lists lowest ids; argmax int dot,
+    # ties to lowest centroid id
+    cents = Q[:n_lists]
+    dots = Q @ cents.T  # n x n_lists
+    order = np.lexsort((np.arange(n_lists)[None, :].repeat(n, 0), -dots))
+    assign = order[:, 0]
+    probes = order[:, :n_probe]
+
+    def lloyd(sub):
+        c = sub[:kc].copy()
+        for _ in range(iters):
+            dist = ((sub[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            a = dist.argmin(axis=1)
+            for ci in range(kc):
+                sel = sub[a == ci]
+                if len(sel):
+                    c[ci] = np.floor_divide(sel.sum(axis=0), len(sel))
+        dist = ((sub[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return dist.argmin(axis=1), c
+
+    codes, books = [], []
+    for j in range(m):
+        a, c = lloyd(Q[:, j * sd:(j + 1) * sd])
+        codes.append(a)
+        books.append(c)
+    codes = np.stack(codes, axis=1)
+
+    adist = np.zeros((n, n), dtype=np.int64)
+    for j in range(m):
+        dt = ((Q[:, j * sd:(j + 1) * sd][:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        adist += dt[:, codes[:, j]]
+
+    want = {}
+    for q in range(n):
+        cand = [
+            c for c in range(n)
+            if c != q and assign[c] in set(probes[q])
+        ]
+        want[q] = sorted((int(adist[q, c]), c) for c in cand)[:topk]
+
+    got: dict = {}
+    for r in ivfpq_topk(
+        df, df, k=topk, n_lists=n_lists, n_probe=n_probe, m=m,
+        k_codebook=kc, iters=iters,
+    ).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], int(r["adist"]), r["neighbor_id"])
+        )
+    for q in range(n):
+        exp = [(i + 1, a, c) for i, (a, c) in enumerate(want[q])]
+        assert sorted(got.get(q, [])) == exp, q
