@@ -415,7 +415,12 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_i
     to keep plans flat; convergence = a sweep that lowers no label.
     """
     a, b = F.col(id_a).cast("long").alias("a"), F.col(id_b).cast("long").alias("b")
-    half = pairs.select(a, b)
+    # materialize ONE direction before the self-union: Spark does not share
+    # common subtrees across union branches, so an expensive lazy `pairs`
+    # (e.g. the 1M-candidate Jaccard verify feeding prepare_corpus) would
+    # otherwise be evaluated TWICE — profiled as ~half the sf0.1
+    # corpus_prepare wall time (r9)
+    half = pairs.select(a, b).localCheckpoint()
     edges = half.unionByName(half.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     edges = edges.localCheckpoint()
     if edges.isEmpty():
