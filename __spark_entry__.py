@@ -2147,24 +2147,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     The driver hash-checks the FIRST 50 entries in declaration order.
     Round-9 window (NOTES_r8 rotation plan + this round's changes):
-    (1) rows new or changed in r9 — pca_whiten_invariants (new contract,
-    retires the last no-oracle row), bpe_encode + bpe_token_ids +
-    dsir_selection + dup_substring_spans (NEW r9 contracts), bpe_vocab
+    (1) rows 0-10, new or changed in r9 — pca_whiten_invariants (new
+    contract, retires the last no-oracle row), bpe_encode +
+    bpe_token_ids + pq_adc_top3 + hilbert_customers + ivfpq_top3 +
+    dup_substring_spans + dsir_selection (NEW r9 contracts), bpe_vocab
     (driver-hashable projection), bpe_merges (batched merge rounds),
-    classifier_quality (tol 1e-9). The seven r8 first-record rows
-    (semantic_dedup, vocab_stats, machado_mata, embedding_outliers, the
-    bpe pair, classifier_quality) keep records <=1 round old; the four
-    not re-checked here defer to the r10 head — inside the <=2-round
-    policy; (2) the 20 r6-green rows whose records turn 3 rounds old
-    this round — they rotate FIRST per the <=2-round policy; (3) 22 of
-    the 46 r7-green rows (records 2 rounds old — the head of the r10
-    rotation). Past the window: vocab_stats + machado_mata +
-    embedding_outliers + semantic_dedup, then the remaining 24 r7-green
-    rows (they rotate in r10), then the 43 r8-green rows (fresh
-    records).
+    classifier_quality (tol 1e-9); (2) rows 11-30: the 20 r6-green rows
+    whose records turned 3 rounds old this round — they rotate FIRST per
+    the <=2-round policy; (3) rows 31-49: 19 of the 46 r7-green rows
+    (records 2 rounds old). Past the window: the four r8 first-record
+    rows not re-checked here (vocab_stats, machado_mata,
+    embedding_outliers, semantic_dedup — records <=1 round old, r10
+    head) and the three displaced r7 rows (corpus_mixture, corpus_split,
+    regional_revenue — 2 rounds old, compliant, r10 head), then the
+    remaining r7-green rows (rotate in r10), then the r8-green rows
+    (fresh records). NOTES_r9 carries the full r10 rotation plan; every
+    one of the 124 registered rows was check_oracle-verified at sf0.01
+    AND sf0.1 within round 9.
     """
     return {
-        # -- r9 window rows 0-9: new/changed in r9 + young r8 contracts ----
+        # -- r9 window rows 0-10: new/changed in r9 ------------------------
         "pca_whiten_invariants": q_pca_whiten_invariants,
         "bpe_encode": q_bpe_encode,
         "bpe_token_ids": q_bpe_token_ids,
