@@ -268,6 +268,19 @@ def q_dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dup_substring_spans(docs, window_tokens=8)
 
 
+def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget caps (corpus.source_token_quota, r9): the
+    domain-quota stage of a mixture recipe — within each source,
+    documents accumulate in id order and keep = exclusive running total
+    under 5000 tokens (every non-empty source keeps its first doc; the
+    boundary doc may overshoot, the shard-packing convention). One window
+    pass keyed on the source column; the oracle is the same cumsum."""
+    from oaxaca_blinder_rs_spark.operators import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.source_token_quota(docs, budget_tokens=5000)
+
+
 def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR data selection (corpus.dsir_importance, r9; Xie et al. 2023):
     every document scored by hashed-unigram importance against the
@@ -2177,6 +2190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_top3": q_ivfpq_top3,
         "dup_substring_spans": q_dup_substring_spans,
         "dsir_selection": q_dsir_selection,
+        "source_quota": q_source_quota,
         "classifier_quality": q_classifier_quality,
         # -- rows 8-27: r6-green rows, records 3 rounds old — rotate first --
         "sample_weighted": q_sample_weighted,
@@ -2218,8 +2232,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props_stats": q_events_props_stats,
         "user_sessions": q_user_sessions,
         "sample_fraction": q_sample_fraction,
-        "sample_stratified": q_sample_stratified,
         # -- past the window: r10 rotation head --------------------------
+        # sample_stratified: r7 record (2 rounds old at r9 close —
+        # compliant) — displaced by source_quota; re-checks in r10
+        "sample_stratified": q_sample_stratified,
         # corpus_mixture/corpus_split: r7 records (2 rounds old at r9
         # close — compliant) — displaced by hilbert_customers and
         # ivfpq_top3; they re-check in r10
@@ -5474,6 +5490,23 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": _kmeans_sql(k=6, iters=2),
         "pq_adc_top3": _pq_sql(m=4, k_codebook=8, iters=2, top_k=3),
         "hilbert_customers": _hilbert_sql(bits=16),
+        # per-source token quota: the same exclusive cumsum, replayed as a
+        # plain window (token_count = whitespace tokens of trimmed text,
+        # with the empty-text -> 1 ([''] split) engine convention)
+        "source_quota": """
+            SELECT doc_id, source, n_tokens,
+                   CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+                        ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) token_offset,
+                   coalesce(sum(n_tokens) OVER (PARTITION BY source
+                        ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) < 5000 AS keep
+            FROM (
+              SELECT doc_id, source,
+                     CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) n_tokens
+              FROM documents
+            )
+        """,
         "ivfpq_top3": _ivfpq_sql(m=4, k_codebook=8, iters=2, top_k=3, n_lists=8, n_probe=3),
         "semantic_dedup": _semantic_dedup_sql(k=6, iters=2, threshold=0.5),
         "embedding_outliers": _embedding_outliers_sql(k=6, iters=2),

@@ -32,6 +32,7 @@ __all__ = [
     "dsir_importance",
     "dsir_ratio_table",
     "dsir_score_expr",
+    "source_token_quota",
 ]
 
 
@@ -702,4 +703,54 @@ def dsir_importance(
         F.col(id_col),
         "score_micro",
         (F.col("__rk") < float(top_k)).alias("keep"),
+    )
+
+
+def source_token_quota(
+    docs: DataFrame,
+    budget_tokens: int,
+    by: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_col: str | None = None,
+) -> DataFrame:
+    """Per-source token-budget caps — the domain-quota stage of a corpus
+    mixing recipe (Dolma/RefinedWeb cap how much any one domain may
+    contribute so head domains cannot swamp the mixture).
+
+    Within each ``by`` group, documents accumulate in ascending id order
+    (deterministic, the pack_token_shards convention) and a document is
+    kept iff its EXCLUSIVE running token total is still under the budget —
+    so every non-empty source keeps at least its first document, and the
+    kept total may overshoot the budget by at most one document (the
+    boundary convention shard packing uses; callers wanting a hard ceiling
+    filter ``token_offset + n_tokens <= budget`` themselves).
+
+    Returns (id_col, by, n_tokens, token_offset, keep) — the offsets are
+    per-source positions, reusable as mixture bookkeeping.
+
+    Scale shape: ONE window pass partitioned by the source key (sources
+    are many and individually bounded — the 2-key single-task hazard the
+    Gram operators avoid does not arise for a domain column; a corpus with
+    one colossal domain should pre-split it upstream). Pass ``token_col``
+    to skip re-tokenizing when counts are precomputed.
+    """
+    from pyspark.sql import Window
+
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be positive, got {budget_tokens}")
+    n_tok = F.col(token_col) if token_col else textops.token_count(F.col(text_col))
+    base = docs.select(
+        F.col(id_col), F.col(by), n_tok.cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = base.withColumn(
+        "token_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    )
+    return out.withColumn(
+        "keep", F.col("token_offset") < F.lit(int(budget_tokens))
     )

@@ -903,3 +903,41 @@ def test_dsir_score_expr_and_streaming_face_match_batch(spark, tmp_path):
         q.awaitTermination(120)
     kept = {r["doc_id"] for r in spark.sql("SELECT * FROM dsir_kept").collect()}
     assert kept == {i for i, s in want.items() if s >= thr}
+
+
+def test_source_token_quota_hand_case_and_conventions(spark):
+    """source_token_quota (r9): per-source exclusive cumsum in id order,
+    keep while under budget — every non-empty source keeps its first doc,
+    the boundary doc may overshoot, later docs drop; validation on a bad
+    budget; precomputed token_col path equals the tokenizing path."""
+    import pytest
+
+    rows = [
+        (1, "a", "x x x x"),        # src a: 4 tokens, offset 0  -> keep
+        (2, "a", "y y y"),          # offset 4 -> keep (crosses budget 6)
+        (3, "a", "z"),              # offset 7 -> drop
+        (4, "b", " ".join(["w"] * 10)),  # one huge doc, offset 0 -> keep
+        (5, "b", "v"),              # offset 10 -> drop
+        (6, "c", "u u"),            # offset 0 -> keep
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r["doc_id"]: (r["token_offset"], r["keep"])
+        for r in corpus.source_token_quota(docs, budget_tokens=6).collect()
+    }
+    assert out == {
+        1: (0, True), 2: (4, True), 3: (7, False),
+        4: (0, True), 5: (10, False), 6: (0, True),
+    }
+
+    pre = docs.withColumn("ntok", F.size(F.split(F.trim("text"), r"\s+")))
+    out2 = {
+        r["doc_id"]: (r["token_offset"], r["keep"])
+        for r in corpus.source_token_quota(
+            pre, budget_tokens=6, token_col="ntok"
+        ).collect()
+    }
+    assert out2 == out
+
+    with pytest.raises(ValueError, match="budget_tokens"):
+        corpus.source_token_quota(docs, budget_tokens=0)
