@@ -268,6 +268,18 @@ def q_dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dup_substring_spans(docs, window_tokens=8)
 
 
+def q_kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM scoring (textops.
+    kneser_ney_logprob, r9; Kneser & Ney 1995): absolute discounting
+    D=0.75 with continuation-probability backoff — the stronger sibling
+    of the add-alpha ngram_logprob filter. Every model quantity is a
+    count aggregation (bigram counts, context totals, distinct left/right
+    neighbour counts, type total) the oracle replays verbatim; per-doc
+    mean ln P rounded 6dp, the ngram_logprob convention."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.kneser_ney_logprob(docs, discount=0.75)
+
+
 def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token-budget caps (corpus.source_token_quota, r9): the
     domain-quota stage of a mixture recipe — within each source,
@@ -2191,6 +2203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_substring_spans": q_dup_substring_spans,
         "dsir_selection": q_dsir_selection,
         "source_quota": q_source_quota,
+        "kneser_ney_lm": q_kneser_ney_lm,
         "classifier_quality": q_classifier_quality,
         # -- rows 8-27: r6-green rows, records 3 rounds old — rotate first --
         "sample_weighted": q_sample_weighted,
@@ -2231,8 +2244,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_check": q_salted_join_check,
         "events_props_stats": q_events_props_stats,
         "user_sessions": q_user_sessions,
-        "sample_fraction": q_sample_fraction,
         # -- past the window: r10 rotation head --------------------------
+        # sample_fraction: r7 record (2 rounds old at r9 close —
+        # compliant) — displaced by kneser_ney_lm; re-checks in r10
+        "sample_fraction": q_sample_fraction,
         # sample_stratified: r7 record (2 rounds old at r9 close —
         # compliant) — displaced by source_quota; re-checks in r10
         "sample_stratified": q_sample_stratified,
@@ -5490,6 +5505,37 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": _kmeans_sql(k=6, iters=2),
         "pq_adc_top3": _pq_sql(m=4, k_codebook=8, iters=2, top_k=3),
         "hilbert_customers": _hilbert_sql(bits=16),
+        # interpolated Kneser-Ney bigram LM (D = 0.75): counts-only model
+        # quantities, per-doc mean ln P — the ngram_logprob construction
+        # with absolute discounting + continuation backoff
+        "kneser_ney_lm": """
+            WITH t AS (
+              SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') ws
+              FROM documents
+            ), big AS MATERIALIZED (
+              SELECT doc_id, ws[u.i] w1, ws[u.i + 1] w2
+              FROM t, unnest(range(1, len(ws))) u(i)
+              WHERE len(ws) >= 2
+            ), bc AS MATERIALIZED (
+              SELECT w1, w2, CAST(count(*) AS BIGINT) c12 FROM big GROUP BY w1, w2
+            ), ctx AS (
+              SELECT w1, CAST(sum(c12) AS BIGINT) c1, CAST(count(*) AS BIGINT) n_fwd
+              FROM bc GROUP BY w1
+            ), cont AS (
+              SELECT w2, CAST(count(*) AS BIGINT) n_back FROM bc GROUP BY w2
+            ), ty AS (SELECT CAST(count(*) AS BIGINT) n_types FROM bc)
+            SELECT big.doc_id,
+                   CAST(count(*) AS BIGINT) n_bigrams,
+                   round(avg(ln((greatest(c12 - 0.75, 0)
+                                 + 0.75 * n_fwd * n_back / n_types) / c1)), 6)
+                     AS mean_logprob
+            FROM big
+            JOIN bc USING (w1, w2)
+            JOIN ctx USING (w1)
+            JOIN cont USING (w2)
+            CROSS JOIN ty
+            GROUP BY big.doc_id
+        """,
         # per-source token quota: the same exclusive cumsum, replayed as a
         # plain window (token_count = whitespace tokens of trimmed text,
         # with the empty-text -> 1 ([''] split) engine convention)

@@ -32,6 +32,7 @@ __all__ = [
     "pii_stats",
     "repetition_stats",
     "ngram_logprob",
+    "kneser_ney_logprob",
     "script_ratios",
     "script_id",
     "vocab_sketches",
@@ -1040,4 +1041,88 @@ def bpe_token_ids(vocab: DataFrame) -> DataFrame:
     )
     return ranked.select(
         F.col("__rk").cast("long").alias("token_id"), "token", "freq"
+    )
+
+
+def kneser_ney_logprob(
+    df: DataFrame,
+    discount: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean bigram log-probability under an INTERPOLATED
+    KNESER-NEY LM trained on the corpus itself: (id, n_bigrams,
+    mean_logprob) — the stronger sibling of the add-alpha ``ngram_logprob``
+    filter (Kneser & Ney 1995; the smoothing KenLM-style corpus filters
+    use). Absolute discounting with continuation-probability backoff:
+
+        P(w2|w1) = (max(c(w1 w2) - D, 0)
+                    + D * N1+(w1 *) * N1+(* w2) / N1+(* *)) / c(w1)
+
+    where c(w1) is w1's CONTEXT total (sum of its bigram counts),
+    N1+(w1 *) / N1+(* w2) are the distinct right/left neighbour counts and
+    N1+(* *) the distinct bigram types — the continuation term scores how
+    PROMISCUOUSLY a word appears in new contexts, which is what separates
+    fluent text from boilerplate that repeats one high-frequency pattern.
+
+    Tokenization, bigram carving, per-doc averaging and the 6-dp rounding
+    all mirror ngram_logprob, so the two scores are drop-in comparable.
+    Every model quantity is a plain count aggregation on uniform token
+    keys (one explode, three keyed groupBys, joins back) — all codegen,
+    fully SQL-expressible for the oracle; with 0 < D < 1 every observed
+    bigram's probability is strictly positive.
+    """
+    if not 0.0 < discount < 1.0:
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+    D = float(discount)
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(0), cnt - F.lit(2))
+    big = df.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                cnt >= 2,
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        F.element_at(toks, i + 1).alias("w1"),
+                        F.element_at(toks, i + 2).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("__bg"),
+    ).select(id_col, F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
+
+    bg_counts = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # per-context totals and distinct-successor counts; bg_counts is
+    # distinct by construction, so count(*) IS N1+(w1 *)
+    ctx = bg_counts.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n_fwd")
+    )
+    cont = bg_counts.groupBy("w2").agg(F.count(F.lit(1)).alias("n_back"))
+    types = bg_counts.agg(F.count(F.lit(1)).alias("n_types"))
+
+    scored = (
+        big.join(bg_counts, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(types))
+        .withColumn(
+            "__lp",
+            F.log(
+                (
+                    F.greatest(F.col("c12") - F.lit(D), F.lit(0.0))
+                    + F.lit(D)
+                    * F.col("n_fwd")
+                    * F.col("n_back")
+                    / F.col("n_types")
+                )
+                / F.col("c1")
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("__lp"), 6).alias("mean_logprob"),
     )

@@ -799,3 +799,65 @@ def test_bpe_token_ids_deterministic_and_complete(spark):
     ]
     assert [(t, f) for t, f, _ in got] == want
     assert [i for _, _, i in got] == list(range(len(want)))
+
+
+def test_kneser_ney_logprob_matches_pure_python(spark):
+    """Interpolated KN bigram LM (r9) vs an independent pure-Python
+    replica: bigram/context/continuation counts, the discount formula,
+    per-doc mean — and the single-token doc is absent (no bigrams), the
+    ngram_logprob convention. Fluent repeated-pattern text must outscore a
+    shuffled-gibberish twin (the filter's purpose). Validation on a bad
+    discount."""
+    import collections
+    import math
+
+    import pytest
+
+    from oaxaca_blinder_rs_spark.operators.textops import kneser_ney_logprob
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the rug"),
+        (3, "a cat and a dog"),
+        (4, "single"),
+        (5, "the the the"),
+        (6, "mat rug the on cat sat"),  # same words as 1, scrambled
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    D = 0.75
+
+    bigs = {}
+    for i, t in rows:
+        ws = t.lower().strip().split()
+        bigs[i] = list(zip(ws, ws[1:]))
+    bc = collections.Counter(b for bs in bigs.values() for b in bs)
+    ctx_tot: collections.Counter = collections.Counter()
+    n_fwd: collections.Counter = collections.Counter()
+    n_back: collections.Counter = collections.Counter()
+    for (w1, w2), c in bc.items():
+        ctx_tot[w1] += c
+        n_fwd[w1] += 1
+        n_back[w2] += 1
+    n_types = len(bc)
+
+    def p(w1, w2):
+        return (
+            max(bc[(w1, w2)] - D, 0) + D * n_fwd[w1] * n_back[w2] / n_types
+        ) / ctx_tot[w1]
+
+    want = {
+        i: (len(bs), round(sum(math.log(p(*b)) for b in bs) / len(bs), 6))
+        for i, bs in bigs.items()
+        if bs
+    }
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["mean_logprob"])
+        for r in kneser_ney_logprob(df).collect()
+    }
+    assert got == want
+    assert 4 not in got  # single token -> no bigrams -> absent
+    # the common-transition docs outscore the scrambled twin
+    assert got[1][1] > got[6][1] and got[2][1] > got[6][1]
+
+    with pytest.raises(ValueError, match="discount"):
+        kneser_ney_logprob(df, discount=1.0)
