@@ -268,6 +268,17 @@ def q_dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dup_substring_spans(docs, window_tokens=8)
 
 
+def q_substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal face of stride-1 exact-substring dedup
+    (dedup.remove_dup_substrings, r9): duplicated regions cut (first
+    occurrence survives corpus-wide) and the surviving tokens reassembled
+    — one row per document with the CLEAN TEXT compared, the span_dedup
+    contract shape. The oracle composes the spans construction with a
+    range anti-join over token positions."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.remove_dup_substrings(docs, window_tokens=8)
+
+
 def q_kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated Kneser-Ney bigram LM scoring (textops.
     kneser_ney_logprob, r9; Kneser & Ney 1995): absolute discounting
@@ -2204,6 +2215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_selection": q_dsir_selection,
         "source_quota": q_source_quota,
         "kneser_ney_lm": q_kneser_ney_lm,
+        "substring_dedup_clean": q_substring_dedup_clean,
         "classifier_quality": q_classifier_quality,
         # -- rows 8-27: r6-green rows, records 3 rounds old — rotate first --
         "sample_weighted": q_sample_weighted,
@@ -2243,8 +2255,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_events": q_range_join_events,
         "salted_join_check": q_salted_join_check,
         "events_props_stats": q_events_props_stats,
-        "user_sessions": q_user_sessions,
         # -- past the window: r10 rotation head --------------------------
+        # user_sessions: r7 record (2 rounds old at r9 close — compliant)
+        # — displaced by substring_dedup_clean; re-checks in r10
+        "user_sessions": q_user_sessions,
         # sample_fraction: r7 record (2 rounds old at r9 close —
         # compliant) — displaced by kneser_ney_lm; re-checks in r10
         "sample_fraction": q_sample_fraction,
@@ -5505,6 +5519,53 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": _kmeans_sql(k=6, iters=2),
         "pq_adc_top3": _pq_sql(m=4, k_codebook=8, iters=2, top_k=3),
         "hilbert_customers": _hilbert_sql(bits=16),
+        # removal face of the stride-1 substring dedup: spans construction
+        # + range anti-join over token positions + ordered reassembly
+        "substring_dedup_clean": """
+            WITH t AS MATERIALIZED (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(coalesce(text, '')), '\\s+') arr
+              FROM documents
+            ), w AS MATERIALIZED (
+              SELECT doc_id, CAST(u.i AS BIGINT) strt,
+                     array_to_string(arr[u.i + 1 : u.i + 8], ' ') win
+              FROM t, unnest(range(0, len(arr) - 8 + 1)) u(i)
+              WHERE len(arr) >= 8
+            ), f AS MATERIALIZED (
+              SELECT doc_id, strt,
+                     row_number() OVER (PARTITION BY win ORDER BY doc_id, strt) rn
+              FROM w
+            ), d AS MATERIALIZED (
+              SELECT doc_id, strt, strt + 8 AS stop FROM f WHERE rn > 1
+            ), g AS MATERIALIZED (
+              SELECT *, CASE WHEN strt > coalesce(
+                       lag(stop) OVER (PARTITION BY doc_id ORDER BY strt), -1)
+                     THEN 1 ELSE 0 END brk
+              FROM d
+            ), gg AS MATERIALIZED (
+              SELECT *, sum(brk) OVER (PARTITION BY doc_id ORDER BY strt) grp
+              FROM g
+            ), sp AS MATERIALIZED (
+              SELECT doc_id, min(strt) s, max(stop) e FROM gg GROUP BY doc_id, grp
+            ), tk AS MATERIALIZED (
+              SELECT doc_id, CAST(u.i - 1 AS BIGINT) p, arr[u.i] tok
+              FROM t, unnest(range(1, len(arr) + 1)) u(i)
+            ), kept AS MATERIALIZED (
+              SELECT tk.doc_id, tk.p, tk.tok
+              FROM tk LEFT JOIN sp
+                ON sp.doc_id = tk.doc_id AND tk.p >= sp.s AND tk.p < sp.e
+              WHERE sp.doc_id IS NULL
+            )
+            SELECT t.doc_id,
+                   coalesce(k.clean_text, '') AS clean_text,
+                   CAST(len(t.arr) AS BIGINT) n_tokens,
+                   CAST(len(t.arr) - coalesce(k.nk, 0) AS BIGINT) n_dropped
+            FROM t LEFT JOIN (
+              SELECT doc_id, string_agg(tok, ' ' ORDER BY p) clean_text,
+                     count(*) nk
+              FROM kept GROUP BY doc_id
+            ) k USING (doc_id)
+        """,
         # interpolated Kneser-Ney bigram LM (D = 0.75): counts-only model
         # quantities, per-doc mean ln P — the ngram_logprob construction
         # with absolute discounting + continuation backoff

@@ -39,6 +39,7 @@ __all__ = [
     "size_pruned_pairs",
     "span_dedup",
     "dup_substring_spans",
+    "remove_dup_substrings",
 ]
 
 
@@ -642,3 +643,59 @@ def dup_substring_spans(
         F.max("stop").alias("span_end"),
         F.count(F.lit(1)).alias("n_windows"),
     ).drop("__grp")
+
+
+def remove_dup_substrings(
+    docs: DataFrame,
+    window_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The removal face of ``dup_substring_spans`` — exact-substring dedup
+    as Lee et al. 2022 apply it: cut every maximal duplicated region
+    (keeping the corpus-wide first occurrence) and reassemble the
+    surviving tokens in order.
+
+    Returns (doc_id, clean_text, n_tokens, n_dropped) — one row per input
+    document (the span_dedup contract shape); a document whose every
+    window duplicates earlier text survives with clean_text = ''.
+
+    Scale shape: the span detection is dup_substring_spans (one keyed
+    groupBy on window text + a per-document window pass); removal adds a
+    per-doc collect of its own spans (bounded by doc length / window) and
+    a codegen filter over token positions — no further shuffle beyond the
+    doc-keyed join.
+    """
+    spans = dup_substring_spans(
+        docs, window_tokens=window_tokens, text_col=text_col, id_col=id_col
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    base = docs.select(F.col(id_col), toks.alias("__toks"))
+    joined = base.join(per_doc, id_col, "left")
+    spans_arr = F.coalesce(
+        F.col("__spans"),
+        F.array().cast("array<struct<span_start:bigint,span_end:bigint>>"),
+    )
+    idxs = F.sequence(F.lit(0).cast("long"), (F.size("__toks") - 1).cast("long"))
+    keep_idx = F.filter(
+        idxs,
+        lambda i: ~F.exists(
+            spans_arr,
+            lambda s: (i >= s["span_start"]) & (i < s["span_end"]),
+        ),
+    )
+    clean = F.array_join(
+        F.transform(
+            keep_idx, lambda i: F.element_at("__toks", (i + 1).cast("int"))
+        ),
+        " ",
+    )
+    return joined.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        F.size("__toks").cast("long").alias("n_tokens"),
+        (F.size("__toks") - F.size(keep_idx)).cast("long").alias("n_dropped"),
+    )

@@ -941,3 +941,55 @@ def test_source_token_quota_hand_case_and_conventions(spark):
 
     with pytest.raises(ValueError, match="budget_tokens"):
         corpus.source_token_quota(docs, budget_tokens=0)
+
+
+def test_remove_dup_substrings_matches_span_reference(spark):
+    """The removal face must cut exactly the tokens dup_substring_spans
+    marks: reconstruct clean text independently from the spans output and
+    compare, including the fully-duplicated-document and shorter-than-
+    window edges; idempotence on already-clean output."""
+    from oaxaca_blinder_rs_spark.operators.dedup import (
+        dup_substring_spans,
+        remove_dup_substrings,
+    )
+
+    phrase = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, "intro words here " + phrase + " trailing bits"),
+        (2, "x " + phrase + " y z"),
+        (3, "one two three four five six seven eight "
+            "one two three four five six seven eight"),
+        (4, "tiny doc"),
+        (5, phrase),          # first occurrence? no — doc 1 (lower id) holds it
+        (6, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = {}
+    for r in dup_substring_spans(docs, window_tokens=8).collect():
+        spans.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"])
+        )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_dropped"])
+        for r in remove_dup_substrings(docs, window_tokens=8).collect()
+    }
+    assert set(got) == {i for i, _ in rows}  # one row per input doc
+    for i, t in rows:
+        toks = (t or "").strip().split() or [""]
+        cut = [
+            w for p, w in enumerate(toks)
+            if not any(s <= p < e for s, e in spans.get(i, []))
+        ]
+        assert got[i] == (" ".join(cut), len(toks), len(toks) - len(cut)), i
+    # doc 5 is exactly the phrase already kept by doc 1 -> fully removed
+    assert got[5][0] == "" and got[5][2] == 8
+
+    # idempotence: a second pass over the cleaned corpus drops nothing new
+    cleaned = spark.createDataFrame(
+        [(i, got[i][0]) for i, _ in rows], "doc_id long, text string"
+    )
+    again = {
+        r["doc_id"]: r["n_dropped"]
+        for r in remove_dup_substrings(cleaned, window_tokens=8).collect()
+    }
+    assert all(v == 0 for v in again.values())
