@@ -716,3 +716,91 @@ def streaming_dsir_scores(
     if min_score_micro is not None:
         out = out.filter(F.col("score_micro") >= int(min_score_micro))
     return out
+
+
+def streaming_source_quota(
+    stream: DataFrame,
+    budget_tokens: int,
+    by: str = "source",
+    ts_col: str = "ts",
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Streaming face of ``operators.corpus.source_token_quota``: online
+    per-source token-budget enforcement at ingest.
+
+    State per source is ONE running token total (O(1) forever, no
+    watermark needed); each arriving document is emitted with its
+    per-source token_offset and keep = offset < budget — the batch
+    operator's exclusive-cumsum convention, so every non-empty source
+    admits its first document and the boundary document may overshoot.
+
+    Ordering contract: within a micro-batch documents accumulate in
+    (ts, id) order; across batches, arrival order IS the accumulation
+    order (the online semantics — a quota gate cannot reorder history).
+    Replaying the accumulated table through the batch operator gives the
+    id-ordered offsets instead; the two agree whenever arrival order is
+    id order (pinned by the parity e2e).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be positive, got {budget_tokens}")
+    budget = int(budget_tokens)
+    out_schema = StructType(
+        [
+            StructField(id_col, stream.schema[id_col].dataType),
+            StructField(by, stream.schema[by].dataType),
+            StructField(ts_col, TimestampType()),
+            StructField(token_col, LongType()),
+            StructField("token_offset", LongType()),
+            StructField("keep", BooleanType()),
+        ]
+    )
+    state_schema = StructType([StructField("total", LongType())])
+
+    def update(key, pdfs, state: GroupState):
+        total = int(state.get[0]) if state.exists else 0
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if not frames:
+            yield pd.DataFrame(
+                {c.name: [] for c in out_schema.fields}
+            )
+            return
+        pdf = pd.concat(frames, ignore_index=True).sort_values(
+            [ts_col, id_col], kind="mergesort"
+        )
+        ntok = pdf[token_col].astype("int64")
+        csum = ntok.cumsum() - ntok + total  # exclusive running total
+        out = pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                by: key[0] if isinstance(key, tuple) else key,
+                ts_col: pdf[ts_col],
+                token_col: ntok,
+                "token_offset": csum.astype("int64"),
+                "keep": (csum < budget),
+            }
+        )
+        state.update((total + int(ntok.sum()),))
+        yield out
+
+    return (
+        _event_time(stream, ts_col)
+        .groupBy(by)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

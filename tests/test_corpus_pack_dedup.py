@@ -993,3 +993,84 @@ def test_remove_dup_substrings_matches_span_reference(spark):
         for r in remove_dup_substrings(cleaned, window_tokens=8).collect()
     }
     assert all(v == 0 for v in again.values())
+
+
+def test_streaming_source_quota_matches_batch_and_carries_state(spark, tmp_path):
+    """streaming_source_quota (r9): (a) one availableNow pass over an
+    id-ordered corpus produces exactly the batch source_token_quota
+    offsets/keeps; (b) state carries across micro-batches — a source that
+    crosses its budget in batch 1 admits nothing in batch 2 (two-batch
+    live run via two sequential availableNow triggers on a growing
+    directory, same checkpoint)."""
+    import tempfile
+    from datetime import datetime
+
+    from oaxaca_blinder_rs_spark.streaming import events as streaming_events
+
+    rows1 = [
+        (1, "a", 4, datetime(2026, 1, 1, 10)),
+        (2, "a", 3, datetime(2026, 1, 1, 11)),
+        (4, "b", 10, datetime(2026, 1, 1, 10)),
+        (6, "c", 2, datetime(2026, 1, 1, 10)),
+    ]
+    rows2 = [
+        (3, "a", 1, datetime(2026, 1, 2, 10)),   # a already at 7 >= 6 -> drop
+        (5, "b", 1, datetime(2026, 1, 2, 10)),   # b at 10 >= 6 -> drop
+        (7, "c", 9, datetime(2026, 1, 2, 10)),   # c at 2 < 6 -> keep
+    ]
+    schema = "doc_id long, source string, n_tokens long, ts timestamp"
+    src = str(tmp_path / "quota_stream")
+    ckpt = str(tmp_path / "quota_ckpt")
+    out_dir = str(tmp_path / "quota_out")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("overwrite").parquet(src)
+
+    def run_pass():
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).format("parquet").load(src)
+        gated = streaming_events.streaming_source_quota(stream, budget_tokens=6)
+        # parquet sink: supports checkpoint recovery (memory sink does not)
+        q = (
+            gated.writeStream.format("parquet").option("path", out_dir)
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    run_pass()
+    got1 = {
+        r["doc_id"]: (r["token_offset"], r["keep"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch = spark.createDataFrame(
+        [(i, s, n) for i, s, n, _ in rows1],
+        "doc_id long, source string, n_tokens long",
+    )
+    want1 = {
+        r["doc_id"]: (r["token_offset"], r["keep"])
+        for r in corpus.source_token_quota(
+            batch, budget_tokens=6, token_col="n_tokens"
+        ).collect()
+    }
+    assert got1 == want1
+
+    # batch 2 appends; the SAME checkpoint resumes the per-source totals
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+    run_pass()
+    got2 = {
+        r["doc_id"]: (r["token_offset"], r["keep"])
+        for r in spark.read.parquet(out_dir).collect()
+        if r["doc_id"] in (3, 5, 7)
+    }
+    assert got2[3] == (7, False)
+    assert got2[5] == (10, False)
+    assert got2[7] == (2, True)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="budget_tokens"):
+        streaming_events.streaming_source_quota(
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .format("parquet").load(src),
+            budget_tokens=0,
+        )
