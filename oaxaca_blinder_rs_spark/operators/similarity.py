@@ -33,6 +33,7 @@ __all__ = [
     "pq_codes",
     "pq_topk",
     "ivfpq_topk",
+    "topk_recall",
 ]
 
 
@@ -542,4 +543,41 @@ def ivfpq_topk(
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
+    )
+
+
+def topk_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int | None = None,
+) -> DataFrame:
+    """Recall@k of an approximate top-k result against the exact baseline —
+    the evaluation face every ANN tuning loop needs (probe counts, band
+    widths and PQ code sizes trade recall for cost; this measures the
+    trade). Both inputs are (query_id, neighbor_id, ..., rank) frames as
+    produced by the *_topk operators; ``k`` truncates both sides (defaults
+    to whatever ranks are present).
+
+    Returns one row per query present in the EXACT baseline:
+    (query_id, n_exact, n_hit, recall) with recall = n_hit / n_exact —
+    queries the approximate index missed entirely score 0 rather than
+    disappearing. One keyed join + one keyed groupBy; evaluation cost is
+    the result size, never the corpus.
+    """
+    a = approx.select("query_id", "neighbor_id", "rank")
+    e = exact.select("query_id", "neighbor_id", "rank")
+    if k is not None:
+        a = a.filter(F.col("rank") <= int(k))
+        e = e.filter(F.col("rank") <= int(k))
+    hits = e.join(
+        a.select("query_id", "neighbor_id").withColumn("__hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("n_hit"),
+        F.round(
+            F.coalesce(F.sum("__hit"), F.lit(0)) / F.count(F.lit(1)), 6
+        ).alias("recall"),
     )

@@ -520,3 +520,48 @@ def test_ivfpq_matches_numpy_composition(spark):
     for q in range(n):
         exp = [(i + 1, a, c) for i, (a, c) in enumerate(want[q])]
         assert sorted(got.get(q, [])) == exp, q
+
+
+def test_topk_recall_measures_ann_quality(spark):
+    """topk_recall (r9): exact-vs-exact recall is 1.0 everywhere; the
+    IVFPQ approximation's per-query recall equals an independently
+    computed intersection count, and queries the index misses entirely
+    still appear with recall 0 (here: none, but the join shape is left)."""
+    import numpy as np
+
+    from oaxaca_blinder_rs_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_topk,
+        topk_recall,
+    )
+
+    rng = np.random.default_rng(23)
+    n, d = 30, 8
+    X = rng.standard_normal((n, d))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    exact = brute_force_topk(df, df, k=3).localCheckpoint()
+    self_r = topk_recall(exact, exact, k=3).collect()
+    assert len(self_r) == n and all(r["recall"] == 1.0 for r in self_r)
+
+    approx = ivfpq_topk(
+        df, df, k=3, n_lists=5, n_probe=1, m=2, k_codebook=4
+    ).localCheckpoint()
+    got = {r["query_id"]: r for r in topk_recall(approx, exact, k=3).collect()}
+    ex = {}
+    for r in exact.collect():
+        ex.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    ap = {}
+    for r in approx.collect():
+        ap.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(got) == set(ex)  # every exact query appears
+    for q, nbrs in ex.items():
+        hit = len(nbrs & ap.get(q, set()))
+        assert got[q]["n_exact"] == len(nbrs)
+        assert got[q]["n_hit"] == hit
+        assert got[q]["recall"] == round(hit / len(nbrs), 6)
+    # a 1-probe index on 5 lists should be lossy but nonzero overall
+    mean = sum(r["recall"] for r in got.values()) / n
+    assert 0.0 < mean <= 1.0
