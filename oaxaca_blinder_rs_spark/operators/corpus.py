@@ -620,6 +620,14 @@ def dsir_score_expr(
     (same integers). Docs with no tokens score 0 here (no rows exist to
     aggregate in the batch face — the only shape difference)."""
     B = int(n_buckets)
+    # each bucket adds two literal args to the map expression; past ~16k
+    # buckets the expression tree is the wrong tool — use the joined path
+    # (dsir_importance) with the ratio left as a DataFrame instead
+    if B > 16384:
+        raise ValueError(
+            f"n_buckets={B} is too large for a map-literal score expression"
+            " (use dsir_importance's join path above ~16k buckets)"
+        )
     pairs: list = []
     for b in range(B):
         pairs.append(F.lit(b))

@@ -938,6 +938,7 @@ def bpe_encode(
     text_col: str = "text",
     id_col: str = "doc_id",
     oov: str = "apply",
+    broadcast_vocab: bool = True,
 ) -> DataFrame:
     """Encode documents with a trained BPE tokenizer — the APPLY side of
     ``bpe_train_merges`` (net-new LLM-pipeline op; the reference engine has
@@ -1001,7 +1002,10 @@ def bpe_encode(
             if rules:
                 oov_seqs = _apply_merges(oov_seqs, rules)
         seg = seg.unionByName(oov_seqs.select("w", F.col("syms").alias("__toks")))
-    joined = pos_words.join(F.broadcast(seg), "w")
+    # the vocabulary is megabytes against a corpus at any realistic scale;
+    # broadcast_vocab=False falls back to a shuffle join for the rare
+    # pathological vocabulary that exceeds executor memory
+    joined = pos_words.join(F.broadcast(seg) if broadcast_vocab else seg, "w")
     enc = joined.groupBy(id_col).agg(
         F.array_sort(F.collect_list(F.struct("pos", "__toks"))).alias("__st")
     )

@@ -1074,3 +1074,14 @@ def test_streaming_source_quota_matches_batch_and_carries_state(spark, tmp_path)
             .format("parquet").load(src),
             budget_tokens=0,
         )
+
+
+def test_dsir_score_expr_rejects_oversized_bucket_count():
+    """The map-literal scoring path guards its expression size: past ~16k
+    buckets callers must use the joined path."""
+    import pytest
+
+    from oaxaca_blinder_rs_spark.operators.corpus import dsir_score_expr
+
+    with pytest.raises(ValueError, match="map-literal"):
+        dsir_score_expr({}, n_buckets=20000)
