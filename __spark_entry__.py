@@ -279,6 +279,26 @@ def q_substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.remove_dup_substrings(docs, window_tokens=8)
 
 
+def q_hashed_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (corpus.hashed_bow, r9; Weinberger et al. 2009):
+    every document as a dense 64-dim hashed bag-of-words count vector in
+    the exact md5-bucket feature space the DSIR scorer uses. The vector
+    is space-joined to a scalar for the driver's hasher (counts are
+    integers, ' ' never occurs inside one); the oracle densifies via a
+    doc x bucket grid left-joined onto the counts."""
+    from oaxaca_blinder_rs_spark.operators import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    out = corpus.hashed_bow(docs, n_buckets=64)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.array_join(
+            F.transform("bow", lambda x: x.cast("string")), " "
+        ).alias("bow"),
+    )
+
+
 def q_kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated Kneser-Ney bigram LM scoring (textops.
     kneser_ney_logprob, r9; Kneser & Ney 1995): absolute discounting
@@ -2216,6 +2236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quota": q_source_quota,
         "kneser_ney_lm": q_kneser_ney_lm,
         "substring_dedup_clean": q_substring_dedup_clean,
+        "hashed_bow": q_hashed_bow,
         "classifier_quality": q_classifier_quality,
         # -- rows 8-27: r6-green rows, records 3 rounds old — rotate first --
         "sample_weighted": q_sample_weighted,
@@ -2254,8 +2275,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_events": q_rolling_events,
         "range_join_events": q_range_join_events,
         "salted_join_check": q_salted_join_check,
-        "events_props_stats": q_events_props_stats,
         # -- past the window: r10 rotation head --------------------------
+        # events_props_stats: r7 record (2 rounds old at r9 close —
+        # compliant) — displaced by hashed_bow; re-checks in r10
+        "events_props_stats": q_events_props_stats,
         # user_sessions: r7 record (2 rounds old at r9 close — compliant)
         # — displaced by substring_dedup_clean; re-checks in r10
         "user_sessions": q_user_sessions,
@@ -5519,6 +5542,32 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": _kmeans_sql(k=6, iters=2),
         "pq_adc_top3": _pq_sql(m=4, k_codebook=8, iters=2, top_k=3),
         "hilbert_customers": _hilbert_sql(bits=16),
+        # feature hashing: md5 buckets (the DSIR convention), densified
+        # via a doc x bucket grid left-joined onto the per-bucket counts
+        "hashed_bow": """
+            WITH tok AS MATERIALIZED (
+              SELECT doc_id,
+                     ('0x' || substr(md5('b42:' || w), 1, 8))::BIGINT % 64 AS b
+              FROM (SELECT doc_id,
+                           unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) w
+                    FROM documents)
+              WHERE w <> ''
+            ), c AS MATERIALIZED (
+              SELECT doc_id, b, CAST(count(*) AS BIGINT) n
+              FROM tok GROUP BY doc_id, b
+            ), grid AS (
+              SELECT d.doc_id, u.b
+              FROM (SELECT DISTINCT doc_id FROM tok) d,
+                   (SELECT unnest(range(0, 64)) b) u
+            ), dense AS (
+              SELECT grid.doc_id, grid.b, coalesce(c.n, 0) n
+              FROM grid LEFT JOIN c USING (doc_id, b)
+            )
+            SELECT doc_id,
+                   CAST(sum(n) AS BIGINT) n_tokens,
+                   array_to_string(list(CAST(n AS VARCHAR) ORDER BY b), ' ') bow
+            FROM dense GROUP BY doc_id
+        """,
         # removal face of the stride-1 substring dedup: spans construction
         # + range anti-join over token positions + ordered reassembly
         "substring_dedup_clean": """

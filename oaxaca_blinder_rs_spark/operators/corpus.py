@@ -33,6 +33,7 @@ __all__ = [
     "dsir_ratio_table",
     "dsir_score_expr",
     "source_token_quota",
+    "hashed_bow",
 ]
 
 
@@ -762,3 +763,46 @@ def source_token_quota(
     return out.withColumn(
         "keep", F.col("token_offset") < F.lit(int(budget_tokens))
     )
+
+
+def hashed_bow(
+    df: DataFrame,
+    n_buckets: int = 64,
+    seed: int = 42,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Feature hashing (Weinberger et al. 2009): every document as a dense
+    ``n_buckets``-dim hashed bag-of-words COUNT vector — the fixed-width,
+    vocabulary-free featurization the DSIR scorer and seed classifier
+    consume, exposed as its own primitive so any downstream model (logit,
+    k-means, cosine dedup) can run on text without a vocabulary pass.
+
+    Buckets use the shared md5 convention (``_dsir_bucket_expr``), so
+    vectors from this operator are the exact feature space
+    ``dsir_importance`` scores in. Returns (id_col, n_tokens, bow
+    array<long>) with bow[b] = count of tokens hashing to bucket b;
+    documents with no tokens are absent (the explode-based convention).
+
+    Scale shape: one explode -> one (doc, bucket) partial-agg groupBy ->
+    one per-doc map assembly (map_from_entries over <= n_buckets entries,
+    dense array via a codegen transform). Nothing wider than B longs per
+    document ever shuffles.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    B = int(n_buckets)
+    counts = _dsir_bucketed(df, B, seed, text_col, [F.col(id_col)]).groupBy(
+        id_col, "__b"
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    per_doc = counts.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("__b"), F.col("__n")))
+        ).alias("__m"),
+        F.sum("__n").alias("n_tokens"),
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0).cast("long"), F.lit(B - 1).cast("long")),
+        lambda b: F.coalesce(F.element_at("__m", b), F.lit(0).cast("long")),
+    )
+    return per_doc.select(F.col(id_col), "n_tokens", dense.alias("bow"))

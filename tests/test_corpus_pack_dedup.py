@@ -1085,3 +1085,59 @@ def test_dsir_score_expr_rejects_oversized_bucket_count():
 
     with pytest.raises(ValueError, match="map-literal"):
         dsir_score_expr({}, n_buckets=20000)
+
+
+def test_hashed_bow_matches_pure_python_and_dsir_space(spark):
+    """hashed_bow (r9): dense count vectors match a pure-Python replica
+    bucket-for-bucket; whitespace-only docs are absent; the vectors live
+    in dsir_importance's exact feature space — the integer dot product of
+    a doc's bow with the ratio table equals its DSIR score."""
+    import collections
+    import hashlib
+
+    import pytest
+
+    from oaxaca_blinder_rs_spark.operators.corpus import (
+        dsir_importance,
+        dsir_ratio_table,
+        hashed_bow,
+    )
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "der hund lief"),
+        (3, "   "),
+        (4, "a cat and a dog"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    B, seed = 16, 42
+
+    def bucket(w):
+        return int(hashlib.md5(f"b{seed}:{w}".encode()).hexdigest()[:8], 16) % B
+
+    want = {}
+    for i, t in rows:
+        ws = [w for w in t.lower().strip().split() if w]
+        if ws:
+            c = collections.Counter(bucket(w) for w in ws)
+            want[i] = (len(ws), [c.get(b, 0) for b in range(B)])
+    got = {
+        r["doc_id"]: (r["n_tokens"], list(r["bow"]))
+        for r in hashed_bow(df, n_buckets=B).collect()
+    }
+    assert got == want and 3 not in got
+
+    tgt = spark.createDataFrame([(9, "the cat and the dog")], "doc_id long, text string")
+    ratio = {
+        r["bucket"]: r["r_micro"]
+        for r in dsir_ratio_table(df, tgt, n_buckets=B).collect()
+    }
+    scores = {
+        r["doc_id"]: r["score_micro"]
+        for r in dsir_importance(df, tgt, n_buckets=B).collect()
+    }
+    for i, (_n, bow) in want.items():
+        assert sum(bow[b] * ratio[b] for b in range(B)) == scores[i], i
+
+    with pytest.raises(ValueError, match="n_buckets"):
+        hashed_bow(df, n_buckets=0)
