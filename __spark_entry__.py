@@ -256,6 +256,32 @@ def q_ivfpq_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of every ANN index (similarity.topk_recall, r10) against
+    the brute-force cosine baseline — the evaluation face of the ANN
+    tuning loop, one row per (method, query): sign-LSH buckets, IVF-Flat,
+    and IVFADC (IVF prune + PQ rerank), each at its contract parameters.
+    Every index stage is int64-exact, so hit sets — and therefore the
+    integer recall ratios — replay bit-for-bit in the oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 50)
+    exact = similarity.brute_force_topk(q, emb, k=3)
+    approx = {
+        "ivf": similarity.ivf_topk(q, emb, k=3, n_lists=8, n_probe=3),
+        "ivfpq": similarity.ivfpq_topk(
+            q, emb, k=3, n_lists=8, n_probe=3, m=4, k_codebook=8, iters=2
+        ),
+        "lsh": similarity.lsh_topk_int(q, emb, dim=64, k=3, bits=6, num_tables=6),
+    }
+    out = None
+    for name, a in approx.items():
+        r = similarity.topk_recall(a, exact, k=3).select(
+            F.lit(name).alias("method"), "query_id", "n_exact", "n_hit", "recall"
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
 def q_dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stride-1 exact-substring dedup (dedup.dup_substring_spans, r9; the
     Lee et al. 2022 semantics): every 8-token window keyed by its exact
@@ -5398,7 +5424,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "corpus_pack": """
             WITH c AS (
-              SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) n_tokens
+              SELECT doc_id, len(regexp_split_to_array(trim(coalesce(text, '')), '\\s+')) n_tokens
               FROM documents
             ), o AS (
               SELECT doc_id, n_tokens,
@@ -5659,7 +5685,7 @@ def oracle_sql() -> dict[str, str]:
                         AND 1 PRECEDING), 0) < 5000 AS keep
             FROM (
               SELECT doc_id, source,
-                     CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) n_tokens
+                     CAST(len(regexp_split_to_array(trim(coalesce(text, '')), '\\s+')) AS BIGINT) n_tokens
               FROM documents
             )
         """,

@@ -186,7 +186,13 @@ def pack_token_shards(
 
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
-    n_tok = F.col(token_col) if token_col else textops.token_count(F.col(text_col))
+    # Null text counts as empty text — same convention as source_token_quota;
+    # a NULL token count would shift every later shard boundary.
+    n_tok = (
+        F.col(token_col)
+        if token_col
+        else textops.token_count(F.coalesce(F.col(text_col), F.lit("")))
+    )
     base = docs.select(F.col(id_col), n_tok.cast("long").alias("n_tokens"))
     packed = scan.ordered_prev_cumsum(
         base, [F.col(id_col).asc()], F.col("n_tokens"), "token_offset"
@@ -738,30 +744,39 @@ def source_token_quota(
     Returns (id_col, by, n_tokens, token_offset, keep) — the offsets are
     per-source positions, reusable as mixture bookkeeping.
 
-    Scale shape: ONE window pass partitioned by the source key (sources
-    are many and individually bounded — the 2-key single-task hazard the
-    Gram operators avoid does not arise for a domain column; a corpus with
-    one colossal domain should pre-split it upstream). Pass ``token_col``
-    to skip re-tokenizing when counts are precomputed.
+    Scale shape: the per-source exclusive cumsum runs through
+    scan.grouped_prev_cumsum — range-partitioned on (source, id) so a
+    skewed source (one web domain holding half the corpus) spans
+    partitions instead of serializing through one per-source window task;
+    the per-(source, partition) offset fold is a tiny driver collect and
+    totals are int64-exact. Pass ``token_col`` to skip re-tokenizing when
+    counts are precomputed.
     """
-    from pyspark.sql import Window
+    from . import scan
 
     if budget_tokens <= 0:
         raise ValueError(f"budget_tokens must be positive, got {budget_tokens}")
-    n_tok = F.col(token_col) if token_col else textops.token_count(F.col(text_col))
+    # Null text counts as empty text (the dup_substring_spans coalesce
+    # convention) — without this, size(split(trim(NULL))) yields NULL and a
+    # null-text document would silently shift every later offset in its
+    # source (r9 ADVICE).
+    n_tok = (
+        F.col(token_col)
+        if token_col
+        else textops.token_count(F.coalesce(F.col(text_col), F.lit("")))
+    )
     base = docs.select(
         F.col(id_col), F.col(by), n_tok.cast("long").alias("n_tokens")
     )
-    w = (
-        Window.partitionBy(by)
-        .orderBy(F.col(id_col).asc())
-        .rowsBetween(Window.unboundedPreceding, -1)
+    out = scan.grouped_prev_cumsum(
+        base, by, [F.col(id_col).asc()], F.col("n_tokens"), "token_offset"
     )
-    out = base.withColumn(
-        "token_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
-    )
-    return out.withColumn(
-        "keep", F.col("token_offset") < F.lit(int(budget_tokens))
+    return out.select(
+        F.col(id_col),
+        F.col(by),
+        F.col("n_tokens"),
+        F.col("token_offset"),
+        (F.col("token_offset") < F.lit(int(budget_tokens))).alias("keep"),
     )
 
 

@@ -564,6 +564,7 @@ def dup_substring_spans(
     window_tokens: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    window_key: str = "digest",
 ) -> DataFrame:
     """Exact duplicate-substring detection at stride 1 — the
     suffix-array-style dedup of Lee et al. 2022 ("Deduplicating Training
@@ -574,14 +575,19 @@ def dup_substring_spans(
     duplicates that straddle block boundaries or sit at a shifted offset).
 
     Every length-``window_tokens`` token window (stride 1) is keyed by its
-    exact text — the span string itself, NOT a 64-bit hash: at corpus
-    scale (~1e12 windows) birthday collisions on 64-bit keys silently mark
-    innocent text as duplicated (the span_dedup exactness argument). The
-    globally FIRST occurrence of each window ((doc_id, start) order)
-    survives; every other occurrence is a duplicated window, and per
-    document the overlapping/adjacent duplicated windows merge into
-    maximal spans — exactly the regions an exact-substring dedup pass
-    would cut while keeping one copy corpus-wide.
+    md5 digest (``window_key='digest'``, the default): 128 bits is
+    birthday-safe at corpus scale (~1e12 windows -> collision probability
+    ~(1e12)^2 / 2^129 ~ 3e-15), unlike the 64-bit keys span_dedup's
+    exactness argument rightly rejects, and the digest is computed
+    map-side so the stats shuffle carries 32-char keys instead of the raw
+    L-token window text (~3-5x fewer shuffle bytes at the default window).
+    ``window_key='text'`` keys by the exact span string instead — the
+    verify option; both modes produce identical output. The globally FIRST
+    occurrence of each window ((doc_id, start) order) survives; every
+    other occurrence is a duplicated window, and per document the
+    overlapping/adjacent duplicated windows merge into maximal spans —
+    exactly the regions an exact-substring dedup pass would cut while
+    keeping one copy corpus-wide.
 
     Returns (doc_id, span_start, span_end, n_windows): token offsets
     [span_start, span_end) of each maximal duplicated region, plus how
@@ -589,29 +595,33 @@ def dup_substring_spans(
     window, and documents whose every window is globally first, emit no
     rows.
 
-    Scale shape: windows are carved map-side in codegen
-    (transform+posexplode); first-occurrence stats are ONE keyed groupBy
-    on the window text (partial-agg map-side) joined back on the same key
-    (no broadcast — the stats table is corpus-sized); interval merging is
-    a per-document window pass (keys = documents, uniformly small — never
-    a single-task global window). Stride 1 costs ~window_tokens x the
-    blocks of span_dedup in exploded rows — the price of offset-invariant
+    Scale shape: windows are carved AND digest-keyed map-side in codegen
+    (transform+posexplode+md5 — the raw window text never shuffles);
+    first-occurrence stats are ONE keyed groupBy on the window key
+    (partial-agg map-side) joined back on the same key (no broadcast —
+    the stats table is corpus-sized); interval merging is a per-document
+    window pass (keys = documents, uniformly small — never a single-task
+    global window). Stride 1 costs ~window_tokens x the blocks of
+    span_dedup in exploded rows — the price of offset-invariant
     detection; both stages shuffle on bounded keys and nothing is
     quadratic.
     """
     if window_tokens < 1:
         raise ValueError("window_tokens must be >= 1")
+    if window_key not in ("digest", "text"):
+        raise ValueError(f"window_key must be 'digest' or 'text', got {window_key!r}")
     L = int(window_tokens)
     from pyspark.sql import Window
 
     toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
     nwin = F.size(toks) - L + 1
+    span = lambda i: F.array_join(F.slice(toks, i + 1, L), " ")  # noqa: E731
+    # unhex(md5) -> 16 raw bytes, not the 32-char hex string: digests are
+    # incompressible, so halving the key width halves its shuffle weight
+    keyed = span if window_key == "text" else (lambda i: F.unhex(F.md5(span(i))))
     wins = F.when(
         nwin >= 1,
-        F.transform(
-            F.sequence(F.lit(0), nwin - 1),
-            lambda i: F.array_join(F.slice(toks, i + 1, L), " "),
-        ),
+        F.transform(F.sequence(F.lit(0), nwin - 1), keyed),
     ).otherwise(F.array().cast("array<string>"))
     w = docs.select(F.col(id_col), F.posexplode(wins).alias("start", "__win"))
     firsts = w.groupBy("__win").agg(

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["ordered_prev_cumsum", "grouped_dense_rank"]
+__all__ = ["ordered_prev_cumsum", "grouped_prev_cumsum", "grouped_dense_rank"]
 
 
 def ordered_prev_cumsum(
@@ -95,6 +95,86 @@ def _checkpoint_with_plan(result: DataFrame) -> DataFrame:
     except Exception:
         out._scan_plan = ""
     return out
+
+
+def grouped_prev_cumsum(
+    df: DataFrame,
+    group: str,
+    order: list[Column],
+    value: Column,
+    out_col: str,
+) -> DataFrame:
+    """Exclusive running total of ``value`` under ``order`` WITHIN each
+    ``group`` — ``sum(value) over (partition by group order by ...
+    rowsBetween(unboundedPreceding, -1))`` without serializing any single
+    group through one task.
+
+    A window partitioned only by the group column gives each group to one
+    task; with a skewed key (one web domain holding half the corpus) that
+    task dominates the stage. Instead: range-partition on (group, *order)
+    so a big group SPANS partitions, aggregate one (group, partition) sum
+    cell per pair, fold the cells into per-(group, partition) exclusive
+    offsets on the driver (|groups-that-span| x P rows, tiny), and finish
+    with a window local to the (group, partition) cell.
+
+    Totals accumulate in int64 (``value`` is cast to long) — exact for
+    token counts; use ordered_prev_cumsum for float values. Rows with a
+    null group form their own group (eqNullSafe join), matching
+    ``Window.partitionBy`` semantics. Result is eagerly checkpointed, the
+    grouped_dense_rank convention.
+    """
+    spark = df.sparkSession
+    nparts = max(spark.sparkContext.defaultParallelism, 1)
+    ranged = (
+        df.repartitionByRange(nparts, F.col(group).asc(), *order)
+        .withColumn("__scan_pid", F.spark_partition_id())
+        .withColumn("__scan_v", value.cast("long"))
+        .persist()
+    )
+    try:
+        cells = (
+            ranged.groupBy(group, "__scan_pid")
+            .agg(F.sum("__scan_v").alias("__s"))
+            .collect()
+        )
+        if not cells:
+            return df.withColumn(out_col, F.lit(0).cast("long"))
+        by_group: dict = {}
+        for r in cells:
+            by_group.setdefault(r[group], []).append(
+                (int(r["__scan_pid"]), int(r["__s"] or 0))
+            )
+        offs = []
+        for g, lst in by_group.items():
+            running = 0
+            for pid, s in sorted(lst):
+                offs.append((g, pid, running))
+                running += s
+        gtype = dict(df.dtypes)[group]
+        off_df = spark.createDataFrame(
+            offs, f"`__scan_g` {gtype}, __scan_pid int, __scan_off long"
+        )
+        w = (
+            Window.partitionBy(group, "__scan_pid")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        cond = F.col(group).eqNullSafe(F.col("__scan_g")) & (
+            ranged["__scan_pid"] == off_df["__scan_pid"]
+        )
+        result = (
+            ranged.join(F.broadcast(off_df), cond)
+            .drop(off_df["__scan_pid"])
+            .withColumn(
+                out_col,
+                F.col("__scan_off")
+                + F.coalesce(F.sum("__scan_v").over(w), F.lit(0).cast("long")),
+            )
+            .drop("__scan_pid", "__scan_off", "__scan_v", "__scan_g")
+        )
+        return _checkpoint_with_plan(result)
+    finally:
+        ranged.unpersist()
 
 
 def grouped_dense_rank(

@@ -329,16 +329,18 @@ def pq_codes(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     scale: int = 1000,
-) -> tuple[DataFrame, list[list[list[int]]]]:
+) -> tuple[DataFrame, list[list[list[int]]], int]:
     """Product-quantization compression (Jegou et al. 2011): split each
     d-dim vector into ``m`` subvectors and learn an integer-exact
     ``k_codebook``-centroid codebook per subspace with the deterministic
     quantized Lloyd trainer (embeddings.kmeans_quantized — the same
     engine-replayable arithmetic the IVF quantizer uses).
 
-    Returns (codes, codebooks): codes has one row per vector —
-    (id_col, code_0 .. code_{m-1}) — and codebooks[j][c] is the int64
-    centroid of code c in subspace j. The memory story IS the operator:
+    Returns (codes, codebooks, dim): codes has one row per vector —
+    (id_col, code_0 .. code_{m-1}) — codebooks[j][c] is the int64
+    centroid of code c in subspace j, and dim is the vector dimension
+    (returned so ADC callers need not re-scan the corpus to recover it).
+    The memory story IS the operator:
     a 64-dim float32 corpus compresses to m log2(k) bits per vector
     (4 bytes at m=4, k=16 — 64x), which is what lets a 100 TB embedding
     corpus live in executor memory for ADC scans.
@@ -371,7 +373,7 @@ def pq_codes(
         assign = assign.withColumnRenamed("cluster", f"code_{j}")
         codes = assign if codes is None else codes.join(assign, id_col)
         books.append([list(map(int, c)) for c in cents])
-    return codes, books
+    return codes, books, dim
 
 
 def pq_topk(
@@ -405,14 +407,12 @@ def pq_topk(
     keys both sides); this face is the exhaustive scan the paper
     benchmarks, exact within PQ's quantization error.
     """
-    codes, books = pq_codes(
+    codes, books, dim = pq_codes(
         corpus, m=m, k_codebook=k_codebook, iters=iters, vec_col=vec_col,
         id_col=id_col, scale=scale,
     )
-    first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
-    sd = int(first["d"]) // m
     codes_long, dtab = _pq_scoring_tables(
-        queries, codes, books, m, sd, vec_col, id_col, scale
+        queries, codes, books, m, dim // m, vec_col, id_col, scale
     )
     scored = (
         codes_long.join(F.broadcast(dtab), ["j", "code"])
@@ -523,14 +523,12 @@ def ivfpq_topk(
     )
     if exclude_self:
         cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
-    codes, books = pq_codes(
+    codes, books, dim = pq_codes(
         corpus, m=m, k_codebook=k_codebook, iters=iters, vec_col=vec_col,
         id_col=id_col, scale=scale,
     )
-    first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
-    sd = int(first["d"]) // m
     codes_long, dtab = _pq_scoring_tables(
-        queries, codes, books, m, sd, vec_col, id_col, scale
+        queries, codes, books, m, dim // m, vec_col, id_col, scale
     )
     scored = (
         cand.join(codes_long, "neighbor_id")

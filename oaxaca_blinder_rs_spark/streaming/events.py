@@ -771,8 +771,19 @@ def streaming_source_quota(
         total = int(state.get[0]) if state.exists else 0
         frames = [pdf for pdf in pdfs if len(pdf)]
         if not frames:
+            # Unreachable with NoTimeout (every invocation carries rows), but
+            # if a timeout is ever enabled the empty frame must carry dtypes
+            # matching out_schema — empty object-dtype columns fail the
+            # Arrow conversion to timestamp/long at runtime (r9 ADVICE).
             yield pd.DataFrame(
-                {c.name: [] for c in out_schema.fields}
+                {
+                    id_col: pd.Series([], dtype="int64"),
+                    by: pd.Series([], dtype="object"),
+                    ts_col: pd.Series([], dtype="datetime64[us]"),
+                    token_col: pd.Series([], dtype="int64"),
+                    "token_offset": pd.Series([], dtype="int64"),
+                    "keep": pd.Series([], dtype="bool"),
+                }
             )
             return
         pdf = pd.concat(frames, ignore_index=True).sort_values(

@@ -825,6 +825,22 @@ def test_dup_substring_spans_matches_pure_python_reference(spark):
             spark.createDataFrame(fixed, "doc_id long, text string"),
             window_tokens=0,
         )
+    with pytest.raises(ValueError, match="window_key"):
+        dup_substring_spans(
+            spark.createDataFrame(fixed, "doc_id long, text string"),
+            window_key="sha1",
+        )
+
+    # the digest-keyed shuffle (r10, default) must be output-identical to
+    # the raw-text verify mode — md5 keying only changes shuffle bytes
+    docs = spark.createDataFrame(fixed + rand, "doc_id long, text string")
+    key = lambda df: {  # noqa: E731
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+        for r in df.collect()
+    }
+    assert key(dup_substring_spans(docs, window_tokens=3)) == key(
+        dup_substring_spans(docs, window_tokens=3, window_key="text")
+    )
 
 
 def test_dsir_score_expr_and_streaming_face_match_batch(spark, tmp_path):

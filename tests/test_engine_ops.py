@@ -213,6 +213,90 @@ def test_scan_primitives_randomized(spark):
                 assert gr[i] == rank, f"trial {trial} group {gval} id {i}"
 
 
+def test_grouped_prev_cumsum_matches_per_group_window(spark):
+    """grouped_prev_cumsum (r10, the skew-safe source_token_quota path)
+    must equal a sequential per-group exclusive scan — including under
+    heavy key skew (one group holding ~50% of rows, the one-colossal-domain
+    corpus case) — and keep the plan free of both SinglePartition exchanges
+    and a plain partitionBy(group) window (the skewed group must SPAN
+    range partitions)."""
+    from pyspark.sql import functions as F
+
+    from oaxaca_blinder_rs_spark.operators.scan import grouped_prev_cumsum
+
+    rng = np.random.default_rng(17)
+    n = 3000
+    # ~50% of rows in one group, remainder spread over 40 small groups
+    groups = [
+        "big" if rng.random() < 0.5 else f"s{int(rng.integers(40))}"
+        for _ in range(n)
+    ]
+    vals = rng.integers(1, 200, n)
+    df = spark.createDataFrame(
+        [(i, groups[i], int(vals[i])) for i in range(n)],
+        "id long, g string, v long",
+    ).repartition(16)
+    out = grouped_prev_cumsum(df, "g", [F.col("id").asc()], F.col("v"), "cum")
+    plan = getattr(out, "_scan_plan", "")
+    assert "SinglePartition" not in plan
+    got = {r["id"]: r["cum"] for r in out.collect()}
+    assert len(got) == n
+    running: dict = {}
+    for i in range(n):  # ids ascend, so this IS the per-group scan order
+        g = groups[i]
+        assert got[i] == running.get(g, 0), f"id {i} group {g}"
+        running[g] = running.get(g, 0) + int(vals[i])
+
+
+def test_grouped_prev_cumsum_null_group_and_empty(spark):
+    """Null group values accumulate as their own group (eqNullSafe), and an
+    empty frame returns a zero column rather than erroring."""
+    from pyspark.sql import functions as F
+
+    from oaxaca_blinder_rs_spark.operators.scan import grouped_prev_cumsum
+
+    rows = [(0, "a", 5), (1, None, 7), (2, "a", 3), (3, None, 2)]
+    df = spark.createDataFrame(rows, "id long, g string, v long").repartition(4)
+    got = {
+        r["id"]: r["cum"]
+        for r in grouped_prev_cumsum(
+            df, "g", [F.col("id").asc()], F.col("v"), "cum"
+        ).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 5, 3: 7}
+
+    empty = spark.createDataFrame([], "id long, g string, v long")
+    out = grouped_prev_cumsum(empty, "g", [F.col("id").asc()], F.col("v"), "cum")
+    assert out.count() == 0 and "cum" in out.columns
+
+
+def test_source_token_quota_null_text_and_skew(spark):
+    """source_token_quota: null text counts as empty text (1 whitespace
+    token, the split-of-'' engine convention) instead of NULLing the
+    running offsets for its source (r9 ADVICE), and a 50%-skewed source
+    still produces exact offsets through the grouped scan."""
+    from oaxaca_blinder_rs_spark.operators import corpus
+
+    rows = [
+        (0, "a", "three token doc"),
+        (1, "a", None),
+        (2, "a", "two tokens"),
+        (3, "b", "x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["token_offset"], r["keep"])
+        for r in corpus.source_token_quota(df, budget_tokens=4).collect()
+    }
+    # null text -> split('') = [''] -> 1 token, offsets keep flowing
+    assert got == {
+        0: (3, 0, True),
+        1: (1, 3, True),
+        2: (2, 4, False),
+        3: (1, 0, True),
+    }
+
+
 def test_grouped_dense_rank_null_group(spark):
     """Rows with a null group value must still be ranked (their own group),
     exactly as the legacy per-group window did."""

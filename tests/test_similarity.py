@@ -419,7 +419,8 @@ def test_pq_codes_and_adc_match_numpy_replica(spark):
         books_ref.append(c)
     codes_ref = np.stack(codes_ref, axis=1)
 
-    codes, books = pq_codes(df, m=m, k_codebook=kc, iters=iters)
+    codes, books, dim = pq_codes(df, m=m, k_codebook=kc, iters=iters)
+    assert dim == d
     got_codes = {
         r["vec_id"]: [r[f"code_{j}"] for j in range(m)] for r in codes.collect()
     }
