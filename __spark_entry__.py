@@ -2228,109 +2228,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declared contract queries, ordered for the driver's verification window.
 
     The driver hash-checks the FIRST 50 entries in declaration order.
-    Round-9 window (NOTES_r8 rotation plan + this round's changes):
-    (1) rows 0-10, new or changed in r9 — pca_whiten_invariants (new
-    contract, retires the last no-oracle row), bpe_encode +
-    bpe_token_ids + pq_adc_top3 + hilbert_customers + ivfpq_top3 +
-    dup_substring_spans + dsir_selection (NEW r9 contracts), bpe_vocab
-    (driver-hashable projection), bpe_merges (batched merge rounds),
-    classifier_quality (tol 1e-9); (2) rows 11-30: the 20 r6-green rows
-    whose records turned 3 rounds old this round — they rotate FIRST per
-    the <=2-round policy; (3) rows 31-49: 19 of the 46 r7-green rows
-    (records 2 rounds old). Past the window: the four r8 first-record
-    rows not re-checked here (vocab_stats, machado_mata,
-    embedding_outliers, semantic_dedup — records <=1 round old, r10
-    head) and the three displaced r7 rows (corpus_mixture, corpus_split,
-    regional_revenue — 2 rounds old, compliant, r10 head), then the
-    remaining r7-green rows (rotate in r10), then the r8-green rows
-    (fresh records). NOTES_r9 carries the full r10 rotation plan; every
-    one of the 124 registered rows was check_oracle-verified at sf0.01
-    AND sf0.1 within round 9.
+    Round-10 window (NOTES_r9 rotation plan, executed verbatim):
+    (1) row 0: ann_recall (NEW r10 contract — recall@3 of every ANN index
+    vs the brute-force baseline); (2) rows 1-5: the five r9 contracts
+    whose IMPLEMENTATION changed this round and therefore re-record —
+    source_quota (skew-safe grouped prefix scan + null-text coalesce),
+    pq_adc_top3 + ivfpq_top3 (pq_codes dim reuse), dup_substring_spans +
+    substring_dedup_clean (16-byte digest shuffle keys); (3) rows 6-36:
+    ALL 31 r7-green rows whose records turn 3 rounds old at r10 close —
+    the hard rotation requirement; (4) rows 37-40: the four r8 rows
+    deferred in r9 (vocab_stats, machado_mata, embedding_outliers,
+    semantic_dedup); (5) rows 41-49: the 9 oldest r8-green rows, pulled
+    forward to keep r11 feasible (the remaining 34 r8 rows rotate in r11;
+    r9-record rows stay compliant through r11 and rotate by r12).
+
+    Past the window, ordered by rotation due-date: the 34 remaining
+    r8-record rows (r11 head), the 10 unchanged r9-record rows, the 20
+    r6-cohort rows and 15 r7-cohort rows re-recorded in r9 (all due r12).
+    The registry holds 129 rows total; from r10 on the committed
+    ORACLE_SWEEP_r{N}.json carries a machine-readable full-registry
+    check (every row, rows/schema/hash booleans) regenerated at each
+    round close by `tools/check_oracle.py --json`, so registry coverage
+    no longer depends on the 50-row driver window alone — the window
+    remains the driver's independent spot-check and rotates per the
+    <=2-round policy as long as arithmetic allows.
     """
     return {
-        # -- r9 window rows 0-10: new/changed in r9 ------------------------
-        "pca_whiten_invariants": q_pca_whiten_invariants,
-        "bpe_encode": q_bpe_encode,
-        "bpe_token_ids": q_bpe_token_ids,
-        "bpe_vocab": q_bpe_vocab,
-        "bpe_merges": q_bpe_merges,
+        # -- row 0: NEW r10 contract ----------------------------------------
+        "ann_recall": q_ann_recall,
+        # -- rows 1-5: r9 contracts whose implementation changed in r10 ------
+        "source_quota": q_source_quota,
         "pq_adc_top3": q_pq_adc_top3,
-        "hilbert_customers": q_hilbert_customers,
         "ivfpq_top3": q_ivfpq_top3,
         "dup_substring_spans": q_dup_substring_spans,
-        "dsir_selection": q_dsir_selection,
-        "source_quota": q_source_quota,
-        "kneser_ney_lm": q_kneser_ney_lm,
         "substring_dedup_clean": q_substring_dedup_clean,
-        "hashed_bow": q_hashed_bow,
-        "classifier_quality": q_classifier_quality,
-        # -- rows 8-27: r6-green rows, records 3 rounds old — rotate first --
-        "sample_weighted": q_sample_weighted,
-        "attribution_last_touch": q_attribution_last_touch,
-        "cms_user_counts": q_cms_user_counts,
-        "path_transitions": q_path_transitions,
-        "zorder_customers": q_zorder_customers,
-        "bloom_membership": q_bloom_membership,
-        "hll_users_by_type": q_hll_users_by_type,
-        "hll_intersection_users": q_hll_intersection_users,
-        "bm25_ranking": q_bm25_ranking,
-        "normalized_text": q_normalized_text,
-        "histogram_extendedprice": q_histogram_extendedprice,
-        "profile_lineitem": q_profile_lineitem,
-        "skew_report_custkey": q_skew_report_custkey,
-        "attribution_linear": q_attribution_linear,
-        "hll_registers": q_hll_registers,
-        "hll_count_users": q_hll_count_users,
-        "akm_effects": q_akm_effects,
-        "simhash": q_simhash,
-        "simhash_dups": q_simhash_dups,
-        "asof_join_events": q_asof_join_events,
-        # -- rows 28-49: oldest r7-green rows (2-round-old records) --------
-        "mm_small_exact": q_mm_small_exact,
-        "pca_whiten_2d": q_pca_whiten_2d,
-        "chunk_documents": q_chunk_documents,
-        "histogram_quantiles": q_histogram_quantiles,
-        "priority_sample": q_priority_sample,
-        "scd2_user_segments": q_scd2_user_segments,
-        "pagerank_copurchase": q_pagerank_copurchase,
-        "event_funnel": q_event_funnel,
-        "cohort_retention": q_cohort_retention,
-        "events_pivot": q_events_pivot,
-        "events_melt": q_events_melt,
-        "revenue_rollup": q_revenue_rollup,
-        "rolling_events": q_rolling_events,
-        "range_join_events": q_range_join_events,
-        "salted_join_check": q_salted_join_check,
-        # -- past the window: r10 rotation head --------------------------
-        # events_props_stats: r7 record (2 rounds old at r9 close —
-        # compliant) — displaced by hashed_bow; re-checks in r10
+        # -- rows 6-36: the 31 r7-record rows (3 rounds old at r10 close) ----
         "events_props_stats": q_events_props_stats,
-        # user_sessions: r7 record (2 rounds old at r9 close — compliant)
-        # — displaced by substring_dedup_clean; re-checks in r10
         "user_sessions": q_user_sessions,
-        # sample_fraction: r7 record (2 rounds old at r9 close —
-        # compliant) — displaced by kneser_ney_lm; re-checks in r10
         "sample_fraction": q_sample_fraction,
-        # sample_stratified: r7 record (2 rounds old at r9 close —
-        # compliant) — displaced by source_quota; re-checks in r10
         "sample_stratified": q_sample_stratified,
-        # corpus_mixture/corpus_split: r7 records (2 rounds old at r9
-        # close — compliant) — displaced by hilbert_customers and
-        # ivfpq_top3; they re-check in r10
         "corpus_mixture": q_corpus_mixture,
         "corpus_split": q_corpus_split,
-        # regional_revenue: r7 record (2 rounds old at r9 close — still
-        # compliant) — displaced by pq_adc_top3; re-checks in r10
         "regional_revenue": q_regional_revenue,
-        # vocab_stats/machado_mata/embedding_outliers: r8 records (1 round
-        # old) — deferred to make room for the three new r9 contracts
-        # (bpe_encode, bpe_token_ids, dsir_selection); they rotate FIRST
-        # in r10 alongside the remaining r7-green rows (records then 2
-        # rounds old, inside the <=2-round policy either way)
-        "vocab_stats": q_vocab_stats,
-        "machado_mata": q_machado_mata,
-        "embedding_outliers": q_embedding_outliers,
-        "semantic_dedup": q_semantic_dedup,
         "segment_revenue_top10": q_segment_revenue_top10,
         "oaxaca_mean_2pred": q_oaxaca_mean_2pred,
         "oaxaca_categorical": q_oaxaca_categorical,
@@ -2355,7 +2294,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top3": q_tfidf_top3,
         "akm_demeaned_check": q_akm_demeaned_check,
         "heckman_decomposition": q_heckman_decomposition,
-        # -- r8-green rows (fresh records) ----------------------------------
+        # -- rows 37-40: the four r8 rows deferred in r9 ----------------------
+        "vocab_stats": q_vocab_stats,
+        "machado_mata": q_machado_mata,
+        "embedding_outliers": q_embedding_outliers,
+        "semantic_dedup": q_semantic_dedup,
+        # -- rows 41-49: oldest r8-green rows, pulled forward for r11 room ----
         "matching_weights": q_matching_weights,
         "span_dedup": q_span_dedup,
         "cross_corpus_dedup": q_cross_corpus_dedup,
@@ -2365,6 +2309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_drift_metrics": q_events_drift_metrics,
         "lineitem_constraints": q_lineitem_constraints,
         "events_anomalies": q_events_anomalies,
+        # ---- past the window: r8-record rows (r11 head) ---------------------
         "dfl_design_check": q_dfl_design_check,
         "heckman_probit_design": q_heckman_probit_design,
         "mm_ols_start": q_mm_ols_start,
@@ -2399,6 +2344,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_kde_grid": q_weighted_kde_grid,
         "ngram_doc_freq": q_ngram_doc_freq,
         "ngram_contamination": q_ngram_contamination,
+        # ---- r9-record rows unchanged this round (compliant through r11) ----
+        "pca_whiten_invariants": q_pca_whiten_invariants,
+        "bpe_encode": q_bpe_encode,
+        "bpe_token_ids": q_bpe_token_ids,
+        "bpe_vocab": q_bpe_vocab,
+        "bpe_merges": q_bpe_merges,
+        "hilbert_customers": q_hilbert_customers,
+        "dsir_selection": q_dsir_selection,
+        "kneser_ney_lm": q_kneser_ney_lm,
+        "hashed_bow": q_hashed_bow,
+        "classifier_quality": q_classifier_quality,
+        # ---- r6/r7-cohort rows re-recorded in r9 (due r12) -------------------
+        "sample_weighted": q_sample_weighted,
+        "attribution_last_touch": q_attribution_last_touch,
+        "cms_user_counts": q_cms_user_counts,
+        "path_transitions": q_path_transitions,
+        "zorder_customers": q_zorder_customers,
+        "bloom_membership": q_bloom_membership,
+        "hll_users_by_type": q_hll_users_by_type,
+        "hll_intersection_users": q_hll_intersection_users,
+        "bm25_ranking": q_bm25_ranking,
+        "normalized_text": q_normalized_text,
+        "histogram_extendedprice": q_histogram_extendedprice,
+        "profile_lineitem": q_profile_lineitem,
+        "skew_report_custkey": q_skew_report_custkey,
+        "attribution_linear": q_attribution_linear,
+        "hll_registers": q_hll_registers,
+        "hll_count_users": q_hll_count_users,
+        "akm_effects": q_akm_effects,
+        "simhash": q_simhash,
+        "simhash_dups": q_simhash_dups,
+        "asof_join_events": q_asof_join_events,
+        "mm_small_exact": q_mm_small_exact,
+        "pca_whiten_2d": q_pca_whiten_2d,
+        "chunk_documents": q_chunk_documents,
+        "histogram_quantiles": q_histogram_quantiles,
+        "priority_sample": q_priority_sample,
+        "scd2_user_segments": q_scd2_user_segments,
+        "pagerank_copurchase": q_pagerank_copurchase,
+        "event_funnel": q_event_funnel,
+        "cohort_retention": q_cohort_retention,
+        "events_pivot": q_events_pivot,
+        "events_melt": q_events_melt,
+        "revenue_rollup": q_revenue_rollup,
+        "rolling_events": q_rolling_events,
+        "range_join_events": q_range_join_events,
+        "salted_join_check": q_salted_join_check,
     }
 
 # --------------------------------------------------------------------------
@@ -3738,7 +3730,46 @@ cand AS MATERIALIZED (
 _MM_MID_ORACLE = _mm_mid_oracle_sql()
 
 
+def _ann_recall_sql(knn: str, lsh: str, ivf: str, ivfpq: str) -> str:
+    """DuckDB twin of q_ann_recall, composed from the four registered ANN
+    pipelines verbatim (each embedded as a CTE subquery) so the recall
+    contract can never drift from the index contracts it evaluates. One
+    row per (method, exact-baseline query): integer hit counts and the
+    6dp recall ratio, the topk_recall shape."""
+    return f"""
+        WITH exact AS (SELECT query_id, neighbor_id FROM ({knn})),
+        ap AS (
+          SELECT 'lsh' AS method, query_id, neighbor_id FROM ({lsh})
+          UNION ALL
+          SELECT 'ivf' AS method, query_id, neighbor_id FROM ({ivf})
+          UNION ALL
+          SELECT 'ivfpq' AS method, query_id, neighbor_id FROM ({ivfpq})
+        ),
+        methods AS (SELECT unnest(['lsh','ivf','ivfpq']) AS method),
+        base AS (
+          SELECT m.method, e.query_id, e.neighbor_id
+          FROM exact e CROSS JOIN methods m
+        )
+        SELECT b.method, b.query_id,
+               CAST(count(*) AS BIGINT) n_exact,
+               CAST(count(a.query_id) AS BIGINT) n_hit,
+               round(count(a.query_id) * 1.0 / count(*), 6) recall
+        FROM base b
+        LEFT JOIN ap a ON a.method = b.method AND a.query_id = b.query_id
+                      AND a.neighbor_id = b.neighbor_id
+        GROUP BY b.method, b.query_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
+    d = _oracle_sql_literals()
+    d["ann_recall"] = _ann_recall_sql(
+        d["knn_cosine_top3"], d["ann_lsh_top3"], d["ann_ivf_top3"], d["ivfpq_top3"]
+    )
+    return d
+
+
+def _oracle_sql_literals() -> dict[str, str]:
     return {
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -491,6 +491,7 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     scale: int = 1000,
     exclude_self: bool = True,
+    encode: str = "raw",
 ) -> DataFrame:
     """IVFADC-shaped ANN (Jegou et al. 2011): coarse inverted-list pruning
     composed with the PQ asymmetric-distance rerank — the full
@@ -498,23 +499,33 @@ def ivfpq_topk(
     ~n_probe/n_lists via the IVF stage, and each surviving candidate costs
     an m-term integer table lookup instead of a d-term float dot.
 
-    Variant note: classic IVFADC PQ-encodes RESIDUALS (x - coarse
-    centroid); this implementation PQ-encodes the raw vectors — a
-    documented simplification ("IVF pruning + PQ compression") that keeps
-    every stage int64-exact, so list assignment, candidate generation,
-    codes, distances and ranks all replay bit-for-bit in the DuckDB
-    oracle. Recall < 1 by construction (both stages prune), identical
-    across engines.
+    ``encode`` picks the PQ input: ``'raw'`` (default) PQ-encodes the raw
+    vectors — the oracle-stable simplification ("IVF pruning + PQ
+    compression"); ``'residual'`` PQ-encodes (vector − coarse centroid),
+    the paper's actual IVFADC — residuals concentrate around the origin so
+    the same codebook budget quantizes finer and recall rises at equal
+    (m, k). Both paths are int64-exact end to end: quantized vectors and
+    centroids subtract exactly, and the residual codebooks train with
+    scale=1 on already-integer values, so list assignment, candidates,
+    codes, distances and ranks all replay bit-for-bit in an independent
+    engine either way. Recall < 1 by construction (both stages prune).
 
     Scale shape: list assignment is the existing int-dot argmax
     (broadcast centroid table, map-side); candidates come from ONE
     equi-join keyed on list id; ADC scoring joins the broadcast
-    (query x subspace x code) integer table — no candidate ever touches
-    a full vector after encoding.
+    (query x subspace x code — x probed-list for residual) integer table —
+    no candidate ever touches a full vector after encoding.
     """
+    if encode not in ("raw", "residual"):
+        raise ValueError(f"encode must be 'raw' or 'residual', got {encode!r}")
     cents = ivf_centroids(corpus, n_lists, vec_col, id_col, scale)
     cb = _ivf_sided(corpus, "neighbor_id", cents, 1, vec_col, id_col, scale)
     qb = _ivf_sided(queries, "query_id", cents, n_probe, vec_col, id_col, scale)
+    if encode == "residual":
+        return _ivfpq_residual(
+            queries, corpus, cb, qb, cents, k, m, k_codebook, iters,
+            vec_col, id_col, scale, exclude_self,
+        )
     cand = (
         qb.select("query_id", "b")
         .join(cb.select("neighbor_id", "b"), "b")
@@ -533,6 +544,131 @@ def ivfpq_topk(
     scored = (
         cand.join(codes_long, "neighbor_id")
         .join(F.broadcast(dtab), ["query_id", "j", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("__d").alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def _ivfpq_residual(
+    queries: DataFrame,
+    corpus: DataFrame,
+    cb: DataFrame,
+    qb: DataFrame,
+    cents: list,
+    k: int,
+    m: int,
+    k_codebook: int,
+    iters: int,
+    vec_col: str,
+    id_col: str,
+    scale: int,
+    exclude_self: bool,
+) -> DataFrame:
+    """The encode='residual' body of ivfpq_topk: PQ over (quantized vector −
+    assigned coarse centroid), query ADC tables per probed list.
+
+    Exactness: residuals are int64 minus int64; the residual codebooks
+    train via kmeans_quantized at scale=1 on integer-valued doubles
+    (|residual| << 2^53, so the double round-trip is lossless) — every
+    downstream quantity stays integer.
+
+    Scale shape: one broadcast centroid join adds the residual column to
+    each side; corpus residuals feed the same m-subspace Lloyd trainer;
+    the ADC table grows n_probe-fold versus raw (a query's residual
+    differs per probed list) but remains (queries x n_probe x m x k) ints
+    — still broadcastable; candidates join on (query, list) so each
+    candidate is scored against the single correct per-list table.
+    """
+    spark = corpus.sparkSession
+    dim = len(cents[0][1])
+    if m < 1 or dim % m != 0:
+        raise ValueError(f"m={m} must divide the dimension {dim}")
+    sd = dim // m
+    # _ivf_sided's list id b IS the centroid id (the sampled row's vec_id),
+    # so the centroid lookup table keys by cid, not by position
+    cent_df = spark.createDataFrame(
+        [(cid, cvec) for cid, cvec in cents], "b bigint, __cent array<bigint>"
+    )
+    qv = F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * scale).cast("long")
+    )
+    # corpus residual: quantized vector minus its assigned list's centroid,
+    # carried as integer-valued doubles for the scale=1 trainer
+    cres = (
+        corpus.select(F.col(id_col), qv.alias("__qv"))
+        .join(cb.select(F.col("neighbor_id").alias(id_col), "b"), id_col)
+        .join(F.broadcast(cent_df), "b")
+        .select(
+            F.col(id_col),
+            F.col("b").alias("__list"),
+            F.zip_with(
+                "__qv", "__cent", lambda a, c: (a - c).cast("double")
+            ).alias("__res"),
+        )
+    )
+    codes, books, _ = pq_codes(
+        cres, m=m, k_codebook=k_codebook, iters=iters, vec_col="__res",
+        id_col=id_col, scale=1,
+    )
+    codes_long = codes.join(
+        cres.select(id_col, "__list"), id_col
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("__list").alias("b"),
+        F.posexplode(F.array(*[F.col(f"code_{j}") for j in range(m)])).alias(
+            "j", "code"
+        ),
+    )
+    # query residual PER PROBED LIST -> per-(query, list) ADC distance table
+    book_rows = [
+        (j, c, books[j][c]) for j in range(m) for c in range(len(books[j]))
+    ]
+    bdf = spark.createDataFrame(book_rows, "j int, code long, cqv array<bigint>")
+    qres = (
+        queries.select(F.col(id_col).alias("query_id"), qv.alias("__qv"))
+        .join(qb.select("query_id", "b"), "query_id")
+        .join(F.broadcast(cent_df), "b")
+        .select(
+            "query_id",
+            "b",
+            F.zip_with("__qv", "__cent", lambda a, c: a - c).alias("__qres"),
+        )
+    )
+    qsub = qres.select(
+        "query_id",
+        "b",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: F.slice("__qres", j * sd + 1, sd),
+            )
+        ).alias("j", "__qsub"),
+    )
+    dtab = qsub.join(F.broadcast(bdf), "j").select(
+        "query_id",
+        "b",
+        "j",
+        "code",
+        F.aggregate(
+            F.zip_with("__qsub", "cqv", lambda a, b_: (a - b_) * (a - b_)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("__d"),
+    )
+    cand = qb.select("query_id", "b").join(
+        cb.select("neighbor_id", "b"), "b"
+    ).select("query_id", "neighbor_id", "b")
+    if exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = (
+        cand.join(codes_long, ["neighbor_id", "b"])
+        .join(F.broadcast(dtab), ["query_id", "b", "j", "code"])
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("__d").alias("adist"))
     )

@@ -523,6 +523,118 @@ def test_ivfpq_matches_numpy_composition(spark):
         assert sorted(got.get(q, [])) == exp, q
 
 
+def test_ivfpq_residual_matches_numpy_and_lifts_recall(spark):
+    """encode='residual' (r10, the paper's actual IVFADC): PQ codebooks
+    train on (quantized vector − assigned coarse centroid); each query
+    gets a distance table PER PROBED LIST from its per-list residual.
+    Checked bit-for-bit against an independent NumPy composition, and the
+    mean recall@k vs brute-force must be >= the raw encoding's at equal
+    (m, k_codebook) — residuals concentrate around the origin, so the
+    same codebook budget quantizes finer."""
+    import numpy as np
+
+    from oaxaca_blinder_rs_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_topk,
+        topk_recall,
+    )
+
+    rng = np.random.default_rng(29)
+    n, d, m, kc, iters, scale = 40, 8, 2, 4, 2, 1000
+    n_lists, n_probe, topk = 5, 2, 3
+    X = rng.standard_normal((n, d))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    Q = np.floor(X * scale).astype(np.int64)
+    sd = d // m
+
+    cents = Q[:n_lists]
+    dots = Q @ cents.T
+    order = np.lexsort((np.arange(n_lists)[None, :].repeat(n, 0), -dots))
+    assign = order[:, 0]
+    probes = order[:, :n_probe]
+    R = Q - cents[assign]  # per-vector residual, int64-exact
+
+    def lloyd(sub):
+        c = sub[:kc].copy()
+        for _ in range(iters):
+            dist = ((sub[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            a = dist.argmin(axis=1)
+            for ci in range(kc):
+                sel = sub[a == ci]
+                if len(sel):
+                    c[ci] = np.floor_divide(sel.sum(axis=0), len(sel))
+        dist = ((sub[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return dist.argmin(axis=1), c
+
+    codes, books = [], []
+    for j in range(m):
+        a, c = lloyd(R[:, j * sd:(j + 1) * sd])
+        codes.append(a)
+        books.append(c)
+    codes = np.stack(codes, axis=1)
+
+    want = {}
+    for q in range(n):
+        scored = []
+        for c in range(n):
+            if c == q or assign[c] not in set(probes[q]):
+                continue
+            qres = Q[q] - cents[assign[c]]  # query residual vs c's list
+            dist = 0
+            for j in range(m):
+                dist += int(
+                    ((qres[j * sd:(j + 1) * sd] - books[j][codes[c, j]]) ** 2).sum()
+                )
+            scored.append((dist, c))
+        want[q] = sorted(scored)[:topk]
+
+    res = ivfpq_topk(
+        df, df, k=topk, n_lists=n_lists, n_probe=n_probe, m=m,
+        k_codebook=kc, iters=iters, encode="residual",
+    ).localCheckpoint()
+    got: dict = {}
+    for r in res.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], int(r["adist"]), r["neighbor_id"])
+        )
+    for q in range(n):
+        exp = [(i + 1, a, c) for i, (a, c) in enumerate(want[q])]
+        assert sorted(got.get(q, [])) == exp, q
+
+    # recall comparison at equal budget — on CLUSTERED data, where sampled
+    # coarse centroids land near true cluster centers and residuals are
+    # genuinely small, so residual-PQ's advantage is structural (on
+    # unclustered data residuals vs arbitrary sampled points have ~2x the
+    # variance of the raw vectors and raw wins; see NOTES_r10)
+    centers = rng.standard_normal((n_lists, d)) * 4.0
+    XC = centers[rng.integers(0, n_lists, n)] + 0.3 * rng.standard_normal((n, d))
+    dfc = spark.createDataFrame(
+        [(i, [float(x) for x in XC[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    exact = brute_force_topk(dfc, dfc, k=topk).localCheckpoint()
+    mean = lambda rdf: float(  # noqa: E731
+        np.mean([r["recall"] for r in topk_recall(rdf, exact, k=topk).collect()])
+    )
+    r_res = mean(ivfpq_topk(
+        dfc, dfc, k=topk, n_lists=n_lists, n_probe=n_probe, m=m,
+        k_codebook=kc, iters=iters, encode="residual",
+    ))
+    r_raw = mean(ivfpq_topk(
+        dfc, dfc, k=topk, n_lists=n_lists, n_probe=n_probe, m=m,
+        k_codebook=kc, iters=iters, encode="raw",
+    ))
+    assert r_res >= r_raw, (r_res, r_raw)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="encode"):
+        ivfpq_topk(df, df, encode="opq")
+
+
 def test_topk_recall_measures_ann_quality(spark):
     """topk_recall (r9): exact-vs-exact recall is 1.0 everywhere; the
     IVFPQ approximation's per-query recall equals an independently
