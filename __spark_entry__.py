@@ -2224,28 +2224,93 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT top-20 corpus tokens via the two-pass Misra-Gries sketch
+    (sketches.heavy_hitters, r10): per-partition MG candidate superset ->
+    exact recount of candidates only -> provability guard (rank-k count
+    must exceed the summed eviction bound, else the plan raises). The
+    oracle is the plain GROUP BY / ORDER BY / LIMIT the sketch provably
+    equals — the whole point of sketch-then-verify: exact answers without
+    ever shuffling the full key set."""
+    from oaxaca_blinder_rs_spark.operators.sketches import heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(textops.tokens(F.lower(F.coalesce(F.col("text"), F.lit(""))))).alias("token")
+    ).where(F.col("token") != "")
+    return heavy_hitters(toks, "token", k=20, capacity=1024).withColumnRenamed("key", "token")
+
+
+def q_blocklist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style bad-words gate (textops.blocklist_stats, r10; Raffel et al.
+    2020 §2.2): per-document banned-token occurrence count, distinct banned
+    terms, and the keep decision, with whole-token case-folded matching.
+    'dup' is the corpus's one rare token (~5% of docs) — a realistic
+    blocklist hit rate; the other terms exercise the zero-hit path."""
+    docs = _t(spark, sf_dir, "documents")
+    stats = textops.blocklist_stats(docs, ["dup", "unsafe", "nsfw"])
+    # DuckDB len() emits BIGINT; hash-typed compare needs matching widths
+    return stats.select(
+        "doc_id",
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.col("n_terms").cast("long").alias("n_terms"),
+        "kept",
+    )
+
+
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL source round-trip (sources/jsonl.py, r10): write the documents
+    table as newline-delimited JSON (the corpus interchange format), read
+    it back through read_jsonl with a PINNED schema (no inference pass —
+    the production convention), and emit a per-row digest view. Hash
+    equality against the parquet-view oracle proves the JSON scan is
+    lossless for the full document payload including the text bytes."""
+    from oaxaca_blinder_rs_spark.sources.jsonl import read_jsonl
+
+    docs = _t(spark, sf_dir, "documents")
+    out = f"/tmp/oaxaca_jsonl_rt_{os.path.basename(sf_dir.rstrip('/'))}"
+    docs.coalesce(4).write.mode("overwrite").json(out)
+    back = read_jsonl(
+        spark,
+        out,
+        schema="doc_id bigint, text string, lang string, source string, n_chars bigint",
+        with_row_id=False,
+    )
+    return back.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.length("text").cast("long").alias("text_len"),
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("text_md5"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declared contract queries, ordered for the driver's verification window.
 
     The driver hash-checks the FIRST 50 entries in declaration order.
-    Round-10 window (NOTES_r9 rotation plan, executed verbatim):
-    (1) row 0: ann_recall (NEW r10 contract — recall@3 of every ANN index
-    vs the brute-force baseline); (2) rows 1-5: the five r9 contracts
+    Round-10 window (NOTES_r9 rotation plan, plus the round's new operators):
+    (1) rows 0-2: the three NEW r10 operators taking their first records —
+    heavy_hitters (two-pass Misra-Gries exact top-k), blocklist_stats
+    (C4 bad-words gate), jsonl_roundtrip (JSONL source losslessness);
+    (2) row 3: ann_recall (NEW r10 contract — recall@3 of every ANN index
+    vs the brute-force baseline); (3) rows 4-8: the five r9 contracts
     whose IMPLEMENTATION changed this round and therefore re-record —
     source_quota (skew-safe grouped prefix scan + null-text coalesce),
     pq_adc_top3 + ivfpq_top3 (pq_codes dim reuse), dup_substring_spans +
-    substring_dedup_clean (16-byte digest shuffle keys); (3) rows 6-36:
+    substring_dedup_clean (16-byte digest shuffle keys); (4) rows 9-39:
     ALL 31 r7-green rows whose records turn 3 rounds old at r10 close —
-    the hard rotation requirement; (4) rows 37-40: the four r8 rows
+    the hard rotation requirement; (5) rows 40-43: the four r8 rows
     deferred in r9 (vocab_stats, machado_mata, embedding_outliers,
-    semantic_dedup); (5) rows 41-49: the 9 oldest r8-green rows, pulled
-    forward to keep r11 feasible (the remaining 34 r8 rows rotate in r11;
+    semantic_dedup); (6) rows 44-49: 6 of the oldest r8-green rows, pulled
+    forward to keep r11 feasible (the remaining 37 r8 rows rotate in r11;
     r9-record rows stay compliant through r11 and rotate by r12).
 
-    Past the window, ordered by rotation due-date: the 34 remaining
+    Past the window, ordered by rotation due-date: the 37 remaining
     r8-record rows (r11 head), the 10 unchanged r9-record rows, the 20
     r6-cohort rows and 15 r7-cohort rows re-recorded in r9 (all due r12).
-    The registry holds 129 rows total; from r10 on the committed
+    The registry holds 132 rows total; from r10 on the committed
     ORACLE_SWEEP_r{N}.json carries a machine-readable full-registry
     check (every row, rows/schema/hash booleans) regenerated at each
     round close by `tools/check_oracle.py --json`, so registry coverage
@@ -2254,15 +2319,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     <=2-round policy as long as arithmetic allows.
     """
     return {
-        # -- row 0: NEW r10 contract ----------------------------------------
+        # -- rows 0-2: NEW r10 operators (first records) ----------------------
+        "heavy_hitters": q_heavy_hitters,
+        "blocklist_stats": q_blocklist_stats,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
+        # -- row 3: NEW r10 contract over the r9 ANN family -------------------
         "ann_recall": q_ann_recall,
-        # -- rows 1-5: r9 contracts whose implementation changed in r10 ------
+        # -- rows 4-8: r9 contracts whose implementation changed in r10 ------
         "source_quota": q_source_quota,
         "pq_adc_top3": q_pq_adc_top3,
         "ivfpq_top3": q_ivfpq_top3,
         "dup_substring_spans": q_dup_substring_spans,
         "substring_dedup_clean": q_substring_dedup_clean,
-        # -- rows 6-36: the 31 r7-record rows (3 rounds old at r10 close) ----
+        # -- rows 9-39: the 31 r7-record rows (3 rounds old at r10 close) ----
         "events_props_stats": q_events_props_stats,
         "user_sessions": q_user_sessions,
         "sample_fraction": q_sample_fraction,
@@ -2294,22 +2363,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top3": q_tfidf_top3,
         "akm_demeaned_check": q_akm_demeaned_check,
         "heckman_decomposition": q_heckman_decomposition,
-        # -- rows 37-40: the four r8 rows deferred in r9 ----------------------
+        # -- rows 40-43: the four r8 rows deferred in r9 ----------------------
         "vocab_stats": q_vocab_stats,
         "machado_mata": q_machado_mata,
         "embedding_outliers": q_embedding_outliers,
         "semantic_dedup": q_semantic_dedup,
-        # -- rows 41-49: oldest r8-green rows, pulled forward for r11 room ----
+        # -- rows 44-49: oldest r8-green rows, pulled forward for r11 room ----
         "matching_weights": q_matching_weights,
         "span_dedup": q_span_dedup,
         "cross_corpus_dedup": q_cross_corpus_dedup,
         "connected_components_geo": q_connected_components_geo,
         "part_triangles": q_part_triangles,
         "events_drift": q_events_drift,
+        # ---- past the window: r8-record rows (r11 head) ---------------------
+        # (events_drift_metrics/lineitem_constraints/events_anomalies were
+        # r10-insurance slots until the three new r10 operators took rows
+        # 0-2; they stay r11-due like the rest of the r8 cohort)
         "events_drift_metrics": q_events_drift_metrics,
         "lineitem_constraints": q_lineitem_constraints,
         "events_anomalies": q_events_anomalies,
-        # ---- past the window: r8-record rows (r11 head) ---------------------
         "dfl_design_check": q_dfl_design_check,
         "heckman_probit_design": q_heckman_probit_design,
         "mm_ols_start": q_mm_ols_start,
@@ -3771,6 +3843,31 @@ def oracle_sql() -> dict[str, str]:
 
 def _oracle_sql_literals() -> dict[str, str]:
     return {
+        "heavy_hitters": r"""
+            WITH toks AS (
+              SELECT unnest(regexp_split_to_array(trim(lower(coalesce(text,''))), '\s+')) AS token
+              FROM documents
+            ), counts AS (
+              SELECT token, count(*) AS n_exact FROM toks WHERE token <> '' GROUP BY token
+            )
+            SELECT token, n_exact FROM counts ORDER BY n_exact DESC, token LIMIT 20
+        """,
+        "blocklist_stats": r"""
+            SELECT doc_id,
+              len(list_filter(regexp_split_to_array(trim(lower(coalesce(text,''))), '\s+'),
+                  t -> t IN ('dup','unsafe','nsfw'))) AS n_hits,
+              len(list_intersect(regexp_split_to_array(trim(lower(coalesce(text,''))), '\s+'),
+                  ['dup','unsafe','nsfw'])) AS n_terms,
+              len(list_filter(regexp_split_to_array(trim(lower(coalesce(text,''))), '\s+'),
+                  t -> t IN ('dup','unsafe','nsfw'))) = 0 AS kept
+            FROM documents
+        """,
+        "jsonl_roundtrip": """
+            SELECT doc_id, lang, source, n_chars,
+                   length(text) AS text_len,
+                   md5(coalesce(text,'')) AS text_md5
+            FROM documents
+        """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) sum_qty,

@@ -468,6 +468,13 @@ def main():
     # the taubatch trim below pays for the warm run.
     settle(spark)  # the MM engines are the most allocation-heavy group
     bench_mm(spark, li_raw, "distributed")
+    # per-entry bandwidth samples (r9 verdict item 8): the MM Gram kernels
+    # are the only BLAS-bound entries, and the file-scope calibration_np can
+    # be clean while the host throttles 10 minutes later when these run.
+    # An adjacent sample lets an mm_* delta be attributed per-entry.
+    queries["calibration_np_pre_mm_gram"] = best(
+        "calibration_np_pre_mm_gram", bench_calibration_np
+    )
     queries["mm_gram_s60_b8"] = best(
         "mm_gram_s60_b8", bench_mm, spark, li_raw, "distributed", reps=2, presettle=True
     )
@@ -479,6 +486,9 @@ def main():
     # bootstrap path, stays covered by the pytest suite. r9: 2 samples —
     # a single-sample entry cannot spread-flag its own contention (the
     # BENCH_r08 32.1 s-vs-13.8 s-idle lesson, verdict item 3).
+    queries["calibration_np_pre_mm_taubatch"] = best(
+        "calibration_np_pre_mm_taubatch", bench_calibration_np
+    )
     queries["mm_taubatch_s20_b2"] = best(
         "mm_taubatch_s20_b2", bench_mm, spark, li_raw, "taubatch", reps=2, S=20, B=2, presettle=True
     )

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hll_registers", "hll_count_distinct", "hll_alpha", "cms_table", "cms_estimate", "bloom_build", "bloom_maybe_contains", "hll_count_distinct_by", "hll_union_estimate", "hll_intersection_estimate"]
+__all__ = ["hll_registers", "hll_count_distinct", "hll_alpha", "cms_table", "cms_estimate", "bloom_build", "bloom_maybe_contains", "hll_count_distinct_by", "hll_union_estimate", "hll_intersection_estimate", "mg_summaries", "heavy_hitters"]
 
 
 def hll_alpha(m: int) -> float:
@@ -312,4 +312,112 @@ def hll_intersection_estimate(
                 F.greatest(F.col("ea") + F.col("eb") - F.col("union_estimate"), F.lit(0.0)), 4
             ).alias("intersection_estimate")
         )
+    )
+
+
+def mg_summaries(df: DataFrame, col: str, capacity: int = 4096) -> DataFrame:
+    """Per-partition Misra-Gries frequency summaries (pass 1 of heavy_hitters).
+
+    Misra & Gries 1982 (batched "frequent" algorithm): each partition keeps
+    at most ``capacity`` counters; when a batch merge overflows, every
+    counter is decremented by the smallest value delta that evicts the
+    overflow, and the partition accumulates ``delta_total`` — an EXACT
+    upper bound on how much any evicted key was undercounted locally.
+
+    Output rows: (key, mg_est) for surviving keys, plus ONE sentinel row
+    per partition with key=NULL and mg_est=delta_total. The union of
+    surviving keys across partitions is a guaranteed superset of every key
+    whose global count exceeds sum(delta_total) — by averaging, a key that
+    heavy must survive in at least one partition's summary.
+
+    Scale shape: one Arrow-batched pass over the raw column; output is
+    bounded by partitions x (capacity+1) rows regardless of input size —
+    the point of the sketch: a corpus with billions of distinct tokens
+    never shuffles its full key set.
+    """
+    cap = int(capacity)
+    if cap < 1:
+        raise ValueError("capacity must be >= 1")
+    src = df.select(F.col(col).cast("string").alias("key"))
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        d: dict = {}
+        delta_total = 0
+        for pdf in batches:
+            vc = pdf["key"].dropna().value_counts()
+            for key, c in vc.items():
+                d[key] = d.get(key, 0) + int(c)
+            if len(d) > cap:
+                drop = len(d) - cap
+                vals = np.fromiter(d.values(), dtype=np.int64, count=len(d))
+                delta = int(np.partition(vals, drop - 1)[drop - 1])
+                delta_total += delta
+                d = {k2: v - delta for k2, v in d.items() if v > delta}
+        yield pd.DataFrame(
+            {
+                "key": list(d.keys()) + [None],
+                "mg_est": np.asarray(list(d.values()) + [delta_total], dtype=np.int64),
+            }
+        )
+
+    return src.mapInPandas(run, schema="key string, mg_est long")
+
+
+def heavy_hitters(
+    df: DataFrame, col: str, k: int = 20, capacity: int = 4096
+) -> DataFrame:
+    """EXACT top-k most frequent values of ``col`` without a full-key shuffle.
+
+    The two-pass sketch-then-verify pattern for 100 TB key spaces:
+      pass 1  mg_summaries — per-partition Misra-Gries candidate superset
+              (bounded at partitions x capacity rows; the billions-of-
+              distinct-tokens groupBy never happens);
+      pass 2  exact counts for ONLY the candidate keys (broadcast semi-join
+              pushes the candidate filter into the scan) and a distributed
+              TakeOrdered top-k with a deterministic (count desc, key asc)
+              tie-break.
+
+    The result is PROVABLY exact, not approximate: any non-candidate key's
+    true count is at most U = sum of per-partition decrement totals, and the
+    plan raises an error unless the k-th exact candidate count exceeds U —
+    so no non-candidate could displace the returned rows. On failure, raise
+    ``capacity`` (U shrinks as ~N/capacity).
+
+    Returns (key, n_exact) — exact counts, hash-contractable against a
+    plain GROUP BY / ORDER BY / LIMIT oracle.
+    """
+    from pyspark.sql.functions import broadcast
+
+    # bounded (partitions x capacity); materialize once so the candidate
+    # branch and the U-bound branch don't each rescan the raw corpus
+    pass1 = mg_summaries(df, col, capacity).localCheckpoint()
+    cands = pass1.where(F.col("key").isNotNull()).select("key").distinct()
+    ubound = pass1.where(F.col("key").isNull()).agg(
+        F.coalesce(F.sum("mg_est"), F.lit(0)).alias("u_bound")
+    )
+    exact = (
+        df.select(F.col(col).cast("string").alias("key"))
+        .join(broadcast(cands), "key")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    topk = exact.orderBy(F.col("n_exact").desc(), F.col("key").asc()).limit(k)
+    return topk.crossJoin(broadcast(ubound)).select(
+        "key",
+        F.when(F.col("n_exact") > F.col("u_bound"), F.col("n_exact"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("heavy_hitters: rank-k count "),
+                    F.col("n_exact").cast("string"),
+                    F.lit(" not provably exact (eviction bound "),
+                    F.col("u_bound").cast("string"),
+                    F.lit(") — increase capacity"),
+                )
+            )
+        )
+        .alias("n_exact"),
     )

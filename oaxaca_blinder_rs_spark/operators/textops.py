@@ -30,6 +30,8 @@ __all__ = [
     "token_count_bpe",
     "pii_scrub",
     "pii_stats",
+    "blocklist_stats",
+    "blocklist_filter",
     "repetition_stats",
     "ngram_logprob",
     "kneser_ney_logprob",
@@ -1130,3 +1132,95 @@ def kneser_ney_logprob(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg("__lp"), 6).alias("mean_logprob"),
     )
+
+
+def blocklist_stats(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_literal_terms: int = 512,
+) -> DataFrame:
+    """Per-document banned-term statistics (the C4 "bad-words" gate shape;
+    Raffel et al. 2020 §2.2 drop any page containing a blocklisted word).
+
+    Matching is whole-token, case-folded, over the shared whitespace
+    tokenization — substring matching would flag "class" for "ass", the
+    classic blocklist false positive.
+
+    Output: (id_col, n_hits, n_terms, kept) — total banned-token
+    occurrences, distinct banned terms present, and the C4 keep decision
+    (kept = no hits at all). Null text counts as clean.
+
+    Scale shape, two regimes:
+    - len(terms) <= max_literal_terms: the list compiles into the plan as a
+      literal array and both counts are pure whole-stage codegen
+      (size(filter(...)) / size(array_intersect(...))) — zero shuffle,
+      zero Python, the list rides the serialized plan to every task.
+    - bigger lists: explode tokens once and broadcast-hash-join the terms
+      table (one shuffle for the per-doc groupBy; the terms side never
+      shuffles). Same output, verified equal in tests.
+    """
+    norm = [t.lower() for t in terms]
+    if len(set(norm)) != len(norm):
+        raise ValueError("terms must be distinct after case-folding")
+    if any(t == "" or t != t.strip() or " " in t for t in norm):
+        raise ValueError("terms must be non-empty single tokens")
+    toks = tokens(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    if len(norm) <= max_literal_terms:
+        lit_terms = F.array(*[F.lit(t) for t in norm])
+        return df.select(
+            F.col(id_col),
+            F.size(F.filter(toks, lambda t: F.array_contains(lit_terms, t))).alias("n_hits"),
+            F.size(F.array_intersect(toks, lit_terms)).alias("n_terms"),
+        ).withColumn("kept", F.col("n_hits") == 0)
+    terms_df = df.sparkSession.createDataFrame([(t,) for t in norm], "term string")
+    hits = (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .join(F.broadcast(terms_df), "term")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.countDistinct("term").alias("n_terms"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hits", F.lit(0)).cast("int").alias("n_hits"),
+            F.coalesce("n_terms", F.lit(0)).cast("int").alias("n_terms"),
+        )
+        .withColumn("kept", F.col("n_hits") == 0)
+    )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hits: int = 0,
+) -> DataFrame:
+    """Removal face: keep documents with at most ``max_hits`` banned-token
+    occurrences (C4 semantics at the default 0). Returns the input rows
+    unchanged — the stats stay internal, so the filter composes into
+    corpus gates without schema noise.
+
+    Joins ANTI against the DROP set, not semi against the keep set: on a
+    healthy corpus the drops are the rare side (C4 removed <1% of pages),
+    so that side broadcasts while the keep set — most of the corpus —
+    never shuffles. In the literal-terms regime the drop set needs no
+    join at all: the predicate filters inline in the scan."""
+    norm = sorted({t.lower() for t in terms})
+    if len(norm) <= 512:
+        # literal regime: n_hits is a pure expression over df's own columns —
+        # no stats frame, no join; the predicate filters inline in the scan
+        toks = tokens(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+        lit_terms = F.array(*[F.lit(t) for t in norm])
+        n_hits = F.size(F.filter(toks, lambda t: F.array_contains(lit_terms, t)))
+        return df.where(n_hits <= max_hits)
+    stats = blocklist_stats(df, terms, text_col=text_col, id_col=id_col)
+    drops = stats.where(F.col("n_hits") > max_hits).select(id_col)
+    return df.join(F.broadcast(drops), id_col, "anti")

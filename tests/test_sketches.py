@@ -175,3 +175,66 @@ def test_hll_union_and_intersection_estimates(spark, sf_dir):
     assert abs(eu - exact_u) <= max(4 * 1.04 / 16 * exact_u, 10.0)
     ei = sketches.hll_intersection_estimate(a, b, "u", 8).collect()[0]["intersection_estimate"]
     assert abs(ei - exact_i) <= max(12 * 1.04 / 16 * exact_u, 15.0)
+
+
+# ---- Misra-Gries heavy hitters (round 10) ----------------------------------
+
+
+def test_heavy_hitters_exact_vs_groupby(spark, sf_dir):
+    """The sketch path must equal the brute-force groupBy top-k exactly,
+    including the (count desc, key asc) tie-break."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), r"\s+")).alias("t")
+    ).where(F.col("t") != "")
+    got = [(r.key, r.n_exact) for r in sketches.heavy_hitters(toks, "t", k=10, capacity=512).collect()]
+    want = [
+        (r.t, r.n)
+        for r in toks.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("t"))
+        .limit(10)
+        .collect()
+    ]
+    assert sorted(got) == sorted(want)
+
+
+def test_heavy_hitters_guard_raises_at_tiny_capacity(spark, sf_dir):
+    """With capacity far below the distinct-key count the eviction bound
+    swallows the rank-k count and the provability guard must raise rather
+    than return a possibly-wrong top-k."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("t")
+    ).where(F.col("t") != "")
+    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception), match="not provably exact"):
+        sketches.heavy_hitters(toks, "t", k=10, capacity=2).collect()
+
+
+def test_mg_summaries_bounded_and_superset(spark):
+    """Pass-1 output stays bounded at partitions x (capacity+1) rows and the
+    surviving keys form a superset of every key heavier than the summed
+    eviction bound (the averaging argument heavy_hitters rests on)."""
+    rows = [("hot",)] * 400 + [(f"cold{i}",) for i in range(300)] * 2
+    df = spark.createDataFrame(rows, "key string").repartition(4)
+    p1 = sketches.mg_summaries(df, "key", capacity=16).collect()
+    n_parts = df.rdd.getNumPartitions()
+    assert len(p1) <= n_parts * 17
+    u = sum(r.mg_est for r in p1 if r.key is None)
+    survivors = {r.key for r in p1 if r.key is not None}
+    exact = {r.key: r.n for r in df.groupBy("key").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for k, n in exact.items():
+        if n > u:
+            assert k in survivors, (k, n, u)
+
+
+def test_heavy_hitters_null_and_cast_handling(spark):
+    """Nulls never count; non-string keys cast to their string form."""
+    df = spark.createDataFrame(
+        [(1,), (1,), (2,), (None,), (None,), (None,), (3,)], "k int"
+    )
+    got = [(r.key, r.n_exact) for r in sketches.heavy_hitters(df, "k", k=3, capacity=64).collect()]
+    assert got == [("1", 2), ("2", 1), ("3", 1)]

@@ -861,3 +861,60 @@ def test_kneser_ney_logprob_matches_pure_python(spark):
 
     with pytest.raises(ValueError, match="discount"):
         kneser_ney_logprob(df, discount=1.0)
+
+
+# ---- C4 blocklist gate (round 10) -------------------------------------------
+
+
+def _bl_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the DUP appears here dup twice"),
+            (2, "clean text with no banned words"),
+            (3, "dup"),
+            (4, None),
+            (5, "  duplicate is NOT a hit (whole-token matching)  "),
+            (6, "unsafe unsafe dup"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_blocklist_stats_literal_path(spark):
+    got = {
+        r.doc_id: (r.n_hits, r.n_terms, r.kept)
+        for r in textops.blocklist_stats(_bl_docs(spark), ["dup", "unsafe"]).collect()
+    }
+    assert got == {
+        1: (2, 1, False),   # case-folded, counted per occurrence
+        2: (0, 0, True),
+        3: (1, 1, False),
+        4: (0, 0, True),    # null text is clean
+        5: (0, 0, True),    # substring "dup" in "duplicate" must NOT match
+        6: (3, 2, False),
+    }
+
+
+def test_blocklist_stats_join_path_equals_literal(spark):
+    docs = _bl_docs(spark)
+    lit = sorted(tuple(r) for r in textops.blocklist_stats(docs, ["dup", "unsafe"]).collect())
+    join = sorted(
+        tuple(r)
+        for r in textops.blocklist_stats(docs, ["dup", "unsafe"], max_literal_terms=0).collect()
+    )
+    assert lit == join
+
+
+def test_blocklist_filter_and_validation(spark):
+    docs = _bl_docs(spark)
+    kept = sorted(r.doc_id for r in textops.blocklist_filter(docs, ["dup", "unsafe"]).collect())
+    assert kept == [2, 4, 5]
+    # max_hits loosens the gate (doc 3 has exactly one hit)
+    kept1 = sorted(
+        r.doc_id for r in textops.blocklist_filter(docs, ["dup", "unsafe"], max_hits=1).collect()
+    )
+    assert kept1 == [2, 3, 4, 5]
+    with pytest.raises(ValueError, match="distinct"):
+        textops.blocklist_stats(docs, ["Dup", "dup"])
+    with pytest.raises(ValueError, match="single tokens"):
+        textops.blocklist_stats(docs, ["two words"])
