@@ -2258,6 +2258,30 @@ def q_blocklist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal ingest metadata (multimodal.attach_media_metadata, r10):
+    documents re-framed as opaque binary payloads (the MEDIA_SCHEMA shape —
+    payload bytes + mime type + id), then the codec-free JVM-side metadata
+    pass every media pipeline runs first: byte length + content sha256 for
+    dedup joins. Hash equality against DuckDB's octet_length/sha256 makes
+    the multimodal plumbing driver-visible (it was suite-only through r9);
+    the decode/resize/frame kernels stay suite-tested — their seeded-fake
+    NumPy outputs are not SQL-expressible."""
+    from oaxaca_blinder_rs_spark.operators.multimodal import attach_media_metadata
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8").alias("payload"),
+        F.lit("text/plain").alias("mime_type"),
+    )
+    return attach_media_metadata(media).select(
+        "media_id",
+        F.col("payload_bytes").cast("long").alias("payload_bytes"),
+        "content_sha",
+    )
+
+
 def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL source round-trip (sources/jsonl.py, r10): write the documents
     table as newline-delimited JSON (the corpus interchange format), read
@@ -2291,26 +2315,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     The driver hash-checks the FIRST 50 entries in declaration order.
     Round-10 window (NOTES_r9 rotation plan, plus the round's new operators):
-    (1) rows 0-2: the three NEW r10 operators taking their first records —
+    (1) rows 0-3: the four NEW r10 operators taking their first records —
     heavy_hitters (two-pass Misra-Gries exact top-k), blocklist_stats
-    (C4 bad-words gate), jsonl_roundtrip (JSONL source losslessness);
-    (2) row 3: ann_recall (NEW r10 contract — recall@3 of every ANN index
-    vs the brute-force baseline); (3) rows 4-8: the five r9 contracts
+    (C4 bad-words gate), jsonl_roundtrip (JSONL source losslessness),
+    media_metadata (multimodal ingest metadata, driver-visible at last);
+    (2) row 4: ann_recall (NEW r10 contract — recall@3 of every ANN index
+    vs the brute-force baseline); (3) rows 5-9: the five r9 contracts
     whose IMPLEMENTATION changed this round and therefore re-record —
     source_quota (skew-safe grouped prefix scan + null-text coalesce),
     pq_adc_top3 + ivfpq_top3 (pq_codes dim reuse), dup_substring_spans +
-    substring_dedup_clean (16-byte digest shuffle keys); (4) rows 9-39:
+    substring_dedup_clean (16-byte digest shuffle keys); (4) rows 10-40:
     ALL 31 r7-green rows whose records turn 3 rounds old at r10 close —
-    the hard rotation requirement; (5) rows 40-43: the four r8 rows
+    the hard rotation requirement; (5) rows 41-44: the four r8 rows
     deferred in r9 (vocab_stats, machado_mata, embedding_outliers,
-    semantic_dedup); (6) rows 44-49: 6 of the oldest r8-green rows, pulled
-    forward to keep r11 feasible (the remaining 37 r8 rows rotate in r11;
+    semantic_dedup); (6) rows 45-49: 5 of the oldest r8-green rows, pulled
+    forward to keep r11 feasible (the remaining 38 r8 rows rotate in r11;
     r9-record rows stay compliant through r11 and rotate by r12).
 
-    Past the window, ordered by rotation due-date: the 37 remaining
+    Past the window, ordered by rotation due-date: the 38 remaining
     r8-record rows (r11 head), the 10 unchanged r9-record rows, the 20
     r6-cohort rows and 15 r7-cohort rows re-recorded in r9 (all due r12).
-    The registry holds 132 rows total; from r10 on the committed
+    The registry holds 133 rows total; from r10 on the committed
     ORACLE_SWEEP_r{N}.json carries a machine-readable full-registry
     check (every row, rows/schema/hash booleans) regenerated at each
     round close by `tools/check_oracle.py --json`, so registry coverage
@@ -2319,19 +2344,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     <=2-round policy as long as arithmetic allows.
     """
     return {
-        # -- rows 0-2: NEW r10 operators (first records) ----------------------
+        # -- rows 0-3: NEW r10 operators (first records) ----------------------
         "heavy_hitters": q_heavy_hitters,
         "blocklist_stats": q_blocklist_stats,
         "jsonl_roundtrip": q_jsonl_roundtrip,
-        # -- row 3: NEW r10 contract over the r9 ANN family -------------------
+        "media_metadata": q_media_metadata,
+        # -- row 4: NEW r10 contract over the r9 ANN family -------------------
         "ann_recall": q_ann_recall,
-        # -- rows 4-8: r9 contracts whose implementation changed in r10 ------
+        # -- rows 5-9: r9 contracts whose implementation changed in r10 ------
         "source_quota": q_source_quota,
         "pq_adc_top3": q_pq_adc_top3,
         "ivfpq_top3": q_ivfpq_top3,
         "dup_substring_spans": q_dup_substring_spans,
         "substring_dedup_clean": q_substring_dedup_clean,
-        # -- rows 9-39: the 31 r7-record rows (3 rounds old at r10 close) ----
+        # -- rows 10-40: the 31 r7-record rows (3 rounds old at r10 close) ---
         "events_props_stats": q_events_props_stats,
         "user_sessions": q_user_sessions,
         "sample_fraction": q_sample_fraction,
@@ -2363,22 +2389,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top3": q_tfidf_top3,
         "akm_demeaned_check": q_akm_demeaned_check,
         "heckman_decomposition": q_heckman_decomposition,
-        # -- rows 40-43: the four r8 rows deferred in r9 ----------------------
+        # -- rows 41-44: the four r8 rows deferred in r9 ----------------------
         "vocab_stats": q_vocab_stats,
         "machado_mata": q_machado_mata,
         "embedding_outliers": q_embedding_outliers,
         "semantic_dedup": q_semantic_dedup,
-        # -- rows 44-49: oldest r8-green rows, pulled forward for r11 room ----
+        # -- rows 45-49: oldest r8-green rows, pulled forward for r11 room ----
         "matching_weights": q_matching_weights,
         "span_dedup": q_span_dedup,
         "cross_corpus_dedup": q_cross_corpus_dedup,
         "connected_components_geo": q_connected_components_geo,
         "part_triangles": q_part_triangles,
-        "events_drift": q_events_drift,
         # ---- past the window: r8-record rows (r11 head) ---------------------
-        # (events_drift_metrics/lineitem_constraints/events_anomalies were
-        # r10-insurance slots until the three new r10 operators took rows
-        # 0-2; they stay r11-due like the rest of the r8 cohort)
+        # (events_drift/events_drift_metrics/lineitem_constraints/
+        # events_anomalies were
+        # r10-insurance slots until the four new r10 operators took rows
+        # 0-3; they stay r11-due like the rest of the r8 cohort)
+        "events_drift": q_events_drift,
         "events_drift_metrics": q_events_drift_metrics,
         "lineitem_constraints": q_lineitem_constraints,
         "events_anomalies": q_events_anomalies,
@@ -3860,6 +3887,12 @@ def _oracle_sql_literals() -> dict[str, str]:
                   ['dup','unsafe','nsfw'])) AS n_terms,
               len(list_filter(regexp_split_to_array(trim(lower(coalesce(text,''))), '\s+'),
                   t -> t IN ('dup','unsafe','nsfw'))) = 0 AS kept
+            FROM documents
+        """,
+        "media_metadata": """
+            SELECT doc_id AS media_id,
+                   octet_length(encode(coalesce(text,''))) AS payload_bytes,
+                   sha256(coalesce(text,'')) AS content_sha
             FROM documents
         """,
         "jsonl_roundtrip": """

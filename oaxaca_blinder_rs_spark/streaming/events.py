@@ -31,6 +31,10 @@ __all__ = [
     "streaming_dedup",
     "streaming_corpus_gate",
     "streaming_enrich_last_state",
+    "streaming_vocab_cells",
+    "streaming_dsir_scores",
+    "streaming_source_quota",
+    "streaming_mg_candidates",
     "sessionize_batch",
 ]
 
@@ -814,4 +818,93 @@ def streaming_source_quota(
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+def streaming_mg_candidates(
+    stream: DataFrame,
+    col: str,
+    capacity: int = 1024,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Streaming face of ``operators.sketches.mg_summaries``: continuous
+    Misra-Gries heavy-hitter candidate tracking over an unbounded stream.
+
+    The CMS face (streaming_cms_cells) tracks FREQUENCIES but cannot name
+    the keys; this face keeps the candidate KEY SET itself in bounded
+    state — what a live "top domains / top tokens right now" panel needs.
+
+    Keys are hash-bucketed (xxhash64 pmod n_buckets) so state parallelizes
+    across ``n_buckets`` stateful tasks instead of one global task; each
+    bucket owns a disjoint key slice, so per-bucket MG guarantees compose:
+    a key absent from its own bucket's summary has true count <= that
+    bucket's delta_total (a fortiori <= the summed bound the batch operator
+    uses). State per bucket is one JSON blob of <= capacity counters plus
+    the running eviction total — O(n_buckets x capacity) forever, no
+    watermark needed.
+
+    Each micro-batch emits the bucket's refreshed summary (update mode):
+    (bucket, key, mg_est) rows plus one (bucket, NULL, delta_total)
+    sentinel — the same wire shape as the batch pass-1, so the downstream
+    exact-recount face (sketches.heavy_hitters pass 2) consumes either.
+    """
+    import json
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    cap = int(capacity)
+    if cap < 1:
+        raise ValueError("capacity must be >= 1")
+    if not 1 <= int(n_buckets) <= 4096:
+        raise ValueError("n_buckets must be in [1, 4096]")
+
+    out_schema = StructType(
+        [
+            StructField("bucket", LongType()),
+            StructField("key", StringType()),
+            StructField("mg_est", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("blob", StringType()), StructField("delta_total", LongType())]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        bucket = int(key[0] if isinstance(key, tuple) else key)
+        if state.exists:
+            blob, delta_total = state.get
+            d = dict(json.loads(blob))
+            delta_total = int(delta_total)
+        else:
+            d, delta_total = {}, 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            vc = pdf["key"].dropna().value_counts()
+            for k2, c in vc.items():
+                d[k2] = d.get(k2, 0) + int(c)
+            if len(d) > cap:
+                drop = len(d) - cap
+                vals = np.fromiter(d.values(), dtype=np.int64, count=len(d))
+                delta = int(np.partition(vals, drop - 1)[drop - 1])
+                delta_total += delta
+                d = {k3: v - delta for k3, v in d.items() if v > delta}
+        state.update((json.dumps(d, sort_keys=True), delta_total))
+        yield pd.DataFrame(
+            {
+                "bucket": np.full(len(d) + 1, bucket, dtype=np.int64),
+                "key": list(d.keys()) + [None],
+                "mg_est": np.asarray(list(d.values()) + [delta_total], dtype=np.int64),
+            }
+        )
+
+    keyed = stream.select(
+        F.col(col).cast("string").alias("key"),
+        F.pmod(F.xxhash64(F.col(col).cast("string")), F.lit(int(n_buckets))).alias("bucket"),
+    ).where(F.col("key").isNotNull())  # nulls never count (batch-face convention)
+    return keyed.groupBy("bucket").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
