@@ -2282,6 +2282,23 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantile_sketch_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-error certificate for the sketch quantile path
+    (profiling.quantile_sketch_check, r10): approx_percentile (the only
+    viable quantile operator at 100 TB — mergeable GK summaries) verified
+    against the exact type-7 percentile on the same scan. The contract
+    pins (p, exact_q, within_bound); the sketch VALUE itself is excluded
+    because it is the one partition-dependent quantity — the GK bound is
+    merge-order-free, so the certificate is deterministic even though the
+    estimate is not. Oracle: quantile_cont + literal TRUE per probe."""
+    from oaxaca_blinder_rs_spark.operators.profiling import quantile_sketch_check
+
+    li = _t(spark, sf_dir, "lineitem")
+    return quantile_sketch_check(li, "l_extendedprice").select(
+        "p", "exact_q", "within_bound"
+    )
+
+
 def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL source round-trip (sources/jsonl.py, r10): write the documents
     table as newline-delimited JSON (the corpus interchange format), read
@@ -2315,27 +2332,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     The driver hash-checks the FIRST 50 entries in declaration order.
     Round-10 window (NOTES_r9 rotation plan, plus the round's new operators):
-    (1) rows 0-3: the four NEW r10 operators taking their first records —
+    (1) rows 0-4: the five NEW r10 operators taking their first records —
     heavy_hitters (two-pass Misra-Gries exact top-k), blocklist_stats
     (C4 bad-words gate), jsonl_roundtrip (JSONL source losslessness),
-    media_metadata (multimodal ingest metadata, driver-visible at last);
-    (2) row 4: ann_recall (NEW r10 contract — recall@3 of every ANN index
-    vs the brute-force baseline); (3) rows 5-9: the five r9 contracts
+    media_metadata (multimodal ingest metadata, driver-visible at last),
+    quantile_sketch_bound (GK-sketch rank-error certificate);
+    (2) row 5: ann_recall (NEW r10 contract — recall@3 of every ANN index
+    vs the brute-force baseline); (3) rows 6-10: the five r9 contracts
     whose IMPLEMENTATION changed this round and therefore re-record —
     source_quota (skew-safe grouped prefix scan + null-text coalesce),
     pq_adc_top3 + ivfpq_top3 (pq_codes dim reuse), dup_substring_spans +
-    substring_dedup_clean (16-byte digest shuffle keys); (4) rows 10-40:
+    substring_dedup_clean (16-byte digest shuffle keys); (4) rows 11-41:
     ALL 31 r7-green rows whose records turn 3 rounds old at r10 close —
-    the hard rotation requirement; (5) rows 41-44: the four r8 rows
+    the hard rotation requirement; (5) rows 42-45: the four r8 rows
     deferred in r9 (vocab_stats, machado_mata, embedding_outliers,
-    semantic_dedup); (6) rows 45-49: 5 of the oldest r8-green rows, pulled
-    forward to keep r11 feasible (the remaining 38 r8 rows rotate in r11;
+    semantic_dedup); (6) rows 46-49: 4 of the oldest r8-green rows, pulled
+    forward to keep r11 feasible (the remaining 39 r8 rows rotate in r11;
     r9-record rows stay compliant through r11 and rotate by r12).
 
-    Past the window, ordered by rotation due-date: the 38 remaining
+    Past the window, ordered by rotation due-date: the 39 remaining
     r8-record rows (r11 head), the 10 unchanged r9-record rows, the 20
     r6-cohort rows and 15 r7-cohort rows re-recorded in r9 (all due r12).
-    The registry holds 133 rows total; from r10 on the committed
+    The registry holds 134 rows total; from r10 on the committed
     ORACLE_SWEEP_r{N}.json carries a machine-readable full-registry
     check (every row, rows/schema/hash booleans) regenerated at each
     round close by `tools/check_oracle.py --json`, so registry coverage
@@ -2344,20 +2362,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     <=2-round policy as long as arithmetic allows.
     """
     return {
-        # -- rows 0-3: NEW r10 operators (first records) ----------------------
+        # -- rows 0-4: NEW r10 operators (first records) ----------------------
         "heavy_hitters": q_heavy_hitters,
         "blocklist_stats": q_blocklist_stats,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "media_metadata": q_media_metadata,
-        # -- row 4: NEW r10 contract over the r9 ANN family -------------------
+        "quantile_sketch_bound": q_quantile_sketch_bound,
+        # -- row 5: NEW r10 contract over the r9 ANN family -------------------
         "ann_recall": q_ann_recall,
-        # -- rows 5-9: r9 contracts whose implementation changed in r10 ------
+        # -- rows 6-10: r9 contracts whose implementation changed in r10 -----
         "source_quota": q_source_quota,
         "pq_adc_top3": q_pq_adc_top3,
         "ivfpq_top3": q_ivfpq_top3,
         "dup_substring_spans": q_dup_substring_spans,
         "substring_dedup_clean": q_substring_dedup_clean,
-        # -- rows 10-40: the 31 r7-record rows (3 rounds old at r10 close) ---
+        # -- rows 11-41: the 31 r7-record rows (3 rounds old at r10 close) ---
         "events_props_stats": q_events_props_stats,
         "user_sessions": q_user_sessions,
         "sample_fraction": q_sample_fraction,
@@ -2389,12 +2408,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top3": q_tfidf_top3,
         "akm_demeaned_check": q_akm_demeaned_check,
         "heckman_decomposition": q_heckman_decomposition,
-        # -- rows 41-44: the four r8 rows deferred in r9 ----------------------
+        # -- rows 42-45: the four r8 rows deferred in r9 ----------------------
         "vocab_stats": q_vocab_stats,
         "machado_mata": q_machado_mata,
         "embedding_outliers": q_embedding_outliers,
         "semantic_dedup": q_semantic_dedup,
-        # -- rows 45-49: oldest r8-green rows, pulled forward for r11 room ----
+        # -- rows 46-49: oldest r8-green rows, pulled forward for r11 room ----
         "matching_weights": q_matching_weights,
         "span_dedup": q_span_dedup,
         "cross_corpus_dedup": q_cross_corpus_dedup,
@@ -2403,8 +2422,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- past the window: r8-record rows (r11 head) ---------------------
         # (events_drift/events_drift_metrics/lineitem_constraints/
         # events_anomalies were
-        # r10-insurance slots until the four new r10 operators took rows
-        # 0-3; they stay r11-due like the rest of the r8 cohort)
+        # r10-insurance slots until the five new r10 operators took rows
+        # 0-4; they stay r11-due like the rest of the r8 cohort)
         "events_drift": q_events_drift,
         "events_drift_metrics": q_events_drift_metrics,
         "lineitem_constraints": q_lineitem_constraints,
@@ -3894,6 +3913,21 @@ def _oracle_sql_literals() -> dict[str, str]:
                    octet_length(encode(coalesce(text,''))) AS payload_bytes,
                    sha256(coalesce(text,'')) AS content_sha
             FROM documents
+        """,
+        "quantile_sketch_bound": """
+            WITH q AS (
+              SELECT round(quantile_cont(l_extendedprice, 0.25), 6) q25,
+                     round(quantile_cont(l_extendedprice, 0.50), 6) q50,
+                     round(quantile_cont(l_extendedprice, 0.75), 6) q75,
+                     round(quantile_cont(l_extendedprice, 0.90), 6) q90,
+                     round(quantile_cont(l_extendedprice, 0.99), 6) q99
+              FROM lineitem
+            )
+            SELECT CAST(0.25 AS DOUBLE) AS p, q25 AS exact_q, true AS within_bound FROM q
+            UNION ALL SELECT CAST(0.50 AS DOUBLE), q50, true FROM q
+            UNION ALL SELECT CAST(0.75 AS DOUBLE), q75, true FROM q
+            UNION ALL SELECT CAST(0.90 AS DOUBLE), q90, true FROM q
+            UNION ALL SELECT CAST(0.99 AS DOUBLE), q99, true FROM q
         """,
         "jsonl_roundtrip": """
             SELECT doc_id, lang, source, n_chars,

@@ -18,6 +18,7 @@ __all__ = [
     "drift_bucket_counts",
     "psi_from_counts",
     "drift_metrics",
+    "quantile_sketch_check",
 ]
 
 
@@ -459,3 +460,82 @@ def drift_report(
         )
     )
     return _psi_finish(counts, eps)
+
+
+def quantile_sketch_check(
+    df: DataFrame,
+    col: str,
+    probs: list[float] | None = None,
+    accuracy: int = 1000,
+) -> DataFrame:
+    """Exact quantiles + a VERIFIED rank-error certificate for the sketch path.
+
+    At 100 TB the only viable quantile operator is a mergeable sketch —
+    Spark's ``approx_percentile`` (Greenwald-Khanna summaries, rank error
+    <= 1/accuracy). This check runs BOTH paths over the same column and
+    certifies the sketch against its contract: for each probe p it emits
+
+    - ``exact_q``: the type-7 exact quantile (``percentile`` — the value a
+      correctness gate pins),
+    - ``approx_rank_frac``: rank(approx value)/n, and
+    - ``within_bound``: |rank_frac - p| <= 1/accuracy + 1/n (the GK
+      guarantee, one extra 1/n for the discrete rank step).
+
+    Every output is deterministic: exact_q by definition; within_bound
+    because the GK bound holds for ANY merge order, so even though the
+    sketch value itself may vary with partitioning, the certificate may
+    not. The sketch value is deliberately NOT in the output — that is the
+    one partition-dependent quantity.
+
+    Shape: one pass for both aggregates (exact percentile is the expensive
+    one — it sorts per group; the point of the row is that the CHEAP sketch
+    provably stays within rank eps of it, so pipelines can drop the exact
+    path at scale), plus one broadcast-joined rank recount of k probe
+    values.
+    """
+    ps = [float(p) for p in (probs if probs is not None else [0.25, 0.5, 0.75, 0.9, 0.99])]
+    if not ps or any(not 0.0 <= p <= 1.0 for p in ps):
+        raise ValueError("probs must be fractions in [0, 1]")
+    if accuracy < 10:
+        raise ValueError("accuracy must be >= 10")
+    vals = df.select(F.col(col).cast("double").alias("x")).where(F.col("x").isNotNull())
+    agg = vals.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.expr(f"percentile(x, {p})").alias(f"ex_{i}") for i, p in enumerate(ps)],
+        *[
+            F.expr(f"approx_percentile(x, {p}, {int(accuracy)})").alias(f"ap_{i}")
+            for i, p in enumerate(ps)
+        ],
+    )
+    # broadcast the ONE-row aggregate back against the column and compute
+    # every probe's true rank in a single conditional aggregate — no row
+    # blow-up, one extra scan total
+    joined = vals.crossJoin(F.broadcast(agg))
+    ranks = joined.agg(
+        F.max("n").alias("n"),
+        *[F.max(f"ex_{i}").alias(f"ex_{i}") for i in range(len(ps))],
+        *[
+            F.sum((F.col("x") <= F.col(f"ap_{i}")).cast("long")).alias(f"rk_{i}")
+            for i in range(len(ps))
+        ],
+    )
+    eps = 1.0 / float(accuracy)
+    per_probe = ranks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(p).alias("p"),
+                        F.round(F.col(f"ex_{i}"), 6).alias("exact_q"),
+                        F.round(F.col(f"rk_{i}") / F.col("n"), 6).alias("approx_rank_frac"),
+                        (
+                            F.abs(F.col(f"rk_{i}") / F.col("n") - F.lit(p))
+                            <= F.lit(eps) + F.lit(1.0) / F.col("n")
+                        ).alias("within_bound"),
+                    )
+                    for i, p in enumerate(ps)
+                ]
+            )
+        ).alias("q")
+    ).select("q.*")
+    return per_probe.orderBy("p")

@@ -243,3 +243,47 @@ def test_drift_properties_random(spark):
         for r in c1.collect() + c2.collect():
             merged[(r.dim, r.bucket)] = merged.get((r.dim, r.bucket), 0) + r.n
         assert merged == whole, trial
+
+
+# ---- GK-sketch rank-error certificate (round 10) ----------------------------
+
+
+def test_quantile_sketch_check_bounds_and_exactness(spark, sf_dir):
+    from oaxaca_blinder_rs_spark.operators.profiling import quantile_sketch_check
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = quantile_sketch_check(li, "l_extendedprice").collect()
+    assert [r.p for r in out] == [0.25, 0.5, 0.75, 0.9, 0.99]
+    assert all(r.within_bound for r in out)
+    # exact_q equals the direct exact percentile
+    from pyspark.sql import functions as F
+
+    direct = li.agg(
+        *[F.round(F.expr(f"percentile(l_extendedprice, {p})"), 6).alias(f"q{i}")
+          for i, p in enumerate([0.25, 0.5, 0.75, 0.9, 0.99])]
+    ).collect()[0]
+    assert [r.exact_q for r in out] == [direct[f"q{i}"] for i in range(5)]
+    # rank fraction should actually be close to p, not just within the
+    # loose-n bound (sanity that the recount measures what it claims)
+    for r in out:
+        assert abs(r.approx_rank_frac - r.p) < 0.05
+
+
+def test_quantile_sketch_check_validation(spark, sf_dir):
+    import pytest
+
+    from oaxaca_blinder_rs_spark.operators.profiling import quantile_sketch_check
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    with pytest.raises(ValueError, match="fractions"):
+        quantile_sketch_check(li, "l_extendedprice", probs=[1.5])
+    with pytest.raises(ValueError, match="accuracy"):
+        quantile_sketch_check(li, "l_extendedprice", accuracy=5)
+    # nulls ignored: an all-null column has n=0 -> empty probe output is
+    # not meaningful; assert it raises cleanly instead of dividing by zero
+    from pyspark.sql import functions as F
+
+    got = quantile_sketch_check(
+        li.withColumn("z", F.lit(None).cast("double")).limit(100), "l_extendedprice"
+    ).collect()
+    assert len(got) == 5
