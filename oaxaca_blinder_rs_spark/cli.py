@@ -64,6 +64,11 @@ def build_parser() -> argparse.ArgumentParser:
     cp.add_argument("--min-mean-logprob", type=float, default=None)
     cp.add_argument("--scrub-pii", action="store_true")
     cp.add_argument(
+        "--blocklist", default=None,
+        help="text file with one banned token per line (C4 bad-words gate, "
+        "whole-token case-folded matching)",
+    )
+    cp.add_argument(
         "--pack-budget", type=int, default=0,
         help="tokens per training shard; 0 writes the keep-list only",
     )
@@ -133,6 +138,10 @@ def _run_corpus(spark, args) -> int:
     from .sinks.parquet import write_token_shards
 
     docs = spark.read.parquet(args.input)
+    terms = None
+    if getattr(args, "blocklist", None):
+        with open(args.blocklist) as fh:
+            terms = [ln.strip() for ln in fh if ln.strip()]
     keep = prepare_corpus(
         docs,
         text_col=args.text_col,
@@ -143,6 +152,7 @@ def _run_corpus(spark, args) -> int:
         max_top_bigram_frac=args.max_top_bigram_frac,
         min_mean_logprob=args.min_mean_logprob,
         scrub_pii=args.scrub_pii,
+        blocklist_terms=terms,
     )
     n_in = docs.count()
     stats = {"docs_in": n_in}

@@ -51,6 +51,7 @@ def prepare_corpus(
     max_top_bigram_frac: float | None = None,
     min_mean_logprob: float | None = None,
     scrub_pii: bool = False,
+    blocklist_terms: list[str] | None = None,
 ) -> DataFrame:
     """Raw documents -> (doc_id, n_tokens, quality, lang) keep-list
     (plus ``text`` when ``scrub_pii=True``).
@@ -66,7 +67,11 @@ def prepare_corpus(
     bigram exceeds that share (Gopher repetition rule);
     ``min_mean_logprob`` drops documents below that mean bigram
     log-probability under the corpus LM (CCNet-style); ``scrub_pii=True``
-    carries a redacted ``text`` column through to the keep-list.
+    carries a redacted ``text`` column through to the keep-list;
+    ``blocklist_terms`` drops any document containing a banned whole token
+    (the C4 bad-words rule, textops.blocklist_filter) BEFORE the quality
+    gate — cheapest predicate first, and it filters inline in the scan in
+    the literal-terms regime.
 
     Candidate edges for stage 3: ``candidate_pairs`` when given; otherwise
     ``candidates`` picks the generator — ``"allpairs"`` (size-pruned exact,
@@ -86,6 +91,8 @@ def prepare_corpus(
     par = docs.sparkSession.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < min(par, 8):
         docs = docs.repartition(par)
+    if blocklist_terms:
+        docs = textops.blocklist_filter(docs, blocklist_terms, text_col=text_col, id_col=id_col)
     scored = docs.select(
         F.col(id_col),
         F.col(text_col).alias("__text"),

@@ -1316,3 +1316,35 @@ def test_streaming_mg_candidates_state_across_batches(spark, tmp_path):
         streaming_events.streaming_mg_candidates(
             spark.readStream.schema(schema).format("parquet").load(src), "v", capacity=0
         )
+
+
+def test_cli_corpus_blocklist_gate(spark, sf_dir, tmp_path, capsys):
+    """--blocklist drops every document containing a banned token BEFORE the
+    quality gate, and composes with the rest of the pipeline (r10)."""
+    import json as _json
+
+    from oaxaca_blinder_rs_spark.cli import main
+    from oaxaca_blinder_rs_spark.operators import textops
+    from oaxaca_blinder_rs_spark.operators.corpus import prepare_corpus
+
+    src = f"{sf_dir}/documents.parquet"
+    bl = tmp_path / "banned.txt"
+    bl.write_text("dup\n\nunsafe\n")  # blank line must be ignored
+    out = str(tmp_path / "keep_bl")
+    assert main(["corpus", "--input", src, "--output", out, "--blocklist", str(bl)]) == 0
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    docs = spark.read.parquet(src)
+    clean = textops.blocklist_filter(docs, ["dup", "unsafe"])
+    expect = prepare_corpus(clean)
+    assert stats["docs_kept"] == expect.count()
+    # the gate really removed something at this fixture (dup ~5% of docs)
+    baseline = prepare_corpus(docs)
+    assert stats["docs_kept"] < baseline.count()
+    # kept ids contain no banned token
+    kept_ids = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
+    flagged = {
+        r.doc_id
+        for r in textops.blocklist_stats(docs, ["dup", "unsafe"]).where(~F.col("kept")).collect()
+    }
+    assert not (kept_ids & flagged)
