@@ -244,6 +244,26 @@ def bench_corpus_filters(spark) -> float:
     return time.time() - t0
 
 
+def bench_heavy_hitters(spark) -> float:
+    """Tracking entry (r10, no reference analogue): exact top-20 corpus
+    tokens via the two-pass Misra-Gries sketch (per-partition candidate
+    superset -> exact recount of candidates only + provability guard) —
+    the bounded-shuffle alternative to a full-vocabulary groupBy."""
+    from oaxaca_blinder_rs_spark.operators import textops
+    from oaxaca_blinder_rs_spark.operators.sketches import heavy_hitters
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).repartition(
+        int(CPUS) if CPUS.isdigit() else 32
+    )
+    toks = docs.select(
+        F.explode(textops.tokens(F.lower(F.coalesce(F.col("text"), F.lit(""))))).alias("t")
+    ).where(F.col("t") != "")
+    t0 = time.time()
+    out = heavy_hitters(toks, "t", k=20, capacity=1024).collect()
+    assert len(out) == 20
+    return time.time() - t0
+
+
 def bench_corpus_prepare(spark) -> float:
     """LLM-pipeline headliner: the composite corpus preparation path
     (quality/lang gates -> exact dedup -> MinHash-LSH near-dup clustering ->
@@ -444,6 +464,10 @@ def main():
     settle(spark)  # GC + settle: measure the corpus group on a healthy heap
     bench_corpus_filters(spark)  # untimed warm pass (codegen + worker spin-up)
     queries["corpus_filters"] = best("corpus_filters", bench_corpus_filters, spark)
+    bench_heavy_hitters(spark)  # untimed warm (mapInPandas worker spin-up)
+    queries["heavy_hitters_top20"] = best(
+        "heavy_hitters_top20", bench_heavy_hitters, spark, reps=2
+    )
     bench_corpus_prepare(spark)  # untimed warm: its minhash/cluster plans are
     # distinct from corpus_filters' and the first execution carries ~14 s of
     # codegen (r8 samples [22.2, 24.7, 9.0] -> warm steady ~9)
