@@ -2327,6 +2327,21 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_heavy_hitters_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted exact top-k (sketches.heavy_hitters weight_col face, r10):
+    top-10 sources by total character volume — the "which domains dominate
+    my token budget" query. Same two-pass MG sketch with int64 weighted
+    increments (the exactness proof is count-agnostic); oracle is the plain
+    weighted GROUP BY. Registered past the driver window — covered by the
+    committed ORACLE_SWEEP full-registry artifact."""
+    from oaxaca_blinder_rs_spark.operators.sketches import heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents")
+    return heavy_hitters(
+        docs, "source", k=10, capacity=64, weight_col="n_chars"
+    ).withColumnRenamed("key", "source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declared contract queries, ordered for the driver's verification window.
 
@@ -2509,6 +2524,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_events": q_rolling_events,
         "range_join_events": q_range_join_events,
         "salted_join_check": q_salted_join_check,
+        # ---- r10 rows past the window (first record via ORACLE_SWEEP) ------
+        "heavy_hitters_weighted": q_heavy_hitters_weighted,
     }
 
 # --------------------------------------------------------------------------
@@ -3889,6 +3906,11 @@ def oracle_sql() -> dict[str, str]:
 
 def _oracle_sql_literals() -> dict[str, str]:
     return {
+        "heavy_hitters_weighted": """
+            SELECT source, CAST(sum(n_chars) AS BIGINT) AS n_exact
+            FROM documents GROUP BY source
+            ORDER BY n_exact DESC, source LIMIT 10
+        """,
         "heavy_hitters": r"""
             WITH toks AS (
               SELECT unnest(regexp_split_to_array(trim(lower(coalesce(text,''))), '\s+')) AS token

@@ -315,7 +315,9 @@ def hll_intersection_estimate(
     )
 
 
-def mg_summaries(df: DataFrame, col: str, capacity: int = 4096) -> DataFrame:
+def mg_summaries(
+    df: DataFrame, col: str, capacity: int = 4096, weight_col: str | None = None
+) -> DataFrame:
     """Per-partition Misra-Gries frequency summaries (pass 1 of heavy_hitters).
 
     Misra & Gries 1982 (batched "frequent" algorithm): each partition keeps
@@ -334,11 +336,33 @@ def mg_summaries(df: DataFrame, col: str, capacity: int = 4096) -> DataFrame:
     bounded by partitions x (capacity+1) rows regardless of input size —
     the point of the sketch: a corpus with billions of distinct tokens
     never shuffles its full key set.
+
+    ``weight_col`` (int64, non-negative) switches counts to weighted sums
+    (e.g. top sources by TOKEN volume, not document count). The Misra-Gries
+    bound argument is count-agnostic — a weighted increment is just that
+    many unit increments arriving together — so the eviction-total bound
+    and the provability guard carry over unchanged. Integer weights only:
+    a float weight would put rounding error inside an EXACTNESS proof.
+    Null weights count as zero; negative weights raise in-plan.
     """
     cap = int(capacity)
     if cap < 1:
         raise ValueError("capacity must be >= 1")
-    src = df.select(F.col(col).cast("string").alias("key"))
+    if weight_col is None:
+        src = df.select(F.col(col).cast("string").alias("key"))
+    else:
+        wtype = df.schema[weight_col].dataType.simpleString()
+        if wtype not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"weight_col must be an integer column (exactness proof), got {wtype}"
+            )
+        w = F.coalesce(F.col(weight_col).cast("long"), F.lit(0))
+        src = df.select(
+            F.col(col).cast("string").alias("key"),
+            F.when(w >= 0, w)
+            .otherwise(F.raise_error(F.lit("mg_summaries: negative weight")))
+            .alias("w"),
+        )
 
     def run(batches):
         import numpy as np
@@ -347,7 +371,10 @@ def mg_summaries(df: DataFrame, col: str, capacity: int = 4096) -> DataFrame:
         d: dict = {}
         delta_total = 0
         for pdf in batches:
-            vc = pdf["key"].dropna().value_counts()
+            if weight_col is not None:
+                vc = pdf.dropna(subset=["key"]).groupby("key", sort=False)["w"].sum()
+            else:
+                vc = pdf["key"].dropna().value_counts()
             for key, c in vc.items():
                 d[key] = d.get(key, 0) + int(c)
             if len(d) > cap:
@@ -367,7 +394,11 @@ def mg_summaries(df: DataFrame, col: str, capacity: int = 4096) -> DataFrame:
 
 
 def heavy_hitters(
-    df: DataFrame, col: str, k: int = 20, capacity: int = 4096
+    df: DataFrame,
+    col: str,
+    k: int = 20,
+    capacity: int = 4096,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """EXACT top-k most frequent values of ``col`` without a full-key shuffle.
 
@@ -386,23 +417,32 @@ def heavy_hitters(
     so no non-candidate could displace the returned rows. On failure, raise
     ``capacity`` (U shrinks as ~N/capacity).
 
-    Returns (key, n_exact) — exact counts, hash-contractable against a
+    Returns (key, n_exact) — exact counts (or exact weighted sums when
+    ``weight_col`` is given; see mg_summaries), hash-contractable against a
     plain GROUP BY / ORDER BY / LIMIT oracle.
     """
     from pyspark.sql.functions import broadcast
 
     # bounded (partitions x capacity); materialize once so the candidate
     # branch and the U-bound branch don't each rescan the raw corpus
-    pass1 = mg_summaries(df, col, capacity).localCheckpoint()
+    pass1 = mg_summaries(df, col, capacity, weight_col=weight_col).localCheckpoint()
     cands = pass1.where(F.col("key").isNotNull()).select("key").distinct()
     ubound = pass1.where(F.col("key").isNull()).agg(
         F.coalesce(F.sum("mg_est"), F.lit(0)).alias("u_bound")
     )
+    measure = (
+        F.count(F.lit(1))
+        if weight_col is None
+        else F.sum(F.coalesce(F.col("w"), F.lit(0)))
+    )
+    proj = [F.col(col).cast("string").alias("key")]
+    if weight_col is not None:
+        proj.append(F.col(weight_col).cast("long").alias("w"))
     exact = (
-        df.select(F.col(col).cast("string").alias("key"))
+        df.select(*proj)
         .join(broadcast(cands), "key")
         .groupBy("key")
-        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .agg(measure.alias("n_exact"))
     )
     topk = exact.orderBy(F.col("n_exact").desc(), F.col("key").asc()).limit(k)
     return topk.crossJoin(broadcast(ubound)).select(

@@ -238,3 +238,54 @@ def test_heavy_hitters_null_and_cast_handling(spark):
     )
     got = [(r.key, r.n_exact) for r in sketches.heavy_hitters(df, "k", k=3, capacity=64).collect()]
     assert got == [("1", 2), ("2", 1), ("3", 1)]
+
+
+def test_heavy_hitters_weighted_matches_groupby_sum(spark, sf_dir):
+    """weight_col switches the measure to exact weighted sums (top sources
+    by character volume) — equal to the direct groupBy/sum top-k."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = [
+        (r.key, r.n_exact)
+        for r in sketches.heavy_hitters(
+            docs, "source", k=5, capacity=64, weight_col="n_chars"
+        ).collect()
+    ]
+    want = [
+        (r.source, r.s)
+        for r in docs.groupBy("source")
+        .agg(F.sum("n_chars").alias("s"))
+        .orderBy(F.col("s").desc(), F.col("source"))
+        .limit(5)
+        .collect()
+    ]
+    assert sorted(got) == sorted(want)
+
+
+def test_heavy_hitters_weighted_eviction_superset(spark):
+    """Weighted MG under eviction pressure: the heavy key (one giant weight)
+    must survive; weighted U bounds every non-candidate's true weight."""
+    rows = [("whale", 10_000)] + [(f"m{i}", 7) for i in range(200)] * 3
+    df = spark.createDataFrame(rows, "key string, w long").repartition(4)
+    p1 = sketches.mg_summaries(df, "key", capacity=8, weight_col="w").collect()
+    u = sum(r.mg_est for r in p1 if r.key is None)
+    survivors = {r.key for r in p1 if r.key is not None}
+    assert "whale" in survivors
+    exact = {
+        r.key: r.s for r in df.groupBy("key").agg(F.sum("w").alias("s")).collect()
+    }
+    for k, s in exact.items():
+        if s > u:
+            assert k in survivors, (k, s, u)
+
+
+def test_heavy_hitters_weight_validation(spark):
+    df = spark.createDataFrame([("a", 1.5)], "key string, w double")
+    with pytest.raises(ValueError, match="integer column"):
+        sketches.heavy_hitters(df, "key", weight_col="w")
+    neg = spark.createDataFrame([("a", -1)], "key string, w long")
+    with pytest.raises(Exception, match="negative weight"):
+        sketches.heavy_hitters(neg, "key", weight_col="w").collect()
+    # null weights count as zero
+    nw = spark.createDataFrame([("a", 5), ("a", None), ("b", 3)], "key string, w long")
+    got = [(r.key, r.n_exact) for r in sketches.heavy_hitters(nw, "key", k=2, weight_col="w").collect()]
+    assert got == [("a", 5), ("b", 3)]
