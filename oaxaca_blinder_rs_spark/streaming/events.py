@@ -826,6 +826,7 @@ def streaming_mg_candidates(
     col: str,
     capacity: int = 1024,
     n_buckets: int = 32,
+    output_mode: str = "update",
 ) -> DataFrame:
     """Streaming face of ``operators.sketches.mg_summaries``: continuous
     Misra-Gries heavy-hitter candidate tracking over an unbounded stream.
@@ -843,10 +844,16 @@ def streaming_mg_candidates(
     the running eviction total — O(n_buckets x capacity) forever, no
     watermark needed.
 
-    Each micro-batch emits the bucket's refreshed summary (update mode):
+    Each micro-batch emits the bucket's refreshed summary:
     (bucket, key, mg_est) rows plus one (bucket, NULL, delta_total)
     sentinel — the same wire shape as the batch pass-1, so the downstream
     exact-recount face (sketches.heavy_hitters pass 2) consumes either.
+
+    ``output_mode`` must match the query's writeStream mode: "update" for
+    live sinks (memory/kafka — consumers keep the latest snapshot per
+    bucket), "append" for file sinks (each batch appends its snapshot;
+    checkpoint recovery works there, and readers take the max mg_est per
+    (bucket, key) — summaries are monotone under NoTimeout state).
     """
     import json
 
@@ -905,6 +912,8 @@ def streaming_mg_candidates(
         F.col(col).cast("string").alias("key"),
         F.pmod(F.xxhash64(F.col(col).cast("string")), F.lit(int(n_buckets))).alias("bucket"),
     ).where(F.col("key").isNotNull())  # nulls never count (batch-face convention)
+    if output_mode not in ("update", "append"):
+        raise ValueError("output_mode must be update|append")
     return keyed.groupBy("bucket").applyInPandasWithState(
-        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        update, out_schema, state_schema, output_mode, GroupStateTimeout.NoTimeout
     )

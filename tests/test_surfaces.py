@@ -1348,3 +1348,44 @@ def test_cli_corpus_blocklist_gate(spark, sf_dir, tmp_path, capsys):
         for r in textops.blocklist_stats(docs, ["dup", "unsafe"]).where(~F.col("kept")).collect()
     }
     assert not (kept_ids & flagged)
+
+
+def test_streaming_mg_candidates_checkpoint_recovery(spark, tmp_path):
+    """The MG state blob survives a stop/restart: run 1 counts 'hot' 60x,
+    run 2 (same checkpoint) sees only the appended file — the final summary
+    must still carry hot's full 60+40 count, proving state (not output)
+    crossed the restart."""
+    import tempfile
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType([StructField("v", StringType())])
+    src = str(tmp_path / "mg_recovery_src")
+    ckpt = str(tmp_path / "mg_recovery_ckpt")
+    os.makedirs(src, exist_ok=True)
+    spark.createDataFrame([("hot",)] * 60, schema).coalesce(1).write.mode("append").parquet(src)
+
+    out_dir = str(tmp_path / "mg_recovery_out")
+
+    def run_once():
+        stream = spark.readStream.schema(schema).format("parquet").load(src)
+        summ = streaming_events.streaming_mg_candidates(
+            stream, "v", capacity=16, n_buckets=2, output_mode="append"
+        )
+        q = (
+            summ.writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    first = {r["key"]: r["mg_est"] for r in spark.read.parquet(out_dir).collect()}
+    assert first.get("hot") == 60
+    spark.createDataFrame([("hot",)] * 40, schema).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    rows = [r for r in spark.read.parquet(out_dir).collect() if r["key"] == "hot"]
+    assert rows and max(r["mg_est"] for r in rows) == 100  # state crossed the restart
