@@ -414,7 +414,11 @@ def heavy_hitters(
     The result is PROVABLY exact, not approximate: any non-candidate key's
     true count is at most U = sum of per-partition decrement totals, and the
     plan raises an error unless the k-th exact candidate count exceeds U —
-    so no non-candidate could displace the returned rows. On failure, raise
+    so no non-candidate could displace the returned rows. When FEWER than k
+    candidates survive at all, a rank spine forces the same decision: with
+    U = 0 the candidate set is provably the complete key set (no eviction
+    ever fired) and the short result is the true, short top-k; with U > 0
+    the missing ranks are unprovable and the plan raises. On failure, raise
     ``capacity`` (U shrinks as ~N/capacity).
 
     Returns (key, n_exact) — exact counts (or exact weighted sums when
@@ -445,8 +449,36 @@ def heavy_hitters(
         .agg(measure.alias("n_exact"))
     )
     topk = exact.orderBy(F.col("n_exact").desc(), F.col("key").asc()).limit(k)
-    return topk.crossJoin(broadcast(ubound)).select(
-        "key",
+    # rank spine: k expected ranks left-joined against the (<= k-row) result.
+    # The row_number window runs AFTER limit(k) — k rows, one tiny task, not
+    # a global sort. A missing rank (null key) is fine iff U == 0 (candidate
+    # set provably complete => the data simply has < k distinct keys);
+    # otherwise it is exactly the silent-truncation case the guard exists
+    # for, and the plan must raise rather than return an incomplete top-k.
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n_exact").desc(), F.col("key").asc())
+    ranked = topk.withColumn("__rank", F.row_number().over(w))
+    spine = df.sparkSession.range(1, int(k) + 1).select(F.col("id").cast("int").alias("__rank"))
+    full = (
+        spine.join(ranked, "__rank", "left")
+        .crossJoin(broadcast(ubound))
+        .where(F.col("key").isNotNull() | (F.col("u_bound") > 0))
+    )
+    return full.select(
+        F.when(F.col("key").isNotNull(), F.col("key"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("heavy_hitters: no candidate survived for rank "),
+                    F.col("__rank").cast("string"),
+                    F.lit(" (eviction bound "),
+                    F.col("u_bound").cast("string"),
+                    F.lit(" > 0) — increase capacity"),
+                )
+            )
+        )
+        .alias("key"),
         F.when(F.col("n_exact") > F.col("u_bound"), F.col("n_exact"))
         .otherwise(
             F.raise_error(

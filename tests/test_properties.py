@@ -153,3 +153,53 @@ def test_sketch_properties_fuzzed(spark):
     r1 = sorted((r["register"], r["rho"]) for r in sketches.hll_registers(df, "u", 6).collect())
     r2 = sorted((r["register"], r["rho"]) for r in sketches.hll_registers(df2, "u", 6).collect())
     assert r1 == r2
+
+
+def test_mg_heavy_hitters_fuzzed(spark):
+    """Property fuzz (fixed seeds) for the round-10 Misra-Gries family:
+    over random zipf-ish corpora and random (k, capacity, partitions),
+    whenever heavy_hitters returns (the guard passes) the result EQUALS the
+    brute-force groupBy top-k with the same tie-break; when the guard
+    raises, the eviction bound genuinely swallowed the rank-k count. Also:
+    the pass-1 superset property holds on every draw."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from oaxaca_blinder_rs_spark.operators import sketches
+
+    rng = random.Random(20260816)
+    for trial in range(6):
+        n_keys = rng.randint(5, 120)
+        n_rows = rng.randint(200, 1500)
+        # zipf-ish skew: key i drawn with weight ~ 1/(i+1)
+        weights = [1.0 / (i + 1) for i in range(n_keys)]
+        vals = rng.choices([f"k{i}" for i in range(n_keys)], weights=weights, k=n_rows)
+        parts = rng.choice([1, 3, 8])
+        cap = rng.choice([2, 8, 32, 256])
+        k = rng.randint(1, 10)
+        df = spark.createDataFrame([(v,) for v in vals], "t string").repartition(parts)
+        truth = {}
+        for v in vals:
+            truth[v] = truth.get(v, 0) + 1
+        want = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+        p1 = sketches.mg_summaries(df, "t", capacity=cap).collect()
+        u = sum(r.mg_est for r in p1 if r.key is None)
+        survivors = {r.key for r in p1 if r.key is not None}
+        for key, n in truth.items():
+            if n > u:
+                assert key in survivors, (trial, key, n, u)
+
+        try:
+            got = [
+                (r.key, r.n_exact)
+                for r in sketches.heavy_hitters(df, "t", k=k, capacity=cap).collect()
+            ]
+        except Exception as e:
+            msg = str(e)
+            assert "not provably exact" in msg or "no candidate survived" in msg, (trial, e)
+            # the guard's own premise: rank-k exact count <= U
+            assert want[-1][1] <= u, (trial, want[-1], u)
+            continue
+        assert got == want, (trial, parts, cap, k)

@@ -210,7 +210,10 @@ def test_heavy_hitters_guard_raises_at_tiny_capacity(spark, sf_dir):
     toks = docs.select(
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("t")
     ).where(F.col("t") != "")
-    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception), match="not provably exact"):
+    with pytest.raises(
+        (Py4JJavaError, SparkRuntimeException, Exception),
+        match="not provably exact|no candidate survived",
+    ):
         sketches.heavy_hitters(toks, "t", k=10, capacity=2).collect()
 
 
