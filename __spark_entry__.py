@@ -2342,6 +2342,18 @@ def q_heavy_hitters_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("key", "source")
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keeping the best-scoring duplicate (dedup.dedup_keep_best,
+    r10): one max_by groupBy on the content hash — keep the longest copy
+    (score = n_chars), ties to the lowest id. The keep-best-quality twin of
+    prepare_corpus's keep-min-id convention. Registered past the driver
+    window — first record rides the ORACLE_SWEEP artifact."""
+    from oaxaca_blinder_rs_spark.operators.dedup import dedup_keep_best
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_keep_best(docs, score_col="n_chars").select("doc_id", "n_chars")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declared contract queries, ordered for the driver's verification window.
 
@@ -2526,6 +2538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_check": q_salted_join_check,
         # ---- r10 rows past the window (first record via ORACLE_SWEEP) ------
         "heavy_hitters_weighted": q_heavy_hitters_weighted,
+        "dedup_keep_best": q_dedup_keep_best,
     }
 
 # --------------------------------------------------------------------------
@@ -3906,6 +3919,16 @@ def oracle_sql() -> dict[str, str]:
 
 def _oracle_sql_literals() -> dict[str, str]:
     return {
+        "dedup_keep_best": """
+            SELECT doc_id, n_chars FROM (
+              SELECT doc_id, n_chars,
+                     row_number() OVER (
+                       PARTITION BY md5(coalesce(text, ''))
+                       ORDER BY n_chars DESC, doc_id
+                     ) AS rn
+              FROM documents
+            ) WHERE rn = 1
+        """,
         "heavy_hitters_weighted": """
             SELECT source, CAST(sum(n_chars) AS BIGINT) AS n_exact
             FROM documents GROUP BY source

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "exact_duplicates",
+    "dedup_keep_best",
     "shingles",
     "minhash_signature",
     "minhash_table",
@@ -50,6 +51,63 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
         .groupBy("content_hash")
         .agg(F.count(F.lit(1)).alias("dup_count"), F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
         .filter(F.col("dup_count") > 1)
+    )
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    score_col: str | None = None,
+) -> DataFrame:
+    """Exact dedup keeping the BEST duplicate, not an arbitrary one.
+
+    prepare_corpus keeps the lowest id per content group (a stable,
+    history-friendly default); real pipelines often want to keep the
+    highest-QUALITY copy instead — e.g. the crawl snapshot with the least
+    boilerplate. ``score_col`` ranks the group (higher wins; ties break to
+    the lowest id so the result stays deterministic); None falls back to
+    textops.quality_score computed on the fly.
+
+    Returns the input rows of the winners only (schema unchanged — the
+    removal-face convention, composes like blocklist_filter).
+
+    Scale shape: ONE groupBy on md5(text) using max_by over a (score,
+    -id) struct — map-side partial max, no window, no sort; the winners
+    join back broadcast-free on (hash, id) equi-keys. At 100 TB this is
+    the same shuffle exact_duplicates already pays, plus a co-keyed join.
+    """
+    from . import textops as _textops_mod  # lazy: dedup must import light
+
+    score = (
+        F.col(score_col).cast("double")
+        if score_col is not None
+        else F.round(_textops_mod.quality_score(F.col(text_col)), 6)
+    )
+    keyed = df.withColumn("__h", F.md5(F.coalesce(F.col(text_col), F.lit(""))))
+    winners = (
+        keyed.select(
+            "__h",
+            F.struct(
+                F.coalesce(score, F.lit(float("-inf"))).alias("s"),
+                (-F.col(id_col).cast("long")).alias("neg_id"),
+            ).alias("__rank"),
+            F.col(id_col).alias("__best_id"),
+        )
+        .groupBy("__h")
+        .agg(F.max_by("__best_id", F.col("__rank")).alias("__best_id"))
+    )
+    winners = winners.select(
+        F.col("__h").alias("__wh"), F.col("__best_id")
+    )
+    return (
+        keyed.join(
+            winners,
+            (keyed["__h"] == winners["__wh"])
+            & (keyed[id_col] == winners["__best_id"]),
+            "left_semi",
+        )
+        .drop("__h")
     )
 
 

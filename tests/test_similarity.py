@@ -678,3 +678,33 @@ def test_topk_recall_measures_ann_quality(spark):
     # a 1-probe index on 5 lists should be lossy but nonzero overall
     mean = sum(r["recall"] for r in got.values()) / n
     assert 0.0 < mean <= 1.0
+
+
+def test_dedup_keep_best(spark):
+    """Keep-best exact dedup (r10): highest score wins per content group,
+    ties break to the lowest id, null scores lose to scored rows, schema
+    passes through unchanged, and None score_col falls back to
+    quality_score (identical text => identical quality => min id)."""
+    from pyspark.sql import functions as F
+
+    from oaxaca_blinder_rs_spark.operators.dedup import dedup_keep_best
+
+    df = spark.createDataFrame(
+        [
+            (1, "same text here", 0.2),
+            (2, "same text here", 0.9),
+            (3, "same text here", 0.9),
+            (4, "unique", 0.1),
+            (5, None, 0.5),
+            (6, None, None),
+        ],
+        "doc_id long, text string, q double",
+    )
+    kept = sorted(r.doc_id for r in dedup_keep_best(df, score_col="q").collect())
+    assert kept == [2, 4, 5]
+    assert dedup_keep_best(df, score_col="q").columns == ["doc_id", "text", "q"]
+    kept_default = sorted(r.doc_id for r in dedup_keep_best(df).collect())
+    assert kept_default == [1, 4, 5]
+    # winners' full rows survive intact
+    row2 = dedup_keep_best(df, score_col="q").where(F.col("doc_id") == 2).collect()[0]
+    assert row2.text == "same text here" and row2.q == 0.9
