@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .csv import attach_row_ids
 
-__all__ = ["read_jsonl"]
+__all__ = ["read_jsonl", "write_jsonl"]
 
 
 def read_jsonl(
@@ -43,3 +43,27 @@ def read_jsonl(
     if with_row_id:
         df = attach_row_ids(df)
     return df
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partitions: int | None = None,
+    compression: str | None = None,
+) -> None:
+    """Write a DataFrame as newline-delimited JSON — the corpus interchange
+    format's OUT face (read_jsonl is the IN face; jsonl_roundtrip contracts
+    the pair's losslessness on the documents table).
+
+    partitions: optional coalesce before the write (JSONL consumers often
+    want a bounded file count; coalesce avoids a shuffle — use a full
+    repartition upstream if write parallelism matters more than file
+    count). compression: e.g. 'gzip' — splittability is lost for gzip, so
+    prefer none or 'zstd'-capable lakes at 100 TB.
+    """
+    out = df.coalesce(int(partitions)) if partitions else df
+    writer = out.write.mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)
