@@ -107,6 +107,18 @@ def build_parser() -> argparse.ArgumentParser:
         help="exit 1 if any constraint fails (the CI-gate mode)",
     )
 
+    # net-new surface: table profiling as a CLI verb
+    pr = sub.add_parser(
+        "profile",
+        help="Per-column health profile of a table (nulls, distinct, range, mean)",
+    )
+    pr.add_argument("--input", required=True, help="Input table (parquet dir/file)")
+    pr.add_argument(
+        "--cols", default="",
+        help="comma-separated columns (default: every column)",
+    )
+    pr.add_argument("--output-json", default=None, help="Write rows as JSON")
+
     # net-new surface: distribution-drift gate as a CLI verb
     dr = sub.add_parser(
         "drift",
@@ -303,6 +315,23 @@ def _run_drift(spark, args) -> int:
     return 0
 
 
+def _run_profile(spark, args) -> int:
+    """profile verb: one JSON line per column on stdout (+ optional file)."""
+    import json
+
+    from .operators.profiling import profile_columns
+
+    df = spark.read.parquet(args.input)
+    cols = _csv_list(args.cols) or list(df.columns)
+    rows = [r.asDict() for r in profile_columns(df, cols).collect()]
+    for r in rows:
+        print(json.dumps(r))
+    if args.output_json:
+        with open(args.output_json, "w") as f:
+            json.dump(rows, f, indent=1)
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     from pyspark.sql import SparkSession
@@ -314,7 +343,7 @@ def main(argv=None) -> int:
     spark = get_spark("oaxaca-cli")
     spark.sparkContext.setLogLevel("ERROR")
 
-    if args.command in ("corpus", "tokenize", "quality", "drift"):
+    if args.command in ("corpus", "tokenize", "quality", "drift", "profile"):
         try:
             if args.command == "corpus":
                 return _run_corpus(spark, args)
@@ -322,6 +351,8 @@ def main(argv=None) -> int:
                 return _run_tokenize(spark, args)
             if args.command == "quality":
                 return _run_quality(spark, args)
+            if args.command == "profile":
+                return _run_profile(spark, args)
             return _run_drift(spark, args)
         finally:
             if owns_session:

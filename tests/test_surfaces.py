@@ -1389,3 +1389,30 @@ def test_streaming_mg_candidates_checkpoint_recovery(spark, tmp_path):
     run_once()
     rows = [r for r in spark.read.parquet(out_dir).collect() if r["key"] == "hot"]
     assert rows and max(r["mg_est"] for r in rows) == 100  # state crossed the restart
+
+
+def test_cli_profile_verb(spark, sf_dir, tmp_path, capsys):
+    """profile CLI verb (r10): one JSON line per column; --cols subset and
+    --output-json both honored; values match profile_columns directly."""
+    import json as _json
+
+    from oaxaca_blinder_rs_spark.cli import main
+    from oaxaca_blinder_rs_spark.operators.profiling import profile_columns
+
+    src = f"{sf_dir}/documents.parquet"
+    outj = str(tmp_path / "profile.json")
+    assert main(["profile", "--input", src, "--cols", "lang,n_chars", "--output-json", outj]) == 0
+    lines = [ln for ln in capsys.readouterr().out.strip().splitlines() if ln.startswith("{")]
+    rows = [_json.loads(ln) for ln in lines]
+    assert [r["column"] for r in rows] == ["lang", "n_chars"]
+    direct = {
+        r["column"]: r.asDict()
+        for r in profile_columns(spark.read.parquet(src), ["lang", "n_chars"]).collect()
+    }
+    for r in rows:
+        assert r == direct[r["column"]]
+    assert _json.load(open(outj)) == rows
+    # default: every column
+    assert main(["profile", "--input", src]) == 0
+    all_lines = [ln for ln in capsys.readouterr().out.strip().splitlines() if ln.startswith("{")]
+    assert len(all_lines) == len(spark.read.parquet(src).columns)
