@@ -2354,6 +2354,23 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_keep_best(docs, score_col="n_chars").select("doc_id", "n_chars")
 
 
+def q_topk_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tokens per language (profiling.topk_per_group, r10): the
+    "top terms per domain" exploration query — aggregate-first (the window
+    sees each language's DISTINCT tokens, not its raw rows), deterministic
+    (n DESC, token ASC) tie-break. Registered past the driver window —
+    first record rides the ORACLE_SWEEP artifact."""
+    from oaxaca_blinder_rs_spark.operators.profiling import topk_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(textops.tokens(F.lower(F.coalesce(F.col("text"), F.lit(""))))).alias("token"),
+    ).where(F.col("token") != "")
+    out = topk_per_group(toks, "lang", "token", k=3)
+    return out.select("lang", "token", F.col("n").cast("long").alias("n"), "rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declared contract queries, ordered for the driver's verification window.
 
@@ -2539,6 +2556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- r10 rows past the window (first record via ORACLE_SWEEP) ------
         "heavy_hitters_weighted": q_heavy_hitters_weighted,
         "dedup_keep_best": q_dedup_keep_best,
+        "topk_tokens_per_lang": q_topk_tokens_per_lang,
     }
 
 # --------------------------------------------------------------------------
@@ -3919,6 +3937,23 @@ def oracle_sql() -> dict[str, str]:
 
 def _oracle_sql_literals() -> dict[str, str]:
     return {
+        "topk_tokens_per_lang": r"""
+            WITH toks AS (
+              SELECT lang,
+                     unnest(regexp_split_to_array(trim(lower(coalesce(text,''))), '\s+')) AS token
+              FROM documents
+            ), counts AS (
+              SELECT lang, token, count(*) AS n FROM toks WHERE token <> ''
+              GROUP BY lang, token
+            ), ranked AS (
+              SELECT lang, token, n,
+                     CAST(row_number() OVER (
+                       PARTITION BY lang ORDER BY n DESC, token
+                     ) AS INTEGER) AS rank
+              FROM counts
+            )
+            SELECT lang, token, n, rank FROM ranked WHERE rank <= 3
+        """,
         "dedup_keep_best": """
             SELECT doc_id, n_chars FROM (
               SELECT doc_id, n_chars,

@@ -19,6 +19,7 @@ __all__ = [
     "psi_from_counts",
     "drift_metrics",
     "quantile_sketch_check",
+    "topk_per_group",
 ]
 
 
@@ -539,3 +540,39 @@ def quantile_sketch_check(
         ).alias("q")
     ).select("q.*")
     return per_probe.orderBy("p")
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 10,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Top-k keys per group by count (or by summed ``weight_col``) —
+    "top tokens per source", "top events per user segment".
+
+    Returns (group_col, key_col, n, rank), rank 1..k per group with the
+    deterministic (n DESC, key ASC) tie-break shared with heavy_hitters.
+
+    Scale shape: aggregate FIRST (one keyed groupBy on (group, key) with
+    map-side partial aggregation), window SECOND — the row_number
+    partition sees only each group's DISTINCT keys, not its raw rows, so
+    a billion-row group with a million distinct keys windows over the
+    million. For a group whose distinct-key count itself is enormous,
+    compose mg_summaries per group upstream to bound the candidates; this
+    operator is the exact face.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    measure = (
+        F.count(F.lit(1))
+        if weight_col is None
+        else F.sum(F.coalesce(F.col(weight_col).cast("long"), F.lit(0)))
+    )
+    counts = df.groupBy(F.col(group_col), F.col(key_col)).agg(measure.alias("n"))
+    w = Window.partitionBy(group_col).orderBy(F.col("n").desc(), F.col(key_col).asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+    )

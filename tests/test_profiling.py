@@ -287,3 +287,38 @@ def test_quantile_sketch_check_validation(spark, sf_dir):
         li.withColumn("z", F.lit(None).cast("double")).limit(100), "l_extendedprice"
     ).collect()
     assert len(got) == 5
+
+
+def test_topk_per_group(spark, sf_dir):
+    """topk_per_group (r10): equals the brute-force per-group ranking with
+    the shared tie-break; weighted face sums int weights; k validation."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from oaxaca_blinder_rs_spark.operators.profiling import topk_per_group
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    got = {
+        (r.event_type, r.rank): (r.user_id, r.n)
+        for r in topk_per_group(ev, "event_type", "user_id", k=2).collect()
+    }
+    direct = (
+        ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    by_type: dict = {}
+    for r in direct:
+        by_type.setdefault(r.event_type, []).append((r.user_id, r.n))
+    for t, lst in by_type.items():
+        lst.sort(key=lambda kv: (-kv[1], kv[0]))
+        for i, (u, n) in enumerate(lst[:2], start=1):
+            assert got[(t, i)] == (u, n), (t, i)
+    # weighted: top event types per user by summed value? value is double ->
+    # use a constructed int frame instead
+    df = spark.createDataFrame(
+        [("g1", "a", 5), ("g1", "a", 5), ("g1", "b", 100), ("g2", "c", 1)],
+        "g string, k string, w long",
+    )
+    wtop = [(r.g, r.k, r.n, r.rank) for r in topk_per_group(df, "g", "k", k=1, weight_col="w").collect()]
+    assert sorted(wtop) == [("g1", "b", 100, 1), ("g2", "c", 1, 1)]
+    with pytest.raises(ValueError, match="k must"):
+        topk_per_group(df, "g", "k", k=0)
