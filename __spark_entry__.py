@@ -2371,6 +2371,16 @@ def q_topk_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("lang", "token", F.col("n").cast("long").alias("n"), "rank")
 
 
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility report (textops.tokenizer_fertility,
+    r10): BPE-regex tokens per whitespace word and characters per token —
+    the standard multilingual tokenizer-evaluation table. Pure codegen
+    counts + one keyed groupBy. Registered past the driver window —
+    first record rides the ORACLE_SWEEP artifact."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.tokenizer_fertility(docs, by_col="lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declared contract queries, ordered for the driver's verification window.
 
@@ -2557,6 +2567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters_weighted": q_heavy_hitters_weighted,
         "dedup_keep_best": q_dedup_keep_best,
         "topk_tokens_per_lang": q_topk_tokens_per_lang,
+        "tokenizer_fertility": q_tokenizer_fertility,
     }
 
 # --------------------------------------------------------------------------
@@ -3937,6 +3948,23 @@ def oracle_sql() -> dict[str, str]:
 
 def _oracle_sql_literals() -> dict[str, str]:
     return {
+        "tokenizer_fertility": """
+            WITH per AS (
+              SELECT lang,
+                     len(regexp_split_to_array(trim(coalesce(text,'')), '\\s+')) w,
+                     len(regexp_extract_all(coalesce(text,''),
+                         '''(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s'']+')) b,
+                     length(coalesce(text,'')) c
+              FROM documents
+            )
+            SELECT lang,
+                   count(*) AS n_docs,
+                   CAST(sum(w) AS BIGINT) AS n_words,
+                   CAST(sum(b) AS BIGINT) AS n_bpe_tokens,
+                   round(CAST(sum(b) AS DOUBLE) / sum(w), 6) AS fertility,
+                   round(CAST(sum(c) AS DOUBLE) / sum(b), 6) AS chars_per_token
+            FROM per GROUP BY lang
+        """,
         "topk_tokens_per_lang": r"""
             WITH toks AS (
               SELECT lang,

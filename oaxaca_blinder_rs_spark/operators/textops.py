@@ -32,6 +32,7 @@ __all__ = [
     "pii_stats",
     "blocklist_stats",
     "blocklist_filter",
+    "tokenizer_fertility",
     "repetition_stats",
     "ngram_logprob",
     "kneser_ney_logprob",
@@ -1224,3 +1225,41 @@ def blocklist_filter(
     stats = blocklist_stats(df, terms, text_col=text_col, id_col=id_col)
     drops = stats.where(F.col("n_hits") > max_hits).select(id_col)
     return df.join(F.broadcast(drops), id_col, "anti")
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    by_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group tokenizer fertility report — the standard tokenizer-
+    evaluation table (how many subword tokens a word costs, how many
+    characters a token carries; multilingual pipelines watch fertility to
+    spot languages a vocabulary serves badly).
+
+    Per ``by_col`` group: document count, total whitespace words, total
+    BPE-regex tokens (token_count_bpe — the GPT-2 pre-tokenizer count),
+    fertility = bpe_tokens / words, chars_per_token = chars / bpe_tokens
+    (6 dp, the oracle-shared rounding).
+
+    Pure codegen counts + ONE keyed groupBy — nothing else shuffles.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    per_doc = df.select(
+        F.col(by_col),
+        token_count(t).alias("__w"),
+        token_count_bpe(t).alias("__b"),
+        F.length(t).alias("__c"),
+    )
+    return (
+        per_doc.groupBy(by_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__w").cast("long").alias("n_words"),
+            F.sum("__b").cast("long").alias("n_bpe_tokens"),
+            # try_divide: a group of empty/whitespace docs has zero tokens —
+            # NULL, not an ANSI divide-by-zero error (asserted in tests)
+            F.round(F.try_divide(F.sum("__b"), F.sum("__w")), 6).alias("fertility"),
+            F.round(F.try_divide(F.sum("__c"), F.sum("__b")), 6).alias("chars_per_token"),
+        )
+    )

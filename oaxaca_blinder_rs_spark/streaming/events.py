@@ -331,6 +331,7 @@ def streaming_corpus_gate(
     langs: tuple[str, ...] = ("en",),
     watermark: str = "2 hours",
     scrub_pii: bool = False,
+    blocklist_terms: list[str] | None = None,
 ) -> DataFrame:
     """Streaming ingest gate for a document corpus — the streaming face of
     ``operators.corpus.prepare_corpus`` stages 1-2.
@@ -347,10 +348,27 @@ def streaming_corpus_gate(
     (``textops.pii_scrub`` — stateless regexp chain, so it streams with no
     extra state), letting the gate emit train-safe text directly.
 
+    ``blocklist_terms`` applies the C4 bad-words rule BEFORE the quality
+    gate, mirroring the batch composition (prepare_corpus): the literal-
+    array codegen predicate from textops.blocklist_filter is stateless, so
+    it streams for free. Streaming keeps the literal regime only — a
+    beyond-literal-size list needs the broadcast-join face, which belongs
+    in the periodic batch compaction, not the ingest gate.
+
     Output: (doc_id, ts, fingerprint, n_tokens, quality, lang [, text])
     survivors.
     """
     from ..operators import textops
+
+    if blocklist_terms:
+        if len({b.lower() for b in blocklist_terms}) > 512:
+            raise ValueError(
+                "streaming gate supports literal blocklists only (<= 512 "
+                "case-folded terms); run bigger lists in the batch compaction"
+            )
+        docs = textops.blocklist_filter(
+            docs, blocklist_terms, text_col=text_col, id_col=id_col
+        )
 
     t = F.col(text_col)
     toks = F.split(F.trim(F.lower(t)), r"\s+")

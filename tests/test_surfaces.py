@@ -1416,3 +1416,41 @@ def test_cli_profile_verb(spark, sf_dir, tmp_path, capsys):
     assert main(["profile", "--input", src]) == 0
     all_lines = [ln for ln in capsys.readouterr().out.strip().splitlines() if ln.startswith("{")]
     assert len(all_lines) == len(spark.read.parquet(src).columns)
+
+
+def test_streaming_corpus_gate_blocklist(spark, tmp_path):
+    """r10: the blocklist gate streams (stateless literal predicate) and
+    composes with quality/lang/dedup; oversized lists are rejected."""
+    import tempfile
+    from datetime import datetime
+
+    good = (
+        "the cat and the dog went to the market, and it was a fine day for "
+        "all of them. the weather is that kind of thing that is on with as "
+        "was at by an be this are; they walked for a while in the sun. "
+        "the cat and the dog came back to the house and it was good."
+    )
+    bad = good + " forbidden"
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+    df = spark.createDataFrame(
+        [(0, good, t0), (1, bad, t0)], "doc_id long, text string, ts timestamp"
+    )
+    src = str(tmp_path / "docs_stream_bl")
+    df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(df.schema).format("parquet").load(src)
+    gated = streaming_events.streaming_corpus_gate(
+        stream, blocklist_terms=["Forbidden"]
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            gated.writeStream.format("memory").queryName("corpus_gate_bl")
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+    ids = sorted(r["doc_id"] for r in spark.sql("SELECT * FROM corpus_gate_bl").collect())
+    assert ids == [0]  # the blocklisted doc never reaches the quality gate
+    with pytest.raises(ValueError, match="literal blocklists"):
+        streaming_events.streaming_corpus_gate(
+            stream, blocklist_terms=[f"t{i}" for i in range(600)]
+        )

@@ -918,3 +918,44 @@ def test_blocklist_filter_and_validation(spark):
         textops.blocklist_stats(docs, ["Dup", "dup"])
     with pytest.raises(ValueError, match="single tokens"):
         textops.blocklist_stats(docs, ["two words"])
+
+
+def test_tokenizer_fertility(spark):
+    """Fertility math on a constructed frame: known word/BPE-token counts."""
+    df = spark.createDataFrame(
+        [("en", "hello world"), ("en", "it's nice"), ("de", "ein test"), ("xx", None)],
+        "lang string, text string",
+    )
+    rows = {r.lang: r for r in textops.tokenizer_fertility(df).collect()}
+    # "hello world" -> 2 words, 2 bpe; "it's nice" -> 2 words, 3 bpe (it|'s| nice)
+    en = rows["en"]
+    assert en.n_docs == 2 and en.n_words == 4 and en.n_bpe_tokens == 5
+    assert en.fertility == round(5 / 4, 6)
+    assert en.chars_per_token == round((11 + 9) / 5, 6)
+    de = rows["de"]
+    assert de.n_words == 2 and de.n_bpe_tokens == 2 and de.fertility == 1.0
+    # null text: token_count('') counts the [''] artifact word, 0 bpe tokens
+    xx = rows["xx"]
+    assert xx.n_docs == 1 and xx.n_bpe_tokens == 0 and xx.chars_per_token is None
+
+
+def test_blocklist_paths_fuzzed_equal(spark):
+    """Fuzz (fixed seeds): literal-codegen and broadcast-join blocklist
+    regimes agree on random unicode corpora and random term lists."""
+    import random
+
+    rng = random.Random(20260816)
+    alphabet = ["alpha", "beta", "Gamma", "δέλτα", "x1", "-", "a'b", "c.d", "Ω"]
+    for trial in range(4):
+        docs = []
+        for i in range(rng.randint(5, 40)):
+            words = rng.choices(alphabet, k=rng.randint(0, 12))
+            docs.append((i, " ".join(words) if words else rng.choice(["", None])))
+        terms = rng.sample([t.lower() for t in alphabet], rng.randint(1, 4))
+        df = spark.createDataFrame(docs, "doc_id long, text string").repartition(3)
+        lit = sorted(tuple(r) for r in textops.blocklist_stats(df, terms).collect())
+        join = sorted(
+            tuple(r)
+            for r in textops.blocklist_stats(df, terms, max_literal_terms=0).collect()
+        )
+        assert lit == join, (trial, terms)
