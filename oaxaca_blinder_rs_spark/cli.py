@@ -119,6 +119,23 @@ def build_parser() -> argparse.ArgumentParser:
     )
     pr.add_argument("--output-json", default=None, help="Write rows as JSON")
 
+    # net-new surface: exact heavy hitters as a CLI verb
+    tt = sub.add_parser(
+        "top-tokens",
+        help="Exact top-k corpus tokens via the two-pass Misra-Gries sketch",
+    )
+    tt.add_argument("--input", required=True, help="Input documents (parquet dir/file)")
+    tt.add_argument("--text-col", default="text")
+    tt.add_argument("--k", type=int, default=20)
+    tt.add_argument("--capacity", type=int, default=4096)
+    tt.add_argument(
+        "--by-col", default=None,
+        help="rank values of this column instead of tokenized text "
+        "(e.g. source); --weight-col then weights by an int column",
+    )
+    tt.add_argument("--weight-col", default=None)
+    tt.add_argument("--output-json", default=None, help="Write rows as JSON")
+
     # net-new surface: distribution-drift gate as a CLI verb
     dr = sub.add_parser(
         "drift",
@@ -315,6 +332,39 @@ def _run_drift(spark, args) -> int:
     return 0
 
 
+def _run_top_tokens(spark, args) -> int:
+    """top-tokens verb: one JSON line per rank on stdout (+ optional file)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from .operators import textops
+    from .operators.sketches import heavy_hitters
+
+    df = spark.read.parquet(args.input)
+    if args.by_col:
+        src, col = df, args.by_col
+    else:
+        if args.weight_col:
+            raise SystemExit("--weight-col requires --by-col (tokens are unweighted)")
+        src = df.select(
+            F.explode(
+                textops.tokens(F.lower(F.coalesce(F.col(args.text_col), F.lit(""))))
+            ).alias("token")
+        ).where(F.col("token") != "")
+        col = "token"
+    out = heavy_hitters(
+        src, col, k=args.k, capacity=args.capacity, weight_col=args.weight_col
+    )
+    rows = [r.asDict() for r in out.collect()]
+    for r in rows:
+        print(json.dumps(r))
+    if args.output_json:
+        with open(args.output_json, "w") as f:
+            json.dump(rows, f, indent=1)
+    return 0
+
+
 def _run_profile(spark, args) -> int:
     """profile verb: one JSON line per column on stdout (+ optional file)."""
     import json
@@ -343,7 +393,7 @@ def main(argv=None) -> int:
     spark = get_spark("oaxaca-cli")
     spark.sparkContext.setLogLevel("ERROR")
 
-    if args.command in ("corpus", "tokenize", "quality", "drift", "profile"):
+    if args.command in ("corpus", "tokenize", "quality", "drift", "profile", "top-tokens"):
         try:
             if args.command == "corpus":
                 return _run_corpus(spark, args)
@@ -353,6 +403,8 @@ def main(argv=None) -> int:
                 return _run_quality(spark, args)
             if args.command == "profile":
                 return _run_profile(spark, args)
+            if args.command == "top-tokens":
+                return _run_top_tokens(spark, args)
             return _run_drift(spark, args)
         finally:
             if owns_session:

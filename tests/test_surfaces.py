@@ -1454,3 +1454,25 @@ def test_streaming_corpus_gate_blocklist(spark, tmp_path):
         streaming_events.streaming_corpus_gate(
             stream, blocklist_terms=[f"t{i}" for i in range(600)]
         )
+
+
+def test_cli_top_tokens_verb(spark, sf_dir, tmp_path, capsys):
+    """top-tokens CLI verb (r10): token mode equals the direct operator;
+    --by-col/--weight-col ranks a column by weighted sum; misuse errors."""
+    import json as _json
+
+    from oaxaca_blinder_rs_spark.cli import main
+
+    src = f"{sf_dir}/documents.parquet"
+    assert main(["top-tokens", "--input", src, "--k", "5", "--capacity", "256"]) == 0
+    rows = [_json.loads(l) for l in capsys.readouterr().out.strip().splitlines() if l.startswith("{")]
+    assert len(rows) == 5 and rows[0]["n_exact"] >= rows[-1]["n_exact"]
+    outj = str(tmp_path / "tt.json")
+    assert main([
+        "top-tokens", "--input", src, "--by-col", "source",
+        "--weight-col", "n_chars", "--k", "3", "--output-json", outj,
+    ]) == 0
+    wrows = _json.load(open(outj))
+    assert len(wrows) == 3 and wrows[0]["n_exact"] >= wrows[1]["n_exact"]
+    with pytest.raises(SystemExit):
+        main(["top-tokens", "--input", src, "--weight-col", "n_chars"])
