@@ -2309,7 +2309,13 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oaxaca_blinder_rs_spark.sources.jsonl import read_jsonl
 
     docs = _t(spark, sf_dir, "documents")
-    out = f"/tmp/oaxaca_jsonl_rt_{os.path.basename(sf_dir.rstrip('/'))}"
+    # per-process-unique path: a fixed /tmp name races when two drivers (or a
+    # test and the oracle sweep) hit the same sf dir concurrently — one's
+    # overwrite can delete files under the other's in-flight scan
+    import uuid
+
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    out = f"/tmp/oaxaca_jsonl_rt_{sf}_{os.getpid()}_{uuid.uuid4().hex[:8]}"
     docs.coalesce(4).write.mode("overwrite").json(out)
     back = read_jsonl(
         spark,
@@ -2381,103 +2387,96 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.tokenizer_fertility(docs, by_col="lang")
 
 
+def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming->batch exact heavy hitters (r11): the events table replayed
+    as a bounded stream (availableNow) through the STATEFUL Misra-Gries
+    candidate tracker (streaming/events.py streaming_mg_candidates —
+    hash-bucketed applyInPandasWithState, O(buckets x capacity) state),
+    snapshots reduced via mg_snapshot_candidates (union-of-keys superset +
+    final per-bucket eviction totals), then fed into the batch exact-recount
+    pass (sketches.heavy_hitters_verify) with the provability guard intact.
+    Top-10 users by event count, exact — so the oracle is the plain GROUP
+    BY / ORDER BY / LIMIT, making the whole streaming state path
+    hash-contractable for the first time (was suite-only through r10)."""
+    import tempfile
+    import uuid
+
+    from oaxaca_blinder_rs_spark.operators.sketches import heavy_hitters_verify
+    from oaxaca_blinder_rs_spark.streaming.events import (
+        mg_snapshot_candidates,
+        streaming_mg_candidates,
+    )
+
+    static = _t(spark, sf_dir, "events")
+    # unique scratch everywhere: concurrent drivers/sweeps must not share a
+    # checkpoint, a source copy, or a memory-sink name (the jsonl lesson)
+    run = f"{os.getpid()}_{uuid.uuid4().hex[:8]}"
+    src = tempfile.mkdtemp(prefix=f"oaxaca_mg_src_{run}_")
+    static.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(static.schema).format("parquet").load(src)
+    summ = streaming_mg_candidates(stream, "user_id", capacity=1024, n_buckets=8)
+    name = f"mg_stream_{run}"
+    ckpt = tempfile.mkdtemp(prefix=f"oaxaca_mg_ckpt_{run}_")
+    q = (
+        summ.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("streaming_heavy_hitters: availableNow replay timed out")
+    cands, ubound = mg_snapshot_candidates(spark.table(name))
+    out = heavy_hitters_verify(static, "user_id", cands, ubound, k=10)
+    return out.select(
+        F.col("key").alias("user_id"), F.col("n_exact").cast("long").alias("n_events")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declared contract queries, ordered for the driver's verification window.
 
     The driver hash-checks the FIRST 50 entries in declaration order.
-    Round-10 window (NOTES_r9 rotation plan, plus the round's new operators):
-    (1) rows 0-4: the five NEW r10 operators taking their first records —
-    heavy_hitters (two-pass Misra-Gries exact top-k), blocklist_stats
-    (C4 bad-words gate), jsonl_roundtrip (JSONL source losslessness),
-    media_metadata (multimodal ingest metadata, driver-visible at last),
-    quantile_sketch_bound (GK-sketch rank-error certificate);
-    (2) row 5: ann_recall (NEW r10 contract — recall@3 of every ANN index
-    vs the brute-force baseline); (3) rows 6-10: the five r9 contracts
-    whose IMPLEMENTATION changed this round and therefore re-record —
-    source_quota (skew-safe grouped prefix scan + null-text coalesce),
-    pq_adc_top3 + ivfpq_top3 (pq_codes dim reuse), dup_substring_spans +
-    substring_dedup_clean (16-byte digest shuffle keys); (4) rows 11-41:
-    ALL 31 r7-green rows whose records turn 3 rounds old at r10 close —
-    the hard rotation requirement; (5) rows 42-45: the four r8 rows
-    deferred in r9 (vocab_stats, machado_mata, embedding_outliers,
-    semantic_dedup); (6) rows 46-49: 4 of the oldest r8-green rows, pulled
-    forward to keep r11 feasible (the remaining 39 r8 rows rotate in r11;
-    r9-record rows stay compliant through r11 and rotate by r12).
+    Round-11 window (NOTES_r10 rotation plan, executed verbatim):
+    (1) rows 0-38: ALL 39 r8-record rows whose driver records turn 3 rounds
+    old at r11 close — the hard rotation requirement (the events_drift
+    family through ngram_contamination, plus part_triangles which sat at
+    position 50 in r10);
+    (2) rows 39-42: the four r10 operators that have never held a driver-
+    window record (heavy_hitters_weighted, dedup_keep_best,
+    topk_tokens_per_lang, tokenizer_fertility — first records were
+    sweep-only; dedup_keep_best additionally re-records because its
+    tie-break implementation changed this round to native-id ordering);
+    (3) row 43: streaming_heavy_hitters — NEW r11 contract: the stateful
+    streaming Misra-Gries candidate tracker replayed availableNow and fed
+    into the batch exact-recount pass, hash-matched against the plain
+    GROUP BY top-k oracle (the streaming state path's first driver-visible
+    record);
+    (4) rows 44-46: r10 contracts whose implementation changed this round
+    and therefore re-record — quantile_sketch_bound (rank-INTERVAL
+    certificate fix), heavy_hitters (pass-2 refactored into
+    heavy_hitters_verify + broadcast-size guard), jsonl_roundtrip
+    (per-process-unique scratch path);
+    (5) rows 47-49: the three oldest r9-record rows (sample_weighted,
+    attribution_last_touch, cms_user_counts), pulled forward.
 
-    Past the window, ordered by rotation due-date: the 39 remaining
-    r8-record rows (r11 head), the 10 unchanged r9-record rows, the 20
-    r6-cohort rows and 15 r7-cohort rows re-recorded in r9 (all due r12).
-    The registry holds 134 rows total; from r10 on the committed
-    ORACLE_SWEEP_r{N}.json carries a machine-readable full-registry
-    check (every row, rows/schema/hash booleans) regenerated at each
-    round close by `tools/check_oracle.py --json`, so registry coverage
-    no longer depends on the 50-row driver window alone — the window
-    remains the driver's independent spot-check and rotates per the
-    <=2-round policy as long as arithmetic allows.
+    Past the window, ordered by rotation due-date: the 42 remaining
+    r9-record rows, then the 47 remaining r10-record rows. The registry
+    holds len(queries()) rows — 139 as of r11 (138 oracle-paired +
+    pca_whiten_top2 rows-only; count the dict, don't trust prose). From
+    r10 on the committed ORACLE_SWEEP_r{N}.json carries a machine-readable
+    full-registry check (every row, rows/schema/hash booleans) regenerated
+    at each round close by `tools/check_oracle.py --json`, so registry
+    coverage no longer depends on the 50-row driver window alone — the
+    window is the driver's independent spot-check and rotates oldest-first
+    for as long as the arithmetic allows (see COVERAGE.md for the r12+
+    policy: the sweep is the coverage record, the window spot-checks the
+    oldest records).
     """
     return {
-        # -- rows 0-4: NEW r10 operators (first records) ----------------------
-        "heavy_hitters": q_heavy_hitters,
-        "blocklist_stats": q_blocklist_stats,
-        "jsonl_roundtrip": q_jsonl_roundtrip,
-        "media_metadata": q_media_metadata,
-        "quantile_sketch_bound": q_quantile_sketch_bound,
-        # -- row 5: NEW r10 contract over the r9 ANN family -------------------
-        "ann_recall": q_ann_recall,
-        # -- rows 6-10: r9 contracts whose implementation changed in r10 -----
-        "source_quota": q_source_quota,
-        "pq_adc_top3": q_pq_adc_top3,
-        "ivfpq_top3": q_ivfpq_top3,
-        "dup_substring_spans": q_dup_substring_spans,
-        "substring_dedup_clean": q_substring_dedup_clean,
-        # -- rows 11-41: the 31 r7-record rows (3 rounds old at r10 close) ---
-        "events_props_stats": q_events_props_stats,
-        "user_sessions": q_user_sessions,
-        "sample_fraction": q_sample_fraction,
-        "sample_stratified": q_sample_stratified,
-        "corpus_mixture": q_corpus_mixture,
-        "corpus_split": q_corpus_split,
-        "regional_revenue": q_regional_revenue,
-        "segment_revenue_top10": q_segment_revenue_top10,
-        "oaxaca_mean_2pred": q_oaxaca_mean_2pred,
-        "oaxaca_categorical": q_oaxaca_categorical,
-        "oaxaca_wls": q_oaxaca_wls,
-        "embedding_cosine_dups": q_embedding_cosine_dups,
-        "embedding_cosine_dups_lsh": q_embedding_cosine_dups_lsh,
-        "quality_score": q_quality_score,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "adaptive_logprob_keep": q_adaptive_logprob_keep,
-        "dfl_densities": q_dfl_densities,
-        "kmeans_clusters": q_kmeans_clusters,
-        "oaxaca_mean_groupb": q_oaxaca_mean_groupb,
-        "oaxaca_mean_pooled": q_oaxaca_mean_pooled,
-        "oaxaca_mean_weighted": q_oaxaca_mean_weighted,
-        "rif_q90_groupb": q_rif_q90_groupb,
-        "budget_allocation": q_budget_allocation,
-        "vif_lineitem": q_vif_lineitem,
-        "ngram_jaccard": q_ngram_jaccard,
-        "dedup_clusters": q_dedup_clusters,
-        "corpus_prepare": q_corpus_prepare,
-        "corpus_pack": q_corpus_pack,
-        "tfidf_top3": q_tfidf_top3,
-        "akm_demeaned_check": q_akm_demeaned_check,
-        "heckman_decomposition": q_heckman_decomposition,
-        # -- rows 42-45: the four r8 rows deferred in r9 ----------------------
-        "vocab_stats": q_vocab_stats,
-        "machado_mata": q_machado_mata,
-        "embedding_outliers": q_embedding_outliers,
-        "semantic_dedup": q_semantic_dedup,
-        # -- rows 46-49: oldest r8-green rows, pulled forward for r11 room ----
-        "matching_weights": q_matching_weights,
-        "span_dedup": q_span_dedup,
-        "cross_corpus_dedup": q_cross_corpus_dedup,
-        "connected_components_geo": q_connected_components_geo,
-        "part_triangles": q_part_triangles,
-        # ---- past the window: r8-record rows (r11 head) ---------------------
-        # (events_drift/events_drift_metrics/lineitem_constraints/
-        # events_anomalies were
-        # r10-insurance slots until the five new r10 operators took rows
-        # 0-4; they stay r11-due like the rest of the r8 cohort)
+        # -- rows 0-38: the 39 r8-record rows (3 rounds old at r11 close) -----
         "events_drift": q_events_drift,
         "events_drift_metrics": q_events_drift_metrics,
         "lineitem_constraints": q_lineitem_constraints,
@@ -2516,21 +2515,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_kde_grid": q_weighted_kde_grid,
         "ngram_doc_freq": q_ngram_doc_freq,
         "ngram_contamination": q_ngram_contamination,
-        # ---- r9-record rows unchanged this round (compliant through r11) ----
-        "pca_whiten_invariants": q_pca_whiten_invariants,
-        "bpe_encode": q_bpe_encode,
-        "bpe_token_ids": q_bpe_token_ids,
-        "bpe_vocab": q_bpe_vocab,
-        "bpe_merges": q_bpe_merges,
-        "hilbert_customers": q_hilbert_customers,
-        "dsir_selection": q_dsir_selection,
-        "kneser_ney_lm": q_kneser_ney_lm,
-        "hashed_bow": q_hashed_bow,
-        "classifier_quality": q_classifier_quality,
-        # ---- r6/r7-cohort rows re-recorded in r9 (due r12) -------------------
+        "part_triangles": q_part_triangles,
+        # -- rows 39-42: never-windowed r10 rows take first driver records ----
+        "heavy_hitters_weighted": q_heavy_hitters_weighted,
+        "dedup_keep_best": q_dedup_keep_best,
+        "topk_tokens_per_lang": q_topk_tokens_per_lang,
+        "tokenizer_fertility": q_tokenizer_fertility,
+        # -- row 43: NEW r11 contract (streaming MG -> batch exact recount) ---
+        "streaming_heavy_hitters": q_streaming_heavy_hitters,
+        # -- rows 44-46: r10 contracts whose implementation changed in r11 ----
+        "quantile_sketch_bound": q_quantile_sketch_bound,
+        "heavy_hitters": q_heavy_hitters,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
+        # -- rows 47-49: oldest r9-record rows, pulled forward ----------------
         "sample_weighted": q_sample_weighted,
         "attribution_last_touch": q_attribution_last_touch,
         "cms_user_counts": q_cms_user_counts,
+        # ---- past the window: remaining r9-record rows (due r12) ------------
         "path_transitions": q_path_transitions,
         "zorder_customers": q_zorder_customers,
         "bloom_membership": q_bloom_membership,
@@ -2563,11 +2564,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_events": q_rolling_events,
         "range_join_events": q_range_join_events,
         "salted_join_check": q_salted_join_check,
-        # ---- r10 rows past the window (first record via ORACLE_SWEEP) ------
-        "heavy_hitters_weighted": q_heavy_hitters_weighted,
-        "dedup_keep_best": q_dedup_keep_best,
-        "topk_tokens_per_lang": q_topk_tokens_per_lang,
-        "tokenizer_fertility": q_tokenizer_fertility,
+        "pca_whiten_invariants": q_pca_whiten_invariants,
+        "bpe_encode": q_bpe_encode,
+        "bpe_token_ids": q_bpe_token_ids,
+        "bpe_vocab": q_bpe_vocab,
+        "bpe_merges": q_bpe_merges,
+        "hilbert_customers": q_hilbert_customers,
+        "dsir_selection": q_dsir_selection,
+        "kneser_ney_lm": q_kneser_ney_lm,
+        "hashed_bow": q_hashed_bow,
+        "classifier_quality": q_classifier_quality,
+        # ---- remaining r10-record rows (due r13) ----------------------------
+        "blocklist_stats": q_blocklist_stats,
+        "media_metadata": q_media_metadata,
+        "ann_recall": q_ann_recall,
+        "source_quota": q_source_quota,
+        "pq_adc_top3": q_pq_adc_top3,
+        "ivfpq_top3": q_ivfpq_top3,
+        "dup_substring_spans": q_dup_substring_spans,
+        "substring_dedup_clean": q_substring_dedup_clean,
+        "events_props_stats": q_events_props_stats,
+        "user_sessions": q_user_sessions,
+        "sample_fraction": q_sample_fraction,
+        "sample_stratified": q_sample_stratified,
+        "corpus_mixture": q_corpus_mixture,
+        "corpus_split": q_corpus_split,
+        "regional_revenue": q_regional_revenue,
+        "segment_revenue_top10": q_segment_revenue_top10,
+        "oaxaca_mean_2pred": q_oaxaca_mean_2pred,
+        "oaxaca_categorical": q_oaxaca_categorical,
+        "oaxaca_wls": q_oaxaca_wls,
+        "embedding_cosine_dups": q_embedding_cosine_dups,
+        "embedding_cosine_dups_lsh": q_embedding_cosine_dups_lsh,
+        "quality_score": q_quality_score,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "adaptive_logprob_keep": q_adaptive_logprob_keep,
+        "dfl_densities": q_dfl_densities,
+        "kmeans_clusters": q_kmeans_clusters,
+        "oaxaca_mean_groupb": q_oaxaca_mean_groupb,
+        "oaxaca_mean_pooled": q_oaxaca_mean_pooled,
+        "oaxaca_mean_weighted": q_oaxaca_mean_weighted,
+        "rif_q90_groupb": q_rif_q90_groupb,
+        "budget_allocation": q_budget_allocation,
+        "vif_lineitem": q_vif_lineitem,
+        "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
+        "corpus_prepare": q_corpus_prepare,
+        "corpus_pack": q_corpus_pack,
+        "tfidf_top3": q_tfidf_top3,
+        "akm_demeaned_check": q_akm_demeaned_check,
+        "heckman_decomposition": q_heckman_decomposition,
+        "vocab_stats": q_vocab_stats,
+        "machado_mata": q_machado_mata,
+        "embedding_outliers": q_embedding_outliers,
+        "semantic_dedup": q_semantic_dedup,
+        "matching_weights": q_matching_weights,
+        "span_dedup": q_span_dedup,
+        "cross_corpus_dedup": q_cross_corpus_dedup,
+        "connected_components_geo": q_connected_components_geo,
     }
 
 # --------------------------------------------------------------------------
@@ -4005,6 +4059,12 @@ def _oracle_sql_literals() -> dict[str, str]:
               SELECT token, count(*) AS n_exact FROM toks WHERE token <> '' GROUP BY token
             )
             SELECT token, n_exact FROM counts ORDER BY n_exact DESC, token LIMIT 20
+        """,
+        "streaming_heavy_hitters": """
+            SELECT CAST(user_id AS VARCHAR) AS user_id,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1
+            ORDER BY n_events DESC, user_id ASC LIMIT 10
         """,
         "blocklist_stats": r"""
             SELECT doc_id,

@@ -85,17 +85,20 @@ def dedup_keep_best(
         else F.round(_textops_mod.quality_score(F.col(text_col)), 6)
     )
     keyed = df.withColumn("__h", F.md5(F.coalesce(F.col(text_col), F.lit(""))))
+    # min_by over (-score, id) == "max score, ties to LOWEST id", with the id
+    # compared in its NATIVE type: casting a string id to long would null the
+    # tie-break silently and make the winner partition-dependent.
     winners = (
         keyed.select(
             "__h",
             F.struct(
-                F.coalesce(score, F.lit(float("-inf"))).alias("s"),
-                (-F.col(id_col).cast("long")).alias("neg_id"),
+                (-F.coalesce(score, F.lit(float("-inf")))).alias("neg_s"),
+                F.col(id_col).alias("i"),
             ).alias("__rank"),
             F.col(id_col).alias("__best_id"),
         )
         .groupBy("__h")
-        .agg(F.max_by("__best_id", F.col("__rank")).alias("__best_id"))
+        .agg(F.min_by("__best_id", F.col("__rank")).alias("__best_id"))
     )
     winners = winners.select(
         F.col("__h").alias("__wh"), F.col("__best_id")

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hll_registers", "hll_count_distinct", "hll_alpha", "cms_table", "cms_estimate", "bloom_build", "bloom_maybe_contains", "hll_count_distinct_by", "hll_union_estimate", "hll_intersection_estimate", "mg_summaries", "heavy_hitters"]
+__all__ = ["hll_registers", "hll_count_distinct", "hll_alpha", "cms_table", "cms_estimate", "bloom_build", "bloom_maybe_contains", "hll_count_distinct_by", "hll_union_estimate", "hll_intersection_estimate", "mg_summaries", "heavy_hitters", "heavy_hitters_verify"]
 
 
 def hll_alpha(m: int) -> float:
@@ -399,6 +399,7 @@ def heavy_hitters(
     k: int = 20,
     capacity: int = 4096,
     weight_col: str | None = None,
+    max_broadcast_candidates: int = 1_000_000,
 ) -> DataFrame:
     """EXACT top-k most frequent values of ``col`` without a full-key shuffle.
 
@@ -424,15 +425,67 @@ def heavy_hitters(
     Returns (key, n_exact) — exact counts (or exact weighted sums when
     ``weight_col`` is given; see mg_summaries), hash-contractable against a
     plain GROUP BY / ORDER BY / LIMIT oracle.
-    """
-    from pyspark.sql.functions import broadcast
 
+    The candidate set is bounded at partitions x capacity distinct keys —
+    comfortably broadcastable at any realistic setting — but the bound is
+    made UNCONDITIONAL by ``max_broadcast_candidates``: past that many
+    pass-1 survivors (e.g. 10k partitions x capacity 4096 ~ 40M keys) the
+    exact recount falls back to a shuffle hash join, bit-identical output
+    (equality asserted in tests via a tiny threshold override).
+    """
     # bounded (partitions x capacity); materialize once so the candidate
     # branch and the U-bound branch don't each rescan the raw corpus
     pass1 = mg_summaries(df, col, capacity, weight_col=weight_col).localCheckpoint()
     cands = pass1.where(F.col("key").isNotNull()).select("key").distinct()
     ubound = pass1.where(F.col("key").isNull()).agg(
         F.coalesce(F.sum("mg_est"), F.lit(0)).alias("u_bound")
+    )
+    return heavy_hitters_verify(
+        df,
+        col,
+        cands,
+        ubound,
+        k=k,
+        weight_col=weight_col,
+        max_broadcast_candidates=max_broadcast_candidates,
+    )
+
+
+def heavy_hitters_verify(
+    df: DataFrame,
+    col: str,
+    candidates: DataFrame,
+    u_bound: DataFrame | int,
+    k: int = 20,
+    weight_col: str | None = None,
+    max_broadcast_candidates: int = 1_000_000,
+) -> DataFrame:
+    """Pass 2 of ``heavy_hitters`` over an EXTERNAL candidate set: exact
+    recount of the candidates, deterministic top-k, and the same
+    provability guard.
+
+    ``candidates`` is any DataFrame with a string ``key`` column whose keys
+    form a superset of every key heavier than ``u_bound`` — the batch
+    pass-1 (mg_summaries) or the streaming face
+    (``streaming.events.streaming_mg_candidates``; its docstring's
+    union-of-snapshots + final-delta_total recipe produces exactly this
+    pair). A SUPERSET is always safe: extra candidates cost recount work,
+    never correctness. ``u_bound`` is the summed eviction total — an int,
+    or a one-row DataFrame with a ``u_bound`` long column.
+
+    The recount join broadcasts the candidate set when it is provably
+    small, else falls back to a shuffle hash join (identical output) —
+    see ``max_broadcast_candidates`` on heavy_hitters.
+    """
+    from pyspark.sql.functions import broadcast
+
+    spark = df.sparkSession
+    if isinstance(u_bound, int):
+        ubound = spark.createDataFrame([(int(u_bound),)], "u_bound long")
+    else:
+        ubound = u_bound
+    cands = candidates.select(F.col("key").cast("string").alias("key")).where(
+        F.col("key").isNotNull()
     )
     measure = (
         F.count(F.lit(1))
@@ -442,9 +495,15 @@ def heavy_hitters(
     proj = [F.col(col).cast("string").alias("key")]
     if weight_col is not None:
         proj.append(F.col(weight_col).cast("long").alias("w"))
+    # broadcast-size guard: the candidate count is cheap (candidates is the
+    # bounded pass-1 output / a driver-built frame, never the raw corpus);
+    # past the threshold use a plain shuffle hash join — same rows out
+    cand_side = (
+        broadcast(cands) if cands.count() <= int(max_broadcast_candidates) else cands
+    )
     exact = (
         df.select(*proj)
-        .join(broadcast(cands), "key")
+        .join(cand_side, "key")
         .groupBy("key")
         .agg(measure.alias("n_exact"))
     )

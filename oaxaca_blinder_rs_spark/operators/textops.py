@@ -1203,11 +1203,19 @@ def blocklist_filter(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hits: int = 0,
+    max_literal_terms: int = 512,
 ) -> DataFrame:
     """Removal face: keep documents with at most ``max_hits`` banned-token
     occurrences (C4 semantics at the default 0). Returns the input rows
     unchanged — the stats stay internal, so the filter composes into
     corpus gates without schema noise.
+
+    Term validation matches ``blocklist_stats`` exactly: a multi-word or
+    whitespace-padded term can never match a whitespace token, so it would
+    be a silent no-op in a SAFETY gate — both faces raise instead, in both
+    regimes. ``max_literal_terms`` is the same regime knob blocklist_stats
+    exposes (literal-array codegen up to the threshold, broadcast join
+    above).
 
     Joins ANTI against the DROP set, not semi against the keep set: on a
     healthy corpus the drops are the rare side (C4 removed <1% of pages),
@@ -1215,14 +1223,18 @@ def blocklist_filter(
     never shuffles. In the literal-terms regime the drop set needs no
     join at all: the predicate filters inline in the scan."""
     norm = sorted({t.lower() for t in terms})
-    if len(norm) <= 512:
+    if any(t == "" or t != t.strip() or " " in t for t in norm):
+        raise ValueError("terms must be non-empty single tokens")
+    if len(norm) <= max_literal_terms:
         # literal regime: n_hits is a pure expression over df's own columns —
         # no stats frame, no join; the predicate filters inline in the scan
         toks = tokens(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
         lit_terms = F.array(*[F.lit(t) for t in norm])
         n_hits = F.size(F.filter(toks, lambda t: F.array_contains(lit_terms, t)))
         return df.where(n_hits <= max_hits)
-    stats = blocklist_stats(df, terms, text_col=text_col, id_col=id_col)
+    stats = blocklist_stats(
+        df, terms, text_col=text_col, id_col=id_col, max_literal_terms=max_literal_terms
+    )
     drops = stats.where(F.col("n_hits") > max_hits).select(id_col)
     return df.join(F.broadcast(drops), id_col, "anti")
 

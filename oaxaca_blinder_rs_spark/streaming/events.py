@@ -35,6 +35,7 @@ __all__ = [
     "streaming_dsir_scores",
     "streaming_source_quota",
     "streaming_mg_candidates",
+    "mg_snapshot_candidates",
     "sessionize_batch",
 ]
 
@@ -869,9 +870,16 @@ def streaming_mg_candidates(
 
     ``output_mode`` must match the query's writeStream mode: "update" for
     live sinks (memory/kafka — consumers keep the latest snapshot per
-    bucket), "append" for file sinks (each batch appends its snapshot;
-    checkpoint recovery works there, and readers take the max mg_est per
-    (bucket, key) — summaries are monotone under NoTimeout state).
+    bucket), "append" for file sinks (each batch appends its snapshot, and
+    checkpoint recovery works there). Append-mode readers wanting the
+    CURRENT summary must take the LATEST snapshot per bucket (e.g. tag
+    batches and take the max batch id) — MG counters are NOT monotone
+    across snapshots (eviction decrements shrink surviving counters), so
+    max-mg_est-over-time can overstate the current summary. Max-over-time
+    IS safe as a candidate-superset / undercount bound: every snapshot's
+    mg_est is a valid undercount of the key's true running count, and the
+    union of snapshot keys only widens the candidate set the exact-recount
+    pass verifies anyway.
     """
     import json
 
@@ -935,3 +943,36 @@ def streaming_mg_candidates(
     return keyed.groupBy("bucket").applyInPandasWithState(
         update, out_schema, state_schema, output_mode, GroupStateTimeout.NoTimeout
     )
+
+
+def mg_snapshot_candidates(snapshots: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Reduce accumulated ``streaming_mg_candidates`` emissions to the
+    (candidates, u_bound) pair ``sketches.heavy_hitters_verify`` consumes —
+    the bridge that makes the streamed sketch feed the batch exact-recount
+    pass.
+
+    ``snapshots`` is the sink's accumulated (bucket, key, mg_est) rows —
+    ANY number of update/append snapshots, in any order:
+
+    - candidates = the union of all non-null snapshot keys. A union over
+      time is a SUPERSET of the final candidate set (keys can only leave a
+      summary, never sneak past it), and a superset is always safe for the
+      exact-recount pass — extra candidates cost recount work, never
+      correctness.
+    - u_bound = sum over buckets of the FINAL delta_total, recovered as
+      max(mg_est) over each bucket's NULL-key sentinels: delta_total only
+      accumulates (monotone nondecreasing across snapshots), so the max IS
+      the latest value — unlike the per-key counters, which eviction can
+      shrink (see the streaming_mg_candidates docstring).
+
+    Both outputs are tiny (bounded by buckets x capacity keys / one row);
+    the reduction is a pair of keyed aggregates, no window, no sort.
+    """
+    cands = snapshots.where(F.col("key").isNotNull()).select("key").distinct()
+    ub = (
+        snapshots.where(F.col("key").isNull())
+        .groupBy("bucket")
+        .agg(F.max("mg_est").alias("__dt"))
+        .agg(F.coalesce(F.sum("__dt"), F.lit(0)).cast("long").alias("u_bound"))
+    )
+    return cands, ub

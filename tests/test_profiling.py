@@ -322,3 +322,20 @@ def test_topk_per_group(spark, sf_dir):
     assert sorted(wtop) == [("g1", "b", 100, 1), ("g2", "c", 1, 1)]
     with pytest.raises(ValueError, match="k must"):
         topk_per_group(df, "g", "k", k=0)
+
+
+def test_quantile_sketch_check_high_multiplicity_column(spark):
+    """r11 (ADVICE): a value with multiplicity > eps*n owns a WIDE rank
+    interval — on a 50%-zeros column probed at p=0.25 the upper rank alone
+    is ~0.5 and the old one-sided check wrongly failed a sketch that meets
+    its contract. The interval test must certify it, on every layout."""
+    from oaxaca_blinder_rs_spark.operators.profiling import quantile_sketch_check
+
+    rows = [(0.0,)] * 500 + [(float(i),) for i in range(1, 501)]
+    for parts in (1, 4, 13):
+        df = spark.createDataFrame(rows, "v double").repartition(parts)
+        out = quantile_sketch_check(df, "v", probs=[0.1, 0.25, 0.4, 0.5, 0.9]).collect()
+        assert all(r.within_bound for r in out), [(r.p, r.within_bound) for r in out]
+        # and the exact quantiles are what duplicates imply
+        byp = {r.p: r.exact_q for r in out}
+        assert byp[0.1] == 0.0 and byp[0.25] == 0.0 and byp[0.4] == 0.0

@@ -708,3 +708,26 @@ def test_dedup_keep_best(spark):
     # winners' full rows survive intact
     row2 = dedup_keep_best(df, score_col="q").where(F.col("doc_id") == 2).collect()[0]
     assert row2.text == "same text here" and row2.q == 0.9
+
+
+def test_dedup_keep_best_string_ids_deterministic(spark):
+    """r11 (ADVICE): the tie-break compares the id in its NATIVE type — with
+    STRING ids the old long-cast nulled every id and the winner among equal
+    scores became arbitrary. Equal scores must break to the lexicographically
+    lowest id, deterministically across layouts."""
+    from oaxaca_blinder_rs_spark.operators.dedup import dedup_keep_best
+
+    rows = [
+        ("doc-b", "same text here", 1.0),
+        ("doc-a", "same text here", 1.0),
+        ("doc-c", "same text here", 0.5),
+        ("zz", "unique", 0.1),
+    ]
+    for parts in (1, 3, 7):
+        df = spark.createDataFrame(
+            rows, "doc_id string, text string, q double"
+        ).repartition(parts)
+        kept = sorted(
+            r.doc_id for r in dedup_keep_best(df, id_col="doc_id", score_col="q").collect()
+        )
+        assert kept == ["doc-a", "zz"], parts

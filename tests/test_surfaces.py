@@ -1476,3 +1476,55 @@ def test_cli_top_tokens_verb(spark, sf_dir, tmp_path, capsys):
     assert len(wrows) == 3 and wrows[0]["n_exact"] >= wrows[1]["n_exact"]
     with pytest.raises(SystemExit):
         main(["top-tokens", "--input", src, "--weight-col", "n_chars"])
+
+
+def test_streaming_mg_to_batch_heavy_hitters_faces(spark, sf_dir, tmp_path):
+    """r11: the streaming->batch bridge through the PUBLIC faces —
+    streaming_mg_candidates (availableNow, two micro-batches so the sink
+    accumulates MULTIPLE snapshots) -> mg_snapshot_candidates (union-of-keys
+    superset + final per-bucket eviction totals) -> heavy_hitters_verify —
+    equals the plain groupBy top-k exactly."""
+    import tempfile
+
+    from oaxaca_blinder_rs_spark.operators import sketches
+
+    static = ob.load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "events_mg_faces")
+    # two files => maxFilesPerTrigger=1 forces two micro-batches
+    static.where(F.col("user_id") % 2 == 0).coalesce(1).write.mode("overwrite").parquet(src)
+    static.where(F.col("user_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(src)
+    )
+    summ = streaming_events.streaming_mg_candidates(stream, "user_id", capacity=64, n_buckets=4)
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            summ.writeStream.format("memory")
+            .queryName("mg_faces")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+    snapshots = spark.table("mg_faces")
+    cands, ub = streaming_events.mg_snapshot_candidates(snapshots)
+    assert ub.collect()[0].u_bound == 0  # capacity 64 x 4 buckets > distinct keys
+    got = [
+        (r.key, r.n_exact)
+        for r in sketches.heavy_hitters_verify(static, "user_id", cands, ub, k=7).collect()
+    ]
+    want = [
+        (r.k, r.n)
+        for r in static.select(F.col("user_id").cast("string").alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("k"))
+        .limit(7)
+        .collect()
+    ]
+    assert got == want
+    spark.catalog.dropTempView("mg_faces")

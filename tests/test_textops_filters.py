@@ -959,3 +959,26 @@ def test_blocklist_paths_fuzzed_equal(spark):
             for r in textops.blocklist_stats(df, terms, max_literal_terms=0).collect()
         )
         assert lit == join, (trial, terms)
+
+
+def test_blocklist_filter_validation_and_threshold_knob(spark):
+    """r11 (ADVICE): blocklist_filter validates terms exactly like
+    blocklist_stats in BOTH regimes — a multi-word term can never match a
+    whitespace token, so it must raise, not become a silent no-op safety
+    gate — and the max_literal_terms regime knob plumbs through: forcing
+    the broadcast-join regime (threshold 0) keeps the same rows."""
+    docs = _bl_docs(spark)
+    with pytest.raises(ValueError, match="single tokens"):
+        textops.blocklist_filter(docs, ["two words"])
+    with pytest.raises(ValueError, match="single tokens"):
+        textops.blocklist_filter(docs, [" padded "])
+    with pytest.raises(ValueError, match="single tokens"):
+        textops.blocklist_filter(docs, [""])
+    lit = sorted(r.doc_id for r in textops.blocklist_filter(docs, ["dup", "unsafe"]).collect())
+    join = sorted(
+        r.doc_id
+        for r in textops.blocklist_filter(
+            docs, ["dup", "unsafe"], max_literal_terms=0
+        ).collect()
+    )
+    assert lit == join == [2, 4, 5]
