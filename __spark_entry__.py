@@ -2387,6 +2387,24 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.tokenizer_fertility(docs, by_col="lang")
 
 
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-seeded deterministic corpus shuffle (corpus.deterministic_shuffle,
+    r11): the 100 TB answer to "shuffle the training data" — key each row by
+    xxhash64('ep<seed>:' || id), range-repartition + sort within partitions;
+    the concatenated partition order is a reproducible uniform permutation
+    with no global sort task. The contract pins the per-row key mapping
+    (the permutation itself), bit-exact against the XXH64 SQL
+    transliteration; the driver's order-insensitive compare is exactly
+    right here because the ORDER is a pure function of the pinned keys."""
+    from oaxaca_blinder_rs_spark.operators.corpus import deterministic_shuffle
+
+    docs = _t(spark, sf_dir, "documents")
+    out = deterministic_shuffle(docs, seed=7, num_partitions=8)
+    return out.select(
+        "doc_id", F.col("shuffle_key").cast("long").alias("shuffle_key")
+    )
+
+
 def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming->batch exact heavy hitters (r11): the events table replayed
     as a bounded stream (availableNow) through the STATEFUL Misra-Gries
@@ -2449,22 +2467,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     topk_tokens_per_lang, tokenizer_fertility — first records were
     sweep-only; dedup_keep_best additionally re-records because its
     tie-break implementation changed this round to native-id ordering);
-    (3) row 43: streaming_heavy_hitters — NEW r11 contract: the stateful
-    streaming Misra-Gries candidate tracker replayed availableNow and fed
-    into the batch exact-recount pass, hash-matched against the plain
-    GROUP BY top-k oracle (the streaming state path's first driver-visible
-    record);
-    (4) rows 44-46: r10 contracts whose implementation changed this round
+    (3) rows 43-44: NEW r11 contracts taking first records —
+    streaming_heavy_hitters (the stateful streaming Misra-Gries candidate
+    tracker replayed availableNow and fed into the batch exact-recount
+    pass, hash-matched against the plain GROUP BY top-k oracle: the
+    streaming state path's first driver-visible record) and corpus_shuffle
+    (epoch-seeded deterministic global shuffle, per-row permutation keys
+    bit-exact vs the XXH64 SQL transliteration);
+    (4) rows 45-47: r10 contracts whose implementation changed this round
     and therefore re-record — quantile_sketch_bound (rank-INTERVAL
     certificate fix), heavy_hitters (pass-2 refactored into
     heavy_hitters_verify + broadcast-size guard), jsonl_roundtrip
     (per-process-unique scratch path);
-    (5) rows 47-49: the three oldest r9-record rows (sample_weighted,
-    attribution_last_touch, cms_user_counts), pulled forward.
+    (5) rows 48-49: the two oldest r9-record rows (sample_weighted,
+    attribution_last_touch), pulled forward.
 
-    Past the window, ordered by rotation due-date: the 42 remaining
+    Past the window, ordered by rotation due-date: the 43 remaining
     r9-record rows, then the 47 remaining r10-record rows. The registry
-    holds len(queries()) rows — 139 as of r11 (138 oracle-paired +
+    holds len(queries()) rows — 140 as of r11 (139 oracle-paired +
     pca_whiten_top2 rows-only; count the dict, don't trust prose). From
     r10 on the committed ORACLE_SWEEP_r{N}.json carries a machine-readable
     full-registry check (every row, rows/schema/hash booleans) regenerated
@@ -2521,17 +2541,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "topk_tokens_per_lang": q_topk_tokens_per_lang,
         "tokenizer_fertility": q_tokenizer_fertility,
-        # -- row 43: NEW r11 contract (streaming MG -> batch exact recount) ---
+        # -- rows 43-44: NEW r11 contracts (streaming MG -> batch exact
+        # recount; epoch-seeded deterministic corpus shuffle) -----------------
         "streaming_heavy_hitters": q_streaming_heavy_hitters,
-        # -- rows 44-46: r10 contracts whose implementation changed in r11 ----
+        "corpus_shuffle": q_corpus_shuffle,
+        # -- rows 45-47: r10 contracts whose implementation changed in r11 ----
         "quantile_sketch_bound": q_quantile_sketch_bound,
         "heavy_hitters": q_heavy_hitters,
         "jsonl_roundtrip": q_jsonl_roundtrip,
-        # -- rows 47-49: oldest r9-record rows, pulled forward ----------------
+        # -- rows 48-49: oldest r9-record rows, pulled forward ----------------
         "sample_weighted": q_sample_weighted,
         "attribution_last_touch": q_attribution_last_touch,
-        "cms_user_counts": q_cms_user_counts,
         # ---- past the window: remaining r9-record rows (due r12) ------------
+        "cms_user_counts": q_cms_user_counts,
         "path_transitions": q_path_transitions,
         "zorder_customers": q_zorder_customers,
         "bloom_membership": q_bloom_membership,
@@ -3997,7 +4019,30 @@ def oracle_sql() -> dict[str, str]:
     d["ann_recall"] = _ann_recall_sql(
         d["knn_cosine_top3"], d["ann_lsh_top3"], d["ann_ivf_top3"], d["ivfpq_top3"]
     )
+    d["corpus_shuffle"] = _corpus_shuffle_sql()
     return d
+
+
+def _corpus_shuffle_sql() -> str:
+    """DuckDB twin of corpus.deterministic_shuffle's key assignment: XXH64
+    (seed 42, the SQL transliteration) of 'ep7:' || doc_id, converted from
+    the transliteration's unsigned HUGEINT to Spark's signed BIGINT. The
+    permutation IS the key mapping, so pinning the keys pins the shuffle."""
+    from oaxaca_blinder_rs_spark.functions.xxh64_sql import xxh64_select_sql
+
+    inner = xxh64_select_sql("src", "s", "doc_id", "xh")
+    return f"""
+        WITH src AS (
+          SELECT doc_id, 'ep7:' || CAST(doc_id AS VARCHAR) AS s FROM documents
+        ), hx AS (
+          {inner}
+        )
+        SELECT doc_id,
+               CAST(CASE WHEN xh >= 9223372036854775808::HUGEINT
+                         THEN xh - 18446744073709551616::HUGEINT
+                         ELSE xh END AS BIGINT) AS shuffle_key
+        FROM hx
+    """
 
 
 def _oracle_sql_literals() -> dict[str, str]:

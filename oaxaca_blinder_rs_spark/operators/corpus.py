@@ -34,6 +34,7 @@ __all__ = [
     "dsir_score_expr",
     "source_token_quota",
     "hashed_bow",
+    "deterministic_shuffle",
 ]
 
 
@@ -828,3 +829,46 @@ def hashed_bow(
         lambda b: F.coalesce(F.element_at("__m", b), F.lit(0).cast("long")),
     )
     return per_doc.select(F.col(id_col), "n_tokens", dense.alias("bow"))
+
+
+def deterministic_shuffle(
+    docs: DataFrame,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    key_col: str = "shuffle_key",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Epoch-seeded deterministic global shuffle of a training corpus.
+
+    At 100 TB "shuffle the data" cannot mean ORDER BY random(): training
+    order must be REPRODUCIBLE (resume from a checkpoint, debug a loss
+    spike at step N, re-run an epoch bit-identically) and the sort must
+    never funnel through one task. The standard construction: key every
+    row by a seeded hash of its stable id, then range-repartition + sort
+    WITHIN partitions on that key — the concatenation of output partitions
+    in order is a uniformly-pseudorandom total order, produced by one
+    range shuffle with per-task local sorts (Spark's repartitionByRange
+    samples partition bounds; the bounds affect only where partition
+    seams fall, never the global order, so the ORDER is deterministic
+    even though the seam placement is an implementation detail).
+
+    ``shuffle_key`` = xxhash64('ep<seed>:' || id) — the same engine-portable
+    prefix-seeded construction as the count-min sketch rows, so (a) each
+    epoch seed selects an independent permutation (change the seed, get a
+    fresh order; DataLoader-style epoch reshuffling with zero state) and
+    (b) the key is oracle-checkable bit-for-bit via the XXH64 SQL
+    transliteration. Ties are impossible in practice (64-bit keys), but
+    the (key, id) composite sort makes the order total regardless.
+
+    Returns the input schema + ``key_col``. Write with
+    ``.write.parquet(...)`` and read the files in partition order (or
+    feed a sequential reader) to consume the shuffled order.
+    """
+    key = F.xxhash64(F.concat(F.lit(f"ep{int(seed)}:"), F.col(id_col).cast("string")))
+    keyed = docs.withColumn(key_col, key)
+    nparts = int(num_partitions) if num_partitions else keyed.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "200"
+    )
+    return keyed.repartitionByRange(int(nparts), F.col(key_col), F.col(id_col)).sortWithinPartitions(
+        key_col, id_col
+    )

@@ -510,7 +510,9 @@ def heavy_hitters_verify(
     topk = exact.orderBy(F.col("n_exact").desc(), F.col("key").asc()).limit(k)
     # rank spine: k expected ranks left-joined against the (<= k-row) result.
     # The row_number window runs AFTER limit(k) — k rows, one tiny task, not
-    # a global sort. A missing rank (null key) is fine iff U == 0 (candidate
+    # a global sort (this is the source of Spark's "WindowExec: No Partition
+    # Defined" log warning: cosmetic here, the windowed relation is <= k
+    # rows by construction). A missing rank (null key) is fine iff U == 0 (candidate
     # set provably complete => the data simply has < k distinct keys);
     # otherwise it is exactly the silent-truncation case the guard exists
     # for, and the plan must raise rather than return an incomplete top-k.

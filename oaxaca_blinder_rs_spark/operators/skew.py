@@ -74,6 +74,9 @@ def skew_report(
         F.count(F.lit(1)).alias("n")
     )
     top = counts.orderBy(F.col("n").desc(), F.col("key").asc()).limit(int(top_k))
+    # both windows below run AFTER limit(top_k) — <= top_k rows, one tiny
+    # task; Spark's "WindowExec: No Partition Defined" warning here is
+    # cosmetic, not a scale hazard (see scan.py for the general rule)
     w = Window.orderBy(F.col("n").desc(), F.col("key").asc())
     ranked = top.withColumn("rank", F.row_number().over(w)).withColumn(
         "share", F.round(F.col("n") / F.lit(float(total)), 6)

@@ -488,7 +488,13 @@ class QuantileDecompositionBuilder:
             [(r, b) for r in range(-1, B) for b in range(n_batches)],
             "__mm_rep int, __mm_batch int",
         )
-        replicated = ranked.crossJoin(F.broadcast(rb_df))
+        # project to the columns fit_batch reads BEFORE replicating: every
+        # surviving byte crosses the shuffle (B+1) x n_batches times, so the
+        # dead __mm_mid (and anything else the design carries) is multiplied
+        # dead weight. Output-identical: fit_batch sorts by __mm_rn and reads
+        # named columns only.
+        thin = ranked.select(self._group, self._outcome, *xcols, "__mm_rn")
+        replicated = thin.crossJoin(F.broadcast(rb_df))
 
         outcome = self._outcome
         xcols_local = list(xcols)

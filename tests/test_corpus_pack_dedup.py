@@ -1157,3 +1157,40 @@ def test_hashed_bow_matches_pure_python_and_dsir_space(spark):
 
     with pytest.raises(ValueError, match="n_buckets"):
         hashed_bow(df, n_buckets=0)
+
+
+def test_deterministic_shuffle(spark, sf_dir):
+    """deterministic_shuffle (r11): (a) the collected order is identical
+    across input partitionings and reruns (the whole point: reproducible
+    epochs), (b) the key is the prefix-seeded XXH64 the docstring claims
+    (bit-checked against the pure-Python tools/xxh64), (c) different seeds
+    give different permutations, (d) schema passes through + key col."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.xxh64 import xxh64
+
+    from oaxaca_blinder_rs_spark.operators.corpus import deterministic_shuffle
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    orders = []
+    for parts in (2, 7):
+        out = deterministic_shuffle(docs.repartition(parts), seed=3, num_partitions=4)
+        rows = out.collect()
+        orders.append([r.doc_id for r in rows])
+        # keys sorted within the collected (partition-concatenated) order
+        keys = [(r.shuffle_key, r.doc_id) for r in rows]
+        assert keys == sorted(keys), "collected order must be the total (key, id) order"
+    assert orders[0] == orders[1], "same seed must give the same global order"
+    # bit-exact key law
+    some = {r.doc_id: r.shuffle_key for r in rows[:20]}
+    for did, k in some.items():
+        u = xxh64(f"ep3:{did}".encode())
+        signed = u - (1 << 64) if u >= 1 << 63 else u
+        assert k == signed, did
+    # a different epoch seed reshuffles
+    other = [r.doc_id for r in deterministic_shuffle(docs, seed=4, num_partitions=4).collect()]
+    assert other != orders[0]
+    assert set(other) == set(orders[0])
+    out = deterministic_shuffle(docs, seed=3)
+    assert out.columns == docs.columns + ["shuffle_key"]
