@@ -2405,6 +2405,22 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified per-source quality gate (corpus.quality_percentile_filter,
+    r11): keep each source's top half by quality_score — the cut that a
+    single global threshold gets wrong (high-scoring domains crowd out
+    low-resource ones). Exact mode (type-7 per-group percentile broadcast
+    back, ties at the cut kept); the sketch mode is the certified 100 TB
+    path (see quantile_sketch_bound). Oracle: the quality_score SQL twin +
+    per-source quantile_cont, composed at runtime so the score replication
+    cannot drift from the ⊕quality_score contract."""
+    from oaxaca_blinder_rs_spark.operators.corpus import quality_percentile_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    out = quality_percentile_filter(docs, by_col="source", keep_top=0.5, mode="exact")
+    return out.select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"))
+
+
 def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming->batch exact heavy hitters (r11): the events table replayed
     as a bounded stream (availableNow) through the STATEFUL Misra-Gries
@@ -2467,24 +2483,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     topk_tokens_per_lang, tokenizer_fertility — first records were
     sweep-only; dedup_keep_best additionally re-records because its
     tie-break implementation changed this round to native-id ordering);
-    (3) rows 43-44: NEW r11 contracts taking first records —
+    (3) rows 43-45: NEW r11 contracts taking first records —
     streaming_heavy_hitters (the stateful streaming Misra-Gries candidate
     tracker replayed availableNow and fed into the batch exact-recount
     pass, hash-matched against the plain GROUP BY top-k oracle: the
-    streaming state path's first driver-visible record) and corpus_shuffle
+    streaming state path's first driver-visible record), corpus_shuffle
     (epoch-seeded deterministic global shuffle, per-row permutation keys
-    bit-exact vs the XXH64 SQL transliteration);
-    (4) rows 45-47: r10 contracts whose implementation changed this round
+    bit-exact vs the XXH64 SQL transliteration), and quality_percentile
+    (stratified per-source quality gate, per-group type-7 threshold);
+    (4) rows 46-48: r10 contracts whose implementation changed this round
     and therefore re-record — quantile_sketch_bound (rank-INTERVAL
     certificate fix), heavy_hitters (pass-2 refactored into
     heavy_hitters_verify + broadcast-size guard), jsonl_roundtrip
     (per-process-unique scratch path);
-    (5) rows 48-49: the two oldest r9-record rows (sample_weighted,
-    attribution_last_touch), pulled forward.
+    (5) row 49: the oldest r9-record row (sample_weighted), pulled forward.
 
-    Past the window, ordered by rotation due-date: the 43 remaining
+    Past the window, ordered by rotation due-date: the 44 remaining
     r9-record rows, then the 47 remaining r10-record rows. The registry
-    holds len(queries()) rows — 140 as of r11 (139 oracle-paired +
+    holds len(queries()) rows — 141 as of r11 (140 oracle-paired +
     pca_whiten_top2 rows-only; count the dict, don't trust prose). From
     r10 on the committed ORACLE_SWEEP_r{N}.json carries a machine-readable
     full-registry check (every row, rows/schema/hash booleans) regenerated
@@ -2541,18 +2557,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "topk_tokens_per_lang": q_topk_tokens_per_lang,
         "tokenizer_fertility": q_tokenizer_fertility,
-        # -- rows 43-44: NEW r11 contracts (streaming MG -> batch exact
-        # recount; epoch-seeded deterministic corpus shuffle) -----------------
+        # -- rows 43-45: NEW r11 contracts (streaming MG -> batch exact
+        # recount; epoch-seeded deterministic corpus shuffle; stratified
+        # per-source quality-percentile gate) ---------------------------------
         "streaming_heavy_hitters": q_streaming_heavy_hitters,
         "corpus_shuffle": q_corpus_shuffle,
-        # -- rows 45-47: r10 contracts whose implementation changed in r11 ----
+        "quality_percentile": q_quality_percentile,
+        # -- rows 46-48: r10 contracts whose implementation changed in r11 ----
         "quantile_sketch_bound": q_quantile_sketch_bound,
         "heavy_hitters": q_heavy_hitters,
         "jsonl_roundtrip": q_jsonl_roundtrip,
-        # -- rows 48-49: oldest r9-record rows, pulled forward ----------------
+        # -- row 49: oldest r9-record row, pulled forward ---------------------
         "sample_weighted": q_sample_weighted,
-        "attribution_last_touch": q_attribution_last_touch,
         # ---- past the window: remaining r9-record rows (due r12) ------------
+        "attribution_last_touch": q_attribution_last_touch,
         "cms_user_counts": q_cms_user_counts,
         "path_transitions": q_path_transitions,
         "zorder_customers": q_zorder_customers,
@@ -4020,7 +4038,30 @@ def oracle_sql() -> dict[str, str]:
         d["knn_cosine_top3"], d["ann_lsh_top3"], d["ann_ivf_top3"], d["ivfpq_top3"]
     )
     d["corpus_shuffle"] = _corpus_shuffle_sql()
+    d["quality_percentile"] = _quality_percentile_sql(d["quality_score"])
     return d
+
+
+def _quality_percentile_sql(quality_sql: str) -> str:
+    """DuckDB twin of the per-source top-half quality gate, composed at
+    runtime from the REGISTERED quality_score oracle (the score replication
+    cannot drift from the contract that verifies it): per-source
+    quantile_cont(quality, 0.5) threshold (== Spark's type-7 percentile,
+    the ⊕quantiles_type7-verified equivalence), keep quality >= threshold
+    (ties at the cut kept). NULL-text rows score NULL and drop on both
+    engines (NULL >= t is not true)."""
+    return f"""
+        WITH qs AS (
+          {quality_sql}
+        ), j AS (
+          SELECT d.doc_id, d.source, d.n_chars, q.quality
+          FROM documents d JOIN qs q USING (doc_id)
+        ), thr AS (
+          SELECT source, quantile_cont(quality, 0.5) AS t FROM j GROUP BY source
+        )
+        SELECT j.doc_id, j.source, CAST(j.n_chars AS BIGINT) AS n_chars
+        FROM j JOIN thr USING (source) WHERE j.quality >= thr.t
+    """
 
 
 def _corpus_shuffle_sql() -> str:

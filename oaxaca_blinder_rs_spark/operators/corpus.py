@@ -35,6 +35,7 @@ __all__ = [
     "source_token_quota",
     "hashed_bow",
     "deterministic_shuffle",
+    "quality_percentile_filter",
 ]
 
 
@@ -871,4 +872,65 @@ def deterministic_shuffle(
     )
     return keyed.repartitionByRange(int(nparts), F.col(key_col), F.col(id_col)).sortWithinPartitions(
         key_col, id_col
+    )
+
+
+def quality_percentile_filter(
+    docs: DataFrame,
+    by_col: str = "source",
+    score_col: str | None = None,
+    keep_top: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "exact",
+    accuracy: int = 1000,
+) -> DataFrame:
+    """Keep the top ``keep_top`` fraction of each group by a quality score —
+    the STRATIFIED quality gate. A single global threshold lets a few
+    high-scoring domains crowd out every low-resource one; cutting at each
+    group's own percentile keeps the best half (say) of EVERY source.
+
+    ``score_col`` names a numeric column (higher is better); None scores on
+    the fly with textops.quality_score (6 dp, the contract rounding). Rows
+    whose score is NULL are dropped (they cannot be ranked).
+
+    Keep rule: score >= the group's (1 - keep_top) quantile. Ties AT the
+    threshold are all kept, so the realized fraction can exceed keep_top on
+    tied data — deterministic, unlike any keep-exactly-k tie-break that
+    would need a global per-group row ordering.
+
+    Scale shape, two modes sharing the filter plan:
+    - ``mode='exact'``: per-group type-7 percentile (``F.percentile``) —
+      one sort-based aggregate per group; right for contract-scale
+      verification and modest group rows.
+    - ``mode='sketch'`` (the 100 TB path): ``approx_percentile`` — mergeable
+      GK summaries, no per-group sort, rank error <= 1/accuracy (certified
+      against the exact path by profiling.quantile_sketch_check). The
+      threshold moves by at most that rank error, so the keep-set differs
+      from exact only within an eps-band around the cut.
+
+    Either way the thresholds frame is |groups| rows — broadcast back, one
+    codegen filter; the corpus shuffles zero times.
+    """
+    if not 0.0 < float(keep_top) <= 1.0:
+        raise ValueError("keep_top must be in (0, 1]")
+    if mode not in ("exact", "sketch"):
+        raise ValueError("mode must be exact|sketch")
+    score = (
+        F.col(score_col).cast("double")
+        if score_col is not None
+        else F.round(textops.quality_score(F.col(text_col)), 6)
+    )
+    scored = docs.withColumn("__q", score)
+    p = 1.0 - float(keep_top)
+    thr_expr = (
+        F.expr(f"percentile(__q, {p})")
+        if mode == "exact"
+        else F.expr(f"approx_percentile(__q, {p}, {int(accuracy)})")
+    )
+    thresholds = scored.groupBy(by_col).agg(thr_expr.alias("__thr"))
+    return (
+        scored.join(F.broadcast(thresholds), by_col)
+        .filter(F.col("__q") >= F.col("__thr"))
+        .select(*docs.columns)  # the equi-join fronts by_col; restore order
     )

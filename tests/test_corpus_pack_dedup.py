@@ -1194,3 +1194,60 @@ def test_deterministic_shuffle(spark, sf_dir):
     assert set(other) == set(orders[0])
     out = deterministic_shuffle(docs, seed=3)
     assert out.columns == docs.columns + ["shuffle_key"]
+
+
+def test_quality_percentile_filter(spark, sf_dir):
+    """quality_percentile_filter (r11): exact mode equals the brute-force
+    per-group threshold (ties at the cut kept, realized fraction >= keep_top,
+    every group survives); sketch mode differs from exact only within the
+    GK rank-error band; validation raises; null scores drop."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from oaxaca_blinder_rs_spark.operators.corpus import quality_percentile_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = quality_percentile_filter(docs, by_col="source", score_col="n_chars", keep_top=0.4)
+    assert kept.columns == docs.columns
+    # brute-force per group
+    got = {r.doc_id for r in kept.select("doc_id").collect()}
+    rows = docs.select("doc_id", "source", "n_chars").collect()
+    import collections
+    bysrc = collections.defaultdict(list)
+    for r in rows:
+        bysrc[r.source].append(r)
+    import numpy as np
+    want = set()
+    for src, rs in bysrc.items():
+        vals = np.array([float(r.n_chars) for r in rs])
+        thr = np.quantile(vals, 0.6)  # type-7 == numpy default 'linear'
+        want |= {r.doc_id for r in rs if float(r.n_chars) >= thr}
+    assert got == want
+    # every group survives and the realized fraction is >= keep_top per group
+    kept_by = {
+        r.source: r.n
+        for r in kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for src, rs in bysrc.items():
+        assert kept_by.get(src, 0) >= int(0.4 * len(rs)) - 1, src
+    # sketch mode: keep-set within the rank-eps band of exact
+    sk = {
+        r.doc_id
+        for r in quality_percentile_filter(
+            docs, by_col="source", score_col="n_chars", keep_top=0.4, mode="sketch",
+            accuracy=1000,
+        ).select("doc_id").collect()
+    }
+    sym = len(sk ^ got)
+    n = len(rows)
+    assert sym <= max(0.01 * n, 5 * len(bysrc)), (sym, n)
+    # validation + null scores drop
+    with pytest.raises(ValueError, match="keep_top"):
+        quality_percentile_filter(docs, keep_top=0.0)
+    with pytest.raises(ValueError, match="mode"):
+        quality_percentile_filter(docs, mode="nope")
+    withnull = docs.withColumn(
+        "s2", F.when(F.col("doc_id") % 2 == 0, F.col("n_chars").cast("double"))
+    )
+    kept2 = quality_percentile_filter(withnull, by_col="source", score_col="s2", keep_top=1.0)
+    assert kept2.filter(F.col("doc_id") % 2 == 1).count() == 0  # null-scored rows drop
