@@ -72,6 +72,26 @@ def build_parser() -> argparse.ArgumentParser:
         "--pack-budget", type=int, default=0,
         help="tokens per training shard; 0 writes the keep-list only",
     )
+    cp.add_argument(
+        "--quality-keep-top", type=float, default=None,
+        help="stratified pre-gate: keep each group's top FRACTION by "
+        "quality_score before the pipeline (corpus.quality_percentile_filter)",
+    )
+    cp.add_argument(
+        "--quality-by", default="source",
+        help="grouping column for --quality-keep-top (default: source)",
+    )
+    cp.add_argument(
+        "--quality-top-mode", choices=("exact", "sketch"), default="sketch",
+        help="per-group threshold: 'sketch' (approx_percentile, the at-scale "
+        "default here) or 'exact' (type-7 percentile)",
+    )
+    cp.add_argument(
+        "--shuffle-seed", type=int, default=None,
+        help="epoch seed: deterministically shuffle the output "
+        "(corpus.deterministic_shuffle) — keep-list rows, or documents "
+        "before shard packing",
+    )
 
     # net-new surface: the tokenizer pipeline as a CLI verb
     tk = sub.add_parser(
@@ -163,7 +183,11 @@ def _run_corpus(spark, args) -> int:
     shards) out, one JSON stats line on stdout."""
     from pyspark.sql import functions as F
 
-    from .operators.corpus import prepare_corpus
+    from .operators.corpus import (
+        deterministic_shuffle,
+        prepare_corpus,
+        quality_percentile_filter,
+    )
     from .sinks.parquet import write_token_shards
 
     docs = spark.read.parquet(args.input)
@@ -171,6 +195,18 @@ def _run_corpus(spark, args) -> int:
     if getattr(args, "blocklist", None):
         with open(args.blocklist) as fh:
             terms = [ln.strip() for ln in fh if ln.strip()]
+    if getattr(args, "quality_keep_top", None) is not None:
+        if args.quality_by not in docs.columns:
+            print(json.dumps({"error": f"--quality-by column not found: {args.quality_by}"}))
+            return 2
+        docs = quality_percentile_filter(
+            docs,
+            by_col=args.quality_by,
+            keep_top=args.quality_keep_top,
+            text_col=args.text_col,
+            id_col=args.id_col,
+            mode=args.quality_top_mode,
+        )
     keep = prepare_corpus(
         docs,
         text_col=args.text_col,
@@ -200,14 +236,27 @@ def _run_corpus(spark, args) -> int:
             )
         else:
             kept_docs = docs.join(keep.select(args.id_col, "n_tokens"), args.id_col)
+        order_cols = None
+        if getattr(args, "shuffle_seed", None) is not None:
+            # shuffle-then-pack: the prefix-scan packer follows the shuffled
+            # (shuffle_key, id) order, so shard composition and offsets are a
+            # pure function of the epoch seed
+            kept_docs = deterministic_shuffle(
+                kept_docs, seed=args.shuffle_seed, id_col=args.id_col
+            )
+            order_cols = ["shuffle_key"]
         st = write_token_shards(
             kept_docs, args.output, budget=args.pack_budget,
             text_col=args.text_col, id_col=args.id_col, token_col="n_tokens",
+            order_cols=order_cols,
         )
         stats.update({"docs_kept": st["rows"], "shards": st["shards"],
                       "total_tokens": st["total_tokens"]})
     else:
-        keep.write.mode("overwrite").parquet(args.output)
+        out = keep
+        if getattr(args, "shuffle_seed", None) is not None:
+            out = deterministic_shuffle(keep, seed=args.shuffle_seed, id_col=args.id_col)
+        out.write.mode("overwrite").parquet(args.output)
         stats["docs_kept"] = spark.read.parquet(args.output).count()
     print(json.dumps(stats))
     return 0

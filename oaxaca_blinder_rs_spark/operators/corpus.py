@@ -176,17 +176,25 @@ def pack_token_shards(
     text_col: str = "text",
     id_col: str = "doc_id",
     token_col: str | None = None,
+    order_cols: list[str] | None = None,
 ) -> DataFrame:
     """Assign documents to fixed-token-budget training shards:
     (id, n_tokens, token_offset, shard_id).
 
     ``token_offset`` is each document's global starting token position under
-    the deterministic id ordering (the offset a concatenate-and-chunk data
-    loader would hand it); ``shard_id = token_offset // budget`` — the shard
-    whose window contains the document's first token. The running total uses
-    the distributed prefix-scan (scan.ordered_prev_cumsum): range-partition
-    on id, tiny per-partition-sum collect, partition-local windows — no
-    global single-task window, so the packing holds at corpus scale.
+    the packing order (the offset a concatenate-and-chunk data loader would
+    hand it); ``shard_id = token_offset // budget`` — the shard whose window
+    contains the document's first token. The running total uses the
+    distributed prefix-scan (scan.ordered_prev_cumsum): range-partition on
+    the order key, tiny per-partition-sum collect, partition-local windows —
+    no global single-task window, so the packing holds at corpus scale.
+
+    ``order_cols`` sets the packing order (default: the deterministic id
+    ordering). Pass ``["shuffle_key"]`` after
+    ``deterministic_shuffle`` to pack the SHUFFLED concatenation order —
+    shard composition becomes a pure function of the epoch seed (the
+    shuffle-then-pack pipeline). ``id_col`` is always appended as the final
+    tiebreaker, so the order is total regardless.
 
     Pass ``token_col`` when counts are precomputed (e.g. from a prior
     text_stats pass) to skip re-tokenizing.
@@ -195,6 +203,10 @@ def pack_token_shards(
 
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    names = [c for c in (order_cols or []) if c != id_col]
+    for c in names:
+        if c not in docs.columns:
+            raise ValueError(f"order column not found: {c}")
     # Null text counts as empty text — same convention as source_token_quota;
     # a NULL token count would shift every later shard boundary.
     n_tok = (
@@ -202,9 +214,14 @@ def pack_token_shards(
         if token_col
         else textops.token_count(F.coalesce(F.col(text_col), F.lit("")))
     )
-    base = docs.select(F.col(id_col), n_tok.cast("long").alias("n_tokens"))
+    base = docs.select(
+        F.col(id_col), *[F.col(c) for c in names], n_tok.cast("long").alias("n_tokens")
+    )
     packed = scan.ordered_prev_cumsum(
-        base, [F.col(id_col).asc()], F.col("n_tokens"), "token_offset"
+        base,
+        [F.col(c).asc() for c in names] + [F.col(id_col).asc()],
+        F.col("n_tokens"),
+        "token_offset",
     )
     return packed.select(
         id_col,

@@ -76,6 +76,7 @@ def write_token_shards(
     id_col: str = "doc_id",
     token_col: str | None = None,
     mode: str = "overwrite",
+    order_cols: list[str] | None = None,
 ) -> dict:
     """Write a corpus as token-budget training shards: hive-partitioned
     parquet under ``path/shard_id=N/`` with each document carrying its
@@ -87,12 +88,14 @@ def write_token_shards(
     can stream shard directories independently with stable offsets.
     A shard holds every document whose first token falls in its window, so
     a shard's token sum can overrun ``budget`` by at most one document.
-    Returns {rows, shards, total_tokens}.
+    ``order_cols`` passes through to the packer (e.g. ["shuffle_key"] for
+    the shuffle-then-pack pipeline). Returns {rows, shards, total_tokens}.
     """
     from ..operators.corpus import pack_token_shards
 
     packed = pack_token_shards(
-        docs, budget, text_col=text_col, id_col=id_col, token_col=token_col
+        docs, budget, text_col=text_col, id_col=id_col, token_col=token_col,
+        order_cols=order_cols,
     )
     # the packed frame re-emits these; drop caller-side copies (e.g. a
     # precomputed token count passed via token_col) so the join is clean

@@ -1251,3 +1251,77 @@ def test_quality_percentile_filter(spark, sf_dir):
     )
     kept2 = quality_percentile_filter(withnull, by_col="source", score_col="s2", keep_top=1.0)
     assert kept2.filter(F.col("doc_id") % 2 == 1).count() == 0  # null-scored rows drop
+
+
+def test_pack_token_shards_order_cols(spark, sf_dir):
+    """pack_token_shards(order_cols=...) (r11): packing follows the given
+    order — offsets equal the brute-force running total over the
+    (shuffle_key, id) sort, shard composition differs from id-order packing,
+    totals are invariant, and an unknown order column raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from oaxaca_blinder_rs_spark.operators.corpus import (
+        deterministic_shuffle,
+        pack_token_shards,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = deterministic_shuffle(docs, seed=11, num_partitions=4)
+    packed = pack_token_shards(sh, 5000, order_cols=["shuffle_key"]).collect()
+    keyed = {r.doc_id: r.shuffle_key for r in sh.select("doc_id", "shuffle_key").collect()}
+    rows = sorted(packed, key=lambda r: (keyed[r.doc_id], r.doc_id))
+    run = 0
+    for r in rows:
+        assert r.token_offset == run, r
+        run += r.n_tokens
+    default = pack_token_shards(docs, 5000).collect()
+    assert sum(r.n_tokens for r in default) == sum(r.n_tokens for r in packed)
+    by_shard_new = {r.doc_id: r.shard_id for r in packed}
+    by_shard_old = {r.doc_id: r.shard_id for r in default}
+    assert by_shard_new != by_shard_old  # the order actually changed packing
+    with pytest.raises(ValueError, match="order column"):
+        pack_token_shards(docs, 5000, order_cols=["nope"])
+
+
+def test_cli_corpus_quality_top_and_shuffle(spark, sf_dir, tmp_path, capsys):
+    """CLI corpus verb (r11 flags): --quality-keep-top gates per source
+    before the pipeline, --shuffle-seed writes a deterministically shuffled
+    keep-list, and shuffle-then-pack shard composition is seed-stable."""
+    import json as _json
+
+    from oaxaca_blinder_rs_spark.cli import main
+
+    src = f"{sf_dir}/documents.parquet"
+    out1 = str(tmp_path / "keep")
+    assert main([
+        "corpus", "--input", src, "--output", out1,
+        "--min-quality", "0.0", "--langs", "en,de,fr,xx",
+        "--quality-keep-top", "0.5", "--quality-top-mode", "exact",
+        "--shuffle-seed", "3",
+    ]) == 0
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    n_docs = spark.read.parquet(src).count()
+    assert 0 < stats["docs_kept"] < n_docs  # the stratified gate dropped rows
+    back = spark.read.parquet(out1)
+    assert "shuffle_key" in back.columns
+    # shuffle-then-pack: same seed => identical shard assignment
+    outs = []
+    for d in ("p1", "p2"):
+        outp = str(tmp_path / d)
+        assert main([
+            "corpus", "--input", src, "--output", outp,
+            "--min-quality", "0.0", "--langs", "en,de,fr,xx",
+            "--pack-budget", "4000", "--shuffle-seed", "9",
+        ]) == 0
+        capsys.readouterr()
+        outs.append({
+            (r.doc_id, r.shard_id)
+            for r in spark.read.parquet(outp).select("doc_id", "shard_id").collect()
+        })
+    assert outs[0] == outs[1]
+    # unknown quality-by column errors cleanly
+    assert main([
+        "corpus", "--input", src, "--output", str(tmp_path / "x"),
+        "--quality-keep-top", "0.5", "--quality-by", "nope",
+    ]) == 2
