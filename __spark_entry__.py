@@ -2421,6 +2421,32 @@ def q_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"))
 
 
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-resampled multilingual mixture (sampling.
+    temperature_mixture, r11; the mT5/XLM-R corpus-balancing rule): keep
+    rates proportional to n_lang^(alpha-1) with per-group caps solved by
+    water-filling — at alpha=0.3, total_fraction=0.8 the smallest language
+    SATURATES on this fixture, so the contract exercises the capped branch,
+    not just the closed form. Output pins (kept doc, lang, 6-dp rate);
+    membership is the md5-uniform the ⊕sample_fraction contract already
+    verifies. Oracle: the water-filling iteration UNROLLED as one SQL stage
+    pair per round (the pagerank/kmeans construction)."""
+    from oaxaca_blinder_rs_spark.operators.sampling import (
+        temperature_mixture,
+        temperature_mixture_rates,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    rates = temperature_mixture_rates(docs, by_col="lang", alpha=0.3, total_fraction=0.8)
+    kept = temperature_mixture(docs, by_col="lang", alpha=0.3, total_fraction=0.8)
+    rdf = spark.createDataFrame(
+        [(g, float(r)) for g, _n, r in rates], "lang string, rate double"
+    )
+    return kept.join(F.broadcast(rdf), "lang").select(
+        "doc_id", "lang", F.round("rate", 6).alias("rate")
+    )
+
+
 def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming->batch exact heavy hitters (r11): the events table replayed
     as a bounded stream (availableNow) through the STATEFUL Misra-Gries
@@ -2483,24 +2509,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     topk_tokens_per_lang, tokenizer_fertility — first records were
     sweep-only; dedup_keep_best additionally re-records because its
     tie-break implementation changed this round to native-id ordering);
-    (3) rows 43-45: NEW r11 contracts taking first records —
+    (3) rows 43-46: NEW r11 contracts taking first records —
     streaming_heavy_hitters (the stateful streaming Misra-Gries candidate
     tracker replayed availableNow and fed into the batch exact-recount
     pass, hash-matched against the plain GROUP BY top-k oracle: the
     streaming state path's first driver-visible record), corpus_shuffle
     (epoch-seeded deterministic global shuffle, per-row permutation keys
-    bit-exact vs the XXH64 SQL transliteration), and quality_percentile
-    (stratified per-source quality gate, per-group type-7 threshold);
-    (4) rows 46-48: r10 contracts whose implementation changed this round
+    bit-exact vs the XXH64 SQL transliteration), quality_percentile
+    (stratified per-source quality gate, per-group type-7 threshold), and
+    temperature_mixture (mT5-style temperature-resampled multilingual
+    mixture — water-filled rate caps, unrolled-SQL oracle);
+    (4) rows 47-49: r10 contracts whose implementation changed this round
     and therefore re-record — quantile_sketch_bound (rank-INTERVAL
     certificate fix), heavy_hitters (pass-2 refactored into
     heavy_hitters_verify + broadcast-size guard), jsonl_roundtrip
-    (per-process-unique scratch path);
-    (5) row 49: the oldest r9-record row (sample_weighted), pulled forward.
+    (per-process-unique scratch path).
 
-    Past the window, ordered by rotation due-date: the 44 remaining
+    Past the window, ordered by rotation due-date: the 45 remaining
     r9-record rows, then the 47 remaining r10-record rows. The registry
-    holds len(queries()) rows — 141 as of r11 (140 oracle-paired +
+    holds len(queries()) rows — 142 as of r11 (141 oracle-paired +
     pca_whiten_top2 rows-only; count the dict, don't trust prose). From
     r10 on the committed ORACLE_SWEEP_r{N}.json carries a machine-readable
     full-registry check (every row, rows/schema/hash booleans) regenerated
@@ -2557,19 +2584,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "topk_tokens_per_lang": q_topk_tokens_per_lang,
         "tokenizer_fertility": q_tokenizer_fertility,
-        # -- rows 43-45: NEW r11 contracts (streaming MG -> batch exact
+        # -- rows 43-46: NEW r11 contracts (streaming MG -> batch exact
         # recount; epoch-seeded deterministic corpus shuffle; stratified
-        # per-source quality-percentile gate) ---------------------------------
+        # per-source quality-percentile gate; temperature-resampled
+        # multilingual mixture) -----------------------------------------------
         "streaming_heavy_hitters": q_streaming_heavy_hitters,
         "corpus_shuffle": q_corpus_shuffle,
         "quality_percentile": q_quality_percentile,
-        # -- rows 46-48: r10 contracts whose implementation changed in r11 ----
+        "temperature_mixture": q_temperature_mixture,
+        # -- rows 47-49: r10 contracts whose implementation changed in r11 ----
         "quantile_sketch_bound": q_quantile_sketch_bound,
         "heavy_hitters": q_heavy_hitters,
         "jsonl_roundtrip": q_jsonl_roundtrip,
-        # -- row 49: oldest r9-record row, pulled forward ---------------------
-        "sample_weighted": q_sample_weighted,
         # ---- past the window: remaining r9-record rows (due r12) ------------
+        "sample_weighted": q_sample_weighted,
         "attribution_last_touch": q_attribution_last_touch,
         "cms_user_counts": q_cms_user_counts,
         "path_transitions": q_path_transitions,
@@ -4039,7 +4067,53 @@ def oracle_sql() -> dict[str, str]:
     )
     d["corpus_shuffle"] = _corpus_shuffle_sql()
     d["quality_percentile"] = _quality_percentile_sql(d["quality_score"])
+    d["temperature_mixture"] = _temperature_mixture_sql(0.3, 0.8, stages=6)
     return d
+
+
+def _temperature_mixture_sql(alpha: float, tf: float, stages: int = 6) -> str:
+    """DuckDB twin of sampling.temperature_mixture_rates + membership: the
+    water-filling iteration unrolled as one (C, saturate) SQL stage pair per
+    round (the pagerank/kmeans unrolled-oracle construction — MATERIALIZED
+    stages so the tree doesn't inline exponentially). ``stages`` >= the
+    group count guarantees the fixed point; extra stages are no-ops because
+    the saturated set and C stop changing. Rates round to 6 dp on both
+    engines (the shared rounding); membership is the sample_fraction md5
+    uniform."""
+    a = float(alpha)
+    head = f"""
+WITH counts AS MATERIALIZED (
+  SELECT lang AS g, CAST(count(*) AS DOUBLE) AS n
+  FROM documents WHERE lang IS NOT NULL GROUP BY lang
+), tot AS MATERIALIZED (SELECT sum(n) AS N FROM counts),
+s0 AS MATERIALIZED (SELECT g, n, false AS sat FROM counts)"""
+    parts = []
+    for i in range(stages):
+        parts.append(f""",
+c{i} AS MATERIALIZED (
+  SELECT CASE WHEN coalesce(sum(CASE WHEN NOT sat THEN pow(n, {a}) END), 0) > 0
+              AND ((SELECT {float(tf)} * N FROM tot)
+                   - coalesce(sum(CASE WHEN sat THEN n END), 0)) > 0
+         THEN ((SELECT {float(tf)} * N FROM tot)
+               - coalesce(sum(CASE WHEN sat THEN n END), 0))
+              / sum(CASE WHEN NOT sat THEN pow(n, {a}) END)
+         ELSE 0 END AS C
+  FROM s{i}
+),
+s{i + 1} AS MATERIALIZED (
+  SELECT g, n, sat OR ((SELECT C FROM c{i}) * pow(n, {a} - 1) >= 1) AS sat FROM s{i}
+)""")
+    tail = f""",
+rates AS (
+  SELECT g, round(least(1.0, CASE WHEN sat THEN 1.0
+                               ELSE (SELECT C FROM c{stages - 1}) * pow(n, {a} - 1) END), 6) AS r
+  FROM s{stages}
+)
+SELECT d.doc_id, d.lang, rt.r AS rate
+FROM documents d JOIN rates rt ON d.lang = rt.g
+WHERE ('0x' || substr(md5('s42:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+      / 4294967296.0 < rt.r"""
+    return head + "".join(parts) + tail
 
 
 def _quality_percentile_sql(quality_sql: str) -> str:

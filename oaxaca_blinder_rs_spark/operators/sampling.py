@@ -30,6 +30,8 @@ __all__ = [
     "mix_corpora",
     "split_corpus",
     "priority_sample",
+    "temperature_mixture_rates",
+    "temperature_mixture",
 ]
 
 
@@ -197,4 +199,98 @@ def priority_sample(
         .limit(int(k))
         .withColumn("priority", F.round(F.col("__pri"), 6))
         .drop("__pri")
+    )
+
+
+def temperature_mixture_rates(
+    docs: DataFrame,
+    by_col: str = "lang",
+    alpha: float = 0.3,
+    total_fraction: float = 0.5,
+) -> list[tuple]:
+    """Per-group keep rates for a temperature-resampled mixture — the
+    multilingual corpus-balancing rule (mT5 / XLM-R style): expected kept
+    counts proportional to n_g^alpha, total expected kept mass
+    ``total_fraction * N``, each rate capped at 1.
+
+    alpha = 1 is a plain uniform subsample; alpha -> 0 equalizes groups
+    (low-resource languages stop being drowned by the head). Uncapped, the
+    rate is r_g = C * n_g^(alpha-1) with one global C; when a small group's
+    implied rate exceeds 1 it SATURATES (keep all of it) and C re-solves
+    over the rest — the standard water-filling iteration, <= |groups|
+    rounds, driver-side over the |groups|-row count table (the corpus
+    itself is never touched). Rates are rounded to 6 dp (the oracle-shared
+    rounding; the SQL twin unrolls the same iteration).
+
+    Returns [(group, n_docs, rate)] sorted by group — a tiny driver-side
+    list, ready to broadcast.
+    """
+    if not 0.0 < float(total_fraction) <= 1.0:
+        raise ValueError("total_fraction must be in (0, 1]")
+    if not float(alpha) > 0.0:
+        raise ValueError("alpha must be > 0")
+    a = float(alpha)
+    counts = sorted(
+        (
+            (r[0], int(r[1]))
+            for r in docs.groupBy(by_col).agg(F.count(F.lit(1)).alias("n")).collect()
+            if r[0] is not None
+        ),
+        key=lambda gn: str(gn[0]),  # deterministic accumulation order
+    )
+    if not counts:
+        raise ValueError(f"no non-null groups in {by_col!r}")
+    N = float(sum(n for _, n in counts))
+    target = float(total_fraction) * N
+    sat: dict[str, int] = {}
+    C = 0.0
+    while True:
+        free = [(g, n) for g, n in counts if g not in sat]
+        if not free:
+            break
+        numer = target - float(sum(sat.values()))
+        denom = float(sum(n ** a for _, n in free))
+        C = numer / denom if denom > 0 and numer > 0 else 0.0
+        newly = [(g, n) for g, n in free if C * n ** (a - 1.0) >= 1.0]
+        if not newly:
+            break
+        sat.update(dict(newly))
+    return [
+        (g, n, round(min(1.0, 1.0 if g in sat else C * n ** (a - 1.0)), 6))
+        for g, n in counts
+    ]
+
+
+def temperature_mixture(
+    docs: DataFrame,
+    by_col: str = "lang",
+    alpha: float = 0.3,
+    total_fraction: float = 0.5,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-resampled corpus: keep each ``by_col`` group's rows at
+    the ``temperature_mixture_rates`` water-filled rate, with the same
+    deterministic md5-uniform membership as ``deterministic_sample`` — so
+    the mixture is reproducible across reruns, partitionings and engines,
+    and each group's realized contribution is auditable against its rate.
+
+    Scale shape: one |groups|-row count aggregate, driver-side rate solve,
+    a broadcast join of the rates and a stateless map-side filter — the
+    corpus shuffles zero times. Rows with a NULL group are dropped (they
+    have no rate). Schema passes through unchanged.
+    """
+    rates = temperature_mixture_rates(
+        docs, by_col=by_col, alpha=alpha, total_fraction=total_fraction
+    )
+    spark = docs.sparkSession
+    gtype = dict(docs.dtypes)[by_col]
+    rates_df = spark.createDataFrame(
+        [(g, r) for g, n, r in rates], f"`{by_col}` {gtype}, __rate double"
+    )
+    u = md5_uniform(id_col, seed)
+    return (
+        docs.join(F.broadcast(rates_df), by_col)
+        .filter(u < F.col("__rate"))
+        .select(*docs.columns)
     )

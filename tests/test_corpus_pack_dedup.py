@@ -1325,3 +1325,57 @@ def test_cli_corpus_quality_top_and_shuffle(spark, sf_dir, tmp_path, capsys):
         "corpus", "--input", src, "--output", str(tmp_path / "x"),
         "--quality-keep-top", "0.5", "--quality-by", "nope",
     ]) == 2
+
+
+def test_temperature_mixture(spark, sf_dir):
+    """temperature_mixture (r11): water-filled rates satisfy the defining
+    laws — unsaturated rates share one C (counts proportional to n^alpha),
+    expected kept mass == total_fraction * N (when feasible), caps bind at
+    1; alpha=1 is a uniform subsample; membership is deterministic across
+    partitionings and equals the brute-force md5 filter; validation."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from oaxaca_blinder_rs_spark.operators.sampling import (
+        md5_uniform,
+        temperature_mixture,
+        temperature_mixture_rates,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rates = temperature_mixture_rates(docs, by_col="lang", alpha=0.3, total_fraction=0.8)
+    N = sum(n for _, n, _ in rates)
+    # expected kept mass == target (rates are rounded to 6dp; allow that slack)
+    assert abs(sum(n * r for _, n, r in rates) - 0.8 * N) < 1e-4 * N
+    # unsaturated groups share one C: r_g / n_g^(alpha-1) constant
+    cs = [r / (n ** (0.3 - 1.0)) for _, n, r in rates if r < 1.0]
+    assert cs, "fixture should saturate some but not all groups"
+    assert max(cs) - min(cs) < 1e-3 * max(cs)
+    assert any(r == 1.0 for _, _, r in rates), "cap should bind on this fixture"
+    # alpha = 1 -> plain uniform subsample
+    flat = temperature_mixture_rates(docs, by_col="lang", alpha=1.0, total_fraction=0.4)
+    assert all(abs(r - 0.4) < 1e-9 for _, _, r in flat)
+    # total_fraction = 1 -> keep everything
+    full = temperature_mixture_rates(docs, by_col="lang", alpha=0.3, total_fraction=1.0)
+    assert all(r == 1.0 for _, _, r in full)
+    # membership: deterministic, equals brute force, partition-invariant
+    rate_by = {g: r for g, _, r in rates}
+    want = {
+        r.doc_id
+        for r in docs.withColumn("__u", md5_uniform("doc_id", 42)).collect()
+        if r.lang is not None and r["__u"] < rate_by[r.lang]
+    }
+    for parts in (1, 5):
+        got = {
+            r.doc_id
+            for r in temperature_mixture(
+                docs.repartition(parts), by_col="lang", alpha=0.3, total_fraction=0.8
+            ).select("doc_id").collect()
+        }
+        assert got == want, parts
+    out = temperature_mixture(docs, by_col="lang", alpha=0.3, total_fraction=0.8)
+    assert out.columns == docs.columns
+    with pytest.raises(ValueError, match="total_fraction"):
+        temperature_mixture_rates(docs, total_fraction=0.0)
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_mixture_rates(docs, alpha=0.0)
