@@ -32,6 +32,7 @@ __all__ = [
     "priority_sample",
     "temperature_mixture_rates",
     "temperature_mixture",
+    "water_fill_rates",
 ]
 
 
@@ -225,11 +226,6 @@ def temperature_mixture_rates(
     Returns [(group, n_docs, rate)] sorted by group — a tiny driver-side
     list, ready to broadcast.
     """
-    if not 0.0 < float(total_fraction) <= 1.0:
-        raise ValueError("total_fraction must be in (0, 1]")
-    if not float(alpha) > 0.0:
-        raise ValueError("alpha must be > 0")
-    a = float(alpha)
     counts = sorted(
         (
             (r[0], int(r[1]))
@@ -240,9 +236,26 @@ def temperature_mixture_rates(
     )
     if not counts:
         raise ValueError(f"no non-null groups in {by_col!r}")
-    N = float(sum(n for _, n in counts))
-    target = float(total_fraction) * N
-    sat: dict[str, int] = {}
+    return water_fill_rates(counts, alpha, total_fraction)
+
+
+def water_fill_rates(
+    counts: list[tuple], alpha: float, total_fraction: float
+) -> list[tuple]:
+    """Pure water-filling solver behind ``temperature_mixture_rates``:
+    given [(group, n)], return [(group, n, rate)] with rate =
+    min(1, C * n^(alpha-1)), C re-solved after each saturation round so
+    sum(rate * n) == total_fraction * sum(n) whenever that target is
+    feasible. Driver-side pure math (|groups| elements) — property-tested
+    directly without Spark in the loop."""
+    if not 0.0 < float(total_fraction) <= 1.0:
+        raise ValueError("total_fraction must be in (0, 1]")
+    if not float(alpha) > 0.0:
+        raise ValueError("alpha must be > 0")
+    a = float(alpha)
+    counts = [(g, int(n)) for g, n in counts]
+    target = float(total_fraction) * float(sum(n for _, n in counts))
+    sat: dict = {}
     C = 0.0
     while True:
         free = [(g, n) for g, n in counts if g not in sat]

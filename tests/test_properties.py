@@ -203,3 +203,52 @@ def test_mg_heavy_hitters_fuzzed(spark):
             assert want[-1][1] <= u, (trial, want[-1], u)
             continue
         assert got == want, (trial, parts, cap, k)
+
+
+@given(
+    ns=st.lists(st.integers(min_value=1, max_value=10**7), min_size=1, max_size=12),
+    alpha=st.floats(min_value=0.05, max_value=1.5, allow_nan=False),
+    tf=st.floats(min_value=0.01, max_value=1.0, allow_nan=False),
+)
+@settings(max_examples=200, deadline=None)
+def test_water_fill_rates_laws(ns, alpha, tf):
+    """water_fill_rates (r11): the defining laws hold for ANY group sizes —
+    (1) every rate in (0, 1]; (2) expected kept mass == tf * N whenever no
+    cap binds, and >= the uncapped target minus rounding when caps bind
+    (saturated groups contribute everything they have); (3) unsaturated
+    groups share one proportionality constant; (4) alpha <= 1 => smaller
+    groups never get a lower rate than bigger ones (the balancing
+    direction); (5) tf = 1 keeps everything."""
+    from oaxaca_blinder_rs_spark.operators.sampling import water_fill_rates
+
+    counts = [(f"g{i}", n) for i, n in enumerate(ns)]
+    rates = water_fill_rates(counts, alpha, tf)
+    N = float(sum(ns))
+    assert all(0.0 < r <= 1.0 for _, _, r in rates)
+    mass = sum(n * r for _, n, r in rates)
+    target = tf * N
+    if all(r < 1.0 for _, _, r in rates):
+        assert abs(mass - target) <= 2e-6 * N + 1e-9  # 6-dp rate rounding
+    else:
+        # caps bind: realized mass still hits the target unless EVERY group
+        # saturated (target infeasible under the caps only when tf*N >= N,
+        # i.e. tf == 1 up to rounding)
+        if any(r < 1.0 for _, _, r in rates):
+            assert mass >= target - 2e-6 * N - 1e-9
+    free = [(n, r) for _, n, r in rates if r < 1.0]
+    if len(free) >= 2:
+        # rates carry +-5e-7 of 6-dp rounding; propagate that through each
+        # group's own n^(alpha-1) when comparing the implied constants
+        n0, r0 = free[0]
+        c0 = r0 / (n0 ** (alpha - 1.0))
+        for n, r in free[1:]:
+            c = r / (n ** (alpha - 1.0))
+            tol = 5.1e-7 / (n ** (alpha - 1.0)) + 5.1e-7 / (n0 ** (alpha - 1.0)) + 1e-12
+            assert abs(c - c0) <= tol, (n, r, c, c0, tol)
+    if alpha <= 1.0:
+        by_n = sorted(((n, r) for _, n, r in rates))
+        for (n1, r1), (n2, r2) in zip(by_n, by_n[1:]):
+            if n1 < n2:
+                assert r1 >= r2 - 2e-6  # smaller group, no lower rate
+    full = water_fill_rates(counts, alpha, 1.0)
+    assert all(r == 1.0 for _, _, r in full)
