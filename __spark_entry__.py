@@ -2421,6 +2421,32 @@ def q_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"))
 
 
+def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal (textops.remove_boilerplate_lines,
+    r11; the CCNet/RefinedWeb rule — a line repeated verbatim in >= k
+    distinct documents of one domain is boilerplate). The fixture's
+    documents are single-line, so the contract SHAPES lines from words
+    (space -> newline, the _pii_augmented fixture pattern): common words
+    become heavily-repeated 'lines' and the removal bites hard. Pins the
+    md5 + length of every rewritten document (docs whose every line was
+    flagged become ''). Registered past the driver window — first record
+    rides the ORACLE_SWEEP artifact (the r10 late-addition convention);
+    r12 windows it."""
+    from oaxaca_blinder_rs_spark.operators.textops import remove_boilerplate_lines
+
+    docs = _t(spark, sf_dir, "documents")
+    lined = docs.withColumn(
+        "text", F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), " ", "\n")
+    )
+    out = remove_boilerplate_lines(lined, by_col="source", min_docs=5)
+    return out.select(
+        "doc_id",
+        "source",
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("text_md5"),
+        F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long").alias("n_chars_clean"),
+    )
+
+
 def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-resampled multilingual mixture (sampling.
     temperature_mixture, r11; the mT5/XLM-R corpus-balancing rule): keep
@@ -2690,6 +2716,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "cross_corpus_dedup": q_cross_corpus_dedup,
         "connected_components_geo": q_connected_components_geo,
+        # ---- r11 rows past the window (first record via ORACLE_SWEEP;
+        # r12 windows them per the COVERAGE.md policy) ------------------------
+        "boilerplate_lines": q_boilerplate_lines,
     }
 
 # --------------------------------------------------------------------------
@@ -4068,6 +4097,32 @@ def oracle_sql() -> dict[str, str]:
     d["corpus_shuffle"] = _corpus_shuffle_sql()
     d["quality_percentile"] = _quality_percentile_sql(d["quality_score"])
     d["temperature_mixture"] = _temperature_mixture_sql(0.3, 0.8, stages=6)
+    d["boilerplate_lines"] = """
+        WITH src AS (
+          SELECT doc_id, source, replace(coalesce(text, ''), ' ', chr(10)) AS text
+          FROM documents
+        ), t AS (
+          SELECT doc_id, source, string_split(text, chr(10)) AS ls FROM src
+        ), ln AS (
+          SELECT doc_id, source, unnest(range(1, len(ls) + 1)) AS pos, ls FROM t
+        ), lines AS (
+          SELECT doc_id, source, pos, ls[pos] AS line FROM ln
+        ), heavy AS (
+          SELECT source, line FROM lines WHERE trim(line) <> ''
+          GROUP BY source, line HAVING count(DISTINCT doc_id) >= 5
+        ), kept AS (
+          SELECT l.doc_id, l.pos, l.line
+          FROM lines l LEFT JOIN heavy h ON l.source = h.source AND l.line = h.line
+          WHERE h.line IS NULL
+        ), rebuilt AS (
+          SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+          FROM kept GROUP BY doc_id
+        )
+        SELECT d.doc_id, d.source,
+               md5(coalesce(r.text, '')) AS text_md5,
+               CAST(length(coalesce(r.text, '')) AS BIGINT) AS n_chars_clean
+        FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+    """
     return d
 
 

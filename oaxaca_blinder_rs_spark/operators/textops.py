@@ -48,6 +48,8 @@ __all__ = [
     "STOPSETS",
     "BPE_SPLIT_RE",
     "PII_PATTERNS",
+    "boilerplate_line_stats",
+    "remove_boilerplate_lines",
 ]
 
 EN_STOPWORDS = [
@@ -1274,4 +1276,84 @@ def tokenizer_fertility(
             F.round(F.try_divide(F.sum("__b"), F.sum("__w")), 6).alias("fertility"),
             F.round(F.try_divide(F.sum("__c"), F.sum("__b")), 6).alias("chars_per_token"),
         )
+    )
+
+
+def boilerplate_line_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    by_col: str | None = "source",
+    min_docs: int = 3,
+) -> DataFrame:
+    """Boilerplate line detection — the CCNet / RefinedWeb line-level rule:
+    a line that appears verbatim in at least ``min_docs`` DISTINCT documents
+    (within one ``by_col`` group — boilerplate is domain-local: nav bars,
+    cookie banners, footers repeat within a site, not across the web) is
+    boilerplate. Whitespace-only lines are never flagged: they appear
+    everywhere and removing them is spacing surgery, not cleaning.
+
+    Returns (by_col?, line, n_docs) for every flagged line. Scale shape:
+    one explode over lines + one keyed (group, line) count-distinct — the
+    heavy output is bounded by the number of distinct repeated lines, the
+    small end of the funnel.
+    """
+    if int(min_docs) < 2:
+        raise ValueError("min_docs must be >= 2")
+    ls = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n", -1)
+    keys = [F.col(by_col)] if by_col else []
+    lines = docs.select(*keys, F.col(id_col), F.explode(ls).alias("line"))
+    return (
+        lines.where(F.trim(F.col("line")) != "")
+        .groupBy(*([by_col] if by_col else []), "line")
+        .agg(F.countDistinct(id_col).cast("long").alias("n_docs"))
+        .where(F.col("n_docs") >= int(min_docs))
+    )
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    by_col: str | None = "source",
+    min_docs: int = 3,
+) -> DataFrame:
+    """Removal face of ``boilerplate_line_stats``: rewrite ``text_col`` with
+    the flagged lines deleted, preserving the order (and the blank lines)
+    of everything that survives. A document whose every line was flagged
+    becomes the empty string — the caller's quality gate drops empties, the
+    line surgeon doesn't make keep/drop decisions. Schema passes through
+    with only ``text_col`` rewritten.
+
+    Scale shape: the stats pass (one keyed count-distinct), an anti-join of
+    the exploded lines against the flagged side (the RARE side — same
+    reasoning as blocklist_filter's drop set), and one per-document
+    groupBy that reassembles surviving lines via array_sort over
+    (position, line) structs — no window, no global sort.
+    """
+    stats = boilerplate_line_stats(
+        docs, text_col=text_col, id_col=id_col, by_col=by_col, min_docs=min_docs
+    )
+    ls = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n", -1)
+    keys = [by_col] if by_col else []
+    lines = docs.select(
+        *[F.col(k) for k in keys],
+        F.col(id_col),
+        F.posexplode(ls).alias("__pos", "line"),
+    )
+    kept = lines.join(stats.select(*keys, "line"), [*keys, "line"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("__pos"), F.col("line")))),
+                lambda x: x["line"],
+            ),
+        ).alias("__newtext")
+    )
+    return (
+        docs.join(rebuilt, id_col, "left")
+        .withColumn(text_col, F.coalesce(F.col("__newtext"), F.lit("")))
+        .drop("__newtext")
+        .select(*docs.columns)
     )

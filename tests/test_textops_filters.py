@@ -982,3 +982,56 @@ def test_blocklist_filter_validation_and_threshold_knob(spark):
         ).collect()
     )
     assert lit == join == [2, 4, 5]
+
+
+def test_boilerplate_line_removal(spark):
+    """remove_boilerplate_lines (r11): a line repeated in >= min_docs
+    distinct docs of one source is removed everywhere IN that source (not
+    in others); blank lines are never flagged; single-doc repetition does
+    not count (distinct-doc rule); order and surviving blanks preserved;
+    an all-boilerplate doc becomes ''; schema passes through."""
+    from oaxaca_blinder_rs_spark.operators.textops import (
+        boilerplate_line_stats,
+        remove_boilerplate_lines,
+    )
+
+    rows = [
+        (1, "a.com", "COOKIE BANNER\nreal content one\n\nfooter"),
+        (2, "a.com", "COOKIE BANNER\nreal content two\nfooter"),
+        (3, "a.com", "COOKIE BANNER\nunique text"),
+        (4, "a.com", "COOKIE BANNER\nfooter"),
+        # same line on ANOTHER source: only 1 doc there -> stays
+        (5, "b.com", "COOKIE BANNER\nb content"),
+        # repeated WITHIN one doc only -> distinct-doc count is 1 -> stays
+        (6, "b.com", "echo\necho\necho"),
+        (7, "b.com", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    stats = {
+        (r.source, r.line): r.n_docs
+        for r in boilerplate_line_stats(df, min_docs=4).collect()
+    }
+    assert stats == {("a.com", "COOKIE BANNER"): 4}
+    out = {
+        r.doc_id: r.text
+        for r in remove_boilerplate_lines(df, min_docs=4).collect()
+    }
+    assert out[1] == "real content one\n\nfooter"  # blank line survives
+    assert out[2] == "real content two\nfooter"
+    assert out[3] == "unique text"
+    assert out[4] == "footer"
+    assert out[5] == "COOKIE BANNER\nb content"  # other source untouched
+    assert out[6] == "echo\necho\necho"
+    assert out[7] == ""  # null text -> empty, not null
+    cleaned = remove_boilerplate_lines(df, min_docs=3)
+    assert cleaned.columns == df.columns
+    # min_docs=3 also takes a.com's footer (docs 1, 2, 4)
+    out2 = {r.doc_id: r.text for r in cleaned.collect()}
+    assert out2[1] == "real content one\n"
+    assert out2[4] == ""  # every line flagged -> empty string
+    with __import__("pytest").raises(ValueError, match="min_docs"):
+        boilerplate_line_stats(df, min_docs=1)
+    # global mode (by_col=None): COOKIE BANNER now spans 5 docs -> removed
+    # from b.com too
+    g = {r.doc_id: r.text for r in remove_boilerplate_lines(df, by_col=None, min_docs=5).collect()}
+    assert g[5] == "b content"
