@@ -2421,6 +2421,27 @@ def q_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"))
 
 
+def q_length_bucketed_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed shard packing (corpus.length_bucketed_shards, r11):
+    documents bucketed by floor(log2(n_tokens+1)) — each shard's members
+    stay within a ~2x length band, bounding fixed-length-batch padding
+    waste — then packed per bucket by the skew-safe grouped prefix scan
+    (scan.grouped_prev_cumsum, the source_quota machinery). Oracle: the
+    per-bucket exclusive window sum. Registered past the driver window —
+    first record rides the ORACLE_SWEEP artifact; r12 windows it."""
+    from oaxaca_blinder_rs_spark.operators.corpus import length_bucketed_shards
+
+    docs = _t(spark, sf_dir, "documents")
+    out = length_bucketed_shards(docs, budget=2000)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("len_bucket").cast("int").alias("len_bucket"),
+        "bucket_offset",
+        "shard_seq",
+    )
+
+
 def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line-level boilerplate removal (textops.remove_boilerplate_lines,
     r11; the CCNet/RefinedWeb rule — a line repeated verbatim in >= k
@@ -2719,6 +2740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- r11 rows past the window (first record via ORACLE_SWEEP;
         # r12 windows them per the COVERAGE.md policy) ------------------------
         "boilerplate_lines": q_boilerplate_lines,
+        "length_bucketed_shards": q_length_bucketed_shards,
     }
 
 # --------------------------------------------------------------------------
@@ -4097,6 +4119,28 @@ def oracle_sql() -> dict[str, str]:
     d["corpus_shuffle"] = _corpus_shuffle_sql()
     d["quality_percentile"] = _quality_percentile_sql(d["quality_score"])
     d["temperature_mixture"] = _temperature_mixture_sql(0.3, 0.8, stages=6)
+    d["length_bucketed_shards"] = """
+        WITH c AS (
+          SELECT doc_id,
+                 len(regexp_split_to_array(trim(coalesce(text, '')), '\\s+')) AS n_tokens
+          FROM documents
+        ), b AS (
+          SELECT doc_id, n_tokens,
+                 CAST(floor(log2(n_tokens + 1.0)) AS INT) AS len_bucket
+          FROM c
+        ), o AS (
+          SELECT doc_id, n_tokens, len_bucket,
+                 CAST(coalesce(sum(n_tokens) OVER (PARTITION BY len_bucket
+                        ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                   AS bucket_offset
+          FROM b
+        )
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, len_bucket,
+               bucket_offset,
+               CAST(floor(bucket_offset / 2000.0) AS BIGINT) AS shard_seq
+        FROM o
+    """
     d["boilerplate_lines"] = """
         WITH src AS (
           SELECT doc_id, source, replace(coalesce(text, ''), ' ', chr(10)) AS text

@@ -36,6 +36,7 @@ __all__ = [
     "hashed_bow",
     "deterministic_shuffle",
     "quality_percentile_filter",
+    "length_bucketed_shards",
 ]
 
 
@@ -950,4 +951,62 @@ def quality_percentile_filter(
         scored.join(F.broadcast(thresholds), by_col)
         .filter(F.col("__q") >= F.col("__thr"))
         .select(*docs.columns)  # the equi-join fronts by_col; restore order
+    )
+
+
+def length_bucketed_shards(
+    docs: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_col: str | None = None,
+) -> DataFrame:
+    """Assign documents to LENGTH-BUCKETED token-budget training shards:
+    (id, n_tokens, len_bucket, bucket_offset, shard_seq).
+
+    Plain packing mixes a 10-token snippet into the same shard as a
+    10k-token article; a fixed-length batcher then pads everything in the
+    batch to the longest member, and the padding bill is the length
+    SPREAD. Bucketing by floor(log2(n_tokens + 1)) first keeps each
+    shard's documents within a ~2x length band, so padding waste is
+    bounded by half regardless of the corpus length distribution — the
+    standard dynamic-batching trick, made deterministic.
+
+    ``shard_seq`` is the shard index WITHIN the bucket
+    (bucket_offset // budget, bucket_offset = exclusive running token sum
+    under the id order inside the bucket); a loader streams
+    (len_bucket, shard_seq) directories independently. Like
+    pack_token_shards, a shard can overrun ``budget`` by at most one
+    document.
+
+    Scale shape: the running sums go through ``scan.grouped_prev_cumsum``
+    — range-partitioned so one giant bucket (most corpora pile into 2-3
+    middle buckets) SPANS partitions instead of serializing through one
+    window task. One codegen projection + the grouped scan; nothing else.
+    """
+    from . import scan
+
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    n_tok = (
+        F.col(token_col)
+        if token_col
+        else textops.token_count(F.coalesce(F.col(text_col), F.lit("")))
+    )
+    base = docs.select(
+        F.col(id_col),
+        n_tok.cast("long").alias("n_tokens"),
+    ).withColumn(
+        "len_bucket",
+        F.floor(F.log2(F.col("n_tokens") + F.lit(1.0))).cast("int"),
+    )
+    packed = scan.grouped_prev_cumsum(
+        base, "len_bucket", [F.col(id_col).asc()], F.col("n_tokens"), "bucket_offset"
+    )
+    return packed.select(
+        id_col,
+        "n_tokens",
+        "len_bucket",
+        F.col("bucket_offset").cast("long").alias("bucket_offset"),
+        F.floor(F.col("bucket_offset") / F.lit(int(budget))).cast("long").alias("shard_seq"),
     )

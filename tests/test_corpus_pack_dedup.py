@@ -1379,3 +1379,45 @@ def test_temperature_mixture(spark, sf_dir):
         temperature_mixture_rates(docs, total_fraction=0.0)
     with pytest.raises(ValueError, match="alpha"):
         temperature_mixture_rates(docs, alpha=0.0)
+
+
+def test_length_bucketed_shards(spark, sf_dir):
+    """length_bucketed_shards (r11): per-bucket offsets equal the
+    brute-force running sum under id order within each bucket; members of
+    one shard stay within one log2 length band (the padding-bound
+    property); budget overrun is at most one document; validation."""
+    import collections
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from oaxaca_blinder_rs_spark.operators.corpus import length_bucketed_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    budget = 1500
+    rows = length_bucketed_shards(docs, budget=budget).collect()
+    # brute force per bucket
+    bybucket = collections.defaultdict(list)
+    for r in rows:
+        bybucket[r.len_bucket].append(r)
+    import math
+    for b, rs in bybucket.items():
+        rs.sort(key=lambda r: r.doc_id)
+        run = 0
+        for r in rs:
+            assert r.bucket_offset == run, r
+            assert r.shard_seq == run // budget
+            # bucket law: the doc's own length lands in its bucket's band
+            assert b == math.floor(math.log2(r.n_tokens + 1)), r
+            run += r.n_tokens
+        # shard token sums: every shard except possibly the last overruns
+        # the budget by at most its final document
+        sums = collections.Counter()
+        last_tok = {}
+        for r in rs:
+            sums[r.shard_seq] += r.n_tokens
+            last_tok[r.shard_seq] = r.n_tokens
+        for sq, tot in sums.items():
+            assert tot < budget + max(last_tok[sq], budget), (b, sq, tot)
+    with pytest.raises(ValueError, match="budget"):
+        length_bucketed_shards(docs, budget=0)
