@@ -2442,6 +2442,22 @@ def q_length_bucketed_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surgical cross-corpus decontamination (dedup.remove_contaminated_spans,
+    r11; the PaLM-style span rule): every maximal region of a training doc
+    that reproduces ANY 8-token substring of the benchmark corpus verbatim
+    is cut, the rest of the document survives. Benchmark = the doc_id % 7
+    slice of documents (so the fixture has both full-doc hits — the slice
+    members themselves — and genuine partial-span hits from cross-doc
+    8-gram repeats). One row per training doc with the clean text compared.
+    Registered past the driver window — first record rides the
+    ORACLE_SWEEP artifact; r12 windows it."""
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.where(F.col("doc_id") % 7 == 0)
+    out = dedup.remove_contaminated_spans(docs, ref, window_tokens=8)
+    return out.select("doc_id", "clean_text", "n_tokens", "n_dropped")
+
+
 def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line-level boilerplate removal (textops.remove_boilerplate_lines,
     r11; the CCNet/RefinedWeb rule — a line repeated verbatim in >= k
@@ -2741,6 +2757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r12 windows them per the COVERAGE.md policy) ------------------------
         "boilerplate_lines": q_boilerplate_lines,
         "length_bucketed_shards": q_length_bucketed_shards,
+        "decontaminate_spans": q_decontaminate_spans,
     }
 
 # --------------------------------------------------------------------------
@@ -4119,6 +4136,52 @@ def oracle_sql() -> dict[str, str]:
     d["corpus_shuffle"] = _corpus_shuffle_sql()
     d["quality_percentile"] = _quality_percentile_sql(d["quality_score"])
     d["temperature_mixture"] = _temperature_mixture_sql(0.3, 0.8, stages=6)
+    d["decontaminate_spans"] = r"""
+        WITH t AS MATERIALIZED (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(coalesce(text, '')), '\s+') arr
+          FROM documents
+        ), rw AS MATERIALIZED (
+          SELECT DISTINCT array_to_string(arr[u.i + 1 : u.i + 8], ' ') win
+          FROM t, unnest(range(0, len(arr) - 8 + 1)) u(i)
+          WHERE len(arr) >= 8 AND doc_id % 7 = 0
+        ), w AS MATERIALIZED (
+          SELECT doc_id, CAST(u.i AS BIGINT) strt,
+                 array_to_string(arr[u.i + 1 : u.i + 8], ' ') win
+          FROM t, unnest(range(0, len(arr) - 8 + 1)) u(i)
+          WHERE len(arr) >= 8
+        ), d AS MATERIALIZED (
+          SELECT w.doc_id, w.strt, w.strt + 8 AS stop
+          FROM w JOIN rw USING (win)
+        ), g AS MATERIALIZED (
+          SELECT *, CASE WHEN strt > coalesce(
+                   lag(stop) OVER (PARTITION BY doc_id ORDER BY strt), -1)
+                 THEN 1 ELSE 0 END brk
+          FROM d
+        ), gg AS MATERIALIZED (
+          SELECT *, sum(brk) OVER (PARTITION BY doc_id ORDER BY strt) grp
+          FROM g
+        ), sp AS MATERIALIZED (
+          SELECT doc_id, min(strt) s, max(stop) e FROM gg GROUP BY doc_id, grp
+        ), tk AS MATERIALIZED (
+          SELECT doc_id, CAST(u.i - 1 AS BIGINT) p, arr[u.i] tok
+          FROM t, unnest(range(1, len(arr) + 1)) u(i)
+        ), kept AS MATERIALIZED (
+          SELECT tk.doc_id, tk.p, tk.tok
+          FROM tk LEFT JOIN sp
+            ON sp.doc_id = tk.doc_id AND tk.p >= sp.s AND tk.p < sp.e
+          WHERE sp.doc_id IS NULL
+        )
+        SELECT t.doc_id,
+               coalesce(k.clean_text, '') AS clean_text,
+               CAST(len(t.arr) AS BIGINT) n_tokens,
+               CAST(len(t.arr) - coalesce(k.nk, 0) AS BIGINT) n_dropped
+        FROM t LEFT JOIN (
+          SELECT doc_id, string_agg(tok, ' ' ORDER BY p) clean_text,
+                 count(*) nk
+          FROM kept GROUP BY doc_id
+        ) k USING (doc_id)
+    """
     d["length_bucketed_shards"] = """
         WITH c AS (
           SELECT doc_id,

@@ -41,6 +41,8 @@ __all__ = [
     "span_dedup",
     "dup_substring_spans",
     "remove_dup_substrings",
+    "contamination_spans",
+    "remove_contaminated_spans",
 ]
 
 
@@ -696,11 +698,23 @@ def dup_substring_spans(
             (F.col(id_col) != F.col("__first.d"))
             | (F.col("start") != F.col("__first.p"))
         )
-        .select(
-            F.col(id_col),
-            F.col("start").cast("long").alias("start"),
-            (F.col("start") + L).cast("long").alias("stop"),
-        )
+        .select(F.col(id_col), F.col("start"))
+    )
+    return _merge_windows_to_spans(dups, id_col, L)
+
+
+def _merge_windows_to_spans(hits: DataFrame, id_col: str, L: int) -> DataFrame:
+    """(id, start) window-hit rows -> maximal merged token spans:
+    (id, span_start, span_end, n_windows). Shared by the self-corpus dedup
+    face (dup_substring_spans) and the cross-corpus decontamination face
+    (contamination_spans). Per-document window pass — keys are documents,
+    uniformly small, never a single-task global window."""
+    from pyspark.sql import Window
+
+    dups = hits.select(
+        F.col(id_col),
+        F.col("start").cast("long").alias("start"),
+        (F.col("start") + int(L)).cast("long").alias("stop"),
     )
     byid = Window.partitionBy(id_col).orderBy("start")
     brk = F.when(
@@ -740,6 +754,18 @@ def remove_dup_substrings(
     spans = dup_substring_spans(
         docs, window_tokens=window_tokens, text_col=text_col, id_col=id_col
     )
+    return _cut_spans(docs, spans, text_col, id_col)
+
+
+def _cut_spans(
+    docs: DataFrame, spans: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Cut (span_start, span_end) token spans out of each document and
+    reassemble the survivors in order: (id, clean_text, n_tokens,
+    n_dropped), one row per input document. Shared removal plumbing for
+    remove_dup_substrings and remove_contaminated_spans. Per-doc span
+    collect (bounded by doc length / window) + a codegen position filter
+    — no shuffle beyond the doc-keyed join."""
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
     )
@@ -770,3 +796,82 @@ def remove_dup_substrings(
         F.size("__toks").cast("long").alias("n_tokens"),
         (F.size("__toks") - F.size(keep_idx)).cast("long").alias("n_dropped"),
     )
+
+
+def contamination_spans(
+    docs: DataFrame,
+    ref_docs: DataFrame,
+    window_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ref_text_col: str = "text",
+) -> DataFrame:
+    """Cross-corpus contamination spans: every maximal token region of
+    ``docs`` that reproduces ANY ``window_tokens``-token substring of
+    ``ref_docs`` (the benchmark/eval corpus) verbatim, at any offset.
+
+    The span-level completion of ``cross_corpus_dedup``: that face DROPS a
+    whole document that near-duplicates a benchmark; this one finds the
+    exact overlapping REGIONS so the surgical face
+    (``remove_contaminated_spans``) can cut the benchmark text out and
+    keep the rest of the document — the PaLM-style span decontamination.
+    Unlike the self-corpus dedup (dup_substring_spans), there is no
+    first-occurrence survivor: EVERY matching window in ``docs`` is
+    contaminated.
+
+    Matching is by 16-byte md5 digests of the stride-1 windows on both
+    sides (the dup_substring_spans digest argument: birthday-safe,
+    map-side, raw window text never shuffles). Returns
+    (doc_id, span_start, span_end, n_windows), token offsets
+    [span_start, span_end).
+
+    Scale shape: the reference side reduces to its DISTINCT window digests
+    (benchmarks are the small side by construction — and if not, the
+    semi-join below is a plain shuffle join AQE can flip to broadcast when
+    the digest set is small; nothing is forced); the train side carves
+    windows map-side and semi-joins on the digest; span merging is the
+    shared per-document pass (_merge_windows_to_spans).
+    """
+    if window_tokens < 1:
+        raise ValueError("window_tokens must be >= 1")
+    L = int(window_tokens)
+
+    def win_rows(frame: DataFrame, tcol: str, keep_id: bool):
+        toks = F.split(F.trim(F.coalesce(F.col(tcol), F.lit(""))), r"\s+")
+        nwin = F.size(toks) - L + 1
+        digest = lambda i: F.unhex(F.md5(F.array_join(F.slice(toks, i + 1, L), " ")))  # noqa: E731
+        wins = F.when(
+            nwin >= 1, F.transform(F.sequence(F.lit(0), nwin - 1), digest)
+        ).otherwise(F.array().cast("array<binary>"))
+        cols = [F.col(id_col)] if keep_id else []
+        return frame.select(*cols, F.posexplode(wins).alias("start", "__win"))
+
+    ref_wins = win_rows(ref_docs, ref_text_col, keep_id=False).select("__win").distinct()
+    hits = win_rows(docs, text_col, keep_id=True).join(ref_wins, "__win", "left_semi")
+    return _merge_windows_to_spans(hits.select(id_col, "start"), id_col, L)
+
+
+def remove_contaminated_spans(
+    docs: DataFrame,
+    ref_docs: DataFrame,
+    window_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ref_text_col: str = "text",
+) -> DataFrame:
+    """Surgical decontamination: cut every contaminated region
+    (``contamination_spans``) out of each training document and reassemble
+    the survivors in order — (doc_id, clean_text, n_tokens, n_dropped),
+    one row per input document. A document that is entirely benchmark
+    text survives with clean_text = '' (drop decisions belong to the
+    caller's gates, as with remove_boilerplate_lines). Shares the cut
+    plumbing (_cut_spans) with remove_dup_substrings."""
+    spans = contamination_spans(
+        docs,
+        ref_docs,
+        window_tokens=window_tokens,
+        text_col=text_col,
+        id_col=id_col,
+        ref_text_col=ref_text_col,
+    )
+    return _cut_spans(docs, spans, text_col, id_col)

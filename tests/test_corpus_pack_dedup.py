@@ -1421,3 +1421,50 @@ def test_length_bucketed_shards(spark, sf_dir):
             assert tot < budget + max(last_tok[sq], budget), (b, sq, tot)
     with pytest.raises(ValueError, match="budget"):
         length_bucketed_shards(docs, budget=0)
+
+
+def test_contamination_spans_and_removal(spark):
+    """contamination_spans / remove_contaminated_spans (r11): EVERY window
+    matching a benchmark substring is cut (no first-occurrence survivor —
+    unlike the self-corpus face), at any offset; overlapping windows merge
+    to maximal spans; non-matching docs pass through untouched; a doc that
+    IS benchmark text empties; short docs (< L tokens) emit no spans."""
+    from pyspark.sql import functions as F
+
+    from oaxaca_blinder_rs_spark.operators.dedup import (
+        contamination_spans,
+        remove_contaminated_spans,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    train = [
+        # exact benchmark copy -> fully cut
+        (1, "the quick brown fox jumps over the lazy dog"),
+        # benchmark embedded mid-document at a shifted offset -> only the
+        # 9-token benchmark region cut, the frame kept
+        (2, "intro words here the quick brown fox jumps over the lazy dog and more trailing text"),
+        # shares only a 7-token prefix (< L=8) -> untouched
+        (3, "the quick brown fox jumps over the moon tonight"),
+        # completely unrelated -> untouched
+        (4, "completely unrelated content with many different words inside"),
+        # shorter than the window -> untouched, no spans
+        (5, "tiny doc"),
+    ]
+    df = spark.createDataFrame(train, "doc_id long, text string")
+    spans = {
+        r.doc_id: (r.span_start, r.span_end, r.n_windows)
+        for r in contamination_spans(df, bench, window_tokens=8).collect()
+    }
+    assert spans[1] == (0, 9, 2)  # 9 tokens -> two 8-token windows, merged
+    assert spans[2] == (3, 12, 2)  # shifted offset detected
+    assert 3 not in spans and 4 not in spans and 5 not in spans
+    out = {r.doc_id: r for r in remove_contaminated_spans(df, bench, window_tokens=8).collect()}
+    assert out[1].clean_text == "" and out[1].n_dropped == 9
+    assert out[2].clean_text == "intro words here and more trailing text"
+    assert out[2].n_tokens == 16 and out[2].n_dropped == 9
+    assert out[3].clean_text == train[2][1] and out[3].n_dropped == 0
+    assert out[5].clean_text == "tiny doc" and out[5].n_dropped == 0
+    assert len(out) == 5  # one row per input doc
