@@ -2589,8 +2589,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (per-process-unique scratch path).
 
     Past the window, ordered by rotation due-date: the 45 remaining
-    r9-record rows, then the 47 remaining r10-record rows. The registry
-    holds len(queries()) rows — 142 as of r11 (141 oracle-paired +
+    r9-record rows, then the 47 remaining r10-record rows, then the three
+    late-r11 rows whose first records ride the committed ORACLE_SWEEP
+    artifact (boilerplate_lines, length_bucketed_shards,
+    decontaminate_spans — the r10 late-addition convention; r12 windows
+    them with first priority after the r9 cohort). The registry holds
+    len(queries()) rows — 145 as of r11 close (144 oracle-paired +
     pca_whiten_top2 rows-only; count the dict, don't trust prose). From
     r10 on the committed ORACLE_SWEEP_r{N}.json carries a machine-readable
     full-registry check (every row, rows/schema/hash booleans) regenerated
