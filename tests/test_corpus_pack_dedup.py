@@ -1468,3 +1468,56 @@ def test_contamination_spans_and_removal(spark):
     assert out[3].clean_text == train[2][1] and out[3].n_dropped == 0
     assert out[5].clean_text == "tiny doc" and out[5].n_dropped == 0
     assert len(out) == 5  # one row per input doc
+
+
+def test_contamination_removal_fuzzed_vs_bruteforce(spark):
+    """Fuzz (fixed seeds): remove_contaminated_spans equals a pure-Python
+    brute force — mark every token covered by an L-window whose text equals
+    ANY reference L-window, cut marked tokens, keep the rest in order — on
+    random corpora with planted benchmark fragments at random offsets."""
+    import random
+
+    from oaxaca_blinder_rs_spark.operators.dedup import remove_contaminated_spans
+
+    rng = random.Random(20260816)
+    vocab = [f"w{i}" for i in range(30)]
+    L = 4
+    for trial in range(4):
+        bench_texts = [
+            " ".join(rng.choices(vocab, k=rng.randint(L, 12)))
+            for _ in range(rng.randint(1, 3))
+        ]
+        train = []
+        for i in range(rng.randint(6, 18)):
+            words = rng.choices(vocab, k=rng.randint(0, 15))
+            if rng.random() < 0.5 and bench_texts:
+                frag = rng.choice(bench_texts).split()
+                a = rng.randint(0, max(0, len(frag) - L))
+                b = rng.randint(a + L, len(frag))
+                at = rng.randint(0, len(words))
+                words = words[:at] + frag[a:b] + words[at:]
+            train.append((i, " ".join(words)))
+        bench_df = spark.createDataFrame(
+            [(100 + j, t) for j, t in enumerate(bench_texts)], "doc_id long, text string"
+        )
+        train_df = spark.createDataFrame(train, "doc_id long, text string").repartition(3)
+        got = {
+            r.doc_id: (r.clean_text, r.n_tokens, r.n_dropped)
+            for r in remove_contaminated_spans(train_df, bench_df, window_tokens=L).collect()
+        }
+        # brute force
+        ref_wins = set()
+        for t in bench_texts:
+            tk = t.strip().split()
+            for a in range(len(tk) - L + 1):
+                ref_wins.add(tuple(tk[a:a + L]))
+        for i, t in train:
+            tk = t.strip().split() if t.strip() else [""]
+            cut = [False] * len(tk)
+            for a in range(len(tk) - L + 1):
+                if tuple(tk[a:a + L]) in ref_wins:
+                    for p in range(a, a + L):
+                        cut[p] = True
+            keep = [w for w, c in zip(tk, cut) if not c]
+            want = (" ".join(keep), len(tk), sum(cut))
+            assert got[i] == want, (trial, i, got[i], want)

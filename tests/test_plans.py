@@ -454,3 +454,51 @@ def test_semantic_dedup_pair_join_is_cluster_keyed(spark, sf_dir):
     join_lines = [l for l in plan.splitlines() if "Join" in l and "BroadcastNestedLoop" not in l]
     assert any("SortMergeJoin" in l or "ShuffledHashJoin" in l or "BroadcastHashJoin" in l
                for l in join_lines), plan
+
+
+def test_quality_percentile_filter_broadcasts_thresholds(spark, sf_dir):
+    """The stratified gate's |groups|-row thresholds frame must broadcast;
+    the corpus side must not be exchanged for the join (map-side filter)."""
+    from oaxaca_blinder_rs_spark.operators.corpus import quality_percentile_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = quality_percentile_filter(docs, by_col="source", score_col="n_chars", keep_top=0.5)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # the corpus never shuffles for the gate
+
+
+def test_deterministic_shuffle_is_range_partitioned(spark, sf_dir):
+    """The epoch shuffle must be ONE range repartition + in-partition sorts —
+    never a global single-partition sort."""
+    from oaxaca_blinder_rs_spark.operators.corpus import deterministic_shuffle
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(deterministic_shuffle(docs, seed=1, num_partitions=8))
+    assert "rangepartitioning" in plan.lower()
+    assert "SinglePartition" not in plan
+
+
+def test_contamination_spans_no_cartesian(spark, sf_dir):
+    """Cross-corpus span decontamination: the window-digest match must be an
+    equi-(semi-)join — no cartesian, no nested loop — and the raw window
+    TEXT must not be a join key (digests only)."""
+    from oaxaca_blinder_rs_spark.operators.dedup import contamination_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ref = docs.where(F.col("doc_id") % 7 == 0)
+    plan = _plan(contamination_spans(docs, ref, window_tokens=8))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan
+
+
+def test_boilerplate_removal_no_global_window(spark, sf_dir):
+    """Line-level boilerplate removal: reassembly is a doc-keyed groupBy —
+    no unpartitioned (SinglePartition) window anywhere in the plan."""
+    from oaxaca_blinder_rs_spark.operators.textops import remove_boilerplate_lines
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(remove_boilerplate_lines(docs, min_docs=3))
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
