@@ -494,7 +494,20 @@ def heavy_hitters_verify(
     )
     proj = [F.col(col).cast("string").alias("key")]
     if weight_col is not None:
-        proj.append(F.col(weight_col).cast("long").alias("w"))
+        # same validation mg_summaries enforces in the fused path: external
+        # candidate sets must not smuggle float or negative weights into an
+        # EXACTNESS proof (null weights count as zero, as in pass 1)
+        wtype = df.schema[weight_col].dataType.simpleString()
+        if wtype not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"weight_col must be an integer column (exactness proof), got {wtype}"
+            )
+        w = F.coalesce(F.col(weight_col).cast("long"), F.lit(0))
+        proj.append(
+            F.when(w >= 0, w)
+            .otherwise(F.raise_error(F.lit("heavy_hitters_verify: negative weight")))
+            .alias("w")
+        )
     # broadcast-size guard: the candidate count is cheap (candidates is the
     # bounded pass-1 output / a driver-built frame, never the raw corpus);
     # past the threshold use a plain shuffle hash join — same rows out

@@ -324,3 +324,22 @@ def test_heavy_hitters_verify_external_candidates(spark):
     # a u_bound >= the rank-k count makes rank k unprovable -> raise
     with pytest.raises(Exception, match="not provably exact"):
         sketches.heavy_hitters_verify(df, "key", cands, 10, k=3).collect()
+
+
+def test_heavy_hitters_verify_weight_validation(spark):
+    """r11: the external pass-2 face enforces the same weight rules as the
+    fused path — float weight columns raise at plan time, negative weights
+    raise at execution, null weights count as zero."""
+    cands = spark.createDataFrame([("a",), ("b",)], "key string")
+    fw = spark.createDataFrame([("a", 1.5)], "key string, w double")
+    with pytest.raises(ValueError, match="integer column"):
+        sketches.heavy_hitters_verify(fw, "key", cands, 0, k=1, weight_col="w")
+    neg = spark.createDataFrame([("a", -1)], "key string, w long")
+    with pytest.raises(Exception, match="negative weight"):
+        sketches.heavy_hitters_verify(neg, "key", cands, 0, k=1, weight_col="w").collect()
+    nw = spark.createDataFrame([("a", 5), ("a", None), ("b", 3)], "key string, w long")
+    got = [
+        (r.key, r.n_exact)
+        for r in sketches.heavy_hitters_verify(nw, "key", cands, 0, k=2, weight_col="w").collect()
+    ]
+    assert got == [("a", 5), ("b", 3)]
