@@ -2314,23 +2314,32 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # overwrite can delete files under the other's in-flight scan
     import uuid
 
+    import shutil
+
     sf = os.path.basename(sf_dir.rstrip("/"))
     out = f"/tmp/oaxaca_jsonl_rt_{sf}_{os.getpid()}_{uuid.uuid4().hex[:8]}"
-    docs.coalesce(4).write.mode("overwrite").json(out)
-    back = read_jsonl(
-        spark,
-        out,
-        schema="doc_id bigint, text string, lang string, source string, n_chars bigint",
-        with_row_id=False,
-    )
-    return back.select(
-        "doc_id",
-        "lang",
-        "source",
-        "n_chars",
-        F.length("text").cast("long").alias("text_len"),
-        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("text_md5"),
-    )
+    try:
+        docs.coalesce(4).write.mode("overwrite").json(out)
+        back = read_jsonl(
+            spark,
+            out,
+            schema="doc_id bigint, text string, lang string, source string, n_chars bigint",
+            with_row_id=False,
+        )
+        digest = back.select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            F.length("text").cast("long").alias("text_len"),
+            F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("text_md5"),
+        )
+        # materialize (lineage-truncating) so the scratch JSON can be removed
+        # before the caller collects — repeated sweep/test runs must not
+        # accumulate per-run /tmp trees (r11 ADVICE)
+        return digest.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
 
 
 def q_heavy_hitters_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2533,29 +2542,39 @@ def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     static = _t(spark, sf_dir, "events")
     # unique scratch everywhere: concurrent drivers/sweeps must not share a
     # checkpoint, a source copy, or a memory-sink name (the jsonl lesson)
+    import shutil
+
     run = f"{os.getpid()}_{uuid.uuid4().hex[:8]}"
     src = tempfile.mkdtemp(prefix=f"oaxaca_mg_src_{run}_")
-    static.write.mode("overwrite").parquet(src)
-    stream = spark.readStream.schema(static.schema).format("parquet").load(src)
-    summ = streaming_mg_candidates(stream, "user_id", capacity=1024, n_buckets=8)
-    name = f"mg_stream_{run}"
     ckpt = tempfile.mkdtemp(prefix=f"oaxaca_mg_ckpt_{run}_")
-    q = (
-        summ.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError("streaming_heavy_hitters: availableNow replay timed out")
-    cands, ubound = mg_snapshot_candidates(spark.table(name))
-    out = heavy_hitters_verify(static, "user_id", cands, ubound, k=10)
-    return out.select(
-        F.col("key").alias("user_id"), F.col("n_exact").cast("long").alias("n_events")
-    )
+    try:
+        static.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(static.schema).format("parquet").load(src)
+        summ = streaming_mg_candidates(stream, "user_id", capacity=1024, n_buckets=8)
+        name = f"mg_stream_{run}"
+        q = (
+            summ.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("streaming_heavy_hitters: availableNow replay timed out")
+        # the snapshots live in the in-memory sink table and the recount reads
+        # the sf_dir parquet directly, so once the replay has terminated the
+        # scratch source copy and checkpoint can go (r11 ADVICE: repeated
+        # sweep/test runs must not accumulate per-run /tmp trees)
+        cands, ubound = mg_snapshot_candidates(spark.table(name))
+        out = heavy_hitters_verify(static, "user_id", cands, ubound, k=10)
+        return out.select(
+            F.col("key").alias("user_id"), F.col("n_exact").cast("long").alias("n_events")
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -910,7 +910,12 @@ def quality_percentile_filter(
 
     ``score_col`` names a numeric column (higher is better); None scores on
     the fly with textops.quality_score (6 dp, the contract rounding). Rows
-    whose score is NULL are dropped (they cannot be ranked).
+    whose score is NULL are dropped (they cannot be ranked), and — like
+    temperature_mixture — rows whose ``by_col`` group is NULL are dropped
+    too (the inner equi-join against the per-group thresholds frame has no
+    NULL key to match; a NULL-source document has no stratum to rank in).
+    Pre-bucket NULL groups with ``coalesce(by_col, '(unknown)')`` if they
+    must survive the gate.
 
     Keep rule: score >= the group's (1 - keep_top) quantile. Ties AT the
     threshold are all kept, so the realized fraction can exceed keep_top on

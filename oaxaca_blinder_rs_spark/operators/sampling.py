@@ -246,19 +246,23 @@ def water_fill_rates(
     given [(group, n)], return [(group, n, rate)] with rate =
     min(1, C * n^(alpha-1)), C re-solved after each saturation round so
     sum(rate * n) == total_fraction * sum(n) whenever that target is
-    feasible. Driver-side pure math (|groups| elements) — property-tested
-    directly without Spark in the loop."""
+    feasible. Empty groups (n == 0) get rate 0 directly — they contribute
+    no rows either way, and n^(alpha-1) is undefined at n=0 for alpha<1.
+    Driver-side pure math (|groups| elements) — property-tested directly
+    without Spark in the loop."""
     if not 0.0 < float(total_fraction) <= 1.0:
         raise ValueError("total_fraction must be in (0, 1]")
     if not float(alpha) > 0.0:
         raise ValueError("alpha must be > 0")
     a = float(alpha)
     counts = [(g, int(n)) for g, n in counts]
+    if any(n < 0 for _, n in counts):
+        raise ValueError("group counts must be >= 0")
     target = float(total_fraction) * float(sum(n for _, n in counts))
     sat: dict = {}
     C = 0.0
     while True:
-        free = [(g, n) for g, n in counts if g not in sat]
+        free = [(g, n) for g, n in counts if g not in sat and n > 0]
         if not free:
             break
         numer = target - float(sum(sat.values()))
@@ -269,7 +273,13 @@ def water_fill_rates(
             break
         sat.update(dict(newly))
     return [
-        (g, n, round(min(1.0, 1.0 if g in sat else C * n ** (a - 1.0)), 6))
+        (
+            g,
+            n,
+            0.0
+            if n == 0
+            else round(min(1.0, 1.0 if g in sat else C * n ** (a - 1.0)), 6),
+        )
         for g, n in counts
     ]
 

@@ -1167,7 +1167,7 @@ def blocklist_stats(
     norm = [t.lower() for t in terms]
     if len(set(norm)) != len(norm):
         raise ValueError("terms must be distinct after case-folding")
-    if any(t == "" or t != t.strip() or " " in t for t in norm):
+    if any(t == "" or t != t.strip() or any(ch.isspace() for ch in t) for t in norm):
         raise ValueError("terms must be non-empty single tokens")
     toks = tokens(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
     if len(norm) <= max_literal_terms:
@@ -1225,7 +1225,7 @@ def blocklist_filter(
     never shuffles. In the literal-terms regime the drop set needs no
     join at all: the predicate filters inline in the scan."""
     norm = sorted({t.lower() for t in terms})
-    if any(t == "" or t != t.strip() or " " in t for t in norm):
+    if any(t == "" or t != t.strip() or any(ch.isspace() for ch in t) for t in norm):
         raise ValueError("terms must be non-empty single tokens")
     if len(norm) <= max_literal_terms:
         # literal regime: n_hits is a pure expression over df's own columns —

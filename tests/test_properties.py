@@ -252,3 +252,20 @@ def test_water_fill_rates_laws(ns, alpha, tf):
                 assert r1 >= r2 - 2e-6  # smaller group, no lower rate
     full = water_fill_rates(counts, alpha, 1.0)
     assert all(r == 1.0 for _, _, r in full)
+
+
+def test_water_fill_rates_empty_group(ss=None):
+    """r12 (ADVICE): an n == 0 group must not blow up 0**(alpha-1) for
+    alpha < 1 — it short-circuits to rate 0 and the remaining groups solve
+    exactly as if it were absent; negative counts are rejected."""
+    from oaxaca_blinder_rs_spark.operators.sampling import water_fill_rates
+
+    import pytest as _pytest
+
+    with_empty = water_fill_rates([("en", 100), ("xx", 0), ("fr", 10)], 0.3, 0.5)
+    without = water_fill_rates([("en", 100), ("fr", 10)], 0.3, 0.5)
+    assert dict((g, r) for g, _n, r in with_empty)["xx"] == 0.0
+    assert [(g, n, r) for g, n, r in with_empty if g != "xx"] == without
+    assert water_fill_rates([("xx", 0)], 0.3, 0.5) == [("xx", 0, 0.0)]
+    with _pytest.raises(ValueError, match=">= 0"):
+        water_fill_rates([("en", -1)], 0.3, 0.5)

@@ -918,6 +918,13 @@ def test_blocklist_filter_and_validation(spark):
         textops.blocklist_stats(docs, ["Dup", "dup"])
     with pytest.raises(ValueError, match="single tokens"):
         textops.blocklist_stats(docs, ["two words"])
+    # r12 (ADVICE): ANY embedded whitespace is rejected, not just a literal
+    # space — a tab/newline term would silently never match a \s+-split token
+    for bad in ["two\twords", "two\nwords", "nbsp joined"]:
+        with pytest.raises(ValueError, match="single tokens"):
+            textops.blocklist_stats(docs, [bad])
+        with pytest.raises(ValueError, match="single tokens"):
+            textops.blocklist_filter(docs, [bad])
 
 
 def test_tokenizer_fertility(spark):
