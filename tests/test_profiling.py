@@ -339,3 +339,64 @@ def test_quantile_sketch_check_high_multiplicity_column(spark):
         # and the exact quantiles are what duplicates imply
         byp = {r.p: r.exact_q for r in out}
         assert byp[0.1] == 0.0 and byp[0.25] == 0.0 and byp[0.4] == 0.0
+
+
+# ---- exact tie-aware ROC AUC (round 12) -------------------------------------
+
+
+def test_binary_auc_matches_bruteforce(spark):
+    """binary_auc == the literal pairwise Mann-Whitney count (1 per strict
+    win, 1/2 per tie) on seeded random data with heavy ties, per group and
+    globally, on any partitioning."""
+    import random
+
+    from oaxaca_blinder_rs_spark.operators.profiling import binary_auc
+
+    random.seed(12)
+    rows = []
+    for g in ("a", "b", "c"):
+        for _ in range(120):
+            s = random.choice([0.1, 0.2, 0.3]) if random.random() < 0.6 else random.random()
+            rows.append((g, s, random.random() < 0.25 + s / 2))
+    rows += [("a", None, True), ("b", 0.2, None)]  # dropped
+    df = spark.createDataFrame(rows, "g string, s double, y boolean").repartition(7)
+
+    def brute(pairs):
+        pos = [s for s, y in pairs if y]
+        neg = [s for s, y in pairs if not y]
+        u = sum(1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg)
+        return u / (len(pos) * len(neg)), len(pos), len(neg)
+
+    got = {r["g"]: (r["auc"], r["n_pos"], r["n_neg"]) for r in binary_auc(df, "s", "y", by="g").collect()}
+    clean = [(g, s, y) for g, s, y in rows if s is not None and y is not None]
+    for g in ("a", "b", "c"):
+        want_auc, want_np, want_nn = brute([(s, y) for gg, s, y in clean if gg == g])
+        auc, np_, nn_ = got[g]
+        assert (np_, nn_) == (want_np, want_nn)
+        assert abs(auc - want_auc) < 1e-12, (g, auc, want_auc)
+    glob = binary_auc(df, "s", "y").collect()[0]
+    want_auc, want_np, want_nn = brute([(s, y) for _, s, y in clean])
+    assert (glob["n_pos"], glob["n_neg"]) == (want_np, want_nn)
+    assert abs(glob["auc"] - want_auc) < 1e-12
+
+
+def test_binary_auc_edges(spark):
+    """Perfect separation -> 1; anti-separation -> 0; all-tied -> 1/2;
+    one-class group -> NULL auc (undefined, not 0)."""
+    from oaxaca_blinder_rs_spark.operators.profiling import binary_auc
+
+    perfect = spark.createDataFrame(
+        [(1.0, True)] * 3 + [(0.0, False)] * 4, "s double, y boolean"
+    )
+    assert binary_auc(perfect, "s", "y").collect()[0]["auc"] == 1.0
+    anti = spark.createDataFrame(
+        [(0.0, True)] * 3 + [(1.0, False)] * 4, "s double, y boolean"
+    )
+    assert binary_auc(anti, "s", "y").collect()[0]["auc"] == 0.0
+    tied = spark.createDataFrame(
+        [(0.7, True)] * 5 + [(0.7, False)] * 2, "s double, y boolean"
+    )
+    assert binary_auc(tied, "s", "y").collect()[0]["auc"] == 0.5
+    one = spark.createDataFrame([(0.1, True), (0.9, True)], "s double, y boolean")
+    r = binary_auc(one, "s", "y").collect()[0]
+    assert r["auc"] is None and (r["n_pos"], r["n_neg"]) == (2, 0)
