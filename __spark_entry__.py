@@ -2711,111 +2711,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declared contract queries, ordered for the driver's verification window.
 
     The driver hash-checks the FIRST 50 entries in declaration order.
-    Round-11 window (NOTES_r10 rotation plan, executed verbatim):
-    (1) rows 0-38: ALL 39 r8-record rows whose driver records turn 3 rounds
-    old at r11 close — the hard rotation requirement (the events_drift
-    family through ngram_contamination, plus part_triangles which sat at
-    position 50 in r10);
-    (2) rows 39-42: the four r10 operators that have never held a driver-
-    window record (heavy_hitters_weighted, dedup_keep_best,
-    topk_tokens_per_lang, tokenizer_fertility — first records were
-    sweep-only; dedup_keep_best additionally re-records because its
-    tie-break implementation changed this round to native-id ordering);
-    (3) rows 43-46: NEW r11 contracts taking first records —
-    streaming_heavy_hitters (the stateful streaming Misra-Gries candidate
-    tracker replayed availableNow and fed into the batch exact-recount
-    pass, hash-matched against the plain GROUP BY top-k oracle: the
-    streaming state path's first driver-visible record), corpus_shuffle
-    (epoch-seeded deterministic global shuffle, per-row permutation keys
-    bit-exact vs the XXH64 SQL transliteration), quality_percentile
-    (stratified per-source quality gate, per-group type-7 threshold), and
-    temperature_mixture (mT5-style temperature-resampled multilingual
-    mixture — water-filled rate caps, unrolled-SQL oracle);
-    (4) rows 47-49: r10 contracts whose implementation changed this round
-    and therefore re-record — quantile_sketch_bound (rank-INTERVAL
-    certificate fix), heavy_hitters (pass-2 refactored into
-    heavy_hitters_verify + broadcast-size guard), jsonl_roundtrip
-    (per-process-unique scratch path).
+    Round-12 window (COVERAGE.md successor policy: new contracts first,
+    then implementation-changed rows, then the oldest driver records):
 
-    Past the window, ordered by rotation due-date: the 45 remaining
-    r9-record rows, then the 47 remaining r10-record rows, then the three
-    late-r11 rows whose first records ride the committed ORACLE_SWEEP
-    artifact (boilerplate_lines, length_bucketed_shards,
-    decontaminate_spans — the r10 late-addition convention; r12 windows
-    them with first priority after the r9 cohort). The registry holds
-    len(queries()) rows — 145 as of r11 close (144 oracle-paired +
-    pca_whiten_top2 rows-only; count the dict, don't trust prose). From
-    r10 on the committed ORACLE_SWEEP_r{N}.json carries a machine-readable
-    full-registry check (every row, rows/schema/hash booleans) regenerated
-    at each round close by `tools/check_oracle.py --json`, so registry
-    coverage no longer depends on the 50-row driver window alone — the
-    window is the driver's independent spot-check and rotates oldest-first
-    for as long as the arithmetic allows (see COVERAGE.md for the r12+
-    policy: the sweep is the coverage record, the window spot-checks the
-    oldest records).
+    (1) rows 0-2: NEW r12 contracts taking first records —
+    streaming_source_quota (the stateful applyInPandasWithState quota
+    enforcer replayed availableNow, hash-matched against the plain SQL
+    window cumsum: the second driver-visible streaming state contract),
+    editdist_pairs (bounded Levenshtein candidate verify — the three-arg
+    banded evaluation + free length prune vs the oracle's full DP), and
+    classifier_auc (exact tie-aware Mann-Whitney ROC AUC as an int64 pair
+    count via the distributed prefix scan);
+    (2) rows 3-5: the three late-r11 contracts whose first green record
+    rode ORACLE_SWEEP_r11 take first driver records (boilerplate_lines,
+    length_bucketed_shards, decontaminate_spans);
+    (3) rows 6-8: the r11 refactor-touched span-dedup family re-records
+    (dup_substring_spans, substring_dedup_clean, span_dedup — the shared
+    _merge_windows_to_spans/_cut_spans extraction changed their
+    implementation after their last driver records);
+    (4) rows 9-49: the 41 oldest r9-record rows in registry order
+    (sample_weighted .. hilbert_customers). The remaining 4 r9 rows
+    (dsir_selection, kneser_ney_lm, hashed_bow, classifier_quality) did
+    not fit — new/changed contracts outrank age per the policy — and ride
+    ORACLE_SWEEP_r12 until they take r13 window priority 1.
+
+    Past the window, ordered by r13 due-date: the 4 slipped r9 rows, the 2
+    r11-record rows whose ENTRY functions gained scratch-dir cleanup in r12
+    (jsonl_roundtrip, streaming_heavy_hitters — output-identical and
+    oracle re-verified this round, but r13 should re-record them), the 44
+    remaining r10-record rows (3 rounds old at r13 close), then the
+    r11-record rows (due r14).
+
+    Registry bookkeeping: pca_whiten_top2 — the one permanent rows-only
+    row — was RETIRED from the registry in r12 (r11 verdict item 2). The
+    operator keeps full coverage: ⊕pca_whiten_2d (closed-form 2x2 eigh
+    oracle on the same code path), ⊕pca_whiten_invariants (d=64 output
+    invariants hash contract), ⊕embedding_cov_check (its input), the
+    NumPy-parity suite, and the former driver row itself now pinned as
+    tests/test_bench_contract.py::test_pca_whiten_top2_rows_only. Every
+    registered row is therefore oracle-paired — machine-enforced by
+    tests/test_bench_contract.py::test_registry_oracle_pairing (exact set
+    equality between queries() and oracle_sql()).
+    The registry holds len(queries()) rows — 147 as of r12 (count the
+    dict, don't trust prose). The committed ORACLE_SWEEP_r{N}.json carries
+    the machine-readable full-registry check regenerated at each round
+    close by `tools/check_oracle.py --json`; the 50-row driver window is
+    the independent spot-check and rotates per the COVERAGE.md policy.
     """
     return {
+        # ---- r12 WINDOW rows 0-2: new r12 contracts take first records ----
         "streaming_source_quota": q_streaming_source_quota,
         "editdist_pairs": q_editdist_pairs,
         "classifier_auc": q_classifier_auc,
-        # -- rows 0-38: the 39 r8-record rows (3 rounds old at r11 close) -----
-        "events_drift": q_events_drift,
-        "events_drift_metrics": q_events_drift_metrics,
-        "lineitem_constraints": q_lineitem_constraints,
-        "events_anomalies": q_events_anomalies,
-        "dfl_design_check": q_dfl_design_check,
-        "heckman_probit_design": q_heckman_probit_design,
-        "mm_ols_start": q_mm_ols_start,
-        "simhash_shingle_check": q_simhash_shingle_check,
-        "mm_qr_vertex": q_mm_qr_vertex,
-        "mm_tau_stream": q_mm_tau_stream,
-        "optimizer_greedy": q_optimizer_greedy,
-        "events_hourly": q_events_hourly,
-        "events_gapfilled": q_events_gapfilled,
-        "pca_whiten_top2": q_pca_whiten_top2,
-        "pricing_summary": q_pricing_summary,
-        "group_outcome_stats": q_group_outcome_stats,
-        "quantiles_type7": q_quantiles_type7,
-        "dedup_fingerprint": q_dedup_fingerprint,
-        "minhash_signature": q_minhash_signature,
-        "text_stats": q_text_stats,
-        "lang_id": q_lang_id,
-        "source_stats": q_source_stats,
-        "lang_id_confusion": q_lang_id_confusion,
-        "pii_scrub": q_pii_scrub,
-        "token_count_bpe": q_token_count_bpe,
-        "repetition_stats": q_repetition_stats,
-        "ngram_logprob": q_ngram_logprob,
-        "script_ratios": q_script_ratios,
-        "knn_cosine_top3": q_knn_cosine_top3,
-        "ann_lsh_top3": q_ann_lsh_top3,
-        "ann_ivf_top3": q_ann_ivf_top3,
-        "embedding_normalize": q_embedding_normalize,
-        "embedding_mean_pool": q_embedding_mean_pool,
-        "embedding_cov_check": q_embedding_cov_check,
-        "diversity_sample": q_diversity_sample,
-        "weighted_kde_grid": q_weighted_kde_grid,
-        "ngram_doc_freq": q_ngram_doc_freq,
-        "ngram_contamination": q_ngram_contamination,
-        "part_triangles": q_part_triangles,
-        # -- rows 39-42: never-windowed r10 rows take first driver records ----
-        "heavy_hitters_weighted": q_heavy_hitters_weighted,
-        "dedup_keep_best": q_dedup_keep_best,
-        "topk_tokens_per_lang": q_topk_tokens_per_lang,
-        "tokenizer_fertility": q_tokenizer_fertility,
-        # -- rows 43-46: NEW r11 contracts (streaming MG -> batch exact
-        # recount; epoch-seeded deterministic corpus shuffle; stratified
-        # per-source quality-percentile gate; temperature-resampled
-        # multilingual mixture) -----------------------------------------------
-        "streaming_heavy_hitters": q_streaming_heavy_hitters,
-        "corpus_shuffle": q_corpus_shuffle,
-        "quality_percentile": q_quality_percentile,
-        "temperature_mixture": q_temperature_mixture,
-        # -- rows 47-49: r10 contracts whose implementation changed in r11 ----
-        "quantile_sketch_bound": q_quantile_sketch_bound,
-        "heavy_hitters": q_heavy_hitters,
-        "jsonl_roundtrip": q_jsonl_roundtrip,
-        # ---- past the window: remaining r9-record rows (due r12) ------------
+        # ---- rows 3-5: late-r11 contracts take first driver records (their
+        # first green record rode ORACLE_SWEEP_r11, the late-addition
+        # convention) --------------------------------------------------------
+        "boilerplate_lines": q_boilerplate_lines,
+        "length_bucketed_shards": q_length_bucketed_shards,
+        "decontaminate_spans": q_decontaminate_spans,
+        # ---- rows 6-8: r11 refactor-touched span-dedup family re-records
+        # (shared _merge_windows_to_spans/_cut_spans extraction changed the
+        # implementation after their r9/r10 driver records) ------------------
+        "dup_substring_spans": q_dup_substring_spans,
+        "substring_dedup_clean": q_substring_dedup_clean,
+        "span_dedup": q_span_dedup,
+        # ---- rows 9-49: the 41 oldest r9-record rows, registry order (the
+        # hard rotation debt; 4 slip to r13 — see past-window section) -------
         "sample_weighted": q_sample_weighted,
         "attribution_last_touch": q_attribution_last_touch,
         "cms_user_counts": q_cms_user_counts,
@@ -2857,19 +2818,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_vocab": q_bpe_vocab,
         "bpe_merges": q_bpe_merges,
         "hilbert_customers": q_hilbert_customers,
+        # ==== past the window ================================================
+        # the 4 r9-record rows the arithmetic could not fit (new/changed
+        # contracts outrank age per the COVERAGE.md policy) — r13 window
+        # priority 1; their HEAD correctness rides ORACLE_SWEEP_r12
         "dsir_selection": q_dsir_selection,
         "kneser_ney_lm": q_kneser_ney_lm,
         "hashed_bow": q_hashed_bow,
         "classifier_quality": q_classifier_quality,
-        # ---- remaining r10-record rows (due r13) ----------------------------
+        # r11-record rows whose ENTRY functions gained scratch-dir cleanup in
+        # r12 (output-identical, oracle re-verified; operators untouched) —
+        # r13 window priority 2
+        "jsonl_roundtrip": q_jsonl_roundtrip,
+        "streaming_heavy_hitters": q_streaming_heavy_hitters,
+        # r10-record rows — turn 3 rounds old at r13 close; r13 priority 3
         "blocklist_stats": q_blocklist_stats,
         "media_metadata": q_media_metadata,
         "ann_recall": q_ann_recall,
         "source_quota": q_source_quota,
         "pq_adc_top3": q_pq_adc_top3,
         "ivfpq_top3": q_ivfpq_top3,
-        "dup_substring_spans": q_dup_substring_spans,
-        "substring_dedup_clean": q_substring_dedup_clean,
         "events_props_stats": q_events_props_stats,
         "user_sessions": q_user_sessions,
         "sample_fraction": q_sample_fraction,
@@ -2906,14 +2874,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": q_embedding_outliers,
         "semantic_dedup": q_semantic_dedup,
         "matching_weights": q_matching_weights,
-        "span_dedup": q_span_dedup,
         "cross_corpus_dedup": q_cross_corpus_dedup,
         "connected_components_geo": q_connected_components_geo,
-        # ---- r11 rows past the window (first record via ORACLE_SWEEP;
-        # r12 windows them per the COVERAGE.md policy) ------------------------
-        "boilerplate_lines": q_boilerplate_lines,
-        "length_bucketed_shards": q_length_bucketed_shards,
-        "decontaminate_spans": q_decontaminate_spans,
+        # r11-record rows — due r14
+        "events_drift": q_events_drift,
+        "events_drift_metrics": q_events_drift_metrics,
+        "lineitem_constraints": q_lineitem_constraints,
+        "events_anomalies": q_events_anomalies,
+        "dfl_design_check": q_dfl_design_check,
+        "heckman_probit_design": q_heckman_probit_design,
+        "mm_ols_start": q_mm_ols_start,
+        "simhash_shingle_check": q_simhash_shingle_check,
+        "mm_qr_vertex": q_mm_qr_vertex,
+        "mm_tau_stream": q_mm_tau_stream,
+        "optimizer_greedy": q_optimizer_greedy,
+        "events_hourly": q_events_hourly,
+        "events_gapfilled": q_events_gapfilled,
+        "pricing_summary": q_pricing_summary,
+        "group_outcome_stats": q_group_outcome_stats,
+        "quantiles_type7": q_quantiles_type7,
+        "dedup_fingerprint": q_dedup_fingerprint,
+        "minhash_signature": q_minhash_signature,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "source_stats": q_source_stats,
+        "lang_id_confusion": q_lang_id_confusion,
+        "pii_scrub": q_pii_scrub,
+        "token_count_bpe": q_token_count_bpe,
+        "repetition_stats": q_repetition_stats,
+        "ngram_logprob": q_ngram_logprob,
+        "script_ratios": q_script_ratios,
+        "knn_cosine_top3": q_knn_cosine_top3,
+        "ann_lsh_top3": q_ann_lsh_top3,
+        "ann_ivf_top3": q_ann_ivf_top3,
+        "embedding_normalize": q_embedding_normalize,
+        "embedding_mean_pool": q_embedding_mean_pool,
+        "embedding_cov_check": q_embedding_cov_check,
+        "diversity_sample": q_diversity_sample,
+        "weighted_kde_grid": q_weighted_kde_grid,
+        "ngram_doc_freq": q_ngram_doc_freq,
+        "ngram_contamination": q_ngram_contamination,
+        "part_triangles": q_part_triangles,
+        "heavy_hitters_weighted": q_heavy_hitters_weighted,
+        "dedup_keep_best": q_dedup_keep_best,
+        "topk_tokens_per_lang": q_topk_tokens_per_lang,
+        "tokenizer_fertility": q_tokenizer_fertility,
+        "corpus_shuffle": q_corpus_shuffle,
+        "quality_percentile": q_quality_percentile,
+        "temperature_mixture": q_temperature_mixture,
+        "quantile_sketch_bound": q_quantile_sketch_bound,
+        "heavy_hitters": q_heavy_hitters,
     }
 
 # --------------------------------------------------------------------------

@@ -98,3 +98,46 @@ def test_np_calibration_runs_and_is_excluded_from_totals():
         loadavg={"calibration_np": [1.0], "q": [1.0]},
     )
     assert flagged == []
+
+
+# ---- driver-contract registry invariants (round 12) --------------------------
+
+
+def _entry_mod():
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry_mod",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "__spark_entry__.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules.setdefault("spark_entry_mod", mod)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_registry_oracle_pairing():
+    """Every queries() row has an oracle_sql() twin and vice versa — the
+    pairing invariant is machine-checked, not prose-tracked (r11 verdict
+    item 8; zero rows-only exceptions since pca_whiten_top2 retired)."""
+    e = _entry_mod()
+    qs, oracles = set(e.queries()), set(e.oracle_sql())
+    assert qs == oracles, (sorted(qs - oracles), sorted(oracles - qs))
+
+
+def test_pca_whiten_top2_rows_only(spark, sf_dir):
+    """The retired driver row, pinned as a suite check (r11 verdict item 2):
+    the d=64 top-2 whitening runs on the driver embeddings table with a
+    stable schema and one row per vector. Its VALUES stay covered by
+    ⊕pca_whiten_2d (same code path, closed-form oracle),
+    ⊕pca_whiten_invariants, ⊕embedding_cov_check and the NumPy-parity
+    tests — the eigensolve itself is the documented SQL-inexpressible
+    bound (COVERAGE.md)."""
+    e = _entry_mod()
+    out = e.q_pca_whiten_top2(spark, sf_dir)
+    assert [f.name for f in out.schema.fields] == ["vec_id", "w0", "w1"]
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    rows = out.collect()
+    assert len(rows) == n
+    assert all(r.w0 is not None and r.w1 is not None for r in rows)
