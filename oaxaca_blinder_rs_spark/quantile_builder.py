@@ -50,7 +50,14 @@ GRAM_H0_FRAC = 0.5
 # r8: SHRINK 0.125 (target h one pass earlier) was tried and reverted —
 # the tied parity fixture's flat faces need the gentler 0.25 homotopy
 # (the 8x per-pass h jump overshoots the moving optimum and the damped
-# iterate lands on a different face vertex than taubatch's LP solution)
+# iterate lands on a different face vertex than taubatch's LP solution).
+# r12: (H0 0.125, SHRINK 0.1) and (H0 0.25, SHRINK 0.25) prototyped for the
+# cadence ask — 15-18% faster at sf0.1 (in-process ABAB, value drift
+# <= 7.3e-12) but BOTH strand a degenerate small-n bootstrap resample of
+# the tied parity fixture in the zero-curvature far field (its replicate
+# fit blows std_err 0.59 -> 33, the r8 failure mode) — rejected with data;
+# profile + ABAB table in NOTES_r12. Do not re-propose without a
+# per-model adaptive anneal start.
 GRAM_SHRINK = 0.25
 
 
@@ -618,11 +625,17 @@ class QuantileDecompositionBuilder:
         n_by_side_l = dict(n_by_side)
         side_of_l = dict(side_of)
 
+        import time as _time
+
+        pass_times: list[tuple[str, int, float]] = []  # (mode, active, sec)
+        self._gram_pass_times = pass_times  # instrumentation, NOTES_r12
+
         def run_pass(payload: dict) -> dict[int, np.ndarray]:
             """One mapInPandas pass. payload: side -> dict(mode, ureps[,
             repcol, taus, betas, h]). Returns side -> summed stat block:
             (L+k+3) x nreps for mode 'ols' (adds count/sum/sumsq y-moment
             rows for the bandwidth), (L+k) x m for mode 'newton'."""
+            _t0 = _time.perf_counter()
 
             def compute(iterator, payload=payload):
                 from pyspark import TaskContext
@@ -723,6 +736,12 @@ class QuantileDecompositionBuilder:
                 for st in grp["stats"]:
                     acc += np.asarray(st, dtype=np.float64).reshape((height, m), order="F")
                 out[int(side_v)] = acc
+            mode = next(iter(payload.values()))["mode"]
+            active = sum(
+                len(pl["taus"]) if pl["mode"] == "newton" else len(pl["ureps"])
+                for pl in payload.values()
+            )
+            pass_times.append((mode, active, _time.perf_counter() - _t0))
             return out
 
         def solve_block(stats: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
