@@ -2558,6 +2558,51 @@ def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repeated-line removal (textops.dedup_lines_in_doc,
+    r12; the Dolma/RefinedWeb within-page pass that runs beside the
+    cross-document boilerplate gate): keep the FIRST occurrence of every
+    distinct line inside each document, order preserved — pure codegen
+    (filter(lines, (x, i) -> array_position(lines, x) == i+1)), zero
+    shuffle. The fixture SHAPES lines from words (space -> newline, the
+    boilerplate_lines convention), so natural word repeats inside a doc
+    become repeated 'lines' and the surgeon bites on every document. Pins
+    md5 + length of every rewritten doc. Registered past the driver window
+    (late-r12) — first record rides ORACLE_SWEEP_r12; r13 windows it."""
+    from oaxaca_blinder_rs_spark.operators.textops import dedup_lines_in_doc
+
+    docs = _t(spark, sf_dir, "documents")
+    lined = docs.withColumn(
+        "text", F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), " ", "\n")
+    )
+    out = dedup_lines_in_doc(lined)
+    return out.select(
+        "doc_id",
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("text_md5"),
+        F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long").alias("n_chars_clean"),
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing (corpus.pack_sequences, r12): the corpus
+    token stream in id order, each doc terminated by an <|eos|> boundary
+    token, cut into exactly-128-token training sequences (documents SPLIT
+    across boundaries — the concat-and-chunk step every pretraining loader
+    runs; corpus_pack/length_bucketed_shards cover the whole-document
+    sharding variants). The Spark side never materializes a row per token:
+    distributed prefix-scan offsets + per-doc boundary pieces + one
+    groupBy(seq_id) reassembly. The oracle unnests the full token stream
+    and re-cuts it with a window cumsum — hash equality on every
+    sequence's TEXT proves offsets, piece slicing and reassembly order all
+    at once. Registered past the driver window (late-r12) — first record
+    rides ORACLE_SWEEP_r12; r13 windows it."""
+    from oaxaca_blinder_rs_spark.operators.corpus import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    out = pack_sequences(docs, seq_len=128, eos_token="<|eos|>")
+    return out.select("seq_id", "n_tokens", "text")
+
+
 def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-resampled multilingual mixture (sampling.
     temperature_mixture, r11; the mT5/XLM-R corpus-balancing rule): keep
@@ -2924,6 +2969,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mixture": q_temperature_mixture,
         "quantile_sketch_bound": q_quantile_sketch_bound,
         "heavy_hitters": q_heavy_hitters,
+        # late-r12 contracts: first records ride ORACLE_SWEEP_r12 (the
+        # late-addition convention); r13 windows them after the slipped r9 rows
+        "dedup_lines": q_dedup_lines,
+        "pack_sequences": q_pack_sequences,
     }
 
 # --------------------------------------------------------------------------
@@ -4395,6 +4444,49 @@ def oracle_sql() -> dict[str, str]:
                md5(coalesce(r.text, '')) AS text_md5,
                CAST(length(coalesce(r.text, '')) AS BIGINT) AS n_chars_clean
         FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+    """
+    # intra-document line dedup (r12): DuckDB's indexed list_filter +
+    # list_position replays the identical keep-first-occurrence rule the
+    # Spark side evaluates in codegen (both engines: 1-based first index)
+    d["dedup_lines"] = """
+        WITH src AS (
+          SELECT doc_id, replace(coalesce(text, ''), ' ', chr(10)) AS text
+          FROM documents
+        ), t AS (
+          SELECT doc_id,
+                 array_to_string(
+                   list_filter(string_split(text, chr(10)),
+                               (x, i) -> list_position(string_split(text, chr(10)), x) = i),
+                   chr(10)) AS clean
+          FROM src
+        )
+        SELECT doc_id, md5(clean) AS text_md5,
+               CAST(length(clean) AS BIGINT) AS n_chars_clean
+        FROM t
+    """
+    # sequence packing (r12): the oracle unnests the FULL token stream and
+    # re-cuts it with a plain window cumsum — the Spark side only ever ships
+    # boundary pieces, so text equality certifies offsets + slicing + order
+    d["pack_sequences"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_append(regexp_split_to_array(trim(coalesce(text, '')), '\s+'),
+                             '<|eos|>') AS arr
+          FROM documents
+        ), o AS (
+          SELECT doc_id, arr,
+                 coalesce(sum(len(arr)) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+          FROM t
+        ), ln AS (
+          SELECT off, arr, unnest(range(1, len(arr) + 1)) AS i FROM o
+        ), tok AS (
+          SELECT CAST(off + i - 1 AS BIGINT) AS pos, arr[i] AS w FROM ln
+        )
+        SELECT CAST(pos // 128 AS BIGINT) AS seq_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               string_agg(w, ' ' ORDER BY pos) AS text
+        FROM tok GROUP BY 1
     """
     return d
 

@@ -37,6 +37,7 @@ __all__ = [
     "deterministic_shuffle",
     "quality_percentile_filter",
     "length_bucketed_shards",
+    "pack_sequences",
 ]
 
 
@@ -1014,4 +1015,95 @@ def length_bucketed_shards(
         "len_bucket",
         F.col("bucket_offset").cast("long").alias("bucket_offset"),
         F.floor(F.col("bucket_offset") / F.lit(int(budget))).cast("long").alias("shard_seq"),
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eos_token: str | None = None,
+) -> DataFrame:
+    """GPT-style SEQUENCE packing: concatenate the corpus's whitespace-token
+    stream in ascending id order and cut it into fixed-length training
+    sequences of exactly ``seq_len`` tokens — documents SPLIT across
+    sequence boundaries (unlike ``pack_token_shards``, which assigns whole
+    documents to shards). This is the "concat-and-chunk" step every
+    pretraining loader runs; ``eos_token`` (appended to each document when
+    given) is how the model sees document boundaries inside a packed
+    sequence.
+
+    Returns (seq_id, n_tokens, text): seq_id = 0.. in stream order, every
+    sequence holds exactly ``seq_len`` tokens except the final remainder
+    (no padding — the loader's collator owns pad tokens). NULL/empty text
+    follows the corpus token convention (one empty token), so packing is
+    total: every document lands in the stream.
+
+    Scale shape — the token stream is never materialized row-per-token:
+
+    1. per-document exclusive global token offsets via the distributed
+       prefix scan (``scan.grouped_prev_cumsum`` on a constant key — range
+       partitioned, int64-exact, no single-task window);
+    2. each document emits only its BOUNDARY-CROSSING PIECES: one row per
+       sequence it overlaps (``sequence(first_seq, last_seq)`` +
+       ``slice``), so piece volume is docs + total_tokens/seq_len, not
+       total_tokens;
+    3. one groupBy(seq_id) reassembles pieces with an array_sort on the
+       absolute start — uniform keys, map-side combine.
+    """
+    from . import scan
+
+    if int(seq_len) <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    L = int(seq_len)
+    if eos_token is not None:
+        if eos_token == "" or any(ch.isspace() for ch in eos_token):
+            raise ValueError("eos_token must be a non-empty whitespace-free token")
+    toks = textops.tokens(F.coalesce(F.col(text_col), F.lit("")))
+    if eos_token is not None:
+        toks = F.concat(toks, F.array(F.lit(eos_token)))
+    base = docs.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.size(toks).cast("long").alias("__n"),
+    ).withColumn("__g", F.lit(0))
+    off = scan.grouped_prev_cumsum(
+        base, "__g", [F.col(id_col).asc()], F.col("__n"), "__off"
+    )
+    first_seq = F.floor(F.col("__off") / L).cast("long")
+    last_seq = F.floor((F.col("__off") + F.col("__n") - 1) / L).cast("long")
+    piece = F.explode(
+        F.transform(
+            F.sequence(first_seq, last_seq),
+            lambda s: F.struct(
+                s.cast("long").alias("seq_id"),
+                F.greatest(s * L, F.col("__off")).alias("abs_start"),
+                F.slice(
+                    F.col("__toks"),
+                    (F.greatest(s * L, F.col("__off")) - F.col("__off") + 1).cast("int"),
+                    (
+                        F.least((s + 1) * L, F.col("__off") + F.col("__n"))
+                        - F.greatest(s * L, F.col("__off"))
+                    ).cast("int"),
+                ).alias("piece"),
+            ),
+        )
+    )
+    pieces = off.select(piece.alias("__p")).select(
+        F.col("__p.seq_id").alias("seq_id"),
+        F.col("__p.abs_start").alias("__abs"),
+        F.col("__p.piece").alias("__piece"),
+    )
+    return pieces.groupBy("seq_id").agg(
+        F.sum(F.size("__piece")).cast("long").alias("n_tokens"),
+        F.concat_ws(
+            " ",
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col("__abs"), F.col("__piece")))),
+                    lambda x: x["__piece"],
+                )
+            ),
+        ).alias("text"),
     )

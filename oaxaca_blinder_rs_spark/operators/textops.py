@@ -50,6 +50,7 @@ __all__ = [
     "PII_PATTERNS",
     "boilerplate_line_stats",
     "remove_boilerplate_lines",
+    "dedup_lines_in_doc",
 ]
 
 EN_STOPWORDS = [
@@ -1361,3 +1362,30 @@ def remove_boilerplate_lines(
         .drop("__newtext")
         .select(*docs.columns)
     )
+
+
+def dedup_lines_in_doc(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """INTRA-document repeated-line removal: within each document, keep only
+    the first occurrence of every distinct line (Dolma/RefinedWeb run this
+    beside the cross-document boilerplate pass — navigation menus, repeated
+    headers and copy-paste artifacts repeat inside one page long before
+    they repeat across pages). Order of the surviving lines is preserved;
+    NULL text counts as empty. Schema passes through with only ``text_col``
+    rewritten.
+
+    Scale shape: pure whole-stage codegen, ZERO shuffle — the kept set is
+    ``filter(lines, (x, i) -> array_position(lines, x) == i + 1)`` (a line
+    survives iff its index IS the first index of its value), evaluated
+    map-side per row. The membership probe is O(L) per line, so a document
+    with L lines costs O(L^2) string compares in the JVM — fine up to
+    many thousands of lines per doc; a pathological single-document
+    transcript should go through ``remove_boilerplate_lines``'s
+    explode+groupBy machinery instead (one shuffle, O(L log L)).
+    """
+    ls = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n", -1)
+    kept = F.filter(ls, lambda x, i: F.array_position(ls, x) == i + F.lit(1))
+    return docs.withColumn(text_col, F.concat_ws("\n", kept))

@@ -1592,3 +1592,56 @@ def test_edit_distance_pairs_on_lsh_candidates(spark, sf_dir):
         assert got.get((i, i + 500)) == 6, (i, got.get((i, i + 500)))
     # nothing above the bound leaks through
     assert all(0 <= d <= 6 for d in got.values())
+
+
+# ---- GPT-style sequence packing (round 12) ------------------------------------
+
+
+def test_pack_sequences_matches_pure_python(spark):
+    """The packed sequences equal the literal concat-and-chunk of the token
+    stream (pure-Python replica), on any input partitioning; every sequence
+    is exactly L tokens except the final remainder."""
+    from oaxaca_blinder_rs_spark.operators.corpus import pack_sequences
+
+    rows = [
+        (1, "a b c"),
+        (2, "d e"),
+        (3, None),
+        (4, "f g h i j k l m"),
+        (5, ""),
+        (6, "tail"),
+    ]
+
+    def replica(L, eos):
+        stream = []
+        for _, t in sorted(rows):
+            toks = (t or "").strip().split() if (t or "").strip() else [""]
+            # match the engine convention: split('') -> ['']
+            stream += toks + ([eos] if eos else [])
+        return {
+            i: (len(stream[i * L:(i + 1) * L]), " ".join(stream[i * L:(i + 1) * L]))
+            for i in range((len(stream) + L - 1) // L)
+        }
+
+    for parts in (1, 3, 7):
+        df = spark.createDataFrame(rows, "doc_id long, text string").repartition(parts)
+        for L, eos in ((4, "<eos>"), (5, None), (100, "<eos>")):
+            got = {
+                r["seq_id"]: (r["n_tokens"], r["text"])
+                for r in pack_sequences(df, L, eos_token=eos).collect()
+            }
+            assert got == replica(L, eos), (parts, L, eos)
+            sizes = [got[i][0] for i in sorted(got)]
+            assert all(n == L for n in sizes[:-1])
+
+
+def test_pack_sequences_validation(spark):
+    from oaxaca_blinder_rs_spark.operators.corpus import pack_sequences
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="seq_len"):
+        pack_sequences(df, 0)
+    with pytest.raises(ValueError, match="eos_token"):
+        pack_sequences(df, 4, eos_token="two words")
+    with pytest.raises(ValueError, match="eos_token"):
+        pack_sequences(df, 4, eos_token="")

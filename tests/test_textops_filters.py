@@ -1042,3 +1042,36 @@ def test_boilerplate_line_removal(spark):
     # from b.com too
     g = {r.doc_id: r.text for r in remove_boilerplate_lines(df, by_col=None, min_docs=5).collect()}
     assert g[5] == "b content"
+
+
+# ---- intra-document line dedup (round 12) -------------------------------------
+
+
+def test_dedup_lines_in_doc(spark):
+    """Keep-first-occurrence per document, order and blank lines preserved,
+    NULL as empty; idempotent; untouched docs unchanged byte-for-byte."""
+    df = spark.createDataFrame(
+        [
+            (1, "a\nb\na\nc\nb"),
+            (2, None),
+            (3, ""),
+            (4, "x"),
+            (5, "a\n\nb\n\na"),  # blank lines dedup like any other value
+            (6, "menu\nbody one\nmenu\nbody two\nmenu"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.text for r in textops.dedup_lines_in_doc(df).collect()}
+    assert got == {
+        1: "a\nb\nc",
+        2: "",
+        3: "",
+        4: "x",
+        5: "a\n\nb",
+        6: "menu\nbody one\nbody two",
+    }
+    twice = {
+        r.doc_id: r.text
+        for r in textops.dedup_lines_in_doc(textops.dedup_lines_in_doc(df)).collect()
+    }
+    assert twice == got
