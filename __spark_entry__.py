@@ -2797,8 +2797,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     registered row is therefore oracle-paired — machine-enforced by
     tests/test_bench_contract.py::test_registry_oracle_pairing (exact set
     equality between queries() and oracle_sql()).
-    The registry holds len(queries()) rows — 147 as of r12 (count the
-    dict, don't trust prose). The committed ORACLE_SWEEP_r{N}.json carries
+    The registry holds len(queries()) rows — 149 as of r12 close: 147 at
+    the rotation commit plus the late-r12 contracts (dedup_lines,
+    pack_sequences — first records ride ORACLE_SWEEP_r12, the late-addition
+    convention; r13 windows them after the slipped r9 rows). Count the
+    dict, don't trust prose. The committed ORACLE_SWEEP_r{N}.json carries
     the machine-readable full-registry check regenerated at each round
     close by `tools/check_oracle.py --json`; the 50-row driver window is
     the independent spot-check and rotates per the COVERAGE.md policy.
