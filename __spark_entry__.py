@@ -2603,6 +2603,47 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("seq_id", "n_tokens", "text")
 
 
+def q_epoch_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch data-recipe materialization (sampling.epoch_repeat,
+    r12): "2.3 epochs of src0, 0.4 of src1, drop src2, 1.0 of src3,
+    unlisted sources pass through" emitted as explicit (doc, copy_idx)
+    rows. Exercises every branch: floor > 1 (two full copies of every src0
+    doc), a pure-fractional rate (only the md5-uniform winners of src1
+    survive), rate 0 (src2 vanishes), explicit 1.0 and the unlisted
+    default. Oracle replays the rate join + floor/frac split + the shared
+    md5-uniform extra-copy draw + a range unnest. Registered past the
+    driver window (late-r12) — first record rides ORACLE_SWEEP_r12."""
+    from oaxaca_blinder_rs_spark.operators.sampling import epoch_repeat
+
+    docs = _t(spark, sf_dir, "documents")
+    out = epoch_repeat(
+        docs, {"src0": 2.3, "src1": 0.4, "src2": 0.0, "src3": 1.0}, by_col="source"
+    )
+    return out.select("doc_id", "source", "copy_idx")
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law corpus health fit (textops.zipf_fit, r12): OLS of ln(freq)
+    on ln(rank) over the top-1000 tokens (freq DESC, token ASC ranks —
+    deterministic under ties). The synthetic corpus has a tiny closed
+    vocabulary, so the fit runs over every type and the flat slope itself
+    is the "degenerate corpus" signal the check exists to raise. The
+    oracle replays counts, ranks and the closed-form OLS sums. Registered
+    past the driver window (late-r12) — first record rides
+    ORACLE_SWEEP_r12."""
+    from oaxaca_blinder_rs_spark.operators.textops import zipf_fit
+
+    docs = _t(spark, sf_dir, "documents")
+    out = zipf_fit(docs, top_n=1000)
+    return out.select(
+        "n_types",
+        "n_tokens",
+        "top_n_used",
+        F.round("zipf_slope", 6).alias("zipf_slope"),
+        F.round("zipf_intercept", 6).alias("zipf_intercept"),
+    )
+
+
 def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-resampled multilingual mixture (sampling.
     temperature_mixture, r11; the mT5/XLM-R corpus-balancing rule): keep
@@ -2799,8 +2840,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     equality between queries() and oracle_sql()).
     The registry holds len(queries()) rows — 149 as of r12 close: 147 at
     the rotation commit plus the late-r12 contracts (dedup_lines,
-    pack_sequences — first records ride ORACLE_SWEEP_r12, the late-addition
-    convention; r13 windows them after the slipped r9 rows). Count the
+    pack_sequences, epoch_repeat, zipf_fit — first records ride
+    ORACLE_SWEEP_r12, the late-addition convention; r13 windows them after
+    the slipped r9 rows). Count the
     dict, don't trust prose. The committed ORACLE_SWEEP_r{N}.json carries
     the machine-readable full-registry check regenerated at each round
     close by `tools/check_oracle.py --json`; the 50-row driver window is
@@ -2976,6 +3018,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # late-addition convention); r13 windows them after the slipped r9 rows
         "dedup_lines": q_dedup_lines,
         "pack_sequences": q_pack_sequences,
+        "epoch_repeat": q_epoch_repeat,
+        "zipf_fit": q_zipf_fit,
     }
 
 # --------------------------------------------------------------------------
@@ -4490,6 +4534,50 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_tokens,
                string_agg(w, ' ' ORDER BY pos) AS text
         FROM tok GROUP BY 1
+    """
+    # fractional-epoch recipe (r12): rate join + floor/frac + the shared
+    # md5-uniform extra-copy draw + range unnest
+    d["epoch_repeat"] = """
+        WITH rates(source, rate) AS (
+          VALUES ('src0', 2.3), ('src1', 0.4), ('src2', 0.0), ('src3', 1.0)
+        ), j AS (
+          SELECT d.doc_id, d.source,
+                 coalesce(r.rate, 1.0) AS rate,
+                 CAST(floor(coalesce(r.rate, 1.0)) AS BIGINT) AS n_full,
+                 CASE WHEN ('0x' || substr(md5('s42:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                           / 4294967296.0
+                      < coalesce(r.rate, 1.0) - floor(coalesce(r.rate, 1.0))
+                      THEN 1 ELSE 0 END AS extra
+          FROM documents d LEFT JOIN rates r ON d.source = r.source
+        )
+        SELECT doc_id, source, CAST(unnest(range(0, n_full + extra)) AS INT) AS copy_idx
+        FROM j WHERE n_full + extra > 0
+    """
+    # Zipf fit (r12): counts -> deterministic ranks -> closed-form OLS sums
+    d["zipf_fit"] = r"""
+        WITH tok AS (
+          SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+          FROM documents
+        ), c AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS n FROM tok WHERE w <> '' GROUP BY w
+        ), tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_types,
+                 CAST(sum(n) AS BIGINT) AS n_tokens
+          FROM c
+        ), top AS (
+          SELECT n, row_number() OVER (ORDER BY n DESC, w ASC) AS rnk
+          FROM c ORDER BY n DESC, w ASC LIMIT 1000
+        ), fit AS (
+          SELECT CAST(count(*) AS BIGINT) AS m,
+                 sum(ln(rnk)) AS sx, sum(ln(n)) AS sy,
+                 sum(ln(rnk) * ln(n)) AS sxy, sum(ln(rnk) * ln(rnk)) AS sxx
+          FROM top
+        )
+        SELECT n_types, n_tokens, m AS top_n_used,
+               round((m * sxy - sx * sy) / (m * sxx - sx * sx), 6) AS zipf_slope,
+               round((sy - ((m * sxy - sx * sy) / (m * sxx - sx * sx)) * sx) / m, 6)
+                 AS zipf_intercept
+        FROM tot, fit
     """
     return d
 

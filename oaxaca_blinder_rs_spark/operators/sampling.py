@@ -33,6 +33,7 @@ __all__ = [
     "temperature_mixture_rates",
     "temperature_mixture",
     "water_fill_rates",
+    "epoch_repeat",
 ]
 
 
@@ -316,4 +317,52 @@ def temperature_mixture(
         docs.join(F.broadcast(rates_df), by_col)
         .filter(u < F.col("__rate"))
         .select(*docs.columns)
+    )
+
+
+def epoch_repeat(
+    df: DataFrame,
+    rates: dict[str, float],
+    by_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Materialize a FRACTIONAL-epoch data recipe: each ``by_col`` group g is
+    repeated ``rates[g]`` times — "2.3 epochs of wikipedia, 0.5 of web" —
+    as explicit (row, copy_idx) output rows a training loader can consume
+    in one pass. Every row of group g yields floor(rate) full copies plus
+    one more iff its deterministic uniform falls below frac(rate), so the
+    realized group volume is rate * |g| in expectation with per-row
+    reproducibility (the ``md5_uniform`` convention shared with
+    deterministic_sample: same seed -> same extra-copy set on any engine
+    or partitioning; raising frac(rate) only ever ADDS extra copies, and
+    the floor copies are rate-independent). Groups missing from ``rates``
+    get rate 1.0 (pass-through)
+    — an upsampling recipe should not silently drop unlisted sources;
+    rate 0 removes a group entirely.
+
+    Output schema: input columns + ``copy_idx`` (0-based). Scale shape: a
+    broadcast join of the |groups|-row rate table, one ``sequence()``
+    explode per row (bounded by ceil(rate) — recipes are single-digit
+    epochs), zero shuffles.
+    """
+    for g, r in rates.items():
+        if not float(r) >= 0.0:
+            raise ValueError(f"rate for group {g!r} must be >= 0, got {r}")
+    spark = df.sparkSession
+    gtype = dict(df.dtypes)[by_col]
+    rate_df = spark.createDataFrame(
+        [(g, float(r)) for g, r in rates.items()], f"{by_col} {gtype}, __rate double"
+    )
+    n_full = F.floor(F.coalesce(F.col("__rate"), F.lit(1.0))).cast("long")
+    frac = F.coalesce(F.col("__rate"), F.lit(1.0)) - n_full
+    extra = (md5_uniform(id_col, seed) < frac).cast("long")
+    n_copies = (n_full + extra).cast("int")
+    out_cols = df.columns + ["copy_idx"]
+    return (
+        df.join(F.broadcast(rate_df), by_col, "left")
+        .withColumn("__nc", n_copies)
+        .filter(F.col("__nc") > 0)
+        .withColumn("copy_idx", F.explode(F.sequence(F.lit(0), F.col("__nc") - 1)))
+        .select(*out_cols)
     )

@@ -11,7 +11,7 @@ shuffle is whatever aggregation the caller adds.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -51,6 +51,7 @@ __all__ = [
     "boilerplate_line_stats",
     "remove_boilerplate_lines",
     "dedup_lines_in_doc",
+    "zipf_fit",
 ]
 
 EN_STOPWORDS = [
@@ -1389,3 +1390,72 @@ def dedup_lines_in_doc(
     ls = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n", -1)
     kept = F.filter(ls, lambda x, i: F.array_position(ls, x) == i + F.lit(1))
     return docs.withColumn(text_col, F.concat_ws("\n", kept))
+
+
+def zipf_fit(
+    df: DataFrame,
+    top_n: int = 1000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Zipf-law fit of the corpus token-frequency distribution: OLS of
+    ln(freq) on ln(rank) over the ``top_n`` most frequent tokens — the
+    one-number corpus health check (natural language sits near slope -1;
+    boilerplate soup flattens the head, mojibake steepens the tail; a big
+    drift in the slope between two crawls is a pipeline bug before it is a
+    linguistics result).
+
+    Returns one row: (n_types, n_tokens, top_n_used, zipf_slope,
+    zipf_intercept). Tokens are the vocab_stats convention (lowercased
+    whitespace tokens, empties dropped); ranks 1..top_n by (freq DESC,
+    token ASC) — deterministic under ties.
+
+    Scale shape: one explode + one token-keyed count groupBy (map-side
+    combine, near-uniform key), the top-n cut via sort-limit
+    (TakeOrderedAndProject — per-partition top-n, k-row driver merge,
+    never a global sort), and the regression is a single aggregate over
+    <= top_n rows (the row_number window runs post-limit on <= top_n rows,
+    the sketches.py convention). The totals ride the same counts frame.
+    """
+    if int(top_n) < 2:
+        raise ValueError(f"top_n must be >= 2, got {top_n}")
+    tok = F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("__tok")
+    counts = (
+        df.select(tok)
+        .filter(F.col("__tok") != "")
+        .groupBy("__tok")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .persist()
+    )
+    try:
+        totals = counts.agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum("__cnt").alias("n_tokens"),
+        )
+        top = counts.orderBy(F.col("__cnt").desc(), F.col("__tok").asc()).limit(int(top_n))
+        w = Window.orderBy(F.col("__cnt").desc(), F.col("__tok").asc())
+        ranked = top.withColumn("__rank", F.row_number().over(w))
+        lx = F.log(F.col("__rank").cast("double"))
+        ly = F.log(F.col("__cnt").cast("double"))
+        fit = ranked.agg(
+            F.count(F.lit(1)).alias("__m"),
+            F.sum(lx).alias("__sx"),
+            F.sum(ly).alias("__sy"),
+            F.sum(lx * ly).alias("__sxy"),
+            F.sum(lx * lx).alias("__sxx"),
+        )
+        slope = (F.col("__m") * F.col("__sxy") - F.col("__sx") * F.col("__sy")) / (
+            F.col("__m") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+        )
+        intercept = (F.col("__sy") - slope * F.col("__sx")) / F.col("__m")
+        out = totals.crossJoin(
+            fit.select(
+                F.col("__m").cast("long").alias("top_n_used"),
+                slope.alias("zipf_slope"),
+                intercept.alias("zipf_intercept"),
+            )
+        ).select("n_types", "n_tokens", "top_n_used", "zipf_slope", "zipf_intercept")
+        # materialize before releasing the shared counts cache
+        rows = out.collect()
+        return df.sparkSession.createDataFrame(rows, out.schema)
+    finally:
+        counts.unpersist()

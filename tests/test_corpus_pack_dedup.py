@@ -1645,3 +1645,72 @@ def test_pack_sequences_validation(spark):
         pack_sequences(df, 4, eos_token="two words")
     with pytest.raises(ValueError, match="eos_token"):
         pack_sequences(df, 4, eos_token="")
+
+
+# ---- fractional-epoch recipe + Zipf fit (round 12) ----------------------------
+
+
+def test_epoch_repeat_branches(spark):
+    """floor>1 copies, fractional extras via the shared md5 uniform, rate 0
+    drops, unlisted groups pass through once, determinism, and the
+    full-copy set is invariant to the fractional part."""
+    from oaxaca_blinder_rs_spark.operators.sampling import epoch_repeat, md5_uniform
+
+    rows = [(i, "w" if i % 2 == 0 else ("z" if i % 5 == 0 else "c")) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = epoch_repeat(df, {"w": 2.5, "z": 0.0}, by_col="source")
+    got = sorted((r.doc_id, r.source, r.copy_idx) for r in out.collect())
+    # rate 0 group gone; unlisted 'c' exactly once with copy_idx 0
+    assert not any(s == "z" for _, s, _ in got)
+    c_rows = [(d, c) for d, s, c in got if s == "c"]
+    assert c_rows == sorted((d, 0) for d, s in rows if s == "c")
+    # every w doc has copies 0 and 1; copy 2 iff its uniform < 0.5
+    u = {
+        r.doc_id: r.u
+        for r in df.select("doc_id", md5_uniform("doc_id").alias("u")).collect()
+    }
+    for d, s in rows:
+        if s != "w":
+            continue
+        copies = [c for dd, ss, c in got if dd == d]
+        want = [0, 1, 2] if u[d] < 0.5 else [0, 1]
+        assert copies == want, (d, copies, want)
+    # determinism + floor copies invariant to the fractional part
+    again = sorted((r.doc_id, r.source, r.copy_idx) for r in
+                   epoch_repeat(df, {"w": 2.5, "z": 0.0}, by_col="source").collect())
+    assert again == got
+    out9 = epoch_repeat(df, {"w": 2.9, "z": 0.0}, by_col="source")
+    full9 = {(r.doc_id, r.copy_idx) for r in out9.collect() if r.copy_idx < 2 and r.source == "w"}
+    full5 = {(d, c) for d, s, c in got if s == "w" and c < 2}
+    assert full9 == full5
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match=">= 0"):
+        epoch_repeat(df, {"w": -0.1}, by_col="source")
+
+
+def test_zipf_fit_known_distribution(spark):
+    """A constructed corpus with freq(token_r) = 2^(10-r) has
+    ln f = ln(2^10) - ln(2) * r; ranks are exact, and the OLS slope over
+    ln-rank reproduces NumPy's polyfit to 1e-9. Totals are exact."""
+    import numpy as np
+
+    from oaxaca_blinder_rs_spark.operators.textops import zipf_fit
+
+    words = []
+    for r in range(1, 9):
+        words += [f"tok{r:02d}"] * (2 ** (10 - r))
+    # one doc per 50 words keeps rows realistic
+    docs = [(i, " ".join(words[i * 50:(i + 1) * 50])) for i in range((len(words) + 49) // 50)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    row = zipf_fit(df, top_n=100).collect()[0]
+    assert row.n_types == 8 and row.n_tokens == len(words) and row.top_n_used == 8
+    lx = np.log(np.arange(1, 9))
+    ly = np.log(np.array([2 ** (10 - r) for r in range(1, 9)], dtype=float))
+    slope, intercept = np.polyfit(lx, ly, 1)
+    assert abs(row.zipf_slope - slope) < 1e-9
+    assert abs(row.zipf_intercept - intercept) < 1e-9
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="top_n"):
+        zipf_fit(df, top_n=1)
