@@ -2644,6 +2644,23 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation extraction (textops.pmi_bigrams, r12; Church & Hanks
+    1990): every adjacent token pair with count >= 5, its exact count and
+    6-dp PMI. top_n is set above the qualifying-pair count at every SF so
+    the head cut never fires — the kept row set is decided by the exact
+    integer min_count filter alone, and the float PMI only appears as a
+    rounded VALUE (no float-tie boundary hazard). Oracle replays unigram/
+    bigram counts, the totals and the identical PMI formula. Registered
+    past the driver window (late-r12) — first record rides
+    ORACLE_SWEEP_r12."""
+    from oaxaca_blinder_rs_spark.operators.textops import pmi_bigrams
+
+    docs = _t(spark, sf_dir, "documents")
+    out = pmi_bigrams(docs, min_count=5, top_n=2000)
+    return out.select("w1", "w2", "n_pair", F.round("pmi", 6).alias("pmi"))
+
+
 def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-resampled multilingual mixture (sampling.
     temperature_mixture, r11; the mT5/XLM-R corpus-balancing rule): keep
@@ -2840,7 +2857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     equality between queries() and oracle_sql()).
     The registry holds len(queries()) rows — 149 as of r12 close: 147 at
     the rotation commit plus the late-r12 contracts (dedup_lines,
-    pack_sequences, epoch_repeat, zipf_fit — first records ride
+    pack_sequences, epoch_repeat, zipf_fit, pmi_bigrams — first records ride
     ORACLE_SWEEP_r12, the late-addition convention; r13 windows them after
     the slipped r9 rows). Count the
     dict, don't trust prose. The committed ORACLE_SWEEP_r{N}.json carries
@@ -3020,6 +3037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "epoch_repeat": q_epoch_repeat,
         "zipf_fit": q_zipf_fit,
+        "pmi_bigrams": q_pmi_bigrams,
     }
 
 # --------------------------------------------------------------------------
@@ -4578,6 +4596,31 @@ def oracle_sql() -> dict[str, str]:
                round((sy - ((m * sxy - sx * sy) / (m * sxx - sx * sx)) * sx) / m, 6)
                  AS zipf_intercept
         FROM tot, fit
+    """
+    # PMI collocations (r12): same formula, same totals; min_count decides
+    # the row set exactly, PMI is value-only
+    d["pmi_bigrams"] = r"""
+        WITH t AS (
+          SELECT regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+') AS arr
+          FROM documents
+        ), ix AS (
+          SELECT arr, unnest(range(1, len(arr))) AS i FROM t WHERE len(arr) >= 2
+        ), bg AS (
+          SELECT arr[i] AS w1, arr[i + 1] AS w2 FROM ix
+        ), uni AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS cu
+          FROM (SELECT unnest(arr) AS w FROM t) WHERE w <> '' GROUP BY w
+        ), big AS (
+          SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+          FROM bg GROUP BY w1, w2 HAVING count(*) >= 5
+        ), nu AS (SELECT CAST(sum(cu) AS DOUBLE) AS nu FROM uni),
+        nb AS (SELECT CAST(count(*) AS DOUBLE) AS nb FROM bg)
+        SELECT b.w1, b.w2, b.n_pair,
+               round(ln((b.n_pair / nb.nb) / ((u1.cu / nu.nu) * (u2.cu / nu.nu))), 6) AS pmi
+        FROM big b
+        JOIN uni u1 ON b.w1 = u1.w
+        JOIN uni u2 ON b.w2 = u2.w
+        CROSS JOIN nu CROSS JOIN nb
     """
     return d
 

@@ -52,6 +52,7 @@ __all__ = [
     "remove_boilerplate_lines",
     "dedup_lines_in_doc",
     "zipf_fit",
+    "pmi_bigrams",
 ]
 
 EN_STOPWORDS = [
@@ -1459,3 +1460,79 @@ def zipf_fit(
         return df.sparkSession.createDataFrame(rows, out.schema)
     finally:
         counts.unpersist()
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    min_count: int = 5,
+    top_n: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Collocation extraction: pointwise mutual information of adjacent
+    token pairs — PMI(w1, w2) = ln( P(w1,w2) / (P(w1) P(w2)) ) with pair
+    probability over the bigram total and unigram probabilities over the
+    token total. The classic corpus-analysis face (Church & Hanks 1990):
+    high-PMI pairs are multiword units ("new york"), and a drift in the
+    top collocations between two crawls flags template soup the unigram
+    stats miss. ``min_count`` drops the unstable rare-pair tail (PMI's
+    known low-frequency pathology); ``top_n`` keeps the head by
+    (pmi DESC, w1 ASC, w2 ASC) — deterministic under ties.
+
+    Returns (w1, w2, n_pair, pmi). Tokens follow the vocab_stats
+    convention (lowercased whitespace tokens; a document contributes
+    len-1 adjacent pairs).
+
+    Scale shape: two count groupBys on near-uniform token keys (map-side
+    combine), two broadcast-scalar totals, two token-keyed joins to attach
+    unigram counts, and the head cut is sort-limit
+    (TakeOrderedAndProject) — no global sort, no window over data.
+    """
+    if int(min_count) < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    if int(top_n) < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    toks = F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(0), cnt - F.lit(2))
+    pairs = df.select(
+        F.explode(
+            F.when(
+                cnt >= 2,
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        F.element_at(toks, i + 1).alias("w1"),
+                        F.element_at(toks, i + 2).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("__bg")
+    ).select(F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
+    uni = (
+        df.select(F.explode(toks).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("__cu"))
+    )
+    big = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= int(min_count))
+    )
+    n_uni = uni.agg(F.sum("__cu").cast("double").alias("__nu"))
+    n_big = pairs.agg(F.count(F.lit(1)).cast("double").alias("__nb"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("__cu").alias("__c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("__cu").alias("__c2"))
+    pmi = F.log(
+        (F.col("n_pair") / F.col("__nb"))
+        / ((F.col("__c1") / F.col("__nu")) * (F.col("__c2") / F.col("__nu")))
+    )
+    return (
+        big.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_big))
+        .select("w1", "w2", "n_pair", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(int(top_n))
+    )

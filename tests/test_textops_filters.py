@@ -1075,3 +1075,41 @@ def test_dedup_lines_in_doc(spark):
         for r in textops.dedup_lines_in_doc(textops.dedup_lines_in_doc(df)).collect()
     }
     assert twice == got
+
+
+# ---- PMI collocations (round 12) ----------------------------------------------
+
+
+def test_pmi_bigrams_hand_computed(spark):
+    """Corpus 'a b a b c' x2 + 'a b': pair (a,b) count 5, unigram a=5 b=5
+    c=2 N_uni=12... computed literally against the formula; min_count
+    gates the rare pairs; ordering is (pmi desc, w1, w2)."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b a b c"), (3, "a b")],
+        "doc_id long, text string",
+    )
+    # bigrams: doc1/doc2 each [ab, ba, ab, bc], doc3 [ab] -> N_big = 9
+    # counts: ab=5, ba=2, bc=2; unigrams: a=5, b=5, c=2, N_uni=12
+    out = {(r.w1, r.w2): (r.n_pair, r.pmi) for r in
+           textops.pmi_bigrams(df, min_count=2, top_n=10).collect()}
+    def pmi(c12, c1, c2):
+        return math.log((c12 / 9.0) / ((c1 / 12.0) * (c2 / 12.0)))
+    assert out[("a", "b")][0] == 5 and abs(out[("a", "b")][1] - pmi(5, 5, 5)) < 1e-12
+    assert out[("b", "a")][0] == 2 and abs(out[("b", "a")][1] - pmi(2, 5, 5)) < 1e-12
+    assert out[("b", "c")][0] == 2 and abs(out[("b", "c")][1] - pmi(2, 5, 2)) < 1e-12
+    # min_count=3 keeps only (a, b)
+    only = textops.pmi_bigrams(df, min_count=3, top_n=10).collect()
+    assert [(r.w1, r.w2) for r in only] == [("a", "b")]
+    # top_n=1: (a,b) and (b,c) tie at exactly ln(3.2) — the deterministic
+    # (pmi desc, w1 asc, w2 asc) tie-break keeps (a,b)
+    assert abs(out[("a", "b")][1] - out[("b", "c")][1]) < 1e-12
+    head = textops.pmi_bigrams(df, min_count=2, top_n=1).collect()
+    assert [(r.w1, r.w2) for r in head] == [("a", "b")]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="min_count"):
+        textops.pmi_bigrams(df, min_count=0)
+    with _pytest.raises(ValueError, match="top_n"):
+        textops.pmi_bigrams(df, top_n=0)
