@@ -73,6 +73,18 @@ def build_parser() -> argparse.ArgumentParser:
         help="tokens per training shard; 0 writes the keep-list only",
     )
     cp.add_argument(
+        "--seq-len", type=int, default=0,
+        help="pack the kept documents into exact fixed-length training "
+        "sequences of this many tokens (GPT-style concat-and-chunk, "
+        "corpus.pack_sequences; documents split across boundaries) — "
+        "mutually exclusive with --pack-budget",
+    )
+    cp.add_argument(
+        "--eos-token", default=None,
+        help="boundary token appended to each document before --seq-len "
+        "packing (e.g. '<|eos|>')",
+    )
+    cp.add_argument(
         "--quality-keep-top", type=float, default=None,
         help="stratified pre-gate: keep each group's top FRACTION by "
         "quality_score before the pipeline (corpus.quality_percentile_filter)",
@@ -221,7 +233,18 @@ def _run_corpus(spark, args) -> int:
     )
     n_in = docs.count()
     stats = {"docs_in": n_in}
-    if args.pack_budget > 0:
+    seq_len = getattr(args, "seq_len", 0) or 0
+    if seq_len > 0 and args.pack_budget > 0:
+        print(json.dumps({"error": "--pack-budget and --seq-len are mutually exclusive"}))
+        return 2
+    if seq_len > 0 and getattr(args, "shuffle_seed", None) is not None:
+        # pack_sequences streams strictly in id order; an epoch shuffle of a
+        # split-document token stream needs sequence-level shuffling AFTER
+        # packing (shuffle the written seq_ids), not document-level before
+        print(json.dumps({"error": "--shuffle-seed is not supported with --seq-len; "
+                          "shuffle the packed sequences by seq_id instead"}))
+        return 2
+    if args.pack_budget > 0 or seq_len > 0:
         if args.scrub_pii:
             # the keep-list carries the scrubbed text (always emitted as
             # 'text' by prepare_corpus); surface it under the caller's
@@ -236,22 +259,35 @@ def _run_corpus(spark, args) -> int:
             )
         else:
             kept_docs = docs.join(keep.select(args.id_col, "n_tokens"), args.id_col)
-        order_cols = None
-        if getattr(args, "shuffle_seed", None) is not None:
-            # shuffle-then-pack: the prefix-scan packer follows the shuffled
-            # (shuffle_key, id) order, so shard composition and offsets are a
-            # pure function of the epoch seed
-            kept_docs = deterministic_shuffle(
-                kept_docs, seed=args.shuffle_seed, id_col=args.id_col
+        if seq_len > 0:
+            from .sinks.parquet import write_sequences
+
+            st = write_sequences(
+                kept_docs, args.output, seq_len,
+                text_col=args.text_col, id_col=args.id_col,
+                eos_token=getattr(args, "eos_token", None),
             )
-            order_cols = ["shuffle_key"]
-        st = write_token_shards(
-            kept_docs, args.output, budget=args.pack_budget,
-            text_col=args.text_col, id_col=args.id_col, token_col="n_tokens",
-            order_cols=order_cols,
-        )
-        stats.update({"docs_kept": st["rows"], "shards": st["shards"],
-                      "total_tokens": st["total_tokens"]})
+            stats.update({"docs_kept": kept_docs.count(),
+                          "sequences": st["sequences"],
+                          "full_sequences": st["full_sequences"],
+                          "total_tokens": st["total_tokens"]})
+        else:
+            order_cols = None
+            if getattr(args, "shuffle_seed", None) is not None:
+                # shuffle-then-pack: the prefix-scan packer follows the shuffled
+                # (shuffle_key, id) order, so shard composition and offsets are a
+                # pure function of the epoch seed
+                kept_docs = deterministic_shuffle(
+                    kept_docs, seed=args.shuffle_seed, id_col=args.id_col
+                )
+                order_cols = ["shuffle_key"]
+            st = write_token_shards(
+                kept_docs, args.output, budget=args.pack_budget,
+                text_col=args.text_col, id_col=args.id_col, token_col="n_tokens",
+                order_cols=order_cols,
+            )
+            stats.update({"docs_kept": st["rows"], "shards": st["shards"],
+                          "total_tokens": st["total_tokens"]})
     else:
         out = keep
         if getattr(args, "shuffle_seed", None) is not None:

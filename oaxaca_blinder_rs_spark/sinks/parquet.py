@@ -17,7 +17,7 @@ import uuid
 
 from pyspark.sql import DataFrame
 
-__all__ = ["write_sized_parquet", "write_token_shards"]
+__all__ = ["write_sized_parquet", "write_token_shards", "write_sequences"]
 
 
 def write_sized_parquet(
@@ -108,5 +108,44 @@ def write_token_shards(
     return {
         "rows": int(stats["count(1)"]),
         "shards": int(stats["max(shard_id)"]) + 1 if stats["max(shard_id)"] is not None else 0,
+        "total_tokens": int(stats["sum(n_tokens)"] or 0),
+    }
+
+
+def write_sequences(
+    docs: DataFrame,
+    path: str,
+    seq_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eos_token: str | None = None,
+    mode: str = "overwrite",
+) -> dict:
+    """Write a corpus as packed fixed-length training sequences: parquet
+    files range-partitioned on ``seq_id`` so each file holds a contiguous,
+    sorted run of sequences a loader can stream in stream order without a
+    global sort at read time.
+
+    The concat-and-chunk last mile (``corpus.pack_sequences``): documents
+    split across sequence boundaries, every sequence holds exactly
+    ``seq_len`` tokens except the final remainder. Returns
+    {sequences, full_sequences, total_tokens} for observability.
+    """
+    from ..operators.corpus import pack_sequences
+
+    seqs = pack_sequences(
+        docs, seq_len, text_col=text_col, id_col=id_col, eos_token=eos_token
+    )
+    nparts = max(docs.sparkSession.sparkContext.defaultParallelism, 1)
+    seqs = seqs.repartitionByRange(nparts, "seq_id").sortWithinPartitions("seq_id")
+    seqs.write.mode(mode).parquet(path)
+    out = docs.sparkSession.read.parquet(path)
+    stats = out.agg(
+        {"seq_id": "count", "n_tokens": "sum"}
+    ).collect()[0]
+    full = out.filter(out["n_tokens"] == int(seq_len)).count()
+    return {
+        "sequences": int(stats["count(seq_id)"] or 0),
+        "full_sequences": int(full),
         "total_tokens": int(stats["sum(n_tokens)"] or 0),
     }

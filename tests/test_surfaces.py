@@ -1528,3 +1528,38 @@ def test_streaming_mg_to_batch_heavy_hitters_faces(spark, sf_dir, tmp_path):
     ]
     assert got == want
     spark.catalog.dropTempView("mg_faces")
+
+
+def test_cli_corpus_seq_len_mode(spark, sf_dir, tmp_path, capsys):
+    """r12: --seq-len packs the kept documents into exact fixed-length
+    training sequences (write_sequences sink); stats line reports sequence
+    counts; --pack-budget/--shuffle-seed combinations are rejected."""
+    import json as _json
+
+    from oaxaca_blinder_rs_spark.cli import main
+
+    src = f"{sf_dir}/documents.parquet"
+    out = str(tmp_path / "seqs")
+    assert main([
+        "corpus", "--input", src, "--output", out,
+        "--min-quality", "0.0", "--langs", "en,de,fr,es,zh,und",
+        "--seq-len", "128", "--eos-token", "<|eos|>",
+    ]) == 0
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    back = spark.read.parquet(out)
+    assert back.count() == stats["sequences"] > 0
+    assert stats["full_sequences"] in (stats["sequences"], stats["sequences"] - 1)
+    import pyspark.sql.functions as _F
+
+    sizes = [r.n_tokens for r in back.orderBy("seq_id").collect()]
+    assert all(n == 128 for n in sizes[:-1]) and 0 < sizes[-1] <= 128
+    assert stats["total_tokens"] == sum(sizes)
+    # the stream carries the eos boundary token
+    assert back.filter(_F.col("text").contains("<|eos|>")).count() > 0
+
+    assert main(["corpus", "--input", src, "--output", out,
+                 "--seq-len", "8", "--pack-budget", "8"]) == 2
+    assert "mutually exclusive" in capsys.readouterr().out
+    assert main(["corpus", "--input", src, "--output", out,
+                 "--seq-len", "8", "--shuffle-seed", "1"]) == 2
+    assert "not supported" in capsys.readouterr().out
