@@ -2661,6 +2661,31 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("w1", "w2", "n_pair", F.round("pmi", 6).alias("pmi"))
 
 
+def q_roc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC curve points (profiling.roc_points, r12): every observable
+    operating point of the quality-score-vs-is-English classifier the
+    ⊕classifier_auc contract scores — per distinct threshold t, the exact
+    >= t tallies and tpr/fpr ratios (single divisions of exact int64
+    tallies). Same cells + descending prefix-scan machinery as binary_auc.
+    Registered past the driver window (late-r12) — first record rides
+    ORACLE_SWEEP_r12."""
+    from oaxaca_blinder_rs_spark.operators.profiling import roc_points
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        textops.quality_score(F.col("text")).alias("q"),
+        (F.col("lang") == "en").alias("is_en"),
+    )
+    out = roc_points(scored, "q", "is_en")
+    return out.select(
+        F.round("threshold", 6).alias("threshold"),
+        "n_pos_ge",
+        "n_neg_ge",
+        F.round("tpr", 6).alias("tpr"),
+        F.round("fpr", 6).alias("fpr"),
+    )
+
+
 def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-resampled multilingual mixture (sampling.
     temperature_mixture, r11; the mT5/XLM-R corpus-balancing rule): keep
@@ -2857,7 +2882,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     equality between queries() and oracle_sql()).
     The registry holds len(queries()) rows — 149 as of r12 close: 147 at
     the rotation commit plus the late-r12 contracts (dedup_lines,
-    pack_sequences, epoch_repeat, zipf_fit, pmi_bigrams — first records ride
+    pack_sequences, epoch_repeat, zipf_fit, pmi_bigrams, roc_points — first
+    records ride
     ORACLE_SWEEP_r12, the late-addition convention; r13 windows them after
     the slipped r9 rows). Count the
     dict, don't trust prose. The committed ORACLE_SWEEP_r{N}.json carries
@@ -3038,6 +3064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_repeat": q_epoch_repeat,
         "zipf_fit": q_zipf_fit,
         "pmi_bigrams": q_pmi_bigrams,
+        "roc_points": q_roc_points,
     }
 
 # --------------------------------------------------------------------------
@@ -4621,6 +4648,40 @@ def oracle_sql() -> dict[str, str]:
         JOIN uni u1 ON b.w1 = u1.w
         JOIN uni u2 ON b.w2 = u2.w
         CROSS JOIN nu CROSS JOIN nb
+    """
+    # ROC points (r12): same cells, descending window cumsum, exact tallies
+    d["roc_points"] = f"""
+        WITH t AS (
+          SELECT CAST(length(text) AS DOUBLE) n_chars,
+                 CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) n_toks,
+                 CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) n_punct,
+                 CAST(len(list_filter(list_transform(regexp_split_to_array(trim(text), '\\s+'), x -> lower(x)),
+                                      x -> x IN ({_STOP_EN}))) AS DOUBLE) n_stop,
+                 lang
+          FROM documents
+        ), sc AS (
+          SELECT ((CASE WHEN n_chars >= 200 AND n_chars <= 100000 THEN 1.0 ELSE 0.0 END) +
+                  (CASE WHEN n_toks > 0 AND n_chars/n_toks >= 3.0 AND n_chars/n_toks <= 12.0 THEN 1.0 ELSE 0.0 END) +
+                  (CASE WHEN n_toks > 0 AND n_stop/n_toks >= 0.05 THEN 1.0 ELSE 0.0 END) +
+                  (CASE WHEN n_punct/n_chars > 0.0 THEN 1.0 ELSE 0.0 END)) / 4.0 s,
+                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END y
+          FROM t
+        ), cells AS (
+          SELECT s, CAST(sum(y) AS BIGINT) np,
+                 CAST(count(*) - sum(y) AS BIGINT) nn
+          FROM sc GROUP BY s
+        ), c AS (
+          SELECT s, np, nn,
+                 sum(np) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum_np,
+                 sum(nn) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum_nn,
+                 sum(np) OVER () P, sum(nn) OVER () N
+          FROM cells
+        )
+        SELECT round(s, 6) AS threshold,
+               CAST(cum_np AS BIGINT) AS n_pos_ge, CAST(cum_nn AS BIGINT) AS n_neg_ge,
+               round(CASE WHEN P > 0 THEN CAST(cum_np AS DOUBLE) / P END, 6) AS tpr,
+               round(CASE WHEN N > 0 THEN CAST(cum_nn AS DOUBLE) / N END, 6) AS fpr
+        FROM c
     """
     return d
 

@@ -21,6 +21,7 @@ __all__ = [
     "quantile_sketch_check",
     "topk_per_group",
     "binary_auc",
+    "roc_points",
 ]
 
 
@@ -672,3 +673,57 @@ def binary_auc(
         F.col("n_neg"),
     ]
     return out.select(*cols)
+
+
+def roc_points(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """The ROC CURVE behind ``binary_auc``'s scalar: one point per distinct
+    score threshold t — (threshold, n_pos_ge, n_neg_ge, tpr, fpr), where
+    tpr = P(score >= t | pos) and fpr = P(score >= t | neg). Classifying
+    "keep documents scoring >= t" at every observable operating point —
+    the curve a quality-filter threshold is actually chosen from.
+
+    Same distributed shape as binary_auc: one groupBy to per-score cells,
+    one ``scan.grouped_prev_cumsum`` ordered by score DESCENDING (so the
+    exclusive cumulative + the cell's own count = the >= t tally), and the
+    ratios are single divisions of exact int64 tallies — engine- and
+    partitioning-stable. Rows with NULL score or label are dropped.
+    Returns one row per distinct score, NULL tpr/fpr when the class is
+    empty (undefined, not 0).
+    """
+    from . import scan
+
+    label = F.col(label_col).cast("boolean")
+    scored = df.where(
+        F.col(score_col).isNotNull() & label.isNotNull()
+    ).select(
+        F.lit(0).alias("__g"),
+        F.col(score_col).cast("double").alias("threshold"),
+        label.cast("long").alias("__y"),
+    )
+    cells = scored.groupBy("__g", "threshold").agg(
+        F.sum("__y").alias("__np"),
+        (F.count(F.lit(1)) - F.sum("__y")).alias("__nn"),
+    )
+    cum = scan.grouped_prev_cumsum(
+        cells, "__g", [F.col("threshold").desc()], F.col("__np"), "__cum_np"
+    )
+    cum = scan.grouped_prev_cumsum(
+        cum, "__g", [F.col("threshold").desc()], F.col("__nn"), "__cum_nn"
+    )
+    tot = cells.groupBy("__g").agg(
+        F.sum("__np").alias("__P"), F.sum("__nn").alias("__N")
+    )
+    out = cum.join(F.broadcast(tot), "__g")
+    n_pos_ge = (F.col("__cum_np") + F.col("__np")).cast("long")
+    n_neg_ge = (F.col("__cum_nn") + F.col("__nn")).cast("long")
+    return out.select(
+        F.col("threshold"),
+        n_pos_ge.alias("n_pos_ge"),
+        n_neg_ge.alias("n_neg_ge"),
+        F.when(F.col("__P") > 0, n_pos_ge.cast("double") / F.col("__P")).alias("tpr"),
+        F.when(F.col("__N") > 0, n_neg_ge.cast("double") / F.col("__N")).alias("fpr"),
+    )

@@ -400,3 +400,33 @@ def test_binary_auc_edges(spark):
     one = spark.createDataFrame([(0.1, True), (0.9, True)], "s double, y boolean")
     r = binary_auc(one, "s", "y").collect()[0]
     assert r["auc"] is None and (r["n_pos"], r["n_neg"]) == (2, 0)
+
+
+def test_roc_points_matches_bruteforce(spark):
+    """Every ROC point equals the literal >= -threshold tallies computed in
+    Python; monotone tpr/fpr; the final point is (1, 1); degenerate
+    one-class input yields NULL for the empty class's ratio."""
+    import random
+
+    from oaxaca_blinder_rs_spark.operators.profiling import roc_points
+
+    random.seed(5)
+    rows = [(random.choice([0.1, 0.3, 0.5, 0.7]), random.random() < 0.4) for _ in range(300)]
+    df = spark.createDataFrame(rows, "s double, y boolean").repartition(5)
+    got = {
+        r["threshold"]: (r["n_pos_ge"], r["n_neg_ge"], r["tpr"], r["fpr"])
+        for r in roc_points(df, "s", "y").collect()
+    }
+    P = sum(1 for _, y in rows if y)
+    N = len(rows) - P
+    for t in sorted({s for s, _ in rows}):
+        npg = sum(1 for s, y in rows if y and s >= t)
+        nng = sum(1 for s, y in rows if not y and s >= t)
+        g = got[t]
+        assert (g[0], g[1]) == (npg, nng)
+        assert abs(g[2] - npg / P) < 1e-12 and abs(g[3] - nng / N) < 1e-12
+    lowest = min(got)
+    assert got[lowest][2] == 1.0 and got[lowest][3] == 1.0
+    one = spark.createDataFrame([(0.2, True), (0.9, True)], "s double, y boolean")
+    rs = roc_points(one, "s", "y").collect()
+    assert all(r["fpr"] is None for r in rs) and all(r["tpr"] is not None for r in rs)
