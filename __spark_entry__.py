@@ -2712,6 +2712,120 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming histogram cells -> batch merge (r12): the events table
+    replayed availableNow through streaming_histogram_cells (per tumbling
+    hour, the (bin, n) table over FIXED bounds [0, 1000] x 64 bins —
+    bounded state, watermark-expired windows), then the per-window cells
+    MERGED by the documented per-bin SUM into the global distribution.
+    The oracle is the plain batch binning GROUP BY, so hash equality
+    proves the windowed-state path plus the cell-merge algebra reproduce
+    the batch answer exactly — the third driver-visible streaming
+    contract (after ⊕streaming_heavy_hitters, ⊕streaming_source_quota).
+    Width 15.625 = 1000/64 is an exact binary fraction: the bin arithmetic
+    is bit-identical on both engines. Registered past the driver window
+    (late-r12) — first record rides ORACLE_SWEEP_r12."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from oaxaca_blinder_rs_spark.streaming.events import streaming_histogram_cells
+
+    static = _t(spark, sf_dir, "events")
+    run = f"{os.getpid()}_{uuid.uuid4().hex[:8]}"
+    src = tempfile.mkdtemp(prefix=f"oaxaca_shist_src_{run}_")
+    ckpt = tempfile.mkdtemp(prefix=f"oaxaca_shist_ckpt_{run}_")
+    try:
+        static.coalesce(1).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(static.schema).format("parquet").load(src)
+        cells = streaming_histogram_cells(
+            stream, col="value", lo=0.0, hi=1000.0, bins=64
+        )
+        name = f"shist_stream_{run}"
+        q = (
+            cells.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("streaming_histogram: availableNow replay timed out")
+        snap = spark.table(name)
+        # update-mode snapshots are monotone per (window, bin): max() takes
+        # each cell's final count, then the mergeable-by-SUM reduction
+        final_cells = snap.groupBy("window_start", "bin").agg(F.max("n").alias("n"))
+        return (
+            final_cells.groupBy("bin")
+            .agg(F.sum("n").cast("long").alias("n"))
+            .select(F.col("bin").cast("long").alias("bin"), "n")
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def q_streaming_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming vocabulary cells -> batch merge (r12): documents replayed
+    availableNow through streaming_vocab_cells with a doc_id-derived event
+    time spreading the corpus over 48 tumbling hour windows (so the
+    SUM-merge across windows is REAL, not a single-window no-op), then the
+    per-window (source, token, n) cells merged into the corpus-wide
+    (source, token) count table. Oracle = the plain batch token-count
+    GROUP BY — hash equality proves windowed tokenize-and-count state plus
+    the documented cell-merge algebra reproduce vocab_stats' input table
+    exactly. Fourth driver-visible streaming contract. Registered past the
+    driver window (late-r12) — first record rides ORACLE_SWEEP_r12."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from oaxaca_blinder_rs_spark.streaming.events import streaming_vocab_cells
+
+    docs = _t(spark, sf_dir, "documents")
+    feed = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        (
+            F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+            + F.make_interval(hours=(F.col("doc_id") % 48).cast("int"))
+        ).alias("ts"),
+    )
+    run = f"{os.getpid()}_{uuid.uuid4().hex[:8]}"
+    src = tempfile.mkdtemp(prefix=f"oaxaca_svocab_src_{run}_")
+    ckpt = tempfile.mkdtemp(prefix=f"oaxaca_svocab_ckpt_{run}_")
+    try:
+        feed.coalesce(1).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(feed.schema).format("parquet").load(src)
+        cells = streaming_vocab_cells(stream, text_col="text", by="source")
+        name = f"svocab_stream_{run}"
+        q = (
+            cells.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("streaming_vocab: availableNow replay timed out")
+        snap = spark.table(name)
+        final_cells = snap.groupBy("window_start", "source", "token").agg(
+            F.max("n").alias("n")
+        )
+        return (
+            final_cells.groupBy("source", "token")
+            .agg(F.sum("n").cast("long").alias("n"))
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def q_streaming_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming per-source token-quota gate (r12): the documents table
     replayed as a bounded stream (availableNow, one file -> one micro-batch)
@@ -2882,8 +2996,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     equality between queries() and oracle_sql()).
     The registry holds len(queries()) rows — 149 as of r12 close: 147 at
     the rotation commit plus the late-r12 contracts (dedup_lines,
-    pack_sequences, epoch_repeat, zipf_fit, pmi_bigrams, roc_points — first
-    records ride
+    pack_sequences, epoch_repeat, zipf_fit, pmi_bigrams, roc_points,
+    streaming_histogram, streaming_vocab — first records ride
     ORACLE_SWEEP_r12, the late-addition convention; r13 windows them after
     the slipped r9 rows). Count the
     dict, don't trust prose. The committed ORACLE_SWEEP_r{N}.json carries
@@ -3065,6 +3179,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": q_zipf_fit,
         "pmi_bigrams": q_pmi_bigrams,
         "roc_points": q_roc_points,
+        "streaming_histogram": q_streaming_histogram,
+        "streaming_vocab": q_streaming_vocab,
     }
 
 # --------------------------------------------------------------------------
@@ -6905,6 +7021,24 @@ def _oracle_sql_literals() -> dict[str, str]:
                      CAST(len(regexp_split_to_array(trim(coalesce(text, '')), '\\s+')) AS BIGINT) n_tokens
               FROM documents
             )
+        """,
+        # streaming vocab merge (r12): the batch (source, token) count table
+        "streaming_vocab": r"""
+            SELECT source, w AS token, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT source,
+                         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+                  FROM documents)
+            WHERE w <> ''
+            GROUP BY source, w
+        """,
+        # streaming histogram merge (r12): the batch binning GROUP BY —
+        # the streaming side windows + merges back to exactly this
+        "streaming_histogram": """
+            SELECT CAST(least(floor(value / 15.625), 63) AS BIGINT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events
+            WHERE value IS NOT NULL AND value >= 0 AND value <= 1000
+            GROUP BY 1
         """,
         "ivfpq_top3": _ivfpq_sql(m=4, k_codebook=8, iters=2, top_k=3, n_lists=8, n_probe=3),
         "semantic_dedup": _semantic_dedup_sql(k=6, iters=2, threshold=0.5),
