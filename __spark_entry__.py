@@ -2826,6 +2826,63 @@ def q_streaming_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def q_streaming_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift cells -> batch merge (r12): events replayed
+    availableNow through streaming_drift_cells (the PSI monitor feed —
+    categorical event_type by value, numeric value by 10 equi-width bins
+    over the FIXED [0, 1000] bounds a stream requires), per-window cells
+    SUM-merged into the snapshot (dim, bucket, n) table that
+    psi_from_counts consumes. Oracle = the batch bucketing GROUP BY (the
+    ⊕events_drift convention: "(null)" categorical fill, closed right
+    edge, width 1000/10 exact) — hash equality proves the windowed state
+    path + merge algebra reproduce drift_bucket_counts exactly; the PSI
+    finish over these cells is already pinned by ⊕events_drift. Fifth
+    driver-visible streaming contract. Registered past the driver window
+    (late-r12) — first record rides ORACLE_SWEEP_r12."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from oaxaca_blinder_rs_spark.streaming.events import streaming_drift_cells
+
+    static = _t(spark, sf_dir, "events")
+    run = f"{os.getpid()}_{uuid.uuid4().hex[:8]}"
+    src = tempfile.mkdtemp(prefix=f"oaxaca_sdrift_src_{run}_")
+    ckpt = tempfile.mkdtemp(prefix=f"oaxaca_sdrift_ckpt_{run}_")
+    try:
+        static.coalesce(1).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(static.schema).format("parquet").load(src)
+        cells = streaming_drift_cells(
+            stream,
+            cat_cols=["event_type"],
+            num_cols=["value"],
+            bins=10,
+            bounds={"value": (0.0, 1000.0)},
+        )
+        name = f"sdrift_stream_{run}"
+        q = (
+            cells.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("streaming_drift: availableNow replay timed out")
+        snap = spark.table(name)
+        final_cells = snap.groupBy("window_start", "dim", "bucket").agg(
+            F.max("n").alias("n")
+        )
+        return final_cells.groupBy("dim", "bucket").agg(
+            F.sum("n").cast("long").alias("n")
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def q_streaming_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming per-source token-quota gate (r12): the documents table
     replayed as a bounded stream (availableNow, one file -> one micro-batch)
@@ -2994,12 +3051,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     registered row is therefore oracle-paired — machine-enforced by
     tests/test_bench_contract.py::test_registry_oracle_pairing (exact set
     equality between queries() and oracle_sql()).
-    The registry holds len(queries()) rows — 149 as of r12 close: 147 at
-    the rotation commit plus the late-r12 contracts (dedup_lines,
-    pack_sequences, epoch_repeat, zipf_fit, pmi_bigrams, roc_points,
-    streaming_histogram, streaming_vocab — first records ride
-    ORACLE_SWEEP_r12, the late-addition convention; r13 windows them after
-    the slipped r9 rows). Count the
+    The registry holds len(queries()) rows — 156 as of r12 close: 147 at
+    the rotation commit plus the nine late-r12 contracts (dedup_lines,
+    pack_sequences, epoch_repeat, zipf_fit, pmi_bigrams, roc_points, and
+    the streaming_histogram / streaming_vocab / streaming_drift cell-merge
+    faces) — first records ride ORACLE_SWEEP_r12, the late-addition
+    convention; r13 windows them after the slipped r9 rows. Count the
     dict, don't trust prose. The committed ORACLE_SWEEP_r{N}.json carries
     the machine-readable full-registry check regenerated at each round
     close by `tools/check_oracle.py --json`; the 50-row driver window is
@@ -3181,6 +3238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roc_points": q_roc_points,
         "streaming_histogram": q_streaming_histogram,
         "streaming_vocab": q_streaming_vocab,
+        "streaming_drift": q_streaming_drift,
     }
 
 # --------------------------------------------------------------------------
@@ -7021,6 +7079,21 @@ def _oracle_sql_literals() -> dict[str, str]:
                      CAST(len(regexp_split_to_array(trim(coalesce(text, '')), '\\s+')) AS BIGINT) n_tokens
               FROM documents
             )
+        """,
+        # streaming drift-cell merge (r12): the batch bucketing GROUP BY
+        "streaming_drift": """
+            WITH cells AS (
+              SELECT 'event_type' AS dim,
+                     coalesce(CAST(event_type AS VARCHAR), '(null)') AS bucket
+              FROM events
+              UNION ALL
+              SELECT 'value' AS dim,
+                     CAST(CAST(least(floor(value / 100.0), 9) AS BIGINT) AS VARCHAR) AS bucket
+              FROM events
+              WHERE value IS NOT NULL AND value >= 0 AND value <= 1000
+            )
+            SELECT dim, bucket, CAST(count(*) AS BIGINT) AS n
+            FROM cells GROUP BY dim, bucket
         """,
         # streaming vocab merge (r12): the batch (source, token) count table
         "streaming_vocab": r"""
