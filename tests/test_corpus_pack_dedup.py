@@ -1714,3 +1714,57 @@ def test_zipf_fit_known_distribution(spark):
 
     with _pytest.raises(ValueError, match="top_n"):
         zipf_fit(df, top_n=1)
+
+
+def test_streaming_cellmerge_contracts_match_batch(spark):
+    """r12: the three streaming cell-merge driver faces (histogram, vocab,
+    drift) reproduce their batch twins on sf0.001 — suite-guarding the
+    availableNow scaffolds (single-file replay, update-mode snapshot max,
+    SUM merge) independently of the oracle sweep."""
+    import importlib.util
+    import os as _os
+    import sys as _sys
+
+    from pyspark.sql import functions as F
+
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry_for_streaming",
+        _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), "__spark_entry__.py"),
+    )
+    e = importlib.util.module_from_spec(spec)
+    _sys.modules.setdefault("spark_entry_for_streaming", e)
+    spec.loader.exec_module(e)
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+
+    hist = {r["bin"]: r["n"] for r in e.q_streaming_histogram(spark, sf).collect()}
+    want_hist = {
+        r["bin"]: r["n"]
+        for r in ev.filter(F.col("value").isNotNull() & (F.col("value") >= 0) & (F.col("value") <= 1000))
+        .groupBy(F.least(F.floor(F.col("value") / 15.625), F.lit(63)).cast("long").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert hist == want_hist and sum(hist.values()) == ev.count()
+
+    voc = {(r["source"], r["token"]): r["n"] for r in e.q_streaming_vocab(spark, sf).collect()}
+    toks = docs.select(
+        "source", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("t")
+    ).filter(F.col("t") != "")
+    want_voc = {
+        (r["source"], r["t"]): r["n"]
+        for r in toks.groupBy("source", "t").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert voc == want_voc and len(voc) > 0
+
+    dr = {(r["dim"], r["bucket"]): r["n"] for r in e.q_streaming_drift(spark, sf).collect()}
+    n_et = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for et, n in n_et.items():
+        assert dr[("event_type", et)] == n
+    assert sum(n for (d, _), n in dr.items() if d == "value") == ev.filter(
+        F.col("value").isNotNull() & (F.col("value") >= 0) & (F.col("value") <= 1000)
+    ).count()
