@@ -202,6 +202,25 @@ def _run_corpus(spark, args) -> int:
     )
     from .sinks.parquet import write_token_shards
 
+    # argument mutual-exclusion checks run BEFORE any Spark action so a
+    # misused invocation fails in milliseconds, not after a full input scan
+    seq_len = getattr(args, "seq_len", 0) or 0
+    if seq_len > 0 and args.pack_budget > 0:
+        print(json.dumps({"error": "--pack-budget and --seq-len are mutually exclusive"}))
+        return 2
+    if seq_len > 0 and getattr(args, "shuffle_seed", None) is not None:
+        # pack_sequences streams strictly in id order; an epoch shuffle of a
+        # split-document token stream needs sequence-level shuffling AFTER
+        # packing (shuffle the written seq_ids), not document-level before
+        print(json.dumps({"error": "--shuffle-seed is not supported with --seq-len; "
+                          "shuffle the packed sequences by seq_id instead"}))
+        return 2
+    if seq_len <= 0 and getattr(args, "eos_token", None) is not None:
+        # --eos-token only means something to the --seq-len packer; silently
+        # dropping it would pack budget shards with no boundary token
+        print(json.dumps({"error": "--eos-token requires --seq-len"}))
+        return 2
+
     docs = spark.read.parquet(args.input)
     terms = None
     if getattr(args, "blocklist", None):
@@ -233,17 +252,6 @@ def _run_corpus(spark, args) -> int:
     )
     n_in = docs.count()
     stats = {"docs_in": n_in}
-    seq_len = getattr(args, "seq_len", 0) or 0
-    if seq_len > 0 and args.pack_budget > 0:
-        print(json.dumps({"error": "--pack-budget and --seq-len are mutually exclusive"}))
-        return 2
-    if seq_len > 0 and getattr(args, "shuffle_seed", None) is not None:
-        # pack_sequences streams strictly in id order; an epoch shuffle of a
-        # split-document token stream needs sequence-level shuffling AFTER
-        # packing (shuffle the written seq_ids), not document-level before
-        print(json.dumps({"error": "--shuffle-seed is not supported with --seq-len; "
-                          "shuffle the packed sequences by seq_id instead"}))
-        return 2
     if args.pack_budget > 0 or seq_len > 0:
         if args.scrub_pii:
             # the keep-list carries the scrubbed text (always emitted as

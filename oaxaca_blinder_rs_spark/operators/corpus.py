@@ -1038,7 +1038,11 @@ def pack_sequences(
     sequence holds exactly ``seq_len`` tokens except the final remainder
     (no padding — the loader's collator owns pad tokens). NULL/empty text
     follows the corpus token convention (one empty token), so packing is
-    total: every document lands in the stream.
+    total: every document lands in the stream. Consumer caveat: because an
+    empty token joins into ``text`` as nothing (and leading whitespace
+    collapses), re-splitting ``text`` under ``\\s+`` can yield fewer than
+    ``n_tokens`` tokens — ``n_tokens`` is authoritative; see
+    ``sinks.parquet.write_sequences`` for the full note.
 
     Scale shape — the token stream is never materialized row-per-token:
 

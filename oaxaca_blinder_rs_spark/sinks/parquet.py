@@ -16,6 +16,7 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 __all__ = ["write_sized_parquet", "write_token_shards", "write_sequences"]
 
@@ -130,6 +131,14 @@ def write_sequences(
     split across sequence boundaries, every sequence holds exactly
     ``seq_len`` tokens except the final remainder. Returns
     {sequences, full_sequences, total_tokens} for observability.
+
+    Re-tokenization caveat (consumer-facing): ``n_tokens`` counts tokens
+    under the corpus convention where a NULL/empty document contributes ONE
+    empty token. A sequence whose window covers such a document (or text
+    with leading/doubled whitespace) re-tokenizes under ``\\s+`` to FEWER
+    than ``n_tokens`` — loaders must trust the ``n_tokens`` column, not
+    re-split ``text``. Pass ``eos_token`` to make every document contribute
+    at least one non-empty token and keep the gap to boundary effects only.
     """
     from ..operators.corpus import pack_sequences
 
@@ -141,11 +150,14 @@ def write_sequences(
     seqs.write.mode(mode).parquet(path)
     out = docs.sparkSession.read.parquet(path)
     stats = out.agg(
-        {"seq_id": "count", "n_tokens": "sum"}
+        F.count("seq_id").alias("sequences"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(
+            F.when(F.col("n_tokens") == int(seq_len), F.lit(1)).otherwise(F.lit(0))
+        ).alias("full_sequences"),
     ).collect()[0]
-    full = out.filter(out["n_tokens"] == int(seq_len)).count()
     return {
-        "sequences": int(stats["count(seq_id)"] or 0),
-        "full_sequences": int(full),
-        "total_tokens": int(stats["sum(n_tokens)"] or 0),
+        "sequences": int(stats["sequences"] or 0),
+        "full_sequences": int(stats["full_sequences"] or 0),
+        "total_tokens": int(stats["total_tokens"] or 0),
     }

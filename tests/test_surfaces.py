@@ -1563,3 +1563,13 @@ def test_cli_corpus_seq_len_mode(spark, sf_dir, tmp_path, capsys):
     assert main(["corpus", "--input", src, "--output", out,
                  "--seq-len", "8", "--shuffle-seed", "1"]) == 2
     assert "not supported" in capsys.readouterr().out
+    # r13 advice: --eos-token without --seq-len is a rejected typo, not a
+    # silent no-op that packs budget shards with no boundary token
+    assert main(["corpus", "--input", src, "--output", out,
+                 "--pack-budget", "64", "--eos-token", "<|eos|>"]) == 2
+    assert "--eos-token requires --seq-len" in capsys.readouterr().out
+    # r13 advice: misused invocations fail BEFORE any Spark action — a
+    # nonexistent input path must still exit 2 on the argument error
+    assert main(["corpus", "--input", str(tmp_path / "no_such.parquet"),
+                 "--output", out, "--seq-len", "8", "--pack-budget", "8"]) == 2
+    assert "mutually exclusive" in capsys.readouterr().out
