@@ -2948,6 +2948,107 @@ def q_streaming_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def q_streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA drop contract (r13): the one streaming behavior
+    the other five contracts never exercise — events arriving BELOW the
+    watermark being discarded at the boundary. A genuine TWO-micro-batch
+    replay through streaming_dedup (withWatermark + dropDuplicatesWithin-
+    Watermark, SURVEY §7.3.10's watermark-bounded dedup face): run 1
+    processes batch 1 availableNow and persists its watermark (max event
+    time - 24h) in the checkpoint; run 2 RESUMES the same checkpoint on a
+    second file whose rows are planted in four classes —
+
+      late fresh keys   (ts = 2020, far below the watermark)  -> DROPPED
+      late dup keys     (same ts, keys already seen)          -> DROPPED
+      on-time dup key   (ts > watermark, the most-recent batch-1 key,
+                         whose dedup state is unambiguously alive) -> DROPPED
+      on-time fresh keys (ts = t1max + 1..50 min)             -> EMITTED
+
+    so the surviving row set = batch 1 plus exactly the on-time fresh
+    class. The oracle applies the same cutoff predicate in plain SQL; hash
+    equality pins Spark's late-row filter, cross-batch dedup state, and
+    watermark recovery from checkpoint all at once. The memory sink cannot
+    recover a checkpoint, so the replay uses a parquet sink (append mode —
+    dedup emits survivors immediately) and localCheckpoints the result
+    before the scratch is removed. Classes are decided by integer
+    residues and timestamps sit days from the cutoff — nothing rides a
+    float or boundary tie."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from oaxaca_blinder_rs_spark.streaming.events import streaming_dedup
+
+    ev = _t(spark, sf_dir, "events")
+    b1 = ev.filter(F.col("event_id") % 3 != 0).select(
+        F.col("event_id").alias("k"), F.col("ts").cast("timestamp").alias("ts")
+    )
+    # the newest batch-1 row: its dedup state (expiry ts + 24h) is alive at
+    # batch 2 regardless of eviction timing, so duplicating ITS key is the
+    # one unambiguous on-time-duplicate construction
+    top = b1.orderBy(F.col("ts").desc(), F.col("k").desc()).limit(1).collect()[0]
+    t1max, argmax_key = top.ts, top.k
+    b2base = ev.filter(F.col("event_id") % 3 == 0)
+    late_ts = F.to_timestamp(F.lit("2020-01-01 00:00:00"))
+    late_dup = b2base.filter(F.col("event_id") % 9 == 0).select(
+        (F.col("event_id") + 1).alias("k"), late_ts.alias("ts")
+    )
+    late_fresh = b2base.filter(F.col("event_id") % 9 == 3).select(
+        (F.col("event_id") + 1000000).alias("k"), late_ts.alias("ts")
+    )
+    ontime_dup = b2base.filter(F.col("event_id") % 18 == 6).select(
+        F.lit(argmax_key).cast("long").alias("k"),
+        (F.lit(t1max) + F.expr("INTERVAL 1 MINUTE")).alias("ts"),
+    )
+    ontime_fresh = b2base.filter(F.col("event_id") % 18 == 15).select(
+        (F.col("event_id") + 2000000).alias("k"),
+        (F.lit(t1max) + F.make_interval(mins=(F.col("event_id") % 50 + 1).cast("int"))).alias("ts"),
+    )
+    b2 = (
+        late_dup.unionByName(late_fresh)
+        .unionByName(ontime_dup)
+        .unionByName(ontime_fresh)
+    )
+    run = f"{os.getpid()}_{uuid.uuid4().hex[:8]}"
+    src = tempfile.mkdtemp(prefix=f"oaxaca_slate_src_{run}_")
+    ckpt = tempfile.mkdtemp(prefix=f"oaxaca_slate_ckpt_{run}_")
+    outroot = tempfile.mkdtemp(prefix=f"oaxaca_slate_out_{run}_")
+    outdir = f"{outroot}/survivors"
+    try:
+        schema = b1.schema
+
+        def replay(tag):
+            stream = spark.readStream.schema(schema).format("parquet").load(src)
+            survivors = streaming_dedup(stream, keys=["k"], watermark="24 hours")
+            q = (
+                survivors.writeStream.format("parquet")
+                .option("path", outdir)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise RuntimeError(f"streaming_late_data: {tag} replay timed out")
+
+        b1.coalesce(1).write.mode("overwrite").parquet(src)
+        replay("batch1")
+        b2.coalesce(1).write.mode("append").parquet(src)
+        replay("batch2")
+        fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        out = (
+            spark.read.parquet(outdir)
+            .select("k", F.date_format("ts", fmt).alias("ts_s"))
+            .localCheckpoint(eager=True)
+        )
+        return out
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(outroot, ignore_errors=True)
+
+
 def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming->batch exact heavy hitters (r11): the events table replayed
     as a bounded stream (availableNow) through the STATEFUL Misra-Gries
@@ -3063,6 +3164,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the independent spot-check and rotates per the COVERAGE.md policy.
     """
     return {
+        # ---- r13 WINDOW row 0: new r13 contract takes the first record ----
+        "streaming_late_data": q_streaming_late_data,
         # ---- r12 WINDOW rows 0-2: new r12 contracts take first records ----
         "streaming_source_quota": q_streaming_source_quota,
         "editdist_pairs": q_editdist_pairs,
@@ -5008,6 +5111,22 @@ def _oracle_sql_literals() -> dict[str, str]:
               SELECT token, count(*) AS n_exact FROM toks WHERE token <> '' GROUP BY token
             )
             SELECT token, n_exact FROM counts ORDER BY n_exact DESC, token LIMIT 20
+        """,
+        "streaming_late_data": """
+            -- batch replica of the two-micro-batch watermark replay: batch 1
+            -- survives whole (watermark 0 during its own batch, keys unique);
+            -- batch 2 survives ONLY the on-time fresh class — late rows
+            -- (ts 2020 < max(b1.ts) - 24h) are cut at the watermark and the
+            -- on-time duplicate of the newest batch-1 key is dedup state
+            WITH b1 AS (
+              SELECT event_id AS k, ts FROM events WHERE event_id % 3 <> 0
+            ), mx AS (SELECT max(ts) AS tmax FROM b1)
+            SELECT k, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s FROM b1
+            UNION ALL
+            SELECT e.event_id + 2000000 AS k,
+                   strftime(mx.tmax + ((e.event_id % 50 + 1) * INTERVAL '1 minute'),
+                            '%Y-%m-%d %H:%M:%S.%f') AS ts_s
+            FROM events e, mx WHERE e.event_id % 18 = 15
         """,
         "streaming_heavy_hitters": """
             SELECT CAST(user_id AS VARCHAR) AS user_id,

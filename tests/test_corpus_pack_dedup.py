@@ -1768,3 +1768,50 @@ def test_streaming_cellmerge_contracts_match_batch(spark):
     assert sum(n for (d, _), n in dr.items() if d == "value") == ev.filter(
         F.col("value").isNotNull() & (F.col("value") >= 0) & (F.col("value") <= 1000)
     ).count()
+
+
+def test_streaming_late_data_contract_matches_batch(spark):
+    """r13: the watermark late-data driver face — a two-run checkpoint
+    replay through streaming_dedup where batch 2 carries rows BELOW the
+    batch-1 watermark. Survivors must be exactly batch 1 plus the on-time
+    fresh class: every late row (fresh or duplicate key) cut at the
+    watermark, the on-time duplicate suppressed by live dedup state."""
+    import importlib.util
+    import os as _os
+    import sys as _sys
+
+    from pyspark.sql import functions as F
+
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry_for_late_data",
+        _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), "__spark_entry__.py"),
+    )
+    e = importlib.util.module_from_spec(spec)
+    _sys.modules.setdefault("spark_entry_for_late_data", e)
+    spec.loader.exec_module(e)
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+
+    got = {(r["k"], r["ts_s"]) for r in e.q_streaming_late_data(spark, sf).collect()}
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    b1 = ev.filter(F.col("event_id") % 3 != 0).select(
+        F.col("event_id").alias("k"), F.col("ts").cast("timestamp").alias("ts")
+    )
+    t1max = b1.agg(F.max("ts")).collect()[0][0]
+    want = {
+        (r["k"], r["ts_s"])
+        for r in b1.select("k", F.date_format("ts", fmt).alias("ts_s")).collect()
+    }
+    ontime_fresh = ev.filter(F.col("event_id") % 18 == 15).select(
+        (F.col("event_id") + 2000000).alias("k"),
+        F.date_format(
+            F.lit(t1max) + F.make_interval(mins=(F.col("event_id") % 50 + 1).cast("int")), fmt
+        ).alias("ts_s"),
+    )
+    want |= {(r["k"], r["ts_s"]) for r in ontime_fresh.collect()}
+    assert got == want
+    # the late classes and the on-time duplicate contributed NOTHING beyond
+    # batch 1: survivor count is exactly |b1| + |on-time fresh|
+    assert len(got) == b1.count() + ontime_fresh.count()
+    # and the late fresh keys (the pure watermark-drop witnesses) are absent
+    assert not any(1000000 <= k < 2000000 for k, _ in got)
