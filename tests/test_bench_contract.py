@@ -141,3 +141,52 @@ def test_pca_whiten_top2_rows_only(spark, sf_dir):
     rows = out.collect()
     assert len(rows) == n
     assert all(r.w0 is not None and r.w1 is not None for r in rows)
+
+
+def test_bench_abab_adjudication_logic():
+    """r13: tools/bench_abab.py — the machine-readable ABAB protocol. Pure
+    adjudication logic: per-entry best-of over CLEAN runs only; entries with
+    no clean pair refuse a verdict instead of reporting a host phase as a
+    regression (the r11 mean_reps100 / r12 mm_gram false-alarm class)."""
+    import importlib.util as _ilu
+
+    spec = _ilu.spec_from_file_location(
+        "bench_abab",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "tools", "bench_abab.py"),
+    )
+    m = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(m)
+
+    def mk(clean_jvm, clean_np, queries):
+        return {"calibration": {"ratio_vs_ref": clean_jvm, "np_ratio_vs_ref": clean_np},
+                "queries": queries}
+
+    ok, why = m.is_clean(mk(0.85, 0.9, {}))
+    assert ok and why == "clean"
+    ok, why = m.is_clean(mk(2.4, 0.9, {}))          # JVM host phase
+    assert not ok and "jvm" in why
+    ok, why = m.is_clean(mk(0.85, 4.0, {}))         # BLAS-bandwidth phase
+    assert not ok and "np" in why
+    ok, why = m.is_clean({"queries": {}})           # no calibration at all
+    assert not ok
+
+    runs_a = [
+        {"iter": 0, "clean": True, "bench": mk(0.8, 0.9, {"q1": 2.0, "q2": 5.0})},
+        {"iter": 1, "clean": False, "bench": mk(2.5, 0.9, {"q1": 0.1, "q2": 0.1})},
+    ]
+    runs_b = [
+        {"iter": 0, "clean": True, "bench": mk(0.8, 0.9, {"q1": 1.0, "q3": 7.0})},
+        {"iter": 1, "clean": True, "bench": mk(0.8, 0.9, {"q1": 1.5, "q3": 6.0})},
+    ]
+    entries, unadj = m.adjudicate(runs_a, runs_b)
+    # q1: both sides clean — best-of compares 2.0 vs min(1.0, 1.5)
+    assert entries["q1"]["a_best"] == 2.0 and entries["q1"]["b_best"] == 1.0
+    assert entries["q1"]["b_over_a"] == 0.5
+    # the DIRTY A run's implausibly-fast 0.1 samples were never consulted
+    assert entries["q1"]["a_clean_samples"] == [2.0]
+    # q2 (A-only) and q3 (B-only): no clean pair -> explicit refusal
+    assert set(unadj) == {"q2", "q3"}
+    assert entries["q2"]["verdict"] == "NO CLEAN PAIR"
+    # calibration rows never appear as entries
+    assert not any(k.startswith("calibration") for k in entries)
