@@ -59,6 +59,30 @@ GRAM_H0_FRAC = 0.5
 # profile + ABAB table in NOTES_r12. Do not re-propose without a
 # per-model adaptive anneal start.
 GRAM_SHRINK = 0.25
+# r13: the per-model adaptive anneal start the r12 rejection called for.
+# The r12 data said a 0.125 x sd start is safe for EVERY real-data model
+# (uniform-0.125 ABAB converged with value drift <= 7.3e-12) and fails only
+# for degenerate small-n bootstrap resamples. What "degenerate" turns out
+# to mean, measured on the tied parity fixture (r13): NOT OLS interpolation
+# (the stranding replicate's sd_resid/sd is ~0.7, same as real data) but
+# KERNEL STARVATION — with n = 20 rows per side, a 0.125 x sd start puts
+# the expected number of points inside the kernel window at
+# n x h0 / sd_resid ~ 3.6, so the smoothed Hessian is built from ~zero
+# effective observations and the first Newton step leaves the basin (the
+# r8 failure mode; std_err 0.707 -> 48 when the ratio-only rule was tried
+# first this round). Both hazards are detectable driver-side for free from
+# the init pass's own Gram stats (SSR = y'Wy - 2 b'X'Wy + b'X'WXb):
+#   1. sd_resid >= GRAM_ADAPT_MIN_RESID_RATIO x sd(y) — an interpolating
+#      fit (sd_resid ~ 0) must keep the conservative start;
+#   2. n x (GRAM_H0_ADAPT_FRAC x sd) / sd_resid >= GRAM_ADAPT_MIN_KERNEL_MASS
+#      — the start bandwidth must cover enough observations to estimate
+#      curvature (real sf0.1 sides run ~1e5+, fixtures ~20: cleanly split).
+# Models passing BOTH start at GRAM_H0_ADAPT_FRAC x sd — one fewer anneal
+# pass (12.5 x 0.25^2 < 1 vs 50 x 0.25^3 < 1); anything suspicious keeps
+# the proven GRAM_H0_FRAC schedule, so every prior fixture is bit-safe.
+GRAM_H0_ADAPT_FRAC = 0.125
+GRAM_ADAPT_MIN_RESID_RATIO = 0.25
+GRAM_ADAPT_MIN_KERNEL_MASS = 64.0
 
 
 
@@ -777,6 +801,11 @@ class QuantileDecompositionBuilder:
         }
         init_stats = run_pass(init_payload)
         model_h = np.zeros(M)  # target bandwidth per model
+        # per-model anneal START as a multiple of the target bandwidth;
+        # default = the proven conservative schedule, lowered per model only
+        # when the init fit's residual scale certifies the near field (see
+        # the GRAM_H0_ADAPT_FRAC constants note)
+        model_h0_ratio = np.full(M, H0_FRAC / H_FRAC)
         for s in (0, 1):
             sol, ok = solve_block(init_stats[s][: L + k])
             cnt, sy, syy = init_stats[s][L + k], init_stats[s][L + k + 1], init_stats[s][L + k + 2]
@@ -790,8 +819,30 @@ class QuantileDecompositionBuilder:
                     betas_arr[sel] = sol[ri]
                     # degenerate (constant-y) resamples get an absolute floor
                     model_h[sel] = max(H_FRAC * sd[ri], 1e-8 * (1.0 + abs(mean[ri])))
+                    if sd[ri] > 0.0 and cnt[ri] > 0.0:
+                        # SSR from the already-summed Gram stats: zero extra
+                        # Spark work. b'X'WXb via the tri block, b'X'Wy via
+                        # the score rows.
+                        b = sol[ri]
+                        g = init_stats[s][L : L + k, ri]
+                        quad = 0.0
+                        for c0, (i, j) in enumerate(tri_l):
+                            aij = init_stats[s][c0, ri]
+                            quad += (1.0 if i == j else 2.0) * aij * b[i] * b[j]
+                        ssr = max(syy[ri] - 2.0 * float(b @ g) + quad, 0.0)
+                        sd_resid = np.sqrt(ssr / cnt[ri])
+                        not_interp = sd_resid >= GRAM_ADAPT_MIN_RESID_RATIO * sd[ri]
+                        kernel_mass = (
+                            cnt[ri] * (GRAM_H0_ADAPT_FRAC * sd[ri]) / sd_resid
+                            if sd_resid > 0.0 else 0.0
+                        )
+                        if not_interp and kernel_mass >= GRAM_ADAPT_MIN_KERNEL_MASS:
+                            model_h0_ratio[sel] = GRAM_H0_ADAPT_FRAC / H_FRAC
                 else:
                     status[sel] = 2  # degenerate design for this resample
+        self._gram_adapt_fast = int(
+            (model_h0_ratio[status == 0] < H0_FRAC / H_FRAC - 1e-12).sum()
+        )  # instrumentation: models on the shortened schedule
         # NOTE (r8): an anneal start at the OLS residual scale (the r7
         # verdict's suggested lever) was tried and REVERTED — a resample of
         # a small tied fixture can make OLS interpolate (sd_resid ~ 0),
@@ -803,8 +854,11 @@ class QuantileDecompositionBuilder:
 
         # ---- Newton loop: one pass per iteration over all active models -----
         # Globalization, all driver-side (no extra Spark passes):
-        #   - anneal h_m(it) = max(h_target_m, H0_FRAC x sd_m x SHRINK^(it-1));
-        #     a model may converge only once its bandwidth reached target;
+        #   - anneal h_m(it) = max(h_target_m, h0_ratio_m x h_target_m x
+        #     SHRINK^(it-1)) with the PER-MODEL start h0_ratio_m (adaptive:
+        #     near-field-certified models start at GRAM_H0_ADAPT_FRAC x sd,
+        #     suspicious ones keep GRAM_H0_FRAC x sd); a model may converge
+        #     only once its bandwidth reached target;
         #   - adaptive damping alpha_m: halved when the raw Newton step norm
         #     grows >1.5x pass-over-pass (overshoot signature: residuals left
         #     the kernel window, Hessian -> 0, steps explode), doubled back
@@ -817,7 +871,7 @@ class QuantileDecompositionBuilder:
         model_prev_sn = np.full(M, np.inf)
         model_alpha = np.ones(M)
         while it < MAX_ITER and (status == 0).any():
-            h_now = np.maximum(model_h, (H0_FRAC / H_FRAC) * model_h * SHRINK ** it)
+            h_now = np.maximum(model_h, model_h0_ratio * model_h * SHRINK ** it)
             it += 1
             payload = {}
             act_idx: dict[int, np.ndarray] = {}

@@ -294,3 +294,74 @@ def test_machado_mata_auto_engine_row_guard(spark, monkeypatch):
     )
     with pytest.raises(Exception, match="collect limit"):
         build().fit_engine("driver").run()
+
+
+def test_gram_adaptive_anneal_start(spark):
+    """r13: the per-model adaptive anneal start (GRAM_H0_ADAPT_FRAC). Two
+    laws: (1) large well-conditioned data takes the shortened schedule and
+    the answer does not move vs the proven schedule (the anneal start is
+    globalization only — the converged point is the unique optimum of the
+    TARGET-h loss); (2) the small tied parity fixture NEVER takes the fast
+    path (kernel-mass guard), so the r8/r12 stranding class is structurally
+    excluded."""
+    import oaxaca_blinder_rs_spark.quantile_builder as qb
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    edu = rng.uniform(8.0, 20.0, n)
+    grp = np.where(rng.random(n) < 0.5, "F", "M")
+    wage = 5.0 + 1.5 * edu + np.where(grp == "F", 0.0, 4.0) + rng.normal(0, 3.0, n)
+    df = spark.createDataFrame(
+        list(zip(wage.tolist(), edu.tolist(), grp.tolist())),
+        ["wage", "education", "gender"],
+    )
+
+    def build():
+        return (
+            QuantileDecompositionBuilder(df, "wage", "gender", "F")
+            .predictors(["education"])
+            .quantiles([0.5])
+            .simulations(20)
+            .bootstrap_reps(2)
+            .seed(11)
+            .fit_engine("distributed")
+        )
+
+    b_fast = build()
+    r_fast = b_fast.run()
+    assert b_fast._gram_adapt_fast > 0  # the fast path actually engaged
+
+    saved = qb.GRAM_ADAPT_MIN_KERNEL_MASS
+    try:
+        qb.GRAM_ADAPT_MIN_KERNEL_MASS = float("inf")  # pre-r13 schedule
+        b_slow = build()
+        r_slow = b_slow.run()
+        assert b_slow._gram_adapt_fast == 0
+    finally:
+        qb.GRAM_ADAPT_MIN_KERNEL_MASS = saved
+    df_, ds_ = r_fast.results_by_quantile["q50"], r_slow.results_by_quantile["q50"]
+    assert df_.total_gap.estimate == pytest.approx(ds_.total_gap.estimate, abs=1e-6)
+    assert df_.total_gap.std_err == pytest.approx(ds_.total_gap.std_err, abs=1e-6)
+    assert df_.characteristics_effect.estimate == pytest.approx(
+        ds_.characteristics_effect.estimate, abs=1e-6
+    )
+
+    # law 2: the tied small-n fixture measures kernel mass ~3.6 << 64 on
+    # every (rep, side) and must stay on the proven 0.5 start
+    wage_t = [10.0, 12.0, 11.0, 13.0, 15.0, 20.0, 22.0, 21.0, 23.0, 25.0] * 4
+    edu_t = [12.0, 16.0, 14.0, 16.0, 18.0] * 8
+    gender_t = (["F"] * 5 + ["M"] * 5) * 4
+    df_t = spark.createDataFrame(
+        list(zip(wage_t, edu_t, gender_t)), ["wage", "education", "gender"]
+    )
+    b_t = (
+        QuantileDecompositionBuilder(df_t, "wage", "gender", "F")
+        .predictors(["education"])
+        .quantiles([0.5])
+        .simulations(10)
+        .bootstrap_reps(2)
+        .seed(42)
+        .fit_engine("distributed")
+    )
+    b_t.run()
+    assert b_t._gram_adapt_fast == 0
