@@ -30,6 +30,7 @@ __all__ = [
     "attach_media_metadata",
     "extract_features",
     "deterministic_fake_features",
+    "clip_stub_features",
     "decode_stub",
     "codec_available",
     "decode_image_features",
@@ -112,6 +113,29 @@ def deterministic_fake_features(payload: bytes, mime_type: str, dim: int = 16) -
     return [float(x) for x in rng.uniform(-1, 1, dim)]
 
 
+def clip_stub_features(payload: bytes, mime_type: str, dim: int = 8) -> list[float]:
+    """CLIP-stand-in embedding kernel whose output is EXACT cross-engine
+    (r13): component j = sha256(payload || str(j)) first 24 bits, centered
+    at 2^23 — an integer-valued double, so downstream sums (centroids,
+    distances) are order-free exact and a DuckDB oracle can replay the full
+    embed -> join -> retrieve pipeline bit-for-bit
+    (``('0x' || substr(sha256(text || 'j'), 1, 6))::BIGINT - 8388608``).
+
+    Same (payload, mime, dim) -> list[float] contract as
+    ``deterministic_fake_features``; a real deployment swaps in an actual
+    CLIP encoder and every downstream stage (ANN, semantic dedup, centroid
+    retrieval) is kernel-agnostic. |v_j| < 2^23 keeps v_j^2 < 2^46 and
+    per-source sums over ~2^20 docs < 2^44 — all inside the 2^53 exact
+    double window at any realistic corpus scale.
+    """
+    out = []
+    base = payload or b""
+    for j in range(dim):
+        h = hashlib.sha256(base + str(j).encode()).hexdigest()
+        out.append(float(int(h[:6], 16) - (1 << 23)))
+    return out
+
+
 def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Cheap metadata columns computed JVM-side (no decode): byte length and
     a content hash for dedup joins."""
@@ -147,7 +171,9 @@ def extract_features(
         import pandas as pd
 
         fn = decode_fn if decode_fn is not None else resolve_decoder()
-        dim_aware = fn in (deterministic_fake_features, decode_image_features)
+        dim_aware = fn in (
+            deterministic_fake_features, decode_image_features, clip_stub_features
+        )
         for pdf in batches:
             feats = [
                 fn(p, m, dim) if dim_aware else fn(p, m)

@@ -1573,3 +1573,56 @@ def test_cli_corpus_seq_len_mode(spark, sf_dir, tmp_path, capsys):
     assert main(["corpus", "--input", str(tmp_path / "no_such.parquet"),
                  "--output", out, "--seq-len", "8", "--pack-budget", "8"]) == 2
     assert "mutually exclusive" in capsys.readouterr().out
+
+
+def test_clip_stub_features_kernel(spark):
+    """r13: the CLIP-stand-in embedding kernel is exact cross-engine — each
+    component replays in DuckDB as sha256-hex arithmetic, values are 24-bit
+    integer-valued doubles, and the mapInPandas plumbing carries it."""
+    import duckdb
+    import hashlib as _hl
+
+    # pure-kernel law vs an independent reimplementation
+    payload = "hello multimodal".encode()
+    got = multimodal.clip_stub_features(payload, "image/fake", dim=8)
+    for j, v in enumerate(got):
+        h = _hl.sha256(payload + str(j).encode()).hexdigest()
+        assert v == float(int(h[:6], 16) - (1 << 23))
+        assert v == int(v) and abs(v) < 2 ** 23  # integer-valued, bounded
+    # NULL payload convention matches coalesce(text, '')
+    assert multimodal.clip_stub_features(None, "x", dim=2) == \
+        multimodal.clip_stub_features(b"", "x", dim=2)
+    # the DuckDB transliteration used by the clip_stub_central oracle
+    dd = duckdb.sql(
+        "SELECT (('0x' || substr(sha256('hello multimodal' || '3'), 1, 6))::BIGINT"
+        " - 8388608)::DOUBLE AS v"
+    ).fetchall()[0][0]
+    assert dd == got[3]
+    # the Arrow plumbing passes dim through for this kernel
+    rows = [(i, f"doc {i}".encode(), "image/fake", None, None, None) for i in range(6)]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feats = multimodal.extract_features(
+        df, decode_fn=multimodal.clip_stub_features, dim=8
+    ).collect()
+    assert all(len(r["features"]) == 8 for r in feats)
+
+
+def test_clip_stub_composes_with_semantic_dedup(spark):
+    """r13: the CLIP-stub embedding feeds the EXISTING semantic-dedup face —
+    identical payloads get identical embeddings (cosine 1.0) and are caught;
+    hash-distinct payloads are kept. Kernel-agnostic pipeline: swap in a
+    real CLIP encoder and nothing downstream changes."""
+    from oaxaca_blinder_rs_spark.operators.embeddings import semantic_dedup
+
+    rows = [(i, f"unique doc {i}".encode(), "image/fake", None, None, None)
+            for i in range(10)]
+    rows += [(100 + i, b"duplicated payload", "image/fake", None, None, None)
+             for i in range(3)]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    emb = multimodal.extract_features(
+        df, decode_fn=multimodal.clip_stub_features, dim=8
+    ).select(F.col("media_id").alias("vec_id"), F.col("features").alias("embedding"))
+    out = {r["vec_id"]: r for r in semantic_dedup(emb, k=1, threshold=0.999).collect()}
+    assert out[100]["keep"] and out[101]["dup_of"] == 100 and out[102]["dup_of"] == 100
+    assert not out[101]["keep"] and not out[102]["keep"]
+    assert all(out[i]["keep"] for i in range(10))
