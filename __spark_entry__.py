@@ -2410,6 +2410,21 @@ def q_clip_stub_central(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source-interleaved training order (r13;
+    corpus.interleave_sources): every source spread evenly through the
+    epoch stream by the fractional-position construction u = (r - 0.5) /
+    n_g, global order (u, source, id), position via the range-partitioned
+    prefix scan (no single-task window). u is (int - 0.5)/int in doubles,
+    bit-identical cross-engine, so the full order hash-replays."""
+    from oaxaca_blinder_rs_spark.operators.corpus import interleave_sources
+
+    docs = _t(spark, sf_dir, "documents")
+    return interleave_sources(docs).select(
+        "doc_id", "source", F.col("stream_pos").cast("long").alias("stream_pos")
+    )
+
+
 def q_quantile_sketch_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank-error certificate for the sketch quantile path
     (profiling.quantile_sketch_check, r10): approx_percentile (the only
@@ -3347,6 +3362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_late_data": q_streaming_late_data,
         "clip_stub_central": q_clip_stub_central,
         "streaming_sessions": q_streaming_sessions,
+        "interleave_sources": q_interleave_sources,
         # ---- r12 WINDOW rows 0-2: new r12 contracts take first records ----
         "streaming_source_quota": q_streaming_source_quota,
         "editdist_pairs": q_editdist_pairs,
@@ -5292,6 +5308,21 @@ def _oracle_sql_literals() -> dict[str, str]:
               SELECT token, count(*) AS n_exact FROM toks WHERE token <> '' GROUP BY token
             )
             SELECT token, n_exact FROM counts ORDER BY n_exact DESC, token LIMIT 20
+        """,
+        "interleave_sources": """
+            -- fractional-position interleave replay: u = (r - 0.5)/n_g per
+            -- source, global order (u, source, id); (int - 0.5)/int is the
+            -- same IEEE arithmetic in both engines
+            WITH n AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+            k AS (
+              SELECT d.doc_id, d.source,
+                     (row_number() OVER (PARTITION BY d.source ORDER BY d.doc_id) - 0.5)
+                       / n.n AS u
+              FROM documents d JOIN n USING (source)
+            )
+            SELECT doc_id, source,
+                   row_number() OVER (ORDER BY u, source, doc_id) - 1 AS stream_pos
+            FROM k
         """,
         "clip_stub_central": """
             -- full replay of the CLIP-stub pipeline: embedding component j =

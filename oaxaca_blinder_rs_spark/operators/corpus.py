@@ -35,6 +35,7 @@ __all__ = [
     "source_token_quota",
     "hashed_bow",
     "deterministic_shuffle",
+    "interleave_sources",
     "quality_percentile_filter",
     "length_bucketed_shards",
     "pack_sequences",
@@ -892,6 +893,62 @@ def deterministic_shuffle(
     return keyed.repartitionByRange(int(nparts), F.col(key_col), F.col(id_col)).sortWithinPartitions(
         key_col, id_col
     )
+
+
+def interleave_sources(
+    docs: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    pos_col: str = "stream_pos",
+) -> DataFrame:
+    """Deterministic source-interleaved training order: each source's
+    documents are spread EVENLY through the epoch stream instead of
+    clumping (a shard of all-web followed by a shard of all-code trains
+    worse than the same data interleaved — mixture ratios should hold at
+    every window of the stream, not just globally).
+
+    The classic fractional-position construction: document r of n_g in its
+    group gets the ideal position u = (r - 0.5) / n_g in [0, 1); the
+    global order is (u, group, id) — so any prefix of the stream holds
+    each source in proportion to its corpus share (off by at most one
+    item per source, the best any deterministic interleave can do).
+    Within a source the id order is preserved; compose with
+    ``deterministic_shuffle`` FIRST (id -> shuffle_key) for a seeded
+    random order within each source.
+
+    Returns the input columns + ``pos_col`` (0-based global stream
+    position). Rows with a NULL ``group_col`` are dropped (the count join
+    is an equi-join, the ``quality_percentile_filter`` convention) —
+    ``coalesce`` the column first to keep them.
+
+    Scale shape: one broadcast count join + one per-group window
+    (row_number over the group key — skew-bounded by the largest source,
+    same profile as every per-source stage here) + the range-partitioned
+    distributed prefix scan for the global position (``scan.
+    grouped_prev_cumsum`` on a constant key: NO single-task global
+    window, the ``_scan_plan``-audited primitive). u is (int - 0.5)/int
+    in doubles — bit-identical in any engine, so the order is
+    oracle-replayable.
+    """
+    from pyspark.sql import Window as _Window
+
+    from . import scan
+
+    n = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    w = _Window.partitionBy(group_col).orderBy(id_col)
+    keyed = (
+        docs.join(F.broadcast(n), group_col)
+        .withColumn("__u", (F.row_number().over(w) - 0.5) / F.col("__n"))
+        .withColumn("__g", F.lit(0))
+    )
+    out = scan.grouped_prev_cumsum(
+        keyed,
+        "__g",
+        [F.col("__u").asc(), F.col(group_col).asc(), F.col(id_col).asc()],
+        F.lit(1),
+        pos_col,
+    )
+    return out.drop("__n", "__u", "__g")
 
 
 def quality_percentile_filter(

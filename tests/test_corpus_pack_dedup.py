@@ -1892,3 +1892,41 @@ def test_streaming_sessions_contract_matches_batch(spark):
         if parse(a) < t_split <= parse(b) - timedelta(minutes=30)
     ]
     assert straddlers, "no session straddles the batch boundary - merge untested"
+
+
+def test_interleave_sources_spread_law(spark):
+    """r13: corpus.interleave_sources — any prefix of the stream holds each
+    source in proportion to its corpus share (off by at most one item), the
+    within-source order is preserved, and positions are a 0-based
+    permutation."""
+    from oaxaca_blinder_rs_spark.operators.corpus import interleave_sources
+
+    rows = (
+        [(i, "web") for i in range(60)]
+        + [(100 + i, "code") for i in range(30)]
+        + [(200 + i, "books") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sorted(
+        ((r["stream_pos"], r["source"], r["doc_id"])
+         for r in interleave_sources(df).collect())
+    )
+    total = len(rows)
+    assert [p for p, _, _ in out] == list(range(total))  # 0-based permutation
+    share = {"web": 60 / total, "code": 30 / total, "books": 10 / total}
+    seen = {s: 0 for s in share}
+    for p, s, _ in out:
+        seen[s] += 1
+        for src, frac in share.items():
+            ideal = (p + 1) * frac
+            assert abs(seen[src] - ideal) <= 1.0 + 1e-9, (p, src, seen[src], ideal)
+    # within-source id order preserved
+    for src in share:
+        ids = [d for _, s, d in out if s == src]
+        assert ids == sorted(ids)
+    # NULL group convention: dropped (equi-join), documented
+    with_null = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a")], "doc_id long, source string"
+    )
+    kept = interleave_sources(with_null).collect()
+    assert sorted(r["doc_id"] for r in kept) == [1, 3]
