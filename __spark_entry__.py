@@ -1665,6 +1665,50 @@ def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins (profiling.calibration_bins, r13): the
+    third classifier-quality axis after ⊕classifier_auc (ranking) and
+    ⊕roc_points (operating points) — per source, does a quality score of
+    0.75 mean ~75% English? Exact int64 tallies per (source, bin);
+    pos_rate is one division of exact integers; mean_score is exact too
+    because the quality score lives on the dyadic k/4 grid, so partial
+    sums are partitioning-independent doubles. One groupBy, at most
+    sources x bins cells."""
+    from oaxaca_blinder_rs_spark.operators.profiling import calibration_bins
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        textops.quality_score(F.col("text")).alias("q"),
+        (F.col("lang") == "en").alias("is_en"),
+    )
+    return calibration_bins(scored, "q", "is_en", bins=10, by="source").select(
+        "source", "bin", "n", "n_pos", "pos_rate", "mean_score"
+    )
+
+
+def q_classifier_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected calibration error per source (profiling.ece_from_bins,
+    r13): the one-number calibration summary over the ⊕calibration_bins
+    table — sum_b (n_b/N) |pos_rate_b - mean_score_b|. Rounded to 6dp
+    (the repo-wide oracle-comparable convention for short float sums)."""
+    from oaxaca_blinder_rs_spark.operators.profiling import (
+        calibration_bins,
+        ece_from_bins,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        textops.quality_score(F.col("text")).alias("q"),
+        (F.col("lang") == "en").alias("is_en"),
+    )
+    bins = calibration_bins(scored, "q", "is_en", bins=10, by="source")
+    return ece_from_bins(bins, by="source").select(
+        "source", F.round("ece", 6).alias("ece")
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprints. Hash-matched since round 6: the oracle
     replays the full XXH64 spec in DuckDB SQL (functions/xxh64_sql.py —
@@ -3363,6 +3407,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clip_stub_central": q_clip_stub_central,
         "streaming_sessions": q_streaming_sessions,
         "interleave_sources": q_interleave_sources,
+        "calibration_bins": q_calibration_bins,
+        "classifier_ece": q_classifier_ece,
         # ---- r12 WINDOW rows 0-2: new r12 contracts take first records ----
         "streaming_source_quota": q_streaming_source_quota,
         "editdist_pairs": q_editdist_pairs,
@@ -7295,6 +7341,64 @@ def _oracle_sql_literals() -> dict[str, str]:
         # exact tie-aware ROC AUC (r12): identical cells -> exclusive
         # cumulative negatives -> int64 2U pair count -> one final division;
         # the heavy tie mass (5-valued score) pins the 1/2-per-tie rule
+        "calibration_bins": f"""
+            WITH t AS (
+              SELECT source, lang,
+                     CAST(length(text) AS DOUBLE) n_chars,
+                     CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) n_toks,
+                     CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) n_punct,
+                     CAST(len(list_filter(list_transform(regexp_split_to_array(trim(text), '\\s+'), x -> lower(x)),
+                                          x -> x IN ({_STOP_EN}))) AS DOUBLE) n_stop
+              FROM documents
+            ), sc AS (
+              SELECT source,
+                     ((CASE WHEN n_chars >= 200 AND n_chars <= 100000 THEN 1.0 ELSE 0.0 END) +
+                      (CASE WHEN n_toks > 0 AND n_chars/n_toks >= 3.0 AND n_chars/n_toks <= 12.0 THEN 1.0 ELSE 0.0 END) +
+                      (CASE WHEN n_toks > 0 AND n_stop/n_toks >= 0.05 THEN 1.0 ELSE 0.0 END) +
+                      (CASE WHEN n_punct/n_chars > 0.0 THEN 1.0 ELSE 0.0 END)) / 4.0 s,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END y
+              FROM t
+            )
+            SELECT source,
+                   least(CAST(floor(s * 10) AS BIGINT), 9) AS bin,
+                   CAST(count(*) AS BIGINT) n,
+                   CAST(sum(y) AS BIGINT) n_pos,
+                   CAST(sum(y) AS DOUBLE) / count(*) AS pos_rate,
+                   sum(s) / count(*) AS mean_score
+            FROM sc GROUP BY source, bin
+        """,
+        "classifier_ece": f"""
+            WITH t AS (
+              SELECT source, lang,
+                     CAST(length(text) AS DOUBLE) n_chars,
+                     CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) n_toks,
+                     CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) n_punct,
+                     CAST(len(list_filter(list_transform(regexp_split_to_array(trim(text), '\\s+'), x -> lower(x)),
+                                          x -> x IN ({_STOP_EN}))) AS DOUBLE) n_stop
+              FROM documents
+            ), sc AS (
+              SELECT source,
+                     ((CASE WHEN n_chars >= 200 AND n_chars <= 100000 THEN 1.0 ELSE 0.0 END) +
+                      (CASE WHEN n_toks > 0 AND n_chars/n_toks >= 3.0 AND n_chars/n_toks <= 12.0 THEN 1.0 ELSE 0.0 END) +
+                      (CASE WHEN n_toks > 0 AND n_stop/n_toks >= 0.05 THEN 1.0 ELSE 0.0 END) +
+                      (CASE WHEN n_punct/n_chars > 0.0 THEN 1.0 ELSE 0.0 END)) / 4.0 s,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END y
+              FROM t
+            ), b AS (
+              SELECT source,
+                     least(CAST(floor(s * 10) AS BIGINT), 9) AS bin,
+                     CAST(count(*) AS BIGINT) n,
+                     CAST(sum(y) AS DOUBLE) / count(*) AS pos_rate,
+                     sum(s) / count(*) AS mean_score
+              FROM sc GROUP BY source, bin
+            ), tot AS (
+              SELECT source, sum(n) AS N FROM b GROUP BY source
+            )
+            SELECT b.source,
+                   round(sum(CAST(b.n AS DOUBLE) / tot.N
+                             * abs(b.pos_rate - b.mean_score)), 6) AS ece
+            FROM b JOIN tot USING (source) GROUP BY b.source
+        """,
         "classifier_auc": f"""
             WITH t AS (
               SELECT source, lang,

@@ -727,3 +727,80 @@ def roc_points(
         F.when(F.col("__P") > 0, n_pos_ge.cast("double") / F.col("__P")).alias("tpr"),
         F.when(F.col("__N") > 0, n_neg_ge.cast("double") / F.col("__N")).alias("fpr"),
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int = 10,
+    by: str | None = None,
+) -> DataFrame:
+    """Reliability-diagram bins for a probabilistic classifier: does a
+    document scored 0.8 actually belong to the positive class ~80% of the
+    time? The companion to ``binary_auc`` (ranking) and ``roc_points``
+    (operating points) — calibration is the third axis a model-based
+    quality filter is judged on, and the per-bin table is what an
+    expected-calibration-error (ECE) or a reliability plot consumes.
+
+    Scores are bucketed into ``bins`` equal-width bins over [0, 1] (score
+    1.0 folds into the last bin); per bin (optionally per ``by`` group):
+    ``n``, ``n_pos`` (exact int64 tallies), ``pos_rate = n_pos / n`` (one
+    division of exact integers), and ``mean_score`` (the bin's average
+    predicted probability — for dyadic-rational scores like the
+    quality_score's k/4 grid the partial sums are EXACT so the value is
+    partitioning-independent; for arbitrary float scores it is
+    deterministic to the usual last-ulp summation-order caveat). NULL
+    scores/labels are dropped; scores outside [0, 1] raise — calibration
+    is only defined for probability-scaled scores.
+
+    ECE = sum_b (n_b / N) * |pos_rate_b - mean_score_b| falls out of this
+    table with one more tiny aggregation (``ece_from_bins``).
+
+    Scale shape: ONE groupBy on (by?, bin) — at most ``groups x bins``
+    cells, map-side combinable; no sort, no window, no pair work.
+    """
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    score = F.col(score_col).cast("double")
+    label = F.col(label_col).cast("boolean")
+    clean = df.where(score.isNotNull() & label.isNotNull())
+    oob = clean.where((score < 0.0) | (score > 1.0)).limit(1).count()
+    if oob:
+        raise ValueError(
+            f"calibration_bins: {score_col} has values outside [0, 1]; "
+            "scale scores to probabilities first"
+        )
+    b = F.least(F.floor(score * bins), F.lit(bins - 1)).cast("long").alias("bin")
+    keys = ([by] if by else []) + [b]
+    out = clean.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(label.cast("long")).cast("long").alias("n_pos"),
+        F.sum(score).alias("__sum_score"),
+    )
+    return out.select(
+        *([by] if by else []),
+        "bin",
+        "n",
+        "n_pos",
+        (F.col("n_pos").cast("double") / F.col("n")).alias("pos_rate"),
+        (F.col("__sum_score") / F.col("n")).alias("mean_score"),
+    )
+
+
+def ece_from_bins(bin_table: DataFrame, by: str | None = None) -> DataFrame:
+    """Expected calibration error from a ``calibration_bins`` table:
+    ECE = sum_b (n_b / N) * |pos_rate_b - mean_score_b| (one tiny
+    aggregation over at most groups x bins rows)."""
+    # constant-key equi-join (not a cross join) keeps the no-cartesian
+    # plan-audit invariant even in the global (by=None) case
+    keys = [by] if by else ["__g"]
+    base = bin_table if by else bin_table.withColumn("__g", F.lit(0))
+    tot = base.groupBy(*keys).agg(F.sum("n").alias("__N"))
+    j = base.join(F.broadcast(tot), keys)
+    contrib = (
+        F.col("n").cast("double")
+        / F.col("__N")
+        * F.abs(F.col("pos_rate") - F.col("mean_score"))
+    )
+    return j.groupBy(*keys).agg(F.sum(contrib).alias("ece")).drop("__g")

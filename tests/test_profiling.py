@@ -430,3 +430,61 @@ def test_roc_points_matches_bruteforce(spark):
     one = spark.createDataFrame([(0.2, True), (0.9, True)], "s double, y boolean")
     rs = roc_points(one, "s", "y").collect()
     assert all(r["fpr"] is None for r in rs) and all(r["tpr"] is not None for r in rs)
+
+
+def test_calibration_bins_hand_case(spark):
+    """r13: calibration_bins — exact tallies, edge folding (score 1.0 into
+    the last bin), NULL drops, out-of-range rejection; ece_from_bins
+    reproduces the hand-computed ECE."""
+    import pytest as _pytest
+
+    from oaxaca_blinder_rs_spark.operators.profiling import (
+        calibration_bins,
+        ece_from_bins,
+    )
+
+    rows = [
+        (0.05, False), (0.05, False), (0.05, True),   # bin 0: pos_rate 1/3, mean .05
+        (0.55, True), (0.65, False),                   # bins 5, 6
+        (1.0, True), (0.95, True), (0.95, False),      # bin 9 (1.0 folds in)
+        (None, True), (0.5, None),                     # dropped
+    ]
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    got = {r["bin"]: r for r in calibration_bins(df, "s", "y", bins=10).collect()}
+    assert set(got) == {0, 5, 6, 9}
+    b0 = got[0]
+    assert b0["n"] == 3 and b0["n_pos"] == 1
+    assert b0["pos_rate"] == 1.0 / 3.0 and abs(b0["mean_score"] - 0.05) < 1e-15
+    b9 = got[9]
+    assert b9["n"] == 3 and b9["n_pos"] == 2  # 1.0 folded into bin 9
+    assert abs(b9["mean_score"] - (1.0 + 0.95 + 0.95) / 3) < 1e-15
+
+    bins_df = calibration_bins(df, "s", "y", bins=10)
+    ece = ece_from_bins(bins_df).collect()[0]["ece"]
+    n_tot = 8
+    hand = sum(
+        (r["n"] / n_tot) * abs(r["pos_rate"] - r["mean_score"])
+        for r in got.values()
+    )
+    assert abs(ece - hand) < 1e-12
+
+    # perfectly calibrated degenerate case: score == empirical rate per bin
+    perf = spark.createDataFrame(
+        [(0.5, True), (0.5, False)], "s double, y boolean"
+    )
+    e = ece_from_bins(calibration_bins(perf, "s", "y", bins=10)).collect()[0]["ece"]
+    assert abs(e) < 1e-15
+
+    with _pytest.raises(ValueError, match="outside"):
+        calibration_bins(
+            spark.createDataFrame([(1.5, True)], "s double, y boolean"), "s", "y"
+        )
+    with _pytest.raises(ValueError, match="bins"):
+        calibration_bins(df, "s", "y", bins=0)
+
+    # per-group path: groups don't mix
+    g = spark.createDataFrame(
+        [("a", 0.1, True), ("b", 0.1, False)], "g string, s double, y boolean"
+    )
+    bys = {(r["g"], r["bin"]): r for r in calibration_bins(g, "s", "y", by="g").collect()}
+    assert bys[("a", 1)]["n_pos"] == 1 and bys[("b", 1)]["n_pos"] == 0
