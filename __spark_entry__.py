@@ -2137,6 +2137,28 @@ def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.mix_corpora([(even, 0.5), (odd, 0.25)]).select("source_id", "doc_id")
 
 
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination audit (corpus.split_leakage_report, r13):
+    after the deterministic ⊕corpus_split (90/5/5, seed 42), which eval/
+    test documents have an exact (md5 equi-join) or near (MinHash-banded
+    LSH -> exact 3-gram Jaccard >= 0.9) duplicate in TRAIN? The check a
+    pipeline runs between splitting and trusting its eval numbers — split
+    disjointness alone doesn't stop a near-copy from leaking. One row per
+    leaked doc with the minimum matching train id and the stage, exact
+    precedence. Oracle composes the ⊕corpus_split hash replay with the
+    ⊕cross_corpus_dedup minhash/band/jaccard replay across the split
+    boundary — every float the row set depends on is the one thresholded
+    Jaccard, 6-dp rounded on both engines."""
+    from oaxaca_blinder_rs_spark.operators.corpus import split_leakage_report
+    from oaxaca_blinder_rs_spark.operators.sampling import split_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    tagged = split_corpus(docs, {"train": 0.9, "val": 0.05, "test": 0.05})
+    return split_leakage_report(tagged).select(
+        "doc_id", "split", "matched_train_id", "stage"
+    )
+
+
 def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (streaming/events.py sessionize_batch):
     Spark session_window vs a DuckDB gaps-and-islands oracle — pins the
@@ -3409,6 +3431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interleave_sources": q_interleave_sources,
         "calibration_bins": q_calibration_bins,
         "classifier_ece": q_classifier_ece,
+        "split_leakage": q_split_leakage,
         # ---- r12 WINDOW rows 0-2: new r12 contracts take first records ----
         "streaming_source_quota": q_streaming_source_quota,
         "editdist_pairs": q_editdist_pairs,
@@ -7208,6 +7231,63 @@ def _oracle_sql_literals() -> dict[str, str]:
             SELECT doc_id, n_tokens, token_offset,
                    CAST(floor(token_offset / 2000.0) AS BIGINT) shard_id
             FROM o
+        """,
+        "split_leakage": f"""
+            -- corpus_split hash replay + the cross_corpus_dedup minhash
+            -- machinery applied ACROSS the split boundary: leaked eval/test
+            -- docs = exact (md5) or near (banded LSH -> 3-gram Jaccard
+            -- >= 0.9) duplicates of a train doc; exact precedence
+            WITH u AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       / 4294967296.0 un
+              FROM documents
+            ), sp AS (
+              SELECT doc_id, CASE WHEN un < 0.9 THEN 'train'
+                                  WHEN un < 0.95 THEN 'val'
+                                  ELSE 'test' END split
+              FROM u
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(list_slice(toks, i, i+2), ' ')
+                                    for i in range(1, len(toks) - 1)]) shingles
+              FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') toks
+                    FROM documents)
+            ), sig AS (
+              SELECT doc_id,
+                     {_MINS_16}
+              FROM sh
+            ), bands AS (
+{_BANDS_UNION}
+            ), exact AS (
+              SELECT e.doc_id, se.split, min(t.doc_id) matched_train_id, 'exact' stage
+              FROM documents e
+              JOIN sp se ON se.doc_id = e.doc_id AND se.split <> 'train'
+              JOIN documents t ON md5(e.text) = md5(t.text)
+              JOIN sp st ON st.doc_id = t.doc_id AND st.split = 'train'
+              GROUP BY e.doc_id, se.split
+            ), cand AS (
+              SELECT DISTINCT eb.doc_id, tb.doc_id tid
+              FROM bands eb
+              JOIN bands tb ON eb.band_idx = tb.band_idx
+                           AND eb.band_key = tb.band_key
+                           AND eb.doc_id <> tb.doc_id
+              JOIN sp se ON se.doc_id = eb.doc_id AND se.split <> 'train'
+              JOIN sp st ON st.doc_id = tb.doc_id AND st.split = 'train'
+            ), near AS (
+              SELECT c.doc_id, se.split, min(c.tid) matched_train_id, 'near' stage
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.doc_id
+              JOIN sh b ON b.doc_id = c.tid
+              JOIN sp se ON se.doc_id = c.doc_id
+              WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                          / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) >= 0.9
+              GROUP BY c.doc_id, se.split
+            )
+            SELECT doc_id, split, matched_train_id, stage FROM exact
+            UNION ALL
+            SELECT doc_id, split, matched_train_id, stage FROM near
+            WHERE doc_id NOT IN (SELECT doc_id FROM exact)
         """,
         "cross_corpus_dedup": f"""
             WITH sh AS (

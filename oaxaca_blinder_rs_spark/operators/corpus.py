@@ -36,6 +36,7 @@ __all__ = [
     "hashed_bow",
     "deterministic_shuffle",
     "interleave_sources",
+    "split_leakage_report",
     "quality_percentile_filter",
     "length_bucketed_shards",
     "pack_sequences",
@@ -949,6 +950,80 @@ def interleave_sources(
         pos_col,
     )
     return out.drop("__n", "__u", "__g")
+
+
+def split_leakage_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    split_col: str = "split",
+    train_split: str = "train",
+    threshold: float = 0.9,
+    num_perm: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    candidate_pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Cross-split contamination audit: which eval/test documents have an
+    exact or near duplicate in the TRAIN split? ``split_corpus`` guarantees
+    a ROW never lands in two splits, but a near-copy of a training document
+    sitting in the eval split still leaks the answer — this is the check a
+    training pipeline runs after splitting and before reporting eval
+    numbers.
+
+    Two stages, the ``cross_corpus_dedup`` construction applied across the
+    split boundary instead of across corpora:
+
+      exact: md5(text) equi-join eval x train (hash-keyed, no pairs);
+      near:  MinHash-banded LSH candidates -> exact n-gram Jaccard verify
+             at ``threshold`` (6-dp rounded, the repo convention) — banded
+             shuffle, never an all-pairs join; pass ``candidate_pairs`` to
+             reuse a precomputed candidate set.
+
+    Returns one row per leaked non-train document: (``split_col``,
+    ``id_col``, matched_train_id = the minimum qualifying train id, stage
+    'exact' | 'near', exact taking precedence) — deterministic, engine-
+    replayable, no floats beyond the thresholded Jaccard filter.
+    """
+    from . import dedup as _dedup
+
+    tagged = docs.select(F.col(id_col), F.col(text_col), F.col(split_col))
+    ev = tagged.filter(F.col(split_col) != train_split)
+    tr = tagged.filter(F.col(split_col) == train_split)
+    exact = (
+        ev.select(id_col, split_col, F.md5(F.col(text_col)).alias("__h"))
+        .join(
+            tr.select(F.col(id_col).alias("__tid"), F.md5(F.col(text_col)).alias("__h")),
+            "__h",
+        )
+        .groupBy(id_col, split_col)
+        .agg(F.min("__tid").alias("matched_train_id"))
+        .select(id_col, split_col, "matched_train_id", F.lit("exact").alias("stage"))
+    )
+    pairs = (
+        candidate_pairs
+        if candidate_pairs is not None
+        else _dedup.minhash_lsh_candidates(
+            docs, text_col=text_col, id_col=id_col, num_perm=num_perm,
+            bands=bands, k=k,
+        )
+    )
+    jac = _dedup.ngram_jaccard(docs, pairs, text_col=text_col, id_col=id_col, k=k)
+    qual = jac.filter(F.round(F.col("jaccard"), 6) >= threshold)
+    both = qual.select(
+        F.col("id_a").alias("__x"), F.col("id_b").alias("__y")
+    ).unionByName(qual.select(F.col("id_b").alias("__x"), F.col("id_a").alias("__y")))
+    sp = tagged.select(F.col(id_col).alias("__sid"), F.col(split_col).alias("__split"))
+    near = (
+        both.join(sp.withColumnRenamed("__sid", "__x").withColumnRenamed("__split", "__sx"), "__x")
+        .join(sp.withColumnRenamed("__sid", "__y").withColumnRenamed("__split", "__sy"), "__y")
+        .filter((F.col("__sx") != train_split) & (F.col("__sy") == train_split))
+        .groupBy(F.col("__x").alias(id_col), F.col("__sx").alias(split_col))
+        .agg(F.min("__y").alias("matched_train_id"))
+        .select(id_col, split_col, "matched_train_id", F.lit("near").alias("stage"))
+    )
+    near_only = near.join(exact.select(id_col), id_col, "left_anti")
+    return exact.unionByName(near_only)
 
 
 def quality_percentile_filter(

@@ -1930,3 +1930,32 @@ def test_interleave_sources_spread_law(spark):
     )
     kept = interleave_sources(with_null).collect()
     assert sorted(r["doc_id"] for r in kept) == [1, 3]
+
+
+def test_split_leakage_report_planted(spark):
+    """r13: corpus.split_leakage_report — planted exact and near train
+    copies in val are caught with the right stage and min train id;
+    val-val duplicates and unique docs are NOT reported; exact precedence
+    holds when both stages match."""
+    from oaxaca_blinder_rs_spark.operators.corpus import split_leakage_report
+
+    rows = []
+    for i in range(10):
+        # fully disjoint vocabularies: no accidental cross-train near-dups
+        body = " ".join(f"t{i}w{j:03d}" for j in range(100))
+        rows.append((i, f"train document number {i} " + body, "train"))
+    rows.append((100, rows[5][1], "val"))              # exact copy of train 5
+    near = rows[6][1].replace("t6w050", "replaced")    # 1-token edit of train 6
+    rows.append((101, near, "val"))
+    rows.append((102, "a totally different tiny document " + " ".join(
+        f"z{i:03d}" for i in range(50)), "val"))
+    rows.append((103, rows[12][1], "val"))             # val-val duplicate pair
+    rows.append((104, rows[5][1], "test"))             # test split leaks too
+    df = spark.createDataFrame(rows, "doc_id long, text string, split string")
+
+    got = {r["doc_id"]: r for r in split_leakage_report(df).collect()}
+    assert set(got) == {100, 101, 104}
+    assert got[100]["stage"] == "exact" and got[100]["matched_train_id"] == 5
+    assert got[101]["stage"] == "near" and got[101]["matched_train_id"] == 6
+    assert got[104]["stage"] == "exact" and got[104]["matched_train_id"] == 5
+    assert got[104]["split"] == "test" and got[100]["split"] == "val"
