@@ -3371,36 +3371,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declared contract queries, ordered for the driver's verification window.
 
     The driver hash-checks the FIRST 50 entries in declaration order.
-    Round-12 window (COVERAGE.md successor policy: new contracts first,
-    then implementation-changed rows, then the oldest driver records):
+    Round-13 window (COVERAGE.md successor policy: new contracts first,
+    then implementation-changed rows, then the oldest driver records —
+    executed exactly per the r12 verdict item 1 priority list):
 
-    (1) rows 0-2: NEW r12 contracts taking first records —
-    streaming_source_quota (the stateful applyInPandasWithState quota
-    enforcer replayed availableNow, hash-matched against the plain SQL
-    window cumsum: the second driver-visible streaming state contract),
-    editdist_pairs (bounded Levenshtein candidate verify — the three-arg
-    banded evaluation + free length prune vs the oracle's full DP), and
-    classifier_auc (exact tie-aware Mann-Whitney ROC AUC as an int64 pair
-    count via the distributed prefix scan);
-    (2) rows 3-5: the three late-r11 contracts whose first green record
-    rode ORACLE_SWEEP_r11 take first driver records (boilerplate_lines,
-    length_bucketed_shards, decontaminate_spans);
-    (3) rows 6-8: the r11 refactor-touched span-dedup family re-records
-    (dup_substring_spans, substring_dedup_clean, span_dedup — the shared
-    _merge_windows_to_spans/_cut_spans extraction changed their
-    implementation after their last driver records);
-    (4) rows 9-49: the 41 oldest r9-record rows in registry order
-    (sample_weighted .. hilbert_customers). The remaining 4 r9 rows
-    (dsir_selection, kneser_ney_lm, hashed_bow, classifier_quality) did
-    not fit — new/changed contracts outrank age per the policy — and ride
-    ORACLE_SWEEP_r12 until they take r13 window priority 1.
+    (1) rows 0-6: the 7 NEW r13 contracts taking first records —
+    streaming_late_data (watermark late-data drops + checkpoint recovery),
+    clip_stub_central (the CLIP-stub multimodal embedding pipeline),
+    streaming_sessions (cross-batch session-state merge), interleave_sources
+    (fractional-position training order), calibration_bins / classifier_ece
+    (classifier calibration), split_leakage (cross-split contamination);
+    (2) rows 7-10: the 4 r9-record rows that slipped the r12 window —
+    dsir_selection, kneser_ney_lm, hashed_bow, classifier_quality (the
+    oldest driver records in the registry);
+    (3) rows 11-12: jsonl_roundtrip + streaming_heavy_hitters (entry-
+    function scratch cleanup in r12; operators untouched, re-recorded);
+    (4) rows 13-49: the 37 oldest r10-record rows in registry order
+    (blocklist_stats .. heckman_decomposition). The remaining 7 r10 rows
+    (vocab_stats, machado_mata, embedding_outliers, semantic_dedup,
+    matching_weights, cross_corpus_dedup, connected_components_geo) did
+    not fit and ride ORACLE_SWEEP_r13 as r14 window priority alongside
+    the 9 late-r12 never-driver-recorded contracts.
 
-    Past the window, ordered by r13 due-date: the 4 slipped r9 rows, the 2
-    r11-record rows whose ENTRY functions gained scratch-dir cleanup in r12
-    (jsonl_roundtrip, streaming_heavy_hitters — output-identical and
-    oracle re-verified this round, but r13 should re-record them), the 44
-    remaining r10-record rows (3 rounds old at r13 close), then the
-    r11-record rows (due r14).
+    Past the window, ordered by r14 due-date: the 9 late-r12 contracts
+    (never driver-recorded), the 7 slipped r10 rows, the r11-record rows
+    (3 rounds old at r14 close), then the fresh r12 records.
+
+    No registry row's implementation changed in r13: the mm adaptive
+    anneal start touched only the Gram engine (fit_engine("distributed")),
+    which no contract row uses — its correctness is pinned by the parity
+    suite (test_gram_adaptive_anneal_start, gram-vs-taubatch parity) and
+    the committed ABAB artifact; the check_oracle cache/--procs changes
+    are verification-harness-side only.
 
     Registry bookkeeping: pca_whiten_top2 — the one permanent rows-only
     row — was RETIRED from the registry in r12 (r11 verdict item 2). The
@@ -3412,19 +3414,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     registered row is therefore oracle-paired — machine-enforced by
     tests/test_bench_contract.py::test_registry_oracle_pairing (exact set
     equality between queries() and oracle_sql()).
-    The registry holds len(queries()) rows — 156 as of r12 close: 147 at
-    the rotation commit plus the nine late-r12 contracts (dedup_lines,
-    pack_sequences, epoch_repeat, zipf_fit, pmi_bigrams, roc_points, and
-    the streaming_histogram / streaming_vocab / streaming_drift cell-merge
-    faces) — first records ride ORACLE_SWEEP_r12, the late-addition
-    convention; r13 windows them after the slipped r9 rows. Count the
-    dict, don't trust prose. The committed ORACLE_SWEEP_r{N}.json carries
+    The registry holds len(queries()) rows — 163 as of r13 close: 156 at
+    r12 plus the seven r13 contracts (streaming_late_data,
+    clip_stub_central, streaming_sessions, interleave_sources,
+    calibration_bins, classifier_ece, split_leakage), all oracle-paired.
+    Count the dict, don't trust prose. The committed ORACLE_SWEEP_r{N}.json carries
     the machine-readable full-registry check regenerated at each round
     close by `tools/check_oracle.py --json`; the 50-row driver window is
     the independent spot-check and rotates per the COVERAGE.md policy.
     """
     return {
-        # ---- r13 WINDOW rows: new r13 contracts take the first records ----
+        # ==== r13 WINDOW (rows 0-49) =========================================
+        # rows 0-6: the 7 new r13 contracts take first records
         "streaming_late_data": q_streaming_late_data,
         "clip_stub_central": q_clip_stub_central,
         "streaming_sessions": q_streaming_sessions,
@@ -3432,79 +3433,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration_bins": q_calibration_bins,
         "classifier_ece": q_classifier_ece,
         "split_leakage": q_split_leakage,
-        # ---- r12 WINDOW rows 0-2: new r12 contracts take first records ----
-        "streaming_source_quota": q_streaming_source_quota,
-        "editdist_pairs": q_editdist_pairs,
-        "classifier_auc": q_classifier_auc,
-        # ---- rows 3-5: late-r11 contracts take first driver records (their
-        # first green record rode ORACLE_SWEEP_r11, the late-addition
-        # convention) --------------------------------------------------------
-        "boilerplate_lines": q_boilerplate_lines,
-        "length_bucketed_shards": q_length_bucketed_shards,
-        "decontaminate_spans": q_decontaminate_spans,
-        # ---- rows 6-8: r11 refactor-touched span-dedup family re-records
-        # (shared _merge_windows_to_spans/_cut_spans extraction changed the
-        # implementation after their r9/r10 driver records) ------------------
-        "dup_substring_spans": q_dup_substring_spans,
-        "substring_dedup_clean": q_substring_dedup_clean,
-        "span_dedup": q_span_dedup,
-        # ---- rows 9-49: the 41 oldest r9-record rows, registry order (the
-        # hard rotation debt; 4 slip to r13 — see past-window section) -------
-        "sample_weighted": q_sample_weighted,
-        "attribution_last_touch": q_attribution_last_touch,
-        "cms_user_counts": q_cms_user_counts,
-        "path_transitions": q_path_transitions,
-        "zorder_customers": q_zorder_customers,
-        "bloom_membership": q_bloom_membership,
-        "hll_users_by_type": q_hll_users_by_type,
-        "hll_intersection_users": q_hll_intersection_users,
-        "bm25_ranking": q_bm25_ranking,
-        "normalized_text": q_normalized_text,
-        "histogram_extendedprice": q_histogram_extendedprice,
-        "profile_lineitem": q_profile_lineitem,
-        "skew_report_custkey": q_skew_report_custkey,
-        "attribution_linear": q_attribution_linear,
-        "hll_registers": q_hll_registers,
-        "hll_count_users": q_hll_count_users,
-        "akm_effects": q_akm_effects,
-        "simhash": q_simhash,
-        "simhash_dups": q_simhash_dups,
-        "asof_join_events": q_asof_join_events,
-        "mm_small_exact": q_mm_small_exact,
-        "pca_whiten_2d": q_pca_whiten_2d,
-        "chunk_documents": q_chunk_documents,
-        "histogram_quantiles": q_histogram_quantiles,
-        "priority_sample": q_priority_sample,
-        "scd2_user_segments": q_scd2_user_segments,
-        "pagerank_copurchase": q_pagerank_copurchase,
-        "event_funnel": q_event_funnel,
-        "cohort_retention": q_cohort_retention,
-        "events_pivot": q_events_pivot,
-        "events_melt": q_events_melt,
-        "revenue_rollup": q_revenue_rollup,
-        "rolling_events": q_rolling_events,
-        "range_join_events": q_range_join_events,
-        "salted_join_check": q_salted_join_check,
-        "pca_whiten_invariants": q_pca_whiten_invariants,
-        "bpe_encode": q_bpe_encode,
-        "bpe_token_ids": q_bpe_token_ids,
-        "bpe_vocab": q_bpe_vocab,
-        "bpe_merges": q_bpe_merges,
-        "hilbert_customers": q_hilbert_customers,
-        # ==== past the window ================================================
-        # the 4 r9-record rows the arithmetic could not fit (new/changed
-        # contracts outrank age per the COVERAGE.md policy) — r13 window
-        # priority 1; their HEAD correctness rides ORACLE_SWEEP_r12
+        # rows 7-10: the 4 r9-record rows that slipped the r12 window
+        # (oldest driver records in the registry; r12 verdict item 1)
         "dsir_selection": q_dsir_selection,
         "kneser_ney_lm": q_kneser_ney_lm,
         "hashed_bow": q_hashed_bow,
         "classifier_quality": q_classifier_quality,
-        # r11-record rows whose ENTRY functions gained scratch-dir cleanup in
-        # r12 (output-identical, oracle re-verified; operators untouched) —
-        # r13 window priority 2
+        # rows 11-12: entry-function scratch-cleanup re-records (operators
+        # untouched in r12; re-recorded per the NOTES_r12 window layout)
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "streaming_heavy_hitters": q_streaming_heavy_hitters,
-        # r10-record rows — turn 3 rounds old at r13 close; r13 priority 3
+        # rows 13-49: the 37 oldest r10-record rows, registry order (7 slip
+        # to r14 — see past-window section)
         "blocklist_stats": q_blocklist_stats,
         "media_metadata": q_media_metadata,
         "ann_recall": q_ann_recall,
@@ -3542,6 +3482,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top3": q_tfidf_top3,
         "akm_demeaned_check": q_akm_demeaned_check,
         "heckman_decomposition": q_heckman_decomposition,
+        # ==== past the window ================================================
+        # r14 window priority 1: the 9 late-r12 contracts (never driver-
+        # recorded — first records ride ORACLE_SWEEP_r12/r13) and the 7
+        # r10-record rows the arithmetic could not fit
+        "dedup_lines": q_dedup_lines,
+        "pack_sequences": q_pack_sequences,
+        "epoch_repeat": q_epoch_repeat,
+        "zipf_fit": q_zipf_fit,
+        "pmi_bigrams": q_pmi_bigrams,
+        "roc_points": q_roc_points,
+        "streaming_histogram": q_streaming_histogram,
+        "streaming_vocab": q_streaming_vocab,
+        "streaming_drift": q_streaming_drift,
         "vocab_stats": q_vocab_stats,
         "machado_mata": q_machado_mata,
         "embedding_outliers": q_embedding_outliers,
@@ -3549,7 +3502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matching_weights": q_matching_weights,
         "cross_corpus_dedup": q_cross_corpus_dedup,
         "connected_components_geo": q_connected_components_geo,
-        # r11-record rows — due r14
+        # r11-record rows — due r14 (3 rounds old at r14 close)
         "events_drift": q_events_drift,
         "events_drift_metrics": q_events_drift_metrics,
         "lineitem_constraints": q_lineitem_constraints,
@@ -3597,17 +3550,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mixture": q_temperature_mixture,
         "quantile_sketch_bound": q_quantile_sketch_bound,
         "heavy_hitters": q_heavy_hitters,
-        # late-r12 contracts: first records ride ORACLE_SWEEP_r12 (the
-        # late-addition convention); r13 windows them after the slipped r9 rows
-        "dedup_lines": q_dedup_lines,
-        "pack_sequences": q_pack_sequences,
-        "epoch_repeat": q_epoch_repeat,
-        "zipf_fit": q_zipf_fit,
-        "pmi_bigrams": q_pmi_bigrams,
-        "roc_points": q_roc_points,
-        "streaming_histogram": q_streaming_histogram,
-        "streaming_vocab": q_streaming_vocab,
-        "streaming_drift": q_streaming_drift,
+        # fresh r12 driver records (r12 window rows) — due r15
+        "streaming_source_quota": q_streaming_source_quota,
+        "editdist_pairs": q_editdist_pairs,
+        "classifier_auc": q_classifier_auc,
+        "boilerplate_lines": q_boilerplate_lines,
+        "length_bucketed_shards": q_length_bucketed_shards,
+        "decontaminate_spans": q_decontaminate_spans,
+        "dup_substring_spans": q_dup_substring_spans,
+        "substring_dedup_clean": q_substring_dedup_clean,
+        "span_dedup": q_span_dedup,
+        "sample_weighted": q_sample_weighted,
+        "attribution_last_touch": q_attribution_last_touch,
+        "cms_user_counts": q_cms_user_counts,
+        "path_transitions": q_path_transitions,
+        "zorder_customers": q_zorder_customers,
+        "bloom_membership": q_bloom_membership,
+        "hll_users_by_type": q_hll_users_by_type,
+        "hll_intersection_users": q_hll_intersection_users,
+        "bm25_ranking": q_bm25_ranking,
+        "normalized_text": q_normalized_text,
+        "histogram_extendedprice": q_histogram_extendedprice,
+        "profile_lineitem": q_profile_lineitem,
+        "skew_report_custkey": q_skew_report_custkey,
+        "attribution_linear": q_attribution_linear,
+        "hll_registers": q_hll_registers,
+        "hll_count_users": q_hll_count_users,
+        "akm_effects": q_akm_effects,
+        "simhash": q_simhash,
+        "simhash_dups": q_simhash_dups,
+        "asof_join_events": q_asof_join_events,
+        "mm_small_exact": q_mm_small_exact,
+        "pca_whiten_2d": q_pca_whiten_2d,
+        "chunk_documents": q_chunk_documents,
+        "histogram_quantiles": q_histogram_quantiles,
+        "priority_sample": q_priority_sample,
+        "scd2_user_segments": q_scd2_user_segments,
+        "pagerank_copurchase": q_pagerank_copurchase,
+        "event_funnel": q_event_funnel,
+        "cohort_retention": q_cohort_retention,
+        "events_pivot": q_events_pivot,
+        "events_melt": q_events_melt,
+        "revenue_rollup": q_revenue_rollup,
+        "rolling_events": q_rolling_events,
+        "range_join_events": q_range_join_events,
+        "salted_join_check": q_salted_join_check,
+        "pca_whiten_invariants": q_pca_whiten_invariants,
+        "bpe_encode": q_bpe_encode,
+        "bpe_token_ids": q_bpe_token_ids,
+        "bpe_vocab": q_bpe_vocab,
+        "bpe_merges": q_bpe_merges,
+        "hilbert_customers": q_hilbert_customers,
     }
 
 # --------------------------------------------------------------------------
