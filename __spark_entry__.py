@@ -2159,6 +2159,21 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve (textops.vocab_coverage, r13): share of
+    all token occurrences covered by the top-k types for k in {1, 10, 100,
+    1000} — the table a tokenizer vocab size is read off. Exact int64
+    tallies (one explode+groupBy to the type table, two range-partitioned
+    prefix scans over TYPES not tokens); coverage is one division of exact
+    integers; ranks tie-break (count desc, token asc) on both engines."""
+    from oaxaca_blinder_rs_spark.operators.textops import vocab_coverage
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_coverage(docs, [1, 10, 100, 1000]).select(
+        "k", "rank", "covered", "total", "coverage"
+    )
+
+
 def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (streaming/events.py sessionize_batch):
     Spark session_window vs a DuckDB gaps-and-islands oracle — pins the
@@ -3433,6 +3448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration_bins": q_calibration_bins,
         "classifier_ece": q_classifier_ece,
         "split_leakage": q_split_leakage,
+        "vocab_coverage": q_vocab_coverage,
         # rows 7-10: the 4 r9-record rows that slipped the r12 window
         # (oldest driver records in the registry; r12 verdict item 1)
         "dsir_selection": q_dsir_selection,
@@ -7224,6 +7240,31 @@ def _oracle_sql_literals() -> dict[str, str]:
             SELECT doc_id, n_tokens, token_offset,
                    CAST(floor(token_offset / 2000.0) AS BIGINT) shard_id
             FROM o
+        """,
+        "vocab_coverage": """
+            -- top-k type coverage replay: rank by (count desc, token asc),
+            -- cumulative occurrences via a window sum; ks beyond the vocab
+            -- clamp to the full vocabulary
+            WITH tok AS (
+              SELECT t w FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) t
+                               FROM documents) WHERE t <> ''
+            ), cnt AS (
+              SELECT w, CAST(count(*) AS BIGINT) c FROM tok GROUP BY w
+            ), r AS (
+              SELECT w, c,
+                     CAST(row_number() OVER (ORDER BY c DESC, w) AS BIGINT) rk,
+                     CAST(sum(c) OVER (ORDER BY c DESC, w ROWS UNBOUNDED PRECEDING) AS BIGINT) cum
+              FROM cnt
+            ), tot AS (
+              SELECT CAST(sum(c) AS BIGINT) total, CAST(count(*) AS BIGINT) n_types FROM cnt
+            ), want AS (SELECT CAST(unnest([1, 10, 100, 1000]) AS BIGINT) k)
+            SELECT want.k,
+                   least(want.k, tot.n_types) AS rank,
+                   r.cum AS covered,
+                   tot.total,
+                   CAST(r.cum AS DOUBLE) / tot.total AS coverage
+            FROM want CROSS JOIN tot
+            JOIN r ON r.rk = least(want.k, tot.n_types)
         """,
         "split_leakage": f"""
             -- corpus_split hash replay + the cross_corpus_dedup minhash

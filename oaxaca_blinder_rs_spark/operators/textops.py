@@ -1536,3 +1536,67 @@ def pmi_bigrams(
         .orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
         .limit(int(top_n))
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    ks: list[int],
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary coverage curve: for each requested k, the share of all
+    token OCCURRENCES covered by the k most frequent types — the table a
+    tokenizer vocab size is actually read off ("32k types cover 99.2% of
+    the stream; the tail is UNK/byte-fallback territory").
+
+    Types rank by (count desc, token asc) — deterministic under count
+    ties. Returns one row per requested k: (k, rank = min(k, n_types),
+    covered, total — exact int64 tallies — and coverage, one division of
+    exact integers). k beyond the vocabulary clamps to the full vocab
+    (coverage 1.0) rather than erroring, so a sweep over standard sizes
+    works on any corpus.
+
+    Scale shape: one explode+groupBy to the type-count table, then TWO
+    range-partitioned prefix scans over that table (cumulative tokens +
+    rank — ``scan.grouped_prev_cumsum`` on a constant key, no single-task
+    window), a broadcast of the requested ks onto the rank, and one tiny
+    global agg for (total, n_types). Work is |types|, never |tokens|,
+    past the first groupBy.
+    """
+    from . import scan
+
+    ks = sorted({int(k) for k in ks})
+    if not ks or ks[0] < 1:
+        raise ValueError(f"ks must be positive ints, got {ks}")
+    toks = (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("__tok"))
+        .filter(F.col("__tok") != "")
+    )
+    cnt = toks.groupBy("__tok").agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    tot_row = cnt.agg(
+        F.sum("__c").alias("total"), F.count(F.lit(1)).alias("n_types")
+    ).collect()[0]
+    total, n_types = int(tot_row.total or 0), int(tot_row.n_types)
+    if n_types == 0:
+        raise ValueError("vocab_coverage: no tokens in corpus")
+    order = [F.col("__c").desc(), F.col("__tok").asc()]
+    g = cnt.withColumn("__g", F.lit(0))
+    cum = scan.grouped_prev_cumsum(g, "__g", order, F.col("__c"), "__cum_ex")
+    cum = scan.grouped_prev_cumsum(cum, "__g", order, F.lit(1), "__rk_ex")
+    ranked = cum.select(
+        (F.col("__rk_ex") + 1).cast("long").alias("rank"),
+        (F.col("__cum_ex") + F.col("__c")).cast("long").alias("covered"),
+    )
+    spark = df.sparkSession
+    want = spark.createDataFrame(
+        [(k, min(k, n_types)) for k in ks], "k long, rank long"
+    )
+    return (
+        ranked.join(F.broadcast(want), "rank")
+        .select(
+            "k",
+            "rank",
+            "covered",
+            F.lit(total).cast("long").alias("total"),
+            (F.col("covered").cast("double") / F.lit(float(total))).alias("coverage"),
+        )
+    )

@@ -1113,3 +1113,32 @@ def test_pmi_bigrams_hand_computed(spark):
         textops.pmi_bigrams(df, min_count=0)
     with _pytest.raises(ValueError, match="top_n"):
         textops.pmi_bigrams(df, top_n=0)
+
+
+def test_vocab_coverage_laws(spark):
+    """r13: vocab_coverage — hand-counted fixture (exact tallies, tie-break
+    on token asc), clamping past the vocabulary, monotonicity, validation."""
+    import pytest as _pytest
+
+    from oaxaca_blinder_rs_spark.operators.textops import vocab_coverage
+
+    # counts: a=4, b=3, c=3, d=1  (total 11; tie b/c broken by token asc)
+    df = spark.createDataFrame(
+        [(0, "a a b c"), (1, "a b c d"), (2, "a b c")], "doc_id long, text string"
+    )
+    got = {r["k"]: r for r in vocab_coverage(df, [1, 2, 3, 100]).collect()}
+    assert got[1]["covered"] == 4 and got[1]["total"] == 11
+    assert got[2]["covered"] == 7          # a + b (tie-break b before c)
+    assert got[3]["covered"] == 10
+    assert got[100]["rank"] == 4 and got[100]["covered"] == 11
+    assert got[100]["coverage"] == 1.0
+    covs = [got[k]["coverage"] for k in (1, 2, 3, 100)]
+    assert covs == sorted(covs)            # monotone non-decreasing
+    assert got[1]["coverage"] == 4.0 / 11.0
+
+    with _pytest.raises(ValueError, match="positive"):
+        vocab_coverage(df, [0, 5])
+    with _pytest.raises(ValueError, match="no tokens"):
+        vocab_coverage(
+            spark.createDataFrame([(0, "")], "doc_id long, text string"), [1]
+        )
