@@ -183,6 +183,34 @@ def build_parser() -> argparse.ArgumentParser:
         "--max-psi", type=float, default=None,
         help="exit 1 if any dim's PSI exceeds this (0.25 = the standard 'drifted' bar)",
     )
+
+    # net-new surface: cross-split contamination audit as a CLI verb
+    lk = sub.add_parser(
+        "leakage",
+        help="Find eval/test documents with an exact or near duplicate in "
+        "the train split (post-split pre-eval contamination check)",
+    )
+    lk.add_argument("--input", required=True, help="Input documents (parquet dir/file)")
+    lk.add_argument("--text-col", default="text")
+    lk.add_argument("--id-col", default="doc_id")
+    lk.add_argument(
+        "--split-col", default=None,
+        help="existing split column; omit to split here via --fractions",
+    )
+    lk.add_argument(
+        "--fractions", default="train=0.9,val=0.05,test=0.05",
+        help="name=frac list for the deterministic split when --split-col "
+        "is not given (must sum to 1)",
+    )
+    lk.add_argument("--seed", type=int, default=42, help="split seed")
+    lk.add_argument("--train-split", default="train")
+    lk.add_argument("--threshold", type=float, default=0.9,
+                    help="n-gram Jaccard near-dup threshold")
+    lk.add_argument("--output-json", default=None, help="Write leaked rows as JSON")
+    lk.add_argument(
+        "--fail-on-leak", action="store_true",
+        help="exit 1 if any leaked document is found (the CI-gate mode)",
+    )
     return p
 
 
@@ -425,6 +453,58 @@ def _run_drift(spark, args) -> int:
     return 0
 
 
+def _run_leakage(spark, args) -> int:
+    """leakage verb: split (or reuse a split column) and report every
+    eval/test document with an exact or near train duplicate; one summary
+    JSON line on stdout; --fail-on-leak makes it a CI gate."""
+    from .operators.corpus import split_leakage_report
+    from .operators.sampling import split_corpus
+
+    docs = spark.read.parquet(args.input)
+    if args.split_col:
+        if args.split_col not in docs.columns:
+            print(json.dumps({"error": f"--split-col column not found: {args.split_col}"}))
+            return 2
+        tagged, split_col = docs, args.split_col
+    else:
+        fractions = {}
+        for part in _csv_list(args.fractions):
+            if "=" not in part:
+                print(json.dumps({"error": f"bad --fractions entry: {part!r}"}))
+                return 2
+            name, _, frac = part.partition("=")
+            fractions[name.strip()] = float(frac)
+        try:
+            tagged = split_corpus(docs, fractions, id_col=args.id_col, seed=args.seed)
+        except ValueError as exc:
+            print(json.dumps({"error": str(exc)}))
+            return 2
+        split_col = "split"
+    leaked = split_leakage_report(
+        tagged,
+        text_col=args.text_col,
+        id_col=args.id_col,
+        split_col=split_col,
+        train_split=args.train_split,
+        threshold=args.threshold,
+    )
+    rows = [r.asDict() for r in leaked.collect()]
+    by_split: dict = {}
+    for r in rows:
+        key = (r[split_col], r["stage"])
+        by_split[key] = by_split.get(key, 0) + 1
+    if args.output_json:
+        with open(args.output_json, "w") as f:
+            json.dump(rows, f, indent=1)
+    print(json.dumps({
+        "leaked_docs": len(rows),
+        "by_split_stage": {f"{s}/{st}": n for (s, st), n in sorted(by_split.items())},
+    }))
+    if args.fail_on_leak and rows:
+        return 1
+    return 0
+
+
 def _run_top_tokens(spark, args) -> int:
     """top-tokens verb: one JSON line per rank on stdout (+ optional file)."""
     import json
@@ -486,7 +566,7 @@ def main(argv=None) -> int:
     spark = get_spark("oaxaca-cli")
     spark.sparkContext.setLogLevel("ERROR")
 
-    if args.command in ("corpus", "tokenize", "quality", "drift", "profile", "top-tokens"):
+    if args.command in ("corpus", "tokenize", "quality", "drift", "profile", "top-tokens", "leakage"):
         try:
             if args.command == "corpus":
                 return _run_corpus(spark, args)
@@ -498,6 +578,8 @@ def main(argv=None) -> int:
                 return _run_profile(spark, args)
             if args.command == "top-tokens":
                 return _run_top_tokens(spark, args)
+            if args.command == "leakage":
+                return _run_leakage(spark, args)
             return _run_drift(spark, args)
         finally:
             if owns_session:

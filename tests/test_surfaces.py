@@ -1626,3 +1626,35 @@ def test_clip_stub_composes_with_semantic_dedup(spark):
     assert out[100]["keep"] and out[101]["dup_of"] == 100 and out[102]["dup_of"] == 100
     assert not out[101]["keep"] and not out[102]["keep"]
     assert all(out[i]["keep"] for i in range(10))
+
+
+def test_cli_leakage_verb(spark, sf_dir, tmp_path, capsys):
+    """r13: the leakage verb — split + audit in one command; summary JSON
+    line, per-row JSON file, --fail-on-leak CI gate, validation errors."""
+    import json as _json
+
+    from oaxaca_blinder_rs_spark.cli import main
+
+    src = f"{sf_dir}/documents.parquet"
+    outj = str(tmp_path / "leaked.json")
+    rc = main(["leakage", "--input", src, "--output-json", outj])
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    stats = _json.loads(line)
+    rows = _json.loads(open(outj).read())
+    assert stats["leaked_docs"] == len(rows)
+    assert rc == 0  # no gate requested
+    if rows:  # sf0.001 plants leaks; every row names a train match + stage
+        assert all(r["stage"] in ("exact", "near") and r["matched_train_id"] is not None
+                   for r in rows)
+        assert sum(stats["by_split_stage"].values()) == len(rows)
+        # the CI gate trips when leaks exist
+        assert main(["leakage", "--input", src, "--fail-on-leak"]) == 1
+        capsys.readouterr()
+
+    # existing split column path + validation
+    assert main(["leakage", "--input", src, "--split-col", "nope"]) == 2
+    assert "not found" in capsys.readouterr().out
+    assert main(["leakage", "--input", src, "--fractions", "train=0.5,val=0.2"]) == 2
+    assert "sum to 1" in capsys.readouterr().out
+    assert main(["leakage", "--input", src, "--fractions", "garbage"]) == 2
+    assert "bad --fractions" in capsys.readouterr().out
