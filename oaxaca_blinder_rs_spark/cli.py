@@ -104,6 +104,17 @@ def build_parser() -> argparse.ArgumentParser:
         "(corpus.deterministic_shuffle) — keep-list rows, or documents "
         "before shard packing",
     )
+    cp.add_argument(
+        "--interleave", action="store_true",
+        help="order the output by the deterministic source-interleave "
+        "(corpus.interleave_sources): every prefix of the stream — and "
+        "hence every --pack-budget shard — holds each source in its corpus "
+        "proportion; mutually exclusive with --shuffle-seed",
+    )
+    cp.add_argument(
+        "--interleave-by", default="source",
+        help="grouping column for --interleave (default: source)",
+    )
 
     # net-new surface: the tokenizer pipeline as a CLI verb
     tk = sub.add_parser(
@@ -225,6 +236,7 @@ def _run_corpus(spark, args) -> int:
 
     from .operators.corpus import (
         deterministic_shuffle,
+        interleave_sources,
         prepare_corpus,
         quality_percentile_filter,
     )
@@ -248,6 +260,17 @@ def _run_corpus(spark, args) -> int:
         # dropping it would pack budget shards with no boundary token
         print(json.dumps({"error": "--eos-token requires --seq-len"}))
         return 2
+    if getattr(args, "interleave", False):
+        if getattr(args, "shuffle_seed", None) is not None:
+            # both flags define the output ORDER; picking one silently would
+            # hide that the other was ignored
+            print(json.dumps({"error": "--interleave and --shuffle-seed are mutually exclusive"}))
+            return 2
+        if seq_len > 0:
+            # pack_sequences streams strictly in id order (same reason as
+            # --shuffle-seed); interleave the packed sequences instead
+            print(json.dumps({"error": "--interleave is not supported with --seq-len"}))
+            return 2
 
     docs = spark.read.parquet(args.input)
     terms = None
@@ -317,6 +340,17 @@ def _run_corpus(spark, args) -> int:
                     kept_docs, seed=args.shuffle_seed, id_col=args.id_col
                 )
                 order_cols = ["shuffle_key"]
+            elif getattr(args, "interleave", False):
+                # interleave-then-pack: the packer follows the fractional-
+                # position order, so every shard holds each source in its
+                # corpus proportion (no all-web shard followed by all-code)
+                if args.interleave_by not in kept_docs.columns:
+                    print(json.dumps({"error": f"--interleave-by column not found: {args.interleave_by}"}))
+                    return 2
+                kept_docs = interleave_sources(
+                    kept_docs, group_col=args.interleave_by, id_col=args.id_col
+                )
+                order_cols = ["stream_pos"]
             st = write_token_shards(
                 kept_docs, args.output, budget=args.pack_budget,
                 text_col=args.text_col, id_col=args.id_col, token_col="n_tokens",
@@ -328,6 +362,11 @@ def _run_corpus(spark, args) -> int:
         out = keep
         if getattr(args, "shuffle_seed", None) is not None:
             out = deterministic_shuffle(keep, seed=args.shuffle_seed, id_col=args.id_col)
+        elif getattr(args, "interleave", False):
+            if args.interleave_by not in keep.columns:
+                print(json.dumps({"error": f"--interleave-by column not found: {args.interleave_by}"}))
+                return 2
+            out = interleave_sources(keep, group_col=args.interleave_by, id_col=args.id_col)
         out.write.mode("overwrite").parquet(args.output)
         stats["docs_kept"] = spark.read.parquet(args.output).count()
     print(json.dumps(stats))

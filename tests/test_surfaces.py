@@ -1658,3 +1658,40 @@ def test_cli_leakage_verb(spark, sf_dir, tmp_path, capsys):
     assert "sum to 1" in capsys.readouterr().out
     assert main(["leakage", "--input", src, "--fractions", "garbage"]) == 2
     assert "bad --fractions" in capsys.readouterr().out
+
+
+def test_cli_corpus_interleave_mode(spark, sf_dir, tmp_path, capsys):
+    """r13: --interleave orders budget shards by the source-interleave so
+    every shard holds the corpus mixture; mutual exclusions validate before
+    any Spark action."""
+    import json as _json
+
+    from oaxaca_blinder_rs_spark.cli import main
+
+    src = f"{sf_dir}/documents.parquet"
+    out = str(tmp_path / "shards")
+    assert main([
+        "corpus", "--input", src, "--output", out,
+        "--min-quality", "0.0", "--langs", "en,de,fr,es,zh,und",
+        "--pack-budget", "2000", "--interleave",
+    ]) == 0
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["shards"] > 1
+    back = spark.read.parquet(out)
+    # interleaved packing: every full-size shard mixes sources — with 20
+    # sources at uniform share, no shard is single-source
+    per_shard = {
+        r["shard_id"]: r["n"]
+        for r in back.groupBy("shard_id").agg(
+            F.countDistinct("source").alias("n")
+        ).collect()
+    }
+    full = [s for s, n in per_shard.items() if n > 1]
+    assert len(full) >= len(per_shard) - 1  # the remainder shard may be tiny
+
+    assert main(["corpus", "--input", src, "--output", out,
+                 "--interleave", "--shuffle-seed", "3"]) == 2
+    assert "mutually exclusive" in capsys.readouterr().out
+    assert main(["corpus", "--input", src, "--output", out,
+                 "--interleave", "--seq-len", "8"]) == 2
+    assert "not supported" in capsys.readouterr().out
