@@ -3324,6 +3324,110 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(outroot, ignore_errors=True)
 
 
+def q_streaming_window_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WINDOW-granularity late rule for streaming aggregation (r13) —
+    the semantic ⊕streaming_late_data's row-level dedup drop cannot pin:
+    for a windowed aggregate, a row BELOW the watermark still COUNTS as
+    long as its tumbling window's end is above the watermark (Spark's
+    guarantee is per-window finality, not per-row recency). Three-run
+    checkpoint replay through windowed_event_aggregates (1h tumbling,
+    24h watermark):
+
+      run 1: every real event (one availableNow batch; watermark 0, all
+             counted) — persists wm1 = max(ts) - 24h;
+      run 2: a LADDER of 16 probe rows (event_type 'late_probe') planted
+             at wm1 - (10k - 5) minutes for k = 1..12 plus four on-time
+             offsets — each probe's fate is decided ONLY by the rule
+             date_trunc_hour(ts) + 1h > wm1, which both engines apply
+             (some ladder rungs land in still-open windows and count,
+             deeper ones are expired and drop; where the flip happens
+             depends on wm1's sub-hour position, and the oracle computes
+             the identical predicate rather than assuming an outcome);
+      run 3: one sentinel event 30 days out advances the watermark so
+             append mode finalizes and emits every real window once.
+
+    Probes sit >= 5 minutes from every hour boundary and from wm1, so no
+    ms-vs-us watermark representation detail can flip a comparison.
+    Output: (window_start_s, event_type, n_events) exact int64 counts;
+    the sentinel's own window never finalizes and is filtered anyway."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from oaxaca_blinder_rs_spark.streaming.events import windowed_event_aggregates
+
+    ev = _t(spark, sf_dir, "events")
+    feed = ev.select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+        F.col("value"),
+        "user_id",
+    )
+    t1max = feed.agg(F.max("ts")).collect()[0][0]
+    import datetime as _dt
+
+    wm1 = t1max - _dt.timedelta(hours=24)
+    offsets = [10 * k - 5 for k in range(1, 13)] + [-25, -65, -125, -185]
+    probes = spark.createDataFrame(
+        [
+            (wm1 - _dt.timedelta(minutes=m), "late_probe", 0.0, -1)
+            for m in offsets
+        ],
+        "ts timestamp, event_type string, value double, user_id long",
+    )
+    sentinel = spark.createDataFrame(
+        [(t1max + _dt.timedelta(days=30), "sentinel", 0.0, -2)],
+        "ts timestamp, event_type string, value double, user_id long",
+    )
+    run = f"{os.getpid()}_{uuid.uuid4().hex[:8]}"
+    src = tempfile.mkdtemp(prefix=f"oaxaca_swexp_src_{run}_")
+    ckpt = tempfile.mkdtemp(prefix=f"oaxaca_swexp_ckpt_{run}_")
+    outroot = tempfile.mkdtemp(prefix=f"oaxaca_swexp_out_{run}_")
+    outdir = f"{outroot}/windows"
+    try:
+        schema = feed.schema
+
+        def replay(tag):
+            stream = spark.readStream.schema(schema).format("parquet").load(src)
+            agg = windowed_event_aggregates(
+                stream, window_duration="1 hour", watermark="24 hours"
+            ).select("window_start", "event_type", "n_events")
+            q = (
+                agg.writeStream.format("parquet")
+                .option("path", outdir)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise RuntimeError(f"streaming_window_expiry: {tag} replay timed out")
+
+        feed.coalesce(1).write.mode("overwrite").parquet(src)
+        replay("batch1")
+        probes.coalesce(1).write.mode("append").parquet(src)
+        replay("probes")
+        sentinel.coalesce(1).write.mode("append").parquet(src)
+        replay("flush")
+        fmt = "yyyy-MM-dd HH:mm:ss"
+        out = (
+            spark.read.parquet(outdir)
+            .filter(F.col("event_type") != "sentinel")
+            .select(
+                F.date_format("window_start", fmt).alias("window_start_s"),
+                "event_type",
+                F.col("n_events").cast("long").alias("n_events"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        return out
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(outroot, ignore_errors=True)
+
+
 def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming->batch exact heavy hitters (r11): the events table replayed
     as a bounded stream (availableNow) through the STATEFUL Misra-Gries
@@ -3453,6 +3557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_ece": q_classifier_ece,
         "split_leakage": q_split_leakage,
         "vocab_coverage": q_vocab_coverage,
+        "streaming_window_expiry": q_streaming_window_expiry,
         # rows 7-10: the 4 r9-record rows that slipped the r12 window
         # (oldest driver records in the registry; r12 verdict item 1)
         "dsir_selection": q_dsir_selection,
@@ -5468,6 +5573,29 @@ def _oracle_sql_literals() -> dict[str, str]:
                    strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') session_end_s,
                    count(*) n_events
             FROM s GROUP BY user_id, sid
+        """,
+        "streaming_window_expiry": """
+            -- window-granularity late rule: a probe row below the watermark
+            -- still counts iff its tumbling window's END is above wm1 =
+            -- max(batch-1 ts) - 24h; the oracle applies the identical
+            -- predicate instead of assuming which ladder rungs survive
+            WITH mx AS (
+              SELECT max(ts) - INTERVAL 24 HOUR AS wm FROM events
+            ), probe AS (
+              SELECT mx.wm - (t.m * INTERVAL 1 MINUTE) AS ts,
+                     'late_probe' AS event_type
+              FROM mx, (SELECT unnest([5, 15, 25, 35, 45, 55, 65, 75, 85, 95,
+                                       105, 115, -25, -65, -125, -185]) AS m) t
+            ), counted AS (
+              SELECT ts, event_type FROM events
+              UNION ALL
+              SELECT p.ts, p.event_type FROM probe p, mx
+              WHERE date_trunc('hour', p.ts) + INTERVAL 1 HOUR > mx.wm
+            )
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start_s,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM counted GROUP BY 1, 2
         """,
         "streaming_late_data": """
             -- batch replica of the two-micro-batch watermark replay: batch 1

@@ -1959,3 +1959,59 @@ def test_split_leakage_report_planted(spark):
     assert got[101]["stage"] == "near" and got[101]["matched_train_id"] == 6
     assert got[104]["stage"] == "exact" and got[104]["matched_train_id"] == 5
     assert got[104]["split"] == "test" and got[100]["split"] == "val"
+
+
+def test_streaming_window_expiry_contract(spark):
+    """r13: the window-granularity late rule — the probe ladder must
+    STRADDLE the expiry boundary (some below-watermark rungs counted
+    because their window is still open, some dropped because it expired),
+    and the surviving counts must equal the batch rule exactly."""
+    import datetime as _dt
+    import importlib.util
+    import os as _os
+    import sys as _sys
+
+    from pyspark.sql import functions as F
+
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry_for_window_expiry",
+        _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), "__spark_entry__.py"),
+    )
+    e = importlib.util.module_from_spec(spec)
+    _sys.modules.setdefault("spark_entry_for_window_expiry", e)
+    spec.loader.exec_module(e)
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+
+    got = {
+        (r["window_start_s"], r["event_type"]): r["n_events"]
+        for r in e.q_streaming_window_expiry(spark, sf).collect()
+    }
+    t1max = ev.agg(F.max(F.col("ts").cast("timestamp"))).collect()[0][0]
+    wm = t1max - _dt.timedelta(hours=24)
+    offsets = [10 * k - 5 for k in range(1, 13)] + [-25, -65, -125, -185]
+    probes = [wm - _dt.timedelta(minutes=m) for m in offsets]
+
+    def window_open(ts):
+        return ts.replace(minute=0, second=0, microsecond=0) + _dt.timedelta(hours=1) > wm
+
+    late_below = [ts for ts, m in zip(probes, offsets) if m > 0]
+    kept_below = [ts for ts in late_below if window_open(ts)]
+    dropped = [ts for ts in late_below if not window_open(ts)]
+    # non-vacuous on BOTH sides of the rule: the 5..115-minute ladder always
+    # spans an hour boundary below the watermark
+    assert kept_below and dropped
+    probe_total = sum(n for (w, t), n in got.items() if t == "late_probe")
+    expect_probe = len(kept_below) + sum(1 for ts, m in zip(probes, offsets) if m < 0)
+    assert probe_total == expect_probe
+    # the real-event windows replay the plain batch tumbling counts
+    want = {
+        (r["w"], r["event_type"]): r["n"]
+        for r in ev.select(
+            F.date_format(F.window(F.col("ts").cast("timestamp"), "1 hour").start,
+                          "yyyy-MM-dd HH:mm:ss").alias("w"),
+            "event_type",
+        ).groupBy("w", "event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    real = {k: v for k, v in got.items() if k[1] != "late_probe"}
+    assert real == want
