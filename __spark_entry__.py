@@ -3494,30 +3494,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     then implementation-changed rows, then the oldest driver records —
     executed exactly per the r12 verdict item 1 priority list):
 
-    (1) rows 0-7: the 8 NEW r13 contracts taking first records —
+    (1) rows 0-8: the 9 NEW r13 contracts taking first records —
     streaming_late_data (watermark late-data drops + checkpoint recovery),
     clip_stub_central (the CLIP-stub multimodal embedding pipeline),
     streaming_sessions (cross-batch session-state merge), interleave_sources
     (fractional-position training order), calibration_bins / classifier_ece
     (classifier calibration), split_leakage (cross-split contamination),
-    vocab_coverage (top-k type coverage curve);
-    (2) rows 8-11: the 4 r9-record rows that slipped the r12 window —
+    vocab_coverage (top-k type coverage curve), streaming_window_expiry
+    (per-window finality rule for late aggregation data);
+    (2) rows 9-12: the 4 r9-record rows that slipped the r12 window —
     dsir_selection, kneser_ney_lm, hashed_bow, classifier_quality (the
     oldest driver records in the registry);
-    (3) rows 12-13: jsonl_roundtrip + streaming_heavy_hitters (entry-
+    (3) rows 13-14: jsonl_roundtrip + streaming_heavy_hitters (entry-
     function scratch cleanup in r12; operators untouched, re-recorded);
-    (4) rows 14-49: the 36 oldest r10-record rows in registry order
-    (blocklist_stats .. akm_demeaned_check). The remaining 8 r10 rows
-    (heckman_decomposition, vocab_stats, machado_mata, embedding_outliers,
-    semantic_dedup, matching_weights, cross_corpus_dedup,
-    connected_components_geo) did not fit and ride ORACLE_SWEEP_r13 as r14
-    window priority alongside the 9 late-r12 never-driver-recorded
-    contracts.
+    (4) rows 15-49: the 35 oldest r10-record rows in registry order
+    (blocklist_stats .. tfidf_top3). The remaining 9 r10 rows
+    (akm_demeaned_check, heckman_decomposition, vocab_stats, machado_mata,
+    embedding_outliers, semantic_dedup, matching_weights,
+    cross_corpus_dedup, connected_components_geo) did not fit and ride
+    ORACLE_SWEEP_r13 as r14 window priority alongside the 9 late-r12
+    never-driver-recorded contracts.
 
-    Past the window, ordered by r14 due-date: heckman_decomposition (the
-    first slipped r10 row), the 9 late-r12 contracts (never
-    driver-recorded), the other 7 slipped r10 rows, the r11-record rows
-    (3 rounds old at r14 close), then the fresh r12 records.
+    Past the window, ordered by r14 due-date: akm_demeaned_check +
+    heckman_decomposition (the first slipped r10 rows, sitting right past
+    the boundary), the 9 late-r12 contracts (never driver-recorded), the
+    other 7 slipped r10 rows, the r11-record rows (3 rounds old at r14
+    close), then the fresh r12 records.
 
     No registry row's implementation changed in r13: the mm adaptive
     anneal start touched only the Gram engine (fit_engine("distributed")),
@@ -3536,11 +3538,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     registered row is therefore oracle-paired — machine-enforced by
     tests/test_bench_contract.py::test_registry_oracle_pairing (exact set
     equality between queries() and oracle_sql()).
-    The registry holds len(queries()) rows — 164 as of r13 close: 156 at
-    r12 plus the eight r13 contracts (streaming_late_data,
+    The registry holds len(queries()) rows — 165 as of r13 close: 156 at
+    r12 plus the nine r13 contracts (streaming_late_data,
     clip_stub_central, streaming_sessions, interleave_sources,
-    calibration_bins, classifier_ece, split_leakage, vocab_coverage),
-    all oracle-paired.
+    calibration_bins, classifier_ece, split_leakage, vocab_coverage,
+    streaming_window_expiry), all oracle-paired.
     Count the dict, don't trust prose. The committed ORACLE_SWEEP_r{N}.json carries
     the machine-readable full-registry check regenerated at each round
     close by `tools/check_oracle.py --json`; the 50-row driver window is
