@@ -2781,6 +2781,40 @@ def q_epoch_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "copy_idx")
 
 
+def q_mixture_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL training-mixture recipe materialized as an exact stream
+    order (r13): ⊕epoch_repeat's fractional-epoch recipe ("2.3 epochs of
+    src0, 0.4 of src1, drop src2, 1.0 of src3, pass the rest through")
+    composed with ⊕interleave_sources' fractional-position order — the
+    composition is what a loader actually consumes: every prefix of the
+    stream holds each source at its RECIPE share, including the repeated
+    copies. Copies get a unique EPOCH-MAJOR interleave id uid =
+    copy_idx * 2^40 + doc_id (all copy-0 docs rank before all copy-1
+    docs within a source), so a document's copies land ~n_g ranks apart
+    and spread through the stream instead of running back to back
+    (suite-asserted). Oracle composes the two
+    operators' verified replays; the only floats are the md5-uniform
+    extra-copy draw and the (int - 0.5)/int position key, both
+    bit-identical cross-engine."""
+    from oaxaca_blinder_rs_spark.operators.corpus import interleave_sources
+    from oaxaca_blinder_rs_spark.operators.sampling import epoch_repeat
+
+    docs = _t(spark, sf_dir, "documents")
+    rep = epoch_repeat(
+        docs, {"src0": 2.3, "src1": 0.4, "src2": 0.0, "src3": 1.0}, by_col="source"
+    ).withColumn(
+        "__uid",
+        (F.col("copy_idx").cast("long") * F.lit(1099511627776) + F.col("doc_id")).cast("long"),
+    )
+    stream = interleave_sources(rep, group_col="source", id_col="__uid")
+    return stream.select(
+        "doc_id",
+        F.col("copy_idx").cast("long").alias("copy_idx"),
+        "source",
+        F.col("stream_pos").cast("long").alias("stream_pos"),
+    )
+
+
 def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf-law corpus health fit (textops.zipf_fit, r12): OLS of ln(freq)
     on ln(rank) over the top-1000 tokens (freq DESC, token ASC ranks —
@@ -3494,32 +3528,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     then implementation-changed rows, then the oldest driver records —
     executed exactly per the r12 verdict item 1 priority list):
 
-    (1) rows 0-8: the 9 NEW r13 contracts taking first records —
+    (1) rows 0-9: the 10 NEW r13 contracts taking first records —
     streaming_late_data (watermark late-data drops + checkpoint recovery),
     clip_stub_central (the CLIP-stub multimodal embedding pipeline),
     streaming_sessions (cross-batch session-state merge), interleave_sources
     (fractional-position training order), calibration_bins / classifier_ece
     (classifier calibration), split_leakage (cross-split contamination),
     vocab_coverage (top-k type coverage curve), streaming_window_expiry
-    (per-window finality rule for late aggregation data);
-    (2) rows 9-12: the 4 r9-record rows that slipped the r12 window —
+    (per-window finality rule for late aggregation data), mixture_stream
+    (the epoch_repeat -> interleave recipe composition);
+    (2) rows 10-13: the 4 r9-record rows that slipped the r12 window —
     dsir_selection, kneser_ney_lm, hashed_bow, classifier_quality (the
     oldest driver records in the registry);
-    (3) rows 13-14: jsonl_roundtrip + streaming_heavy_hitters (entry-
+    (3) rows 14-15: jsonl_roundtrip + streaming_heavy_hitters (entry-
     function scratch cleanup in r12; operators untouched, re-recorded);
-    (4) rows 15-49: the 35 oldest r10-record rows in registry order
-    (blocklist_stats .. tfidf_top3). The remaining 9 r10 rows
-    (akm_demeaned_check, heckman_decomposition, vocab_stats, machado_mata,
-    embedding_outliers, semantic_dedup, matching_weights,
+    (4) rows 16-49: the 34 oldest r10-record rows in registry order
+    (blocklist_stats .. corpus_pack). The remaining 10 r10 rows
+    (tfidf_top3, akm_demeaned_check, heckman_decomposition, vocab_stats,
+    machado_mata, embedding_outliers, semantic_dedup, matching_weights,
     cross_corpus_dedup, connected_components_geo) did not fit and ride
     ORACLE_SWEEP_r13 as r14 window priority alongside the 9 late-r12
     never-driver-recorded contracts.
 
-    Past the window, ordered by r14 due-date: akm_demeaned_check +
-    heckman_decomposition (the first slipped r10 rows, sitting right past
-    the boundary), the 9 late-r12 contracts (never driver-recorded), the
-    other 7 slipped r10 rows, the r11-record rows (3 rounds old at r14
-    close), then the fresh r12 records.
+    Past the window, ordered by r14 due-date: tfidf_top3 +
+    akm_demeaned_check + heckman_decomposition (the first slipped r10
+    rows, sitting right past the boundary), the 9 late-r12 contracts
+    (never driver-recorded), the other 7 slipped r10 rows, the r11-record
+    rows (3 rounds old at r14 close), then the fresh r12 records.
 
     No registry row's implementation changed in r13: the mm adaptive
     anneal start touched only the Gram engine (fit_engine("distributed")),
@@ -3538,11 +3573,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     registered row is therefore oracle-paired — machine-enforced by
     tests/test_bench_contract.py::test_registry_oracle_pairing (exact set
     equality between queries() and oracle_sql()).
-    The registry holds len(queries()) rows — 165 as of r13 close: 156 at
-    r12 plus the nine r13 contracts (streaming_late_data,
+    The registry holds len(queries()) rows — 166 as of r13 close: 156 at
+    r12 plus the ten r13 contracts (streaming_late_data,
     clip_stub_central, streaming_sessions, interleave_sources,
     calibration_bins, classifier_ece, split_leakage, vocab_coverage,
-    streaming_window_expiry), all oracle-paired.
+    streaming_window_expiry, mixture_stream), all oracle-paired.
     Count the dict, don't trust prose. The committed ORACLE_SWEEP_r{N}.json carries
     the machine-readable full-registry check regenerated at each round
     close by `tools/check_oracle.py --json`; the 50-row driver window is
@@ -3560,6 +3595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage": q_split_leakage,
         "vocab_coverage": q_vocab_coverage,
         "streaming_window_expiry": q_streaming_window_expiry,
+        "mixture_stream": q_mixture_stream,
         # rows 7-10: the 4 r9-record rows that slipped the r12 window
         # (oldest driver records in the registry; r12 verdict item 1)
         "dsir_selection": q_dsir_selection,
@@ -5245,6 +5281,38 @@ def oracle_sql() -> dict[str, str]:
     """
     # fractional-epoch recipe (r12): rate join + floor/frac + the shared
     # md5-uniform extra-copy draw + range unnest
+    d["mixture_stream"] = """
+        -- recipe -> repeat -> interleave composition: the epoch_repeat
+        -- replay feeds the fractional-position interleave replay, keyed by
+        -- uid = doc_id * 8 + copy_idx so copies spread through the epoch
+        WITH rates(source, rate) AS (
+          VALUES ('src0', 2.3), ('src1', 0.4), ('src2', 0.0), ('src3', 1.0)
+        ), j AS (
+          SELECT d.doc_id, d.source,
+                 CAST(floor(coalesce(r.rate, 1.0)) AS BIGINT) AS n_full,
+                 CASE WHEN ('0x' || substr(md5('s42:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                           / 4294967296.0
+                      < coalesce(r.rate, 1.0) - floor(coalesce(r.rate, 1.0))
+                      THEN 1 ELSE 0 END AS extra
+          FROM documents d LEFT JOIN rates r ON d.source = r.source
+        ), rep AS (
+          SELECT doc_id, source,
+                 CAST(unnest(range(0, n_full + extra)) AS BIGINT) AS copy_idx
+          FROM j WHERE n_full + extra > 0
+        ), r2 AS (
+          SELECT doc_id, source, copy_idx, copy_idx * 1099511627776 + doc_id AS uid FROM rep
+        ), n AS (
+          SELECT source, count(*) AS n FROM r2 GROUP BY source
+        ), k AS (
+          SELECT r2.doc_id, r2.source, r2.copy_idx, r2.uid,
+                 (row_number() OVER (PARTITION BY r2.source ORDER BY r2.uid) - 0.5)
+                   / n.n AS u
+          FROM r2 JOIN n USING (source)
+        )
+        SELECT doc_id, copy_idx, source,
+               row_number() OVER (ORDER BY u, source, uid) - 1 AS stream_pos
+        FROM k
+    """
     d["epoch_repeat"] = """
         WITH rates(source, rate) AS (
           VALUES ('src0', 2.3), ('src1', 0.4), ('src2', 0.0), ('src3', 1.0)

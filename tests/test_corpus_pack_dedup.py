@@ -2015,3 +2015,36 @@ def test_streaming_window_expiry_contract(spark):
     }
     real = {k: v for k, v in got.items() if k[1] != "late_probe"}
     assert real == want
+
+
+def test_mixture_stream_recipe_shares(spark):
+    """r13: the epoch_repeat -> interleave_sources composition holds the
+    RECIPE share (not the raw corpus share) at every stream prefix, and a
+    repeated document's copies never run back to back in a multi-source
+    stream."""
+    from oaxaca_blinder_rs_spark.operators.corpus import interleave_sources
+    from oaxaca_blinder_rs_spark.operators.sampling import epoch_repeat
+
+    rows = [(i, "a") for i in range(40)] + [(100 + i, "b") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    rep = epoch_repeat(df, {"a": 3.0, "b": 1.0}, by_col="source").withColumn(
+        "__uid",
+        (F.col("copy_idx").cast("long") * F.lit(1099511627776) + F.col("doc_id")).cast("long"),
+    )
+    out = sorted(
+        (r["stream_pos"], r["source"], r["doc_id"], r["copy_idx"])
+        for r in interleave_sources(rep, id_col="__uid").collect()
+    )
+    total = len(out)
+    assert total == 160  # 3 x 40 + 40, integer rates: no uniform draw
+    seen = {"a": 0, "b": 0}
+    for p, srcv, _, _ in out:
+        seen[srcv] += 1
+        # recipe shares 120/160 and 40/160 hold at every prefix (±1)
+        assert abs(seen["a"] - (p + 1) * 0.75) <= 1.0 + 1e-9
+        assert abs(seen["b"] - (p + 1) * 0.25) <= 1.0 + 1e-9
+    # copies of one document are spread ~n_a/3 apart, never adjacent
+    pos_of = [p for p, s, d, c in out if d == 0]
+    assert len(pos_of) == 3
+    gaps = [b - a for a, b in zip(pos_of, pos_of[1:])]
+    assert min(gaps) > 10
