@@ -3181,20 +3181,30 @@ def q_streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one unambiguous on-time-duplicate construction
     top = b1.orderBy(F.col("ts").desc(), F.col("k").desc()).limit(1).collect()[0]
     t1max, argmax_key = top.ts, top.k
+    # r14 (ADVICE): the fresh-key offsets were fixed literals (1e6 / 2e6),
+    # safe at the tested SFs (event_id <= 99999 at sf0.1) but colliding
+    # with real batch-1 keys once event_id reaches ~1e6 at larger SFs —
+    # Spark would dedup a "fresh" key the oracle still expects emitted.
+    # Derive the offset from the data instead: off = 10^digits(max_id), so
+    # batch-1 keys (< off), late-fresh keys ((off, 2*off]) and on-time
+    # fresh keys ((2*off, 3*off]) occupy disjoint ranges at EVERY SF. The
+    # DuckDB oracle derives the identical offset from the same table.
+    max_id = int(ev.agg(F.max("event_id")).collect()[0][0])
+    off = 10 ** len(str(max_id))
     b2base = ev.filter(F.col("event_id") % 3 == 0)
     late_ts = F.to_timestamp(F.lit("2020-01-01 00:00:00"))
     late_dup = b2base.filter(F.col("event_id") % 9 == 0).select(
         (F.col("event_id") + 1).alias("k"), late_ts.alias("ts")
     )
     late_fresh = b2base.filter(F.col("event_id") % 9 == 3).select(
-        (F.col("event_id") + 1000000).alias("k"), late_ts.alias("ts")
+        (F.col("event_id") + F.lit(off)).alias("k"), late_ts.alias("ts")
     )
     ontime_dup = b2base.filter(F.col("event_id") % 18 == 6).select(
         F.lit(argmax_key).cast("long").alias("k"),
         (F.lit(t1max) + F.expr("INTERVAL 1 MINUTE")).alias("ts"),
     )
     ontime_fresh = b2base.filter(F.col("event_id") % 18 == 15).select(
-        (F.col("event_id") + 2000000).alias("k"),
+        (F.col("event_id") + F.lit(2 * off)).alias("k"),
         (F.lit(t1max) + F.make_interval(mins=(F.col("event_id") % 50 + 1).cast("int"))).alias("ts"),
     )
     b2 = (
@@ -5284,7 +5294,8 @@ def oracle_sql() -> dict[str, str]:
     d["mixture_stream"] = """
         -- recipe -> repeat -> interleave composition: the epoch_repeat
         -- replay feeds the fractional-position interleave replay, keyed by
-        -- uid = doc_id * 8 + copy_idx so copies spread through the epoch
+        -- uid = copy_idx * 2^40 + doc_id (epoch-major) so a repeated doc's
+        -- copies land ~n_g ranks apart instead of back to back
         WITH rates(source, rate) AS (
           VALUES ('src0', 2.3), ('src1', 0.4), ('src2', 0.0), ('src3', 1.0)
         ), j AS (
@@ -5673,15 +5684,22 @@ def _oracle_sql_literals() -> dict[str, str]:
             -- batch 2 survives ONLY the on-time fresh class — late rows
             -- (ts 2020 < max(b1.ts) - 24h) are cut at the watermark and the
             -- on-time duplicate of the newest batch-1 key is dedup state
+            -- off = 10^digits(max event_id): the same data-derived fresh-key
+            -- offset the Spark side computes (r14 ADVICE — fixed literals
+            -- collide with real keys at sf>=10)
             WITH b1 AS (
               SELECT event_id AS k, ts FROM events WHERE event_id % 3 <> 0
-            ), mx AS (SELECT max(ts) AS tmax FROM b1)
+            ), mx AS (SELECT max(ts) AS tmax FROM b1),
+            offs AS (
+              SELECT CAST(power(10, length(CAST(max(event_id) AS VARCHAR))) AS BIGINT) AS off
+              FROM events
+            )
             SELECT k, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s FROM b1
             UNION ALL
-            SELECT e.event_id + 2000000 AS k,
+            SELECT e.event_id + 2 * offs.off AS k,
                    strftime(mx.tmax + ((e.event_id % 50 + 1) * INTERVAL '1 minute'),
                             '%Y-%m-%d %H:%M:%S.%f') AS ts_s
-            FROM events e, mx WHERE e.event_id % 18 = 15
+            FROM events e, mx, offs WHERE e.event_id % 18 = 15
         """,
         "streaming_heavy_hitters": """
             SELECT CAST(user_id AS VARCHAR) AS user_id,
@@ -7443,7 +7461,7 @@ def _oracle_sql_literals() -> dict[str, str]:
                    CAST(floor(token_offset / 2000.0) AS BIGINT) shard_id
             FROM o
         """,
-        "vocab_coverage": """
+        "vocab_coverage": r"""
             -- top-k type coverage replay: rank by (count desc, token asc),
             -- cumulative occurrences via a window sum; ks beyond the vocab
             -- clamp to the full vocabulary

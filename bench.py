@@ -299,6 +299,8 @@ def suspect_queries(
     spread: float = 3.0,
     loadavg: dict[str, list[float]] | None = None,
     load_limit: float = 8.0,
+    np_ref: float | None = None,
+    np_limit: float = 1.5,
 ) -> list[str]:
     """Names of queries whose recorded samples spread more than ``spread``x
     (max/min) even though the calibration job ran clean (ratio <= 1.2) —
@@ -315,7 +317,18 @@ def suspect_queries(
     1-min loadavg trail exceeds ``load_limit``: a lone sample taken while
     the box already ran hot has no honest cross-check. The limit is below
     the ~15-19 self-load a full bench run generates late in the file, so
-    it only certifies lone samples taken against a genuinely quiet box."""
+    it only certifies lone samples taken against a genuinely quiet box.
+
+    r14 (verdict item 2): the mm_* entries record an ADJACENT numpy
+    pre-calibration row (``calibration_np_pre_<entry prefix>``) precisely
+    so a host bandwidth phase local to that entry can be attributed — but
+    the rule never consulted them, and BENCH_r13 shipped mm_taubatch_s20_b2
+    at 17.5 s (same-tree clean run: 14.0 s) unflagged while its own pre-row
+    read 2.5x the np reference. When ``np_ref`` is given, any timed entry
+    whose matching np pre-row best exceeds ``np_limit`` x ``np_ref`` is now
+    suspect regardless of its within-entry spread: a dirty adjacent
+    bandwidth probe means the entry's best-of was taken inside a host
+    phase, and both samples can be inflated together (no spread)."""
     timed = [k for k in samples if not k.startswith("calibration")]
     if cal_ratio > 1.2:
         return timed
@@ -327,6 +340,16 @@ def suspect_queries(
         elif len(ts) == 1 and loadavg is not None:
             if max(loadavg.get(k, [0.0]) or [0.0]) > load_limit:
                 out.append(k)
+    if np_ref is not None:
+        for cal_key, cal_ts in samples.items():
+            if not cal_key.startswith("calibration_np_pre_") or not cal_ts:
+                continue
+            if min(cal_ts) / np_ref <= np_limit:
+                continue
+            prefix = cal_key[len("calibration_np_pre_"):]
+            for k in timed:
+                if k.startswith(prefix) and k not in out:
+                    out.append(k)
     return out
 
 
@@ -533,7 +556,9 @@ def main():
 
     cal_best = min(queries["calibration_pre"], queries["calibration_post"])
     total = sum(v for k, v in queries.items() if not k.startswith("calibration"))
-    suspect = suspect_queries(samples, cal_best / CAL_REF_SEC, loadavg=loadavg)
+    suspect = suspect_queries(
+        samples, cal_best / CAL_REF_SEC, loadavg=loadavg, np_ref=CAL_NP_REF_SEC
+    )
     out = {
         "metric": "oaxaca_bench_total",
         "value": round(total, 3),

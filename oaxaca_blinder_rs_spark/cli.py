@@ -229,6 +229,25 @@ def _csv_list(s):
     return [x.strip() for x in s.split(",") if x.strip()] if s else []
 
 
+def _interleave_keep_nulls(docs, group_col: str, id_col: str):
+    """CLI wrapper around ``corpus.interleave_sources``: the operator's
+    count join is a null-unsafe equi-join, so documents with a NULL group
+    value silently vanish from the packed output — fine as a documented
+    operator convention, wrong for a CLI user who never reads the
+    docstring (r14 ADVICE). Coalesce the group into a temp sentinel
+    column ('__null__' forms its own evenly-spread source), interleave on
+    that, and drop it — the user's own column is left untouched."""
+    from pyspark.sql import functions as F
+
+    from .operators.corpus import interleave_sources
+
+    tmp = "__interleave_grp"
+    keyed = docs.withColumn(
+        tmp, F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+    )
+    return interleave_sources(keyed, group_col=tmp, id_col=id_col).drop(tmp)
+
+
 def _run_corpus(spark, args) -> int:
     """corpus verb: documents in -> gated/deduped keep-list (or token
     shards) out, one JSON stats line on stdout."""
@@ -236,7 +255,6 @@ def _run_corpus(spark, args) -> int:
 
     from .operators.corpus import (
         deterministic_shuffle,
-        interleave_sources,
         prepare_corpus,
         quality_percentile_filter,
     )
@@ -347,7 +365,7 @@ def _run_corpus(spark, args) -> int:
                 if args.interleave_by not in kept_docs.columns:
                     print(json.dumps({"error": f"--interleave-by column not found: {args.interleave_by}"}))
                     return 2
-                kept_docs = interleave_sources(
+                kept_docs = _interleave_keep_nulls(
                     kept_docs, group_col=args.interleave_by, id_col=args.id_col
                 )
                 order_cols = ["stream_pos"]
@@ -366,7 +384,7 @@ def _run_corpus(spark, args) -> int:
             if args.interleave_by not in keep.columns:
                 print(json.dumps({"error": f"--interleave-by column not found: {args.interleave_by}"}))
                 return 2
-            out = interleave_sources(keep, group_col=args.interleave_by, id_col=args.id_col)
+            out = _interleave_keep_nulls(keep, group_col=args.interleave_by, id_col=args.id_col)
         out.write.mode("overwrite").parquet(args.output)
         stats["docs_kept"] = spark.read.parquet(args.output).count()
     print(json.dumps(stats))
@@ -527,19 +545,30 @@ def _run_leakage(spark, args) -> int:
         train_split=args.train_split,
         threshold=args.threshold,
     )
-    rows = [r.asDict() for r in leaked.collect()]
-    by_split: dict = {}
-    for r in rows:
-        key = (r[split_col], r["stage"])
-        by_split[key] = by_split.get(key, 0) + 1
+    # r14 (ADVICE): summary counts come from an aggregation, not a driver
+    # collect — on a heavily contaminated corpus the leaked set is
+    # unbounded, and this verb is pitched as a CI gate. Rows are only
+    # collected when --output-json explicitly asks for the full dump (and
+    # then the counts reuse that one collect instead of recomputing).
+    from pyspark.sql import functions as F
+
     if args.output_json:
+        rows = [r.asDict() for r in leaked.collect()]
         with open(args.output_json, "w") as f:
             json.dump(rows, f, indent=1)
+        by_split: dict = {}
+        for r in rows:
+            key = (r[split_col], r["stage"])
+            by_split[key] = by_split.get(key, 0) + 1
+    else:
+        agg = leaked.groupBy(split_col, "stage").agg(F.count(F.lit(1)).alias("n")).collect()
+        by_split = {(r[split_col], r["stage"]): r["n"] for r in agg}
+    n_leaked = sum(by_split.values())
     print(json.dumps({
-        "leaked_docs": len(rows),
+        "leaked_docs": n_leaked,
         "by_split_stage": {f"{s}/{st}": n for (s, st), n in sorted(by_split.items())},
     }))
-    if args.fail_on_leak and rows:
+    if args.fail_on_leak and n_leaked:
         return 1
     return 0
 

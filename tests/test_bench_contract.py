@@ -83,6 +83,46 @@ def test_single_sample_without_loadavg_trail_keeps_old_behavior():
     assert suspect_queries(samples, cal_ratio=1.0) == []
 
 
+def test_dirty_np_pre_row_flags_its_mm_entry():
+    """r14 (verdict item 2): the BENCH_r13 escape — mm_taubatch_s20_b2
+    shipped 17.496 s (same-tree clean run: 14.0 s) unflagged because the
+    rule checked only the global JVM calibration and within-entry spread,
+    never the entry's OWN np pre-calibration row (0.140 s vs the 0.055 s
+    ref = 2.5x dirty). The synthetic set below reproduces that artifact's
+    shape; the rule must flag the entry gated by the dirty pre-row and
+    leave the clean-pre-row entry alone."""
+    samples = {
+        "calibration_pre": [0.3, 0.31],
+        "calibration_np": [0.055, 0.06],
+        "calibration_np_pre_mm_gram": [0.057, 0.058],      # clean (1.04x)
+        "mm_gram_s60_b8": [12.332, 12.9],
+        "calibration_np_pre_mm_taubatch": [0.140, 0.151],  # 2.5x dirty
+        "mm_taubatch_s20_b2": [17.496, 18.2],              # spread 1.04x: old rule blind
+    }
+    flagged = suspect_queries(samples, cal_ratio=0.865, np_ref=0.055)
+    assert flagged == ["mm_taubatch_s20_b2"]
+
+
+def test_np_pre_row_gate_needs_np_ref():
+    # old callers (np_ref omitted) keep the pre-r14 behavior exactly
+    samples = {
+        "calibration_np_pre_mm_taubatch": [0.140],
+        "mm_taubatch_s20_b2": [17.496, 18.2],
+    }
+    assert suspect_queries(samples, cal_ratio=0.865) == []
+
+
+def test_np_pre_row_gate_composes_with_spread_rule():
+    # an entry can be flagged by spread AND have a dirty pre-row — listed once
+    samples = {
+        "calibration_np_pre_mm_gram": [0.2],
+        "mm_gram_s60_b8": [30.0, 9.0],  # 3.3x spread
+        "embedding_cov": [0.4, 0.41],
+    }
+    flagged = suspect_queries(samples, cal_ratio=1.0, np_ref=0.055)
+    assert flagged == ["mm_gram_s60_b8"]
+
+
 def test_np_calibration_runs_and_is_excluded_from_totals():
     """The numpy-kernel calibration (r9): measurable, fixed-shape, and —
     like every calibration entry — excluded from the suspect rule by the

@@ -1798,12 +1798,16 @@ def test_streaming_late_data_contract_matches_batch(spark):
         F.col("event_id").alias("k"), F.col("ts").cast("timestamp").alias("ts")
     )
     t1max = b1.agg(F.max("ts")).collect()[0][0]
+    # r14 (ADVICE): fresh-key offsets are data-derived (off = 10^digits of
+    # max event_id) so they can never collide with real keys at any SF —
+    # the expectation derives them identically
+    off = 10 ** len(str(int(ev.agg(F.max("event_id")).collect()[0][0])))
     want = {
         (r["k"], r["ts_s"])
         for r in b1.select("k", F.date_format("ts", fmt).alias("ts_s")).collect()
     }
     ontime_fresh = ev.filter(F.col("event_id") % 18 == 15).select(
-        (F.col("event_id") + 2000000).alias("k"),
+        (F.col("event_id") + 2 * off).alias("k"),
         F.date_format(
             F.lit(t1max) + F.make_interval(mins=(F.col("event_id") % 50 + 1).cast("int")), fmt
         ).alias("ts_s"),
@@ -1814,7 +1818,7 @@ def test_streaming_late_data_contract_matches_batch(spark):
     # batch 1: survivor count is exactly |b1| + |on-time fresh|
     assert len(got) == b1.count() + ontime_fresh.count()
     # and the late fresh keys (the pure watermark-drop witnesses) are absent
-    assert not any(1000000 <= k < 2000000 for k, _ in got)
+    assert not any(off <= k < 2 * off for k, _ in got)
 
 
 def test_streaming_sessions_contract_matches_batch(spark):

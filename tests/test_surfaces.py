@@ -1695,3 +1695,66 @@ def test_cli_corpus_interleave_mode(spark, sf_dir, tmp_path, capsys):
     assert main(["corpus", "--input", src, "--output", out,
                  "--interleave", "--seq-len", "8"]) == 2
     assert "not supported" in capsys.readouterr().out
+
+
+def test_cli_interleave_keeps_null_group_rows(spark, sf_dir, tmp_path, capsys):
+    """r14 (ADVICE): interleave_sources' count join is null-unsafe, so CLI
+    --interleave silently dropped documents with a NULL --interleave-by
+    value. The _interleave_keep_nulls wrapper coalesces into a temp
+    sentinel column: nothing is dropped, NULL-group docs form their own
+    evenly-spread source, and the user's column keeps its NULLs."""
+    import json as _json
+
+    from oaxaca_blinder_rs_spark.cli import _interleave_keep_nulls, main
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "source",
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None)).otherwise(F.col("source")),
+    )
+    n = docs.count()
+    n_null = docs.filter(F.col("source").isNull()).count()
+    assert n_null > 0
+
+    # wrapper law: no rows lost, NULLs preserved, stream_pos a permutation
+    out = _interleave_keep_nulls(docs, group_col="source", id_col="doc_id")
+    assert out.count() == n
+    assert out.filter(F.col("source").isNull()).count() == n_null
+    assert "__interleave_grp" not in out.columns
+    pos = out.agg(
+        F.min("stream_pos").alias("lo"),
+        F.max("stream_pos").alias("hi"),
+        F.countDistinct("stream_pos").alias("d"),
+    ).collect()[0]
+    assert (pos.lo, pos.hi, pos.d) == (0, n - 1, n)
+
+    # e2e: the packed output still carries the NULL-source docs
+    src_dir = str(tmp_path / "docs_nullsrc")
+    docs.write.parquet(src_dir)
+    shards = str(tmp_path / "shards_nullsrc")
+    assert main([
+        "corpus", "--input", src_dir, "--output", shards,
+        "--min-quality", "0.0", "--langs", "en,de,fr,es,zh,und",
+        "--pack-budget", "2000", "--interleave",
+    ]) == 0
+    _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    back = spark.read.parquet(shards)
+    assert back.filter(F.col("source").isNull()).count() > 0
+
+
+def test_cli_leakage_summary_without_output_json(spark, sf_dir, capsys, tmp_path):
+    """r14 (ADVICE): without --output-json the leakage verb now counts via
+    a groupBy aggregation (no unbounded driver collect); the summary must
+    agree with the full-dump path's row-derived counts."""
+    import json as _json
+
+    from oaxaca_blinder_rs_spark.cli import main
+
+    src = f"{sf_dir}/documents.parquet"
+    assert main(["leakage", "--input", src]) == 0
+    agg_stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    outj = str(tmp_path / "leaked.json")
+    assert main(["leakage", "--input", src, "--output-json", outj]) == 0
+    dump_stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert agg_stats["leaked_docs"] == dump_stats["leaked_docs"]
+    assert agg_stats["by_split_stage"] == dump_stats["by_split_stage"]
+    assert agg_stats["leaked_docs"] == sum(agg_stats["by_split_stage"].values())

@@ -69,6 +69,27 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _CACHE_DIR = os.environ.get("ORACLE_CACHE_DIR", os.path.join(_REPO, ".oracle_cache"))
 
 
+def _data_fingerprint(sf_dir: str) -> str:
+    """Cheap content fingerprint of the SF dir: every parquet file's
+    relative path + size + mtime_ns. r14 (ADVICE): without this, a
+    regenerated testdata tree under the SAME path silently replays stale
+    oracle results into a committed sweep artifact. size+mtime is the
+    rsync-level check — exact for the driver's write-once testdata, and
+    any regeneration rewrites mtimes."""
+    parts = []
+    for root, _dirs, files in os.walk(sf_dir):
+        for f in sorted(files):
+            if not f.endswith(".parquet"):
+                continue
+            p = os.path.join(root, f)
+            try:
+                st = os.stat(p)
+            except OSError:
+                continue
+            parts.append(f"{os.path.relpath(p, sf_dir)}:{st.st_size}:{st.st_mtime_ns}")
+    return "|".join(sorted(parts))
+
+
 def _cache_key(sql: str, sf_dir: str) -> str:
     import duckdb as _d
     h = hashlib.sha256()
@@ -77,13 +98,16 @@ def _cache_key(sql: str, sf_dir: str) -> str:
     h.update(os.path.abspath(sf_dir).encode())
     h.update(b"\0")
     h.update(_d.__version__.encode())
+    h.update(b"\0")
+    h.update(_data_fingerprint(sf_dir).encode())
     return h.hexdigest()
 
 
 def oracle_cached(con, sql: str, sf_dir: str):
     """Run (or replay) an oracle: returns (columns, type_strs, rows). The
-    oracle is a pure function of its SQL text and the SF parquet dir, so a
-    content-hash cache is exact — any edit to the SQL is a new key."""
+    oracle is a pure function of its SQL text and the SF parquet data, so a
+    content-hash cache is exact — any edit to the SQL, or any regeneration
+    of the testdata (size/mtime fingerprint), is a new key."""
     if os.environ.get("ORACLE_CACHE", "1") == "0":
         res = con.sql(sql)
         return res.columns, [str(t) for t in res.types], res.fetchall()
