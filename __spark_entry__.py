@@ -1794,6 +1794,39 @@ def q_cross_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.cross_corpus_dedup(new, ref)
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup against PERSISTED corpus state (r14; the
+    documented-but-uncontracted face from the r12 'incremental-dedup
+    bridge-chain caveat'). Docs with id % 4 != 0 are the existing corpus:
+    their dedup state (md5 fingerprint + 16-perm MinHash signature,
+    dedup.dedup_state) is genuinely WRITTEN TO PARQUET and read back — the
+    round-trip a daily pipeline's persisted state performs — and the
+    id % 4 == 0 batch is deduped against that state alone
+    (dedup.incremental_dedup): exact stage = fingerprint equi-join, near
+    stage = derived-band LSH collision + >= 15/16 signature-component
+    agreement. After the state build the corpus text is NEVER read again;
+    per-ingest text work is batch-sized. The oracle RECOMPUTES both sides
+    from text in SQL (fingerprints, signatures, band keys, component
+    agreement) — hash equality proves the persisted-state path equals the
+    full recompute. Bridge chains (A~B in state, B~C in batch) are pinned
+    by the suite: matching is batch->state only, so C is kept."""
+    import shutil
+    import tempfile
+
+    from oaxaca_blinder_rs_spark.operators import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    state_dir = tempfile.mkdtemp(prefix="oaxaca_dedup_state_")
+    try:
+        dedup.dedup_state(corpus).write.mode("overwrite").parquet(state_dir)
+        state = spark.read.parquet(state_dir)
+        return dedup.incremental_dedup(batch, state).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+
+
 def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 5-gram contamination audit (corpus.ngram_contamination, r6):
     docs with id < 450 as the training corpus, id >= 450 as the probe set
@@ -3534,44 +3567,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declared contract queries, ordered for the driver's verification window.
 
     The driver hash-checks the FIRST 50 entries in declaration order.
-    Round-13 window (COVERAGE.md successor policy: new contracts first,
+    Round-14 window (COVERAGE.md successor policy: new contracts first,
     then implementation-changed rows, then the oldest driver records —
-    executed exactly per the r12 verdict item 1 priority list):
+    executed exactly per the r13 verdict item 1 priority list):
 
-    (1) rows 0-9: the 10 NEW r13 contracts taking first records —
-    streaming_late_data (watermark late-data drops + checkpoint recovery),
-    clip_stub_central (the CLIP-stub multimodal embedding pipeline),
-    streaming_sessions (cross-batch session-state merge), interleave_sources
-    (fractional-position training order), calibration_bins / classifier_ece
-    (classifier calibration), split_leakage (cross-split contamination),
-    vocab_coverage (top-k type coverage curve), streaming_window_expiry
-    (per-window finality rule for late aggregation data), mixture_stream
-    (the epoch_repeat -> interleave recipe composition);
-    (2) rows 10-13: the 4 r9-record rows that slipped the r12 window —
-    dsir_selection, kneser_ney_lm, hashed_bow, classifier_quality (the
-    oldest driver records in the registry);
-    (3) rows 14-15: jsonl_roundtrip + streaming_heavy_hitters (entry-
-    function scratch cleanup in r12; operators untouched, re-recorded);
-    (4) rows 16-49: the 34 oldest r10-record rows in registry order
-    (blocklist_stats .. corpus_pack). The remaining 10 r10 rows
-    (tfidf_top3, akm_demeaned_check, heckman_decomposition, vocab_stats,
+    (1) row 0: incremental_dedup — the NEW r14 contract (dedup of a new
+    batch against the PERSISTED fingerprint+MinHash state of an existing
+    corpus, the r12 'incremental-dedup bridge-chain caveat' made
+    first-class; r13 verdict item 5);
+    (2) row 1: streaming_late_data — implementation-changed in r14: the
+    synthetic fresh-key offsets are now DATA-DERIVED (off = 10^digits of
+    max event_id, r13 ADVICE) on both the Spark and oracle sides, so the
+    contract's VALUES changed at every SF and the r13 record is stale;
+    (3) rows 2-4: tfidf_top3 + akm_demeaned_check + heckman_decomposition
+    — the first slipped r10 rows, sitting right past the r13 boundary;
+    (4) rows 5-13: the 9 late-r12 contracts taking FIRST driver records —
+    dedup_lines, pack_sequences, epoch_repeat, zipf_fit, pmi_bigrams,
+    roc_points, streaming_histogram, streaming_vocab, streaming_drift;
+    (5) rows 14-20: the remaining 7 slipped r10 rows — vocab_stats,
     machado_mata, embedding_outliers, semantic_dedup, matching_weights,
-    cross_corpus_dedup, connected_components_geo) did not fit and ride
-    ORACLE_SWEEP_r13 as r14 window priority alongside the 9 late-r12
-    never-driver-recorded contracts.
+    cross_corpus_dedup, connected_components_geo;
+    (6) rows 21-49: the 29 oldest r11-record rows in registry order
+    (events_drift .. ann_lsh_top3).
 
-    Past the window, ordered by r14 due-date: tfidf_top3 +
-    akm_demeaned_check + heckman_decomposition (the first slipped r10
-    rows, sitting right past the boundary), the 9 late-r12 contracts
-    (never driver-recorded), the other 7 slipped r10 rows, the r11-record
-    rows (3 rounds old at r14 close), then the fresh r12 records.
+    With this window every driver record in the registry is r11 or
+    newer, and the oldest-record age DROPS from 4 rounds (r9 rows at r13
+    close) to 3 (the 18 r11 rows that did not fit).
 
-    No registry row's implementation changed in r13: the mm adaptive
-    anneal start touched only the Gram engine (fit_engine("distributed")),
-    which no contract row uses — its correctness is pinned by the parity
-    suite (test_gram_adaptive_anneal_start, gram-vs-taubatch parity) and
-    the committed ABAB artifact; the check_oracle cache/--procs changes
-    are verification-harness-side only.
+    Past the window, ordered by r15 due-date: the 18 remaining r11-record
+    rows (ann_ivf_top3 .. heavy_hitters — first in line at r15), then the
+    r12 records, then the r13 records (the freshest, re-recorded last
+    round).
+
+    Implementation changes touching registry rows this round:
+    streaming_late_data only (see (2)). The bench suspect-rule fix, the
+    CLI leakage/interleave fixes and the oracle-cache data fingerprint
+    are harness/CLI-side; the mixture_stream oracle edit corrected a
+    comment only (identical result set, r13 ADVICE item 3).
 
     Registry bookkeeping: pca_whiten_top2 — the one permanent rows-only
     row — was RETIRED from the registry in r12 (r11 verdict item 2). The
@@ -3583,82 +3615,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     registered row is therefore oracle-paired — machine-enforced by
     tests/test_bench_contract.py::test_registry_oracle_pairing (exact set
     equality between queries() and oracle_sql()).
-    The registry holds len(queries()) rows — 166 as of r13 close: 156 at
-    r12 plus the ten r13 contracts (streaming_late_data,
-    clip_stub_central, streaming_sessions, interleave_sources,
-    calibration_bins, classifier_ece, split_leakage, vocab_coverage,
-    streaming_window_expiry, mixture_stream), all oracle-paired.
+    The registry holds len(queries()) rows — 167 as of r14 close: 166 at
+    r13 plus incremental_dedup (r14 deliberately adds ONE contract — the
+    genuinely new persisted-state behavior — and spends the window budget
+    on record freshness per the r13 verdict item 4), all oracle-paired.
     Count the dict, don't trust prose. The committed ORACLE_SWEEP_r{N}.json carries
     the machine-readable full-registry check regenerated at each round
     close by `tools/check_oracle.py --json`; the 50-row driver window is
     the independent spot-check and rotates per the COVERAGE.md policy.
     """
     return {
-        # ==== r13 WINDOW (rows 0-49) =========================================
-        # rows 0-6: the 7 new r13 contracts take first records
+        # ==== r14 WINDOW (rows 0-49) =========================================
+        # row 0: the new r14 contract takes its first record
+        "incremental_dedup": q_incremental_dedup,
+        # row 1: impl-changed in r14 (data-derived fresh-key offsets — the
+        # r13 record's values are stale at every SF)
         "streaming_late_data": q_streaming_late_data,
-        "clip_stub_central": q_clip_stub_central,
-        "streaming_sessions": q_streaming_sessions,
-        "interleave_sources": q_interleave_sources,
-        "calibration_bins": q_calibration_bins,
-        "classifier_ece": q_classifier_ece,
-        "split_leakage": q_split_leakage,
-        "vocab_coverage": q_vocab_coverage,
-        "streaming_window_expiry": q_streaming_window_expiry,
-        "mixture_stream": q_mixture_stream,
-        # rows 7-10: the 4 r9-record rows that slipped the r12 window
-        # (oldest driver records in the registry; r12 verdict item 1)
-        "dsir_selection": q_dsir_selection,
-        "kneser_ney_lm": q_kneser_ney_lm,
-        "hashed_bow": q_hashed_bow,
-        "classifier_quality": q_classifier_quality,
-        # rows 11-12: entry-function scratch-cleanup re-records (operators
-        # untouched in r12; re-recorded per the NOTES_r12 window layout)
-        "jsonl_roundtrip": q_jsonl_roundtrip,
-        "streaming_heavy_hitters": q_streaming_heavy_hitters,
-        # rows 13-49: the 37 oldest r10-record rows, registry order (7 slip
-        # to r14 — see past-window section)
-        "blocklist_stats": q_blocklist_stats,
-        "media_metadata": q_media_metadata,
-        "ann_recall": q_ann_recall,
-        "source_quota": q_source_quota,
-        "pq_adc_top3": q_pq_adc_top3,
-        "ivfpq_top3": q_ivfpq_top3,
-        "events_props_stats": q_events_props_stats,
-        "user_sessions": q_user_sessions,
-        "sample_fraction": q_sample_fraction,
-        "sample_stratified": q_sample_stratified,
-        "corpus_mixture": q_corpus_mixture,
-        "corpus_split": q_corpus_split,
-        "regional_revenue": q_regional_revenue,
-        "segment_revenue_top10": q_segment_revenue_top10,
-        "oaxaca_mean_2pred": q_oaxaca_mean_2pred,
-        "oaxaca_categorical": q_oaxaca_categorical,
-        "oaxaca_wls": q_oaxaca_wls,
-        "embedding_cosine_dups": q_embedding_cosine_dups,
-        "embedding_cosine_dups_lsh": q_embedding_cosine_dups_lsh,
-        "quality_score": q_quality_score,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "adaptive_logprob_keep": q_adaptive_logprob_keep,
-        "dfl_densities": q_dfl_densities,
-        "kmeans_clusters": q_kmeans_clusters,
-        "oaxaca_mean_groupb": q_oaxaca_mean_groupb,
-        "oaxaca_mean_pooled": q_oaxaca_mean_pooled,
-        "oaxaca_mean_weighted": q_oaxaca_mean_weighted,
-        "rif_q90_groupb": q_rif_q90_groupb,
-        "budget_allocation": q_budget_allocation,
-        "vif_lineitem": q_vif_lineitem,
-        "ngram_jaccard": q_ngram_jaccard,
-        "dedup_clusters": q_dedup_clusters,
-        "corpus_prepare": q_corpus_prepare,
-        "corpus_pack": q_corpus_pack,
+        # rows 2-4: the first slipped r10 rows (right past the r13 boundary)
         "tfidf_top3": q_tfidf_top3,
         "akm_demeaned_check": q_akm_demeaned_check,
         "heckman_decomposition": q_heckman_decomposition,
-        # ==== past the window ================================================
-        # r14 window priority 1: the 9 late-r12 contracts (never driver-
-        # recorded — first records ride ORACLE_SWEEP_r12/r13) and the 7
-        # r10-record rows the arithmetic could not fit
+        # rows 5-13: the 9 late-r12 contracts (first driver records)
         "dedup_lines": q_dedup_lines,
         "pack_sequences": q_pack_sequences,
         "epoch_repeat": q_epoch_repeat,
@@ -3668,6 +3645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_histogram": q_streaming_histogram,
         "streaming_vocab": q_streaming_vocab,
         "streaming_drift": q_streaming_drift,
+        # rows 14-20: the remaining 7 slipped r10 rows
         "vocab_stats": q_vocab_stats,
         "machado_mata": q_machado_mata,
         "embedding_outliers": q_embedding_outliers,
@@ -3675,7 +3653,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matching_weights": q_matching_weights,
         "cross_corpus_dedup": q_cross_corpus_dedup,
         "connected_components_geo": q_connected_components_geo,
-        # r11-record rows — due r14 (3 rounds old at r14 close)
+        # rows 21-49: the 29 oldest r11-record rows, registry order (18
+        # slip to r15 — see past-window section)
         "events_drift": q_events_drift,
         "events_drift_metrics": q_events_drift_metrics,
         "lineitem_constraints": q_lineitem_constraints,
@@ -3705,6 +3684,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_ratios": q_script_ratios,
         "knn_cosine_top3": q_knn_cosine_top3,
         "ann_lsh_top3": q_ann_lsh_top3,
+        # ==== past the window ================================================
+        # the 18 remaining r11-record rows — first in line at r15
         "ann_ivf_top3": q_ann_ivf_top3,
         "embedding_normalize": q_embedding_normalize,
         "embedding_mean_pool": q_embedding_mean_pool,
@@ -3774,6 +3755,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_vocab": q_bpe_vocab,
         "bpe_merges": q_bpe_merges,
         "hilbert_customers": q_hilbert_customers,
+        # fresh r13 driver records (r13 window rows) — due r16
+        "clip_stub_central": q_clip_stub_central,
+        "streaming_sessions": q_streaming_sessions,
+        "interleave_sources": q_interleave_sources,
+        "calibration_bins": q_calibration_bins,
+        "classifier_ece": q_classifier_ece,
+        "split_leakage": q_split_leakage,
+        "vocab_coverage": q_vocab_coverage,
+        "streaming_window_expiry": q_streaming_window_expiry,
+        "mixture_stream": q_mixture_stream,
+        "dsir_selection": q_dsir_selection,
+        "kneser_ney_lm": q_kneser_ney_lm,
+        "hashed_bow": q_hashed_bow,
+        "classifier_quality": q_classifier_quality,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
+        "streaming_heavy_hitters": q_streaming_heavy_hitters,
+        "blocklist_stats": q_blocklist_stats,
+        "media_metadata": q_media_metadata,
+        "ann_recall": q_ann_recall,
+        "source_quota": q_source_quota,
+        "pq_adc_top3": q_pq_adc_top3,
+        "ivfpq_top3": q_ivfpq_top3,
+        "events_props_stats": q_events_props_stats,
+        "user_sessions": q_user_sessions,
+        "sample_fraction": q_sample_fraction,
+        "sample_stratified": q_sample_stratified,
+        "corpus_mixture": q_corpus_mixture,
+        "corpus_split": q_corpus_split,
+        "regional_revenue": q_regional_revenue,
+        "segment_revenue_top10": q_segment_revenue_top10,
+        "oaxaca_mean_2pred": q_oaxaca_mean_2pred,
+        "oaxaca_categorical": q_oaxaca_categorical,
+        "oaxaca_wls": q_oaxaca_wls,
+        "embedding_cosine_dups": q_embedding_cosine_dups,
+        "embedding_cosine_dups_lsh": q_embedding_cosine_dups_lsh,
+        "quality_score": q_quality_score,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "adaptive_logprob_keep": q_adaptive_logprob_keep,
+        "dfl_densities": q_dfl_densities,
+        "kmeans_clusters": q_kmeans_clusters,
+        "oaxaca_mean_groupb": q_oaxaca_mean_groupb,
+        "oaxaca_mean_pooled": q_oaxaca_mean_pooled,
+        "oaxaca_mean_weighted": q_oaxaca_mean_weighted,
+        "rif_q90_groupb": q_rif_q90_groupb,
+        "budget_allocation": q_budget_allocation,
+        "vif_lineitem": q_vif_lineitem,
+        "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
+        "corpus_prepare": q_corpus_prepare,
+        "corpus_pack": q_corpus_pack,
     }
 
 # --------------------------------------------------------------------------
@@ -7573,6 +7604,46 @@ def _oracle_sql_literals() -> dict[str, str]:
               JOIN sh b ON b.doc_id = c.rid
               WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
                           / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) >= 0.9
+              GROUP BY c.doc_id
+            )
+            SELECT * FROM exact
+            UNION ALL
+            SELECT * FROM near WHERE doc_id NOT IN (SELECT doc_id FROM exact)
+        """,
+        "incremental_dedup": f"""
+            -- full-recompute twin of the persisted-state ingest: fingerprints,
+            -- signatures and band keys recomputed from text for BOTH sides;
+            -- near verify = >= 15/16 signature-component agreement (the
+            -- state path has no corpus text to Jaccard against); exact
+            -- precedence, min matching state id
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(list_slice(toks, i, i+2), ' ')
+                                    for i in range(1, len(toks) - 1)]) shingles
+              FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') toks
+                    FROM documents)
+            ), sig AS (
+              SELECT doc_id,
+                     {_MINS_16}
+              FROM sh
+            ), bands AS (
+{_BANDS_UNION}
+            ), exact AS (
+              SELECT n.doc_id, min(r.doc_id) matched_ref_id, 'exact' stage
+              FROM documents n JOIN documents r ON md5(n.text) = md5(r.text)
+              WHERE n.doc_id % 4 = 0 AND r.doc_id % 4 <> 0
+              GROUP BY n.doc_id
+            ), cand AS (
+              SELECT DISTINCT nb.doc_id, rb.doc_id rid
+              FROM bands nb JOIN bands rb
+                ON nb.band_idx = rb.band_idx AND nb.band_key = rb.band_key
+              WHERE nb.doc_id % 4 = 0 AND rb.doc_id % 4 <> 0
+            ), near AS (
+              SELECT c.doc_id, min(c.rid) matched_ref_id, 'near' stage
+              FROM cand c
+              JOIN sig a ON a.doc_id = c.doc_id
+              JOIN sig b ON b.doc_id = c.rid
+              WHERE ({" + ".join(f"CASE WHEN a.mh_{p} = b.mh_{p} THEN 1 ELSE 0 END" for p in range(16))}) >= 15
               GROUP BY c.doc_id
             )
             SELECT * FROM exact

@@ -30,6 +30,8 @@ __all__ = [
     "minhash_table",
     "minhash_bands",
     "minhash_lsh_candidates",
+    "dedup_state",
+    "incremental_dedup",
     "simhash64",
     "simhash_table",
     "simhash_candidates",
@@ -232,6 +234,144 @@ def minhash_lsh_candidates(
         .distinct()
     )
     return pairs
+
+
+def dedup_state(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """Persistable dedup state of a corpus: one row per document —
+    ``(id, fp, sig)`` where ``fp`` is the md5 exact fingerprint and
+    ``sig`` the ``num_perm``-component MinHash signature. This is the ONE
+    expensive text pass (shingle explode + per-permutation md5 mins); LSH
+    band keys are pure projections of ``sig`` and are derived on demand,
+    so the state a daily ingestion pipeline writes to parquet is this
+    table and nothing else. See ``incremental_dedup`` for the consumer
+    and the append recipe.
+
+    Scale shape (100 TB): the state is ~50 bytes of hashes per document
+    regardless of text size; build it once per corpus, append per-batch.
+    For the exact stage's equi-join, persist it bucketed by ``fp``
+    (sources/bucketed.py) so each ingest prunes to colliding buckets.
+    Engine parity: fp and every sig component are md5 strings — the whole
+    table replays bit-identically in DuckDB (the contract oracle does)."""
+    sig = minhash_table(df, text_col=text_col, id_col=id_col, num_perm=num_perm, k=k, out_col="sig")
+    fp = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("fp"))
+    return fp.join(sig, id_col)
+
+
+def _band_keys_from_sig(
+    state: DataFrame, id_col: str, num_perm: int, bands: int
+) -> DataFrame:
+    """(id, band_idx, band_key) derived from a ``dedup_state`` sig column —
+    the identical banding minhash_bands computes from text (same concat_ws
+    + md5), as a pure projection with no text access."""
+    rows_per_band = num_perm // bands
+    band_cols = []
+    for b in range(bands):
+        band = F.concat_ws(
+            "|", *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+        )
+        band_cols.append(
+            F.struct(F.lit(b).alias("band_idx"), F.md5(band).alias("band_key"))
+        )
+    return state.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("__band")
+    ).select(
+        id_col,
+        F.col("__band.band_idx").alias("band_idx"),
+        F.col("__band.band_key").alias("band_key"),
+    )
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    state: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    sig_threshold: float = 0.9,
+) -> DataFrame:
+    """Dedup a NEW batch against the PERSISTED state of an existing corpus
+    without recomputing (or even reading) the corpus text — the daily
+    ingestion face ``ingest_increment`` runs with ``cross_corpus_dedup``
+    replaced by a state lookup. Returns ``(id, matched_ref_id, stage)``
+    for every batch document duplicating a state document; callers drop
+    them (``batch.join(result, id, 'left_anti')``) and append the
+    survivors' own state rows:
+
+        state   = dedup_state(corpus)                       # once, persisted
+        matches = incremental_dedup(todays_batch, state)
+        kept    = todays_batch.join(matches.select(id), id, 'left_anti')
+        state   = state.unionByName(dedup_state(kept))      # tomorrow's state
+
+    Stages, exact preferred over near, matched_ref_id = min matching state
+    id (deterministic, oracle-comparable — the cross_corpus_dedup
+    convention):
+
+    - 'exact': batch md5 fingerprint equi-joins ``state.fp``.
+    - 'near': batch band keys join the state's derived band keys, then
+      candidates verify by SIGNATURE AGREEMENT — dup iff at least
+      ``ceil(sig_threshold * num_perm)`` of the ``num_perm`` components
+      match (>= 15/16 at the defaults). With no corpus text available the
+      estimated Jaccard (component agreement is an unbiased estimator of
+      Jaccard) replaces cross_corpus_dedup's exact n-gram verify; at the
+      0.9 design threshold 15/16 agreement is a strictly conservative
+      verify on top of the band collision. The decision is an integer
+      compare — no float boundary rides the contract hash.
+
+    Bridge-chain semantics (PINNED, the r12 caveat): matching is batch
+    -> state ONLY. If state holds A, and the batch holds B ~ A and
+    C ~ B with C !~ A, then B is dropped but C is KEPT — a batch
+    document never matches another batch document here (run the
+    within-batch dedup first, as ingest_increment does, and note even
+    the full-rebuild comparison keeps such chains equivalent only up to
+    the documented bridge divergence). The suite pins both directions.
+
+    Scale shape (100 TB): per-ingest text work is batch-sized (the
+    batch's own state pass); the corpus contributes one fp equi-join and
+    one banded hash join over ~50-byte state rows — the corpus text is
+    never scanned. ``num_perm``/``bands``/``k`` must match the values the
+    state was built with (band keys are positional slices of sig)."""
+    import math
+
+    need = math.ceil(sig_threshold * num_perm)
+    bstate = dedup_state(batch, text_col=text_col, id_col=id_col, num_perm=num_perm, k=k)
+    sstate = state.select(
+        F.col(id_col).alias("__rid"), F.col("fp").alias("__rfp"), F.col("sig").alias("__rsig")
+    )
+    exact = (
+        bstate.join(sstate, bstate["fp"] == sstate["__rfp"])
+        .groupBy(id_col)
+        .agg(F.min("__rid").alias("matched_ref_id"))
+        .withColumn("stage", F.lit("exact"))
+    )
+    nb = _band_keys_from_sig(bstate, id_col, num_perm, bands)
+    rb = _band_keys_from_sig(
+        sstate.select(F.col("__rid").alias(id_col), F.col("__rsig").alias("sig")),
+        id_col, num_perm, bands,
+    ).select(F.col(id_col).alias("__rid"), "band_idx", "band_key")
+    cand = nb.join(rb, ["band_idx", "band_key"]).select(id_col, "__rid").distinct()
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sig"), F.col("__rsig"), lambda a, b: a == b),
+            lambda v: v,
+        )
+    )
+    near = (
+        cand.join(bstate.select(id_col, "sig"), id_col)
+        .join(sstate.select("__rid", "__rsig"), "__rid")
+        .where(agree >= F.lit(need))
+        .groupBy(id_col)
+        .agg(F.min("__rid").alias("matched_ref_id"))
+        .withColumn("stage", F.lit("near"))
+    )
+    return exact.unionByName(near.join(exact.select(id_col), id_col, "left_anti"))
 
 
 def simhash64(text: Column, k: int = 2) -> Column:

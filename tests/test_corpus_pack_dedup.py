@@ -422,6 +422,87 @@ def test_span_dedup_reassembly_is_lossless_without_duplicates(spark, sf_dir):
     assert bad.count() == 0
 
 
+def test_incremental_dedup_state_roundtrip_and_classes(spark, tmp_path):
+    """r14 (verdict item 5): dedup a NEW batch against the PERSISTED state
+    of an existing corpus — state built once (dedup_state), written to
+    parquet, read back; the batch's exact dup matches via fingerprint,
+    the true near dup via band collision + >= 15/16 signature agreement,
+    the fresh doc survives. Corpus text is never consulted after the
+    state build."""
+    from oaxaca_blinder_rs_spark.operators import dedup
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    corpus_df = _docs(spark, [
+        (1, base),
+        (2, "unrelated document about streaming watermark recovery semantics"),
+    ])
+    batch = _docs(spark, [
+        (10, base),                 # exact dup of 1
+        (11, base + " extraword"),  # shingle jaccard 58/59 ~ 0.983: near dup
+        (12, "fresh document about kneser ney smoothing with novel words"),
+    ])
+    state_dir = str(tmp_path / "state")
+    dedup.dedup_state(corpus_df).write.parquet(state_dir)
+    state = spark.read.parquet(state_dir)
+    got = {r["doc_id"]: (r["matched_ref_id"], r["stage"])
+           for r in dedup.incremental_dedup(batch, state).collect()}
+    assert got == {10: (1, "exact"), 11: (1, "near")}  # 12 kept
+
+
+def test_incremental_dedup_bridge_chain_keeps_c(spark):
+    """The r12 bridge-chain caveat, PINNED: state holds A; the batch holds
+    B ~ A and C ~ B with C !~ A. Matching is batch -> state ONLY, so B is
+    dropped and C is KEPT — and the contrast run (B's state appended, the
+    daily loop's next day) drops C, proving C ~ B is genuinely within
+    threshold and the keep is the documented chain semantics, not a
+    missed match. Fixture picked by replaying the md5 signature math
+    driver-side: 40-token windows shifted 3 / 6 tokens give signature
+    agreements A-B 12/16, B-C 10/16, A-C 6/16 with NO A-C band collision,
+    so at sig_threshold 0.55 (need 9) every assertion has >= 1 component
+    of margin — deterministic forever, not a lucky draw."""
+    from oaxaca_blinder_rs_spark.operators import dedup
+
+    w = [f"w{i}" for i in range(64)]
+    A = " ".join(w[0:40])
+    B = " ".join(w[3:43])
+    C = " ".join(w[9:49])
+    state_a = dedup.dedup_state(_docs(spark, [(1, A)]))
+    batch = _docs(spark, [(10, B), (11, C)])
+    got = {r["doc_id"]: (r["matched_ref_id"], r["stage"])
+           for r in dedup.incremental_dedup(batch, state_a, sig_threshold=0.55).collect()}
+    assert got == {10: (1, "near")}  # B dropped against A; C KEPT
+    # contrast: once B's state is in (tomorrow's state after keeping B
+    # somewhere, or a full-rebuild state), C matches through B
+    state_ab = state_a.unionByName(dedup.dedup_state(_docs(spark, [(2, B)])))
+    got2 = {r["doc_id"]: (r["matched_ref_id"], r["stage"])
+            for r in dedup.incremental_dedup(_docs(spark, [(11, C)]), state_ab,
+                                             sig_threshold=0.55).collect()}
+    assert got2 == {11: (2, "near")}
+
+
+def test_incremental_dedup_state_append_loop(spark):
+    """The daily-ingest recipe from the docstring: day-1 survivors' state
+    rows are appended (dedup_state on the kept docs, unionByName), and a
+    day-2 duplicate of a day-1 KEPT document is caught against the
+    appended state — state persistence composes across ingests."""
+    from oaxaca_blinder_rs_spark.operators import dedup
+
+    corpus_df = _docs(spark, [(1, "original corpus document with some shared phrasing")])
+    day1 = _docs(spark, [(100, "a brand new day one document about banded lsh joins")])
+    state = dedup.dedup_state(corpus_df)
+    m1 = dedup.incremental_dedup(day1, state)
+    assert m1.count() == 0  # day-1 doc is fresh
+    kept1 = day1.join(m1.select("doc_id"), "doc_id", "left_anti")
+    state = state.unionByName(dedup.dedup_state(kept1))
+    day2 = _docs(spark, [
+        (200, "a brand new day one document about banded lsh joins"),  # dup of 100
+        (201, "an unrelated day two document about watermark expiry"),
+    ])
+    got = {r["doc_id"]: (r["matched_ref_id"], r["stage"])
+           for r in dedup.incremental_dedup(day2, state).collect()}
+    assert got == {200: (100, "exact")}
+
+
 def test_ingest_increment_equals_rebuild(spark, sf_dir):
     """Daily-append contract: preparing batch 1, then ingesting batch 2
     against the full batch-1 history, keeps exactly the documents a full
