@@ -222,6 +222,37 @@ def build_parser() -> argparse.ArgumentParser:
         "--fail-on-leak", action="store_true",
         help="exit 1 if any leaked document is found (the CI-gate mode)",
     )
+
+    # net-new surface: persisted-state incremental ingest as a CLI verb
+    ig = sub.add_parser(
+        "ingest",
+        help="Dedup a new document batch against a persisted corpus dedup "
+        "state (fingerprint + MinHash signature) and append the survivors' "
+        "state — the daily-append pipeline without re-reading corpus text",
+    )
+    ig.add_argument("--batch", required=True, help="New documents (parquet dir/file)")
+    ig.add_argument(
+        "--state", required=True,
+        help="dedup-state parquet dir (dedup.dedup_state rows); created by --init",
+    )
+    ig.add_argument(
+        "--init", action="store_true",
+        help="bootstrap mode: build the state FROM --batch into --state "
+        "(no dedup, no --output)",
+    )
+    ig.add_argument("--output", default=None, help="kept batch documents (parquet dir)")
+    ig.add_argument("--text-col", default="text")
+    ig.add_argument("--id-col", default="doc_id")
+    ig.add_argument(
+        "--sig-threshold", type=float, default=0.9,
+        help="near-dup signature-agreement threshold (fraction of MinHash "
+        "components; >= ceil(threshold*16)/16 must match)",
+    )
+    ig.add_argument(
+        "--no-update-state", action="store_true",
+        help="dry-run the dedup: do not append the survivors' state rows",
+    )
+    ig.add_argument("--output-json", default=None, help="Write dropped rows as JSON")
     return p
 
 
@@ -573,6 +604,74 @@ def _run_leakage(spark, args) -> int:
     return 0
 
 
+def _run_ingest(spark, args) -> int:
+    """ingest verb: the persisted-state daily-append pipeline. --init
+    builds the state from a corpus; the normal mode dedups --batch against
+    the state (exact fingerprint + near signature-agreement), writes the
+    kept documents, and appends their state rows so tomorrow's ingest sees
+    them. One JSON stats line on stdout. Argument validation runs before
+    any Spark action (the r12 convention)."""
+    import os
+
+    from .operators.dedup import dedup_state, incremental_dedup
+
+    if args.init:
+        bad = [f for f in ("output",) if getattr(args, f)]
+        if bad or args.no_update_state:
+            print(json.dumps({"error": "--init only builds the state: "
+                              "--output/--no-update-state are not supported"}))
+            return 2
+        docs = spark.read.parquet(args.batch)
+        dedup_state(docs, text_col=args.text_col, id_col=args.id_col).write.mode(
+            "overwrite"
+        ).parquet(args.state)
+        n = spark.read.parquet(args.state).count()
+        print(json.dumps({"state_rows": n}))
+        return 0
+
+    if not args.output:
+        print(json.dumps({"error": "--output is required (or pass --init)"}))
+        return 2
+    if not os.path.exists(args.state):
+        print(json.dumps({"error": f"--state dir not found: {args.state} "
+                          "(bootstrap it with --init)"}))
+        return 2
+    batch = spark.read.parquet(args.batch)
+    state = spark.read.parquet(args.state)
+    matches = incremental_dedup(
+        batch, state, text_col=args.text_col, id_col=args.id_col,
+        sig_threshold=args.sig_threshold,
+    )
+    from pyspark.sql import functions as F
+
+    stage_counts = {
+        r["stage"]: r["n"]
+        for r in matches.groupBy("stage").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    if args.output_json:
+        with open(args.output_json, "w") as f:
+            json.dump([r.asDict() for r in matches.collect()], f, indent=1)
+    kept = batch.join(matches.select(args.id_col), args.id_col, "left_anti")
+    kept.write.mode("overwrite").parquet(args.output)
+    kept_back = spark.read.parquet(args.output)
+    n_kept = kept_back.count()
+    appended = 0
+    if not args.no_update_state:
+        # survivors' state rows come from the materialized output (no
+        # recompute, and the state dir is not being scanned mid-append)
+        new_state = dedup_state(kept_back, text_col=args.text_col, id_col=args.id_col)
+        new_state.write.mode("append").parquet(args.state)
+        appended = n_kept
+    print(json.dumps({
+        "batch_docs": batch.count(),
+        "dropped_exact": stage_counts.get("exact", 0),
+        "dropped_near": stage_counts.get("near", 0),
+        "docs_kept": n_kept,
+        "state_rows_appended": appended,
+    }))
+    return 0
+
+
 def _run_top_tokens(spark, args) -> int:
     """top-tokens verb: one JSON line per rank on stdout (+ optional file)."""
     import json
@@ -634,7 +733,7 @@ def main(argv=None) -> int:
     spark = get_spark("oaxaca-cli")
     spark.sparkContext.setLogLevel("ERROR")
 
-    if args.command in ("corpus", "tokenize", "quality", "drift", "profile", "top-tokens", "leakage"):
+    if args.command in ("corpus", "tokenize", "quality", "drift", "profile", "top-tokens", "leakage", "ingest"):
         try:
             if args.command == "corpus":
                 return _run_corpus(spark, args)
@@ -648,6 +747,8 @@ def main(argv=None) -> int:
                 return _run_top_tokens(spark, args)
             if args.command == "leakage":
                 return _run_leakage(spark, args)
+            if args.command == "ingest":
+                return _run_ingest(spark, args)
             return _run_drift(spark, args)
         finally:
             if owns_session:

@@ -1741,6 +1741,75 @@ def test_cli_interleave_keeps_null_group_rows(spark, sf_dir, tmp_path, capsys):
     assert back.filter(F.col("source").isNull()).count() > 0
 
 
+def test_cli_ingest_verb(spark, tmp_path, capsys):
+    """r14: the ingest verb — bootstrap a persisted dedup state with
+    --init, then a day-1 ingest (exact dup + near dup dropped, fresh doc
+    kept, state appended) and a day-2 ingest whose duplicate of the
+    day-1 KEPT doc is caught against the appended state. Validation
+    errors exit 2 before Spark work."""
+    import json as _json
+
+    from oaxaca_blinder_rs_spark.cli import main
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    corpus_dir = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(1, base), (2, "existing corpus doc about watermark recovery")],
+        "doc_id long, text string",
+    ).write.parquet(corpus_dir)
+    state = str(tmp_path / "state")
+
+    assert main(["ingest", "--init", "--batch", corpus_dir, "--state", state]) == 0
+    st = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st == {"state_rows": 2}
+
+    b1_dir = str(tmp_path / "b1")
+    spark.createDataFrame(
+        [(10, base), (11, base + " extraword"), (12, "a fresh day one doc about banded joins")],
+        "doc_id long, text string",
+    ).write.parquet(b1_dir)
+    out1, dropped1 = str(tmp_path / "kept1"), str(tmp_path / "dropped1.json")
+    assert main(["ingest", "--batch", b1_dir, "--state", state,
+                 "--output", out1, "--output-json", dropped1]) == 0
+    st1 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st1 == {"batch_docs": 3, "dropped_exact": 1, "dropped_near": 1,
+                   "docs_kept": 1, "state_rows_appended": 1}
+    rows = _json.loads(open(dropped1).read())
+    assert {(r["doc_id"], r["matched_ref_id"], r["stage"]) for r in rows} == \
+        {(10, 1, "exact"), (11, 1, "near")}
+    assert {r["doc_id"] for r in spark.read.parquet(out1).collect()} == {12}
+
+    # day 2: a dup of the day-1 KEPT doc is caught via the appended state
+    b2_dir = str(tmp_path / "b2")
+    spark.createDataFrame(
+        [(20, "a fresh day one doc about banded joins"), (21, "another brand new doc")],
+        "doc_id long, text string",
+    ).write.parquet(b2_dir)
+    out2 = str(tmp_path / "kept2")
+    assert main(["ingest", "--batch", b2_dir, "--state", state, "--output", out2]) == 0
+    st2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st2["dropped_exact"] == 1 and st2["docs_kept"] == 1
+    assert {r["doc_id"] for r in spark.read.parquet(out2).collect()} == {21}
+
+    # dry-run leaves the state untouched
+    n_state = spark.read.parquet(state).count()
+    out3 = str(tmp_path / "kept3")
+    assert main(["ingest", "--batch", b2_dir, "--state", state,
+                 "--output", out3, "--no-update-state"]) == 0
+    capsys.readouterr()
+    assert spark.read.parquet(state).count() == n_state
+
+    # validation before Spark work
+    assert main(["ingest", "--batch", b2_dir, "--state", state]) == 2
+    assert "--output is required" in capsys.readouterr().out
+    assert main(["ingest", "--batch", b2_dir, "--state", str(tmp_path / "nope"),
+                 "--output", out3]) == 2
+    assert "bootstrap it with --init" in capsys.readouterr().out
+    assert main(["ingest", "--init", "--batch", b2_dir, "--state", state,
+                 "--output", out3]) == 2
+    assert "only builds the state" in capsys.readouterr().out
+
+
 def test_cli_leakage_summary_without_output_json(spark, sf_dir, capsys, tmp_path):
     """r14 (ADVICE): without --output-json the leakage verb now counts via
     a groupBy aggregation (no unbounded driver collect); the summary must
