@@ -140,6 +140,35 @@ def test_np_calibration_runs_and_is_excluded_from_totals():
     assert flagged == []
 
 
+def test_oracle_cache_key_tracks_data_fingerprint(tmp_path):
+    """r14 (ADVICE): the oracle cache key must change when the testdata
+    under the same path is regenerated — size or mtime movement of any
+    parquet file yields a new key, while an untouched tree replays the
+    same key."""
+    spec = importlib.util.spec_from_file_location(
+        "check_oracle_mod",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "tools", "check_oracle.py"),
+    )
+    m = importlib.util.module_from_spec(spec)
+    sys.modules.setdefault("check_oracle_mod", m)
+    spec.loader.exec_module(m)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    f = sf / "documents.parquet"
+    f.write_bytes(b"AAAA")
+    k1 = m._cache_key("SELECT 1", str(sf))
+    assert m._cache_key("SELECT 1", str(sf)) == k1     # stable when untouched
+    assert m._cache_key("SELECT 2", str(sf)) != k1     # SQL still keyed
+    f.write_bytes(b"BBBBBB")                           # regenerated data
+    assert m._cache_key("SELECT 1", str(sf)) != k1
+    # non-parquet files are not part of the fingerprint
+    k2 = m._cache_key("SELECT 1", str(sf))
+    (sf / "notes.txt").write_text("x")
+    assert m._cache_key("SELECT 1", str(sf)) == k2
+
+
 # ---- driver-contract registry invariants (round 12) --------------------------
 
 
