@@ -1827,6 +1827,63 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(state_dir, ignore_errors=True)
 
 
+def q_streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming persisted-state ingest (r14; NINTH streaming contract and
+    the first exercising foreachBatch + external-store cross-batch state):
+    a two-micro-batch availableNow replay through
+    streaming.events.streaming_ingest_dedup. Corpus (id % 4 != 0) state is
+    bootstrapped to parquet; batch 1 = id % 8 == 0 docs; batch 2 =
+    id % 8 == 4 docs PLUS a re-emission of every batch-1 document under
+    id + off (off = 10^digits(max id), the data-derived offset
+    convention). Each micro-batch exact-dedups within itself
+    (keep-min-id per md5), drops docs duplicating the persisted state
+    (fingerprint exact + 15/16 signature-agreement near), and APPENDS the
+    survivors' state — so a batch-2 copy of a batch-1 KEPT document is
+    dropped through state that batch 1 itself wrote mid-query (the
+    cross-batch pin no single-batch replay can fake; copies of batch-1
+    DROPPED docs fall to the corpus state either way). The oracle replays
+    the full two-batch sequence in SQL — fingerprints, signatures, bands,
+    agreement, within-batch grouping, and the sequential state evolution.
+    Returns (doc_id, text_md5) for every kept document across both
+    batches; ids are disjoint by construction so the multiset pins batch
+    attribution too."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from oaxaca_blinder_rs_spark.operators.dedup import dedup_state
+    from oaxaca_blinder_rs_spark.streaming.events import streaming_ingest_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    off = 10 ** len(str(int(docs.agg(F.max("doc_id")).collect()[0][0])))
+    b1 = docs.filter(F.col("doc_id") % 8 == 0)
+    b2 = docs.filter(F.col("doc_id") % 8 == 4).unionByName(
+        b1.select((F.col("doc_id") + F.lit(off)).alias("doc_id"), "text")
+    )
+    run = f"{os.getpid()}_{uuid.uuid4().hex[:8]}"
+    root = tempfile.mkdtemp(prefix=f"oaxaca_singest_{run}_")
+    src, state, out, ckpt = (f"{root}/{d}" for d in ("src", "state", "out", "ckpt"))
+    try:
+        dedup_state(corpus).write.parquet(f"{state}/base")
+        b1.coalesce(1).write.parquet(src)
+        streaming_ingest_dedup(spark, src, state, out, ckpt)
+        b2.coalesce(1).write.mode("append").parquet(src)
+        streaming_ingest_dedup(spark, src, state, out, ckpt)
+        kept = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(out)
+            .select(
+                "doc_id",
+                F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("text_md5"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        return kept
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 5-gram contamination audit (corpus.ngram_contamination, r6):
     docs with id < 450 as the training corpus, id >= 450 as the probe set
@@ -3571,31 +3628,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     then implementation-changed rows, then the oldest driver records —
     executed exactly per the r13 verdict item 1 priority list):
 
-    (1) row 0: incremental_dedup — the NEW r14 contract (dedup of a new
-    batch against the PERSISTED fingerprint+MinHash state of an existing
-    corpus, the r12 'incremental-dedup bridge-chain caveat' made
-    first-class; r13 verdict item 5);
-    (2) row 1: streaming_late_data — implementation-changed in r14: the
+    (1) rows 0-1: the NEW r14 contracts — incremental_dedup (dedup of a
+    new batch against the PERSISTED fingerprint+MinHash state of an
+    existing corpus, the r12 'incremental-dedup bridge-chain caveat' made
+    first-class; r13 verdict item 5) and streaming_ingest_dedup (the
+    foreachBatch streaming face of the same state: per-micro-batch ingest
+    with external-store state appended ACROSS batches — the ninth
+    streaming contract and the first exercising foreachBatch);
+    (2) row 2: streaming_late_data — implementation-changed in r14: the
     synthetic fresh-key offsets are now DATA-DERIVED (off = 10^digits of
     max event_id, r13 ADVICE) on both the Spark and oracle sides, so the
     contract's VALUES changed at every SF and the r13 record is stale;
-    (3) rows 2-4: tfidf_top3 + akm_demeaned_check + heckman_decomposition
+    (3) rows 3-5: tfidf_top3 + akm_demeaned_check + heckman_decomposition
     — the first slipped r10 rows, sitting right past the r13 boundary;
-    (4) rows 5-13: the 9 late-r12 contracts taking FIRST driver records —
+    (4) rows 6-14: the 9 late-r12 contracts taking FIRST driver records —
     dedup_lines, pack_sequences, epoch_repeat, zipf_fit, pmi_bigrams,
     roc_points, streaming_histogram, streaming_vocab, streaming_drift;
-    (5) rows 14-20: the remaining 7 slipped r10 rows — vocab_stats,
+    (5) rows 15-21: the remaining 7 slipped r10 rows — vocab_stats,
     machado_mata, embedding_outliers, semantic_dedup, matching_weights,
     cross_corpus_dedup, connected_components_geo;
-    (6) rows 21-49: the 29 oldest r11-record rows in registry order
-    (events_drift .. ann_lsh_top3).
+    (6) rows 22-49: the 28 oldest r11-record rows in registry order
+    (events_drift .. knn_cosine_top3).
 
     With this window every driver record in the registry is r11 or
     newer, and the oldest-record age DROPS from 4 rounds (r9 rows at r13
-    close) to 3 (the 18 r11 rows that did not fit).
+    close) to 3 (the 19 r11 rows that did not fit).
 
-    Past the window, ordered by r15 due-date: the 18 remaining r11-record
-    rows (ann_ivf_top3 .. heavy_hitters — first in line at r15), then the
+    Past the window, ordered by r15 due-date: the 19 remaining r11-record
+    rows (ann_lsh_top3 .. heavy_hitters — first in line at r15), then the
     r12 records, then the r13 records (the freshest, re-recorded last
     round).
 
@@ -3615,20 +3675,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     registered row is therefore oracle-paired — machine-enforced by
     tests/test_bench_contract.py::test_registry_oracle_pairing (exact set
     equality between queries() and oracle_sql()).
-    The registry holds len(queries()) rows — 167 as of r14 close: 166 at
-    r13 plus incremental_dedup (r14 deliberately adds ONE contract — the
-    genuinely new persisted-state behavior — and spends the window budget
-    on record freshness per the r13 verdict item 4), all oracle-paired.
-    Count the dict, don't trust prose. The committed ORACLE_SWEEP_r{N}.json carries
+    The registry holds len(queries()) rows — 168 as of r14 close: 166 at
+    r13 plus incremental_dedup and streaming_ingest_dedup (r14
+    deliberately adds only the two genuinely new persisted-state
+    behaviors — batch and streaming faces of one new mechanism — and
+    spends the window budget on record freshness per the r13 verdict
+    item 4), all oracle-paired. Count the dict, don't trust prose. The committed ORACLE_SWEEP_r{N}.json carries
     the machine-readable full-registry check regenerated at each round
     close by `tools/check_oracle.py --json`; the 50-row driver window is
     the independent spot-check and rotates per the COVERAGE.md policy.
     """
     return {
         # ==== r14 WINDOW (rows 0-49) =========================================
-        # row 0: the new r14 contract takes its first record
+        # rows 0-1: the two new r14 contracts take their first records
         "incremental_dedup": q_incremental_dedup,
-        # row 1: impl-changed in r14 (data-derived fresh-key offsets — the
+        "streaming_ingest_dedup": q_streaming_ingest_dedup,
+        # row 2: impl-changed in r14 (data-derived fresh-key offsets — the
         # r13 record's values are stale at every SF)
         "streaming_late_data": q_streaming_late_data,
         # rows 2-4: the first slipped r10 rows (right past the r13 boundary)
@@ -3683,9 +3745,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_logprob": q_ngram_logprob,
         "script_ratios": q_script_ratios,
         "knn_cosine_top3": q_knn_cosine_top3,
-        "ann_lsh_top3": q_ann_lsh_top3,
         # ==== past the window ================================================
-        # the 18 remaining r11-record rows — first in line at r15
+        # the 19 remaining r11-record rows — first in line at r15
+        "ann_lsh_top3": q_ann_lsh_top3,
         "ann_ivf_top3": q_ann_ivf_top3,
         "embedding_normalize": q_embedding_normalize,
         "embedding_mean_pool": q_embedding_mean_pool,
@@ -4351,6 +4413,9 @@ def _semantic_dedup_sql(k: int = 6, iters: int = 2, threshold: float = 0.5) -> s
 # dedup.minhash_bands for the cross-corpus dedup oracle.
 _MINS_16 = ",\n                     ".join(
     f"list_min([md5('p{p}:' || s) for s in shingles]) mh_{p}" for p in range(16)
+)
+_AGREE_16 = " + ".join(
+    f"CASE WHEN a.mh_{p} = b.mh_{p} THEN 1 ELSE 0 END" for p in range(16)
 )
 _BANDS_UNION = "\n              UNION ALL\n".join(
     f"              SELECT doc_id, {b} band_idx, "
@@ -7609,6 +7674,98 @@ def _oracle_sql_literals() -> dict[str, str]:
             SELECT * FROM exact
             UNION ALL
             SELECT * FROM near WHERE doc_id NOT IN (SELECT doc_id FROM exact)
+        """,
+        "streaming_ingest_dedup": f"""
+            -- sequential replay of the two-micro-batch foreachBatch ingest:
+            -- batch 1 (id % 8 = 0) within-batch keep-min-id per md5, then
+            -- exact/near drops vs the corpus state (id % 4 <> 0); batch 2
+            -- (id % 8 = 4 originals + every batch-1 doc re-emitted under
+            -- id + off) against corpus UNION batch-1 survivors — the state
+            -- batch 1 appended mid-query. off = 10^digits(max id); a copy
+            -- row's content is its source doc's, so sig/bands resolve via
+            -- src = id - off when id >= off
+            WITH offv AS (
+              SELECT CAST(power(10, length(CAST(max(doc_id) AS VARCHAR))) AS BIGINT) o
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(list_slice(toks, i, i+2), ' ')
+                                    for i in range(1, len(toks) - 1)]) shingles
+              FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') toks
+                    FROM documents)
+            ), sig AS (
+              SELECT doc_id,
+                     {_MINS_16}
+              FROM sh
+            ), bands AS (
+{_BANDS_UNION}
+            ), corp AS (
+              SELECT doc_id FROM documents WHERE doc_id % 4 <> 0
+            ), b1 AS (
+              SELECT doc_id FROM documents WHERE doc_id % 8 = 0
+            ), b1k AS (
+              SELECT min(d.doc_id) doc_id
+              FROM documents d JOIN b1 ON b1.doc_id = d.doc_id
+              GROUP BY md5(d.text)
+            ), b1_ex AS (
+              SELECT DISTINCT n.doc_id
+              FROM documents n JOIN b1k ON b1k.doc_id = n.doc_id
+              JOIN documents r ON md5(n.text) = md5(r.text)
+              JOIN corp ON corp.doc_id = r.doc_id
+            ), b1_cand AS (
+              SELECT DISTINCT nb.doc_id, rb.doc_id rid
+              FROM bands nb JOIN b1k ON b1k.doc_id = nb.doc_id
+              JOIN bands rb ON nb.band_idx = rb.band_idx AND nb.band_key = rb.band_key
+              JOIN corp ON corp.doc_id = rb.doc_id
+            ), b1_nr AS (
+              SELECT DISTINCT c.doc_id
+              FROM b1_cand c JOIN sig a ON a.doc_id = c.doc_id
+              JOIN sig b ON b.doc_id = c.rid
+              WHERE ({_AGREE_16}) >= 15
+            ), kept1 AS (
+              SELECT doc_id FROM b1k
+              WHERE doc_id NOT IN (SELECT doc_id FROM b1_ex)
+                AND doc_id NOT IN (SELECT doc_id FROM b1_nr)
+            ), st1 AS (
+              SELECT doc_id FROM corp UNION SELECT doc_id FROM kept1
+            ), b2 AS (
+              SELECT doc_id AS id, doc_id AS src FROM documents WHERE doc_id % 8 = 4
+              UNION ALL
+              SELECT b1.doc_id + offv.o, b1.doc_id FROM b1, offv
+            ), b2k AS (
+              SELECT min(b2.id) id,
+                     CASE WHEN min(b2.id) >= any_value(offv.o)
+                          THEN min(b2.id) - any_value(offv.o)
+                          ELSE min(b2.id) END src
+              FROM b2 JOIN documents d ON d.doc_id = b2.src, offv
+              GROUP BY md5(d.text)
+            ), b2_ex AS (
+              SELECT DISTINCT k.id
+              FROM b2k k JOIN documents n ON n.doc_id = k.src
+              JOIN documents r ON md5(n.text) = md5(r.text)
+              JOIN st1 s ON s.doc_id = r.doc_id
+            ), b2_cand AS (
+              SELECT DISTINCT k.id, rb.doc_id rid
+              FROM b2k k JOIN bands nb ON nb.doc_id = k.src
+              JOIN bands rb ON nb.band_idx = rb.band_idx AND nb.band_key = rb.band_key
+              JOIN st1 s ON s.doc_id = rb.doc_id
+            ), b2_nr AS (
+              SELECT DISTINCT c.id
+              FROM b2_cand c JOIN b2k k ON k.id = c.id
+              JOIN sig a ON a.doc_id = k.src
+              JOIN sig b ON b.doc_id = c.rid
+              WHERE ({_AGREE_16}) >= 15
+            ), kept2 AS (
+              SELECT id FROM b2k
+              WHERE id NOT IN (SELECT id FROM b2_ex)
+                AND id NOT IN (SELECT id FROM b2_nr)
+            )
+            SELECT k.doc_id, md5(coalesce(d.text, '')) AS text_md5
+            FROM kept1 k JOIN documents d ON d.doc_id = k.doc_id
+            UNION ALL
+            SELECT k.id AS doc_id, md5(coalesce(d.text, '')) AS text_md5
+            FROM kept2 k JOIN b2k ON b2k.id = k.id
+            JOIN documents d ON d.doc_id = b2k.src
         """,
         "incremental_dedup": f"""
             -- full-recompute twin of the persisted-state ingest: fingerprints,

@@ -34,6 +34,7 @@ __all__ = [
     "streaming_vocab_cells",
     "streaming_dsir_scores",
     "streaming_source_quota",
+    "streaming_ingest_dedup",
     "streaming_mg_candidates",
     "mg_snapshot_candidates",
     "sessionize_batch",
@@ -838,6 +839,101 @@ def streaming_source_quota(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_ingest_dedup(
+    spark,
+    source_dir: str,
+    state_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    sig_threshold: float = 0.9,
+    timeout_sec: int = 300,
+) -> None:
+    """Streaming incremental-ingest dedup — the `foreachBatch` face of
+    ``operators.dedup.incremental_dedup``, and the one streaming surface
+    here whose cross-batch state lives in an EXTERNAL store (parquet)
+    rather than Spark's operator state. Each micro-batch of new documents
+
+      1. exact-dedups WITHIN itself (keep-min-id per md5 fingerprint —
+         two copies arriving in the same batch resolve immediately),
+      2. drops documents duplicating the persisted state
+         (``incremental_dedup``: fingerprint equi-join exact + derived-
+         band collision with signature-agreement near — corpus text never
+         read),
+      3. writes the survivors under ``out_dir`` and APPENDS their state
+         rows under ``state_dir`` — so a duplicate arriving in a LATER
+         micro-batch of a document kept in an EARLIER one is caught
+         through the state that earlier batch just wrote.
+
+    Built-in stateful operators cannot express this (the dedup "state"
+    here is content-addressed MinHash/fingerprint rows that must outlive
+    the query and be shared with batch ingests), so ``foreachBatch`` is
+    the honest mechanism: the sink function runs arbitrary BATCH
+    DataFrame code per micro-batch with exactly-once bookkeeping of which
+    input files were consumed.
+
+    Idempotency contract: foreachBatch re-runs a micro-batch after a
+    failure, so both writes go to per-batch subdirectories
+    (``batch_<id>/``) in OVERWRITE mode — a replayed batch rewrites its
+    own output instead of double-appending. Bootstrap the state by
+    writing ``dedup_state(corpus)`` under ``state_dir`` (any subdir, e.g.
+    ``base/``) before the first run; the state is read with
+    recursiveFileLookup so base + per-batch appends form one table.
+
+    One source file per micro-batch (``maxFilesPerTrigger`` 1, the
+    one-file-one-batch replay convention); runs the availableNow replay
+    to completion (resuming ``checkpoint_dir`` if it exists) and returns
+    after ``timeout_sec`` at the latest.
+
+    Scale shape (100 TB): per-batch text work is batch-sized; the state
+    contributes hash-row joins only (the ``incremental_dedup`` contract);
+    the per-batch state subdirs are append-only parquet a nightly
+    compaction can fold into ``base/``.
+    """
+    from pyspark.sql import Window
+
+    from ..operators.dedup import dedup_state, incremental_dedup
+
+    schema = spark.read.parquet(source_dir).schema
+
+    def _ingest(batch_df, batch_id):
+        sess = batch_df.sparkSession
+        state = sess.read.option("recursiveFileLookup", "true").parquet(state_dir)
+        w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+        b = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        matches = incremental_dedup(
+            b, state, text_col=text_col, id_col=id_col,
+            num_perm=num_perm, bands=bands, k=k, sig_threshold=sig_threshold,
+        )
+        kept = b.join(matches.select(id_col), id_col, "left_anti").localCheckpoint(eager=True)
+        kept.write.mode("overwrite").parquet(f"{out_dir}/batch_{batch_id}")
+        dedup_state(
+            kept, text_col=text_col, id_col=id_col, num_perm=num_perm, k=k
+        ).write.mode("overwrite").parquet(f"{state_dir}/batch_{batch_id}")
+
+    q = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(source_dir)
+        .writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise RuntimeError("streaming_ingest_dedup: availableNow replay timed out")
 
 
 def streaming_mg_candidates(

@@ -503,6 +503,54 @@ def test_incremental_dedup_state_append_loop(spark):
     assert got == {200: (100, "exact")}
 
 
+def test_streaming_ingest_dedup_cross_batch_state(spark, tmp_path):
+    """r14 (NINTH streaming contract): the foreachBatch persisted-state
+    ingest. Batch 1 drops an exact state dup + an in-batch copy and keeps
+    two docs; batch 2's copy of a batch-1 KEPT doc is dropped via the
+    state batch 1 appended mid-query — the cross-batch pin — while a
+    fresh doc survives. Also pins the idempotency layout: per-batch
+    subdirs, so the state/output layout is re-run-safe."""
+    import os as _os
+
+    from oaxaca_blinder_rs_spark.operators.dedup import dedup_state
+    from oaxaca_blinder_rs_spark.streaming.events import streaming_ingest_dedup
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    corpus_df = _docs(spark, [(1, base), (2, "existing corpus doc about state")])
+    root = str(tmp_path)
+    src, state, out, ckpt = (f"{root}/{d}" for d in ("src", "state", "out", "ckpt"))
+    dedup_state(corpus_df).write.parquet(f"{state}/base")
+
+    b1 = _docs(spark, [
+        (10, base),                                   # exact dup of state doc 1
+        (11, "a fresh day one document about joins"), # kept (min id of the pair)
+        (12, "a fresh day one document about joins"), # in-batch exact dup of 11
+        (13, "another fresh unique doc entirely"),    # kept
+    ])
+    b1.coalesce(1).write.parquet(src)
+    streaming_ingest_dedup(spark, src, state, out, ckpt)
+    b2 = _docs(spark, [
+        (20, "a fresh day one document about joins"), # dup of KEPT 11 -> cross-batch drop
+        (21, "a genuinely new day two document"),     # kept
+    ])
+    b2.coalesce(1).write.mode("append").parquet(src)
+    streaming_ingest_dedup(spark, src, state, out, ckpt)
+
+    kept = spark.read.option("recursiveFileLookup", "true").parquet(out)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [11, 13, 21]
+    # per-batch subdirs: batch 0 kept {11,13}, batch 1 kept {21}
+    assert sorted(r["doc_id"] for r in spark.read.parquet(f"{out}/batch_0").collect()) == [11, 13]
+    assert sorted(r["doc_id"] for r in spark.read.parquet(f"{out}/batch_1").collect()) == [21]
+    # state grew by exactly the kept docs, under per-batch dirs
+    st = spark.read.option("recursiveFileLookup", "true").parquet(state)
+    assert sorted(r["doc_id"] for r in st.collect()) == [1, 2, 11, 13, 21]
+    assert _os.path.isdir(f"{state}/batch_0") and _os.path.isdir(f"{state}/batch_1")
+    # replaying with the same checkpoint is a no-op (files already consumed)
+    streaming_ingest_dedup(spark, src, state, out, ckpt)
+    assert spark.read.option("recursiveFileLookup", "true").parquet(out).count() == 3
+    assert spark.read.option("recursiveFileLookup", "true").parquet(state).count() == 5
+
+
 def test_ingest_increment_equals_rebuild(spark, sf_dir):
     """Daily-append contract: preparing batch 1, then ingesting batch 2
     against the full batch-1 history, keeps exactly the documents a full
