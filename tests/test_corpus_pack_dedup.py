@@ -503,6 +503,109 @@ def test_incremental_dedup_state_append_loop(spark):
     assert got == {200: (100, "exact")}
 
 
+def _py_incremental_dedup(corpus_rows, batch_rows, need=15, num_perm=16, k=3, bands=4):
+    """Pure-Python third implementation of dedup_state + incremental_dedup
+    (independent of both Spark and DuckDB): md5 fingerprints, minhash
+    signatures, band keys, component agreement. Replicates the ENGINE's
+    exact string semantics — F.trim strips ASCII space 0x20 only, Java's
+    split(\\s+) uses [ \\t\\n\\x0b\\f\\r] (not Unicode-aware) and drops
+    TRAILING empty tokens only — precisely the places a silent
+    cross-engine divergence would hide."""
+    import hashlib as _hl
+    import re as _re
+
+    def toks(s):
+        parts = _re.split(r"[ \t\n\x0b\f\r]+", s.lower().strip(" "))
+        while parts and parts[-1] == "":
+            parts.pop()
+        return parts if parts else [""]
+
+    def shingles(s):
+        t = toks(s)
+        if len(t) >= k:
+            return list(dict.fromkeys(" ".join(t[i:i + k]) for i in range(len(t) - k + 1)))
+        return [" ".join(t)]
+
+    def sig(s):
+        sh = shingles(s)
+        return [min(_hl.md5(f"p{p}:{x}".encode()).hexdigest() for x in sh)
+                for p in range(num_perm)]
+
+    def band_keys(sg):
+        rpb = num_perm // bands
+        return {(b, _hl.md5("|".join(sg[b * rpb + r] for r in range(rpb)).encode()).hexdigest())
+                for b in range(bands)}
+
+    state = {i: (_hl.md5(t.encode()).hexdigest(), sig(t)) for i, t in corpus_rows}
+    out = {}
+    for i, t in batch_rows:
+        fp = _hl.md5(t.encode()).hexdigest()
+        ex = [ri for ri, (rfp, _) in state.items() if rfp == fp]
+        if ex:
+            out[i] = (min(ex), "exact")
+            continue
+        sg, bk = sig(t), band_keys(sig(t))
+        nr = [ri for ri, (_, rsg) in state.items()
+              if bk & band_keys(rsg)
+              and sum(a == b for a, b in zip(sg, rsg)) >= need]
+        if nr:
+            out[i] = (min(nr), "near")
+    return out
+
+
+def test_incremental_dedup_python_parity_adversarial_text(spark):
+    """Three-implementation agreement on ADVERSARIAL text the driver tables
+    never contain: empty strings, tab/newline whitespace runs (where Java
+    split drops trailing empties but keeps leading ones), accented and CJK
+    unicode, emoji, single tokens, and planted exact/near duplicates
+    across the corpus/batch split. The Spark operator must agree exactly
+    with the independent pure-Python replica on every batch doc's
+    (matched_ref_id, stage) — including the docs that match nothing."""
+    import random
+
+    from oaxaca_blinder_rs_spark.operators import dedup
+
+    rng = random.Random(7)
+    words = ["alpha", "beta", "gamma", "délta", "épsilon", "zeta", "数据", "流",
+             "τ", "ω", "naïve", "emoji🙂", "x"]
+    base_texts = [
+        "",                                  # empty
+        "   ",                               # spaces only (trims to empty)
+        "\tword\t",                          # tabs survive F.trim
+        "single",
+        "δ λ",                               # short unicode
+        "a\nb\nc\nd e f g h",                # newline separators
+    ]
+    for n in (5, 12, 25, 40):
+        for _ in range(6):
+            base_texts.append(" ".join(rng.choice(words) for _ in range(n)))
+    corpus_rows, batch_rows, nid = [], [], 0
+    for t in base_texts:
+        corpus_rows.append((nid, t)); nid += 1
+    for t in base_texts:
+        r = rng.random()
+        if r < 0.3:
+            batch_rows.append((1000 + nid, t))                    # exact dup
+        elif r < 0.6:
+            batch_rows.append((1000 + nid, t + " extratoken"))     # near-ish
+        else:
+            batch_rows.append((1000 + nid, t + " " + " ".join(
+                rng.choice(words) for _ in range(8))))             # diverged
+        nid += 1
+    batch_rows.append((5000, "a brand new never seen document"))
+
+    want = _py_incremental_dedup(corpus_rows, batch_rows)
+    state = dedup.dedup_state(spark.createDataFrame(corpus_rows, "doc_id long, text string"))
+    got = {r["doc_id"]: (r["matched_ref_id"], r["stage"])
+           for r in dedup.incremental_dedup(
+               spark.createDataFrame(batch_rows, "doc_id long, text string"), state
+           ).collect()}
+    assert got == want
+    # the pool must actually exercise all three outcomes
+    stages = {s for _, s in want.values()}
+    assert stages == {"exact", "near"} and len(want) < len(batch_rows)
+
+
 def test_streaming_ingest_dedup_cross_batch_state(spark, tmp_path):
     """r14 (NINTH streaming contract): the foreachBatch persisted-state
     ingest. Batch 1 drops an exact state dup + an in-batch copy and keeps
