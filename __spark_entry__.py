@@ -2133,7 +2133,12 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Contract-scale edges come from the exact all-pairs Jaccard; at corpus
     scale the edge input is the LSH candidate set (same operator)."""
     docs = _t(spark, sf_dir, "documents")
-    pruned = dedup.size_pruned_pairs(docs, k=3, threshold=0.9)
+    # r14 OPT: prefix-filtered candidates (rarest-shingle inverted index)
+    # replace the quadratic id x id enumeration; lossless for the 0.9
+    # rounded threshold and carrying the identical size-ratio prune, so the
+    # verified edge set — and hence the clusters — are unchanged (proof +
+    # before/after in OPTIMIZATION_r14.md)
+    pruned = dedup.prefix_filtered_pairs(docs, k=3, threshold=0.9)
     edges = dedup.ngram_jaccard(docs, pruned, k=3).filter(
         F.round("jaccard", 6) >= 0.9
     )

@@ -147,7 +147,12 @@ def prepare_corpus(
             if mode == "auto":
                 mode = "lsh" if kept.count() > int(lsh_threshold) else "allpairs"
             if mode == "allpairs":
-                candidate_pairs = dedup.size_pruned_pairs(
+                # r14 OPT: prefix-filtered inverted-index candidates replace
+                # the quadratic id x id enumeration — a lossless superset of
+                # every pair the rounded jaccard_threshold verify can keep,
+                # with the identical size-ratio prune applied inside, so the
+                # verified edge set (and the survivors) are unchanged
+                candidate_pairs = dedup.prefix_filtered_pairs(
                     kept, text_col="__text", id_col=id_col, k=shingle_k, threshold=jaccard_threshold
                 )
             else:

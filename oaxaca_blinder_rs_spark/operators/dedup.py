@@ -41,6 +41,7 @@ __all__ = [
     "embedding_cosine_dups_lsh",
     "dup_clusters",
     "size_pruned_pairs",
+    "prefix_filtered_pairs",
     "span_dedup",
     "dup_substring_spans",
     "remove_dup_substrings",
@@ -618,10 +619,18 @@ def embedding_cosine_dups(
 
     Brute-force O(n^2) self-join — the exactness baseline; the default scale
     path is `embedding_cosine_dups_lsh` below (bucketed candidates only).
+
+    The pair join plans as a BroadcastNestedLoopJoin whose output
+    partitioning is the STREAMED side's: a single-split parquet input would
+    run every pairwise cosine in one task (measured 24.5 s on one core of 32
+    at sf0.1, guide §2.5 "input skew"), so the streamed side is spread to
+    the session's default parallelism first. Pure partitioning — each pair's
+    cosine expression (and hence the rounded output) is unchanged.
     """
     from .similarity import cosine_sim_expr, with_norm
 
-    a = with_norm(df, vec_col, id_col).select(
+    par = df.sparkSession.sparkContext.defaultParallelism
+    a = with_norm(df, vec_col, id_col).repartition(par).select(
         F.col(id_col).alias("id_a"), F.col("__vec").alias("__va"), F.col("__norm").alias("__na")
     )
     b = with_norm(df, vec_col, id_col).select(
@@ -738,7 +747,11 @@ def size_pruned_pairs(
     sizes = docs.select(
         F.col(id_col), F.size(shingles(F.col(text_col), k)).alias("__ns")
     )
-    ids = docs.select(F.col(id_col).alias("id_a"))
+    # the id x id nested-loop join inherits the STREAMED side's partitioning;
+    # a single-split input would emit every pair from one task (guide §2.5),
+    # so spread the left ids first — partitioning only, same pair set
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    ids = docs.select(F.col(id_col).alias("id_a")).repartition(par)
     allp = ids.crossJoin(docs.select(F.col(id_col).alias("id_b"))).filter(
         F.col("id_a") < F.col("id_b")
     )
@@ -753,6 +766,71 @@ def size_pruned_pairs(
         )
         .select("id_a", "id_b")
     )
+
+
+def prefix_filtered_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.9,
+    margin: float = 0.01,
+) -> DataFrame:
+    """All (id_a < id_b) pairs that can possibly reach ``threshold`` n-gram
+    Jaccard, via AllPairs-style prefix filtering (Bayardo/Ma/Srikant WWW'07;
+    Xiao et al. PPJoin WWW'08) — the LOSSLESS scale replacement for
+    ``size_pruned_pairs``'s quadratic id x id enumeration.
+
+    Guarantee: J(A,B) >= t implies |A∩B| >= ceil(t*|A|) (J >= t gives
+    c >= t(|A|+|B|)/(1+t) and |B| >= c, so c >= t*|A|; integrality rounds
+    up), so if B shared NO shingle with A's (|A| - ceil(t*|A|) + 1)-prefix
+    under a fixed global shingle order, the intersection would fit inside
+    A's suffix of size ceil(t*|A|) - 1 < c — contradiction. Hence joining
+    each doc's prefix shingles (rarest-first global frequency order, id
+    tie-break) against the full inverted index finds every qualifying pair.
+    ``margin`` loosens t for the prefix length only (the caller's verify
+    step re-checks the exact rounded threshold; a 6-dp rounded contract
+    accepts raw Jaccard down to t - 5e-7, so any margin > that bound keeps
+    the candidate set a superset).
+
+    The returned pair set then carries the IDENTICAL size-ratio prune as
+    ``size_pruned_pairs`` (exact ``threshold``), so swapping the two
+    operators upstream of the same exact-Jaccard verify yields the same
+    final pair set while candidate volume drops from O(n^2) to the inverted
+    prefix index's collisions.
+    """
+    t_f = max(0.0, float(threshold) - float(margin))
+    sh = docs.select(F.col(id_col).alias("__id"), shingles(F.col(text_col), k).alias("__sh"))
+    tok = sh.select(
+        "__id", F.size("__sh").alias("__n"), F.explode("__sh").alias("__tok")
+    )
+    freq = tok.groupBy("__tok").agg(F.count(F.lit(1)).alias("__f"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__id").orderBy("__f", "__tok")
+    ranked = tok.join(freq, "__tok").withColumn("__r", F.row_number().over(w))
+    prefix = ranked.filter(
+        F.col("__r") <= F.col("__n") - F.ceil(F.lit(t_f) * F.col("__n")) + 1
+    ).select("__id", "__tok", "__n")
+    full = tok.select(
+        F.col("__id").alias("__id_o"), "__tok", F.col("__n").alias("__n_o")
+    )
+    cand = (
+        prefix.join(full, "__tok")
+        .filter(F.col("__id") != F.col("__id_o"))
+        .select(
+            F.least("__id", "__id_o").alias("id_a"),
+            F.greatest("__id", "__id_o").alias("id_b"),
+            F.least("__n", "__n_o").alias("__nmin"),
+            F.greatest("__n", "__n_o").alias("__nmax"),
+        )
+        .filter(
+            F.col("__nmin").cast("double") >= float(threshold) * F.col("__nmax")
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return cand
 
 
 def span_dedup(

@@ -201,6 +201,13 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
             F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
         )
         .distinct()
+        # materialize: `pairs` is referenced twice below (und + oriented)
+        # and `oriented` three times — Spark does not share common
+        # subtrees across references, so an expensive caller-side edge
+        # pipeline (q_part_triangles' basket self-join) would otherwise be
+        # re-scanned up to 5x (r14 OPT; plan dropped ~520 textual
+        # Exchanges to 14, 13.6 s -> ~4 s warm at sf0.1)
+        .localCheckpoint()
     )
     und = pairs.unionByName(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = und.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("degree"))
@@ -218,6 +225,7 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
             F.when(lt, F.col("v")).otherwise(F.col("u")).alias("b"),
             F.when(lt, F.col("dv")).otherwise(F.col("du")).alias("db"),
         )
+        .localCheckpoint()  # read 3x below: wedge sides e1/e2 + closing
     )
     e1 = oriented.select(F.col("a"), F.col("b").alias("b1"), F.col("db").alias("db1"))
     e2 = oriented.select(F.col("a"), F.col("b").alias("b2"), F.col("db").alias("db2"))
