@@ -591,11 +591,12 @@ def q_script_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     multilingual-augmented corpus (textops.script_ratios / script_id):
     Java \\p{IsX} and RE2 \\p{X} classes agree count-for-count."""
     docs = _script_augmented(_t(spark, sf_dir, "documents"))
-    out = textops.script_ratios(docs)
-    sid = docs.select(
-        "doc_id", textops.script_id(F.col("text")).alias("script_guess")
+    # r14 OPT: script_guess rides the SAME projection as the ratios instead
+    # of a second scan + join-by-id — codegen shares the per-script regexp
+    # counts; identical rows/schema (inner 1:1 self-join removed, guide §2.4)
+    return textops.script_ratios(
+        docs, extra=[textops.script_id(F.col("text")).alias("script_guess")]
     )
-    return out.join(sid, "doc_id")
 
 
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -70,9 +70,14 @@ def pagerank(
     if not 0 <= damping_pct <= 100:
         raise ValueError("damping_pct must be in [0, 100]")
     w = F.col(weight).cast("long") if weight else F.lit(1).cast("long")
+    # materialize the edge projection ONCE: nodes, out-weights and the
+    # contribution table below each re-execute this subtree, and callers
+    # commonly pass an expensive edge pipeline (q_pagerank_copurchase's
+    # orders x lineitem co-purchase aggregation ran 3x before — guide §1.2;
+    # per-invocation localCheckpoint, nothing persists across runs)
     e = edges.select(
         F.col(src).alias("__src"), F.col(dst).alias("__dst"), w.alias("__w")
-    )
+    ).localCheckpoint()
     nodes = (
         e.select(F.col("__src").alias("node"))
         .unionByName(e.select(F.col("__dst").alias("node")))

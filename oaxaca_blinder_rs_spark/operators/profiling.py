@@ -512,13 +512,21 @@ def quantile_sketch_check(
     if accuracy < 10:
         raise ValueError("accuracy must be >= 10")
     vals = df.select(F.col(col).cast("double").alias("x")).where(F.col("x").isNotNull())
+    # r14 OPT (guide §1.2 per-task work): the ARRAY forms of percentile /
+    # approx_percentile build ONE value-count buffer and ONE GK summary
+    # shared by every probe, instead of |probs| independent per-probe
+    # aggregation buffers over the same column — identical exact_q values
+    # (same algorithm per element) and the same GK rank guarantee, which is
+    # all within_bound asserts
+    plist = ", ".join(repr(p) for p in ps)
     agg = vals.agg(
         F.count(F.lit(1)).alias("n"),
-        *[F.expr(f"percentile(x, {p})").alias(f"ex_{i}") for i, p in enumerate(ps)],
-        *[
-            F.expr(f"approx_percentile(x, {p}, {int(accuracy)})").alias(f"ap_{i}")
-            for i, p in enumerate(ps)
-        ],
+        F.expr(f"percentile(x, array({plist}))").alias("__ex"),
+        F.expr(f"approx_percentile(x, array({plist}), {int(accuracy)})").alias("__ap"),
+    ).select(
+        "n",
+        *[F.element_at("__ex", i + 1).alias(f"ex_{i}") for i in range(len(ps))],
+        *[F.element_at("__ap", i + 1).alias(f"ap_{i}") for i in range(len(ps))],
     )
     # broadcast the ONE-row aggregate back against the column and compute
     # every probe's true rank in a single conditional aggregate — no row

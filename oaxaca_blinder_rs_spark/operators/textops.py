@@ -168,6 +168,19 @@ def repetition_stats(
     )
 
 
+def _token_arrays(df: DataFrame, text_col: str, id_col: str):
+    """(doc_id, token array) materialized ONCE per invocation
+    (localCheckpoint): the logprob operators reference their token stream
+    from several aggregation branches, and without materialization Spark
+    re-runs the regex split/lower tokenization of the whole corpus once per
+    branch (guide §1.2). Returns (frame, array column). localCheckpoint —
+    not persist — so lineage truncates and the materialized rows are GC'd
+    with the frame; nothing survives the invocation."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    tab = df.select(F.col(id_col), toks.alias("__toks")).localCheckpoint()
+    return tab, F.col("__toks")
+
+
 def ngram_logprob(
     df: DataFrame,
     text_col: str = "text",
@@ -187,11 +200,20 @@ def ngram_logprob(
     on uniform token keys -> two joins back -> per-doc average. All codegen;
     the LM "model" never materializes outside the shuffle. Deterministic
     (round 6) and fully SQL-expressible for the oracle.
+
+    The tokenized per-doc array table is localCheckpoint-ed once: `big` is
+    referenced by both the model counts and the scoring join and `uni` by
+    the vocab total and the scoring join, and Spark re-executes shared
+    subtrees per reference — without the materialization the regex
+    split/lower tokenization of the full corpus ran 4x per invocation
+    (guide §1.2 "don't compute things you throw away"; measured in
+    OPTIMIZATION_r14.md). Per-invocation only — nothing persists across
+    runs.
     """
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    cnt = F.size(toks)
+    toks_tab, tarr = _token_arrays(df, text_col, id_col)
+    cnt = F.size(tarr)
     idx = F.sequence(F.lit(0), cnt - F.lit(2))
-    big = df.select(
+    big = toks_tab.select(
         F.col(id_col),
         F.explode(
             F.when(
@@ -199,8 +221,8 @@ def ngram_logprob(
                 F.transform(
                     idx,
                     lambda i: F.struct(
-                        F.element_at(toks, i + 1).alias("w1"),
-                        F.element_at(toks, i + 2).alias("w2"),
+                        F.element_at(tarr, i + 1).alias("w1"),
+                        F.element_at(tarr, i + 2).alias("w2"),
                     ),
                 ),
             ).otherwise(F.array())
@@ -208,9 +230,10 @@ def ngram_logprob(
     ).select(id_col, F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
 
     uni = (
-        df.select(F.explode(toks).alias("w1"))
+        toks_tab.select(F.explode(tarr).alias("w1"))
         .groupBy("w1")
         .agg(F.count(F.lit(1)).alias("c1"))
+        .localCheckpoint()
     )
     vocab = uni.agg(F.count(F.lit(1)).alias("v"))
     bg_counts = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
@@ -253,9 +276,13 @@ def adaptive_logprob_filter(
     """
     if not 0.0 < frac <= 1.0:
         raise ValueError(f"frac must be in (0, 1], got {frac}")
+    # one row per doc, 3 narrow columns — materialize so the threshold
+    # aggregate and the keep filter share ONE ngram_logprob evaluation
+    # instead of re-running the whole LM scoring pipeline per reference
+    # (guide §1.2; before/after in OPTIMIZATION_r14.md)
     sc = df.select(id_col, by_col).join(
         ngram_logprob(df, text_col=text_col, id_col=id_col, alpha=alpha), id_col
-    )
+    ).localCheckpoint()
     thr = sc.groupBy(by_col).agg(
         F.percentile("mean_logprob", F.lit(1.0 - float(frac))).alias("__thr")
     )
@@ -307,7 +334,12 @@ def _script_count(text: Column, script: str) -> Column:
     return F.length(F.regexp_replace(text, rf"[^\p{{Is{script}}}]", ""))
 
 
-def script_ratios(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def script_ratios(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    extra: list[Column] | None = None,
+) -> DataFrame:
     """Per-document Unicode-script composition: (id, n_letters, r_latin,
     r_cyrillic, r_han, r_arabic, r_greek), each ratio = script letters /
     all letters (6 dp).
@@ -316,6 +348,11 @@ def script_ratios(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     more robust than token-level language ID, and mixed-script documents
     (spam, code dumps, mojibake) show up as split ratios. Pure codegen
     regexp counts; zero shuffles.
+
+    ``extra``: additional column expressions over ``df`` appended to the
+    output (e.g. ``script_id(...)``) — computing companions in the SAME
+    projection lets codegen share the per-script regexp counts and avoids a
+    join-by-id second scan (guide §2.4; the r14 q_script_ratios shape).
     """
     t = F.col(text_col)
     n_letters = F.length(F.regexp_replace(t, r"[^\p{L}]", ""))
@@ -326,6 +363,8 @@ def script_ratios(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
             F.round(_script_count(t, s).cast("double") / n_letters, 6),
         ).otherwise(F.lit(0.0))
         cols.append(ratio.alias(f"r_{s.lower()}"))
+    if extra:
+        cols.extend(extra)
     return df.select(*cols)
 
 
@@ -333,11 +372,25 @@ def script_id(text: Column, min_ratio: float = 0.5) -> Column:
     """Dominant script name (lowercase) when it holds more than
     ``min_ratio`` of the letters, else 'mixed'; 'und' when no letters."""
     n_letters = F.length(F.regexp_replace(text, r"[^\p{L}]", ""))
-    best = None
-    for s in SCRIPTS:
-        c = _script_count(text, s)
-        item = F.struct(c.alias("c"), F.lit(s.lower()).alias("name"))
-        best = item if best is None else F.when(c > best["c"], item).otherwise(best)
+    # r14 OPT: argmax via array_max over (count, -list_index, name) structs.
+    # The previous when(c > best.c, item).otherwise(best) fold embedded the
+    # whole running `best` tree TWICE per script — 2^|SCRIPTS| copies of the
+    # first regexp count in the analyzed expression — which blew up per-row
+    # work when callers put script_id in the same projection as the ratio
+    # columns. Struct ordering compares c first, then -index, so ties keep
+    # the FIRST script in SCRIPTS order: the identical decision rule.
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    _script_count(text, s).alias("c"),
+                    F.lit(-i).alias("p"),
+                    F.lit(s.lower()).alias("name"),
+                )
+                for i, s in enumerate(SCRIPTS)
+            ]
+        )
+    )
     return (
         F.when(n_letters == 0, F.lit("und"))
         .when(best["c"].cast("double") / n_letters > float(min_ratio), best["name"])
@@ -1091,10 +1144,15 @@ def kneser_ney_logprob(
     if not 0.0 < discount < 1.0:
         raise ValueError(f"discount must be in (0, 1), got {discount}")
     D = float(discount)
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    cnt = F.size(toks)
+    # materialize the token arrays once (guide §1.2): `big` feeds both the
+    # model counts and the scoring join, and bg_counts feeds FOUR branches
+    # (ctx, cont, types, scoring join) — unmaterialized, the corpus was
+    # re-tokenized 5x and the bigram groupBy re-ran 4x per invocation
+    # (5 Scan+Generate subtrees in the before plan, OPTIMIZATION_r14.md)
+    toks_tab, tarr = _token_arrays(df, text_col, id_col)
+    cnt = F.size(tarr)
     idx = F.sequence(F.lit(0), cnt - F.lit(2))
-    big = df.select(
+    big = toks_tab.select(
         F.col(id_col),
         F.explode(
             F.when(
@@ -1102,15 +1160,17 @@ def kneser_ney_logprob(
                 F.transform(
                     idx,
                     lambda i: F.struct(
-                        F.element_at(toks, i + 1).alias("w1"),
-                        F.element_at(toks, i + 2).alias("w2"),
+                        F.element_at(tarr, i + 1).alias("w1"),
+                        F.element_at(tarr, i + 2).alias("w2"),
                     ),
                 ),
             ).otherwise(F.array())
         ).alias("__bg"),
     ).select(id_col, F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
 
-    bg_counts = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    bg_counts = big.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c12")
+    ).localCheckpoint()
     # per-context totals and distinct-successor counts; bg_counts is
     # distinct by construction, so count(*) IS N1+(w1 *)
     ctx = bg_counts.groupBy("w1").agg(

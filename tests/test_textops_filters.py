@@ -271,6 +271,46 @@ def test_script_id_and_ratios(spark):
     assert 0.0 < rows[5]["r_latin"] < 1.0 and 0.0 < rows[5]["r_cyrillic"] < 1.0
 
 
+def test_script_id_tie_break_first_in_scripts_order(spark):
+    """The r14 array_max argmax must keep the original fold's tie rule:
+    among equal counts the FIRST script in SCRIPTS order wins the argmax
+    (the > 0.5 gate then usually reports 'mixed'; with min_ratio lowered
+    the winner itself becomes visible). Latin before Cyrillic, Cyrillic
+    before Han, etc."""
+    texts = [
+        "ab аб",  # latin == cyrillic == 2 -> argmax ties -> latin first
+        "аб 这是",  # cyrillic == han == 2 -> cyrillic first
+    ]
+    df = _df(spark, texts)
+    got = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id", textops.script_id(F.col("text"), min_ratio=0.1).alias("s")
+        ).collect()
+    }
+    assert got[0] == "latin"
+    assert got[1] == "cyrillic"
+
+
+def test_script_ratios_extra_columns_ride_the_same_projection(spark):
+    """script_ratios(extra=[script_id(...)]) appends the guess column with
+    identical values to the standalone computation and keeps the base
+    schema prefix unchanged (the r14 q_script_ratios join removal)."""
+    texts = ["plain english text only", "пример текста на русском", "1234 .,!? "]
+    df = _df(spark, texts)
+    fused = textops.script_ratios(
+        df, extra=[textops.script_id(F.col("text")).alias("script_guess")]
+    )
+    base = textops.script_ratios(df)
+    assert fused.columns == base.columns + ["script_guess"]
+    joined = {
+        r["doc_id"]: r["s"]
+        for r in df.select("doc_id", textops.script_id(F.col("text")).alias("s")).collect()
+    }
+    for r in fused.collect():
+        assert r["script_guess"] == joined[r["doc_id"]]
+
+
 def test_vocab_sketches_merge_to_exact_on_small_vocab(spark, sf_dir):
     """Mergeable HLL vocabulary sketches: per-shard sketches union to the
     whole-corpus estimate; on a small vocab HLL is exact; any shard subset
