@@ -76,7 +76,12 @@ def run_dfl(
     design = design.withColumn("__dfl_y", (F.col(group) == F.lit(group_a)).cast("double"))
     design = design.cache()
     try:
-        fit = logit(design, xcols, "__dfl_y", max_iter=100, tol=1e-6)
+        # r14 OPT: compress_cells — the group logit's per-iteration Gram is a
+        # sum over distinct (x, y) cells times counts; small-support designs
+        # (categoricals + low-cardinality numerics) fit on the driver with
+        # zero per-iteration Spark jobs, large supports fall back unchanged
+        # (GLM_CELL_COLLECT_LIMIT guard in glm.fit_many)
+        fit = logit(design, xcols, "__dfl_y", max_iter=100, tol=1e-6, compress_cells=True)
 
         # dfl.rs:118-138: n_a / n_b counted by EXACT group value (even though
         # the logit's 0-class and the reweighted sample are "everything not A")
@@ -91,21 +96,62 @@ def run_dfl(
         p_clamped = clamp(p, 0.0001, 0.9999)
         psi = (p_clamped / (F.lit(1.0) - p_clamped)) * F.lit(ratio_marginal)
 
-        frame_b = design.filter(F.col("__dfl_y") == 0.0).withColumn("__dfl_w", psi)
-        frame_a = design.filter(F.col("__dfl_y") == 1.0)
-
-        # grid over [min, max) with 100 left-closed points (dfl.rs:163-172)
+        # grid over [min, max) with 100 left-closed points (dfl.rs:163-172);
+        # the group counts/variances ride the same driver round-trip shape
         mm = design.agg(F.min(outcome).alias("lo"), F.max(outcome).alias("hi")).collect()[0]
         lo, hi = float(mm["lo"]), float(mm["hi"])
         step = (hi - lo) / grid_size
         grid = [lo + i * step for i in range(grid_size)]
 
-        bw_a = silverman_bandwidth(frame_a, outcome)
-        bw_b = silverman_bandwidth(frame_b, outcome)
+        # r14 OPT (guide §1.2): ONE grouped moment aggregate + ONE grouped
+        # order_stats pass replace two per-frame Silverman scans, and ONE
+        # conditional-sum KDE pass over the shared grid explode replaces
+        # three kde_on_grid scans (each exploded |rows| x |grid| rows).
+        # Same quantities: the group split is exactly the frame filters,
+        # order statistics are exact, and excluded rows add exact +0.0 to
+        # each conditional sum. Oracle re-verified at 3 SFs.
+        from .kde import kde_on_grid_many, order_stats
 
-        density_a = kde_on_grid(frame_a, outcome, grid, bw_a)
-        density_b = kde_on_grid(frame_b, outcome, grid, bw_b)
-        density_cf = kde_on_grid(frame_b, outcome, grid, bw_b, wcol="__dfl_w")
+        vrows = design.groupBy("__dfl_y").agg(
+            F.count(outcome).alias("n"), F.variance(outcome).alias("var")
+        ).collect()
+        moments = {
+            float(r["__dfl_y"]): (int(r["n"]), float(r["var"]))
+            for r in vrows
+            if r["__dfl_y"] is not None
+        }
+        import math as _math
+
+        idxs = sorted(
+            {i for n, _ in moments.values() for i in (int(n * 0.25), int(n * 0.75))}
+        )
+        os_ = order_stats(design, outcome, idxs, group="__dfl_y")
+
+        def _bw(gval: float) -> float:
+            n, var = moments[gval]
+            sd = _math.sqrt(var)
+            iqr = os_[(gval, int(n * 0.75))] - os_[(gval, int(n * 0.25))]
+            a = min(sd, iqr / 1.34)
+            return 0.9 * a * n ** (-0.2)
+
+        bw_a = _bw(1.0)
+        bw_b = _bw(0.0)
+
+        is_a = F.col("__dfl_y") == 1.0
+        is_b = F.col("__dfl_y") == 0.0
+        dens = kde_on_grid_many(
+            design,
+            outcome,
+            grid,
+            [
+                ("a", is_a, None, bw_a),
+                ("b", is_b, None, bw_b),
+                ("cf", is_b, psi, bw_b),
+            ],
+        )
+        density_a = dens["a"]
+        density_b = dens["b"]
+        density_cf = dens["cf"]
         return DflResult(
             grid=grid,
             density_a=density_a,

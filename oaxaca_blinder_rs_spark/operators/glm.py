@@ -89,6 +89,9 @@ def _beta_column(df: DataFrame, betas: dict, key_cols: list[str], k: int) -> tup
     return joined, F.col("__beta")
 
 
+GLM_CELL_COLLECT_LIMIT = 200_000
+
+
 def fit_many(
     df: DataFrame,
     xcols: list[str],
@@ -100,17 +103,44 @@ def fit_many(
     ridge: float = 0.0,
     diag_reg: float | None = None,
     wcol: str | None = None,
+    compress_cells: bool = False,
 ) -> dict[tuple, GlmFit]:
     """Fit one GLM per distinct key in one aggregation per iteration.
 
     ``wcol`` multiplies both the information matrix and the score — it carries
     frequency weights (e.g. Poisson-bootstrap counts).
     Returns {key_tuple: GlmFit}. Keyless fit => {(): GlmFit}.
+
+    ``compress_cells`` (r14 OPT, guide §1.2): every per-iteration quantity is
+    a sum over rows of terms depending ONLY on (key, x, y) times the
+    frequency weight, so rows collapse losslessly to distinct
+    (key, x, y) cells with summed weights — the weighted likelihood is
+    identical. When the support is small (categorical/low-cardinality
+    designs: the DFL group logit, the Heckman selection probit) the cell
+    table is pulled to the driver ONCE (guarded by GLM_CELL_COLLECT_LIMIT,
+    the akm.py limit+1-probe convention) and Newton runs in NumPy with the
+    IDENTICAL link/step/convergence arithmetic — zero Spark jobs per
+    iteration instead of one scan each. Cells above the limit, or any NULL
+    in the collected design (whose per-term null semantics the driver path
+    does not replicate), fall back to the distributed loop unchanged.
     """
     key_cols = key_cols or []
     k = len(xcols)
     if diag_reg is None:
         diag_reg = 1e-9 if family == "probit" else 0.0
+
+    if compress_cells:
+        freq0 = F.col(wcol) if wcol else F.lit(1.0)
+        cells = df.groupBy(
+            *key_cols, *[F.col(c).cast("double").alias(c) for c in xcols],
+            F.col(ycol).cast("double").alias(ycol),
+        ).agg(F.sum(freq0.cast("double")).alias("__cw"))
+        pdf = cells.limit(GLM_CELL_COLLECT_LIMIT + 1).toPandas()
+        if len(pdf) <= GLM_CELL_COLLECT_LIMIT and not pdf.isnull().any().any():
+            return _fit_many_driver(
+                pdf, xcols, ycol, key_cols, family, max_iter, tol, ridge, diag_reg
+            )
+        # support too large (or null-bearing design): distributed loop below
 
     # discover keys + initialize beta = 0 (logit.rs:41, probit.rs:40)
     if key_cols:
@@ -215,6 +245,68 @@ def fit_many(
             except np.linalg.LinAlgError as e:
                 raise SingularMatrix("Failed to invert Hessian for VCOV") from e
     return done
+
+
+def _fit_many_driver(
+    pdf, xcols, ycol, key_cols, family, max_iter, tol, ridge, diag_reg
+) -> dict[tuple, GlmFit]:
+    """NumPy Newton over the collected weighted cell table — the driver leg
+    of ``fit_many(compress_cells=True)``. Replicates the distributed loop's
+    arithmetic exactly: same link expressions (mathx *_np twins of the SQL
+    trees, incl. the 1e-10 clamps), the shared ``_newton_step`` solve, and
+    the same per-key freeze-on-||step||<tol convergence bookkeeping."""
+    from ..functions.mathx import norm_cdf_np, norm_pdf_np
+
+    k = len(xcols)
+    if key_cols:
+        grouped = list(pdf.groupby(key_cols, sort=False))
+        parts = [
+            (tuple(key) if isinstance(key, tuple) else (key,), sub)
+            for key, sub in grouped
+        ]
+    else:
+        parts = [((), pdf)]
+    out: dict[tuple, GlmFit] = {}
+    for key, sub in parts:
+        X = sub[xcols].to_numpy(dtype=np.float64)
+        y = sub[ycol].to_numpy(dtype=np.float64)
+        cw = sub["__cw"].to_numpy(dtype=np.float64)
+        beta = np.zeros(k)
+        fit = None
+        info = None
+        it = 0
+        while it < max_iter:
+            it += 1
+            xb = X @ beta
+            if family == "probit":
+                phi = norm_pdf_np(xb)
+                big = np.clip(norm_cdf_np(xb), 1e-10, 1.0 - 1e-10)
+                w = (phi * phi) / (big * (1.0 - big))
+                s = np.where(y > 0.5, phi / big, -phi / (1.0 - big))
+            elif family == "logit":
+                p = np.clip(1.0 / (1.0 + np.exp(-xb)), 1e-10, 1.0 - 1e-10)
+                w = p * (1.0 - p)
+                s = y - p
+            else:
+                raise ValueError(f"unknown family: {family}")
+            fw = cw * w
+            fs = cw * s
+            info_m = (X * fw[:, None]).T @ X
+            grad = X.T @ fs
+            step, info = _newton_step(info_m, grad, k, ridge, diag_reg, family)
+            beta = beta + step
+            if float(np.linalg.norm(step)) < tol:
+                fit = GlmFit(names=list(xcols), beta=beta, converged=True, iterations=it)
+                break
+        if fit is None:
+            fit = GlmFit(names=list(xcols), beta=beta, converged=False, iterations=max_iter)
+        if family == "probit" and info is not None:
+            try:
+                fit.vcov = np.linalg.inv(info)
+            except np.linalg.LinAlgError as e:
+                raise SingularMatrix("Failed to invert Hessian for VCOV") from e
+        out[key] = fit
+    return out
 
 
 def _newton_step(info, grad, k, ridge, diag_reg, family):
@@ -398,13 +490,17 @@ def logit(
     tol: float = 1e-6,
     ridge: float = 0.0,
     wcol: str | None = None,
+    compress_cells: bool = False,
 ) -> GlmFit:
     """Newton-Raphson logistic regression (math/logit.rs:31-118).
 
     ``ridge=1e-6`` reproduces the matching engine's variant
     (matching/logistic.rs:87-91) — the two reference logits differ only here.
     """
-    return fit_many(df, xcols, ycol, family="logit", max_iter=max_iter, tol=tol, ridge=ridge, wcol=wcol)[()]
+    return fit_many(
+        df, xcols, ycol, family="logit", max_iter=max_iter, tol=tol,
+        ridge=ridge, wcol=wcol, compress_cells=compress_cells,
+    )[()]
 
 
 def probit(

@@ -70,6 +70,7 @@ def heckman_two_step(
     gamma = fit_many(
         d.dropna(subset=[selection_outcome] + list(selection_predictors)),
         sel_cols, selection_outcome, family="probit", max_iter=100, tol=1e-6,
+        compress_cells=True,  # r14: low-support selection design, see run_heckman_oaxaca
     )[()].beta
 
     # stage zg -> Phi -> IMR as chained projections (one erf tree per plan;
@@ -332,7 +333,12 @@ def run_heckman_oaxaca(builder):
             frame = frame.withColumn("__cnt", cnt).filter(F.col("__cnt") > 0)
             frame = frame.cache()
 
-            # 1. probit of selection per (rep, group) — heckman.rs:46-47
+            # 1. probit of selection per (rep, group) — heckman.rs:46-47.
+            # r14 OPT: compress_cells — the selection design is typically
+            # low-support ([1, Z] categorical/discrete), so the per-(rep,
+            # group) Fisher iterations run on the driver over the weighted
+            # cell table instead of scanning the exploded frame per
+            # iteration; guarded fallback in glm.fit_many
             gammas = fit_many(
                 frame,
                 sel_cols,
@@ -342,6 +348,7 @@ def run_heckman_oaxaca(builder):
                 max_iter=100,
                 tol=1e-6,
                 wcol="__cnt",
+                compress_cells=True,
             )
 
             # 2. IMR expression; gamma via broadcast table (rep, group) -> array

@@ -15,7 +15,13 @@ from pyspark.sql import functions as F
 
 from ..functions.mathx import norm_pdf
 
-__all__ = ["kde_on_grid", "kde_at_point", "silverman_bandwidth", "order_stats"]
+__all__ = [
+    "kde_on_grid",
+    "kde_on_grid_many",
+    "kde_at_point",
+    "silverman_bandwidth",
+    "order_stats",
+]
 
 
 def kde_on_grid(
@@ -46,6 +52,59 @@ def kde_on_grid(
     )
     by_grid = {float(r["__grid"]): float(r["__d"]) for r in rows}
     return [by_grid[float(x)] for x in grid]
+
+
+def kde_on_grid_many(
+    df: DataFrame,
+    ycol: str,
+    grid: list[float],
+    specs: list[tuple[str, "F.Column | None", "F.Column | None", float]],
+) -> dict[str, list[float]]:
+    """Several weighted KDEs over the SAME frame and grid in ONE pass
+    (r14 OPT, guide §1.2): ``specs`` is a list of
+    (name, row-condition-or-None, weight-column-or-None, bandwidth).
+
+    Each density f_s(g) = sum_{cond_s} w_s K((g - y)/h_s) / sum w_s / h_s —
+    exactly ``kde_on_grid`` of the cond-filtered frame, but evaluated as
+    conditional sums so the grid explode (|rows| x |grid| generated rows)
+    and the frame scan happen once for ALL densities instead of once per
+    density. Excluded rows contribute exact +0.0 to each sum (IEEE x+0.0
+    == x), so per-density results equal the separate-call values up to
+    partial-aggregation merge order — the same tolerance class the
+    single-call path already has. Distinct bandwidths share the explode;
+    the per-row kernel is evaluated once per DISTINCT bandwidth.
+    """
+    g = F.col("__grid")
+    proj = [F.col(ycol).cast("double").alias("__y")]
+    for i, (_, cond, w, _h) in enumerate(specs):
+        wexpr = (w if w is not None else F.lit(1.0)).cast("double")
+        if cond is not None:
+            wexpr = F.when(cond, wexpr).otherwise(F.lit(0.0))
+        proj.append(wexpr.alias(f"__w_{i}"))
+    exploded = df.select(
+        *proj, F.explode(F.array(*[F.lit(float(x)) for x in grid])).alias("__grid")
+    )
+    pdf_by_h: dict[float, F.Column] = {}
+    for _, _, _w, h in specs:
+        hf = float(h)
+        if hf not in pdf_by_h:
+            pdf_by_h[hf] = norm_pdf((g - F.col("__y")) / F.lit(hf))
+    aggs = []
+    for i, (_, _c, _w, h) in enumerate(specs):
+        hf = float(h)
+        aggs.append(
+            (
+                F.sum(F.col(f"__w_{i}") * pdf_by_h[hf])
+                / F.sum(f"__w_{i}")
+                / F.lit(hf)
+            ).alias(f"__d_{i}")
+        )
+    rows = exploded.groupBy("__grid").agg(*aggs).collect()
+    by_grid = {float(r["__grid"]): r for r in rows}
+    return {
+        name: [float(by_grid[float(x)][f"__d_{i}"]) for x in grid]
+        for i, (name, _c, _w, _h) in enumerate(specs)
+    }
 
 
 def kde_at_point(df: DataFrame, ycol: str, point: float, bandwidth: float, wcol: str | None = None) -> float:

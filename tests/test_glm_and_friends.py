@@ -35,6 +35,63 @@ def test_logit_statsmodels_anchor(spark):
     assert fit.iterations > 0
 
 
+def test_fit_many_compress_cells_matches_distributed(spark):
+    """The r14 compress_cells driver engine must reproduce the distributed
+    loop: same beta (to float-sum tolerance), same convergence flag and
+    iteration count, for logit and probit, keyless and keyed, weighted and
+    not — including repeated rows collapsing to weighted cells."""
+    from pyspark.sql import functions as F
+
+    from oaxaca_blinder_rs_spark.operators.glm import fit_many
+
+    xs = [-5.0, -4.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, 4.0, 5.0]
+    ys = [0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 1.0, 1.0, 1.0, 1.0, 1.0]
+    rows = [
+        (x, y, g, float(w))
+        for g in ("a", "b")
+        for (x, y), w in zip(zip(xs, ys), [1, 2, 1, 3, 1, 1, 2, 1, 1, 1, 2])
+    ]
+    df = spark.createDataFrame(rows, ["x", "y", "g", "w"]).withColumn(
+        INTERCEPT, F.lit(1.0)
+    )
+    # duplicate some rows so compression genuinely collapses cells
+    df = df.unionByName(df.filter(F.col("x") > 2.0))
+    for family in ("logit", "probit"):
+        for key_cols in (None, ["g"]):
+            for wcol in (None, "w"):
+                a = fit_many(
+                    df, [INTERCEPT, "x"], "y", family=family,
+                    key_cols=key_cols, wcol=wcol, compress_cells=False,
+                )
+                b = fit_many(
+                    df, [INTERCEPT, "x"], "y", family=family,
+                    key_cols=key_cols, wcol=wcol, compress_cells=True,
+                )
+                assert set(a) == set(b)
+                for key in a:
+                    assert a[key].converged == b[key].converged
+                    assert a[key].iterations == b[key].iterations
+                    np.testing.assert_allclose(
+                        a[key].beta, b[key].beta, rtol=1e-9, atol=1e-12
+                    )
+
+
+def test_fit_many_compress_cells_falls_back_over_limit(spark, monkeypatch):
+    """Above GLM_CELL_COLLECT_LIMIT the compressed path must fall back to
+    the distributed loop and still converge to the same answer."""
+    import oaxaca_blinder_rs_spark.operators.glm as glm_mod
+
+    monkeypatch.setattr(glm_mod, "GLM_CELL_COLLECT_LIMIT", 3)
+    fit_c = glm_mod.fit_many(
+        glm_df(spark), [INTERCEPT, "x"], "y", compress_cells=True
+    )[()]
+    fit_d = glm_mod.fit_many(
+        glm_df(spark), [INTERCEPT, "x"], "y", compress_cells=False
+    )[()]
+    assert fit_c.converged and fit_c.iterations == fit_d.iterations
+    np.testing.assert_allclose(fit_c.beta, fit_d.beta, rtol=1e-9)
+
+
 def test_logit_max_iterations(spark):
     """logit.rs:190-203: with max_iter=1, not converged."""
     fit = logit(glm_df(spark), [INTERCEPT, "x"], "y", max_iter=1)
@@ -111,6 +168,37 @@ def test_jmp_total_change(spark):
     assert abs(jmp.total_change - (-5.0)) < 1e-4
     # identity: quantity + price = explained change; price+quantity+gap = total
     assert abs(jmp.quantity_effect + jmp.price_effect + jmp.gap_effect - jmp.total_change) < 1e-9
+
+
+def test_kde_on_grid_many_matches_per_frame_calls(spark):
+    """The r14 single-pass conditional-sum KDE must equal the per-frame
+    kde_on_grid calls it replaces (run_dfl's a/b/counterfactual densities),
+    including a weighted spec and distinct bandwidths."""
+    from pyspark.sql import functions as F
+
+    from oaxaca_blinder_rs_spark.operators.kde import kde_on_grid, kde_on_grid_many
+
+    rows = [(float(i % 7) + 0.25 * i, float(i % 2), 0.5 + 0.1 * (i % 5)) for i in range(60)]
+    df = spark.createDataFrame(rows, ["y", "grp", "w"])
+    grid = [0.0, 3.0, 6.0, 9.0, 12.0]
+    fa = df.filter(F.col("grp") == 1.0)
+    fb = df.filter(F.col("grp") == 0.0)
+    want_a = kde_on_grid(fa, "y", grid, 1.3)
+    want_b = kde_on_grid(fb, "y", grid, 0.8)
+    want_w = kde_on_grid(fb, "y", grid, 0.8, wcol="w")
+    got = kde_on_grid_many(
+        df,
+        "y",
+        grid,
+        [
+            ("a", F.col("grp") == 1.0, None, 1.3),
+            ("b", F.col("grp") == 0.0, None, 0.8),
+            ("wb", F.col("grp") == 0.0, F.col("w"), 0.8),
+        ],
+    )
+    np.testing.assert_allclose(got["a"], want_a, rtol=1e-12)
+    np.testing.assert_allclose(got["b"], want_b, rtol=1e-12)
+    np.testing.assert_allclose(got["wb"], want_w, rtol=1e-12)
 
 
 def test_dfl_output_lengths(spark):
