@@ -27,6 +27,7 @@ __all__ = [
     "embedding_covariance",
     "pca_whiten",
     "kmeans_quantized",
+    "kmeans_quantized_grouped",
     "diversity_sample",
 ]
 
@@ -225,6 +226,160 @@ def kmeans_quantized(
 
         assignments = base.mapInPandas(assign_final, out_schema)
         # materialize before unpersisting the shared base
+        assignments = assignments.localCheckpoint(eager=True)
+        return assignments, cents
+    finally:
+        base.unpersist()
+
+
+def kmeans_quantized_grouped(
+    df: DataFrame,
+    k: int,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    key_col: str = "__j",
+    scale: int = 1000,
+) -> tuple[DataFrame, dict]:
+    """``kmeans_quantized`` run independently per ``key_col`` group in ONE
+    Arrow pass per iteration (r14 OPT, guide §1.2): the PQ trainer's m
+    per-subspace Lloyd runs each scanned the corpus per iteration; keying
+    one trainer by subspace index makes every iteration a single pass that
+    emits (key, cluster, n, sums) partials for all groups at once.
+
+    Per-group arithmetic is IDENTICAL to ``kmeans_quantized``: init = the
+    quantized vectors of the group's k lowest ids, exact int64 argmin
+    assignment with ties to the lowest cluster id, floor-divided integer
+    centroid updates, empty clusters keep their previous centroid. All
+    quantities are int64-exact, so grouped vs separate runs are
+    bit-identical (partials are integer sums — merge order free).
+
+    Returns (assignments (id_col, key_col, cluster) — localCheckpointed,
+    {key: final centroid list}).
+    """
+    if k < 1 or iters < 1:
+        raise ValueError(f"k and iters must be >= 1, got k={k} iters={iters}")
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField as SF, StructType as ST
+    from pyspark.sql.window import Window
+
+    qv = F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * scale).cast("long")
+    )
+    base = df.select(F.col(id_col), F.col(key_col), qv.alias("__qv")).persist()
+    try:
+        # init: per group, the quantized vectors of the k lowest ids
+        w = Window.partitionBy(key_col).orderBy(id_col)
+        init_rows = (
+            base.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .select(key_col, id_col, "__qv")
+            .collect()
+        )
+        cents: dict = {}
+        for r in sorted(init_rows, key=lambda r: (r[key_col], r[id_col])):
+            cents.setdefault(r[key_col], []).append(list(map(int, r["__qv"])))
+        for key, cl in cents.items():
+            if len(cl) < k:
+                raise ValueError(f"k={k} exceeds row count {len(cl)} in group {key!r}")
+        dims = {key: len(cl[0]) for key, cl in cents.items()}
+
+        part_schema = ST(
+            [
+                SF("key", LongType(), False),
+                SF("cluster", LongType(), False),
+                SF("n", LongType(), False),
+                SF("sums", ArrayType(LongType()), False),
+            ]
+        )
+
+        def stats_pass(cent_arrs):
+            def run(batches):
+                totals: dict[tuple, tuple[int, np.ndarray]] = {}
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    for key, sub in pdf.groupby(key_col, sort=False):
+                        ca = cent_arrs[key]
+                        x = np.array(
+                            [np.asarray(v, dtype=np.int64) for v in sub["__qv"]]
+                        )
+                        d = ((x[:, None, :] - ca[None, :, :]) ** 2).sum(axis=2)
+                        assign = d.argmin(axis=1)
+                        for c in np.unique(assign):
+                            sel = x[assign == c]
+                            n0, s0 = totals.get(
+                                (key, int(c)),
+                                (0, np.zeros(x.shape[1], dtype=np.int64)),
+                            )
+                            totals[(key, int(c))] = (
+                                n0 + sel.shape[0],
+                                s0 + sel.sum(axis=0),
+                            )
+                if totals:
+                    yield pd.DataFrame(
+                        {
+                            "key": [kc[0] for kc in totals],
+                            "cluster": [kc[1] for kc in totals],
+                            "n": [v[0] for v in totals.values()],
+                            "sums": [v[1].tolist() for v in totals.values()],
+                        }
+                    )
+
+            return run
+
+        for _ in range(iters):
+            cent_arrs = {
+                key: np.array(cl, dtype=np.int64) for key, cl in cents.items()
+            }
+            rows = base.mapInPandas(stats_pass(cent_arrs), part_schema).collect()
+            agg: dict[tuple, tuple[int, np.ndarray]] = {}
+            for r in rows:
+                kc = (r["key"], r["cluster"])
+                n0, s0 = agg.get(kc, (0, np.zeros(dims[r["key"]], dtype=np.int64)))
+                agg[kc] = (n0 + r["n"], s0 + np.asarray(r["sums"], dtype=np.int64))
+            new_cents: dict = {}
+            for key, cl in cents.items():
+                ncl = []
+                for c in range(k):
+                    if (key, c) in agg and agg[(key, c)][0] > 0:
+                        n, s = agg[(key, c)]
+                        ncl.append([int(v) // n for v in s])
+                    else:
+                        ncl.append(cl[c])
+                new_cents[key] = ncl
+            cents = new_cents
+
+        cent_arrs = {key: np.array(cl, dtype=np.int64) for key, cl in cents.items()}
+        out_schema = ST(
+            [
+                SF(id_col, df.schema[id_col].dataType, False),
+                SF(key_col, df.schema[key_col].dataType, False),
+                SF("cluster", LongType(), False),
+            ]
+        )
+
+        def assign_final(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                out = []
+                for key, sub in pdf.groupby(key_col, sort=False):
+                    ca = cent_arrs[key]
+                    x = np.array([np.asarray(v, dtype=np.int64) for v in sub["__qv"]])
+                    d = ((x[:, None, :] - ca[None, :, :]) ** 2).sum(axis=2)
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                id_col: sub[id_col],
+                                key_col: sub[key_col],
+                                "cluster": d.argmin(axis=1),
+                            }
+                        )
+                    )
+                yield pd.concat(out, ignore_index=True)
+
+        assignments = base.mapInPandas(assign_final, out_schema)
         assignments = assignments.localCheckpoint(eager=True)
         return assignments, cents
     finally:

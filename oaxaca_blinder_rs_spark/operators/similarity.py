@@ -345,13 +345,40 @@ def pq_codes(
     (4 bytes at m=4, k=16 — 64x), which is what lets a 100 TB embedding
     corpus live in executor memory for ADC scans.
 
-    Scale shape: m independent Lloyd runs, each ONE Arrow pass per
-    iteration with k x (d/m) integer driver traffic; the per-subspace
-    assignment frames are localCheckpointed by the trainer, so the m-way
-    id join that assembles the code table is a join of materialized
-    vector-count tables on the id key.
+    Scale shape (r14 OPT, guide §1.2): the m per-subspace Lloyd runs are
+    ONE grouped trainer keyed by subspace index
+    (embeddings.kmeans_quantized_grouped) — each iteration is a single
+    Arrow pass over the exploded (id, j, subvector) frame emitting
+    (j, cluster) partials for every subspace at once, m x fewer scans
+    than independent runs and bit-identical per subspace (all int64).
+    The assignment table is localCheckpointed in LONG form (id, j, code);
+    the wide (id, code_0..code_{m-1}) API shape is one small pivot of it.
     """
-    from .embeddings import kmeans_quantized
+    codes_long, books, dim = _pq_codes_long(
+        corpus, m, k_codebook, iters, vec_col, id_col, scale
+    )
+    codes = codes_long.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("j") == j, F.col("code"))).alias(f"code_{j}")
+            for j in range(m)
+        ]
+    )
+    return codes, books, dim
+
+
+def _pq_codes_long(
+    corpus: DataFrame,
+    m: int,
+    k_codebook: int,
+    iters: int,
+    vec_col: str,
+    id_col: str,
+    scale: int,
+) -> tuple[DataFrame, list[list[list[int]]], int]:
+    """PQ trainer core: (codes_long (id_col, j, code) — localCheckpointed,
+    codebooks, dim). ADC consumers join this long table directly, skipping
+    the wide pivot ``pq_codes`` keeps for its API shape."""
+    from .embeddings import kmeans_quantized_grouped
 
     first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
     if first is None:
@@ -360,20 +387,24 @@ def pq_codes(
     if m < 1 or dim % m != 0:
         raise ValueError(f"m={m} must divide the dimension {dim}")
     sd = dim // m
-    codes = None
-    books: list[list[list[int]]] = []
-    for j in range(m):
-        sub = corpus.select(
-            F.col(id_col), F.slice(F.col(vec_col), j * sd + 1, sd).alias("__sub")
-        )
-        assign, cents = kmeans_quantized(
-            sub, k=k_codebook, iters=iters, vec_col="__sub", id_col=id_col,
-            scale=scale,
-        )
-        assign = assign.withColumnRenamed("cluster", f"code_{j}")
-        codes = assign if codes is None else codes.join(assign, id_col)
-        books.append([list(map(int, c)) for c in cents])
-    return codes, books, dim
+    sub = corpus.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: F.slice(F.col(vec_col), j * sd + 1, sd),
+            )
+        ).alias("j", "__sub"),
+    )
+    assign, cents_by_j = kmeans_quantized_grouped(
+        sub, k=k_codebook, iters=iters, vec_col="__sub", id_col=id_col,
+        key_col="j", scale=scale,
+    )
+    books = [
+        [list(map(int, c)) for c in cents_by_j[j]] for j in range(m)
+    ]
+    codes_long = assign.withColumnRenamed("cluster", "code")
+    return codes_long, books, dim
 
 
 def pq_topk(
@@ -407,13 +438,13 @@ def pq_topk(
     keys both sides); this face is the exhaustive scan the paper
     benchmarks, exact within PQ's quantization error.
     """
-    codes, books, dim = pq_codes(
-        corpus, m=m, k_codebook=k_codebook, iters=iters, vec_col=vec_col,
-        id_col=id_col, scale=scale,
+    codes_raw, books, dim = _pq_codes_long(
+        corpus, m, k_codebook, iters, vec_col, id_col, scale
     )
-    codes_long, dtab = _pq_scoring_tables(
-        queries, codes, books, m, dim // m, vec_col, id_col, scale
+    codes_long = codes_raw.select(
+        F.col(id_col).alias("neighbor_id"), "j", "code"
     )
+    dtab = _pq_dtab(queries, books, m, dim // m, vec_col, id_col, scale)
     scored = (
         codes_long.join(F.broadcast(dtab), ["j", "code"])
         .groupBy("query_id", "neighbor_id")
@@ -429,26 +460,20 @@ def pq_topk(
     )
 
 
-def _pq_scoring_tables(
+def _pq_dtab(
     queries: DataFrame,
-    codes: DataFrame,
     books: list,
     m: int,
     sd: int,
     vec_col: str,
     id_col: str,
     scale: int,
-) -> tuple[DataFrame, DataFrame]:
-    """Shared ADC plumbing: (codes_long, dtab). codes_long reshapes the
-    per-vector code row to (neighbor_id, j, code); dtab is the broadcastable
-    (query_id, j, code, __d) integer distance table."""
+) -> DataFrame:
+    """Shared ADC plumbing: the broadcastable (query_id, j, code, __d)
+    integer distance table. (The code side now comes straight from
+    ``_pq_codes_long`` — already long — so this builds only the query
+    side.)"""
     spark = queries.sparkSession
-    codes_long = codes.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.posexplode(F.array(*[F.col(f"code_{j}") for j in range(m)])).alias(
-            "j", "code"
-        ),
-    )
     book_rows = [
         (j, c, books[j][c]) for j in range(m) for c in range(len(books[j]))
     ]
@@ -475,7 +500,7 @@ def _pq_scoring_tables(
             lambda acc, x: acc + x,
         ).alias("__d"),
     )
-    return codes_long, dtab
+    return dtab
 
 
 def ivfpq_topk(
@@ -534,13 +559,13 @@ def ivfpq_topk(
     )
     if exclude_self:
         cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
-    codes, books, dim = pq_codes(
-        corpus, m=m, k_codebook=k_codebook, iters=iters, vec_col=vec_col,
-        id_col=id_col, scale=scale,
+    codes_raw, books, dim = _pq_codes_long(
+        corpus, m, k_codebook, iters, vec_col, id_col, scale
     )
-    codes_long, dtab = _pq_scoring_tables(
-        queries, codes, books, m, dim // m, vec_col, id_col, scale
+    codes_long = codes_raw.select(
+        F.col(id_col).alias("neighbor_id"), "j", "code"
     )
+    dtab = _pq_dtab(queries, books, m, dim // m, vec_col, id_col, scale)
     scored = (
         cand.join(codes_long, "neighbor_id")
         .join(F.broadcast(dtab), ["query_id", "j", "code"])
@@ -612,18 +637,16 @@ def _ivfpq_residual(
             ).alias("__res"),
         )
     )
-    codes, books, _ = pq_codes(
-        cres, m=m, k_codebook=k_codebook, iters=iters, vec_col="__res",
-        id_col=id_col, scale=1,
+    codes_raw, books, _ = _pq_codes_long(
+        cres, m, k_codebook, iters, "__res", id_col, 1
     )
-    codes_long = codes.join(
+    codes_long = codes_raw.join(
         cres.select(id_col, "__list"), id_col
     ).select(
         F.col(id_col).alias("neighbor_id"),
         F.col("__list").alias("b"),
-        F.posexplode(F.array(*[F.col(f"code_{j}") for j in range(m)])).alias(
-            "j", "code"
-        ),
+        "j",
+        "code",
     )
     # query residual PER PROBED LIST -> per-(query, list) ADC distance table
     book_rows = [
