@@ -290,6 +290,10 @@ def cross_corpus_dedup(
         .agg(F.min("__rid").alias("matched_ref_id"))
         .withColumn("stage", F.lit("exact"))
     )
+    # r14 OPT (guide §5 reuse): exact matches are tiny but consumed twice
+    # (result union + the near-stage anti-join); left lazy, each consumer
+    # re-runs the md5 scan of BOTH corpora plus the fingerprint join
+    exact = exact.localCheckpoint()
 
     if candidates not in ("auto", "lsh", "shingle"):
         raise ValueError(f"candidates must be auto|lsh|shingle, got {candidates!r}")
@@ -1005,6 +1009,10 @@ def split_leakage_report(
         .agg(F.min("__tid").alias("matched_train_id"))
         .select(id_col, split_col, "matched_train_id", F.lit("exact").alias("stage"))
     )
+    # r14 OPT (guide §5 reuse): the exact-stage table is tiny (leaked docs
+    # only) but consumed twice (result union + the near-stage anti-join);
+    # left lazy, each consumer re-runs the two md5 text scans + the equi-join
+    exact = exact.localCheckpoint()
     pairs = (
         candidate_pairs
         if candidate_pairs is not None

@@ -220,6 +220,13 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) colliding in >=1 LSH band."""
     banded = minhash_bands(df, text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands, k=k)
+    # r14 OPT (guide §5 reuse): materialize the banded table before the
+    # self-join — both join sides otherwise re-run the full MinHash pass
+    # (shingle explode + num_perm min-md5 aggregates over the corpus; no
+    # plan-level ReusedExchange fires for the two sides). The banded table
+    # is `bands` rows of 32-char keys per document — the small dedup state,
+    # exactly what a 100 TB pipeline persists anyway (see dedup_state).
+    banded = banded.localCheckpoint()
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -343,6 +350,15 @@ def incremental_dedup(
 
     need = math.ceil(sig_threshold * num_perm)
     bstate = dedup_state(batch, text_col=text_col, id_col=id_col, num_perm=num_perm, k=k)
+    # r14 OPT (guide §5 reuse): materialize the batch state once — it feeds
+    # THREE consumers (the exact fp equi-join, the derived band keys and the
+    # near-stage signature join) and `exact` is consumed twice (output union
+    # + the near anti-join); left lazy, each consumer re-runs the batch's
+    # shingle explode + 16 min-md5 aggregates (~4-5 full batch text passes
+    # measured at sf0.1). The batch state is the ~50-byte-per-doc table the
+    # docstring promises as "the ONE expensive text pass" — materializing it
+    # makes that literally true.
+    bstate = bstate.localCheckpoint()
     sstate = state.select(
         F.col(id_col).alias("__rid"), F.col("fp").alias("__rfp"), F.col("sig").alias("__rsig")
     )
@@ -352,6 +368,9 @@ def incremental_dedup(
         .agg(F.min("__rid").alias("matched_ref_id"))
         .withColumn("stage", F.lit("exact"))
     )
+    # exact matches are a tiny table consumed twice (result union + the
+    # near-stage anti-join) — pin it rather than re-running the fp join
+    exact = exact.localCheckpoint()
     nb = _band_keys_from_sig(bstate, id_col, num_perm, bands)
     rb = _band_keys_from_sig(
         sstate.select(F.col("__rid").alias(id_col), F.col("__rsig").alias("sig")),
@@ -804,6 +823,19 @@ def prefix_filtered_pairs(
     tok = sh.select(
         "__id", F.size("__sh").alias("__n"), F.explode("__sh").alias("__tok")
     )
+    # r14 OPT (guide §5 reuse + §7.2 duplicated subtrees): materialize the
+    # shingle-occurrence table ONCE. `tok` feeds THREE consumers (the global
+    # frequency table, the ranked prefix side and the full inverted index);
+    # left lazy, each consumer re-carves the corpus shingles, and the two
+    # index-join sides additionally re-collect the subtree as broadcast
+    # builds (profiled: two ~23 s "time to collect" BroadcastExchanges at
+    # sf0.1). Materializing also pins ONE evaluation of the shingle
+    # expression per input row — the collapsed post-explode projection
+    # (`size(__sh)` next to `explode(__sh)`) was observed re-evaluating the
+    # whole carve per OUTPUT row in some executions (~10 CPU-minutes for
+    # 232k rows). tok is the table the operator shuffles twice anyway, so
+    # the checkpoint adds no asymptotic cost at corpus scale.
+    tok = tok.localCheckpoint()
     freq = tok.groupBy("__tok").agg(F.count(F.lit(1)).alias("__f"))
     from pyspark.sql import Window
 
@@ -973,13 +1005,22 @@ def dup_substring_spans(
         F.transform(F.sequence(F.lit(0), nwin - 1), keyed),
     ).otherwise(F.array().cast("array<string>"))
     w = docs.select(F.col(id_col), F.posexplode(wins).alias("start", "__win"))
-    firsts = w.groupBy("__win").agg(
-        F.min(F.struct(F.col(id_col).alias("d"), F.col("start").alias("p"))).alias(
-            "__first"
-        )
-    )
+    # r14 OPT (guide §2.4 remove shuffles outright): the first-occurrence
+    # rule was a groupBy(__win) + join back on __win — TWO exchanges of the
+    # exploded window table and TWO executions of the window-carving
+    # explode (the two subtrees differ, so no exchange reuse fires). A
+    # min-struct window over partitionBy(__win) computes the identical
+    # per-key first occurrence with ONE exchange and ONE carve; the key set
+    # is corpus-sized and uniform (window digests), never a single-task
+    # global window. Same (doc_id, start) duplicate rows, same output.
+    bywin = Window.partitionBy("__win")
     dups = (
-        w.join(firsts, "__win")
+        w.withColumn(
+            "__first",
+            F.min(F.struct(F.col(id_col).alias("d"), F.col("start").alias("p"))).over(
+                bywin
+            ),
+        )
         .filter(
             (F.col(id_col) != F.col("__first.d"))
             | (F.col("start") != F.col("__first.p"))
