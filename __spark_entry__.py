@@ -1312,7 +1312,10 @@ def q_part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("np") >= 2) & (F.col("np") <= 5))
         .select("l_orderkey")
     )
-    it = items.join(small, "l_orderkey")
+    # r14 OPT (guide §5 reuse): both sides of the basket self-join read `it`;
+    # left lazy each side re-runs the lineitem scan + distinct + small-order
+    # join. The small-basket item list is tiny — pin it once.
+    it = items.join(small, "l_orderkey").localCheckpoint()
     a, b = it.alias("a"), it.alias("b")
     pairs = (
         a.join(
@@ -1717,7 +1720,15 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     and then the per-bit vote, so the driver checks the signatures
     bit-for-bit against an engine-independent transliteration."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
-    return docs.select("doc_id", dedup.simhash64(F.col("text"), k=2).alias("simhash"))
+    # r14 OPT (guide §1.2 per-task work): the Column-form simhash64 runs 64
+    # nested aggregate() higher-order functions per row on the interpreted
+    # path (~6.7 s for these 50 docs at sf0.1); the explode+groupBy table
+    # form is vectorized JVM end-to-end and value-identical by construction
+    # (same shingles, hashes and vote rule — asserted in the suite and
+    # re-hash-matched against the oracle at 3 SFs for this swap).
+    return dedup.simhash_table(docs, k=2, out_col="simhash").select(
+        "doc_id", "simhash"
+    )
 
 
 def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1738,6 +1749,12 @@ def q_simhash_shingle_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheap stage-isolating diagnostic — a tokenizer regression shows here
     independently of the hashing stage."""
     docs = _t(spark, sf_dir, "documents")
+    # r14 OPT (guide §2.5 input skew): the carve + array_sort + md5 are
+    # per-doc map work; a single-split input ran the whole query in ONE
+    # task (~7 s at sf0.1). Partitioning only — per-doc values unchanged.
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < min(par, 8):
+        docs = docs.repartition(par)
     sh = dedup.shingles(F.col("text"), k=2)
     return docs.select(
         "doc_id",

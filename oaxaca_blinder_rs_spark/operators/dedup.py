@@ -174,6 +174,12 @@ def minhash_table(
     end-to-end, identical values (same md5 inputs, and min over strings is
     the same lexicographic order as array_min). ~20x faster corpus-wide.
     """
+    # r14 OPT (guide §2.5 input skew): a single-split input serializes the
+    # shingle carve + 16 md5s/shingle onto one core before the groupBy
+    # spreads it. Partitioning only — min(md5) per id is layout-invariant.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min(par, 8):
+        df = df.repartition(par)
     ex = df.select(F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("__s"))
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"p{p}:"), F.col("__s")))).alias(f"__m{p}")
@@ -435,6 +441,11 @@ def simhash_table(
     shingles, same hashes, same vote rule) — asserted in the suite.
     """
     sh = shingles(F.col(text_col), k)
+    # r14 OPT (guide §2.5 input skew): spread a single-split input before
+    # the carve+hash map side (integer vote sums are layout-invariant)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min(par, 8):
+        df = df.repartition(par)
     hashed = df.select(
         F.col(id_col), F.explode(sh).alias("__s")
     ).select(id_col, F.xxhash64("__s").alias("__h"))

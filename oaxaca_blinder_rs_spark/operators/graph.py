@@ -215,7 +215,12 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .localCheckpoint()
     )
     und = pairs.unionByName(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    deg = und.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("degree"))
+    # r14 OPT (guide §5 reuse): deg is read 3x (both orientation sides + the
+    # final left join); one node-count-sized table beats three groupBy
+    # passes over the 2|E| undirected list
+    deg = und.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    ).localCheckpoint()
     # Orient u -> v iff (deg(u), u) < (deg(v), v); carry the head's (deg, id)
     # so the wedge join can compare in the SAME order.
     du = deg.select(F.col("node").alias("u"), F.col("degree").alias("du"))
@@ -240,10 +245,14 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     )
     closing = oriented.select(F.col("a").alias("b1"), F.col("b").alias("b2"))
     tris = wedges.join(closing, ["b1", "b2"]).select("a", "b1", "b2")
+    # r14 OPT (guide §7.2 duplicated subtrees): the corner tally was a 3-way
+    # union of selects over `tris` — Spark does not share common subtrees
+    # across union branches, so the O(E^1.5) wedge join + closing join
+    # re-executed per branch (two extra 7.5M-row SortMergeJoins in the sf0.1
+    # plan). One explode emits the identical corner multiset in a single
+    # pass over the triangle list.
     corner = (
-        tris.select(F.col("a").alias("node"))
-        .unionByName(tris.select(F.col("b1").alias("node")))
-        .unionByName(tris.select(F.col("b2").alias("node")))
+        tris.select(F.explode(F.array("a", "b1", "b2")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )

@@ -24,6 +24,21 @@ __all__ = [
 ]
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """r14 OPT (guide §2.5 input skew): the grid explode multiplies per-row
+    work by |grid|, so an under-partitioned input (e.g. the 3-split sf0.1
+    lineitem scan) serializes the whole kernel evaluation onto a few cores
+    — profiled as ~7 s of 3-task stages in the sf0.1 DFL isolate.
+    Partitioning only: partial-aggregation merge order moves the sums by
+    last-ulp amounts, the tolerance class the fused/multi-density path
+    already documents (oracle re-verified at 3 SFs after this change). At
+    real scale the scan has many splits and this never fires."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min(par, 8):
+        return df.repartition(par)
+    return df
+
+
 def kde_on_grid(
     df: DataFrame,
     ycol: str,
@@ -37,7 +52,7 @@ def kde_on_grid(
     """
     w = F.col(wcol) if wcol else F.lit(1.0)
     g = F.col("__grid")
-    exploded = df.select(
+    exploded = _spread(df).select(
         F.col(ycol).cast("double").alias("__y"),
         w.cast("double").alias("__w"),
         F.explode(F.array(*[F.lit(float(x)) for x in grid])).alias("__grid"),
@@ -81,7 +96,7 @@ def kde_on_grid_many(
         if cond is not None:
             wexpr = F.when(cond, wexpr).otherwise(F.lit(0.0))
         proj.append(wexpr.alias(f"__w_{i}"))
-    exploded = df.select(
+    exploded = _spread(df).select(
         *proj, F.explode(F.array(*[F.lit(float(x)) for x in grid])).alias("__grid")
     )
     pdf_by_h: dict[float, F.Column] = {}

@@ -387,6 +387,16 @@ def _pq_codes_long(
     if m < 1 or dim % m != 0:
         raise ValueError(f"m={m} must divide the dimension {dim}")
     sd = dim // m
+    # r14 OPT (guide §2.5 input skew): a single-split parquet corpus would
+    # run the subvector posexplode + quantization in ONE task (profiled
+    # ~6.5 s serialized per execution at sf0.1) before the grouped
+    # trainer's first shuffle spreads it. Partitioning only — the trainer's
+    # int64 partials are merge-order free and its init window is keyed, so
+    # results are bit-identical. At real scale the scan has many splits and
+    # this never fires.
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    if corpus.rdd.getNumPartitions() < min(par, 8):
+        corpus = corpus.repartition(par)
     sub = corpus.select(
         F.col(id_col),
         F.posexplode(

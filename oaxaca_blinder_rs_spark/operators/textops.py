@@ -1551,6 +1551,15 @@ def pmi_bigrams(
         raise ValueError(f"min_count must be >= 1, got {min_count}")
     if int(top_n) < 1:
         raise ValueError(f"top_n must be >= 1, got {top_n}")
+    # r14 OPT (guide §2.5 input skew): the tokenize+explode map side runs
+    # once per consumer (bigram counts, bigram total, two unigram uses); on
+    # a single-split input each pass serialized onto one core (~7 s each at
+    # sf0.1). Partitioning only — every downstream quantity is an exact
+    # integer count, invariant to layout. At real corpus scale the scan has
+    # many splits and this never fires.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min(par, 8):
+        df = df.repartition(par)
     toks = F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
     cnt = F.size(toks)
     idx = F.sequence(F.lit(0), cnt - F.lit(2))
