@@ -156,8 +156,11 @@ def prepare_corpus(
                     kept, text_col="__text", id_col=id_col, k=shingle_k, threshold=jaccard_threshold
                 )
             else:
+                # spread=False: docs were spread at pipeline entry, and the
+                # partition probe on this derived (joined+cached) frame
+                # would trigger AQE stage materialization (r14 OPT)
                 candidate_pairs = dedup.minhash_lsh_candidates(
-                    kept, text_col="__text", id_col=id_col, k=shingle_k
+                    kept, text_col="__text", id_col=id_col, k=shingle_k, spread=False
                 )
         edges = dedup.ngram_jaccard(
             kept, candidate_pairs, text_col="__text", id_col=id_col, k=shingle_k

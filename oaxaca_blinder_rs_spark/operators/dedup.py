@@ -163,6 +163,7 @@ def minhash_table(
     num_perm: int = 16,
     k: int = 3,
     out_col: str = "sig",
+    spread: bool = True,
 ) -> DataFrame:
     """(id, sig) MinHash signatures for a whole corpus — the scalable face
     of minhash_signature.
@@ -177,9 +178,14 @@ def minhash_table(
     # r14 OPT (guide §2.5 input skew): a single-split input serializes the
     # shingle carve + 16 md5s/shingle onto one core before the groupBy
     # spreads it. Partitioning only — min(md5) per id is layout-invariant.
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < min(par, 8):
-        df = df.repartition(par)
+    # Callers that already spread their frame pass spread=False: the
+    # .rdd partition probe is free on raw scans but triggers AQE stage
+    # materialization on derived frames (measured 3 extra jobs on a joined
+    # input), so the probe must not run on known-spread pipelines.
+    if spread:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < min(par, 8):
+            df = df.repartition(par)
     ex = df.select(F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("__s"))
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"p{p}:"), F.col("__s")))).alias(f"__m{p}")
@@ -199,13 +205,15 @@ def minhash_bands(
     num_perm: int = 16,
     bands: int = 4,
     k: int = 3,
+    spread: bool = True,
 ) -> DataFrame:
     """(id, band_idx, band_key) rows — the LSH banding shared by the
     within-corpus candidate join and the cross-corpus dedup join. Two frames
     banded with identical parameters collide on the same keys."""
     rows_per_band = num_perm // bands
     with_sig = minhash_table(
-        df, text_col=text_col, id_col=id_col, num_perm=num_perm, k=k, out_col="__sig"
+        df, text_col=text_col, id_col=id_col, num_perm=num_perm, k=k,
+        out_col="__sig", spread=spread,
     )
     band_cols = []
     for b in range(bands):
@@ -223,9 +231,10 @@ def minhash_lsh_candidates(
     num_perm: int = 16,
     bands: int = 4,
     k: int = 3,
+    spread: bool = True,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) colliding in >=1 LSH band."""
-    banded = minhash_bands(df, text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands, k=k)
+    banded = minhash_bands(df, text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands, k=k, spread=spread)
     # r14 OPT (guide §5 reuse): materialize the banded table before the
     # self-join — both join sides otherwise re-run the full MinHash pass
     # (shingle explode + num_perm min-md5 aggregates over the corpus; no

@@ -469,7 +469,8 @@ def semantic_dedup(
     assigns, _ = kmeans_quantized(
         df, k=k, iters=iters, vec_col=vec_col, id_col=id_col, scale=scale
     )
-    base = with_norm(df, vec_col, id_col).join(assigns, id_col)
+    # r14 OPT (guide §5 reuse): both pair-join sides read base — pin it once
+    base = with_norm(df, vec_col, id_col).join(assigns, id_col).localCheckpoint()
     a = base.select(
         FF.col(id_col).alias("id_a"), FF.col("cluster").alias("__ca"),
         FF.col("__vec").alias("__va"), FF.col("__norm").alias("__na"),
@@ -478,8 +479,36 @@ def semantic_dedup(
         FF.col(id_col).alias("id_b"), FF.col("cluster").alias("__cb"),
         FF.col("__vec").alias("__vb"), FF.col("__norm").alias("__nb"),
     )
+    # r14 OPT (guide §2.5 hot keys): with few clusters (small explicit k —
+    # the oracle-contract shape) the pair join has only k distinct keys, so
+    # at most k tasks ever run and the largest cluster's |c|^2 cosine work
+    # lands on ONE task (profiled 4.8 s single-task at sf0.1, k=6). Salt
+    # the a-side key S = ceil(parallelism / k) ways (deterministic
+    # xxhash64 of the id — type-safe for any id type) and replicate the
+    # b-side S ways; every (a, b) pair still meets on exactly one salt
+    # value, so the pair set — and the output — is unchanged. At derived-k
+    # scale (k ~ n / target_cluster_size >= parallelism) S = 1 and the
+    # plan is untouched.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    n_salt = max(1, -(-par // int(k)))
+    if n_salt > 1:
+        a = a.withColumn(
+            "__salt", FF.pmod(FF.xxhash64(FF.col("id_a")), FF.lit(n_salt)).cast("int")
+        )
+        b = b.withColumn(
+            "__salt",
+            FF.explode(FF.array(*[FF.lit(i) for i in range(n_salt)])),
+        )
+        join_cond = (
+            (FF.col("__ca") == FF.col("__cb"))
+            & (FF.col("a.__salt") == FF.col("b.__salt"))
+            & (FF.col("id_a") < FF.col("id_b"))
+        )
+        a, b = a.alias("a"), b.alias("b")
+    else:
+        join_cond = (FF.col("__ca") == FF.col("__cb")) & (FF.col("id_a") < FF.col("id_b"))
     dup_edges = (
-        a.join(b, (FF.col("__ca") == FF.col("__cb")) & (FF.col("id_a") < FF.col("id_b")))
+        a.join(b, join_cond)
         .filter(
             FF.round(cosine_sim_expr("__va", "__vb", "__na", "__nb"), 6)
             >= FF.lit(float(threshold))
