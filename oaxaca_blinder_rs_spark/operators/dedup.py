@@ -50,6 +50,22 @@ __all__ = [
 ]
 
 
+def _spread_carve_input(df: DataFrame) -> DataFrame:
+    """r14 OPT (guide §2.5 input skew): a single-split input serializes a
+    heavy map-side carve (token split + per-window hashing) onto one core
+    before any exchange spreads it. Round-robin repartition to the default
+    parallelism when the input has fewer splits than min(parallelism, 8).
+    Partitioning only — every consumer below is a keyed aggregation/join or
+    a one-row-per-doc projection, so results are layout-invariant. The
+    `.rdd` partition probe is free on raw scans (the contract callers);
+    known-spread derived pipelines should skip the call (the f452e73
+    `spread=` convention)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min(par, 8):
+        df = df.repartition(par)
+    return df
+
+
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Groups of byte-identical documents: (content_hash, dup_count, doc_ids)."""
     return (
@@ -1024,7 +1040,9 @@ def dup_substring_spans(
         nwin >= 1,
         F.transform(F.sequence(F.lit(0), nwin - 1), keyed),
     ).otherwise(F.array().cast("array<string>"))
-    w = docs.select(F.col(id_col), F.posexplode(wins).alias("start", "__win"))
+    w = _spread_carve_input(docs).select(
+        F.col(id_col), F.posexplode(wins).alias("start", "__win")
+    )
     # r14 OPT (guide §2.4 remove shuffles outright): the first-occurrence
     # rule was a groupBy(__win) + join back on __win — TWO exchanges of the
     # exploded window table and TWO executions of the window-carving
@@ -1117,7 +1135,7 @@ def _cut_spans(
         F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
     )
     toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
-    base = docs.select(F.col(id_col), toks.alias("__toks"))
+    base = _spread_carve_input(docs).select(F.col(id_col), toks.alias("__toks"))
     joined = base.join(per_doc, id_col, "left")
     spans_arr = F.coalesce(
         F.col("__spans"),
@@ -1191,7 +1209,9 @@ def contamination_spans(
             nwin >= 1, F.transform(F.sequence(F.lit(0), nwin - 1), digest)
         ).otherwise(F.array().cast("array<binary>"))
         cols = [F.col(id_col)] if keep_id else []
-        return frame.select(*cols, F.posexplode(wins).alias("start", "__win"))
+        return _spread_carve_input(frame).select(
+            *cols, F.posexplode(wins).alias("start", "__win")
+        )
 
     ref_wins = win_rows(ref_docs, ref_text_col, keep_id=False).select("__win").distinct()
     hits = win_rows(docs, text_col, keep_id=True).join(ref_wins, "__win", "left_semi")

@@ -65,17 +65,75 @@ class Adjustment:
     defensibility_message: str | None = None
 
 
-@dataclass
 class OptimizationResult:
-    adjustments: list[Adjustment]
-    total_cost: float
-    original_gap: float
-    new_gap: float
-    original_unexplained_gap: float
-    new_unexplained_gap: float
-    required_budget: float
-    model_coefficients: list[Contribution]
-    adjustments_df: DataFrame | None = field(default=None, repr=False)
+    """Result of ``optimize``. ``adjustments_df`` is the lazy plan; the
+    scalar summaries and the driver-side ``adjustments`` list are computed
+    ON FIRST ACCESS (r14 OPT, guide §5: a query path that only consumes
+    ``adjustments_df`` — the contract shape — must not pay for the
+    original-gap decomposition run, the summary aggregations, or a
+    COLLECT_LIMIT-bounded collect of every adjustment row; library/MCP
+    consumers that read the attributes get the identical values, computed
+    by the identical jobs, just on demand). Each lazy attribute memoizes."""
+
+    def __init__(
+        self,
+        *,
+        required_budget_fn,
+        total_cost_fn,
+        original_gap_fn,
+        target_stats_fn,
+        adjustments_fn,
+        model_coefficients: list[Contribution],
+        adjustments_df: DataFrame | None = None,
+    ) -> None:
+        self._required_budget_fn = required_budget_fn
+        self._total_cost_fn = total_cost_fn
+        self._original_gap_fn = original_gap_fn
+        self._target_stats_fn = target_stats_fn
+        self._adjustments_fn = adjustments_fn
+        self.model_coefficients = model_coefficients
+        self.adjustments_df = adjustments_df
+        self._memo: dict[str, object] = {}
+
+    def _get(self, key: str, fn):
+        if key not in self._memo:
+            self._memo[key] = fn()
+        return self._memo[key]
+
+    @property
+    def required_budget(self) -> float:
+        return self._get("required_budget", self._required_budget_fn)
+
+    @property
+    def total_cost(self) -> float:
+        return self._get("total_cost", self._total_cost_fn)
+
+    @property
+    def original_gap(self) -> float:
+        return self._get("original_gap", self._original_gap_fn)
+
+    @property
+    def new_gap(self) -> float:
+        n_target, _ = self._get("target_stats", self._target_stats_fn)
+        if n_target > 0:
+            return self.original_gap + (self.total_cost / n_target)
+        return self.original_gap
+
+    @property
+    def original_unexplained_gap(self) -> float:
+        n_target, net = self._get("target_stats", self._target_stats_fn)
+        return -net / n_target if n_target > 0 else 0.0
+
+    @property
+    def new_unexplained_gap(self) -> float:
+        n_target, net = self._get("target_stats", self._target_stats_fn)
+        if n_target > 0:
+            return -(net - self.total_cost) / n_target
+        return self.original_unexplained_gap
+
+    @property
+    def adjustments(self) -> list[Adjustment]:
+        return self._get("adjustments", self._adjustments_fn)
 
 
 @dataclass
@@ -280,7 +338,10 @@ def optimize(
         )
         if categorical_predictors:
             gap_builder.categorical_predictors(categorical_predictors)
-        original_gap = gap_builder.run().total_gap
+        # r14 OPT (guide §5): the decomposition run behind original_gap is
+        # deferred to first access of .original_gap/.new_gap — nothing below
+        # consumes it, and the contract query path never reads it.
+        original_gap_fn = lambda: gap_builder.run().total_gap  # noqa: E731
 
         design, xcols = _design(df, predictors, categorical_predictors)
         is_ref = F.col(group) == F.lit(reference_group)
@@ -358,10 +419,24 @@ def optimize(
             pot = pot.filter(F.col("__eligible"))
         pot = pot.cache()
 
-        need_row = pot.filter(F.col("__eligible") & (F.col("__diff") > 0)).agg(
-            F.sum("__diff").alias("need")
-        ).collect()[0]
-        total_need = float(need_row["need"] or 0.0)
+        # r14 OPT (guide §5): the required-budget aggregate is only needed
+        # eagerly when its value is baked into the allocation plan (equitable
+        # coverage, or greedy with no explicit budget); a greedy run with an
+        # explicit budget defers it to first access of .required_budget.
+        need_memo: dict[str, float] = {}
+
+        def required_budget_fn() -> float:
+            if "v" not in need_memo:
+                row = pot.filter(F.col("__eligible") & (F.col("__diff") > 0)).agg(
+                    F.sum("__diff").alias("need")
+                ).collect()[0]
+                need_memo["v"] = float(row["need"] or 0.0)
+            return need_memo["v"]
+
+        if strategy.lower() == "equitable" or budget <= 0.0:
+            total_need = required_budget_fn()
+        else:
+            total_need = None
         effective_budget = budget if budget > 0.0 else total_need * 1.00001
 
         if strategy.lower() == "equitable":
@@ -393,17 +468,15 @@ def optimize(
 
         alloc = alloc.withColumn("new_wage", F.col("__wage") + F.col("adjustment"))
         alloc = alloc.cache()
-        total_cost = float(alloc.agg(F.sum("adjustment")).collect()[0][0] or 0.0)
 
-        mrow = scored.filter(~F.col("__is_ref")).agg(
-            F.count(F.lit(1)).alias("n_t"), F.sum("__diff").alias("net")
-        ).collect()[0]
-        n_target = float(mrow["n_t"] or 0)
-        net_residual_sum_b = float(mrow["net"] or 0.0)
+        def total_cost_fn() -> float:
+            return float(alloc.agg(F.sum("adjustment")).collect()[0][0] or 0.0)
 
-        new_gap = original_gap + (total_cost / n_target) if n_target > 0 else original_gap
-        orig_unexp = -net_residual_sum_b / n_target if n_target > 0 else 0.0
-        new_unexp = -(net_residual_sum_b - total_cost) / n_target if n_target > 0 else orig_unexp
+        def target_stats_fn() -> tuple[float, float]:
+            mrow = scored.filter(~F.col("__is_ref")).agg(
+                F.count(F.lit(1)).alias("n_t"), F.sum("__diff").alias("net")
+            ).collect()[0]
+            return float(mrow["n_t"] or 0), float(mrow["net"] or 0.0)
 
         adjustments_df = alloc.select(
             F.col(ROW_ID).alias("index"),
@@ -415,30 +488,32 @@ def optimize(
             "fair_wage_upper_bound",
             "contributions",
         )
-        adjustments: list[Adjustment] = []
-        n_adj = adjustments_df.count()
-        if n_adj <= COLLECT_LIMIT:
-            for r in adjustments_df.orderBy("index").collect():
-                adjustments.append(
-                    Adjustment(
-                        index=int(r["index"]),
-                        adjustment=float(r["adjustment"]),
-                        current_wage=float(r["current_wage"]),
-                        new_wage=float(r["new_wage"]),
-                        fair_wage=float(r["fair_wage"]),
-                        fair_wage_lower_bound=float(r["fair_wage_lower_bound"]),
-                        fair_wage_upper_bound=float(r["fair_wage_upper_bound"]),
-                        contributions=[Contribution(n, float(v)) for n, v in r["contributions"].items()],
+
+        def adjustments_fn() -> list[Adjustment]:
+            out: list[Adjustment] = []
+            n_adj = adjustments_df.count()
+            if n_adj <= COLLECT_LIMIT:
+                for r in adjustments_df.orderBy("index").collect():
+                    out.append(
+                        Adjustment(
+                            index=int(r["index"]),
+                            adjustment=float(r["adjustment"]),
+                            current_wage=float(r["current_wage"]),
+                            new_wage=float(r["new_wage"]),
+                            fair_wage=float(r["fair_wage"]),
+                            fair_wage_lower_bound=float(r["fair_wage_lower_bound"]),
+                            fair_wage_upper_bound=float(r["fair_wage_upper_bound"]),
+                            contributions=[Contribution(n, float(v)) for n, v in r["contributions"].items()],
+                        )
                     )
-                )
+            return out
+
         return OptimizationResult(
-            adjustments=adjustments,
-            total_cost=total_cost,
-            original_gap=original_gap,
-            new_gap=new_gap,
-            original_unexplained_gap=orig_unexp,
-            new_unexplained_gap=new_unexp,
-            required_budget=total_need,
+            required_budget_fn=required_budget_fn,
+            total_cost_fn=total_cost_fn,
+            original_gap_fn=original_gap_fn,
+            target_stats_fn=target_stats_fn,
+            adjustments_fn=adjustments_fn,
             model_coefficients=model_coefficients,
             adjustments_df=adjustments_df,
         )
