@@ -33,6 +33,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """r14 OPT (guide §2.5 input skew): spread a single-split scan before a
+    query-local heavy map side (regex scoring, per-row carves) so it does
+    not serialize onto one core; a no-op whenever the scan already has
+    splits (any real scale). Partitioning only — used where the query's
+    output is a per-row projection or keyed aggregation, invariant to
+    layout."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min(par, 8):
+        df = df.repartition(par)
+    return df
+
+
 def _components_df(spark: SparkSession, res, digits: int = 4) -> DataFrame:
     tf = {c.name: c.estimate for c in res.three_fold.aggregate}
     rows = [
@@ -488,7 +501,7 @@ def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-vote language ID over {de,en,es,fr}; 'und' when no votes."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     return docs.select("doc_id", textops.lang_id(F.col("text")).alias("lang_guess"))
 
 
@@ -2977,7 +2990,7 @@ def q_roc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORACLE_SWEEP_r12."""
     from oaxaca_blinder_rs_spark.operators.profiling import roc_points
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     scored = docs.select(
         textops.quality_score(F.col("text")).alias("q"),
         (F.col("lang") == "en").alias("is_en"),

@@ -380,14 +380,23 @@ def ngram_contamination(
     """
     if n < 1:
         raise ValueError("n must be >= 1")
+    # r14 OPT (guide §2.5 input skew): spread a single-split corpus before
+    # the shingle carve — the map-side join means no exchange ever spreads it
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < min(par, 8):
+        docs = docs.repartition(par)
     d_ng = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(dedup.shingles(F.col(text_col), n)).alias("__ng"),
     ).select("doc_id", F.xxhash64("__ng").alias("__h"))
+    # r14 OPT (guide §5 reuse + §2.5): the probe carve feeds BOTH the totals
+    # and the broadcast hash side — spread it, then pin one evaluation
+    if probes.rdd.getNumPartitions() < min(par, 8):
+        probes = probes.repartition(par)
     p_sh = probes.select(
         F.col(id_col).alias("probe_id"),
         F.explode(dedup.shingles(F.col(text_col), n)).alias("__ng"),
-    )
+    ).localCheckpoint()
     p_tot = p_sh.groupBy("probe_id").agg(F.count(F.lit(1)).alias("probe_ngrams"))
     p_ng = p_sh.select("probe_id", F.xxhash64("__ng").alias("__h"))
     pairs = (

@@ -716,13 +716,17 @@ def roc_points(
         F.sum("__y").alias("__np"),
         (F.count(F.lit(1)) - F.sum("__y")).alias("__nn"),
     )
-    cum = scan.grouped_prev_cumsum(
-        cells, "__g", [F.col("threshold").desc()], F.col("__np"), "__cum_np"
+    # r14 OPT (guide §2.4/§5): both >=-threshold tallies ride ONE ranged
+    # prefix-scan pass (identical per-value arithmetic), and the class
+    # totals aggregate the checkpointed scan output instead of re-running
+    # the cells subtree (whose input is a full corpus-scoring scan).
+    cum = scan.grouped_prev_cumsum_multi(
+        cells,
+        "__g",
+        [F.col("threshold").desc()],
+        [(F.col("__np"), "__cum_np"), (F.col("__nn"), "__cum_nn")],
     )
-    cum = scan.grouped_prev_cumsum(
-        cum, "__g", [F.col("threshold").desc()], F.col("__nn"), "__cum_nn"
-    )
-    tot = cells.groupBy("__g").agg(
+    tot = cum.groupBy("__g").agg(
         F.sum("__np").alias("__P"), F.sum("__nn").alias("__N")
     )
     out = cum.join(F.broadcast(tot), "__g")

@@ -26,7 +26,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["ordered_prev_cumsum", "grouped_prev_cumsum", "grouped_dense_rank"]
+__all__ = [
+    "ordered_prev_cumsum",
+    "grouped_prev_cumsum",
+    "grouped_prev_cumsum_multi",
+    "grouped_dense_rank",
+]
 
 
 def ordered_prev_cumsum(
@@ -123,36 +128,60 @@ def grouped_prev_cumsum(
     ``Window.partitionBy`` semantics. Result is eagerly checkpointed, the
     grouped_dense_rank convention.
     """
+    return grouped_prev_cumsum_multi(df, group, order, [(value, out_col)])
+
+
+def grouped_prev_cumsum_multi(
+    df: DataFrame,
+    group: str,
+    order: list[Column],
+    values: list[tuple[Column, str]],
+) -> DataFrame:
+    """N exclusive running totals under ONE ordering in ONE ranged pass —
+    the shared machinery behind ``grouped_prev_cumsum``. r14 OPT (guide
+    §2.4): callers needing several cumulative sums over the same order
+    (roc_points' >=-threshold positive AND negative tallies,
+    vocab_coverage's cumulative count and exclusive rank) previously
+    chained scans, paying the repartitionByRange + offsets collect +
+    checkpoint cycle once PER VALUE; one pass computes all of them with
+    identical per-value arithmetic (same range partitioning, same per-cell
+    int64 sums, same window), so each output column is bit-identical to
+    its chained equivalent.
+    """
     spark = df.sparkSession
     nparts = max(spark.sparkContext.defaultParallelism, 1)
-    ranged = (
-        df.repartitionByRange(nparts, F.col(group).asc(), *order)
-        .withColumn("__scan_pid", F.spark_partition_id())
-        .withColumn("__scan_v", value.cast("long"))
-        .persist()
-    )
+    ranged = df.repartitionByRange(
+        nparts, F.col(group).asc(), *order
+    ).withColumn("__scan_pid", F.spark_partition_id())
+    for i, (value, _) in enumerate(values):
+        ranged = ranged.withColumn(f"__scan_v{i}", value.cast("long"))
+    ranged = ranged.persist()
     try:
         cells = (
             ranged.groupBy(group, "__scan_pid")
-            .agg(F.sum("__scan_v").alias("__s"))
+            .agg(*[F.sum(f"__scan_v{i}").alias(f"__s{i}") for i in range(len(values))])
             .collect()
         )
         if not cells:
-            return df.withColumn(out_col, F.lit(0).cast("long"))
+            out = df
+            for _, out_col in values:
+                out = out.withColumn(out_col, F.lit(0).cast("long"))
+            return out
         by_group: dict = {}
         for r in cells:
             by_group.setdefault(r[group], []).append(
-                (int(r["__scan_pid"]), int(r["__s"] or 0))
+                (int(r["__scan_pid"]), [int(r[f"__s{i}"] or 0) for i in range(len(values))])
             )
         offs = []
         for g, lst in by_group.items():
-            running = 0
-            for pid, s in sorted(lst):
-                offs.append((g, pid, running))
-                running += s
+            running = [0] * len(values)
+            for pid, sums in sorted(lst):
+                offs.append((g, pid, *running))
+                running = [a + b for a, b in zip(running, sums)]
         gtype = dict(df.dtypes)[group]
+        off_cols = ", ".join(f"__scan_off{i} long" for i in range(len(values)))
         off_df = spark.createDataFrame(
-            offs, f"`__scan_g` {gtype}, __scan_pid int, __scan_off long"
+            offs, f"`__scan_g` {gtype}, __scan_pid int, {off_cols}"
         )
         w = (
             Window.partitionBy(group, "__scan_pid")
@@ -162,16 +191,16 @@ def grouped_prev_cumsum(
         cond = F.col(group).eqNullSafe(F.col("__scan_g")) & (
             ranged["__scan_pid"] == off_df["__scan_pid"]
         )
-        result = (
-            ranged.join(F.broadcast(off_df), cond)
-            .drop(off_df["__scan_pid"])
-            .withColumn(
+        result = ranged.join(F.broadcast(off_df), cond).drop(off_df["__scan_pid"])
+        drop = ["__scan_pid", "__scan_g"]
+        for i, (_, out_col) in enumerate(values):
+            result = result.withColumn(
                 out_col,
-                F.col("__scan_off")
-                + F.coalesce(F.sum("__scan_v").over(w), F.lit(0).cast("long")),
+                F.col(f"__scan_off{i}")
+                + F.coalesce(F.sum(f"__scan_v{i}").over(w), F.lit(0).cast("long")),
             )
-            .drop("__scan_pid", "__scan_off", "__scan_v", "__scan_g")
-        )
+            drop += [f"__scan_off{i}", f"__scan_v{i}"]
+        result = result.drop(*drop)
         return _checkpoint_with_plan(result)
     finally:
         ranged.unpersist()

@@ -68,6 +68,21 @@ STOPSETS: dict[str, list[str]] = {
 }
 
 
+def _spread_carve_input(df: DataFrame) -> DataFrame:
+    """r14 OPT (guide §2.5 input skew): a single-split input serializes a
+    heavy map-side pass (tokenize/explode/regex carve) onto one core before
+    any exchange spreads it. Round-robin repartition to the default
+    parallelism when the input has fewer splits than min(parallelism, 8).
+    Partitioning only — callers' downstream quantities are keyed
+    aggregations or per-row projections, invariant to layout. At real
+    corpus scale the scan has many splits and this never fires; the `.rdd`
+    probe is free on the raw scans the contract queries pass."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min(par, 8):
+        df = df.repartition(par)
+    return df
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokenization (the convention shared with the DuckDB oracle)."""
     return F.split(F.trim(text), r"\s+")
@@ -157,7 +172,9 @@ def repetition_stats(
     doc) are high-cardinality and uniform, so the plan is two map-side-combine
     shuffles that hold at corpus scale; no per-doc window, no Python.
     """
-    grams = df.select(F.col(id_col), F.explode(_ngrams_all(F.col(text_col), n)).alias("gram"))
+    grams = _spread_carve_input(df).select(
+        F.col(id_col), F.explode(_ngrams_all(F.col(text_col), n)).alias("gram")
+    )
     per_gram = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
     return per_gram.groupBy(id_col).agg(
         F.sum("c").alias("n_ngrams"),
@@ -553,7 +570,8 @@ def ngram_doc_freq(
     from .dedup import shingles
 
     return (
-        df.select(F.explode(shingles(F.col(text_col), k)).alias("ngram"))
+        _spread_carve_input(df)
+        .select(F.explode(shingles(F.col(text_col), k)).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("df"))
         .orderBy(F.col("df").desc(), F.col("ngram").asc())
@@ -639,7 +657,7 @@ def tfidf_top_terms(
 
     N = float(n_docs if n_docs is not None else df.count())
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    terms = df.select(F.col(id_col), F.explode(toks).alias("term"))
+    terms = _spread_carve_input(df).select(F.col(id_col), F.explode(toks).alias("term"))
     tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(dfreq, "term").withColumn(
@@ -1450,7 +1468,7 @@ def dedup_lines_in_doc(
     """
     ls = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n", -1)
     kept = F.filter(ls, lambda x, i: F.array_position(ls, x) == i + F.lit(1))
-    return docs.withColumn(text_col, F.concat_ws("\n", kept))
+    return _spread_carve_input(docs).withColumn(text_col, F.concat_ws("\n", kept))
 
 
 def zipf_fit(
@@ -1649,8 +1667,11 @@ def vocab_coverage(
         raise ValueError("vocab_coverage: no tokens in corpus")
     order = [F.col("__c").desc(), F.col("__tok").asc()]
     g = cnt.withColumn("__g", F.lit(0))
-    cum = scan.grouped_prev_cumsum(g, "__g", order, F.col("__c"), "__cum_ex")
-    cum = scan.grouped_prev_cumsum(cum, "__g", order, F.lit(1), "__rk_ex")
+    # r14 OPT (guide §2.4): cumulative mass and exclusive rank share one
+    # ranged prefix-scan pass instead of two full cycles
+    cum = scan.grouped_prev_cumsum_multi(
+        g, "__g", order, [(F.col("__c"), "__cum_ex"), (F.lit(1), "__rk_ex")]
+    )
     ranked = cum.select(
         (F.col("__rk_ex") + 1).cast("long").alias("rank"),
         (F.col("__cum_ex") + F.col("__c")).cast("long").alias("covered"),
