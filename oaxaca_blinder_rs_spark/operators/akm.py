@@ -91,13 +91,21 @@ class AkmBuilder:
 
         engine = self._engine
         if engine == "auto":
-            # fused row guard: pull at most LIMIT+1 rows in the same job that
-            # would fetch the data anyway (a separate count() would execute
-            # the upstream plan — often a join — twice)
-            pdf = df.limit(PANDAS_ROW_LIMIT + 1).toPandas()
-            if len(pdf) <= PANDAS_ROW_LIMIT:
-                return self._solve_pdf(pdf, df.sparkSession)
-            return self._solve_dist(self._largest_connected_set_dist(df))
+            # r14 OPT (guide §2.5/§5): the old fused guard was
+            # limit(LIMIT+1).toPandas(), whose CollectLimit funnels the whole
+            # upstream plan (usually a join) through ONE task. Persist + a
+            # PARALLEL count instead: the join still executes exactly once
+            # (into the cache), the guard job spreads over every core, and
+            # the pandas path's Arrow collect then reads cached partitions in
+            # parallel. The dist path reads df twice (edge distinct + the
+            # component semi-join), so the cache pays for itself there too.
+            df = df.persist()
+            try:
+                if df.count() <= PANDAS_ROW_LIMIT:
+                    return self._solve_pdf(df.toPandas(), df.sparkSession)
+                return self._solve_dist(self._largest_connected_set_dist(df))
+            finally:
+                df.unpersist()
         if engine == "pandas":
             # single data pull: connected-set filtering happens in NumPy on
             # the already-collected frame (no extra distinct job)
@@ -317,11 +325,22 @@ class AkmBuilder:
         rss = float(np.sum((y - pred) ** 2))
         r2 = 1.0 - rss / tss
 
+        # r14 OPT (guide §4): createDataFrame from a Python list builds a
+        # pickled PythonRDD that re-spins a Python worker on EVERY downstream
+        # action (~2 s fixed overhead per job); the pandas/Arrow path embeds
+        # the same rows as a JVM LocalRelation evaluated with zero Python
+        # workers. Values are the identical doubles.
+        import pandas as pd
+
         worker_effects = spark.createDataFrame(
-            [(str(w), float(a)) for w, a in zip(workers, alpha)], f"{self._worker} string, effect double"
+            pd.DataFrame(
+                {self._worker: [str(w) for w in workers], "effect": alpha.astype(np.float64)}
+            )
         )
         firm_effects = spark.createDataFrame(
-            [(str(f), float(p)) for f, p in zip(firms, psi)], f"{self._firm} string, effect double"
+            pd.DataFrame(
+                {self._firm: [str(f) for f in firms], "effect": psi.astype(np.float64)}
+            )
         )
         return AkmResult(beta=beta, worker_effects=worker_effects, firm_effects=firm_effects, r2=r2)
 

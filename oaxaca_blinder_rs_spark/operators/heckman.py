@@ -371,36 +371,47 @@ def run_heckman_oaxaca(builder):
             )
             joined = joined.withColumn("__imr", imr)
 
-            # 3. z-means on ALL rows (estimation.rs:165-166: x_sel row_mean)
+            # 3+4 fused (r14 OPT, guide §2.4/§1.2): the all-rows z-means and
+            # the selected-rows augmented Gram + IMR delta previously ran as
+            # TWO groupBy jobs, each re-evaluating the IMR/erf expression
+            # tree over the whole frame. One pass computes both: the
+            # selected-rows aggregates weight by __cnt_sel = __cnt when
+            # (selected AND outcome present) else 0.0 — excluded rows
+            # contribute exact 0.0 terms (or NULLs sum() skips, when the
+            # term touches the NULL outcome), so every partial sum is
+            # bit-identical to the filtered version's. A (rep, group) with
+            # no selected rows has __wsum 0 and stays OUT of per_key,
+            # matching the old groupBy-after-filter absence.
             zmean_aggs = [
                 (F.sum(F.col("__cnt") * F.col(c)) / F.sum("__cnt")).alias(f"__zm_{j}")
                 for j, c in enumerate(sel_cols)
             ]
-            zrows = joined.groupBy("__rep", group).agg(*zmean_aggs).collect()
-            zmeans = {
-                (int(r["__rep"]), r[group]): np.array([float(r[f"__zm_{j}"]) for j in range(len(sel_cols))])
-                for r in zrows
-            }
-
-            # 4. augmented OLS stats + IMR delta over SELECTED rows with outcome
-            sel_frame = joined.filter(F.col(sel_outcome) == 1.0).dropna(subset=[outcome])
+            sel_ind = (F.col(sel_outcome) == 1.0) & F.col(outcome).isNotNull()
+            joined = joined.withColumn(
+                "__cnt_sel", F.when(sel_ind, F.col("__cnt")).otherwise(F.lit(0.0))
+            )
             xaug = xcols + ["__imr"]
             from ..functions.linalg import gram_agg_exprs
 
-            aggs = gram_agg_exprs(xaug, outcome, wcol="__cnt", count_expr=F.col("__cnt"))
+            aggs = gram_agg_exprs(xaug, outcome, wcol="__cnt_sel", count_expr=F.col("__cnt_sel"))
             aggs.append(
                 (
-                    F.sum(F.col("__cnt") * (-F.col("__imr") * (F.col("__imr") + F.col("__zg"))))
-                    / F.sum("__cnt")
+                    F.sum(F.col("__cnt_sel") * (-F.col("__imr") * (F.col("__imr") + F.col("__zg"))))
+                    / F.sum("__cnt_sel")
                 ).alias("__delta")
             )
-            srows = sel_frame.groupBy("__rep", group).agg(*aggs).collect()
+            rows = joined.groupBy("__rep", group).agg(*zmean_aggs, *aggs).collect()
             from ..functions.linalg import stats_from_row
 
+            zmeans = {
+                (int(r["__rep"]), r[group]): np.array([float(r[f"__zm_{j}"]) for j in range(len(sel_cols))])
+                for r in rows
+            }
             per_key = {}
-            for r in srows:
-                key = (int(r["__rep"]), r[group])
-                per_key[key] = (stats_from_row(r, xaug, has_y=True), float(r["__delta"]))
+            for r in rows:
+                if float(r["__wsum"] or 0.0) > 0.0:
+                    key = (int(r["__rep"]), r[group])
+                    per_key[key] = (stats_from_row(r, xaug, has_y=True), float(r["__delta"]))
 
         names = list(xcols) + [IMR_NAME]
         sel_names = [INTERCEPT] + list(sel_preds)
