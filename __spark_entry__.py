@@ -107,13 +107,25 @@ def q_group_outcome_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_quantiles_type7(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A7: exact type-7 quantiles per group (rif.rs:22-35 convention)."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 6).alias("q25"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("q50"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 6).alias("q75"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias("q90"),
+    """A7: exact type-7 quantiles per group (rif.rs:22-35 convention).
+
+    r14 OPT (guide §2.3 shuffle fewer bytes): four scalar `percentile`
+    aggregates each buffered and shuffled EVERY group value independently
+    (4x the bytes, 4x the merge sorts); the array form keeps ONE shared
+    value buffer and emits the same type-7 interpolations, element-wise
+    identical. Input spread so the partial buffering isn't serialized onto
+    the 3 scan splits."""
+    li = _spread(_t(spark, sf_dir, "lineitem"))
+    qs = F.percentile(
+        "l_extendedprice",
+        F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.9)),
+    )
+    return li.groupBy("l_returnflag").agg(qs.alias("__qs")).select(
+        "l_returnflag",
+        F.round(F.element_at("__qs", 1), 6).alias("q25"),
+        F.round(F.element_at("__qs", 2), 6).alias("q50"),
+        F.round(F.element_at("__qs", 3), 6).alias("q75"),
+        F.round(F.element_at("__qs", 4), 6).alias("q90"),
     )
 
 

@@ -546,6 +546,11 @@ def simhash_candidates(
         F.col("__band.band_idx").alias("band_idx"),
         F.col("__band.band_val").alias("band_val"),
     )
+    # r14 OPT (guide §5 reuse): both self-join sides previously re-ran the
+    # whole simhash_table subtree (shingle explode + 64 vote aggregates over
+    # the corpus — differently-aliased subtrees share no exchange); pin the
+    # banded table once.
+    banded = banded.localCheckpoint()
     left = banded.alias("l")
     right = banded.alias("r")
     ham = F.bit_count(F.col("l.__sig").bitwiseXOR(F.col("r.__sig")))
@@ -723,9 +728,28 @@ def embedding_cosine_dups_lsh(
     """
     from .similarity import cosine_sim_expr, int_banded
 
-    a = int_banded(df, "id_a", dim, vec_col, id_col, bits, num_tables, quantize_scale)
-    b = int_banded(df, "id_b", dim, vec_col, id_col, bits, num_tables, quantize_scale)
-    pairs = a.join(b, [a["t"] == b["t"], a["b"] == b["b"], F.col("id_a") < F.col("id_b")])
+    # r14 OPT (guide §5 reuse): both self-join sides previously re-ran the
+    # full banding (norms + quantization + num_tables int64 plane dots over
+    # every vector — no exchange reuse fires across differently-aliased
+    # subtrees); band ONCE, pin it, and rename columns for the b side.
+    banded = int_banded(
+        df, "id_a", dim, vec_col, id_col, bits, num_tables, quantize_scale
+    ).localCheckpoint()
+    a = banded.alias("l")
+    b = (
+        banded.withColumnRenamed("id_a", "id_b")
+        .withColumnRenamed("__v_id_a", "__v_id_b")
+        .withColumnRenamed("__n_id_a", "__n_id_b")
+        .alias("r")
+    )
+    pairs = a.join(
+        b,
+        [
+            F.col("l.t") == F.col("r.t"),
+            F.col("l.b") == F.col("r.b"),
+            F.col("id_a") < F.col("id_b"),
+        ],
+    )
     return (
         pairs.select(
             "id_a",
