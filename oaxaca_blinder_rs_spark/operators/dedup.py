@@ -586,7 +586,14 @@ def ngram_jaccard(
     array intersections — two broadcast-able joins when pairs are few, or
     shuffle joins on id at scale.
     """
-    sh = df.select(F.col(id_col), shingles(F.col(text_col), k).alias("__sh"))
+    # r14 OPT (guide §5 reuse + §2.5): the shingle-set table feeds BOTH pair
+    # joins — left lazy, each side re-carved the corpus (single-task on a
+    # one-split scan); spread, carve once, pin.
+    sh = (
+        _spread_carve_input(df)
+        .select(F.col(id_col), shingles(F.col(text_col), k).alias("__sh"))
+        .localCheckpoint()
+    )
     out = (
         pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("__sh", "__sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("__sh", "__sh_b"), "id_b")
@@ -879,7 +886,12 @@ def prefix_filtered_pairs(
     prefix index's collisions.
     """
     t_f = max(0.0, float(threshold) - float(margin))
-    sh = docs.select(F.col(id_col).alias("__id"), shingles(F.col(text_col), k).alias("__sh"))
+    # r14 OPT (guide §2.5): spread a single-split corpus before the carve —
+    # the checkpoint below otherwise materializes the whole shingle table
+    # through one task
+    sh = _spread_carve_input(docs).select(
+        F.col(id_col).alias("__id"), shingles(F.col(text_col), k).alias("__sh")
+    )
     tok = sh.select(
         "__id", F.size("__sh").alias("__n"), F.explode("__sh").alias("__tok")
     )

@@ -105,12 +105,14 @@ def pagerank(
         ).localCheckpoint()
     for _ in range(int(iters)):
         ranks = ranks.localCheckpoint()
-        dangling = (
-            ranks.join(out_w, "node", "left_anti")
-            .agg(F.coalesce(F.sum("rank_int"), F.lit(0)).cast("long"))
-            .first()[0]
+        # r14 OPT (guide §5): the dangling mass was a .first() driver
+        # round-trip per iteration (a full extra job and a sync point);
+        # as a broadcast one-row aggregate it executes inside the SAME job
+        # that materializes the next rank table. `__dang div n` is the
+        # identical int64 floor-div the driver computed (dangling >= 0).
+        dang = ranks.join(out_w, "node", "left_anti").agg(
+            F.coalesce(F.sum("rank_int"), F.lit(0)).cast("long").alias("__dang")
         )
-        share = dangling // n
         inc = (
             contrib_e.join(ranks.withColumnRenamed("node", "__src"), "__src")
             .select(
@@ -120,14 +122,18 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("__c").cast("long").alias("__inc"))
         )
-        ranks = nodes.join(inc, "node", "left").select(
-            "node",
-            (
-                F.lit(teleport)
-                + F.expr(
-                    f"{d} * (coalesce(__inc, 0L) + {share}L) div 100"
-                )
-            ).cast("long").alias("rank_int"),
+        ranks = (
+            nodes.join(inc, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.expr(
+                        f"{d} * (coalesce(__inc, 0L) + __dang div {n}L) div 100"
+                    )
+                ).cast("long").alias("rank_int"),
+            )
         )
     return ranks
 
