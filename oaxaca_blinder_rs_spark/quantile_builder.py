@@ -334,6 +334,18 @@ class QuantileDecompositionBuilder:
         """
         from pyspark.sql import Window
 
+        import time as _time
+
+        stage_times: list[tuple[str, float]] = []  # instrumentation (r15)
+        self._mm_stage_times = stage_times
+        _t_stage = _time.perf_counter()
+
+        def _mark(name: str) -> None:
+            nonlocal _t_stage
+            now = _time.perf_counter()
+            stage_times.append((name, now - _t_stage))
+            _t_stage = now
+
         design, xcols, group_a, group_b = self._prepare_design()
         design = design.filter(F.col(self._group).isin([group_a, group_b]))
         spark = design.sparkSession
@@ -369,11 +381,13 @@ class QuantileDecompositionBuilder:
         design = design.withColumn("__mm_mid", F.monotonically_increasing_id()).withColumn(
             "__mm_pid", F.shiftrightunsigned(F.col("__mm_mid"), 33)
         ).localCheckpoint()
+        _mark("design_checkpoint")
         cell_rows = (
             design.groupBy(self._group, "__mm_pid")
             .agg(F.count(F.lit(1)).alias("__c"))
             .collect()
         )
+        _mark("offsets_collect")
         offs, running = [], {}
         for r in sorted(cell_rows, key=lambda r: (str(r[self._group]), int(r["__mm_pid"]))):
             g = r[self._group]
@@ -389,6 +403,7 @@ class QuantileDecompositionBuilder:
         )
         n_a, n_b = int(running[group_a]), int(running[group_b])
 
+        _mark("rank_plan")
         if strategy == "taubatch":
             betas = self._fit_taubatch(
                 spark, ranked, xcols, group_a, group_b, taus_by_rep, n_a, n_b
@@ -397,6 +412,7 @@ class QuantileDecompositionBuilder:
             betas = self._fit_gram(
                 spark, ranked, xcols, group_a, group_b, taus_by_rep, n_a, n_b
             )
+        _mark("fit")
 
         # per-rep simulation plan: translate picks into original row ranks
         plans: dict[int, dict] = {}
@@ -437,10 +453,12 @@ class QuantileDecompositionBuilder:
                 file=_sys.stderr,
             )
 
+        _mark("plans")
         want = ranked.filter(
             ((F.col(self._group) == group_a) & F.col("__mm_rn").isin(sorted(needed[group_a])))
             | ((F.col(self._group) == group_b) & F.col("__mm_rn").isin(sorted(needed[group_b])))
         ).select(self._group, "__mm_rn", *xcols).collect()
+        _mark("want_collect")
         rows_by = {}
         for r_ in want:
             rows_by[(r_[self._group], int(r_["__mm_rn"]))] = np.array(
@@ -549,11 +567,16 @@ class QuantileDecompositionBuilder:
                     out.append((rep, gval, int(ti), [], False))
             return pd.DataFrame(out, columns=["rep", "grp", "tau_idx", "beta", "ok"])
 
+        import time as _time
+
+        _t0 = _time.perf_counter()
         beta_rows = (
             replicated.groupBy("__mm_rep", self._group, "__mm_batch")
             .applyInPandas(fit_batch, "rep int, grp string, tau_idx int, beta array<double>, ok boolean")
             .collect()
         )
+        self._taubatch_collect_sec = _time.perf_counter() - _t0  # instrumentation
+        self._taubatch_n_batches = n_batches
         betas: dict[tuple[int, int], list[np.ndarray]] = {}
         for row in sorted(
             (r for r in beta_rows if r["ok"]), key=lambda r: (int(r["rep"]), int(r["tau_idx"]))
